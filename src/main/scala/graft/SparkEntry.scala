@@ -1,13 +1,711 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.GridFunctions
+import graft.serve.PointQuery
+import graft.sim.Similarity
+import graft.sources.SyntheticGrid
+import graft.store.{GridStore, Replacing}
+import graft.text.TextAnalysis
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2 (keys
+  * carry the operator ids), each with a DuckDB-oracle SQL mirror where the
+  * operator is SQL-expressible. Column names/aliases are identical between
+  * the Spark result and the oracle SQL (the driver sorts columns by name
+  * before hashing).
+  *
+  * Hash-stability rules used throughout:
+  *   - float aggregates go through exact DECIMAL sums, cast to DOUBLE at the
+  *     end (order-independent, engine-independent);
+  *   - libm-dependent outputs (exp in Magnus) are rounded before aggregation;
+  *   - every result has a total ORDER BY;
+  *   - ties in top-1/top-k are pinned with explicit tiebreak keys.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** Exact decimal sum of a double expression, returned as double. */
+  private def dsum(c: Column, scale: Int = 3): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the serving
+    * read path (snap + NN + top-1) over the events table as a grid.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    servingFlagship(spark, "/root/testdata/sf0.001")
+
+  /** Events table viewed as a grid slice store:
+    * variable=event_type, timestamp=day, lat/lon derived, catalogId=event_id.
+    */
+  private def eventsAsGrid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      col("event_type").as("variable"),
+      date_trunc("day", col("ts")).as("timestamp"),
+      (col("user_id") % 100).cast("double").as("lat"),
+      (col("event_id") % 100).cast("double").as("lon"),
+      col("value"),
+      lit("u").as("unit"),
+      col("event_id").cast("string").as("catalogId"))
+
+  /** SURVEY §3.1 — the platform's signature query, set-oriented: per
+    * variable, snap-to-latest timestamp ≤ probe, then NN top-1 in the slice.
+    */
+  private def servingFlagship(spark: SparkSession, dir: String): DataFrame = {
+    val grid = eventsAsGrid(spark, dir)
+    val probes = grid.select(col("variable")).distinct()
+      .select(col("variable").as("probeId"), col("variable"),
+        expr("TIMESTAMP '2024-01-20 00:00:00'").as("ts"),
+        lit(50.0).as("lat"), lit(50.0).as("lon"))
+    PointQuery.getSamples(grid, probes)
+      .select(col("probeId"), col("refTimestamp"), col("actualLat"),
+        col("actualLon"), col("value"), col("catalogId"))
+      .orderBy("probeId")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Jackfruit operator surface ────────────────────────────────────────
+
+    // S1/S2 + F1 + J2 + F5 + C2 + C3 — full synthetic-GRIB ECMWF pipeline:
+    // distributed meshgrid → Europe clip → pivot pairing → Magnus → per-
+    // timestamp validation aggregates (A5 shape) + grid-regularity check.
+    "s2_grib_pipeline" -> ((s, _) => {
+      val decoded = SyntheticGrid.ecmwfKelvinPair(s, 2)
+      val clipped = GridFunctions.clipToEurope(decoded)
+      val paired = clipped.groupBy("timestamp", "lat", "lon")
+        .pivot("variable", Seq("temperature", "dewpoint")).agg(first("value"))
+        .filter(col("temperature").isNotNull && col("dewpoint").isNotNull)
+      paired
+        .withColumn("t_c", GridFunctions.kelvinToCelsius(col("temperature")))
+        .withColumn("td_c", GridFunctions.kelvinToCelsius(col("dewpoint")))
+        .withColumn("rh", round(GridFunctions.magnusHumidity(col("t_c"), col("td_c")), 2))
+        .groupBy("timestamp")
+        .agg(
+          count(lit(1)).as("n_points"),
+          countDistinct(round(col("lat"), 6)).as("n_lats"),
+          countDistinct(round(col("lon"), 6)).as("n_lons"),
+          round(min("t_c"), 6).as("min_t"),
+          round(max("t_c"), 6).as("max_t"),
+          round(min("rh"), 2).as("min_rh"),
+          round(max("rh"), 2).as("max_rh"),
+          dsum(col("rh"), 2).as("sum_rh"))
+        .orderBy("timestamp")
+    }),
+
+    // F1 — bounding-box-style pushable predicate + projection
+    "f1_bbox_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity").between(30, 45) &&
+          col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F3 — variable + time-slice predicate
+    "f3_variable_slice" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type") === "click" &&
+          col("ts") <= expr("TIMESTAMP '2024-01-15 00:00:00'"))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")),
+
+    // J1 — lineage equi-join (small dim → broadcast hash join)
+    "j1_lineage_join" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // J2 — pivot pairing of variables sharing a key (conditional aggregation)
+    "j2_pivot_pairing" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", col("value")).cast("decimal(30,3)"))
+          .cast("double").as("click_sum"),
+        sum(when(col("event_type") === "view", col("value")).cast("decimal(30,3)"))
+          .cast("double").as("view_sum"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase_cnt"))
+        .orderBy("user_id")),
+
+    // J3/W1 — nearest-neighbor top-1 per group by computed distance
+    "j3_nn_top1" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(((col("value") - 100.0) * (col("value") - 100.0)).asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "event_id", "value")
+        .orderBy("event_type")
+    }),
+
+    // J4 — multi-hop dimension join collapsed into one plan
+    "j4_multihop_join" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("revenue"))
+        .orderBy("r_name")),
+
+    // A1/W2 — keep-latest dedup (the ReplacingMergeTree FINAL semantic)
+    "a1_keep_latest" -> ((s, d) =>
+      Replacing.latest(t(s, d, "events"),
+        keyCols = Seq("user_id", "event_type"), versionCol = "ts",
+        tiebreakCols = Seq("event_id"))
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")),
+
+    // A2 — snap-to-latest timestamp (scalar as-of aggregate, set-oriented form)
+    "a2_asof_snap" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") <= expr("TIMESTAMP '2024-01-15 12:00:00'"))
+        .groupBy("event_type")
+        .agg(max("ts").as("snapped_ts"))
+        .orderBy("event_type")),
+
+    // A3 — row-count accounting
+    "a3_row_count" -> ((s, d) =>
+      t(s, d, "events").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))),
+
+    // A4 — distinct-set collection
+    "a4_distinct_set" -> ((s, d) =>
+      t(s, d, "events").select("event_type").distinct().orderBy("event_type")),
+
+    // A5 — validation aggregates (the reference's test-oracle surface)
+    "a5_validation_aggs" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        min("value").as("min_v"),
+        max("value").as("max_v"),
+        countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    // W1 — top-k per group (rank window)
+    "w1_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // K3 — insert-if-absent semantics (left-anti join)
+    "k3_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // K4 — upsert merge: updates replace base rows with the same key
+    "k4_upsert_merge" -> ((s, d) => {
+      val base = t(s, d, "events").select(col("event_id"), col("value"))
+        .withColumn("src", lit(0))
+      val updates = t(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), (col("value") + 1000.0).as("value"))
+        .withColumn("src", lit(1))
+      Replacing.latest(base.unionByName(updates), Seq("event_id"), "src")
+        .select("event_id", "value", "src")
+        .orderBy("event_id")
+    }),
+
+    // K1/K5/A1 — store round-trip: double-append into a GridStore, compact,
+    // read RAW (not finalView) — proves idempotent keep-latest materialization
+    "k5_store_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-store").toString
+      val store = new GridStore(s, s"$out/grid")
+      val batch1 = eventsAsGrid2(s, d, valueShift = 0.0)
+        .withColumn("insertedAt", expr("TIMESTAMP '2026-01-01 00:00:00'"))
+      val batch2 = eventsAsGrid2(s, d, valueShift = 1.0)
+        .withColumn("insertedAt", expr("TIMESTAMP '2026-01-02 00:00:00'"))
+      store.append(batch1)
+      store.append(batch2)
+      store.compact()
+      store.raw().groupBy("variable").agg(
+        count(lit(1)).as("n"),
+        min("value").cast("double").as("min_v"),
+        max("value").cast("double").as("max_v"))
+        .orderBy("variable")
+    }),
+
+    // A2+J3 — the flagship serving read path, set-oriented over all variables
+    "a2j3_serving_flagship" -> ((s, d) => servingFlagship(s, d)),
+
+    // C1/C2 — conditional unit conversion (when/otherwise column rewrite)
+    "c1_unit_conversion" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .otherwise(col("l_extendedprice") * (lit(1.0) + col("l_tax")))
+          .as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // C3 — Magnus relative humidity as pure column arithmetic
+    "c3_magnus_humidity" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        round(GridFunctions.magnusHumidity(
+          col("value") / 10.0, col("value") / 10.0 - 5.0), 2).as("rh"))
+        .orderBy("event_id")),
+
+    // C7/C8 — raw-object key construction + date formatting
+    "c7_key_construction" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        concat(lit("ads/cams-europe-air-quality-forecast/"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          lit("/"), col("o_orderkey").cast("string"), lit(".grib")).as("s3_key"))
+        .orderBy("o_orderkey")),
+
+    // ── Training-data pipeline operators ──────────────────────────────────
+
+    // T-text: token counting (whitespace + BPE-ish regex) + stats
+    "t1_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"))
+        .orderBy("doc_id")),
+
+    // T-text: composite quality score
+    "t2_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")),
+
+    // T-text: language identification (marker-ngram heuristic)
+    "t3_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // D-dedup: exact dedup groups by content fingerprint
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("fp")),
+
+    // D-dedup: MinHash+LSH near-dup pairs, exact-Jaccard verified
+    // (not SQL-expressible → rows-only check)
+    "d2_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("a", "b")),
+
+    // D-dedup: SimHash near-pairs (rows-only)
+    "d3_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("a", "b")),
+
+    // D-dedup: n-gram/word Jaccard near-dup on prefix-bucketed candidates
+    "d4_jaccard_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val norm = lower(trim(regexp_replace(col("text"), lit("[^A-Za-z0-9]+"), lit(" "))))
+      val a = docs.select(col("doc_id").as("a"), col("text").as("ta"),
+        substring(norm, 1, 32).as("pfx"))
+      val b = docs.select(col("doc_id").as("b"), col("text").as("tb"),
+        substring(norm, 1, 32).as("pfx"))
+      val inter = size(array_intersect(
+        array_distinct(Dedup.tokens(col("ta"))), array_distinct(Dedup.tokens(col("tb")))))
+        .cast("double")
+      val da = size(array_distinct(Dedup.tokens(col("ta")))).cast("double")
+      val db = size(array_distinct(Dedup.tokens(col("tb")))).cast("double")
+      a.join(b, Seq("pfx")).filter(col("a") < col("b"))
+        .withColumn("jaccard", round(inter / (da + db - inter), 4))
+        .filter(col("jaccard") >= 0.35)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    }),
+
+    // V-similarity: brute-force cosine top-k against one probe vector
+    "v1_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Similarity.topK(emb, "vec_id", "embedding", probe, 10)
+        .select(col("id").as("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+    }),
+
+    // V-similarity: k-NN join (10 probes × corpus, top-3 each)
+    "v2_knn_join" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnJoin(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // V-similarity: LSH-bucketed ANN near-pairs (rows-only)
+    "v3_ann_pairs" -> ((s, d) =>
+      Similarity.annPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        nPlanes = 16, bandBits = 8, threshold = 0.8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("a", "b")),
+
+    // V-similarity: per-label aggregate over vector norms
+    "v4_label_norms" -> ((s, d) =>
+      t(s, d, "embeddings").groupBy("label").agg(
+        count(lit(1)).as("n"),
+        dsum(round(Similarity.dot(col("embedding"), col("embedding")), 6), 6).as("sum_sqnorm"))
+        .orderBy("label")),
+
+    // M-multimodal: binary-column metadata (blob-free projection)
+    "m1_media_metadata" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        octet_length(col("text")).as("size_bytes"),
+        sha2(col("text"), 256).as("content_hash"))
+        .orderBy("media_id")),
+
+    // E-events: windowed time aggregation (streaming-shaped, batch-run)
+    "e1_hourly_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // E-events: gap-based sessionization (lag window + cumulative flags)
+    "e2_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .groupBy("user_id")
+        .agg((lit(1) + sum(when(col("gap_us") > 1800000000L, 1).otherwise(0))).as("n_sessions"))
+        .orderBy("user_id")
+    })
+  )
+
+  /** Events-as-grid with second-truncated timestamps and a value shift —
+    * input batches for the store round-trip query.
+    */
+  private def eventsAsGrid2(s: SparkSession, dir: String, valueShift: Double): DataFrame =
+    t(s, dir, "events").select(
+      col("event_type").as("variable"),
+      date_trunc("second", col("ts")).as("timestamp"),
+      (col("user_id") % 100).cast("double").as("lat"),
+      (col("event_id") % 100).cast("double").as("lon"),
+      (col("value") + valueShift).as("value"),
+      lit("u").as("unit"),
+      col("event_id").cast("string").as("catalogId"))
+
+  def oracleSql: Map[String, String] = Map(
+    "s2_grib_pipeline" ->
+      """WITH grid AS (
+        |  SELECT TIMESTAMP '2026-01-01 00:00:00' + to_seconds(ti * 10800) AS timestamp,
+        |         CAST(90.0 - li * 0.25 AS DOUBLE) AS lat,
+        |         CAST(-180.0 + gi * 0.25 AS DOUBLE) AS lon
+        |  FROM range(0,2) r1(ti), range(0,721) r2(li), range(0,1440) r3(gi)
+        |  WHERE (90.0 - li * 0.25) BETWEEN 30.0 AND 72.0
+        |    AND (-180.0 + gi * 0.25) BETWEEN -25.0 AND 45.0
+        |), vals AS (
+        |  SELECT timestamp, lat, lon,
+        |         (288.15 + lat * 0.05 + lon * 0.01) AS t_k,
+        |         (288.15 + lat * 0.05 + lon * 0.01) - (2.0 + (lat + 90.0) / 36.0) AS td_k
+        |  FROM grid
+        |), c AS (
+        |  SELECT timestamp, lat, lon, t_k - 273.15 AS t_c, td_k - 273.15 AS td_c FROM vals
+        |), rhh AS (
+        |  SELECT timestamp, lat, lon, t_c,
+        |         round(100.0 * exp(17.625 * td_c / (243.04 + td_c)) / exp(17.625 * t_c / (243.04 + t_c)), 2) AS rh
+        |  FROM c
+        |)
+        |SELECT timestamp, count(*) AS n_points,
+        |       count(DISTINCT round(lat, 6)) AS n_lats,
+        |       count(DISTINCT round(lon, 6)) AS n_lons,
+        |       round(min(t_c), 6) AS min_t, round(max(t_c), 6) AS max_t,
+        |       round(min(rh), 2) AS min_rh, round(max(rh), 2) AS max_rh,
+        |       CAST(sum(CAST(rh AS DECIMAL(30,2))) AS DOUBLE) AS sum_rh
+        |FROM rhh GROUP BY timestamp ORDER BY timestamp""".stripMargin,
+
+    "f1_bbox_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 30 AND 45 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f3_variable_slice" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "j1_lineage_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j2_pivot_pairing" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,3)) END) AS DOUBLE) AS click_sum,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(30,3)) END) AS DOUBLE) AS view_sum,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_cnt
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "j3_nn_top1" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY (value - 100.0) * (value - 100.0) ASC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "j4_multihop_join" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "a1_keep_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "a2_asof_snap" ->
+      """SELECT event_type, max(ts) AS snapped_ts FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a3_row_count" ->
+      "SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users FROM events",
+
+    "a4_distinct_set" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "a5_validation_aggs" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w1_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "k3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "k4_upsert_merge" ->
+      """SELECT event_id, value, src FROM (
+        |  SELECT event_id, value, src,
+        |         row_number() OVER (PARTITION BY event_id ORDER BY src DESC) AS rn
+        |  FROM (
+        |    SELECT event_id, value, 0 AS src FROM events
+        |    UNION ALL
+        |    SELECT event_id, value + 1000.0 AS value, 1 AS src FROM events
+        |    WHERE event_type = 'click')
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "k5_store_roundtrip" ->
+      """WITH g AS (
+        |  SELECT event_type AS variable, date_trunc('second', ts) AS tsec,
+        |         CAST(user_id % 100 AS DOUBLE) AS lat, CAST(event_id % 100 AS DOUBLE) AS lon,
+        |         CAST(value + 1.0 AS FLOAT) AS valf, CAST(event_id AS VARCHAR) AS cid
+        |  FROM events
+        |), dd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY variable, tsec, lat, lon
+        |    ORDER BY cid DESC) AS rn FROM g
+        |)
+        |SELECT variable, count(*) AS n,
+        |       CAST(min(valf) AS DOUBLE) AS min_v, CAST(max(valf) AS DOUBLE) AS max_v
+        |FROM dd WHERE rn = 1 GROUP BY variable ORDER BY variable""".stripMargin,
+
+    "a2j3_serving_flagship" ->
+      """WITH g AS (
+        |  SELECT event_type AS probeId, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(user_id % 100 AS DOUBLE) AS lat, CAST(event_id % 100 AS DOUBLE) AS lon,
+        |         value, CAST(event_id AS VARCHAR) AS cid
+        |  FROM events WHERE date_trunc('day', ts) <= TIMESTAMP '2024-01-20 00:00:00'
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probeId
+        |    ORDER BY day DESC,
+        |             (lat - 50.0) * (lat - 50.0) + (lon - 50.0) * (lon - 50.0) ASC,
+        |             lat ASC, lon ASC, value ASC, cid DESC) AS rn
+        |  FROM g
+        |)
+        |SELECT probeId, day AS refTimestamp, lat AS actualLat, lon AS actualLon,
+        |       value, cid AS catalogId
+        |FROM r WHERE rn = 1 ORDER BY probeId""".stripMargin,
+
+    "c1_unit_conversion" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1.0 - l_discount)
+        |       ELSE l_extendedprice * (1.0 + l_tax) END AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "c3_magnus_humidity" ->
+      """SELECT event_id,
+        |  round(100.0 * exp(17.625 * (value / 10.0 - 5.0) / (243.04 + (value / 10.0 - 5.0)))
+        |              / exp(17.625 * (value / 10.0) / (243.04 + (value / 10.0))), 2) AS rh
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "c7_key_construction" ->
+      """SELECT o_orderkey,
+        |  'ads/cams-europe-air-quality-forecast/' || strftime(o_orderdate, '%Y-%m-%d')
+        |    || '/' || CAST(o_orderkey AS VARCHAR) || '.grib' AS s3_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "t1_text_stats" ->
+      """SELECT doc_id, n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_regex_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS DOUBLE) AS nc,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |         (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END) AS stop_hits,
+        |         (length(text) - length(replace(text, '.', ''))
+        |          + length(text) - length(replace(text, ',', ''))) AS punct
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(0.3 * least(nc / 200.0, 1.0)
+        |      + 0.2 * (CASE WHEN (nc - (nt - 1.0)) / nt BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+        |      + 0.3 * least(CAST(stop_hits AS DOUBLE) / 3.0, 1.0)
+        |      + 0.2 * (CASE WHEN CAST(punct AS DOUBLE) / greatest(nc, 1.0) > 0.1 THEN 0.2 ELSE 1.0 END), 4) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents
+        |), sc AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' to ') THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' nicht ') THEN 1 ELSE 0 END) AS s_de,
+        |    (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' que ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' una ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' por ') THEN 1 ELSE 0 END) AS s_es,
+        |    (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' une ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' dans ') THEN 1 ELSE 0 END) AS s_fr,
+        |    (CASE WHEN contains(p, ' 的 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 是 ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' 了 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 在 ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' 我 ') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM s
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+        |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp,
+        |       min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "d4_jaccard_neardup" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         list_distinct(string_split(a.norm, ' ')) AS wa,
+        |         list_distinct(string_split(b.norm, ' ')) AS wb
+        |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+        |   AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT a, b,
+        |         round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |           / (CAST(len(wa) AS DOUBLE) + CAST(len(wb) AS DOUBLE)
+        |              - CAST(len(list_intersect(wa, wb)) AS DOUBLE)), 4) AS jaccard
+        |  FROM p
+        |)
+        |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.35 ORDER BY a, b""".stripMargin,
+
+    "v1_cosine_topk" ->
+      """WITH probe AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p FROM embeddings WHERE vec_id = 0
+        |), c AS (
+        |  SELECT e.vec_id,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * probe.p[i]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(probe.p, x -> x * x), 'sum'))) AS cos_raw
+        |  FROM embeddings e, probe
+        |)
+        |SELECT vec_id, round(cos_raw, 6) AS cosine FROM c
+        |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin,
+
+    "v2_knn_join" ->
+      """WITH c AS (
+        |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_raw
+        |  FROM embeddings p JOIN embeddings e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+        |), r AS (
+        |  SELECT probe_id, neighbor_id, cos_raw,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM c
+        |)
+        |SELECT probe_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "v4_label_norms" ->
+      """SELECT label, count(*) AS n,
+        |  CAST(sum(CAST(round(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS DECIMAL(30,6))) AS DOUBLE) AS sum_sqnorm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "m1_media_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
+        |  octet_length(encode(text)) AS size_bytes,
+        |  sha256(text) AS content_hash
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "e1_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "e2_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |       1 + sum(CASE WHEN pts IS NOT NULL AND epoch_us(ts) - epoch_us(pts) > 1800000000
+        |                    THEN 1 ELSE 0 END) AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
 }

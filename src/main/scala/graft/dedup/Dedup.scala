@@ -1,0 +1,141 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All set-oriented — no pairwise O(n²) work
+  * except inside LSH buckets, which are size-capped (skew guard): at 100 TB a
+  * single hot bucket must not become a cross-join.
+  */
+object Dedup {
+
+  /** Normalized word-token array (shared normalization with
+    * [[TextAnalysis.fingerprint]]).
+    */
+  def tokens(text: Column): Column =
+    split(lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" ")))), " ", -1)
+
+  /** Exact dedup groups by content fingerprint: one row per distinct
+    * fingerprint with the keeper (min id) and multiplicity. A plain
+    * hash-aggregate — map-side partial, one shuffle on the fingerprint.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min("id").as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** `n`-word shingle set of a document (distinct, order-free). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(ws) - n, lit(0))),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+  }
+
+  /** Exact Jaccard similarity of the word sets of two texts. */
+  def wordJaccard(a: Column, b: Column): Column = {
+    val ta = array_distinct(tokens(a))
+    val tb = array_distinct(tokens(b))
+    size(array_intersect(ta, tb)).cast("double") /
+      size(array_union(ta, tb)).cast("double")
+  }
+
+  /** Exact Jaccard of `n`-gram shingle sets. */
+  def shingleJaccard(a: Column, b: Column, n: Int): Column =
+    size(array_intersect(shingles(a, n), shingles(b, n))).cast("double") /
+      size(array_union(shingles(a, n), shingles(b, n))).cast("double")
+
+  /** MinHash signature: `numHashes` min-of-hash values over the shingle set.
+    * One explode + one hash-aggregate (map-side combined); the signature
+    * width is a column count, not a shuffle multiplier.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 48): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("sh"))
+    val aggs = (0 until numHashes).map(k => min(xxhash64(col("sh"), lit(k))).as(s"h$k"))
+    ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified with exact
+    * shingle Jaccard. `bands` × `rowsPerBand` must equal `numHashes`.
+    *
+    * Pipeline: signatures → band hashes → explode to (band, bucket) →
+    * group buckets (size-capped at `maxBucket` — LSH skew guard) → in-bucket
+    * pair expansion → distinct pairs → exact-verify join.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"h$k"))
+      struct(lit(b).as("band"), xxhash64(struct(rows: _*), lit(0x5eed + b)).as("bucket"))
+    }
+    val bandRows = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val buckets = bandRows.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    pairs
+      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("t", "ta"), Seq("a"))
+      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("t", "tb"), Seq("b"))
+      .withColumn("jaccard", shingleJaccard(col("ta"), col("tb"), shingleN))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens: per-bit vote of token hashes.
+    * One explode + one aggregate producing the packed signature.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), explode(array_distinct(tokens(col(textCol)))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val voted = ex.groupBy("id").agg(votes.head, votes.tail: _*)
+    val packed = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col("id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-pairs: bucket on 16-bit chunks (any equal chunk ⇒ candidate
+    * — guarantees recall for Hamming distance ≤ 3 by pigeonhole), verify with
+    * `bit_count(xor) <= maxHamming`.
+    */
+  def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val sig = simhash64(df, idCol, textCol)
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
+    }
+    val chunkRows = sig.select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.key"))
+    val buckets = chunkRows.groupBy("chunk", "key")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    buckets
+      .select(explode(col("xs")).as("x"), col("xs"))
+      .select(col("x.id").as("a"), col("x.simhash").as("sa"), explode(col("xs")).as("y"))
+      .filter(col("a") < col("y.id"))
+      .select(col("a"), col("y.id").as("b"), col("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata. The Spark-side plumbing (schema, partition-preserving
+  * batch transforms, deterministic batching) is real; the codec step is a
+  * clearly-marked stub (`fakeDecode`) because no image/audio libraries exist
+  * in this environment — a production deployment swaps `fakeDecode` for a
+  * JNI/ffmpeg-backed decoder with the same signature.
+  *
+  * Scale posture: media bytes never pass through a shuffle — all transforms
+  * are `mapPartitions` (narrow); metadata extraction projects away the blob
+  * before any wide operator.
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      mediaId: Long,
+      kind: String,            // "image" | "audio" | "video"
+      bytes: Array[Byte],      // opaque encoded payload
+      mimeType: String,
+      capturedAt: Timestamp
+  )
+
+  final case class MediaFeatures(
+      mediaId: Long,
+      kind: String,
+      sizeBytes: Long,
+      width: Int,              // decoded dimensions (stubbed)
+      height: Int,
+      nFrames: Int,            // 1 for images
+      meanLuma: Double,        // stub feature
+      featureVec: Array[Float] // fixed 8-dim stub descriptor
+  )
+
+  /** STUB decode: deterministic pseudo-decode from the payload bytes.
+    * Stands in for a real codec; everything downstream (schema, batching,
+    * partitioning) is production-shaped.
+    */
+  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    val w = 64 + ((h & 0x3ff).toInt % 1024).abs
+    val ht = 64 + (((h >>> 10) & 0x3ff).toInt % 1024).abs
+    val frames = 1 + (((h >>> 20) & 0xff).toInt % 64).abs
+    val luma = ((h >>> 32) & 0xffff).toDouble / 65535.0 * 255.0
+    (w, ht, frames, luma)
+  }
+
+  /** Feature extraction as a partition-preserving typed transform — the shape
+    * a Pandas-UDF/`mapInPandas` stage takes in PySpark, expressed with
+    * `mapPartitions` on the JVM: batch-in/batch-out, no driver involvement.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, frames, luma) = fakeDecode(m.bytes)
+        val vec = Array.tabulate(8) { i =>
+          (((w * 31 + h) * 31 + frames) * 31 + i).toFloat % 997f / 997f
+        }
+        MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, w, h,
+          if (m.kind == "image") 1 else frames, luma, vec)
+      }
+    }
+  }
+
+  /** Metadata projection: blob-free frame safe to join/aggregate at scale. */
+  def metadata(df: DataFrame): DataFrame =
+    df.select(col("mediaId"), col("kind"), col("mimeType"), col("capturedAt"),
+      octet_length(col("bytes")).as("sizeBytes"),
+      sha2(col("bytes"), 256).as("contentHash"))
+
+  /** Synthesize a deterministic media table from any source table (used by
+    * tests and the driver harness: documents' text bytes stand in for encoded
+    * payloads).
+    */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("mediaId"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      lit("application/octet-stream").as("mimeType"),
+      lit(Timestamp.valueOf("2026-01-01 00:00:00")).as("capturedAt")
+    ).as[MediaRow]
+  }
+}

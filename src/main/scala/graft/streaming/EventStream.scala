@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.8).
+  *
+  * The reference's "streaming" is a daily cron materializing one date
+  * partition (T1/T2); its Spark-native analog is a file stream with
+  * `Trigger.AvailableNow` over the raw landing zone, plus genuinely
+  * incremental operators the reference lacks: watermarked windowed
+  * aggregation and stateful sessionization.
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window aggregation over an event stream
+    * (`ts`, `event_type`, `value`). Late data beyond the watermark is
+    * dropped; state is bounded by watermark horizon × window count.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(sessionStart: Long, lastTs: Long, n: Int, sum: Double)
+  final case class Session(user_id: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
+      nEvents: Int, sumValue: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session closes
+    * when a user is idle past `gapSeconds` (enforced via processing-time
+    * timeout). State per user is O(1) — this scales to any number of users
+    * because state is partitioned by the grouping key.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          if (state.hasTimedOut) {
+            state.getOption.foreach { s =>
+              out += Session(userId, new Timestamp(s.sessionStart), new Timestamp(s.lastTs),
+                s.n, s.sum)
+            }
+            state.remove()
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  out += Session(userId, new Timestamp(s.sessionStart),
+                    new Timestamp(s.lastTs), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapSeconds * 1000)
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting. All pure Column expressions
+  * (whole-stage codegen; no UDFs), deliberately chosen so each has an exact
+  * ANSI-SQL mirror for the DuckDB oracle.
+  *
+  * Scale: every operator is a narrow map over the documents table — no
+  * shuffle, no driver materialization; at 100 TB this is scan-bound.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: split on single spaces (exact, locale-free
+    * semantics shared by Spark `split` and DuckDB `string_split`).
+    */
+  def tokenCount(text: Column): Column = size(split(text, " ", -1))
+
+  /** Occurrences of a literal single character, via length differencing —
+    * exact and engine-portable (no regex dialect differences).
+    */
+  def charCount(text: Column, ch: String): Column = {
+    require(ch.length == 1)
+    length(text) - length(translate(text, ch, ""))
+  }
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or single
+    * other non-space characters — the classic pre-tokenizer shape.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  /** Stopword hit count: how many of the given stopwords occur (padded)
+    * in the text. Fixed evaluation order → deterministic.
+    */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    stopwords.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** Composite quality score ∈ roughly [0,1]: rewards mid-length documents,
+    * reasonable mean word length, and stopword presence; penalizes
+    * punctuation walls. Weights are fixed; arithmetic is a fixed-order chain
+    * of IEEE ops so it reproduces bit-identically in any engine.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val meanWordLen = (nChars - (nTokens - lit(1.0))) / nTokens
+    val lengthScore = least(nChars / lit(200.0), lit(1.0))
+    val wordLenScore =
+      when(meanWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.3))
+    val stopScore = least(
+      stopwordHits(text, Seq("the", "a", "and", "of", "to")).cast("double") / lit(3.0),
+      lit(1.0))
+    val punctRatio = (charCount(text, ".") + charCount(text, ",")).cast("double") /
+      greatest(nChars, lit(1.0))
+    val punctScore = when(punctRatio > 0.1, lit(0.2)).otherwise(lit(1.0))
+    lit(0.3) * lengthScore + lit(0.2) * wordLenScore +
+      lit(0.3) * stopScore + lit(0.2) * punctScore
+  }
+
+  /** Language-ID marker words per language — tiny n-gram-style heuristic.
+    * Order matters for the argmax tie-break (en > de > es > fr > zh).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "es" -> Seq("el", "que", "los", "una", "por"),
+    "fr" -> Seq("le", "les", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** Predicted language: highest marker-hit count, ties broken by the fixed
+    * language order, "und" (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the ASCII-normalized text (non-alnum runs
+    * collapsed to single spaces, lowercased, trimmed). Near-identical
+    * whitespace/punctuation variants collapse to one fingerprint.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" ")))))
+}

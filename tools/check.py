@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle SQL and compare per query (schema, rows, values).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def frame(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    data = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return names, data
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import glob
+    results = {}
+    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*") if not d.endswith(".json"))
+    for name in names:
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            g_cols, g_rows = frame(got.fetchall(), got.columns)
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"rows-only: {len(g_rows)} rows"
+            continue
+        try:
+            want = con.sql(oracle[name])
+            w_cols, w_rows = frame(want.fetchall(), want.columns)
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {type(e).__name__} {e}"
+            continue
+        if g_cols != w_cols:
+            results[name] = f"SCHEMA-MISMATCH spark={g_cols} oracle={w_cols}"
+        elif len(g_rows) != len(w_rows):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(g_rows)} oracle={len(w_rows)}"
+        elif g_rows != w_rows:
+            bad = next(i for i, (a, b) in enumerate(zip(g_rows, w_rows)) if a != b)
+            results[name] = (f"VALUE-MISMATCH at sorted-row {bad}: "
+                             f"spark={g_rows[bad]} oracle={w_rows[bad]}")
+        else:
+            results[name] = f"OK ({len(g_rows)} rows)"
+    width = max(len(n) for n in results)
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only")))
+    for name, res in sorted(results.items()):
+        print(f"{name:<{width}}  {res[:300]}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
