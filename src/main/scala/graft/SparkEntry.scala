@@ -198,10 +198,12 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
-    // K3 — insert-if-absent semantics (left-anti join)
+    // K3 — insert-if-absent semantics (left-anti join); the recent-orders
+    // filter keeps the result non-empty (every customer has *some* order)
     "k3_anti_join" -> ((s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").filter(col("o_orderdate") >= lit("1998-06-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
@@ -351,7 +353,7 @@ object SparkEntry {
     // V-similarity: LSH-bucketed ANN near-pairs (rows-only)
     "v3_ann_pairs" -> ((s, d) =>
       Similarity.annPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        nPlanes = 16, bandBits = 8, threshold = 0.8)
+        nPlanes = 16, bandBits = 4, threshold = 0.4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("a", "b")),
 
@@ -503,7 +505,8 @@ object SparkEntry {
 
     "k3_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '1998-06-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "k4_upsert_merge" ->

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{CatalogStore, GridStore, Replacing}
+
+/** Store semantics — the heart of the engine (SURVEY.md §7.4): every read
+  * must respect keep-latest dedup or idempotency silently breaks. Mirrors the
+  * reference's idempotency integration tests
+  * (`tests/integration/test_transform_cams.py:100-117`).
+  */
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2026-01-01 08:00:00")
+  private val t1 = Timestamp.valueOf("2026-01-01 09:00:00")
+
+  private def gridRows(insertedAt: Timestamp, value: Double) = Seq(
+    ("pm2p5", Timestamp.valueOf("2026-01-01 00:00:00"), 50.0f, 10.0f, value, "µg/m³", "cat-1", insertedAt),
+    ("pm2p5", Timestamp.valueOf("2026-01-01 00:00:00"), 50.0f, 10.1f, value + 1, "µg/m³", "cat-1", insertedAt),
+    ("pm10", Timestamp.valueOf("2026-01-02 00:00:00"), 50.0f, 10.0f, value + 2, "µg/m³", "cat-2", insertedAt)
+  ).toDF("variable", "timestamp", "lat", "lon", "value", "unit", "catalogId", "insertedAt")
+
+  test("A1: double-append is idempotent through finalView; raw keeps both") {
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    assert(store.append(gridRows(t0, 1.0)) === 3L)
+    assert(store.append(gridRows(t1, 100.0)) === 3L)
+    assert(store.raw().count() === 6L)
+    val fin = store.finalView().cache()
+    assert(fin.count() === 3L, "finalView must dedup to one row per key")
+    // latest batch wins
+    val v = fin.filter($"variable" === "pm2p5" && $"lon" === 10.0f)
+      .select("value").collect()(0).getFloat(0)
+    assert(v === 100.0f)
+    fin.unpersist()
+  }
+
+  test("K5: compaction materializes the dedup; raw == finalView afterwards") {
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    store.append(gridRows(t0, 1.0))
+    store.append(gridRows(t1, 100.0))
+    store.compact()
+    assert(store.raw().count() === 3L)
+    assert(store.finalView().count() === 3L)
+    // date partitioning survives compaction (partition pruning intact)
+    val pruned = store.raw().filter($"date" === lit("2026-01-02").cast("date"))
+    assert(pruned.count() === 1L)
+  }
+
+  test("store boundary normalizes: float32 values, second-truncated timestamps") {
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    val rows = Seq(("t", Timestamp.valueOf("2026-01-01 00:00:00.789"), 1.0, 2.0, 3.14159,
+      "u", "c1", t0)).toDF("variable", "timestamp", "lat", "lon", "value", "unit", "catalogId", "insertedAt")
+    store.append(rows)
+    val r = store.raw().collect()(0)
+    assert(r.getAs[Timestamp]("timestamp") === Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(r.getAs[Float]("lat") === 1.0f)
+  }
+
+  test("K3: insertIfAbsent never duplicates keys across re-runs") {
+    val cat = new CatalogStore(spark, tempDir("cat") + "/raw_files", "id")
+    val rows = Seq(("id-1", "ads", "k1"), ("id-2", "ads", "k2")).toDF("id", "source", "s3Key")
+    assert(cat.insertIfAbsent(rows) === 2L)
+    assert(cat.insertIfAbsent(rows) === 0L) // idempotent re-run
+    val more = Seq(("id-2", "ads", "k2-upd"), ("id-3", "ads", "k3")).toDF("id", "source", "s3Key")
+    assert(cat.insertIfAbsent(more) === 1L) // only the new key lands
+    assert(cat.read().count() === 3L)
+    val k2 = cat.read().filter($"id" === "id-2").select("s3Key").collect()(0).getString(0)
+    assert(k2 === "k2", "existing row must not be updated")
+  }
+
+  test("K4: upsert replaces matched keys, latest version wins") {
+    val cat = new CatalogStore(spark, tempDir("cat") + "/curated", "id")
+    val v1 = Seq(("c-1", "raw-1", 1L), ("c-2", "raw-1", 1L)).toDF("id", "rawFileId", "v")
+    cat.upsert(v1, versionCol = "v")
+    val v2 = Seq(("c-2", "raw-9", 2L), ("c-3", "raw-2", 2L)).toDF("id", "rawFileId", "v")
+    cat.upsert(v2, versionCol = "v")
+    val out = cat.read().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("c-1" -> "raw-1", "c-2" -> "raw-9", "c-3" -> "raw-2"))
+  }
+
+  test("Replacing.latest breaks version ties deterministically") {
+    val df = Seq(("k", 1L, "a"), ("k", 1L, "b")).toDF("key", "v", "tag")
+    val out = Replacing.latest(df, Seq("key"), "v", tiebreakCols = Seq("tag"))
+    assert(out.select("tag").collect()(0).getString(0) === "b")
+  }
+}
