@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.functions.GridFunctions
+import graft.multimodal.Multimodal
 import graft.serve.PointQuery
-import graft.sim.Similarity
+import graft.sim.{Ivf, Similarity}
 import graft.sources.SyntheticGrid
 import graft.store.{GridStore, Replacing}
+import graft.streaming.EventStream
 import graft.text.TextAnalysis
+import graft.transform.Transforms
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2 (keys
   * carry the operator ids), each with a DuckDB-oracle SQL mirror where the
@@ -98,6 +101,21 @@ object SparkEntry {
         .orderBy("timestamp")
     }),
 
+    // S1 + C1 — CAMS pipeline: synthetic kg m⁻³ particulate grids → ×1e9
+    // unit conversion → per-slice catalog ids → validation aggregates
+    "s1_cams_pipeline" -> ((s, _) => {
+      val decoded = SyntheticGrid.camsKgM3Pair(s, 2)
+      val rows = Transforms.cams(decoded,
+        java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+      rows.groupBy("variable", "timestamp").agg(
+        count(lit(1)).as("n_points"),
+        first("unit").as("unit"),
+        round(min("value"), 6).as("min_v"),
+        round(max("value"), 6).as("max_v"),
+        dsum(round(col("value"), 6), 6).as("sum_v"))
+        .orderBy("variable", "timestamp")
+    }),
+
     // F1 — bounding-box-style pushable predicate + projection
     "f1_bbox_filter" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -105,6 +123,14 @@ object SparkEntry {
           col("l_shipdate") >= expr("TIMESTAMP '1997-01-01 00:00:00'"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
+
+    // F2 — exact multi-column point predicate (the documented point-lookup
+    // pattern, docs/layer-3-serving.md:73-81)
+    "f2_exact_point" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type") === "click" && col("user_id") === 7)
+        .select("event_id", "ts", "value")
+        .orderBy("event_id")),
 
     // F3 — variable + time-slice predicate
     "f3_variable_slice" -> ((s, d) =>
@@ -269,6 +295,16 @@ object SparkEntry {
           lit("/"), col("o_orderkey").cast("string"), lit(".grib")).as("s3_key"))
         .orderBy("o_orderkey")),
 
+    // C10 — leadtime step generation (sequence + explode): hourly CAMS,
+    // 3-hourly ECMWF, both 0–48 h
+    "c10_leadtime_steps" -> ((s, _) => {
+      import s.implicits._
+      Seq(("cams", 1), ("ecmwf", 3)).toDF("source", "step_h")
+        .select(col("source"),
+          explode(sequence(lit(0), lit(48), col("step_h"))).as("leadtime_h"))
+        .orderBy("source", "leadtime_h")
+    }),
+
     // ── Training-data pipeline operators ──────────────────────────────────
 
     // T-text: token counting (whitespace + BPE-ish regex) + stats
@@ -291,6 +327,13 @@ object SparkEntry {
       t(s, d, "documents").select(
         col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // T-text: rolling-hash document fingerprint (incremental polynomial hash)
+    "t4_rolling_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
     // D-dedup: exact dedup groups by content fingerprint
@@ -331,6 +374,14 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // D-dedup: embedding-cosine near-dup within a blocking key
+    "d5_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
+        blockCol = "label", threshold = 0.35)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .select("block", "a", "b", "cosine")
+        .orderBy("a", "b")),
+
     // V-similarity: brute-force cosine top-k against one probe vector
     "v1_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -357,6 +408,17 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("a", "b")),
 
+    // V-similarity: IVF-flat ANN — KMeans coarse quantizer, nProbe nearest
+    // inverted lists, exact cosine top-k within candidates (rows-only)
+    "v5_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      Ivf.search(idx, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        nProbe = 4, k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("probe_id", "rank")
+    }),
+
     // V-similarity: per-label aggregate over vector norms
     "v4_label_norms" -> ((s, d) =>
       t(s, d, "embeddings").groupBy("label").agg(
@@ -373,6 +435,22 @@ object SparkEntry {
         octet_length(col("text")).as("size_bytes"),
         sha2(col("text"), 256).as("content_hash"))
         .orderBy("media_id")),
+
+    // M-multimodal: full decode/feature-extract pipeline over binary payloads
+    // (mapPartitions batch transform; stubbed codec — rows-only)
+    "m2_media_features" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(t(s, d, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("mediaId"), col("kind"), col("sizeBytes"), col("width"),
+          col("height"), col("nFrames"), round(col("meanLuma"), 4).as("meanLuma"))
+        .orderBy("mediaId")
+    }),
+
+    // E-streaming: the Structured-Streaming windowed aggregation run over a
+    // batch frame (identical plan modulo the watermark node)
+    "e3_window_agg" -> ((s, d) =>
+      EventStream.hourlyCounts(t(s, d, "events"), watermark = None)
+        .orderBy("hour", "event_type")),
 
     // E-events: windowed time aggregation (streaming-shaped, batch-run)
     "e1_hourly_agg" -> ((s, d) =>
@@ -433,6 +511,64 @@ object SparkEntry {
         |       round(min(rh), 2) AS min_rh, round(max(rh), 2) AS max_rh,
         |       CAST(sum(CAST(rh AS DECIMAL(30,2))) AS DOUBLE) AS sum_rh
         |FROM rhh GROUP BY timestamp ORDER BY timestamp""".stripMargin,
+
+    "s1_cams_pipeline" ->
+      """WITH grid AS (
+        |  SELECT TIMESTAMP '2026-01-01 00:00:00' + to_seconds(ti * 3600) AS timestamp,
+        |         (30.05 + li * 0.1) AS lat, (-24.95 + gi * 0.1) AS lon
+        |  FROM range(0,2) r1(ti), range(0,420) r2(li), range(0,700) r3(gi)
+        |), vals AS (
+        |  SELECT 'pm2p5' AS variable, timestamp, ((lat * 100.0 + lon) * 1e-9) * 1e9 AS value FROM grid
+        |  UNION ALL
+        |  SELECT 'pm10' AS variable, timestamp, ((lat * 100.0 + lon) * 2e-9) * 1e9 AS value FROM grid
+        |)
+        |SELECT variable, timestamp, count(*) AS n_points, 'µg/m³' AS unit,
+        |       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+        |       CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+        |FROM vals GROUP BY variable, timestamp ORDER BY variable, timestamp""".stripMargin,
+
+    "f2_exact_point" ->
+      """SELECT event_id, ts, value FROM events
+        |WHERE event_type = 'click' AND user_id = 7
+        |ORDER BY event_id""".stripMargin,
+
+    "c10_leadtime_steps" ->
+      """SELECT source, leadtime_h FROM (
+        |  SELECT 'cams' AS source, unnest(range(0, 49, 1)) AS leadtime_h
+        |  UNION ALL
+        |  SELECT 'ecmwf' AS source, unnest(range(0, 49, 3)) AS leadtime_h
+        |) ORDER BY source, leadtime_h""".stripMargin,
+
+    "t4_rolling_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(s) + 1), i -> CAST(unicode(s[i]) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "d5_embedding_neardup" ->
+      """WITH c AS (
+        |  SELECT a.label AS block, a.vec_id AS a, b.vec_id AS b,
+        |    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_raw
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT block, a, b, round(cos_raw, 6) AS cosine FROM c
+        |WHERE cos_raw >= 0.35 ORDER BY a, b""".stripMargin,
+
+    "e3_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "f1_bbox_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

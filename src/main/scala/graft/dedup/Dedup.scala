@@ -104,6 +104,28 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
+    * label, cluster id, or LSH bucket): per-pair work is one dot product
+    * (norms precomputed per row). The blocking column bounds the quadratic —
+    * at scale feed it a quantizer output ([[graft.sim.Ivf]] list id or
+    * [[graft.sim.Similarity.annPairs]] buckets) rather than a free-text
+    * label, so block sizes stay controlled.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, embCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    import graft.sim.Similarity
+    val e = ColOps.parallelize(df.select(col(blockCol).as("block"),
+      col(idCol).as("id"), col(embCol).as("emb"),
+      Similarity.norm(col(embCol)).as("nrm")))
+    val a = e.select(col("block"), col("id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("block"), col("id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("block"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("block"), col("a"), col("b"), col("cosine"))
+  }
+
   /** 64-bit SimHash over word tokens: per-bit vote of token hashes.
     * One explode + one aggregate producing the packed signature.
     */

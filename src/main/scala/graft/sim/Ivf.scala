@@ -1,0 +1,74 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColOps
+
+/** IVF-flat approximate nearest-neighbor index: a KMeans coarse quantizer
+  * partitions the corpus into inverted lists; a query ranks centroids
+  * exactly, scans only the `nProbe` nearest lists, and does exact cosine
+  * top-k within the candidates.
+  *
+  * Scale path: the index build is one (sampled) KMeans fit plus one narrow
+  * assignment pass; `lists` can be written out partitioned/bucketed by
+  * `listId` so a search shuffles nothing — probes broadcast to the lists they
+  * touch. Search cost is corpus/nLists × nProbe per probe instead of the
+  * brute-force full scan.
+  */
+object Ivf {
+
+  /** `centroids(i)` is the center of inverted list `i`; `lists` holds
+    * `(listId, id, emb, nrm)` — norms precomputed so the verify stage is one
+    * dot product per candidate.
+    */
+  final case class Index(centroids: Seq[Seq[Double]], lists: DataFrame)
+
+  def build(corpus: DataFrame, idCol: String, embCol: String,
+      nLists: Int = 16, seed: Long = 42L, maxIter: Int = 10): Index = {
+    val e = ColOps.parallelize(
+      corpus.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
+        Similarity.norm(col(embCol)).as("nrm")))
+    val feats = e.withColumn("features", array_to_vector(col("emb")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    val lists = model.transform(feats)
+      .select(col("id"), col("emb"), col("nrm"), col("prediction").as("listId"))
+    Index(model.clusterCenters.toSeq.map(v => v.toArray.toSeq), lists)
+  }
+
+  /** Set-oriented search: probes × centroid table (tiny, broadcast) → keep
+    * `nProbe` nearest lists per probe → join candidates on `listId` → exact
+    * cosine top-k per probe.
+    */
+  def search(index: Index, probes: DataFrame, idCol: String, embCol: String,
+      nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("listId", "cent")
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(embCol).cast("array<double>").as("p_emb"),
+      Similarity.norm(col(embCol)).as("p_nrm"))
+    val d2 = aggregate(
+      zip_with(col("p_emb"), col("cent"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    val wl = Window.partitionBy("probe_id").orderBy(col("d2").asc, col("listId").asc)
+    val probeLists = p.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("lr", row_number().over(wl))
+      .filter(col("lr") <= nProbe)
+      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("listId"))
+    val cand = index.lists
+      .join(broadcast(probeLists), Seq("listId"))
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -40,6 +40,36 @@ object SyntheticGrid {
       .withColumn("value", col("lat") * 100.0 + col("lon"))
   }
 
+  /** CAMS-shaped Europe grid (FIXTURES.md §1): 420×700 at 0.1°, lats
+    * 30.05–71.95, lons −24.95–44.95, `nTimestamps` hourly steps, variables
+    * pm2p5/pm10 in kg m⁻³ (values (lat·100+lon)·1e-9 so the ×1e9 conversion
+    * lands back on exact lat·100+lon).
+    */
+  def camsKgM3Pair(
+      spark: SparkSession,
+      nTimestamps: Int,
+      t0: String = "2026-01-01 00:00:00"
+  ): DataFrame = {
+    val nLat = 420L
+    val nLon = 700L
+    val cells = nLat * nLon
+    spark.range(0, nTimestamps * cells, 1, 64)
+      .select(
+        (col("id") / cells).cast("long").as("ti"),
+        ((col("id") % cells) / nLon).cast("long").as("li"),
+        (col("id") % nLon).as("gi"))
+      .select(
+        timestamp_seconds(unix_timestamp(lit(t0)) + col("ti") * 3600L).as("timestamp"),
+        (lit(30.05) + col("li") * 0.1).as("lat"),
+        (lit(-24.95) + col("gi") * 0.1).as("lon"))
+      .select(
+        col("timestamp"), col("lat"), col("lon"),
+        explode(map(
+          lit("pm2p5"), (col("lat") * 100.0 + col("lon")) * 1e-9,
+          lit("pm10"), (col("lat") * 100.0 + col("lon")) * 2e-9)).as(Seq("variable", "value")))
+      .withColumn("unit", lit("kg m-3"))
+  }
+
   /** The same grid expressed as Kelvin temperature + dewpoint long-form
     * messages — input shape for the ECMWF transform. Values are a linear
     * function of coordinates (multiply-add only → bit-reproducible in any

@@ -19,12 +19,16 @@ object EventStream {
   /** Watermarked tumbling-window aggregation over an event stream
     * (`ts`, `event_type`, `value`). Late data beyond the watermark is
     * dropped; state is bounded by watermark horizon × window count.
+    * Pass `watermark = None` to run the identical plan over a batch frame
+    * (streaming-shaped batch backfill). The sum goes through an exact
+    * decimal accumulator so results are order-independent.
     */
-  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+  def hourlyCounts(events: DataFrame,
+      watermark: Option[String] = Some("2 hours")): DataFrame =
+    watermark.fold(events)(w => events.withWatermark("ts", w))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -34,16 +38,23 @@ object EventStream {
       nEvents: Int, sumValue: Double)
 
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session closes
-    * when a user is idle past `gapSeconds` (enforced via processing-time
-    * timeout). State per user is O(1) — this scales to any number of users
-    * because state is partitioned by the grouping key.
+    * when a later event arrives past `gapSeconds`, or — with `idleTimeout`
+    * on — when the user goes idle (processing-time timeout flushes the open
+    * session). Leave `idleTimeout` off for batch runs and tests: pending
+    * timeouts make the stream trigger continuously even with no data.
+    * State per user is O(1) — this scales to any number of users because
+    * state is partitioned by the grouping key.
     */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      idleTimeout: Boolean = true): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           if (state.hasTimedOut) {
@@ -69,7 +80,7 @@ object EventStream {
               }
             }
             cur.foreach(state.update)
-            state.setTimeoutDuration(gapSeconds * 1000)
+            if (idleTimeout) state.setTimeoutDuration(gapSeconds * 1000)
           }
           out.iterator
       }

@@ -91,4 +91,21 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" ")))))
+
+  /** Polynomial rolling hash (h·31 + codepoint, mod 1e9+7) over the
+    * normalized text — the incremental-hash flavor of fingerprinting (cheap
+    * to extend, engine-portable integer arithmetic; same value from DuckDB's
+    * `list_reduce`). Normalization leaves only ASCII `[a-z0-9 ]`, so
+    * codepoint == byte and the fold is well-defined everywhere. The
+    * normalized string is let-bound: HOF lambdas would otherwise re-run the
+    * regex once per character (see [[graft.functions.ColOps.bindLet]]).
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val norm = lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" "))))
+    graft.functions.ColOps.bindLet(norm, s =>
+      aggregate(
+        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (h, c) => (h * 31L + c) % 1000000007L))
+  }
 }

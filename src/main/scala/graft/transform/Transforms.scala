@@ -22,14 +22,20 @@ object Transforms {
     * allocates ids per grid before explode (`defs/assets.py:206,390-416`), so
     * a driver loop over *distinct slices* (a handful per day, never data-sized)
     * is faithful and deterministic; rows get their id via broadcast join.
+    *
+    * Ids derive from the slice itself (variable + slice timestamp), NOT from
+    * `insertedAt`: reprocessing a partition mints the same ids, so the K4
+    * curated upsert and the grid⋈catalog referential-integrity invariant are
+    * idempotent across re-runs (T4 — "delete the data, re-run the ETL, same
+    * results", `docs/layer-2-transformation.md:307-313`).
     */
   def withCatalogIds(df: DataFrame, insertedAt: Timestamp): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val slices = df.select("variable", "timestamp").distinct()
       .as[(String, Timestamp)].collect().sortBy(s => (s._1, s._2.getTime))
-    val ids = slices.zipWithIndex.map { case ((v, ts), i) =>
-      (v, ts, UuidV7.deterministic(insertedAt.getTime, (v.hashCode.toLong << 20) + ts.getTime + i))
+    val ids = slices.map { case (v, ts) =>
+      (v, ts, UuidV7.deterministic(ts.getTime, (v.hashCode.toLong << 20) ^ ts.getTime))
     }
     val idDf = spark.createDataFrame(ids.toIndexedSeq).toDF("variable", "timestamp", "catalogId")
     df.join(broadcast(idDf), Seq("variable", "timestamp"))

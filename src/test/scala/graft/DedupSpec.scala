@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Dedup operators: exact, MinHash+LSH, SimHash, embedding-cosine. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away house"), // near-dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog and runs far away home!"), // exact dup of 1 mod punct/case
+    (4L, "completely different content about distributed query engines at scale"),
+    (5L, "yet another unrelated document mentioning benchmarks and parquet files")
+  ).toDF("doc_id", "text")
+
+  test("D1: exact groups collapse punctuation/case variants") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 4) // 1&3 share a fingerprint
+    val dup = g.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dup.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("D2: MinHash+LSH finds the near-dup pair and verifies exact Jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    val ab = pairs.map(p => (p._1, p._2)).toSet
+    assert(ab.contains((1L, 2L)) && ab.contains((1L, 3L)) && ab.contains((2L, 3L)),
+      s"expected near-dup cluster {1,2,3}, got $ab")
+    assert(!ab.exists(p => p._1 == 4L || p._2 == 4L))
+    pairs.foreach { case (_, _, j) => assert(j >= 0.4 && j <= 1.0) }
+  }
+
+  test("D3: SimHash — identical docs at Hamming 0, near-dups close, unrelated far") {
+    val sig = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(3L)) === 0, "normalized-identical docs must collide")
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(4L)),
+      "near-dup must be closer than unrelated")
+  }
+
+  test("D5: embedding near-dup within block finds parallel vectors only") {
+    val e = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(2.0f, 0.0f, 0.0f)),  // same direction as 1 → cosine 1.0
+      (3L, 0, Seq(0.0f, 1.0f, 0.0f)),  // orthogonal
+      (4L, 1, Seq(1.0f, 0.0f, 0.0f))   // parallel to 1 but different block
+    ).toDF("vec_id", "label", "embedding")
+    val out = Dedup.embeddingNearDup(e, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(out.toSet === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import graft.jobs.DailyJob
+import graft.sources.{GribMessage, GribReader, SyntheticMessage}
+import graft.store.{CatalogStore, GridStore}
+import graft.transform.Transforms
+
+/** T1–T5 — the daily batch driver: end-to-end run + the reference's core
+  * idempotency claim ("delete the data, re-run the ETL, same results",
+  * `docs/layer-2-transformation.md:307-313`).
+  */
+class JobsSpec extends SparkSpec {
+
+  private val date = Date.valueOf("2026-01-01")
+  private val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def reader: GribReader = new GribReader {
+    def open(path: String): Iterator[GribMessage] = Seq[GribMessage](
+      SyntheticMessage("temperature", "K", ts,
+        values = Array(290.0, 291.0), lats = Array(50.0, 50.0), lons = Array(10.0, 10.25)),
+      SyntheticMessage("dewpoint", "K", ts,
+        values = Array(285.0, 286.0), lats = Array(50.0, 50.0), lons = Array(10.0, 10.25))
+    ).iterator
+  }
+
+  test("daily run materializes grid + catalogs; re-run is idempotent") {
+    val base = tempDir("job")
+    val grids = new GridStore(spark, s"$base/grid")
+    val rawFiles = new CatalogStore(spark, s"$base/raw_files", "id")
+    val curated = new CatalogStore(spark, s"$base/curated", "id")
+    val job = new DailyJob(spark, grids, rawFiles, curated)
+
+    val r1 = job.run("ecmwf", "ifs-weather-forecast", date, reader, "unused",
+      Transforms.ecmwf, insertedAt = ts)
+    assert(r1.insertedRows === 6L) // 2 points × 3 variables (t, td, rh)
+    assert(r1.variablesProcessed === Seq("dewpoint", "humidity", "temperature"))
+    assert(grids.finalView().count() === 6L)
+    assert(rawFiles.read().count() === 1L)
+    assert(curated.read().count() === 3L)
+
+    // referential integrity: grid catalog ids == curated ids (the reference's
+    // cross-system invariant, test_transform_cams.py:136-153)
+    val gridIds = grids.finalView().select("catalogId").distinct()
+      .collect().map(_.getString(0)).toSet
+    val curIds = curated.read().select("id").collect().map(_.getString(0)).toSet
+    assert(gridIds === curIds)
+
+    // re-run same partition later: FINAL counts unchanged, catalogs stable
+    val r2 = job.run("ecmwf", "ifs-weather-forecast", date, reader, "unused",
+      Transforms.ecmwf, insertedAt = Timestamp.valueOf("2026-01-01 06:00:00"))
+    assert(r2.runId === r1.runId, "run id is deterministic per (source,dataset,date)")
+    assert(grids.finalView().count() === 6L)
+    assert(grids.raw().count() === 6L, "compaction materialized the dedup")
+    assert(rawFiles.read().count() === 1L, "K3 insert-if-absent held")
+    assert(curated.read().count() === 3L, "K4 upsert held")
+  }
+}

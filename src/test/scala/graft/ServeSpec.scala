@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.serve.{PointQuery, RequestValidation}
+
+/** Serving read path — mirrors `serving-go/internal/grid/finder_integration_test.go`
+  * (snap +30 min, NN +0.435° still return the seeded point with actual coords)
+  * and `api/request_test.go` (validation).
+  */
+class ServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t12 = Timestamp.valueOf("2026-01-01 12:00:00")
+
+  private def grid = Seq(
+    ("temperature", t12, 52.5f, 13.4f, 21.5, "°C", "cat-t"),
+    ("temperature", t12, 53.0f, 14.0f, 19.0, "°C", "cat-t"),
+    ("temperature", Timestamp.valueOf("2026-01-01 09:00:00"), 52.5f, 13.4f, 20.0, "°C", "cat-old"),
+    ("humidity", t12, 52.5f, 13.4f, 73.0, "%", "cat-h")
+  ).toDF("variable", "timestamp", "lat", "lon", "value", "unit", "catalogId")
+
+  test("A2+J3 scalar: +30min snaps back, +0.435 deg snaps to nearest point") {
+    // probe (52.935, 13.4): d²(52.5,13.4)=0.189 < d²(53.0,14.0)=0.364
+    val out = PointQuery.getSample(grid, "temperature",
+      Timestamp.valueOf("2026-01-01 12:30:00"), 52.935f, 13.4f)
+    val r = out.collect()(0)
+    assert(r.getAs[Timestamp]("timestamp") === t12, "ref timestamp snapped to 12:00")
+    assert(r.getAs[Float]("lat") === 52.5f && r.getAs[Float]("lon") === 13.4f)
+    assert(r.getAs[Double]("value") === 21.5)
+  }
+
+  test("A2 scalar: no data at or before ts → None") {
+    assert(PointQuery.snapTimestamp(grid, "temperature",
+      Timestamp.valueOf("2020-01-01 00:00:00")).isEmpty)
+  }
+
+  test("set-oriented getSamples matches the scalar path per probe") {
+    val probes = Seq(
+      ("p1", "temperature", Timestamp.valueOf("2026-01-01 12:30:00"), 52.935, 13.4),
+      ("p2", "temperature", Timestamp.valueOf("2026-01-01 10:00:00"), 52.5, 13.4),
+      ("p3", "humidity", Timestamp.valueOf("2026-01-01 12:00:00"), 0.0, 0.0)
+    ).toDF("probeId", "variable", "ts", "lat", "lon")
+    val out = PointQuery.getSamples(grid, probes).collect()
+      .map(r => r.getAs[String]("probeId") ->
+        (r.getAs[Timestamp]("refTimestamp"), r.getAs[Double]("value"))).toMap
+    assert(out("p1") === (t12, 21.5))
+    assert(out("p2") === (Timestamp.valueOf("2026-01-01 09:00:00"), 20.0), "as-of snap to 09:00")
+    assert(out("p3") === (t12, 73.0))
+  }
+
+  test("J1/J4: lineage joins resolve source/dataset via catalogId") {
+    val samples = PointQuery.getSamples(grid,
+      Seq(("p1", "humidity", t12, 52.5, 13.4)).toDF("probeId", "variable", "ts", "lat", "lon"))
+    val curated = Seq(("cat-h", "raw-1")).toDF("id", "rawFileId")
+    val rawFiles = Seq(("raw-1", "ecmwf", "ifs-weather-forecast")).toDF("id", "source", "dataset")
+    val r = PointQuery.withLineage(samples, curated, rawFiles).collect()(0)
+    assert(r.getAs[String]("source") === "ecmwf")
+    assert(r.getAs[String]("dataset") === "ifs-weather-forecast")
+  }
+
+  test("F4/C9: request validation accepts valid, rejects each bad field") {
+    val ok = RequestValidation.parse("52.5", "13.4", "2026-01-01T12:00:00Z", "temperature, humidity")
+    assert(ok.toOption.get.variables === Seq("temperature", "humidity"))
+    assert(RequestValidation.parse("91", "0", "2026-01-01T12:00:00Z", "t").isLeft)
+    assert(RequestValidation.parse("0", "-181", "2026-01-01T12:00:00Z", "t").isLeft)
+    assert(RequestValidation.parse("0", "0", "not-a-time", "t").isLeft)
+    assert(RequestValidation.parse("0", "0", "2026-01-01T12:00:00Z", "").isLeft)
+    assert(RequestValidation.parse("0", "0", "2026-01-01T12:00:00Z", "a,,b").isLeft)
+  }
+}

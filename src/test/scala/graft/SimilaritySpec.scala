@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Ivf, Similarity}
+
+/** Similarity search: brute-force top-k, k-NN join, ANN pairs, IVF. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 vectors in 4 tight clusters around orthogonal axes (dim 8)
+  private def clustered = {
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 10
+    } yield {
+      val base = Array.fill(8)(0.05f * ((c * 10 + i) % 3))
+      base(c * 2) = 1.0f
+      base(c * 2 + 1) = 0.1f * i
+      ((c * 10 + i).toLong, c, base.toSeq)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  test("V1: topK returns k rows ranked by exact cosine") {
+    val df = clustered
+    val probe = Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val top = Similarity.topK(df, "vec_id", "embedding", probe, 5).collect()
+    assert(top.length === 5)
+    val cosines = top.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sorted.reverse), "descending order")
+    // all top-5 are from cluster 0 (ids 0..9)
+    assert(top.map(_.getAs[Long]("id")).forall(_ < 10L))
+  }
+
+  test("V2: knnJoin gives each probe k neighbors, none itself") {
+    val df = clustered
+    val out = Similarity.knnJoin(df.filter($"vec_id" < 3), df, "vec_id", "embedding", 3)
+      .collect()
+    assert(out.length === 9)
+    out.foreach(r => assert(r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id")))
+    val ranks = out.filter(_.getAs[Long]("probe_id") == 0L).map(_.getAs[Int]("rank")).sorted
+    assert(ranks.sameElements(Array(1, 2, 3)))
+  }
+
+  test("V3: annPairs finds within-cluster pairs, never cross-cluster ones") {
+    val pairs = Similarity.annPairs(clustered, "vec_id", "embedding",
+      nPlanes = 24, bandBits = 6, threshold = 0.8, maxBucket = 64)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("cosine")))
+    assert(pairs.nonEmpty, "tight clusters must produce candidate pairs")
+    pairs.foreach { case (a, b, cos) =>
+      assert(a / 10 === b / 10, s"cross-cluster pair ($a,$b) above 0.8 is impossible")
+      assert(cos >= 0.8)
+    }
+  }
+
+  test("V5: IVF with nProbe == nLists is exact (matches brute-force knnJoin)") {
+    val df = clustered
+    val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
+    val probes = df.filter($"vec_id".isin(0L, 15L, 27L, 39L))
+    val ivf = Ivf.search(idx, probes, "vec_id", "embedding", nProbe = 4, k = 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val brute = Similarity.knnJoin(probes, df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(ivf === brute)
+  }
+
+  test("V5: IVF with nProbe=1 on tight clusters still finds in-cluster neighbors") {
+    val df = clustered
+    val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
+    val out = Ivf.search(idx, df.filter($"vec_id" === 5L), "vec_id", "embedding",
+      nProbe = 1, k = 3).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[Long]("neighbor_id") < 10L), "neighbors from probe's cluster")
+  }
+}

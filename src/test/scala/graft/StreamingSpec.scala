@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming surface: watermarked windowed aggregation and
+  * stateful sessionization, driven through MemoryStream.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyCounts over a stream aggregates per window+type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.hourlyCounts(input.toDF(), watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        Event(1, ts("2026-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:55:00"), 1, "click", 2.0),
+        Event(3, ts("2026-01-01 11:05:00"), 2, "view", 5.0))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT * FROM hourly_test ORDER BY hour, event_type").collect()
+      assert(out.length === 2)
+      assert(out(0).getAs[Timestamp]("hour") === ts("2026-01-01 10:00:00"))
+      assert(out(0).getAs[Long]("n") === 2L)
+      assert(out(0).getAs[Double]("sum_value") === 3.0)
+    } finally query.stop()
+  }
+
+  test("hourlyCounts batch mode gives the same answer shape") {
+    val batch = Seq(
+      Event(1, ts("2026-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2026-01-01 10:55:00"), 1, "click", 2.0)).toDF()
+    val out = EventStream.hourlyCounts(batch, watermark = None).collect()
+    assert(out.length === 1 && out(0).getAs[Long]("n") === 2L)
+  }
+
+  test("sessionize closes a session when a later event arrives past the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.sessionize(input.toDS(), gapSeconds = 1800, idleTimeout = false)
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2026-01-01 10:10:00"), 7, "click", 2.0))
+      query.processAllAvailable()
+      // next event 2h later → previous session must be emitted closed
+      input.addData(Event(3, ts("2026-01-01 12:30:00"), 7, "view", 3.0))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT * FROM session_test").as[EventStream.Session].collect()
+      assert(out.length === 1)
+      assert(out(0).user_id === 7L)
+      assert(out(0).sessionStart === ts("2026-01-01 10:00:00"))
+      assert(out(0).sessionEnd === ts("2026-01-01 10:10:00"))
+      assert(out(0).nEvents === 2 && out(0).sumValue === 3.0)
+    } finally query.stop()
+  }
+}
