@@ -27,13 +27,21 @@ object Ivf {
     */
   final case class Index(centroids: Seq[Seq[Double]], lists: DataFrame)
 
+  /** The quantizer is fit on a bounded sample in few partitions (an iterative
+    * KMeans over thousands of tiny tasks is scheduling-bound; at 100 TB you
+    * fit on a sample regardless) — only the single-pass assignment runs over
+    * the full corpus.
+    */
   def build(corpus: DataFrame, idCol: String, embCol: String,
-      nLists: Int = 16, seed: Long = 42L, maxIter: Int = 10): Index = {
+      nLists: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      maxFitRows: Int = 100000): Index = {
     val e = ColOps.parallelize(
       corpus.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
         Similarity.norm(col(embCol)).as("nrm")))
     val feats = e.withColumn("features", array_to_vector(col("emb")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    val fitSample = feats.select("features").limit(maxFitRows).coalesce(4).cache()
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(fitSample)
+    fitSample.unpersist()
     val lists = model.transform(feats)
       .select(col("id"), col("emb"), col("nrm"), col("prediction").as("listId"))
     Index(model.clusterCenters.toSeq.map(v => v.toArray.toSeq), lists)
