@@ -32,6 +32,21 @@ final class DailyJob(
       variablesProcessed: Seq[String], // A4 distinct-set collection
       curatedKeys: Seq[String])
 
+  /** S6 — upstream-metadata scan: the transform stage locates its input by
+    * reading the `raw_files` catalog for its (dataset, date) partition and
+    * reconstructing the object key; absent → fail (reference:
+    * `defs/assets.py:172-191` — the catalog IS our metadata store, no
+    * separate event log).
+    */
+  def locateRawFile(dataset: String, date: Date): String = {
+    val hits = rawFiles.read()
+      .filter(col("dataset") === dataset && col("date") === date)
+      .orderBy(col("createdAt").desc)
+      .select("s3Key").limit(1).collect()
+    require(hits.nonEmpty, s"no raw file recorded for $dataset @ $date")
+    hits(0).getString(0)
+  }
+
   /** One source's daily materialization for `date`. `transform` is one of
     * [[Transforms.cams]] / [[Transforms.ecmwf]]; `reader`+`path` stand in for
     * the object-store GET + GRIB decode (S1–S3).

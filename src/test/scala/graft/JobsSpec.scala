@@ -55,5 +55,11 @@ class JobsSpec extends SparkSpec {
     assert(grids.raw().count() === 6L, "compaction materialized the dedup")
     assert(rawFiles.read().count() === 1L, "K3 insert-if-absent held")
     assert(curated.read().count() === 3L, "K4 upsert held")
+
+    // S6 — transform locates its input from the catalog, not an event log
+    val key = job.locateRawFile("ifs-weather-forecast", date)
+    assert(key === s"ecmwf/ifs-weather-forecast/2026-01-01/${r1.runId}.grib")
+    intercept[IllegalArgumentException](
+      job.locateRawFile("ifs-weather-forecast", Date.valueOf("2030-01-01")))
   }
 }
