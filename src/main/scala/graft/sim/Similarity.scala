@@ -18,8 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns, computed in double. */
+  /** Dot product of two array columns, computed in double — a native
+    * codegen'd Catalyst expression ([[graft.functions.VectorExpressions]]);
+    * accumulation order (left-to-right) matches the HOF form
+    * `aggregate(zip_with(a,b,_*_), 0d, _+_)` bit-for-bit.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot(a, b)
+
+  /** The interpreted higher-order-function formulation — kept as the
+    * reference semantics the native expression must match exactly.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
