@@ -1,0 +1,32 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support — the co-located-join path for repeated big⋈big
+  * joins (SURVEY.md §4 / scale posture).
+  *
+  * Writing both sides bucketed (same key, same bucket count) lets Catalyst
+  * plan an equi-join with NO Exchange on either side: each task reads
+  * matching bucket files directly. At 100 TB this turns the nightly
+  * "re-shuffle everything" join into a narrow scan — the shuffle is paid
+  * once at write time and amortized over every subsequent join/aggregation
+  * on the bucket key.
+  *
+  * Uses the session catalog's V1 datasource tables (no Hive needed);
+  * `spark.sql.sources.v2.bucketing.enabled` & co. keep this working under
+  * AQE.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, optionally sorted, managed Parquet table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY.md §2.8).
   *
@@ -30,6 +31,26 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** T1/T4 analog — incremental landing-zone ingestion: a file stream over
+    * the raw directory. Run with [[runAvailableNow]] for catch-up-then-stop
+    * daily batches: the checkpoint tracks which files were already
+    * processed, so re-runs ingest only new arrivals (exactly-once file
+    * tracking replaces the reference's run-key dedup).
+    */
+  def landingStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Drain everything currently available, then stop — the Spark-native
+    * shape of the reference's daily cron materialization.
+    */
+  def runAvailableNow(stream: DataFrame, sinkPath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream.format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -44,6 +44,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.length === 1 && out(0).getAs[Long]("n") === 2L)
   }
 
+  test("landing-zone AvailableNow ingestion is incremental and exactly-once") {
+    val base = tempDir("landing")
+    val landing = s"$base/raw"
+    val sink = s"$base/curated"
+    val ckpt = s"$base/ckpt"
+    val b1 = Seq(Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0)).toDF()
+    b1.write.mode("append").parquet(landing)
+    val stream = EventStream.landingStream(spark, landing, b1.schema)
+    EventStream.runAvailableNow(stream, sink, ckpt).awaitTermination()
+    assert(spark.read.parquet(sink).count() === 1L)
+    // second arrival: only the new file is processed on the next run
+    Seq(Event(2, ts("2026-01-01 11:00:00"), 2, "view", 2.0)).toDF()
+      .write.mode("append").parquet(landing)
+    EventStream.runAvailableNow(
+      EventStream.landingStream(spark, landing, b1.schema), sink, ckpt)
+      .awaitTermination()
+    val out = spark.read.parquet(sink)
+    assert(out.count() === 2L, "no re-ingestion of already-processed files")
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+  }
+
   test("sessionize closes a session when a later event arrives past the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
