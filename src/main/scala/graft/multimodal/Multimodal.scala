@@ -70,6 +70,51 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic payload rewrite standing in for an image
+    * resize codec — output bytes derive from (input bytes, target dims), and
+    * the byte count scales with the target area the way a re-encoded
+    * image's would. Swaps for a real codec with the same signature.
+    */
+  def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(16, (w.toLong * h / 64).toInt)
+    val out = new Array[Byte](n)
+    var hsh = 0x9e3779b97f4a7c15L ^ (w.toLong << 32 | h.toLong)
+    var i = 0
+    while (i < n) {
+      hsh = (hsh ^ bytes(i % bytes.length)) * 0x100000001b3L
+      out(i) = (hsh >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Resize stage: partition-preserving typed transform; blobs never cross a
+    * shuffle boundary.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => m.copy(bytes = fakeResize(m.bytes, w, h))))
+  }
+
+  final case class Frame(mediaId: Long, frameIdx: Int, bytes: Array[Byte])
+
+  /** Frame sampling: one output row per sampled frame (every `stride`-th of
+    * the decoded frame count) — the 1→N explode shape of video pipelines,
+    * expressed as a flatMap over partitions so decoding stays local to the
+    * executor holding the payload.
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val (_, _, frames, _) = fakeDecode(m.bytes)
+      val n = if (m.kind == "image") 1 else frames
+      (0 until n by stride).map { i =>
+        // stub frame payload: deterministic slice-hash of the source bytes
+        Frame(m.mediaId, i, fakeResize(m.bytes, 8 + i, 8))
+      }
+    })
+  }
+
   /** Metadata projection: blob-free frame safe to join/aggregate at scale. */
   def metadata(df: DataFrame): DataFrame =
     df.select(col("mediaId"), col("kind"), col("mimeType"), col("capturedAt"),

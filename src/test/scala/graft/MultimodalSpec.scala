@@ -31,6 +31,24 @@ class MultimodalSpec extends SparkSpec {
     assert(m.map(_.getAs[String]("contentHash")).distinct.length === 2)
   }
 
+  test("resize rewrites payloads deterministically, scaled to target dims") {
+    val r1 = Multimodal.resize(media, 64, 64).collect().sortBy(_.mediaId)
+    val r2 = Multimodal.resize(media, 64, 64).collect().sortBy(_.mediaId)
+    assert(r1.map(_.bytes.toSeq) === r2.map(_.bytes.toSeq))
+    val big = Multimodal.resize(media, 256, 256).collect().head
+    assert(big.bytes.length > r1.head.bytes.length, "larger target → larger payload")
+    assert(r1.head.mimeType === "image/jpeg", "metadata preserved")
+  }
+
+  test("sampleFrames explodes videos to strided frames, images to one") {
+    val frames = Multimodal.sampleFrames(media, stride = 7).collect()
+    val byId = frames.groupBy(_.mediaId)
+    assert(byId(1L).length === 1, "image → exactly one frame")
+    assert(byId(2L).length >= 1)
+    assert(byId(2L).map(_.frameIdx).forall(_ % 7 == 0), "strided indices")
+    assert(frames.forall(_.bytes.nonEmpty))
+  }
+
   test("fromDocuments synthesizes a typed media table from text payloads") {
     val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val rows = Multimodal.fromDocuments(docs).collect().sortBy(_.mediaId)
