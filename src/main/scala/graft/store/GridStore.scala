@@ -71,10 +71,11 @@ final class GridStore(spark: SparkSession, val path: String) {
   def raw(): DataFrame = spark.read.parquet(path)
 
   /** The FINAL view (A1): keep-latest per sorting key. ALL query paths go
-    * through this.
+    * through this. Uses the hash-aggregate formulation (map-side partial
+    * `max_by`, no sort — see [[Replacing.latestAgg]]).
     */
   def finalView(): DataFrame =
-    Replacing.latest(raw(), keyCols, versionCol, tiebreakCols = Seq("catalogId"))
+    Replacing.latestAgg(raw(), keyCols, versionCol, tiebreakCols = Seq("catalogId"))
 
   /** K5 — compaction: rewrite date partitions with dedup materialized
     * (the `OPTIMIZE TABLE grid_data FINAL` analog). With no argument compacts
@@ -85,7 +86,7 @@ final class GridStore(spark: SparkSession, val path: String) {
     val base = raw()
     val scoped = if (dates.isEmpty) base else base.filter(col("date").isin(dates: _*))
     val deduped = Replacing
-      .latest(scoped, keyCols, versionCol, tiebreakCols = Seq("catalogId"))
+      .latestAgg(scoped, keyCols, versionCol, tiebreakCols = Seq("catalogId"))
       .repartition(col("date"))
       .sortWithinPartitions(col("variable"), col("timestamp"), col("lat"), col("lon"))
       // the partition column must come last for partitioned overwrite

@@ -31,4 +31,24 @@ object Replacing {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Hash-aggregation formulation of the same semantic: `max_by` of the full
+    * row keyed by (version, tiebreaks). Identical result to [[latest]], but
+    * planned as a hash aggregate with map-side partial `max_by` — no
+    * per-partition sort and a shuffle that carries ONE row per (key,
+    * partition) instead of every version. Prefer this at scale; the window
+    * form stays as the executable spec both must match.
+    */
+  def latestAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      tiebreakCols: Seq[String] = Nil
+  ): DataFrame = {
+    val payload = df.columns.filterNot(keyCols.contains).toSeq
+    val ord = struct((versionCol +: tiebreakCols).map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), ord).as("__r"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__r.$c")): _*)
+  }
 }

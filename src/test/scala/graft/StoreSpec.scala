@@ -86,4 +86,16 @@ class StoreSpec extends SparkSpec {
     val out = Replacing.latest(df, Seq("key"), "v", tiebreakCols = Seq("tag"))
     assert(out.select("tag").collect()(0).getString(0) === "b")
   }
+
+  test("latestAgg (hash-agg form) equals latest (window form) row-for-row") {
+    val df = (1 to 500).map { i =>
+      (s"k${i % 37}", s"t${i % 11}", i.toLong, s"val-$i", s"id-$i")
+    }.toDF("k1", "k2", "v", "payload", "tag")
+    val a = Replacing.latest(df, Seq("k1", "k2"), "v", Seq("tag"))
+      .collect().map(_.toSeq).toSet
+    val b = Replacing.latestAgg(df, Seq("k1", "k2"), "v", Seq("tag"))
+      .select("k1", "k2", "v", "payload", "tag")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
