@@ -52,6 +52,22 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream → curated store: each micro-batch goes through
+    * [[graft.store.GridStore.append]] (boundary normalization + date
+    * partitioning + sorted write), so streaming ingestion lands with exactly
+    * the same dedup-on-read semantics as batch — ReplacingMergeTree behavior
+    * preserved under continuous arrival. Checkpointing makes the sink
+    * effectively idempotent end-to-end: a replayed batch re-appends, and the
+    * keep-latest FINAL view absorbs the duplicates.
+    */
+  def gridSink(gridRows: DataFrame, store: graft.store.GridStore,
+      checkpoint: String): StreamingQuery =
+    gridRows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => store.append(batch); () }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long, n: Int, sum: Double)

@@ -87,6 +87,17 @@ class StoreSpec extends SparkSpec {
     assert(out.select("tag").collect()(0).getString(0) === "b")
   }
 
+  test("date predicates prune partitions at the scan (PartitionFilters)") {
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    store.append(gridRows(t0, 1.0))
+    val pruned = store.raw().filter($"date" === lit("2026-01-02").cast("date"))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.matches("(?s).*PartitionFilters: \\[[^\\]]*date[^\\]]*\\].*"),
+      s"expected date partition filter in scan:\n$scan")
+    assert(pruned.count() === 1L)
+  }
+
   test("latestAgg (hash-agg form) equals latest (window form) row-for-row") {
     val df = (1 to 500).map { i =>
       (s"k${i % 37}", s"t${i % 11}", i.toLong, s"val-$i", s"id-$i")

@@ -65,6 +65,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("gridSink: streaming appends land with ReplacingMergeTree semantics") {
+    import graft.store.GridStore
+    implicit val sqlCtx = spark.sqlContext
+    val base = tempDir("gridsink")
+    val store = new GridStore(spark, s"$base/grid")
+    val input = MemoryStream[(String, Timestamp, Float, Float, Double, String, String, Timestamp)]
+    val gridRows = input.toDF().toDF(
+      "variable", "timestamp", "lat", "lon", "value", "unit", "catalogId", "insertedAt")
+    input.addData(
+      ("pm10", ts("2026-01-01 00:00:00"), 50.0f, 10.0f, 1.0, "u", "c1", ts("2026-01-01 08:00:00")),
+      ("pm10", ts("2026-01-01 00:00:00"), 50.0f, 10.0f, 2.0, "u", "c1", ts("2026-01-01 09:00:00")))
+    EventStream.gridSink(gridRows, store, s"$base/ckpt").awaitTermination()
+    assert(store.raw().count() === 2L)
+    val fin = store.finalView().collect()
+    assert(fin.length === 1, "keep-latest holds under streaming ingestion")
+    assert(fin(0).getAs[Float]("value") === 2.0f)
+  }
+
   test("sessionize closes a session when a later event arrives past the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
