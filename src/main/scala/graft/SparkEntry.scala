@@ -382,6 +382,25 @@ object SparkEntry {
         .select("block", "a", "b", "cosine")
         .orderBy("a", "b")),
 
+    // D-dedup: near-dup canonicalization — LSH pairs → connected components
+    // → one keeper per cluster (iterative label propagation; rows-only)
+    "d6_canonicalize" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
+      Dedup.canonicalize(pairs).orderBy("id")
+    }),
+
+    // T-text: corpus vocabulary statistics (explode + distinct at scale)
+    "t5_vocab_stats" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      toks.agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("vocab_size"),
+        dsum(length(col("tok")), 0).as("sum_tok_len"))
+    }),
+
     // V-similarity: brute-force cosine top-k against one probe vector
     "v1_cosine_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -787,6 +806,17 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.35 ORDER BY a, b""".stripMargin,
+
+    "t5_vocab_stats" ->
+      """WITH toks AS (
+        |  SELECT t.tok FROM (
+        |    SELECT unnest(string_split(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS tok
+        |    FROM documents) t
+        |  WHERE t.tok <> ''
+        |)
+        |SELECT count(*) AS n_tokens, count(DISTINCT tok) AS vocab_size,
+        |       CAST(sum(CAST(length(tok) AS DECIMAL(30,0))) AS DOUBLE) AS sum_tok_len
+        |FROM toks""".stripMargin,
 
     "v1_cosine_topk" ->
       """WITH probe AS (

@@ -126,6 +126,51 @@ object Dedup {
       .select(col("block"), col("a"), col("b"), col("cosine"))
   }
 
+  /** Canonicalization: collapse near-duplicate PAIRS into clusters and pick
+    * one keeper per cluster (the minimum id). Connected components via
+    * min-label propagation — each iteration is two shuffles (a join and an
+    * aggregate), converging in O(log(longest chain)) iterations; no driver
+    * materialization, so it scales to billions of pairs. `maxIter` bounds
+    * pathological chains.
+    *
+    * Returns (id, keeper_id) for every id that appears in a pair.
+    */
+  def canonicalize(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edges + self-loops; labels start as own id
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // min label among self, neighbors, and the label's own label (pointer
+      // jumping) — the label-of-label hop halves chain depth per round, so
+      // convergence is logarithmic in the longest chain, not linear
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "y"), Seq("y"))
+        .groupBy(col("x").as("id"))
+        .agg(min("label").as("nlabel"))
+      val viaPointer = labels
+        .join(labels.select(col("id").as("label"), col("label").as("plabel")), Seq("label"))
+        .select(col("id"), col("plabel"))
+      val next = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .join(viaPointer, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("plabel"), col("label"))).as("label"))
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next.localCheckpoint(eager = true) // truncate the iterative lineage
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("keeper_id"))
+  }
+
   /** 64-bit SimHash over word tokens: per-bit vote of token hashes.
     * One explode + one aggregate producing the packed signature.
     */

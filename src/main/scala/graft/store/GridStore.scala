@@ -85,16 +85,14 @@ final class GridStore(spark: SparkSession, val path: String) {
     if (!exists) return
     val base = raw()
     val scoped = if (dates.isEmpty) base else base.filter(col("date").isin(dates: _*))
+    // Writing to a staged path means the source files are never overwritten
+    // mid-read — no defensive cache/materialize pass needed before the swap.
     val deduped = Replacing
       .latestAgg(scoped, keyCols, versionCol, tiebreakCols = Seq("catalogId"))
       .repartition(col("date"))
       .sortWithinPartitions(col("variable"), col("timestamp"), col("lat"), col("lon"))
-      // the partition column must come last for partitioned overwrite
-      .cache()
-    deduped.count() // materialize before overwriting the files being read
     val staged = path + ".compact.tmp"
     deduped.write.mode("overwrite").partitionBy("date").parquet(staged)
-    deduped.unpersist()
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (dates.isEmpty) {

@@ -43,6 +43,20 @@ class DedupSpec extends SparkSpec {
       "near-dup must be closer than unrelated")
   }
 
+  test("D6: canonicalize collapses transitive pair chains to min-id clusters") {
+    // 1-2, 2-3 (chain), 5-6, isolated 9-10
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L)).toDF("a", "b")
+    val out = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L, 10L -> 9L))
+  }
+
+  test("D6: long chain converges (log-round propagation)") {
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.canonicalize(pairs, maxIter = 20).collect()
+    assert(out.forall(_.getAs[Long]("keeper_id") === 1L))
+  }
+
   test("D5: embedding near-dup within block finds parallel vectors only") {
     val e = Seq(
       (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
