@@ -136,10 +136,13 @@ object Dedup {
     * Returns (id, keeper_id) for every id that appears in a pair.
     */
   def canonicalize(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edges + self-loops; labels start as own id
+    // undirected edges; labels start as own id. Materialized once — the
+    // iteration below would otherwise recompute the (possibly expensive)
+    // upstream pair pipeline on every round.
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .distinct()
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -162,9 +165,12 @@ object Dedup {
           least(col("label"),
             coalesce(col("nlabel"), col("label")),
             coalesce(col("plabel"), col("label"))).as("label"))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+      // materialize the round first (also truncates iterative lineage), then
+      // detect convergence against the cheap checkpointed frame
+      val nextM = next.localCheckpoint(eager = true)
+      val changed = nextM.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next.localCheckpoint(eager = true) // truncate the iterative lineage
+      labels = nextM
       converged = changed == 0
       i += 1
     }
