@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.functions.GridFunctions
 import graft.multimodal.Multimodal
+import graft.operators.{AsofJoin, RangeJoin}
 import graft.serve.PointQuery
 import graft.sim.{Ivf, Similarity}
 import graft.sources.SyntheticGrid
@@ -177,6 +178,35 @@ object SparkEntry {
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("revenue"))
         .orderBy("r_name")),
+
+    // J5 — as-of join (set-oriented snap generalization): every purchase
+    // gets the user's latest click at or before it; one shuffle, no BNLJ
+    "j5_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+      AsofJoin.asof(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("click_id", "click_value"), prefix = "last_")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("last_ts"), col("last_click_id"), col("last_click_value"))
+        .orderBy("event_id")
+    }),
+
+    // J6 — range join via interval binning (hash join on the bin, not BNLJ)
+    "j6_range_join" -> ((s, d) => {
+      val pts = t(s, d, "events").select(col("event_id"), col("value"))
+      val iv = t(s, d, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 20.0).as("lo"),
+        (col("n_nationkey") * 20.0 + 25.0).as("hi"))
+      RangeJoin.pointInInterval(pts, iv, "value", "lo", "hi", binWidth = 20.0)
+        .groupBy("n_nationkey")
+        .agg(count(lit(1)).as("n_points"), dsum(col("value"), 3).as("sum_v"))
+        .orderBy("n_nationkey")
+    }),
 
     // A1/W2 — keep-latest dedup (the ReplacingMergeTree FINAL semantic)
     "a1_keep_latest" -> ((s, d) =>
@@ -627,6 +657,31 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "j5_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id,
+        |         arg_max(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.value,
+        |       c.ts AS last_ts, c.click_id AS last_click_id,
+        |       c.click_value AS last_click_value
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "j6_range_join" ->
+      """WITH iv AS (
+        |  SELECT n_nationkey, n_nationkey * 20.0 AS lo, n_nationkey * 20.0 + 25.0 AS hi
+        |  FROM nation
+        |)
+        |SELECT n_nationkey, count(*) AS n_points,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_v
+        |FROM events e JOIN iv ON e.value BETWEEN lo AND hi
+        |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
 
     "a1_keep_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the latest right row whose timestamp is
+  * ≤ the left row's, per join key (the set-oriented generalization of the
+  * reference's scalar snap-to-latest, SURVEY.md A2/F3).
+  *
+  * Spark has no native as-of join; the composition here is union + running
+  * `last(ignoreNulls)` window:
+  *   1. both sides are tagged and unioned on the key (right payload packed
+  *      into one struct; left columns null on right rows and vice versa),
+  *   2. a window sorted by (ts, side) carries the most recent right struct
+  *      forward — right rows sort before left rows at equal ts, making the
+  *      match inclusive,
+  *   3. left rows project their carried struct.
+  *
+  * Cost: ONE shuffle on the key (the union sorts within partitions), no
+  * range condition in a join (which would force broadcast-nested-loop), no
+  * per-row subqueries. Works at any size ratio between the sides.
+  *
+  * The right side must be unique per (key, ts) for a deterministic result —
+  * pre-aggregate it (e.g. `max_by`) if it is not.
+  */
+object AsofJoin {
+
+  /** @param rightPayload right columns to attach (prefixed on output)
+    * @return left rows + `<prefix><col>` for each payload column and
+    *         `<prefix><rightTs>` — all null when no right row precedes
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      prefix: String = "r_"): DataFrame = {
+    val rStructCols = (rightTs +: rightPayload).map(col)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts")) :+
+        struct(rStructCols: _*).as("__r"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val out = carried.filter(col("__side") === 1)
+    val projected = left.columns.map(col).toSeq ++
+      (rightTs +: rightPayload).map(c => col(s"__m.$c").as(s"$prefix$c"))
+    out.select(projected: _*)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, RangeJoin}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof: inclusive match, latest-wins, null when nothing precedes") {
+    val left = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00")), // exact-tie with right at 10:00
+      (2L, 1L, ts("2026-01-01 11:00:00")), // latest right is 10:30
+      (3L, 2L, ts("2026-01-01 10:00:00")), // key has no right rows
+      (4L, 1L, ts("2026-01-01 09:00:00"))  // nothing precedes
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 100.0),
+      (1L, ts("2026-01-01 10:30:00"), 200.0),
+      (3L, ts("2026-01-01 09:00:00"), 300.0)
+    ).toDF("k", "ts", "rv")
+    val out = AsofJoin.asof(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("r_rv"))) None else Some(r.getAs[Double]("r_rv")))).toMap
+    assert(out === Map(1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> None))
+  }
+
+  test("asof result columns carry the matched right timestamp") {
+    val left = Seq((1L, 1L, ts("2026-01-01 12:00:00"))).toDF("id", "k", "ts")
+    val right = Seq((1L, ts("2026-01-01 10:30:00"), 7.0)).toDF("k", "ts", "rv")
+    val r = AsofJoin.asof(left, right, Seq("k"), "ts", "ts", Seq("rv")).collect()(0)
+    assert(r.getAs[Timestamp]("r_ts") === ts("2026-01-01 10:30:00"))
+  }
+
+  test("range join equals the naive BETWEEN join, pairs exactly once") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 100)).toDF("pid", "p")
+    val ivs = (1 to 40).map { i =>
+      val lo = rnd.nextDouble() * 90
+      (i.toLong, lo, lo + rnd.nextDouble() * 25)
+    }.toDF("iid", "lo", "hi")
+    val binned = RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", binWidth = 10.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = pts.crossJoin(ivs).filter($"p".between($"lo", $"hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.length === binned.distinct.length, "no duplicate pairs")
+    assert(binned.toSet === naive.toSet)
+  }
+
+  test("range join with per-key intervals") {
+    val pts = Seq((1L, "a", 5.0), (2L, "b", 5.0)).toDF("pid", "k", "p")
+    val ivs = Seq(("a", 0.0, 10.0)).toDF("k", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", 5.0, keys = Seq("k"))
+    assert(out.select("pid").collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "interval for key 'a' must not match key 'b' points")
+  }
+}
