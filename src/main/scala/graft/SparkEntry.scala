@@ -508,6 +508,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
         .orderBy("hour", "event_type")),
 
+    // E-events: hierarchical rollup aggregation (multi-granularity stats);
+    // grouping-null levels surface as sentinels so rows stay hashable
+    "e4_rollup" -> ((s, d) =>
+      t(s, d, "events")
+        .rollup(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("day"), lit("9999-12-31").cast("date")).as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "day")),
+
+    // E-events: exact interpolated quantiles per group
+    "e5_quantiles" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type").agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        .orderBy("event_type")),
+
+    // P-profiling: per-column corpus profile (nulls/distinct/min/max)
+    "p1_profile" -> ((s, d) =>
+      graft.functions.Profiling.profile(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")),
+
     // E-events: gap-based sessionization (lag window + cumulative flags)
     "e2_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -920,6 +948,50 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "e4_rollup" ->
+      """SELECT coalesce(event_type, '(all)') AS event_type,
+        |       coalesce(day, DATE '9999-12-31') AS day,
+        |       n, sum_value FROM (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY ROLLUP(event_type, day)
+        |) ORDER BY event_type, day""".stripMargin,
+
+    "e5_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "p1_profile" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |       count(DISTINCT l_orderkey) AS n_distinct,
+        |       CAST(min(l_orderkey) AS VARCHAR) AS min_v, CAST(max(l_orderkey) AS VARCHAR) AS max_v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*),
+        |       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+        |       count(DISTINCT l_quantity),
+        |       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*),
+        |       sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+        |       count(DISTINCT l_returnflag),
+        |       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*),
+        |       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+        |       count(DISTINCT l_shipdate),
+        |       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
 
     "e2_sessionize" ->
       """WITH x AS (
