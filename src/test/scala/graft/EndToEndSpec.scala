@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.DailyJob
+import graft.serve.PointQuery
+import graft.sources.{GribMessage, GribReader, SyntheticMessage}
+import graft.store.{CatalogStore, GridStore}
+import graft.transform.Transforms
+
+/** SURVEY.md §7.2 — the minimum end-to-end slice, mirroring the reference's
+  * `grid/finder_integration_test.go:13-56`: synthetic ECMWF Kelvin pair →
+  * transform → curated append (twice, proving dedup) → point query for
+  * derived humidity at (52.52, 13.40) with +30 min snap → Magnus value at
+  * the nearest grid point, actual coords, snapped ref timestamp, lineage.
+  */
+class EndToEndSpec extends SparkSpec {
+
+  private val t12 = Timestamp.valueOf("2026-01-01 12:00:00")
+  private val t15 = Timestamp.valueOf("2026-01-01 15:00:00")
+
+  // 0.25° patch around Berlin; T=293.15K (20°C), Td=288.15K (15°C) → RH≈73%
+  private def messages: Seq[GribMessage] = {
+    val lats = Array(52.25, 52.25, 52.5, 52.5)
+    val lons = Array(13.25, 13.5, 13.25, 13.5)
+    Seq(t12, t15).flatMap { ts =>
+      Seq(
+        SyntheticMessage("temperature", "K", ts, Array.fill(4)(293.15), lats, lons),
+        SyntheticMessage("dewpoint", "K", ts, Array.fill(4)(288.15), lats, lons))
+    }
+  }
+
+  test("§7.2: ingest→transform→store→serve answers the humidity point query") {
+    val base = tempDir("e2e")
+    val grids = new GridStore(spark, s"$base/grid")
+    val rawFiles = new CatalogStore(spark, s"$base/raw_files", "id")
+    val curated = new CatalogStore(spark, s"$base/curated", "id")
+    val job = new DailyJob(spark, grids, rawFiles, curated)
+    val reader = new GribReader {
+      def open(path: String): Iterator[GribMessage] = messages.iterator
+    }
+
+    // run twice (T4 reprocessing) — FINAL counts must not change
+    Seq("08:00:00", "09:30:00").foreach { hhmm =>
+      job.run("ecmwf", "ifs-weather-forecast", Date.valueOf("2026-01-01"), reader,
+        "unused", Transforms.ecmwf, Timestamp.valueOf(s"2026-01-01 $hhmm"))
+    }
+    assert(grids.finalView().count() === 24L, "2 ts × 3 vars × 4 points, deduped")
+
+    // probe: Berlin (52.52, 13.40) at 15:30 → snap to 15:00, NN → (52.5, 13.5)
+    val sample = PointQuery.getSample(grids.finalView(), "humidity",
+      Timestamp.valueOf("2026-01-01 15:30:00"), 52.52f, 13.40f).collect()(0)
+    assert(sample.getAs[Timestamp]("timestamp") === t15, "snapped ref timestamp")
+    assert(sample.getAs[Float]("lat") === 52.5f)
+    assert(sample.getAs[Float]("lon") === 13.5f || sample.getAs[Float]("lon") === 13.25f)
+    assert(sample.getAs[String]("unit") === "%")
+    val rh = sample.getAs[Float]("value")
+    assert(math.abs(rh - 73.0f) < 0.5f, s"Magnus oracle ≈73%%, got $rh")
+
+    // lineage resolves through curated → raw_files to the deterministic run
+    val probes = spark.createDataFrame(Seq(
+      ("p1", "humidity", Timestamp.valueOf("2026-01-01 15:30:00"), 52.52, 13.40)))
+      .toDF("probeId", "variable", "ts", "lat", "lon")
+    val withLin = PointQuery.withLineage(
+      PointQuery.getSamples(grids.finalView(), probes),
+      curated.read().select(col("id"), col("rawFileId")),
+      rawFiles.read().select(col("id"), col("source"), col("dataset")))
+    val r = withLin.collect()(0)
+    assert(r.getAs[String]("source") === "ecmwf")
+    assert(r.getAs[String]("dataset") === "ifs-weather-forecast")
+    assert(r.getAs[String]("rawFileId") !== null)
+    // T=Td oracle: dewpoint==temperature would give 100%; here Td<T so RH<100
+    assert(r.getAs[Float]("value") < 100.0f)
+  }
+}
