@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // runtime-set so even a caller-provided session (e.g. the driver's own,
+    // for the entry() smoke) can read the NANOS-precision events table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
