@@ -178,9 +178,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per-bit vote of token hashes.
-    * One explode + one aggregate producing the packed signature.
+    * One explode + ONE native aggregate ([[graft.functions.SimhashAgg]] —
+    * a single 64-int buffer per group instead of 64 separate sum states).
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ColOps.parallelize(df)
+      .select(col(idCol).as("id"), explode(array_distinct(tokens(col(textCol)))).as("w"))
+      .groupBy("id")
+      .agg(graft.functions.SimhashAgg.simhash(xxhash64(col("w"))).as("simhash"))
+
+  /** Column-only SimHash formulation (64 `sum(when(...))` vote aggregates) —
+    * kept as the executable spec the native aggregate must match.
+    */
+  def simhash64Cols(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = ColOps.parallelize(df)
       .select(col(idCol).as("id"), explode(array_distinct(tokens(col(textCol)))).as("w"))
       .withColumn("h", xxhash64(col("w")))

@@ -43,6 +43,14 @@ class DedupSpec extends SparkSpec {
       "near-dup must be closer than unrelated")
   }
 
+  test("D3: native SimhashAgg matches the 64-column vote formulation exactly") {
+    val native = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    val spec = Dedup.simhash64Cols(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(native === spec)
+  }
+
   test("D6: canonicalize collapses transitive pair chains to min-id clusters") {
     // 1-2, 2-3 (chain), 5-6, isolated 9-10
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L)).toDF("a", "b")
