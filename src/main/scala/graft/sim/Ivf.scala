@@ -47,6 +47,25 @@ object Ivf {
     Index(model.clusterCenters.toSeq.map(v => v.toArray.toSeq), lists)
   }
 
+  /** Persist the index: inverted lists as parquet partitioned by `listId`
+    * (a probe's nProbe lists prune to nProbe directories at scan time),
+    * centroids as a tiny parquet alongside. Build once, serve many.
+    */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    index.lists.write.mode("overwrite").partitionBy("listId").parquet(s"$path/lists")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("listId", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2)
+    Index(cents.toSeq, spark.read.parquet(s"$path/lists"))
+  }
+
   /** Set-oriented search: probes × centroid table (tiny, broadcast) → keep
     * `nProbe` nearest lists per probe → join candidates on `listId` → exact
     * cosine top-k per probe.

@@ -67,6 +67,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("V5: saved+loaded IVF index answers identically to the in-memory one") {
+    val df = clustered
+    val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
+    val path = tempDir("ivf") + "/index"
+    Ivf.save(idx, path)
+    val loaded = Ivf.load(spark, path)
+    assert(loaded.centroids === idx.centroids)
+    val probes = df.filter($"vec_id" === 0L)
+    def run(i: Ivf.Index) = Ivf.search(i, probes, "vec_id", "embedding", 2, 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).sorted.toSeq
+    assert(run(loaded) === run(idx))
+  }
+
   test("V5: IVF with nProbe=1 on tight clusters still finds in-cluster neighbors") {
     val df = clustered
     val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
