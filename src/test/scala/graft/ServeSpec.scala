@@ -51,6 +51,15 @@ class ServeSpec extends SparkSpec {
     assert(out("p3") === (t12, 73.0))
   }
 
+  test("getSamples plans a broadcast join on variable — never a cartesian") {
+    val probes = Seq(("p1", "temperature", t12, 52.5, 13.4))
+      .toDF("probeId", "variable", "ts", "lat", "lon")
+    val plan = PointQuery.getSamples(grid, probes).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian product in serving path")
+  }
+
   test("J1/J4: lineage joins resolve source/dataset via catalogId") {
     val samples = PointQuery.getSamples(grid,
       Seq(("p1", "humidity", t12, 52.5, 13.4)).toDF("probeId", "variable", "ts", "lat", "lon"))
