@@ -62,4 +62,29 @@ class JobsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       job.locateRawFile("ifs-weather-forecast", Date.valueOf("2030-01-01")))
   }
+
+  test("T5 fail-fast: a failing decode leaves grid and curated catalogs untouched") {
+    val base = tempDir("jobfail")
+    val grids = new GridStore(spark, s"$base/grid")
+    val rawFiles = new CatalogStore(spark, s"$base/raw_files", "id")
+    val curated = new CatalogStore(spark, s"$base/curated", "id")
+    val job = new DailyJob(spark, grids, rawFiles, curated)
+    val broken = new GribReader {
+      def open(path: String): Iterator[GribMessage] =
+        throw new RuntimeException("decode failure")
+    }
+    intercept[RuntimeException] {
+      job.run("ecmwf", "ifs-weather-forecast", date, broken, "unused",
+        Transforms.ecmwf, insertedAt = ts)
+    }
+    assert(!curated.exists, "no curated catalog rows on failure")
+    // raw_files IS recorded first — the reference's own ordering (ingest
+    // asset completes before transform starts); idempotent re-run recovers
+    assert(rawFiles.read().count() === 1L)
+    val ok = job.run("ecmwf", "ifs-weather-forecast", date, reader, "unused",
+      Transforms.ecmwf, insertedAt = ts)
+    assert(ok.insertedRows === 6L)
+    assert(grids.finalView().count() === 6L)
+    assert(rawFiles.read().count() === 1L, "recovery run reuses the recorded raw file")
+  }
 }
