@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ArrayDot, SimhashAgg}
+
+/** Session extension registering the engine's native expressions as SQL
+  * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works alongside
+  * the Column API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (name, info, builder) triples — shared by the extension injection and
+    * direct `FunctionRegistry` registration.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => ArrayDot(children(0), children(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimhashAgg(children.head).toAggregateExpression())
+  )
+
+  /** Register into an existing session (for sessions built without the
+    * extensions config).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
