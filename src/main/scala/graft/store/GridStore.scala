@@ -23,11 +23,29 @@ import org.apache.spark.sql.functions._
   * same deferred-merge design ClickHouse uses, re-expressed with Spark
   * primitives.
   */
-final class GridStore(spark: SparkSession, val path: String) {
+/** @param zorderCellDeg when set, files are sorted by
+  *   (variable, timestamp, morton(lat, lon)) at this cell resolution instead
+  *   of the reference's (variable, timestamp, lat, lon) — clustering spatial
+  *   neighbors into the same row groups so Parquet min/max stats prune NN
+  *   probes below the date-slice level. Read semantics are identical.
+  */
+final class GridStore(spark: SparkSession, val path: String,
+    zorderCellDeg: Option[Double] = None) {
 
   /** Dedup sorting key (reference: `init.sql:25`). */
   val keyCols: Seq[String] = Seq("variable", "timestamp", "lat", "lon")
   val versionCol = "insertedAt"
+
+  private def sortKey: Seq[org.apache.spark.sql.Column] = zorderCellDeg match {
+    case Some(cell) =>
+      import graft.functions.Spatial
+      Seq(col("variable"), col("timestamp"),
+        Spatial.morton(
+          ((col("lat") + 90.0) / cell).cast("int"),
+          ((col("lon") + 180.0) / cell).cast("int")))
+    case None =>
+      Seq(col("variable"), col("timestamp"), col("lat"), col("lon"))
+  }
 
   private def exists: Boolean =
     new org.apache.hadoop.fs.Path(path)
@@ -45,7 +63,7 @@ final class GridStore(spark: SparkSession, val path: String) {
     normalize(rows)
       .withColumn("date", to_date(col("timestamp")))
       .repartition(col("date"))
-      .sortWithinPartitions(col("variable"), col("timestamp"), col("lat"), col("lon"))
+      .sortWithinPartitions(sortKey: _*)
       .observe(obs, count(lit(1)).as("n"))
       .write.mode("append").partitionBy("date").parquet(path)
     obs.get("n").asInstanceOf[Long]
@@ -90,7 +108,7 @@ final class GridStore(spark: SparkSession, val path: String) {
     val deduped = Replacing
       .latestAgg(scoped, keyCols, versionCol, tiebreakCols = Seq("catalogId"))
       .repartition(col("date"))
-      .sortWithinPartitions(col("variable"), col("timestamp"), col("lat"), col("lon"))
+      .sortWithinPartitions(sortKey: _*)
     val staged = path + ".compact.tmp"
     deduped.write.mode("overwrite").partitionBy("date").parquet(staged)
     val fs = new org.apache.hadoop.fs.Path(path)

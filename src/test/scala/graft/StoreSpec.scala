@@ -98,6 +98,17 @@ class StoreSpec extends SparkSpec {
     assert(pruned.count() === 1L)
   }
 
+  test("z-ordered store answers identically to the primary-key-sorted store") {
+    val plain = new GridStore(spark, tempDir("store") + "/grid")
+    val zord = new GridStore(spark, tempDir("storez") + "/grid", zorderCellDeg = Some(0.1))
+    Seq(plain, zord).foreach { s => s.append(gridRows(t0, 1.0)); s.append(gridRows(t1, 9.0)); s.compact() }
+    val a = plain.finalView().select("variable", "timestamp", "lat", "lon", "value")
+      .collect().map(_.toSeq).toSet
+    val b = zord.finalView().select("variable", "timestamp", "lat", "lon", "value")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("latestAgg (hash-agg form) equals latest (window form) row-for-row") {
     val df = (1 to 500).map { i =>
       (s"k${i % 37}", s"t${i % 11}", i.toLong, s"val-$i", s"id-$i")
