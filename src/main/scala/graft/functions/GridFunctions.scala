@@ -60,6 +60,15 @@ object GridFunctions {
   def sqDist(lat: Column, lon: Column, probeLat: Column, probeLon: Column): Column =
     (lat - probeLat) * (lat - probeLat) + (lon - probeLon) * (lon - probeLon)
 
+  /** Granularity snap — floor a timestamp to a source's step (CAMS hourly,
+    * ECMWF 3-hourly; `Constants.*GranularitySec`). The as-of snap (A2) makes
+    * this implicit at query time — this explicit form is for partition/step
+    * bookkeeping (e.g. validating that a decoded message's valid-time sits
+    * on the source's grid).
+    */
+  def snapToGranularity(ts: Column, granularitySec: Long): Column =
+    timestamp_seconds(floor(unix_timestamp(ts) / granularitySec) * granularitySec)
+
   /** C7 — raw-object key construction
     * (reference: `defs/assets.py:119,277`; `docs/layer-1-ingestion.md:58-66`).
     */

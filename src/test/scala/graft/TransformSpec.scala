@@ -73,6 +73,20 @@ class TransformSpec extends SparkSpec {
     assert(out.filter($"timestamp" === ts1).count() === 3L)
   }
 
+  test("granularity snap floors to the source step") {
+    import graft.model.Constants
+    val df = Seq(
+      Timestamp.valueOf("2026-01-01 14:37:21"),
+      Timestamp.valueOf("2026-01-01 14:00:00")).toDF("ts")
+    val out = df.select(
+      GridFunctions.snapToGranularity(col("ts"), Constants.CamsGranularitySec).as("h"),
+      GridFunctions.snapToGranularity(col("ts"), Constants.EcmwfGranularitySec).as("h3"))
+      .collect()
+    assert(out(0).getTimestamp(0) === Timestamp.valueOf("2026-01-01 14:00:00"))
+    assert(out(0).getTimestamp(1) === Timestamp.valueOf("2026-01-01 12:00:00"))
+    assert(out(1).getTimestamp(0) === Timestamp.valueOf("2026-01-01 14:00:00"))
+  }
+
   test("S1/S2: GRIB explode normalizes longitudes to [-180,180)") {
     val ts = Timestamp.valueOf("2026-01-01 00:00:00")
     val msg = SyntheticMessage("pm10", "kg m-3", ts,
