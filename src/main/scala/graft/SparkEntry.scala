@@ -366,6 +366,13 @@ object SparkEntry {
         TextAnalysis.rollingFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // SM-sampling: deterministic hash sampling — stable membership across
+    // runs/engines (the oracle computes the identical md5 bucket)
+    "sm1_hash_sample" -> ((s, d) =>
+      graft.functions.Sampling.hashSample(t(s, d, "documents"), "doc_id", 0.2)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // D-dedup: exact dedup groups by content fingerprint
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
@@ -864,6 +871,11 @@ object SparkEntry {
         |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
         |       ELSE 'und' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "sm1_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2000
+        |ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp,

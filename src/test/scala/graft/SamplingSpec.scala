@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = spark.range(20000).select(col("id"))
+
+  test("hash samples are proportional, stable, and nested") {
+    val s10 = Sampling.hashSample(ids.toDF(), "id", 0.10)
+    val s01 = Sampling.hashSample(ids.toDF(), "id", 0.01)
+    val n10 = s10.count().toDouble
+    val n01 = s01.count().toDouble
+    assert(math.abs(n10 / 20000 - 0.10) < 0.01, s"10% sample was ${n10 / 20000}")
+    assert(math.abs(n01 / 20000 - 0.01) < 0.005, s"1% sample was ${n01 / 20000}")
+    // stability: same sample twice
+    assert(s10.collect().map(_.getLong(0)).toSet ===
+      Sampling.hashSample(ids.toDF(), "id", 0.10).collect().map(_.getLong(0)).toSet)
+    // nesting: 1% ⊆ 10%
+    val set10 = s10.collect().map(_.getLong(0)).toSet
+    assert(s01.collect().map(_.getLong(0)).forall(set10.contains))
+  }
+
+  test("stratified fractions apply per stratum, default drops") {
+    val df = spark.range(10000)
+      .select(col("id"), (col("id") % 2 === 0).cast("string").as("s"))
+    val out = Sampling.stratifiedHashSample(df, "id", "s",
+      Map("true" -> 0.5, "false" -> 0.05))
+    val byStratum = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byStratum("true") / 5000.0 - 0.5) < 0.05)
+    assert(math.abs(byStratum("false") / 5000.0 - 0.05) < 0.02)
+    val none = Sampling.stratifiedHashSample(df, "id", "s", Map("true" -> 0.1))
+    assert(none.filter(col("s") === "false").count() === 0L, "default 0 drops stratum")
+  }
+}
