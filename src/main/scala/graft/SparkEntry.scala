@@ -366,6 +366,18 @@ object SparkEntry {
         TextAnalysis.rollingFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // T-text: TF-IDF — the most distinctive term per document
+    "t6_tfidf_top_term" -> ((s, d) => {
+      val w = Window.partitionBy("id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      TextAnalysis.tfidf(t(s, d, "documents"), "doc_id", "text")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id").as("doc_id"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id")
+    }),
+
     // SM-sampling: deterministic hash sampling — stable membership across
     // runs/engines (the oracle computes the identical md5 bucket)
     "sm1_hash_sample" -> ((s, d) =>
@@ -871,6 +883,30 @@ object SparkEntry {
         |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
         |       ELSE 'und' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t6_tfidf_top_term" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, t.term FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS term
+        |    FROM documents) t
+        |  WHERE t.term <> ''
+        |), tf AS (
+        |  SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT id) AS df FROM toks GROUP BY term
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.id, tf.term, tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT id, term, tfidf,
+        |         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT id AS doc_id, term, round(tfidf, 6) AS tfidf
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "sm1_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -92,6 +92,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" ")))))
 
+  /** TF-IDF over the normalized word tokens: one explode, two hash
+    * aggregates (term frequency per doc, document frequency per term), a
+    * broadcast of the scalar corpus size — no quadratic stage. Natural-log
+    * idf = ln(N / df).
+    */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.Dedup
+    val toks = graft.functions.ColOps.parallelize(df)
+      .select(col(idCol).as("id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Polynomial rolling hash (h·31 + codepoint, mod 1e9+7) over the
     * normalized text — the incremental-hash flavor of fingerprinting (cheap
     * to extend, engine-portable integer arithmetic; same value from DuckDB's

@@ -38,6 +38,24 @@ class TextSpec extends SparkSpec {
     assert(qj < 0.4, s"junk scored $qj")
   }
 
+  test("tfidf hand-computed oracle on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry date")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tfidf"))).toMap
+    // apple: tf=2 in doc1, df=1, N=3 → 2·ln(3)
+    val (tf, df, v) = out((1L, "apple"))
+    assert(tf === 2L && df === 1L)
+    assert(math.abs(v - 2.0 * math.log(3.0)) < 1e-12)
+    // banana: df=2 → ln(1.5) per occurrence
+    assert(math.abs(out((2L, "banana"))._3 - math.log(1.5)) < 1e-12)
+    // cherry in doc3: tf=2, df=2
+    assert(math.abs(out((3L, "cherry"))._3 - 2.0 * math.log(1.5)) < 1e-12)
+  }
+
   test("rollingFingerprint matches the reference fold, collapses punct variants") {
     def oracle(s: String): Long = {
       val norm = s.replaceAll("[^A-Za-z0-9]+", " ").toLowerCase.trim
