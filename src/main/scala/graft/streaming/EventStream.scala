@@ -52,6 +52,17 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup: drop duplicate event ids with state bounded by
+    * the watermark horizon (`dropDuplicatesWithinWatermark` — re-deliveries
+    * arrive close to the original, so state for older ids can be evicted).
+    * The streaming arm of the dedup family (batch forms live in
+    * [[graft.dedup.Dedup]]).
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Stream → curated store: each micro-batch goes through
     * [[graft.store.GridStore.append]] (boundary normalization + date
     * partitioning + sorted write), so streaming ingestion lands with exactly

@@ -65,6 +65,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("dedupStream drops re-delivered events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0), // same-batch dup
+        Event(2, ts("2026-01-01 10:05:00"), 1, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(1, ts("2026-01-01 10:00:30"), 1, "click", 1.0)) // re-delivery
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_test").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq === Seq(1L, 2L), s"got ${ids.toSeq}")
+    } finally query.stop()
+  }
+
   test("gridSink: streaming appends land with ReplacingMergeTree semantics") {
     import graft.store.GridStore
     implicit val sqlCtx = spark.sqlContext
