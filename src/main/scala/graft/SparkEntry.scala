@@ -403,25 +403,15 @@ object SparkEntry {
       Dedup.simhashNearPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
         .orderBy("a", "b")),
 
-    // D-dedup: n-gram/word Jaccard near-dup on prefix-bucketed candidates
-    "d4_jaccard_neardup" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val norm = lower(trim(regexp_replace(col("text"), lit("[^A-Za-z0-9]+"), lit(" "))))
-      val a = docs.select(col("doc_id").as("a"), col("text").as("ta"),
-        substring(norm, 1, 32).as("pfx"))
-      val b = docs.select(col("doc_id").as("b"), col("text").as("tb"),
-        substring(norm, 1, 32).as("pfx"))
-      val inter = size(array_intersect(
-        array_distinct(Dedup.tokens(col("ta"))), array_distinct(Dedup.tokens(col("tb")))))
-        .cast("double")
-      val da = size(array_distinct(Dedup.tokens(col("ta")))).cast("double")
-      val db = size(array_distinct(Dedup.tokens(col("tb")))).cast("double")
-      a.join(b, Seq("pfx")).filter(col("a") < col("b"))
-        .withColumn("jaccard", round(inter / (da + db - inter), 4))
+    // D-dedup: word-Jaccard near-dup on prefix-blocked candidates
+    // (threshold 0 in the operator; the 4dp-rounded filter here mirrors the
+    // oracle, which also thresholds the ROUNDED value)
+    "d4_jaccard_neardup" -> ((s, d) =>
+      Dedup.prefixBlockedJaccard(t(s, d, "documents"), "doc_id", "text",
+        prefixLen = 32, threshold = 0.0)
+        .withColumn("jaccard", round(col("jaccard"), 4))
         .filter(col("jaccard") >= 0.35)
-        .select("a", "b", "jaccard")
-        .orderBy("a", "b")
-    }),
+        .orderBy("a", "b")),
 
     // D-dedup: embedding-cosine near-dup within a blocking key
     "d5_embedding_neardup" -> ((s, d) =>

@@ -104,6 +104,31 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Word-Jaccard near-dup pairs blocked by normalized-text prefix: cheap
+    * candidate generation (equi-join on the first `prefixLen` normalized
+    * chars) followed by exact word-set Jaccard on let-bound token arrays.
+    * Prefix blocking catches the append/truncate near-dup shape; use
+    * [[minhashLshPairs]] when edits may hit the document head.
+    */
+  def prefixBlockedJaccard(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 32, threshold: Double = 0.35): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), lit("[^A-Za-z0-9]+"), lit(" "))))
+    val sides = ColOps.parallelize(df).select(
+      col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("ws"),
+      substring(norm, 1, prefixLen).as("pfx"))
+    val a = sides.select(col("pfx"), col("id").as("a"), col("ws").as("wa"))
+    val b = sides.select(col("pfx"), col("id").as("b"), col("ws").as("wb"))
+    val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+    val da = size(col("wa")).cast("double")
+    val db = size(col("wb")).cast("double")
+    a.join(b, Seq("pfx"))
+      .filter(col("a") < col("b"))
+      .withColumn("jaccard", inter / (da + db - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * label, cluster id, or LSH bucket): per-pair work is one dot product
     * (norms precomputed per row). The blocking column bounds the quadratic —
