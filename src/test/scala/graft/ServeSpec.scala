@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.serve.{PointQuery, RequestValidation}
+import graft.serve.{PointQuery, RequestValidation, Service}
 
 /** Serving read path — mirrors `serving-go/internal/grid/finder_integration_test.go`
   * (snap +30 min, NN +0.435° still return the seeded point with actual coords)
@@ -68,6 +68,25 @@ class ServeSpec extends SparkSpec {
     val r = PointQuery.withLineage(samples, curated, rawFiles).collect()(0)
     assert(r.getAs[String]("source") === "ecmwf")
     assert(r.getAs[String]("dataset") === "ifs-weather-forecast")
+  }
+
+  test("T6: Service answers all variables in one plan, fails if ANY missing") {
+    val curated = Seq(("cat-t", "raw-1"), ("cat-h", "raw-1")).toDF("id", "rawFileId")
+    val rawFiles = Seq(("raw-1", "ecmwf", "ifs-weather-forecast"))
+      .toDF("id", "source", "dataset")
+    val svc = new Service(grid, curated, rawFiles)
+    val req = RequestValidation.parse(
+      "52.5", "13.4", "2026-01-01T12:30:00Z", "temperature,humidity").toOption.get
+    val ok = svc.getVariables(req)
+    assert(ok.isRight)
+    val results = ok.toOption.get
+    assert(results.map(_.name) === Seq("temperature", "humidity"), "request order kept")
+    assert(results.head.refTimestamp === t12)
+    assert(results.head.lineage.get.source === "ecmwf")
+    assert(results(1).unit === "%")
+
+    val bad = svc.getVariables(req.copy(variables = Seq("temperature", "pm2p5")))
+    assert(bad === Left("no data for: pm2p5"), "no partial responses")
   }
 
   test("F4/C9: request validation accepts valid, rejects each bad field") {
