@@ -504,6 +504,18 @@ object SparkEntry {
         .orderBy("mediaId")
     }),
 
+    // M-multimodal: resize + strided frame sampling, aggregated per media
+    // row (1→N explode stays executor-local; rows-only — stub codec)
+    "m3_frame_sampling" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(t(s, d, "documents"))
+      val resized = Multimodal.resize(media, 128, 128)
+      Multimodal.sampleFrames(resized, stride = 5).toDF()
+        .groupBy("mediaId")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length(col("bytes"))).as("total_bytes"))
+        .orderBy("mediaId")
+    }),
+
     // E-streaming: the Structured-Streaming windowed aggregation run over a
     // batch frame (identical plan modulo the watermark node)
     "e3_window_agg" -> ((s, d) =>

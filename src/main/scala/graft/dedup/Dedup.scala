@@ -52,11 +52,23 @@ object Dedup {
     size(array_intersect(shingles(a, n), shingles(b, n))).cast("double") /
       size(array_union(shingles(a, n), shingles(b, n))).cast("double")
 
-  /** MinHash signature: `numHashes` min-of-hash values over the shingle set.
-    * One explode + one hash-aggregate (map-side combined); the signature
-    * width is a column count, not a shuffle multiplier.
+  /** MinHash signature: `numHashes` min-of-hash values over the shingle
+    * set, as ONE native array aggregate ([[graft.functions.MinhashAgg]]) —
+    * one explode + one hash-aggregate with a single buffer per group.
+    * Output: `(id, sig: array<long>)`.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 48): DataFrame =
+    ColOps.parallelize(df)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .groupBy("id")
+      .agg(graft.functions.MinhashAgg.minhash(col("sh"), numHashes).as("sig"))
+
+  /** Wide-column MinHash formulation (`numHashes` separate
+    * `min(xxhash64(sh, k))` aggregates) — the executable spec the native
+    * aggregate must match value-for-value.
+    */
+  def minhashSignaturesCols(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 48): DataFrame = {
     val ex = ColOps.parallelize(df)
       .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("sh"))
@@ -77,8 +89,9 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val bandCols = (0 until bands).map { b =>
-      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"h$k"))
-      struct(lit(b).as("band"), xxhash64(struct(rows: _*), lit(0x5eed + b)).as("bucket"))
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          lit(0x5eed + b)).as("bucket"))
     }
     val bandRows = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))

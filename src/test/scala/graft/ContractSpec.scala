@@ -14,7 +14,8 @@ class ContractSpec extends AnyFunSuite {
     "d6_canonicalize",  // iterative label propagation
     "v3_ann_pairs",     // hyperplane signatures over xxhash-free planes, bucket caps
     "v5_ivf_topk",      // KMeans quantizer
-    "m2_media_features" // stub codec (FNV fold) — not SQL-expressible
+    "m2_media_features", // stub codec (FNV fold) — not SQL-expressible
+    "m3_frame_sampling"  // same stub codec through resize + frame sampling
   )
 
   test("every oracle key names an existing query") {

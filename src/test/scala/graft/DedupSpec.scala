@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
       "near-dup must be closer than unrelated")
   }
 
+  test("D2: native MinhashAgg matches the 48-column min formulation exactly") {
+    val native = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 48)
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    val wide = Dedup.minhashSignaturesCols(docs, "doc_id", "text", 3, 48)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (0 until 48).map(k => r.getAs[Long](s"h$k"))).toMap
+    assert(native.keySet === wide.keySet)
+    native.foreach { case (id, sig) => assert(sig === wide(id), s"doc $id") }
+  }
+
   test("D3: native SimhashAgg matches the 64-column vote formulation exactly") {
     val native = Dedup.simhash64(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
