@@ -366,6 +366,20 @@ object SparkEntry {
         TextAnalysis.rollingFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // D-dedup: materialize the deduplicated corpus — near-dup clusters keep
+    // only their min-id keeper; every other doc drops (rows-only)
+    "d7_dedup_materialize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
+      val losers = Dedup.canonicalize(pairs)
+        .filter(col("id") =!= col("keeper_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          dsum(col("n_chars"), 0).as("chars_kept"))
+    }),
+
     // T-text: TF-IDF — the most distinctive term per document
     "t6_tfidf_top_term" -> ((s, d) => {
       val w = Window.partitionBy("id")
