@@ -51,6 +51,41 @@ class OperatorsSpec extends SparkSpec {
     assert(binned.toSet === naive.toSet)
   }
 
+  test("asof matches a brute-force reference on randomized data") {
+    val rnd = new scala.util.Random(11)
+    val leftRows = (1 to 300).map { i =>
+      (i.toLong, (rnd.nextInt(10) + 1).toLong,
+        ts(f"2026-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }
+    val rightRows = (1 to 200).map { i =>
+      ((rnd.nextInt(12) + 1).toLong,
+        ts(f"2026-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${i % 60}%02d"),
+        i.toDouble)
+    }
+    // right side unique per (k, ts) by construction (distinct seconds)
+    val left = leftRows.toDF("id", "k", "ts")
+    val right = rightRows.distinct.toDF("k", "ts", "rv")
+    val got = AsofJoin.asof(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("r_rv")).map(_.toDouble)).toMap
+    val byKey = rightRows.distinct.groupBy(_._1)
+    val want = leftRows.map { case (id, k, lts) =>
+      id -> byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(lts))
+        .sortBy(_._2.getTime)
+        .lastOption.map(_._3)
+    }.toMap
+    assert(got === want)
+  }
+
+  test("range join handles negative domains (floor binning)") {
+    val pts = Seq((1L, -15.0), (2L, -5.0), (3L, 0.0), (4L, 7.5)).toDF("pid", "p")
+    val ivs = Seq((1L, -20.0, -10.0), (2L, -6.0, 1.0), (3L, 5.0, 8.0)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", binWidth = 4.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L)))
+  }
+
   test("range join with per-key intervals") {
     val pts = Seq((1L, "a", 5.0), (2L, "b", 5.0)).toDF("pid", "k", "p")
     val ivs = Seq(("a", 0.0, 10.0)).toDF("k", "lo", "hi")
