@@ -543,6 +543,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
         .orderBy("hour", "event_type")),
 
+    // E-events: sliding-window aggregation (2h windows, 1h slide) — each
+    // event lands in exactly two overlapping windows
+    "e6_sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("wstart", "event_type")),
+
     // E-events: hierarchical rollup aggregation (multi-granularity stats);
     // grouping-null levels surface as sentinels so rows stay hashable
     "e4_rollup" -> ((s, d) =>
@@ -1012,6 +1022,16 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "e6_sliding_window" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS wstart, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+        |)
+        |SELECT wstart, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
 
     "e4_rollup" ->
       """SELECT coalesce(event_type, '(all)') AS event_type,
