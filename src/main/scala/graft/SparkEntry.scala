@@ -543,6 +543,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
         .orderBy("hour", "event_type")),
 
+    // E-events: native session windows (30-min gap) — merged-interval
+    // semantics; the oracle is the classic gaps-and-islands formulation
+    "e7_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
+        .select(col("sw.start").as("session_start"), col("user_id"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+
     // E-events: sliding-window aggregation (2h windows, 1h slide) — each
     // event lands in exactly two overlapping windows
     "e6_sliding_window" -> ((s, d) =>
@@ -1022,6 +1032,24 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "e7_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x
+        |)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
 
     "e6_sliding_window" ->
       """WITH w AS (
