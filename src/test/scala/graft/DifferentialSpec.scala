@@ -1,0 +1,45 @@
+package graft
+
+/** Differential execution: the same contract query must produce identical
+  * rows with whole-stage codegen ON and fully-interpreted expression
+  * evaluation — the strongest internal check on the custom expressions'
+  * doGenCode/eval pairs (ArrayDot, SimhashAgg, MinhashAgg) and on any
+  * codegen-path-sensitive built-in composition we rely on.
+  */
+class DifferentialSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // moderate-cost queries covering the native expressions and custom joins
+  private val targets = Seq(
+    "v1_cosine_topk",       // ArrayDot in TakeOrderedAndProject
+    "v2_knn_join",          // ArrayDot in join + window
+    "d3_simhash_pairs",     // SimhashAgg + bit ops
+    "d2_minhash_lsh",       // MinhashAgg + LSH pipeline
+    "t4_rolling_fingerprint", // bindLet + HOF fold
+    "j5_asof_join",         // union + running last window
+    "e7_session_window"     // session-window semantics
+  )
+
+  private def runAll(codegen: Boolean): Map[String, Set[Seq[Any]]] = {
+    spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+    spark.conf.set("spark.sql.codegen.factoryMode",
+      if (codegen) "FALLBACK" else "NO_CODEGEN")
+    try targets.map { n =>
+      n -> SparkEntry.queries(n)(spark, sfDir).collect().map(_.toSeq).toSet
+    }.toMap
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("codegen and interpreted execution agree on every target query") {
+    val gen = runAll(codegen = true)
+    val interp = runAll(codegen = false)
+    targets.foreach { n =>
+      assert(gen(n) === interp(n), s"codegen/interpreted divergence in $n")
+      assert(gen(n).nonEmpty, s"$n returned no rows at sf0.001")
+    }
+  }
+}
