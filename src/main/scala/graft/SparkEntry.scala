@@ -254,6 +254,19 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // W2 — running cumulative aggregate (explicit frame spec); the decimal
+    // accumulator makes the per-row prefix sums engine-exact
+    "w2_running_total" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running",
+          sum(col("value").cast("decimal(30,3)")).over(w).cast("double"))
+        .select("event_id", "user_id", "running")
+        .orderBy("event_id")
+    }),
+
     // K3 — insert-if-absent semantics (left-anti join); the recent-orders
     // filter keeps the result non-empty (every customer has *some* order)
     "k3_anti_join" -> ((s, d) =>
@@ -795,6 +808,13 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_custkey
         |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "w2_running_total" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(30,3))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "k3_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
