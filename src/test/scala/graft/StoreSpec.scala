@@ -49,6 +49,21 @@ class StoreSpec extends SparkSpec {
     assert(pruned.count() === 1L)
   }
 
+  test("non-ASCII units survive the parquet round-trip with exact equality") {
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    val rows = Seq(
+      ("pm2p5", Timestamp.valueOf("2026-01-01 00:00:00"), 1.0f, 2.0f, 3.0f, "µg/m³", "c1", t0),
+      ("temperature", Timestamp.valueOf("2026-01-01 00:00:00"), 1.0f, 2.0f, 4.0f, "°C", "c2", t0),
+      ("humidity", Timestamp.valueOf("2026-01-01 00:00:00"), 1.0f, 2.0f, 5.0f, "%", "c3", t0)
+    ).toDF("variable", "timestamp", "lat", "lon", "value", "unit", "catalogId", "insertedAt")
+    store.append(rows)
+    // string-equality predicate on the UTF-8 unit (the C1 conversion filters
+    // on unit equality — corruption here would silently skip conversions)
+    assert(store.raw().filter($"unit" === "µg/m³").count() === 1L)
+    val units = store.raw().select("unit").collect().map(_.getString(0)).toSet
+    assert(units === Set("µg/m³", "°C", "%"))
+  }
+
   test("store boundary normalizes: float32 values, second-truncated timestamps") {
     val store = new GridStore(spark, tempDir("store") + "/grid")
     val rows = Seq(("t", Timestamp.valueOf("2026-01-01 00:00:00.789"), 1.0, 2.0, 3.14159,
