@@ -1101,25 +1101,25 @@ object SparkEntry {
 
     "p1_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
-        |       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         |       count(DISTINCT l_orderkey) AS n_distinct,
         |       CAST(min(l_orderkey) AS VARCHAR) AS min_v, CAST(max(l_orderkey) AS VARCHAR) AS max_v
         |FROM lineitem
         |UNION ALL
         |SELECT 'l_quantity', count(*),
-        |       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+        |       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |       count(DISTINCT l_quantity),
         |       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
         |FROM lineitem
         |UNION ALL
         |SELECT 'l_returnflag', count(*),
-        |       sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+        |       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |       count(DISTINCT l_returnflag),
         |       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
         |FROM lineitem
         |UNION ALL
         |SELECT 'l_shipdate', count(*),
-        |       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+        |       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |       count(DISTINCT l_shipdate),
         |       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
         |FROM lineitem
@@ -1132,8 +1132,8 @@ object SparkEntry {
         |  FROM events
         |)
         |SELECT user_id,
-        |       1 + sum(CASE WHEN pts IS NOT NULL AND epoch_us(ts) - epoch_us(pts) > 1800000000
-        |                    THEN 1 ELSE 0 END) AS n_sessions
+        |       CAST(1 + sum(CASE WHEN pts IS NOT NULL AND epoch_us(ts) - epoch_us(pts) > 1800000000
+        |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
