@@ -489,7 +489,7 @@ object SparkEntry {
     // V-similarity: LSH-bucketed ANN near-pairs (rows-only)
     "v3_ann_pairs" -> ((s, d) =>
       Similarity.annPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        nPlanes = 24, bandBits = 6, threshold = 0.4)
+        nBands = 4, threshold = 0.4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("a", "b")),
 

@@ -199,17 +199,17 @@ object Dedup {
       val next = labels
         .join(viaNeighbors, Seq("id"), "left")
         .join(viaPointer, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"),
             coalesce(col("nlabel"), col("label")),
             coalesce(col("plabel"), col("label"))).as("label"))
-      // materialize the round first (also truncates iterative lineage), then
-      // detect convergence against the cheap checkpointed frame
+      // one materialization per round (truncates iterative lineage); the
+      // old label rides along so convergence is a scan of the checkpointed
+      // frame — no extra join-with-previous-round shuffle
       val nextM = next.localCheckpoint(eager = true)
-      val changed = nextM.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = nextM
-      converged = changed == 0
+      converged =
+        nextM.filter(col("label") =!= col("old")).limit(1).count() == 0L
+      labels = nextM.select(col("id"), col("label"))
       i += 1
     }
     labels.select(col("id"), col("label").as("keeper_id"))

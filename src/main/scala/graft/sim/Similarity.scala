@@ -90,31 +90,59 @@ object Similarity {
       when(dot(emb, typedlit(plane.toSeq)) > 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Per-band key width so the expected bucket population stays near
+    * `targetBucket`: 2^bandBits ≈ n / targetBucket. Clamped to [4, 24] —
+    * at least 16 buckets even for tiny corpora, at most 2^24 per band
+    * (beyond that the expected bucket grows linearly with n again; raise
+    * nBands or shard the corpus first).
+    */
+  def bandBitsFor(n: Long, targetBucket: Int): Int = {
+    val want = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+      math.log(2.0)).toInt
+    math.min(24, math.max(4, want))
+  }
+
   /** ANN near-neighbor pairs: bucket by hyperplane-signature bands, expand
     * size-capped buckets, verify exact cosine ≥ threshold.
     *
     * Buckets carry ids only — candidate pairs are deduped as narrow
     * `(a, b)` longs, then embeddings are joined back for the exact check
     * (hashing/shuffling float arrays through `distinct` is the scale trap).
-    * Band-key width (`bandBits`) sets the bucket count per band; size it so
-    * corpus/2^bandBits stays well under `maxBucket` at the target scale.
+    *
+    * Bucket geometry scales with the corpus: per-band key width is
+    * `bandBits ≈ log2(n / targetBucket)` so the expected bucket size stays
+    * near `targetBucket` regardless of n — a fixed bucket count would
+    * either explode candidate pairs (quadratic in bucket size) or, with the
+    * `maxBucket` cap, silently discard most buckets at scale. `dim` and `n`
+    * are derived from the data unless passed (two tiny metadata jobs; pass
+    * them when the caller already knows, e.g. from a catalog).
     */
   def annPairs(corpus: DataFrame, idCol: String, embCol: String,
-      nPlanes: Int = 24, bandBits: Int = 6, threshold: Double = 0.9,
-      maxBucket: Int = 512): DataFrame = {
-    val dim = 64 // embeddings table dimension; parameterize when schema varies
-    val planes = hyperplanes(nPlanes, dim)
-    val nBands = nPlanes / bandBits
+      nBands: Int = 4, threshold: Double = 0.9,
+      targetBucket: Int = 32, maxBucket: Int = 512,
+      bandBitsOverride: Int = -1, dim: Int = -1, nRows: Long = -1L): DataFrame = {
     val e = graft.functions.ColOps.parallelize(
       corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
         norm(col(embCol)).as("nrm")))
-    val sig = e.select(col("id"), lshSignature(col("emb"), planes).as("sig"))
+    val d =
+      if (dim > 0) dim
+      else corpus.select(size(col(embCol))).limit(1).collect()(0).getInt(0)
+    val n = if (nRows >= 0) nRows else corpus.count()
+    val bandBits =
+      if (bandBitsOverride > 0) bandBitsOverride
+      else bandBitsFor(n, targetBucket)
+    val planes = hyperplanes(nBands * bandBits, d)
+    // Per-band keys are built directly from each band's own planes (not by
+    // packing one ≤64-bit signature and shifting), so nBands × bandBits has
+    // no 64-plane ceiling.
     val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("sig"), b * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+      val key = (0 until bandBits).map { i =>
+        when(dot(col("emb"), typedlit(planes(b * bandBits + i).toSeq)) > 0.0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c))
+      struct(lit(b).as("band"), key.as("key"))
     }
-    val bandRows = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    val bandRows = e.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.key"))
     val buckets = bandRows.groupBy("band", "key")
       .agg(collect_list("id").as("ids"))

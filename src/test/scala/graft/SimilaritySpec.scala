@@ -45,13 +45,31 @@ class SimilaritySpec extends SparkSpec {
 
   test("V3: annPairs finds within-cluster pairs, never cross-cluster ones") {
     val pairs = Similarity.annPairs(clustered, "vec_id", "embedding",
-      nPlanes = 24, bandBits = 6, threshold = 0.8, maxBucket = 64)
+      nBands = 4, bandBitsOverride = 6, threshold = 0.8, maxBucket = 64)
       .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("cosine")))
     assert(pairs.nonEmpty, "tight clusters must produce candidate pairs")
     pairs.foreach { case (a, b, cos) =>
       assert(a / 10 === b / 10, s"cross-cluster pair ($a,$b) above 0.8 is impossible")
       assert(cos >= 0.8)
     }
+  }
+
+  test("V3: band-key width tracks corpus size (constant expected bucket)") {
+    assert(Similarity.bandBitsFor(40L, 32) === 4) // floor: ≥16 buckets
+    assert(Similarity.bandBitsFor(2000L, 32) === 6)
+    assert(Similarity.bandBitsFor(2048000L, 32) === 16)
+    assert(Similarity.bandBitsFor(2L * 1000 * 1000 * 1000, 32) === 24) // ceiling
+    // doubling n adds one bit → expected bucket size is scale-invariant
+    assert(Similarity.bandBitsFor(4000L, 32) === Similarity.bandBitsFor(2000L, 32) + 1)
+  }
+
+  test("V3: annPairs derives dim and sizes geometry from the data") {
+    // no dim/bandBits passed: dim=8 and bandBits come from the corpus itself
+    val pairs = Similarity.annPairs(clustered, "vec_id", "embedding",
+      nBands = 4, threshold = 0.8, maxBucket = 64)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(a / 10 === b / 10) }
   }
 
   test("V5: IVF with nProbe == nLists is exact (matches brute-force knnJoin)") {
