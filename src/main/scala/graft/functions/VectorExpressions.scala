@@ -15,9 +15,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * element with boxing, outside whole-stage codegen. Similarity search runs
   * this in the innermost loop (corpus × probes × dim multiply-adds), so it
   * earns a real `doGenCode`: a primitive `double` loop over `ArrayData`,
-  * inlined into the surrounding generated code. Accumulation order is
-  * left-to-right — bit-identical to the HOF form and to the DuckDB oracle's
-  * `list_aggregate(…, 'sum')`.
+  * inlined into the surrounding generated code.
+  *
+  * Semantics match the HOF form exactly, including its null behavior:
+  * `zip_with` pads the shorter array with nulls and `null * x` poisons the
+  * running sum, so ANY length mismatch or null element yields NULL. When the
+  * static element types are non-nullable the per-element null branch is not
+  * even emitted. Accumulation order is left-to-right — bit-identical to the
+  * HOF form and to the DuckDB oracle's `list_aggregate(…, 'sum')`.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,15 +40,30 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL on length mismatch / null element, even when both inputs are
+  // non-null — without this override the planner would assume non-null
+  // output and codegen would read an unset value slot
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => true
+  })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -52,13 +72,22 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -1,0 +1,117 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.model.VariableResult
+import graft.serve.RequestValidation.EnvironmentalRequest
+
+/** Thin HTTP route over [[Service]] — closes the §3.1 serving lifecycle
+  * end-to-end (reference: `serving-go/internal/api/handler.go:26-84`,
+  * `response.go:15-42`):
+  *
+  *   - `GET /health` → 204
+  *   - `GET /v1/environmental?lat=&lon=&timestamp=&variables=` →
+  *     400 invalid request / 404 any-variable-missing / 504 budget expired /
+  *     500 other / 200 with the reference's snake_case JSON shape.
+  *
+  * Built on the JDK's `com.sun.net.httpserver` (no added dependencies); the
+  * JSON response is assembled with explicit escaping — the payload is a
+  * handful of scalar fields, not a document.
+  */
+final class HttpFront(service: Service, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/health", (x: HttpExchange) => handleHealth(x))
+  server.createContext("/v1/environmental", (x: HttpExchange) => handleEnvironmental(x))
+  server.setExecutor(null) // serve on the dispatch thread; Spark does the heavy work
+
+  /** Starts the server; returns the bound port (useful with port=0). */
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private def handleHealth(x: HttpExchange): Unit =
+    try {
+      if (x.getRequestMethod != "GET") respond(x, 405, error("method not allowed"))
+      else { x.sendResponseHeaders(204, -1); x.close() }
+    } catch { case _: Throwable => x.close() }
+
+  private def handleEnvironmental(x: HttpExchange): Unit =
+    try {
+      if (x.getRequestMethod != "GET") { respond(x, 405, error("method not allowed")); return }
+      val q = queryParams(x)
+      RequestValidation.parse(
+        q.getOrElse("lat", ""), q.getOrElse("lon", ""),
+        q.getOrElse("timestamp", ""), q.getOrElse("variables", "")) match {
+        case Left(msg) => respond(x, 400, error(msg))
+        case Right(req) =>
+          service.getVariables(req) match {
+            case Right(results)                    => respond(x, 200, body(req, results))
+            case Left(e: ServeError.Missing)       => respond(x, 404, error(e.message))
+            case Left(e: ServeError.Timeout)       => respond(x, 504, error("query timed out"))
+            case Left(e: ServeError.Failure)       => respond(x, 500, error("internal server error"))
+          }
+      }
+    } catch { case _: Throwable => respond(x, 500, error("internal server error")) }
+
+  private def queryParams(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.nonEmpty).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(decode(k) -> decode(v))
+          case Array(k)    => Some(decode(k) -> "")
+          case _           => None
+        }
+      }.toMap
+
+  private def decode(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  // ── JSON assembly (reference shape: response.go:15-42) ────────────────────
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.toString
+  }
+
+  private def jstr(s: String): String = "\"" + esc(s) + "\""
+
+  private val rfc3339 = DateTimeFormatter.ISO_INSTANT
+
+  private def jts(t: java.sql.Timestamp): String = jstr(rfc3339.format(t.toInstant))
+
+  private def error(msg: String): String = s"""{"error":${jstr(msg)}}"""
+
+  private def body(req: EnvironmentalRequest, results: Seq[VariableResult]): String = {
+    val vars = results.map { r =>
+      val lineage = r.lineage match {
+        case Some(l) =>
+          s""","lineage":{"source":${jstr(l.source)},"dataset":${jstr(l.dataset)},"raw_file_id":${jstr(l.rawFileId)}}"""
+        case None => ""
+      }
+      s"""{"name":${jstr(r.name)},"value":${r.value},"unit":${jstr(r.unit)},""" +
+        s""""ref_timestamp":${jts(r.refTimestamp)},"actual_lat":${r.actualLat},""" +
+        s""""actual_lon":${r.actualLon}$lineage}"""
+    }.mkString("[", ",", "]")
+    s"""{"lat":${req.lat},"lon":${req.lon},""" +
+      s""""requested_timestamp":${jstr(rfc3339.format(req.timestamp))},"variables":$vars}"""
+  }
+
+  private def respond(x: HttpExchange, status: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(status, bytes.length)
+    val os = x.getResponseBody
+    try os.write(bytes) finally os.close()
+    x.close()
+  }
+}

@@ -24,12 +24,17 @@ object PointQuery {
   /** A2 — snap a request time to the latest available grid timestamp ≤ it
     * (e.g. 14:30 → 14:00 for hourly data; `finder.go:38-41`). Scalar form.
     */
-  def snapTimestamp(finalView: DataFrame, variable: String, ts: Timestamp): Option[Timestamp] =
-    finalView.filter(col("variable") === variable && col("timestamp") <= lit(ts))
+  def snapTimestamp(finalView: DataFrame, variable: String, ts: Timestamp,
+      maxStaleness: Option[java.time.Duration] = None): Option[Timestamp] = {
+    val lower = maxStaleness
+      .map(h => col("timestamp") >= lit(Timestamp.from(ts.toInstant.minus(h))))
+      .getOrElse(lit(true))
+    finalView.filter(col("variable") === variable && col("timestamp") <= lit(ts) && lower)
       .agg(max("timestamp")).collect()(0) match {
         case r if r.isNullAt(0) => None
         case r                  => Some(r.getTimestamp(0))
       }
+  }
 
   /** J3 — NN top-1 inside the snapped slice (`finder.go:32-49`). */
   def getSample(finalView: DataFrame, variable: String, ts: Timestamp,
@@ -58,13 +63,24 @@ object PointQuery {
     * point) in one pass — partial aggregation runs map-side, so the shuffle
     * carries one row per (probe, input partition), not the grid.
     */
-  def getSamples(finalView: DataFrame, probes: DataFrame): DataFrame = {
+  def getSamples(finalView: DataFrame, probes: DataFrame,
+      maxStaleness: Option[java.time.Duration] = None): DataFrame = {
     val g = finalView.select("variable", "timestamp", "lat", "lon", "value", "unit", "catalogId")
     val p = probes.select(
       col("probeId"), col("variable").as("p_variable"), col("ts").as("p_ts"),
       col("lat").as("p_lat"), col("lon").as("p_lon"))
-    val joined = g.join(broadcast(p),
-      g("variable") === col("p_variable") && g("timestamp") <= col("p_ts"))
+    // Snap horizon: without a lower bound the as-of predicate makes every
+    // probe scan ALL history ≤ its timestamp — years of partitions at scale.
+    // The bound rides in the join condition (correct per-probe even with
+    // heterogeneous probe times); pair it with a statically-bounded
+    // finalView (GridStore.finalView(lo, hi)) for partition pruning.
+    val asOf = maxStaleness match {
+      case Some(h) =>
+        g("timestamp") <= col("p_ts") &&
+          g("timestamp") >= col("p_ts") - expr(s"INTERVAL '${h.getSeconds}' SECOND")
+      case None => g("timestamp") <= col("p_ts")
+    }
+    val joined = g.join(broadcast(p), g("variable") === col("p_variable") && asOf)
     // rank key: maximize timestamp (snap), then minimize distance (NN), then
     // pin coords — a single orderable struct so one max_by does snap+NN
     val dist = GridFunctions.sqDist(col("lat"), col("lon"), col("p_lat"), col("p_lon"))

@@ -95,6 +95,22 @@ final class GridStore(spark: SparkSession, val path: String,
   def finalView(): DataFrame =
     Replacing.latestAgg(raw(), keyCols, versionCol, tiebreakCols = Seq("catalogId"))
 
+  /** FINAL view bounded to a timestamp window, applied BELOW the dedup
+    * aggregate as both a `date` predicate (→ Parquet partition pruning: with
+    * years of history a snap query must not list, let alone scan, every date
+    * — the reference gets this bound from ClickHouse's primary-key index,
+    * `serving-go/internal/grid/finder.go:38-41`) and a `timestamp` predicate
+    * (→ row-group skipping inside the surviving dates). Filtering before the
+    * dedup is exact: `timestamp` is part of the dedup key, so versions of a
+    * key never straddle the window boundary.
+    */
+  def finalView(lo: java.sql.Timestamp, hi: java.sql.Timestamp): DataFrame = {
+    val bounded = raw()
+      .filter(col("date").between(to_date(lit(lo)), to_date(lit(hi))) &&
+        col("timestamp").between(lit(lo), lit(hi)))
+    Replacing.latestAgg(bounded, keyCols, versionCol, tiebreakCols = Seq("catalogId"))
+  }
+
   /** K5 — compaction: rewrite date partitions with dedup materialized
     * (the `OPTIMIZE TABLE grid_data FINAL` analog). With no argument compacts
     * every date. Uses dynamic partition overwrite so untouched dates survive.
@@ -113,20 +129,29 @@ final class GridStore(spark: SparkSession, val path: String,
     deduped.write.mode("overwrite").partitionBy("date").parquet(staged)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // T5 swap discipline: the live data is renamed ASIDE before the staged
+    // data is renamed in — at no instant is the only surviving copy in the
+    // staging dir (delete-then-rename would strand it there on a crash
+    // between the two calls). A crash between the renames leaves the live
+    // path briefly absent but two durable copies (.compact.old + staging);
+    // recovery = promote either. The aside root lives NEXT TO the store so
+    // partition discovery over `path` never sees a non-partition dir.
+    import org.apache.hadoop.fs.Path
+    val oldRoot = new Path(path + ".compact.old")
+    fs.delete(oldRoot, true) // clear leftovers from any previously-failed swap
     if (dates.isEmpty) {
-      // full rewrite: atomic swap of the whole store (T5 fail-fast atomicity —
-      // stage to temp, commit by rename)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(path))
+      fs.rename(new Path(path), oldRoot)
+      fs.rename(new Path(staged), new Path(path))
     } else {
+      fs.mkdirs(oldRoot)
       dates.foreach { d =>
         val part = s"date=$d"
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$part"), true)
-        fs.rename(
-          new org.apache.hadoop.fs.Path(s"$staged/$part"),
-          new org.apache.hadoop.fs.Path(s"$path/$part"))
+        val live = new Path(s"$path/$part")
+        if (fs.exists(live)) fs.rename(live, new Path(oldRoot, part))
+        fs.rename(new Path(s"$staged/$part"), live)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      fs.delete(new Path(staged), true)
     }
+    fs.delete(oldRoot, true)
   }
 }

@@ -92,9 +92,17 @@ object EventStream {
     * timeouts make the stream trigger continuously even with no data.
     * State per user is O(1) — this scales to any number of users because
     * state is partitioned by the grouping key.
+    *
+    * With `idleTimeout` off and `flushOpen` off, the trailing open session
+    * of each user stays in state and is NEVER emitted — in a finite batch
+    * run that state is simply discarded. Batch backfills must set
+    * `flushOpen = true`: each group sees all of its rows in one invocation,
+    * so emitting the open session at iterator exhaustion is exact. Do NOT
+    * set it on an unbounded stream — the still-open session would be
+    * emitted once per micro-batch.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
-      idleTimeout: Boolean = true): Dataset[Session] = {
+      idleTimeout: Boolean = true, flushOpen: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
     val timeoutConf =
       if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
@@ -127,8 +135,16 @@ object EventStream {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach(state.update)
-            if (idleTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+            if (flushOpen) {
+              cur.foreach { s =>
+                out += Session(userId, new Timestamp(s.sessionStart),
+                  new Timestamp(s.lastTs), s.n, s.sum)
+              }
+              state.remove()
+            } else {
+              cur.foreach(state.update)
+              if (idleTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+            }
           }
           out.iterator
       }

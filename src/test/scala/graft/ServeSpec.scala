@@ -86,7 +86,62 @@ class ServeSpec extends SparkSpec {
     assert(results(1).unit === "%")
 
     val bad = svc.getVariables(req.copy(variables = Seq("temperature", "pm2p5")))
-    assert(bad === Left("no data for: pm2p5"), "no partial responses")
+    assert(bad.left.map(_.message) === Left("no data for: pm2p5"), "no partial responses")
+  }
+
+  test("snap horizon: stale grid rows are out of reach, fresh ones still snap") {
+    val h = Some(java.time.Duration.ofHours(2))
+    // probe at 12:30 with 2h horizon: 12:00 row reachable, 09:00 row not
+    val p1 = Seq(("p1", "temperature", Timestamp.valueOf("2026-01-01 12:30:00"), 52.5, 13.4))
+      .toDF("probeId", "variable", "ts", "lat", "lon")
+    val r1 = PointQuery.getSamples(grid, p1, h).collect()
+    assert(r1.length === 1 && r1(0).getAs[Timestamp]("refTimestamp") === t12)
+    // probe at 12:30 next day: freshest row (12:00 today) is >2h stale → no row
+    val p2 = Seq(("p2", "temperature", Timestamp.valueOf("2026-01-02 12:30:00"), 52.5, 13.4))
+      .toDF("probeId", "variable", "ts", "lat", "lon")
+    assert(PointQuery.getSamples(grid, p2, h).collect().isEmpty)
+    // same via the scalar path
+    assert(PointQuery.snapTimestamp(grid, "temperature",
+      Timestamp.valueOf("2026-01-02 12:30:00"), h).isEmpty)
+    assert(PointQuery.snapTimestamp(grid, "temperature",
+      Timestamp.valueOf("2026-01-01 12:30:00"), h).contains(t12))
+  }
+
+  test("Service with maxStaleness answers fresh requests, 404s stale ones") {
+    val curated = Seq(("cat-t", "raw-1"), ("cat-h", "raw-1")).toDF("id", "rawFileId")
+    val rawFiles = Seq(("raw-1", "ecmwf", "ifs")).toDF("id", "source", "dataset")
+    val svc = new Service(grid, curated, rawFiles,
+      maxStaleness = Some(java.time.Duration.ofHours(2)))
+    val fresh = RequestValidation.parse(
+      "52.5", "13.4", "2026-01-01T12:30:00Z", "temperature,humidity").toOption.get
+    assert(svc.getVariables(fresh).isRight)
+    val stale = RequestValidation.parse(
+      "52.5", "13.4", "2026-01-03T12:30:00Z", "temperature").toOption.get
+    assert(svc.getVariables(stale).left.map(_.message) ===
+      Left("no data for: temperature"))
+  }
+
+  test("T7: a query that exceeds its budget is cancelled, not awaited") {
+    // 40 B generated rows aggregated — far beyond a 1 s budget at local[*]
+    val slowGrid = spark.range(0L, 40L * 1000 * 1000 * 1000, 1L, 8).select(
+      lit("temperature").as("variable"),
+      lit(t12).as("timestamp"),
+      (col("id") % 180).cast("float").as("lat"),
+      (col("id") % 360).cast("float").as("lon"),
+      (col("id") % 100).cast("double").as("value"),
+      lit("°C").as("unit"),
+      lit("cat-slow").as("catalogId"))
+    val svc = new Service(slowGrid,
+      Seq(("cat-slow", "raw-1")).toDF("id", "rawFileId"),
+      Seq(("raw-1", "ecmwf", "ifs")).toDF("id", "source", "dataset"),
+      queryBudget = Some(java.time.Duration.ofSeconds(1)))
+    val req = RequestValidation.parse(
+      "52.5", "13.4", "2026-01-01T12:30:00Z", "temperature").toOption.get
+    val t0n = System.nanoTime()
+    val out = svc.getVariables(req)
+    val elapsed = (System.nanoTime() - t0n) / 1e9
+    assert(out === Left(serve.ServeError.Timeout(1)))
+    assert(elapsed < 30.0, s"cancellation must not wait out the full scan ($elapsed s)")
   }
 
   test("F4/C9: request validation accepts valid, rejects each bad field") {

@@ -113,6 +113,38 @@ class StoreSpec extends SparkSpec {
     assert(pruned.count() === 1L)
   }
 
+  test("windowed finalView partition-prunes the scan and keeps dedup exact") {
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    store.append(gridRows(t0, 1.0))
+    store.append(gridRows(t1, 100.0)) // superseding versions, same keys
+    val lo = Timestamp.valueOf("2026-01-02 00:00:00")
+    val hi = Timestamp.valueOf("2026-01-02 23:00:00")
+    val fin = store.finalView(lo, hi)
+    // only the 2026-01-02 key survives, deduped to the latest version
+    val rows = fin.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Float]("value") === 102.0f)
+    // the date bound reaches the scan as a partition filter — years of
+    // history outside the window are never listed
+    val plan = fin.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*date[^\\]]*\\].*"),
+      s"expected date partition filter in:\n$plan")
+  }
+
+  test("per-date compaction swap never leaves aside dirs inside the store") {
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    store.append(gridRows(t0, 1.0))
+    store.append(gridRows(t1, 100.0))
+    store.compact(Seq(java.sql.Date.valueOf("2026-01-01")))
+    // compacted date deduped; other date untouched; no stray dirs break reads
+    assert(store.raw().count() === 4L) // 2 deduped + 2 raw versions of pm10
+    assert(store.finalView().count() === 3L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store.path + ".compact.old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store.path + ".compact.tmp")))
+  }
+
   test("z-ordered store answers identically to the primary-key-sorted store") {
     val plain = new GridStore(spark, tempDir("store") + "/grid")
     val zord = new GridStore(spark, tempDir("storez") + "/grid", zorderCellDeg = Some(0.1))

@@ -124,4 +124,22 @@ class StreamingSpec extends SparkSpec {
       assert(out(0).nEvents === 2 && out(0).sumValue === 3.0)
     } finally query.stop()
   }
+
+  test("batch sessionize with flushOpen emits every user's trailing session") {
+    val events = Seq(
+      Event(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, ts("2026-01-01 10:10:00"), 7, "click", 2.0),
+      Event(3, ts("2026-01-01 12:30:00"), 7, "view", 3.0), // new session after gap
+      Event(4, ts("2026-01-01 09:00:00"), 8, "click", 5.0)
+    ).toDS()
+    val out = EventStream.sessionize(events, gapSeconds = 1800,
+      idleTimeout = false, flushOpen = true)
+      .collect().map(s => (s.user_id, s.sessionStart, s.nEvents, s.sumValue)).sortBy(x => (x._1, x._2.getTime))
+    // without flushOpen the 12:30 session (user 7) and user 8's only session
+    // would be silently dropped in a batch run
+    assert(out === Array(
+      (7L, ts("2026-01-01 10:00:00"), 2, 3.0),
+      (7L, ts("2026-01-01 12:30:00"), 1, 3.0),
+      (8L, ts("2026-01-01 09:00:00"), 1, 5.0)))
+  }
 }

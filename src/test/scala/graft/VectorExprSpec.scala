@@ -37,6 +37,28 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("null elements and length mismatch → NULL, matching the HOF form") {
+    // (id, a, b): null element on either side, and unequal lengths
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 1.0, 1.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, null)),
+      (3L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0)), // len mismatch
+      (4L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0))       // clean
+    ).toDF("id", "a", "b")
+    def run() = df.select(col("id"),
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    // codegen and interpreted paths must both match the HOF reference
+    val both = run() ++ withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(run()).toSeq
+    both.foreach { case (id, native, hof) =>
+      assert(native === hof, s"id=$id")
+      if (id == 4L) assert(native === 11.0) else assert(native === null)
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
