@@ -380,11 +380,15 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // D-dedup: materialize the deduplicated corpus — near-dup clusters keep
-    // only their min-id keeper; every other doc drops (rows-only)
+    // only their min-id keeper; every other doc drops. Pairs come from the
+    // d4 prefix-blocked Jaccard so the whole pipeline is oracle-checked
+    // (the LSH pair path stays exercised by d2/d3).
     "d7_dedup_materialize" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
+      val pairs = Dedup.prefixBlockedJaccard(docs, "doc_id", "text",
+        prefixLen = 32, threshold = 0.0)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .filter(col("jaccard") >= 0.35)
       val losers = Dedup.canonicalize(pairs)
         .filter(col("id") =!= col("keeper_id"))
         .select(col("id").as("doc_id"))
@@ -450,9 +454,15 @@ object SparkEntry {
 
     // D-dedup: near-dup canonicalization — LSH pairs → connected components
     // → one keeper per cluster (iterative label propagation; rows-only)
+    // D-dedup: connected components over the DuckDB-reproducible d4 pair
+    // set (prefix-blocked Jaccard, round-then-filter for cross-engine float
+    // exactness) — the oracle mirrors the label propagation with a
+    // recursive-CTE transitive closure
     "d6_canonicalize" -> ((s, d) => {
-      val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
+      val pairs = Dedup.prefixBlockedJaccard(t(s, d, "documents"), "doc_id", "text",
+        prefixLen = 32, threshold = 0.0)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .filter(col("jaccard") >= 0.35)
       Dedup.canonicalize(pairs).orderBy("id")
     }),
 
@@ -993,6 +1003,72 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.35 ORDER BY a, b""".stripMargin,
+
+    // d6/d7 share the d4 pair CTEs; connected components = transitive
+    // closure (recursive CTE) + min reachable id per node — the set-oriented
+    // mirror of the engine's pointer-jumping label propagation
+    "d6_canonicalize" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         list_distinct(string_split(a.norm, ' ')) AS wa,
+        |         list_distinct(string_split(b.norm, ' ')) AS wb
+        |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+        |   AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT a, b,
+        |         round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |           / (CAST(len(wa) AS DOUBLE) + CAST(len(wb) AS DOUBLE)
+        |              - CAST(len(list_intersect(wa, wb)) AS DOUBLE)), 4) AS jaccard
+        |  FROM p
+        |), pairs AS (
+        |  SELECT a, b FROM j WHERE jaccard >= 0.35
+        |), edges AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT x AS id FROM edges
+        |), reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
+        |)
+        |SELECT id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "d7_dedup_materialize" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         list_distinct(string_split(a.norm, ' ')) AS wa,
+        |         list_distinct(string_split(b.norm, ' ')) AS wb
+        |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+        |   AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT a, b,
+        |         round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |           / (CAST(len(wa) AS DOUBLE) + CAST(len(wb) AS DOUBLE)
+        |              - CAST(len(list_intersect(wa, wb)) AS DOUBLE)), 4) AS jaccard
+        |  FROM p
+        |), pairs AS (
+        |  SELECT a, b FROM j WHERE jaccard >= 0.35
+        |), edges AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT x AS id FROM edges
+        |), reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
+        |), cc AS (
+        |  SELECT id, min(r) AS keeper FROM reach GROUP BY id
+        |)
+        |SELECT count(*) AS n_docs_kept,
+        |       CAST(sum(CAST(n_chars AS DECIMAL(30,0))) AS DOUBLE) AS chars_kept
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> keeper)""".stripMargin,
 
     "t5_vocab_stats" ->
       """WITH toks AS (

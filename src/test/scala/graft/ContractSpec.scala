@@ -11,8 +11,6 @@ class ContractSpec extends AnyFunSuite {
   private val RowsOnly = Set(
     "d2_minhash_lsh",   // xxhash64 signatures — not reproducible in DuckDB
     "d3_simhash_pairs", // same
-    "d6_canonicalize",  // iterative label propagation
-    "d7_dedup_materialize", // derives from the LSH pair set
     "v3_ann_pairs",     // hyperplane signatures over xxhash-free planes, bucket caps
     "v5_ivf_topk",      // KMeans quantizer
     "m2_media_features", // stub codec (FNV fold) — not SQL-expressible
