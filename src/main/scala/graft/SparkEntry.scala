@@ -421,17 +421,21 @@ object SparkEntry {
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
         .orderBy("fp")),
 
-    // D-dedup: MinHash+LSH near-dup pairs, exact-Jaccard verified
-    // (not SQL-expressible → rows-only check)
+    // D-dedup: MinHash+LSH near-dup pairs, exact-Jaccard verified. The
+    // portable (md5-hex) hash family makes every intermediate — signature,
+    // band bucket, verify — reproducible in DuckDB, so the whole LSH
+    // pipeline is oracle-checked end-to-end. The xxhash64 production path
+    // is value-pinned against its columnar spec in DedupSpec instead.
     "d2_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+      Dedup.minhashLshPairsPortable(t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
-        .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("a", "b")),
 
-    // D-dedup: SimHash near-pairs (rows-only)
+    // D-dedup: SimHash near-pairs — same portable-hash treatment: bit votes
+    // from md5 nibbles, chunk blocking, Hamming verify, all mirrored in SQL
     "d3_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashNearPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
+      Dedup.simhashNearPairsPortable(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 6)
         .orderBy("a", "b")),
 
     // D-dedup: word-Jaccard near-dup on prefix-blocked candidates
@@ -983,6 +987,85 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // d2/d3: the md5-hex hash family is engine-neutral, so the ENTIRE LSH
+    // pipeline (signatures → band buckets → capped bucket grouping → pair
+    // expansion → exact verify) is mirrored in plain SQL. min over
+    // equal-length lowercase-hex strings == min over the 128-bit values.
+    "d2_minhash_lsh" ->
+      """WITH n AS (
+        |  SELECT doc_id AS id,
+        |         string_split(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents
+        |), s AS (
+        |  SELECT id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(ws) - 3, 0) + 2),
+        |           i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS sh
+        |  FROM n
+        |), sg AS (
+        |  SELECT id, sh,
+        |         list_transform(range(0, 48),
+        |           k -> list_min(list_transform(sh, x -> md5(k::VARCHAR || ':' || x)))) AS sig
+        |  FROM s
+        |), br AS (
+        |  SELECT id, unnest(list_transform(range(0, 12),
+        |           b -> b::VARCHAR || '#' ||
+        |                md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')))) AS bk
+        |  FROM sg
+        |), bu AS (
+        |  SELECT bk, list(id) AS ids FROM br GROUP BY bk
+        |  HAVING count(*) BETWEEN 2 AND 64
+        |), e1 AS (
+        |  SELECT unnest(ids) AS a, ids FROM bu
+        |), pr AS (
+        |  SELECT DISTINCT a, b FROM (SELECT a, unnest(ids) AS b FROM e1) WHERE a < b
+        |), v AS (
+        |  SELECT pr.a, pr.b,
+        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |          CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+        |  FROM pr JOIN s sa ON sa.id = pr.a JOIN s sb ON sb.id = pr.b
+        |)
+        |SELECT a, b, jaccard FROM v WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin,
+
+    "d3_simhash_pairs" ->
+      """WITH n AS (
+        |  SELECT doc_id AS id,
+        |         list_distinct(string_split(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS ws
+        |  FROM documents
+        |), h AS (
+        |  SELECT id, list_transform(ws, w -> substr(md5(w), 1, 16)) AS hw FROM n
+        |), b AS (
+        |  SELECT id, list_transform(range(0, 64), j ->
+        |    CASE WHEN list_sum(list_transform(hw, x ->
+        |      CASE WHEN (CAST(floor(
+        |        (CASE WHEN ascii(substr(x, CAST(j // 4 AS INT) + 1, 1)) >= 97
+        |              THEN ascii(substr(x, CAST(j // 4 AS INT) + 1, 1)) - 87
+        |              ELSE ascii(substr(x, CAST(j // 4 AS INT) + 1, 1)) - 48 END)
+        |        / power(2, j % 4)) AS BIGINT) % 2) = 1
+        |      THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM h
+        |), cr AS (
+        |  SELECT id, bits, unnest(list_transform(range(0, 4),
+        |    c -> c::VARCHAR || '#' ||
+        |         array_to_string(list_slice(bits, c*16 + 1, c*16 + 16), ''))) AS bk
+        |  FROM b
+        |), bu AS (
+        |  SELECT bk, list(struct_pack(id := id, bits := bits)) AS xs FROM cr GROUP BY bk
+        |  HAVING count(*) BETWEEN 2 AND 256
+        |), e1 AS (
+        |  SELECT unnest(xs) AS x, xs FROM bu
+        |), pr AS (
+        |  SELECT DISTINCT a, ab, y.id AS b, y.bits AS bb
+        |  FROM (SELECT x.id AS a, x.bits AS ab, unnest(xs) AS y FROM e1) t
+        |  WHERE a < y.id
+        |), v AS (
+        |  SELECT a, b,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CASE WHEN ab[j] != bb[j] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM pr
+        |)
+        |SELECT a, b, hamming FROM v WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
 
     "d4_jaccard_neardup" ->
       """WITH n AS (

@@ -269,4 +269,118 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  // ---------------------------------------------------------------------
+  // Portable (cross-engine-reproducible) variants. The xxhash64 paths above
+  // are the production defaults — xxhash64 is codegen'd and ~10× cheaper
+  // than md5 — but xxhash64 exists in no other engine, so results can only
+  // be rows-counted from outside. These variants swap the hash family for
+  // md5-hex (identical bytes-in/hex-out in Spark, DuckDB, Postgres, Trino):
+  // every intermediate — signatures, band buckets, votes — is exactly
+  // reproducible in plain SQL, which turns the whole LSH pipeline into an
+  // oracle-checkable contract. Min over equal-length lowercase-hex strings
+  // is the same total order as min over the underlying 128-bit integers in
+  // any engine with binary string collation.
+  // ---------------------------------------------------------------------
+
+  /** MinHash+LSH near-dup pairs over md5-hex signatures (see portability
+    * note above). Same pipeline shape as [[minhashLshPairs]]: signature →
+    * band buckets (size-capped — LSH skew guard) → in-bucket pair expansion
+    * → distinct narrow pairs → exact-Jaccard verify join.
+    *
+    * Signatures are computed WITHOUT a shuffle: the per-document signature
+    * is `numHashes` array-min folds over the (let-bound) shingle array —
+    * executor-local, no explode + groupBy. The only shuffles are the bucket
+    * groupBy and the verify join, both on narrow keys.
+    *
+    * The Jaccard is rounded to 4dp BEFORE thresholding (both here and in
+    * the oracle) so the keep/drop decision is taken on a value both engines
+    * agree on bit-for-bit.
+    */
+  def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = ColOps.parallelize(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val sig = sh.select(col("id"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        k => array_min(transform(col("sh"),
+          x => md5(concat(k.cast("string"), lit(":"), x))))).as("sig"))
+    val bandRows = sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat(b.cast("string"), lit("#"),
+          md5(concat_ws("|",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))).as("bk"))
+    val buckets = bandRows.groupBy("bk")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double")
+    pairs
+      .join(sh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jaccard", round(jac, 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash as an unpacked bit ARRAY (values 0/1), derived from the
+    * first 16 hex chars of each token's md5 (see portability note above).
+    * Bit `j` reads nibble `j/4` of the hex string (via `ascii`, engine-
+    * neutral) and extracts bit `j%4` with floor-divide arithmetic — no
+    * engine-specific bit intrinsics, so the same expression runs in SQL.
+    * The token-hash array is let-bound: md5 runs once per token, not once
+    * per (bit, token).
+    */
+  def simhashBitsPortable(text: Column): Column =
+    ColOps.bindLet(
+      transform(array_distinct(tokens(text)), w => substring(md5(w), 1, 16)),
+      h =>
+        transform(sequence(lit(0), lit(63)), j => {
+          val vote = (x: Column) => {
+            val a = ascii(x.substr(floor(j / 4).cast("int") + 1, lit(1)))
+            val nib = when(a >= 97, a - 87).otherwise(a - 48)
+            val bit = floor(nib / pow(lit(2d), (j % 4).cast("double"))).cast("int") % 2
+            when(bit === 1, 1).otherwise(-1)
+          }
+          when(aggregate(h, lit(0), (acc, x) => acc + vote(x)) > 0, lit(1))
+            .otherwise(lit(0))
+        }))
+
+  /** SimHash near-pairs over the portable bit-array signature: 16-bit chunk
+    * pigeonhole blocking (identical geometry to [[simhashNearPairs]]),
+    * Hamming verify as a zip-and-count fold. Chunk keys are the 16 bits
+    * printed as a string — engine-neutral, no packing into a word.
+    */
+  def simhashNearPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val sig = ColOps.parallelize(df)
+      .select(col(idCol).as("id"), simhashBitsPortable(col(textCol)).as("bits"))
+    val chunkRows = sig.select(col("id"), col("bits"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => concat(c.cast("string"), lit("#"),
+          concat_ws("", transform(slice(col("bits"), c * 16 + 1, lit(16)),
+            _.cast("string")))))).as("bk"))
+    val buckets = chunkRows.groupBy("bk")
+      .agg(collect_list(struct(col("id"), col("bits"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    val ham = aggregate(
+      zip_with(col("ab"), col("bb"), (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    buckets
+      .select(explode(col("xs")).as("x"), col("xs"))
+      .select(col("x.id").as("a"), col("x.bits").as("ab"), explode(col("xs")).as("y"))
+      .filter(col("a") < col("y.id"))
+      .select(col("a"), col("ab"), col("y.id").as("b"), col("y.bits").as("bb"))
+      .distinct()
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
 }

@@ -9,8 +9,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   private val RowsOnly = Set(
-    "d2_minhash_lsh",   // xxhash64 signatures — not reproducible in DuckDB
-    "d3_simhash_pairs", // same
     "v3_ann_pairs",     // hyperplane signatures over xxhash-free planes, bucket caps
     "v5_ivf_topk",      // KMeans quantizer
     "m2_media_features", // stub codec (FNV fold) — not SQL-expressible

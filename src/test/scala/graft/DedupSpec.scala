@@ -61,6 +61,39 @@ class DedupSpec extends SparkSpec {
     assert(native === spec)
   }
 
+  test("D2: portable (md5-hex) MinHash+LSH finds the same near-dup cluster") {
+    val pairs = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+      shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    val ab = pairs.map(p => (p._1, p._2)).toSet
+    assert(ab.contains((1L, 2L)) && ab.contains((1L, 3L)) && ab.contains((2L, 3L)),
+      s"expected near-dup cluster {1,2,3}, got $ab")
+    assert(!ab.exists(p => p._1 == 4L || p._2 == 4L))
+    // exact-Jaccard verify is hash-free, so portable == xxhash64 on shared pairs
+    val fast = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard")).toMap
+    pairs.foreach { case (a, b, j) =>
+      fast.get((a, b)).foreach(jf => assert(math.abs(jf - j) < 1e-9, s"($a,$b)"))
+    }
+  }
+
+  test("D3: portable SimHash bits — identical docs collide, near-dups close") {
+    val sig = docs.select(col("doc_id"),
+      Dedup.simhashBitsPortable(col("text")).as("bits")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+    sig.values.foreach { bits =>
+      assert(bits.length === 64 && bits.forall(b => b == 0 || b == 1))
+    }
+    def ham(a: Seq[Int], b: Seq[Int]) = a.zip(b).count(p => p._1 != p._2)
+    assert(ham(sig(1L), sig(3L)) === 0, "normalized-identical docs must collide")
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(4L)))
+    val pairs = Dedup.simhashNearPairsPortable(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.contains((1L, 3L)), s"exact dup pair missing from $pairs")
+  }
+
   test("D6: canonicalize collapses transitive pair chains to min-id clusters") {
     // 1-2, 2-3 (chain), 5-6, isolated 9-10
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L)).toDF("a", "b")
