@@ -416,6 +416,36 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // SM-sampling: stratified per-language rates (data mixing — downsample
+    // the dominant language, keep all of the rare one), same deterministic
+    // md5 bucket so membership nests and reproduces in any engine
+    "sm2_stratified_sample" -> ((s, d) =>
+      graft.functions.Sampling.stratifiedHashSample(t(s, d, "documents"),
+        "doc_id", "lang", Map("en" -> 0.1, "de" -> 0.5, "zh" -> 1.0), default = 0.25)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    // T-text: overlapping token-window chunking (LLM context building) —
+    // executor-local 1→N expansion, no shuffle
+    "t7_chunk_windows" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkWindows(col("text"), 32, 16))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          TextAnalysis.tokenCount(col("chunk")).cast("long").as("n_tokens"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // T-text: token-budget sequence packing per language shard (training
+    // batch assembly) — windowed running total, parallel per shard
+    "t8_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
+        "lang", budget = 512)
+        .select(col("id").as("doc_id"), col("shard").as("lang"),
+          col("n_tokens"), col("cum_tokens"), col("pack_id"))
+        .orderBy("doc_id")),
+
     // D-dedup: exact dedup groups by content fingerprint
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
@@ -983,15 +1013,59 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 2000
         |ORDER BY doc_id""".stripMargin,
 
+    "sm2_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+        |  CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000 WHEN 'zh' THEN 10000
+        |            ELSE 2500 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // t7: DuckDB zips parallel unnests, which pairs each chunk_id with its
+    // chunk — the posexplode mirror
+    "t7_chunk_windows" ->
+      """WITH n AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), c AS (
+        |  SELECT doc_id, ws,
+        |         greatest(CAST(ceil((len(ws) - 32) / 16.0) AS BIGINT) + 1, 1) AS nc
+        |  FROM n
+        |), x AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, nc)) AS chunk_id,
+        |         unnest(list_transform(range(0, nc),
+        |           c -> array_to_string(list_slice(ws, CAST(c*16 AS INT) + 1,
+        |                                           CAST(c*16 AS INT) + 32), ' '))) AS chunk
+        |  FROM c
+        |)
+        |SELECT doc_id, chunk_id,
+        |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens, chunk
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "t8_pack_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), cw AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk
+        |)
+        |SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+        |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |FROM cw ORDER BY doc_id""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    // d2/d3: the md5-hex hash family is engine-neutral, so the ENTIRE LSH
-    // pipeline (signatures → band buckets → capped bucket grouping → pair
-    // expansion → exact verify) is mirrored in plain SQL. min over
-    // equal-length lowercase-hex strings == min over the 128-bit values.
+    // d2/d3: the portable hash families (md5 base + affine re-hash mod
+    // 2^31-1 for minhash; md5-nibble bit votes for simhash) are engine-
+    // neutral, so the ENTIRE LSH pipeline (signatures → band buckets →
+    // capped bucket grouping → pair expansion → exact verify) is mirrored
+    // in plain SQL.
     "d2_minhash_lsh" ->
       """WITH n AS (
         |  SELECT doc_id AS id,
@@ -1003,15 +1077,22 @@ object SparkEntry {
         |           range(1, greatest(len(ws) - 3, 0) + 2),
         |           i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS sh
         |  FROM n
+        |), hb AS (
+        |  SELECT id, sh,
+        |         list_transform(sh, x ->
+        |           ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM s
         |), sg AS (
         |  SELECT id, sh,
         |         list_transform(range(0, 48),
-        |           k -> list_min(list_transform(sh, x -> md5(k::VARCHAR || ':' || x)))) AS sig
-        |  FROM s
+        |           k -> list_min(list_transform(hs,
+        |             h -> (h * (k*1000003 + 12345) + k*999331) % 2147483647))) AS sig
+        |  FROM hb
         |), br AS (
         |  SELECT id, unnest(list_transform(range(0, 12),
         |           b -> b::VARCHAR || '#' ||
-        |                md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')))) AS bk
+        |                array_to_string(list_transform(
+        |                  list_slice(sig, b*4 + 1, b*4 + 4), v -> v::VARCHAR), '|'))) AS bk
         |  FROM sg
         |), bu AS (
         |  SELECT bk, list(id) AS ids FROM br GROUP BY bk

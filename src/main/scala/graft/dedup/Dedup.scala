@@ -283,15 +283,24 @@ object Dedup {
   // any engine with binary string collation.
   // ---------------------------------------------------------------------
 
-  /** MinHash+LSH near-dup pairs over md5-hex signatures (see portability
-    * note above). Same pipeline shape as [[minhashLshPairs]]: signature →
-    * band buckets (size-capped — LSH skew guard) → in-bucket pair expansion
+  /** The Mersenne prime 2³¹−1: modulus of the portable affine hash family.
+    * Base values stay under 2³¹ and multipliers under 2²⁶, so every product
+    * fits a 64-bit signed integer in any engine.
+    */
+  val PortableP = 2147483647L
+
+  /** MinHash+LSH near-dup pairs over a portable hash family (see note
+    * above). Same pipeline shape as [[minhashLshPairs]]: signature → band
+    * buckets (size-capped — LSH skew guard) → in-bucket pair expansion
     * → distinct narrow pairs → exact-Jaccard verify join.
     *
-    * Signatures are computed WITHOUT a shuffle: the per-document signature
-    * is `numHashes` array-min folds over the (let-bound) shingle array —
-    * executor-local, no explode + groupBy. The only shuffles are the bucket
-    * groupBy and the verify join, both on narrow keys.
+    * Each shingle is md5'd ONCE (the only non-arithmetic hash); the
+    * `numHashes` family members are affine re-hashes `(a_k·h + b_k) mod
+    * (2³¹−1)` of that 60-bit base — 48 multiply-adds per shingle instead of
+    * 48 md5s, and bit-identical in any engine with 64-bit integer
+    * arithmetic. Signatures are computed WITHOUT a shuffle: array-min folds
+    * over the (let-bound) base-hash array, executor-local. The only
+    * shuffles are the bucket groupBy and the verify join, on narrow keys.
     *
     * The Jaccard is rounded to 4dp BEFORE thresholding (both here and in
     * the oracle) so the keep/drop decision is taken on a value both engines
@@ -303,15 +312,30 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sh = ColOps.parallelize(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // base-hash array let-bound around the k-loop: md5 runs once per
+    // shingle, not once per (hash k, shingle) — and even if the upstream
+    // shingle expression is inlined here by CollapseProject, it evaluates
+    // once per document
     val sig = sh.select(col("id"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        k => array_min(transform(col("sh"),
-          x => md5(concat(k.cast("string"), lit(":"), x))))).as("sig"))
-    val bandRows = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat(b.cast("string"), lit("#"),
-          md5(concat_ws("|",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))).as("bk"))
+      ColOps.bindLet(
+        transform(col("sh"), x =>
+          conv(substring(md5(x), 1, 15), 16, 10).cast("long") % PortableP),
+        hs =>
+          transform(sequence(lit(0), lit(numHashes - 1)),
+            k => array_min(transform(hs,
+              h => (h * (k * 1000003 + 12345) + k * 999331) % PortableP)))).as("sig"))
+    // Explode the band index BEFORE computing the bucket key: if the bucket
+    // expression lived inside a per-band lambda, CollapseProject would
+    // inline the whole 48-hash signature into it and recompute it once PER
+    // BAND (12×). Below a Generate the signature is a materialized
+    // attribute — computed once per document, byte-copied per band row.
+    val bandRows = sig
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .select(col("id"), concat(col("b").cast("string"), lit("#"),
+        concat_ws("|",
+          transform(slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")))).as("bk"))
     val buckets = bandRows.groupBy("bk")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -362,11 +386,15 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val sig = ColOps.parallelize(df)
       .select(col(idCol).as("id"), simhashBitsPortable(col(textCol)).as("bits"))
-    val chunkRows = sig.select(col("id"), col("bits"),
-      explode(transform(sequence(lit(0), lit(3)),
-        c => concat(c.cast("string"), lit("#"),
-          concat_ws("", transform(slice(col("bits"), c * 16 + 1, lit(16)),
-            _.cast("string")))))).as("bk"))
+    // chunk index exploded BEFORE the key expression — same CollapseProject
+    // guard as in minhashLshPairsPortable: the 64-bit-vote signature must be
+    // computed once per document, not once per chunk
+    val chunkRows = sig
+      .select(col("id"), col("bits"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+      .select(col("id"), col("bits"), concat(col("c").cast("string"), lit("#"),
+        concat_ws("", transform(slice(col("bits"), col("c") * 16 + 1, lit(16)),
+          _.cast("string")))).as("bk"))
     val buckets = chunkRows.groupBy("bk")
       .agg(collect_list(struct(col("id"), col("bits"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))

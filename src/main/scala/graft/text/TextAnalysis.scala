@@ -113,6 +113,52 @@ object TextAnalysis {
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Overlapping token-window chunks for LLM context building: windows of
+    * `window` whitespace tokens advancing by `stride` (stride < window ⇒
+    * overlap). Every token lands in ≥1 chunk; a document shorter than one
+    * window yields exactly one chunk. Returns the ARRAY of chunk strings —
+    * callers `posexplode` it to (chunk_id, chunk) rows, so the expansion is
+    * executor-local (no shuffle; at 100 TB chunking is scan-bound).
+    *
+    * The token array is let-bound — the split runs once per document, not
+    * once per window (see [[graft.functions.ColOps.bindLet]]).
+    */
+  def chunkWindows(text: Column, window: Int, stride: Int): Column = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    graft.functions.ColOps.bindLet(split(text, " ", -1), ws => {
+      val nChunks = greatest(
+        ceil((size(ws) - lit(window)).cast("double") / lit(stride.toDouble))
+          .cast("long") + 1L,
+        lit(1L))
+      transform(sequence(lit(0L), nChunks - 1L),
+        c => concat_ws(" ", slice(ws, (c * stride).cast("int") + 1, lit(window))))
+    })
+  }
+
+  /** Token-budget sequence packing: assign documents to fixed-budget packs
+    * (training batches) by running token count, greedily in `orderCol` order
+    * WITHIN each `shardCol` partition. A document that would overflow the
+    * current pack starts the next one (packs may exceed `budget` only by
+    * the straddling document's tail — the classic streaming bin-pack bound).
+    *
+    * Scale: packing is embarrassingly parallel per shard — the window
+    * partitions by shard, so no global sort and no single-partition window.
+    * At 100 TB the shard key (language, source, or a hash bucket) keeps each
+    * window partition executor-sized.
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shardCol: String, budget: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("id"), col(shardCol).as("shard"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+  }
+
   /** Polynomial rolling hash (h·31 + codepoint, mod 1e9+7) over the
     * normalized text — the incremental-hash flavor of fingerprinting (cheap
     * to extend, engine-portable integer arithmetic; same value from DuckDB's
