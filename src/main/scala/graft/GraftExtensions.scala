@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, SimhashAgg}
+import graft.functions.{ArrayDot, RollingHash, SimhashAgg}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works alongside
@@ -31,7 +31,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => ArrayDot(children(0), children(1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimhashAgg(children.head).toAggregateExpression())
+      (children: Seq[Expression]) => SimhashAgg(children.head).toAggregateExpression()),
+    (FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => RollingHash(children.head, 31L, 1000000007L))
   )
 
   /** Register into an existing session (for sessions built without the

@@ -163,11 +163,21 @@ object TextAnalysis {
     * normalized text — the incremental-hash flavor of fingerprinting (cheap
     * to extend, engine-portable integer arithmetic; same value from DuckDB's
     * `list_reduce`). Normalization leaves only ASCII `[a-z0-9 ]`, so
-    * codepoint == byte and the fold is well-defined everywhere. The
-    * normalized string is let-bound: HOF lambdas would otherwise re-run the
-    * regex once per character (see [[graft.functions.ColOps.bindLet]]).
+    * codepoint == byte and the fold is well-defined everywhere.
+    *
+    * Runs as the native [[graft.functions.RollingHash]] expression: one
+    * O(n) code-point walk inside whole-stage codegen. The Column-only HOF
+    * form below is the executable spec (TextSpec pins them equal) — it is
+    * O(n²) per document because `substr(i, 1)` rescans the string.
     */
-  def rollingFingerprint(text: Column): Column = {
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash.rollingHash(
+      lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" ")))))
+
+  /** The Column-only spec of [[rollingFingerprint]] (interpreted HOF fold —
+    * kept for the native-vs-spec equality test, not for production use).
+    */
+  def rollingFingerprintSpec(text: Column): Column = {
     val norm = lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" "))))
     graft.functions.ColOps.bindLet(norm, s =>
       aggregate(

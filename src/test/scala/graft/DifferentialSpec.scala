@@ -16,7 +16,7 @@ class DifferentialSpec extends SparkSpec {
     "v2_knn_join",          // ArrayDot in join + window
     "d3_simhash_pairs",     // SimhashAgg + bit ops
     "d2_minhash_lsh",       // MinhashAgg + LSH pipeline
-    "t4_rolling_fingerprint", // bindLet + HOF fold
+    "t4_rolling_fingerprint", // native RollingHash codepoint walk
     "j5_asof_join",         // union + running last window
     "e7_session_window"     // session-window semantics
   )

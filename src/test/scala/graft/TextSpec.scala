@@ -70,4 +70,55 @@ class TextSpec extends SparkSpec {
     assert(out(2) === oracle(texts(2)))
     assert(out(0) !== out(2))
   }
+
+  test("native RollingHash equals the HOF spec on the normalized domain") {
+    val texts = Seq("hello world 42", "Hello, WORLD!! 42", "different text",
+      "", "   ", "a", "1 2 3 4 5 6 7 8 9 0", "x" * 500)
+    val rows = texts.toDF("text")
+      .select(TextAnalysis.rollingFingerprint(col("text")).as("native"),
+        TextAnalysis.rollingFingerprintSpec(col("text")).as("spec"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) === r.getLong(1), s"mismatch on '$t'")
+    }
+  }
+
+  test("chunkWindows covers every token, overlaps by window-stride") {
+    val text = (1 to 100).mkString(" ")  // 100 tokens
+    val chunks = Seq(text).toDF("text")
+      .select(TextAnalysis.chunkWindows(col("text"), 32, 16).as("c"))
+      .collect()(0).getSeq[String](0)
+    // ceil((100-32)/16)+1 = 6 chunks
+    assert(chunks.length === 6)
+    assert(chunks(0).startsWith("1 2 ") && chunks(0).split(" ").length === 32)
+    // consecutive chunks overlap by 16 tokens
+    assert(chunks(1).split(" ").take(16).toSeq === chunks(0).split(" ").drop(16).toSeq)
+    // last chunk ends at the last token, may be short
+    assert(chunks.last.split(" ").last === "100")
+    // a short doc yields exactly one chunk
+    val short = Seq("a b c").toDF("text")
+      .select(TextAnalysis.chunkWindows(col("text"), 32, 16).as("c"))
+      .collect()(0).getSeq[String](0)
+    assert(short === Seq("a b c"))
+  }
+
+  test("packSequences: packs respect the budget boundary per shard") {
+    val docs = (1L to 30L).map(i => (i, if (i % 2 == 0) "en" else "de",
+      Seq.fill(i.toInt % 7 + 3)("w").mkString(" "))).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", "lang", budget = 20)
+      .collect()
+    out.groupBy(r => (r.getAs[String]("shard"), r.getAs[Long]("pack_id")))
+      .foreach { case ((shard, pack), rows) =>
+        val tokens = rows.map(_.getAs[Long]("n_tokens")).sum
+        val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+        // streaming bin-pack bound: a pack exceeds budget only by the tail
+        // of its straddling last document
+        assert(tokens < 20 + maxDoc, s"pack ($shard,$pack) too large: $tokens")
+      }
+    // pack ids are dense from 0 within each shard
+    out.groupBy(_.getAs[String]("shard")).foreach { case (_, rows) =>
+      val packs = rows.map(_.getAs[Long]("pack_id")).distinct.sorted
+      assert(packs === (0L to packs.max).toVector)
+    }
+  }
 }
