@@ -9,7 +9,9 @@ import java.sql.Date
   * These are driver-side clients, not Spark operators. The request-building
   * logic (variable name mapping, leadtime step generation, horizon
   * validation) is pure and fully tested offline; the transport is a
-  * pluggable function so the zero-egress environment stubs it.
+  * pluggable function. [[HttpTransport]] provides the real HTTP
+  * implementations (CDS submit/poll/download, ECMWF direct GET), tested
+  * against an in-process server fixture (HttpFetchSpec) — no egress needed.
   */
 object Fetchers {
 
