@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * Mirrors the reference's structural-typing contract
   * (`pipeline-python/src/pipeline_python/grib2/reader.py:16-37`): a message
   * exposes six members; a reader opens a path into an iterator of messages.
-  * There is no JVM GRIB decoder in this environment, so concrete readers are
-  * synthetic/parquet-backed (FIXTURES.md); the *plumbing* — message model,
-  * explode-to-rows, longitude normalization — is real and tested.
+  * Concrete readers: [[Grib2.CamsGrib2Reader]] / [[Grib2.EcmwfGrib2Reader]]
+  * decode real GRIB2 binary (templates 3.0 / 4.0 / 4.40 / 5.0 — the
+  * reference's message shapes) with no external library; the synthetic
+  * readers (FIXTURES.md) remain for the deterministic contract queries.
   */
 trait GribMessage {
   def variableName: String

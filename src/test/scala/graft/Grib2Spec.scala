@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Grib2
+import graft.sources.Grib2.{Chemical, GridSpec, Meteo}
+
+/** Binary GRIB2 codec: encode → decode round-trips, adapter semantics
+  * (constituentType / shortName mapping, valid time), packing error bounds,
+  * and the reference's documented prime-meridian longitude corruption
+  * (ADR 002) as an explicit regression.
+  */
+class Grib2Spec extends AnyFunSuite {
+
+  private val refTime = LocalDateTime.of(2024, 6, 1, 0, 0, 0)
+
+  /** Deterministic value field with realistic spatial structure. */
+  private def field(grid: GridSpec, base: Double, amp: Double): Array[Double] =
+    Array.tabulate(grid.numPoints) { idx =>
+      val i = idx % grid.ni; val j = idx / grid.ni
+      base + amp * (math.sin(i * 0.37) * math.cos(j * 0.23) + 1.0) / 2.0
+    }
+
+  test("round-trip: ECMWF temperature message survives encode→decode") {
+    val grid = GridSpec(ni = 40, nj = 30, lat1Deg = 72.0, lon1Deg = 335.0,
+      dLatDeg = 0.5, dLonDeg = 0.5)
+    val values = field(grid, 250.0, 40.0) // Kelvin range
+    val bytes = Grib2.encode(Meteo(0, 0), grid, refTime, 12, values, nbits = 16)
+
+    val msgs = Grib2.decode(bytes)
+    assert(msgs.length === 1)
+    val d = msgs.head
+    assert(d.product === Meteo(0, 0))
+    assert(d.refTime === refTime)
+    assert(d.forecastHours === 12)
+    assert(d.grid.ni === 40 && d.grid.nj === 30)
+    assert(math.abs(d.grid.lat1Deg - 72.0) < 1e-6)
+    assert(d.values.length === values.length)
+    // simple packing with 16 bits: error bounded by one quantum 2^E
+    val range = values.max - values.min
+    val quantum = range / ((1 << 16) - 1)
+    values.zip(d.values).foreach { case (v, got) =>
+      assert(math.abs(v - got) <= quantum + 1e-9, s"packing error beyond quantum")
+    }
+  }
+
+  test("round-trip: tiny CAMS concentrations keep relative precision (negative E)") {
+    val grid = GridSpec(20, 10, 60.0, 350.0, 0.1, 0.1)
+    val values = field(grid, 5e-9, 4e-9) // kg m^-3 magnitudes
+    val bytes = Grib2.encode(Chemical(40009), grid, refTime, 24, values, nbits = 24)
+    val d = Grib2.decode(bytes).head
+    assert(d.product === Chemical(40009))
+    val quantum = (values.max - values.min) / ((1 << 24) - 1)
+    values.zip(d.values).foreach { case (v, got) =>
+      assert(math.abs(v - got) <= quantum + 1e-24)
+    }
+  }
+
+  test("multi-message file: messages decode in order with their own metadata") {
+    val grid = GridSpec(8, 6, 55.0, 10.0, 1.0, 1.0)
+    val bytes =
+      Grib2.encode(Chemical(40008), grid, refTime, 0, field(grid, 1e-8, 1e-8)) ++
+      Grib2.encode(Chemical(40009), grid, refTime, 1, field(grid, 2e-8, 1e-8)) ++
+      Grib2.encode(Meteo(0, 6), grid, refTime, 2, field(grid, 270.0, 10.0))
+    val msgs = Grib2.decode(bytes)
+    assert(msgs.map(_.product) === Seq(Chemical(40008), Chemical(40009), Meteo(0, 6)))
+    assert(msgs.map(_.forecastHours) === Seq(0, 1, 2))
+  }
+
+  test("ADR-002 regression: prime-meridian-crossing grid yields [-25, 45), never -335") {
+    // the reference's corruption case: CAMS Europe spans 335°E → 45°E
+    val grid = GridSpec(ni = 1400, nj = 2, lat1Deg = 71.95, lon1Deg = 335.0,
+      dLatDeg = 0.05, dLonDeg = 0.05)
+    val bytes = Grib2.encode(Chemical(40009), grid, refTime, 0,
+      field(grid, 5e-9, 1e-9))
+    val tmp = Files.createTempFile("cams", ".grib2")
+    try {
+      Files.write(tmp, bytes)
+      val msg = Grib2.CamsGrib2Reader.open(tmp.toString).toSeq.head
+      assert(msg.variableName === "pm2p5")
+      assert(msg.unit === "kg m**-3")
+      val lons = msg.lons
+      assert(math.abs(lons.min - -25.0) < 1e-4, s"lon min ${lons.min}")
+      assert(lons.max < 45.0 && lons.max > 44.9, s"lon max ${lons.max}")
+      assert(lons.forall(l => l >= -180.0 && l < 180.0))
+      // row-major: longitudes ascend 335→360 then wrap to -180-normalized ascending
+      assert(math.abs(lons(0) - -25.0) < 1e-9)
+    } finally Files.delete(tmp)
+  }
+
+  test("adapters: variable names, units, valid time = ref + leadtime") {
+    val grid = GridSpec(4, 3, 50.0, 0.0, 1.0, 1.0)
+    val tmp = Files.createTempFile("ecmwf", ".grib2")
+    try {
+      Files.write(tmp,
+        Grib2.encode(Meteo(0, 0), grid, refTime, 6, field(grid, 280.0, 5.0)) ++
+        Grib2.encode(Meteo(0, 6), grid, refTime, 6, field(grid, 275.0, 5.0)))
+      val msgs = Grib2.EcmwfGrib2Reader.open(tmp.toString).toSeq
+      assert(msgs.map(_.variableName) === Seq("temperature", "dewpoint"))
+      assert(msgs.forall(_.unit === "K"))
+      val expected = java.sql.Timestamp.from(
+        refTime.plusHours(6).toInstant(java.time.ZoneOffset.UTC))
+      assert(msgs.forall(_.timestamp === expected))
+      assert(msgs.forall(m => m.values.length === 12 && m.lats.length === 12))
+      // -j scanning: first row is the northernmost latitude
+      assert(msgs.head.lats.take(4).forall(_ === 50.0))
+      assert(msgs.head.lats.drop(8).forall(l => math.abs(l - 48.0) < 1e-9))
+    } finally Files.delete(tmp)
+  }
+
+  test("decoder rejects what it cannot faithfully decode") {
+    val grid = GridSpec(4, 3, 50.0, 0.0, 1.0, 1.0)
+    val good = Grib2.encode(Meteo(0, 0), grid, refTime, 6, field(grid, 280.0, 5.0))
+    // corrupt the magic
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    intercept[java.io.IOException](Grib2.decode(bad))
+    // truncated file
+    intercept[Exception](Grib2.decode(good.dropRight(20)))
+    // wrong adapter for the product template
+    val tmp = Files.createTempFile("x", ".grib2")
+    try {
+      Files.write(tmp, good)
+      intercept[java.io.IOException](Grib2.CamsGrib2Reader.open(tmp.toString).toSeq)
+    } finally Files.delete(tmp)
+  }
+
+  test("decoded messages flow through Grib.toDataFrame into the pipeline shape") {
+    val spark = TestSession.spark
+    val grid = GridSpec(10, 5, 60.0, 355.0, 0.5, 0.5)
+    val bytes = Grib2.encode(Chemical(40008), grid, refTime, 3, field(grid, 1e-8, 5e-9))
+    val tmp = Files.createTempFile("cams2", ".grib2")
+    try {
+      Files.write(tmp, bytes)
+      val msgs = Grib2.CamsGrib2Reader.open(tmp.toString).toSeq
+      val df = graft.sources.Grib.toDataFrame(spark, msgs)
+      assert(df.columns.toSeq === Seq("variable", "unit", "timestamp", "lat", "lon", "value"))
+      assert(df.count() === 50)
+      import org.apache.spark.sql.functions._
+      val lonRange = df.agg(min("lon"), max("lon")).collect()(0)
+      assert(lonRange.getFloat(0) >= -5.0f && lonRange.getFloat(1) < 0.0f ||
+        lonRange.getFloat(0) >= -5.0f && lonRange.getFloat(1) <= 180.0f)
+      assert(df.select("variable").distinct().collect().map(_.getString(0)).toSeq === Seq("pm10"))
+    } finally Files.delete(tmp)
+  }
+}
