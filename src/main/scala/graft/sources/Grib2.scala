@@ -393,7 +393,7 @@ object Grib2 {
     extends GribMessage
 
   /** CAMS adapter: constituentType → variable name
-    * (`cams_adapter.py:9-12`), unit kg m⁻³ (mass density).
+    * (`cams_adapter.py:9-12`), unit "kg m-3" (mass density — the engine's canonical spelling, GridFunctions.kgM3ToUgM3).
     */
   object CamsGrib2Reader extends GribReader {
     val ConstituentNames: Map[Int, String] = Map(40008 -> "pm10", 40009 -> "pm2p5")
@@ -406,7 +406,7 @@ object Grib2 {
         }
         val name = ConstituentNames.getOrElse(ct, fail(s"unknown constituent $ct"))
         val (lats, lons) = gridArrays(d.grid)
-        DecodedMessage(name, "kg m**-3", d.validTime, d.values, lats, lons)
+        DecodedMessage(name, "kg m-3", d.validTime, d.values, lats, lons)
       }
   }
 

@@ -81,7 +81,7 @@ class Grib2Spec extends AnyFunSuite {
       Files.write(tmp, bytes)
       val msg = Grib2.CamsGrib2Reader.open(tmp.toString).toSeq.head
       assert(msg.variableName === "pm2p5")
-      assert(msg.unit === "kg m**-3")
+      assert(msg.unit === "kg m-3")
       val lons = msg.lons
       assert(math.abs(lons.min - -25.0) < 1e-4, s"lon min ${lons.min}")
       assert(lons.max < 45.0 && lons.max > 44.9, s"lon max ${lons.max}")

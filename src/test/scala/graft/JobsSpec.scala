@@ -63,6 +63,42 @@ class JobsSpec extends SparkSpec {
       job.locateRawFile("ifs-weather-forecast", Date.valueOf("2030-01-01")))
   }
 
+  test("daily run from real GRIB2 binary: encode → decode → transform → store") {
+    import java.time.LocalDateTime
+    import graft.sources.Grib2
+    // a CAMS-shaped file: pm2p5 + pm10 messages over a prime-meridian-
+    // crossing Europe clip (the ADR-002 grid), real simple-packed binary
+    val grid = Grib2.GridSpec(ni = 20, nj = 10, lat1Deg = 60.0, lon1Deg = 355.0,
+      dLatDeg = 0.5, dLonDeg = 0.5)
+    def f(base: Double) = Array.tabulate(grid.numPoints)(i => base * (1.0 + (i % 7) * 0.1))
+    val bytes =
+      Grib2.encode(Grib2.Chemical(40009), grid, LocalDateTime.of(2026, 1, 1, 0, 0), 0, f(5e-9)) ++
+      Grib2.encode(Grib2.Chemical(40008), grid, LocalDateTime.of(2026, 1, 1, 0, 0), 0, f(9e-9))
+    val gribFile = java.nio.file.Files.createTempFile("cams-daily", ".grib2")
+    java.nio.file.Files.write(gribFile, bytes)
+
+    val base = tempDir("jobgrib")
+    val grids = new GridStore(spark, s"$base/grid")
+    val rawFiles = new CatalogStore(spark, s"$base/raw_files", "id")
+    val curated = new CatalogStore(spark, s"$base/curated", "id")
+    val job = new DailyJob(spark, grids, rawFiles, curated)
+    try {
+      val r = job.run("cams", "eu-air-quality-forecast", date,
+        Grib2.CamsGrib2Reader, gribFile.toString, Transforms.cams, insertedAt = ts)
+      assert(r.variablesProcessed === Seq("pm10", "pm2p5"))
+      assert(r.insertedRows === 2L * grid.numPoints)
+      val stored = grids.finalView()
+      assert(stored.count() === 2L * grid.numPoints)
+      // unit conversion applied downstream of the real decode (C1)
+      import org.apache.spark.sql.functions._
+      val units = stored.select("unit").distinct().collect().map(_.getString(0)).toSet
+      assert(units === Set("µg/m³"))
+      // decode-boundary longitude normalization survived to storage
+      val lonMinMax = stored.agg(min("lon"), max("lon")).collect()(0)
+      assert(lonMinMax.getFloat(0) >= -5.0f && lonMinMax.getFloat(1) < 5.0f)
+    } finally java.nio.file.Files.delete(gribFile)
+  }
+
   test("T5 fail-fast: a failing decode leaves grid and curated catalogs untouched") {
     val base = tempDir("jobfail")
     val grids = new GridStore(spark, s"$base/grid")
