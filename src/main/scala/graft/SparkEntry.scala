@@ -500,6 +500,18 @@ object SparkEntry {
       Dedup.canonicalize(pairs).orderBy("id")
     }),
 
+    // D-dedup: train/test contamination — per-doc fraction of 8-gram
+    // shingles appearing in a (deterministically sampled) benchmark set;
+    // the benchmark shingle set broadcasts, corpus side never shuffles
+    "d8_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val benchmark = graft.functions.Sampling.hashSample(docs, "doc_id", 0.05)
+      Dedup.contaminationRate(docs, "doc_id", "text", benchmark, "text", shingleN = 8)
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("n_contaminated"), col("rate"))
+        .orderBy("doc_id")
+    }),
+
     // T-text: corpus vocabulary statistics (explode + distinct at scale)
     "t5_vocab_stats" -> ((s, d) => {
       val toks = t(s, d, "documents")
@@ -1147,6 +1159,33 @@ object SparkEntry {
         |  FROM pr
         |)
         |SELECT a, b, hamming FROM v WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+
+    "d8_contamination" ->
+      """WITH n AS (
+        |  SELECT doc_id AS id,
+        |         string_split(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents
+        |), s AS (
+        |  SELECT id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(ws) - 8, 0) + 2),
+        |           i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS sh
+        |  FROM n
+        |), bench AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM s
+        |  WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 500
+        |), x AS (
+        |  SELECT id, unnest(sh) AS g FROM s
+        |), h AS (
+        |  SELECT id, count(*) AS n_contaminated FROM x
+        |  WHERE g IN (SELECT g FROM bench) GROUP BY id
+        |)
+        |SELECT s.id AS doc_id, CAST(len(s.sh) AS BIGINT) AS n_shingles,
+        |       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |       round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+        |             / CAST(len(s.sh) AS DOUBLE), 4) AS rate
+        |FROM s LEFT JOIN h ON h.id = s.id
+        |ORDER BY doc_id""".stripMargin,
 
     "d4_jaccard_neardup" ->
       """WITH n AS (

@@ -354,6 +354,35 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Train/test contamination check: for each document, the fraction of its
+    * `n`-gram shingles that appear anywhere in the benchmark set — the
+    * standard decontamination signal for training corpora (docs overlapping
+    * an eval benchmark get flagged/dropped).
+    *
+    * Scale shape: the benchmark is small by construction (eval sets are
+    * thousands of docs, the corpus is billions), so its distinct shingle
+    * set BROADCASTS — the per-doc scoring is then a map-side semi-join, no
+    * shuffle of the corpus. Returns every corpus doc with
+    * `(n_shingles, n_contaminated, rate)`; rate is rounded to 4dp (engine-
+    * portable comparison).
+    */
+  def contaminationRate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, shingleN: Int = 8): DataFrame = {
+    val s = ColOps.parallelize(docs)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val benchShingles = benchmark
+      .select(explode(shingles(col(benchTextCol), shingleN)).as("sh"))
+      .distinct()
+    val hits = s.select(col("id"), explode(col("sh")).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    s.select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("rate",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+  }
+
   /** 64-bit SimHash as an unpacked bit ARRAY (values 0/1), derived from the
     * first 16 hex chars of each token's md5 (see portability note above).
     * Bit `j` reads nibble `j/4` of the hex string (via `ascii`, engine-

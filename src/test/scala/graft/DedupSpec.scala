@@ -94,6 +94,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)), s"exact dup pair missing from $pairs")
   }
 
+  test("D8: contamination rate — benchmark dup flagged 1.0, unrelated 0.0") {
+    val benchmark = docs.filter(col("doc_id") === 1L)
+    val out = Dedup.contaminationRate(docs, "doc_id", "text", benchmark, "text",
+      shingleN = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rate")).toMap
+    assert(out(1L) === 1.0, "benchmark doc itself fully contaminated")
+    assert(out(3L) === 1.0, "normalized-identical doc fully contaminated")
+    assert(out(4L) === 0.0 && out(5L) === 0.0, "unrelated docs clean")
+    assert(out(2L) > 0.0 && out(2L) < 1.0, "near-dup partially contaminated")
+  }
+
   test("D6: canonicalize collapses transitive pair chains to min-id clusters") {
     // 1-2, 2-3 (chain), 5-6, isolated 9-10
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L)).toDF("a", "b")
