@@ -542,11 +542,12 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
-    // V-similarity: LSH-bucketed ANN near-pairs (rows-only)
+    // V-similarity: LSH-bucketed ANN near-pairs — portable geometry (md5-
+    // parity Rademacher planes, integer-exact band width) so the whole
+    // bucket/verify pipeline is oracle-checked in DuckDB
     "v3_ann_pairs" -> ((s, d) =>
-      Similarity.annPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+      Similarity.annPairsPortable(t(s, d, "embeddings"), "vec_id", "embedding",
         nBands = 4, threshold = 0.4)
-        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("a", "b")),
 
     // V-similarity: IVF-flat ANN — KMeans coarse quantizer, nProbe nearest
@@ -1283,6 +1284,45 @@ object SparkEntry {
         |SELECT count(*) AS n_tokens, count(DISTINCT tok) AS vocab_size,
         |       CAST(sum(CAST(length(tok) AS DECIMAL(30,0))) AS DOUBLE) AS sum_tok_len
         |FROM toks""".stripMargin,
+
+    // v3: md5-parity Rademacher planes + integer band width mirror
+    // Similarity.annPairsPortable exactly; the dot is the same left-to-
+    // right fold as graft_dot, so signatures and cosines agree bit-for-bit
+    "v3_ann_pairs" ->
+      """WITH bb AS (
+        |  SELECT greatest(4, least(24,
+        |    CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS bits
+        |  FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings
+        |), en AS (
+        |  SELECT vec_id, emb,
+        |         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+        |  FROM e
+        |), sig AS (
+        |  SELECT vec_id, band,
+        |    CAST(list_aggregate(list_transform(range(0, bits), i ->
+        |      CASE WHEN list_aggregate(list_transform(range(1, len(emb) + 1), i2 ->
+        |        emb[i2] * (CASE WHEN strpos('13579bdf',
+        |          substr(md5((band * bits + i)::VARCHAR || ':' || (i2 - 1)::VARCHAR), 1, 1)) > 0
+        |          THEN 1.0 ELSE -1.0 END)), 'sum') > 0.0
+        |      THEN CAST(power(2, i) AS BIGINT) ELSE 0 END), 'sum') AS BIGINT) AS key
+        |  FROM (SELECT vec_id, emb, unnest(range(0, 4)) AS band FROM e), bb
+        |), bu AS (
+        |  SELECT band, key, list(vec_id) AS ids FROM sig GROUP BY band, key
+        |  HAVING count(*) BETWEEN 2 AND 512
+        |), e1 AS (
+        |  SELECT unnest(ids) AS a, ids FROM bu
+        |), pr AS (
+        |  SELECT DISTINCT a, b FROM (SELECT a, unnest(ids) AS b FROM e1) WHERE a < b
+        |), v AS (
+        |  SELECT pr.a, pr.b,
+        |    round(list_aggregate(list_transform(range(1, len(ea.emb) + 1),
+        |      i -> ea.emb[i] * eb.emb[i]), 'sum') / (ea.nrm * eb.nrm), 6) AS cosine
+        |  FROM pr JOIN en ea ON ea.vec_id = pr.a JOIN en eb ON eb.vec_id = pr.b
+        |)
+        |SELECT a, b, cosine FROM v WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin,
 
     "v1_cosine_topk" ->
       """WITH probe AS (

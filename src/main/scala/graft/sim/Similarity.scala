@@ -132,6 +132,13 @@ object Similarity {
       if (bandBitsOverride > 0) bandBitsOverride
       else bandBitsFor(n, targetBucket)
     val planes = hyperplanes(nBands * bandBits, d)
+    annPairsWith(e, planes, nBands, bandBits, threshold, maxBucket,
+      roundVerify = false)
+  }
+
+  private def annPairsWith(e: DataFrame, planes: Array[Array[Double]],
+      nBands: Int, bandBits: Int, threshold: Double, maxBucket: Int,
+      roundVerify: Boolean): DataFrame = {
     // Per-band keys are built directly from each band's own planes (not by
     // packing one ≤64-bit signature and shifting), so nBands × bandBits has
     // no 64-plane ceiling.
@@ -152,11 +159,59 @@ object Similarity {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
-    pairs
+    val raw = pairs
       .join(e.select(col("id").as("a"), col("emb").as("ea"), col("nrm").as("na")), Seq("a"))
       .join(e.select(col("id").as("b"), col("emb").as("eb"), col("nrm").as("nb")), Seq("b"))
       .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("a"), col("b"), col("cosine"))
+    val verified =
+      if (roundVerify)
+        raw.withColumn("cosine", round(col("cosine"), 6))
+          .filter(col("cosine") >= threshold)
+      else raw.filter(col("cosine") >= threshold)
+    verified.select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** Portable (cross-engine-reproducible) variants of the ANN geometry —
+    * same pipeline, with every derived quantity computable in plain SQL so
+    * the whole operator is oracle-checkable (see the d2/d3 portable-hash
+    * notes in [[graft.dedup.Dedup]]):
+    *
+    *  - planes are Rademacher ±1 from md5 PARITY (first hex nibble odd →
+    *    +1) instead of splitmix64, whose wrapping 64-bit multiplies most
+    *    engines reject as overflow;
+    *  - the band width is computed with INTEGER arithmetic (bit length of
+    *    ⌈n/targetBucket⌉−1) instead of float log2, whose ULP behavior near
+    *    powers of two could flip a ceil across engines.
+    */
+  def portablePlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, j) =>
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$j".getBytes("UTF-8"))
+      if ((((dig(0) >> 4) & 0xf) % 2) == 1) 1.0 else -1.0
+    }
+
+  /** Integer-exact band width: smallest `b` with `2^b ≥ ⌈n/targetBucket⌉`,
+    * clamped to [4, 24] (same clamp rationale as [[bandBitsFor]]).
+    */
+  def bandBitsPortable(n: Long, targetBucket: Int): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    val want = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(24, math.max(4, want))
+  }
+
+  /** ANN near-pairs over the portable geometry; the exact-cosine verify is
+    * rounded to 6dp BEFORE thresholding (both here and in the oracle).
+    */
+  def annPairsPortable(corpus: DataFrame, idCol: String, embCol: String,
+      nBands: Int = 4, threshold: Double = 0.9,
+      targetBucket: Int = 32, maxBucket: Int = 512): DataFrame = {
+    val e = graft.functions.ColOps.parallelize(
+      corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
+        norm(col(embCol)).as("nrm")))
+    val d = corpus.select(size(col(embCol))).limit(1).collect()(0).getInt(0)
+    val n = corpus.count()
+    val bandBits = bandBitsPortable(n, targetBucket)
+    annPairsWith(e, portablePlanes(nBands * bandBits, d), nBands, bandBits,
+      threshold, maxBucket, roundVerify = true)
   }
 }

@@ -9,7 +9,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   private val RowsOnly = Set(
-    "v3_ann_pairs",     // hyperplane signatures over xxhash-free planes, bucket caps
     "v5_ivf_topk",      // KMeans quantizer
     "m2_media_features", // stub codec (FNV fold) — not SQL-expressible
     "m3_frame_sampling"  // same stub codec through resize + frame sampling

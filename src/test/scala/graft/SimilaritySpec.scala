@@ -72,6 +72,24 @@ class SimilaritySpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(a / 10 === b / 10) }
   }
 
+  test("V3: portable variant — same cluster discipline, integer band width") {
+    val pairs = Similarity.annPairsPortable(clustered, "vec_id", "embedding",
+      nBands = 4, threshold = 0.8, maxBucket = 64)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(a / 10 === b / 10) }
+    // integer band width agrees with the float formula away from boundaries
+    assert(Similarity.bandBitsPortable(2000L, 32) === 6)
+    assert(Similarity.bandBitsPortable(40L, 32) === 4)
+    assert(Similarity.bandBitsPortable(2048000L, 32) === 16)
+    // exact power-of-two boundary: 2^b buckets exactly fit n/targetBucket
+    assert(Similarity.bandBitsPortable(32L * 64, 32) === 6)
+    // planes are ±1 only and deterministic
+    val p = Similarity.portablePlanes(8, 16)
+    assert(p.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(p.map(_.toSeq).toSeq === Similarity.portablePlanes(8, 16).map(_.toSeq).toSeq)
+  }
+
   test("V5: IVF with nProbe == nLists is exact (matches brute-force knnJoin)") {
     val df = clustered
     val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
