@@ -361,24 +361,26 @@ object Dedup {
     *
     * Scale shape: the benchmark is small by construction (eval sets are
     * thousands of docs, the corpus is billions), so its distinct shingle
-    * set BROADCASTS — the per-doc scoring is then a map-side semi-join, no
-    * shuffle of the corpus. Returns every corpus doc with
-    * `(n_shingles, n_contaminated, rate)`; rate is rounded to 4dp (engine-
-    * portable comparison).
+    * set BROADCASTS and scoring is ONE pass over the exploded corpus — a
+    * broadcast left join marking benchmark hits, then a single groupBy(id)
+    * computing total and hit counts together. No corpus-on-corpus join, no
+    * second scan: one shuffle total, of narrow (id, counts) rows. Returns
+    * every corpus doc with `(n_shingles, n_contaminated, rate)`; rate is
+    * rounded to 4dp (engine-portable comparison).
     */
   def contaminationRate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, shingleN: Int = 8): DataFrame = {
     val s = ColOps.parallelize(docs)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val benchShingles = benchmark
-      .select(explode(shingles(col(benchTextCol), shingleN)).as("sh"))
+      .select(explode(shingles(col(benchTextCol), shingleN)).as("g"))
       .distinct()
-    val hits = s.select(col("id"), explode(col("sh")).as("sh"))
-      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
-    s.select(col("id"), size(col("sh")).cast("long").as("n_shingles"))
-      .join(hits, Seq("id"), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("hit", lit(1))
+    s.select(col("id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchShingles), Seq("g"), "left")
+      .groupBy("id")
+      // shingles are distinct within a doc, so row count == shingle count
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
       .withColumn("rate",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
   }
