@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Scale-behavior probe: run the candidate-generation-bounded operators
+  * (LSH dedup, contamination scoring) at ×1/×4/×16 multiples of the sf
+  * corpus and report wall time and output size per scale. The property
+  * under test is the 100 TB story: candidate generation must stay
+  * bucket-bounded, so runtime should grow near-linearly with corpus size
+  * (quadratic growth means a bucket cap or blocking key broke).
+  *
+  * The corpus is multiplied by unioning shifted copies: ids remapped to
+  * stay unique, and every TOKEN suffixed with the copy id, so each copy
+  * universe has disjoint shingles — the near-dup structure within a copy
+  * mirrors the original corpus but no cross-copy pairs exist. A healthy
+  * run therefore shows output pairs ≈ ×k and wall time growing near-
+  * linearly. Inputs only; results are not correctness-checked here (the
+  * oracle gate does that at ×1).
+  *
+  * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.Stress"` → one JSON
+  * line per (operator, scale).
+  */
+object Stress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs0 = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+
+    def multiplied(k: Int): DataFrame = {
+      val copies = spark.range(k.toLong).select(col("id").as("copy"))
+      docs0.crossJoin(copies)
+        .select((col("doc_id") + col("copy") * 100000L).as("doc_id"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat_ws(" ",
+              transform(split(col("text"), " "),
+                w => concat(w, lit("x"), col("copy"))))).as("text"),
+          col("lang"))
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    Seq(1, 4, 16).foreach { k =>
+      val docs = multiplied(k).cache()
+      val n = docs.count() // materialize outside the timed region
+
+      val (tLsh, pairsLsh) = time {
+        Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+          shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4).count()
+      }
+      val (tCont, rowsCont) = time {
+        Dedup.contaminationRate(docs, "doc_id", "text",
+          graft.functions.Sampling.hashSample(docs, "doc_id", 0.05), "text",
+          shingleN = 8).count()
+      }
+      println(f"""{"op":"d2_lsh","scale":$k,"n_docs":$n,"sec":$tLsh%.2f,"out_rows":$pairsLsh}""")
+      println(f"""{"op":"d8_contamination","scale":$k,"n_docs":$n,"sec":$tCont%.2f,"out_rows":$rowsCont}""")
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -42,6 +42,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"no global window allowed:\n$p")
   }
 
+  test("filter pushdown: contract scans reach parquet with PushedFilters") {
+    val sfDir = "/root/testdata/sf0.001"
+    // f1 filters lat/lon; f3 filters variable+timestamp — both must reach
+    // the parquet reader, not evaluate post-scan only
+    Seq("f1_bbox_filter", "f3_variable_slice").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+      assert(pushed.contains("PushedFilters: [") && !pushed.contains("PushedFilters: []"),
+        s"$q lost its parquet pushdown:\n$pushed")
+    }
+  }
+
   test("d2 portable minhash: signature projection sits below the band Generate") {
     // the CollapseProject guard: the band explode must consume the
     // signature as a bound attribute, not recompute it per band
