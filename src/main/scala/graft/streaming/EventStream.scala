@@ -79,6 +79,30 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Watermarked stream-stream interval join: enrich each left event with
+    * right-stream events for the same key whose event time falls within
+    * `[left.ts − before, left.ts + after]`. Both sides carry watermarks and
+    * the join condition bounds event time in BOTH directions, so Spark can
+    * evict join state — without the time bounds a stream-stream join
+    * buffers forever. This is the training-pipeline enrichment shape
+    * (impressions ⋈ conversions, queries ⋈ clicks) the reference's
+    * batch-only surface lacks.
+    *
+    * Column contract: left has `(key, ts, …)`, right has `(key, r_ts, …)`
+    * (pre-rename right's time column); output is the inner-join rows.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      before: String = "10 minutes", after: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("r_ts", watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"))
+      .drop(r(key))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long, n: Int, sum: Double)

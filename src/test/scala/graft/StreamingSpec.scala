@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStream
@@ -33,6 +34,38 @@ class StreamingSpec extends SparkSpec {
       assert(out(0).getAs[Timestamp]("hour") === ts("2026-01-01 10:00:00"))
       assert(out(0).getAs[Long]("n") === 2L)
       assert(out(0).getAs[Double]("sum_value") === 3.0)
+    } finally query.stop()
+  }
+
+  test("intervalJoin: stream-stream enrichment within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = EventStream.intervalJoin(
+      clicks.toDF().select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+      buys.toDF().select(col("user_id"), col("ts").as("r_ts"),
+        col("event_id").as("buy_id")),
+      key = "user_id", before = "0 minutes", after = "10 minutes")
+    val query = joined.writeStream.format("memory").queryName("ij_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 7, "click", 0),
+        Event(2, ts("2026-01-01 10:30:00"), 7, "click", 0),
+        Event(3, ts("2026-01-01 10:00:00"), 9, "click", 0))
+      buys.addData(
+        Event(101, ts("2026-01-01 10:05:00"), 7, "buy", 0),  // joins click 1 only
+        Event(102, ts("2026-01-01 10:39:00"), 7, "buy", 0),  // joins click 2 only
+        Event(103, ts("2026-01-01 11:30:00"), 9, "buy", 0))  // outside bound
+      query.processAllAvailable()
+      // advance both watermarks so bounded rows are final
+      clicks.addData(Event(4, ts("2026-01-01 12:00:00"), 99, "click", 0))
+      buys.addData(Event(104, ts("2026-01-01 12:00:00"), 99, "buy", 0))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT click_id, buy_id FROM ij_test WHERE user_id < 99")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out === Set((1L, 101L), (2L, 102L)),
+        s"exactly the in-window pairs must join, got $out")
     } finally query.stop()
   }
 
