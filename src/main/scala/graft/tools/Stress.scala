@@ -58,6 +58,10 @@ object Stress {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
+    // JIT/codegen warmup so the x1 measurement isn't charged cold-start
+    Dedup.minhashLshPairsPortable(docs0.limit(100), "doc_id", "text",
+      shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4).count()
+
     Seq(1, 4, 16).foreach { k =>
       val docs = multiplied(k).cache()
       val n = docs.count() // materialize outside the timed region
