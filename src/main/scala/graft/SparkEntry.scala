@@ -425,6 +425,13 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // T-text: corpus-LM quality — avg unigram log-prob per doc (KenLM-style
+    // perplexity filter shape); two hash-aggs + scalar broadcast
+    "t9_lm_quality" -> ((s, d) =>
+      TextAnalysis.lmQuality(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("avg_logprob"))
+        .orderBy("doc_id")),
+
     // T-text: overlapping token-window chunking (LLM context building) —
     // executor-local 1→N expansion, no shuffle
     "t7_chunk_windows" -> ((s, d) =>
@@ -1032,6 +1039,28 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000 WHEN 'zh' THEN 10000
         |            ELSE 2500 END
         |ORDER BY doc_id""".stripMargin,
+
+    // t9: per-token log-probs round to 9dp (absorbs last-ULP ln divergence)
+    // and sum as exact DECIMAL (order-independent) — same determinism
+    // discipline as the e1/a5 decimal sums
+    "t9_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, term FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS term
+        |    FROM documents
+        |  ) WHERE term != ''
+        |), freq AS (
+        |  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        |), n AS (
+        |  SELECT count(*) AS n FROM toks
+        |), lp AS (
+        |  SELECT id, round(ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS lp
+        |  FROM toks JOIN freq USING (term) CROSS JOIN n
+        |)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(CAST(lp AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // t7: DuckDB zips parallel unnests, which pairs each chunk_id with its
     // chunk — the posexplode mirror

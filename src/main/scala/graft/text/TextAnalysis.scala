@@ -113,6 +113,35 @@ object TextAnalysis {
       .select(col("id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus-LM quality score: the average unigram log-probability of a
+    * document under the corpus's own unigram distribution — the shape of
+    * KenLM-style perplexity filtering (gibberish and boilerplate-heavy
+    * documents score low; self-trained here, so no OOV path).
+    *
+    * Two hash aggregates (term frequencies, then per-doc fold) plus a
+    * broadcast of the scalar corpus size — the TF-IDF plan shape, no
+    * quadratic stage. Determinism discipline: each token's log-prob is
+    * rounded to 9dp (absorbs any last-ULP `ln` divergence between engines)
+    * and summed as an exact DECIMAL (order-independent — double sums
+    * change with partial-aggregation order), then the average is rounded
+    * to 6dp.
+    */
+  def lmQuality(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = graft.functions.ColOps.parallelize(df)
+      .select(col(idCol).as("id"), explode(graft.dedup.Dedup.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val n = toks.select(count(lit(1)).as("n"))
+    toks.join(freq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("lp", round(log(col("cnt").cast("double") / col("n").cast("double")), 9))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum(col("lp").cast("decimal(30,12)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"))
+  }
+
   /** Overlapping token-window chunks for LLM context building: windows of
     * `window` whitespace tokens advancing by `stride` (stride < window ⇒
     * overlap). Every token lands in ≥1 chunk; a document shorter than one

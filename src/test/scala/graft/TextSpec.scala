@@ -83,6 +83,22 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("lmQuality: common-word docs outscore rare-word docs") {
+    val corpus = (
+      (1L to 8L).map(i => (i, "the cat sat on the mat " * 3)) :+
+        (100L, "zyzzyva qwyjibo xylotomous")  // rare vocabulary
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmQuality(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(out(1L)._1 === 18L)
+    assert(out(100L)._1 === 3L)
+    assert(out(1L)._2 > out(100L)._2,
+      s"common words must score higher: ${out(1L)._2} vs ${out(100L)._2}")
+    // identical docs share the exact score (deterministic decimal fold)
+    assert(out(1L)._2 === out(2L)._2)
+  }
+
   test("chunkWindows covers every token, overlaps by window-stride") {
     val text = (1 to 100).mkString(" ")  // 100 tokens
     val chunks = Seq(text).toDF("text")
