@@ -208,7 +208,11 @@ object Similarity {
     val e = graft.functions.ColOps.parallelize(
       corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
         norm(col(embCol)).as("nrm")))
-    val d = corpus.select(size(col(embCol))).limit(1).collect()(0).getInt(0)
+    val firstDim = corpus.select(size(col(embCol))).limit(1).collect()
+    if (firstDim.isEmpty) // empty corpus → empty pair set, not a crash
+      return e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a"), lit(0L).as("b"), lit(0d).as("cosine")).limit(0)
+    val d = firstDim(0).getInt(0)
     val n = corpus.count()
     val bandBits = bandBitsPortable(n, targetBucket)
     annPairsWith(e, portablePlanes(nBands * bandBits, d), nBands, bandBits,

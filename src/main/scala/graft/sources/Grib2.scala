@@ -87,12 +87,18 @@ object Grib2 {
   private[sources] def packingParams(values: Array[Double], nbits: Int): (Float, Int) = {
     val min = values.min
     val max = values.max
-    val r = min.toFloat
+    // R must not exceed the true minimum after float32 rounding — if the
+    // cast rounds UP, (min − R) goes negative and the packed value
+    // underflows. Step down one ulp in that case.
+    var r = min.toFloat
+    if (r.toDouble > min) r = Math.nextDown(r)
     val range = max - r.toDouble
     val maxX = (1L << nbits) - 1
-    val e =
+    var e =
       if (range <= 0) 0
       else math.ceil(math.log(range / maxX) / math.log(2.0)).toInt
+    // guard against log/ceil float error leaving range/2^e a hair over maxX
+    if (range > 0 && Math.round(range / math.pow(2.0, e)) > maxX) e += 1
     (r, e)
   }
 
@@ -286,7 +292,10 @@ object Grib2 {
           val ni = r.u32().toInt
           val nj = r.u32().toInt
           val basicAngle = r.u32()
-          if (basicAngle != 0 && basicAngle != 1) fail(s"unsupported basic angle $basicAngle")
+          // only basic angle 0 (micro-degree units) decodes faithfully —
+          // accepting other values and still dividing by 1e6 would produce
+          // silently wrong coordinates
+          if (basicAngle != 0) fail(s"unsupported basic angle $basicAngle")
           r.skip(4) // subdivisions
           val lat1 = r.sm32() / 1e6
           val lon1 = r.u32() / 1e6

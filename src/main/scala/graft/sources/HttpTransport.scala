@@ -74,16 +74,30 @@ object HttpTransport {
     if (hs.isEmpty) b else b.headers(hs: _*)
   }
 
-  /** Resolve a possibly-relative location against the base URL. */
-  private def resolve(c: Config, location: String): URI =
-    URI.create(c.baseUrl).resolve(location)
+  /** Resolve a location against the base URL by PATH CONCATENATION (not
+    * `URI.resolve`, which drops the base's path for leading-slash
+    * locations — a base of `…/api` plus `/resources/x` must hit
+    * `…/api/resources/x`, not the server root). Absolute URLs returned by
+    * the server pass through untouched.
+    */
+  private[graft] def resolve(c: Config, location: String): URI = {
+    val base = c.baseUrl.stripSuffix("/")
+    if (location.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")) URI.create(location)
+    else if (location.startsWith("/")) URI.create(base + location)
+    else URI.create(base + "/" + location)
+  }
 
   private def download(c: Config, http: HttpClient, from: URI, target: String): Unit = {
     val tmp = Paths.get(target + ".part")
     Files.createDirectories(tmp.toAbsolutePath.getParent)
     val rsp = http.send(
       withHeaders(HttpRequest.newBuilder(from), c).timeout(c.requestTimeout).GET().build(),
-      HttpResponse.BodyHandlers.ofFile(tmp))
+      // TRUNCATE_EXISTING: a stale longer .part from a crashed previous
+      // attempt must not leave its tail bytes under a shorter re-download
+      HttpResponse.BodyHandlers.ofFile(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
     if (rsp.statusCode() != 200) {
       Files.deleteIfExists(tmp)
       throw new java.io.IOException(s"download $from failed: HTTP ${rsp.statusCode()}")

@@ -132,7 +132,9 @@ object TextAnalysis {
       .select(col(idCol).as("id"), explode(graft.dedup.Dedup.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val n = toks.select(count(lit(1)).as("n"))
+    // corpus total from the tiny term-frequency aggregate — deriving it
+    // from toks again would tokenize the whole corpus a third time
+    val n = freq.agg(sum("cnt").as("n"))
     toks.join(freq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("lp", round(log(col("cnt").cast("double") / col("n").cast("double")), 9))
@@ -166,10 +168,13 @@ object TextAnalysis {
   }
 
   /** Token-budget sequence packing: assign documents to fixed-budget packs
-    * (training batches) by running token count, greedily in `orderCol` order
-    * WITHIN each `shardCol` partition. A document that would overflow the
-    * current pack starts the next one (packs may exceed `budget` only by
-    * the straddling document's tail — the classic streaming bin-pack bound).
+    * (training batches) in id order WITHIN each `shardCol` partition, by
+    * START OFFSET — `pack_id = ⌊(cum − n_tokens) / budget⌋`, i.e. a
+    * document belongs to the pack its first token falls in. A document
+    * straddling the boundary stays in the pack it started (packs overrun
+    * by at most that document's tail — the streaming bin-pack bound), and
+    * a document longer than `budget` spans several pack ids, leaving the
+    * intermediate ids empty.
     *
     * Scale: packing is embarrassingly parallel per shard — the window
     * partitions by shard, so no global sort and no single-partition window.

@@ -41,10 +41,14 @@ object Stress {
     val docs0 = graft.Tables(spark, sfDir, "documents")
       .select("doc_id", "text", "lang")
 
+    // id stride from the data, not a constant — a fixed stride collides
+    // once the base corpus outgrows it and copies silently merge
+    val idStride = docs0.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+
     def multiplied(k: Int): DataFrame = {
       val copies = spark.range(k.toLong).select(col("id").as("copy"))
       docs0.crossJoin(copies)
-        .select((col("doc_id") + col("copy") * 100000L).as("doc_id"),
+        .select((col("doc_id") + col("copy") * idStride).as("doc_id"),
           when(col("copy") === 0, col("text"))
             .otherwise(concat_ws(" ",
               transform(split(col("text"), " "),

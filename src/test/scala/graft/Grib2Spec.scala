@@ -59,6 +59,19 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("round-trip survives a minimum that float32 rounds UP") {
+    // 16777219.0 rounds to 16777220f: R must step down, not underflow X
+    val grid = GridSpec(4, 2, 50.0, 0.0, 1.0, 1.0)
+    val values = Array(16777219.0, 16777221.0, 16777224.0, 16777229.0,
+      16777219.0, 16777225.0, 16777227.0, 16777223.0)
+    val bytes = Grib2.encode(Meteo(0, 0), grid, refTime, 0, values, nbits = 16)
+    val d = Grib2.decode(bytes).head
+    val quantum = math.max(1e-9, (values.max - values.min) / ((1 << 16) - 1)) * 2
+    values.zip(d.values).foreach { case (v, got) =>
+      assert(math.abs(v - got) <= quantum, s"$v decoded as $got")
+    }
+  }
+
   test("multi-message file: messages decode in order with their own metadata") {
     val grid = GridSpec(8, 6, 55.0, 10.0, 1.0, 1.0)
     val bytes =

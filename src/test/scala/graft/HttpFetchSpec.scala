@@ -145,6 +145,32 @@ class HttpFetchSpec extends AnyFunSuite {
     }
   }
 
+  test("resolve keeps the base path for leading-slash locations") {
+    val c = HttpTransport.Config("https://host.example/api")
+    assert(HttpTransport.resolve(c, "/resources/x").toString ===
+      "https://host.example/api/resources/x")
+    assert(HttpTransport.resolve(c, "status/r1").toString ===
+      "https://host.example/api/status/r1")
+    assert(HttpTransport.resolve(c, "https://other.example/abs").toString ===
+      "https://other.example/abs")
+  }
+
+  test("a stale longer .part from a crashed run never leaks tail bytes") {
+    withServer { (server, base, dir) =>
+      server.createContext("/data", (x: HttpExchange) => respond(x, 200, grib))
+      val target = dir.resolve("stale.grib2").toString
+      // simulate a crashed earlier attempt that left a LONGER partial file
+      Files.write(Path.of(target + ".part"),
+        Array.fill[Byte](grib.length * 3)('Z'.toByte))
+      val req = Fetchers.EcmwfClient.buildRequest(
+        java.sql.Date.valueOf("2024-06-01"), target, 12)
+      Fetchers.retrieveForecast(req,
+        HttpTransport.ecmwfTransport(HttpTransport.Config(base), "/data"))
+      assert(Files.readAllBytes(Path.of(target)).toSeq === grib.toSeq,
+        "stale bytes must be truncated away")
+    }
+  }
+
   test("JSON helpers: field extraction, params body, query string") {
     import HttpTransport.{jsonField, paramsJson, queryString}
     assert(jsonField("""{"state":"queued","location":"/s/1"}""", "state") === Some("queued"))

@@ -88,6 +88,9 @@ class SimilaritySpec extends SparkSpec {
     val p = Similarity.portablePlanes(8, 16)
     assert(p.flatten.forall(v => v == 1.0 || v == -1.0))
     assert(p.map(_.toSeq).toSeq === Similarity.portablePlanes(8, 16).map(_.toSeq).toSeq)
+    // empty corpus → empty pair set, not a crash
+    assert(Similarity.annPairsPortable(clustered.limit(0), "vec_id", "embedding")
+      .count() === 0L)
   }
 
   test("V5: IVF with nProbe == nLists is exact (matches brute-force knnJoin)") {
