@@ -24,6 +24,26 @@ class SamplingSpec extends SparkSpec {
     assert(s01.collect().map(_.getLong(0)).forall(set10.contains))
   }
 
+  test("sharded export: bounded shard sizes, global order, stable interleave") {
+    import graft.functions.Sharding
+    val df = spark.range(0, 537).select(col("id").as("doc_id"),
+      Sharding.shuffleKey(col("id")).as("k"))
+    val out = tempDir("shards")
+    val files = Sharding.writeShards(df, out, "k", rowsPerShard = 100)
+    assert(files >= 6, s"537 rows at <=100/shard needs >=6 files, got $files")
+    val back = spark.read.parquet(out)
+    assert(back.count() === 537L)
+    // every file respects the bound
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = back.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 100L), s"oversized shard: ${perFile.max}")
+    // the interleave key is deterministic across runs
+    val again = spark.range(0, 537).select(Sharding.shuffleKey(col("id")).as("k"))
+      .collect().map(_.getLong(0))
+    val first = df.select("k").collect().map(_.getLong(0))
+    assert(first.sameElements(again))
+  }
+
   test("stratified fractions apply per stratum, default drops") {
     val df = spark.range(10000)
       .select(col("id"), (col("id") % 2 === 0).cast("string").as("s"))
