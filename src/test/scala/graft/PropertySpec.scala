@@ -43,4 +43,33 @@ class PropertySpec extends AnyFunSuite {
       (ms, seed) => UuidV7.deterministic(ms, seed) == UuidV7.deterministic(ms, seed)
     })
   }
+
+  test("GRIB2 encode→decode round-trips any grid within the packing quantum") {
+    import graft.sources.Grib2
+    val refTime = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+    val genCase = for {
+      ni <- Gen.choose(1, 20)
+      nj <- Gen.choose(1, 12)
+      lat1 <- Gen.chooseNum(-89.0, 89.0)
+      lon1 <- Gen.chooseNum(0.0, 359.9)
+      nbits <- Gen.oneOf(8, 16, 24)
+      base <- Gen.oneOf(-40.0, 0.0, 280.0, 5e-9, 1.6e7)
+      amp <- Gen.chooseNum(0.0, 50.0)
+      seed <- Gen.choose(0, 10000)
+    } yield (Grib2.GridSpec(ni, nj, lat1, lon1, 0.25, 0.25), nbits, base, amp, seed)
+    check(Prop.forAll(genCase) { case (grid, nbits, base, amp, seed) =>
+      val scale = if (base.abs < 1e-3 && base != 0.0) base.abs else 1.0
+      val values = Array.tabulate(grid.numPoints)(i =>
+        base + amp * scale * math.sin(i * 0.7 + seed))
+      val bytes = Grib2.encode(Grib2.Meteo(0, 0), grid, refTime, 3, values, nbits)
+      val d = Grib2.decode(bytes).head
+      val range = values.max - values.min
+      // error sources: one packing quantum + the float32 granularity of the
+      // reference value R (dominates for large-magnitude, small-range fields)
+      val f32ulp = math.ulp(values.min.toFloat).toDouble
+      val quantum = range / ((1L << nbits) - 1).toDouble * 1.01 + 2 * f32ulp + 1e-12
+      d.values.length == values.length &&
+        values.zip(d.values).forall { case (v, got) => math.abs(v - got) <= quantum }
+    })
+  }
 }
