@@ -63,18 +63,24 @@ object Bench {
         try { exhaust(fn(spark, sfDir)); None }
         catch {
           case e: Throwable =>
+            // strip EVERY control character (not just \n\r\t) — one stray
+            // \f in an error message would make the whole line unparseable
             Some(e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+              Option(e.getMessage).getOrElse("")
+                .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160))
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
 
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which on
+    // de/fr JVMs prints a comma decimal separator — invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v, _) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(m)) => s""""$k":"$m"""" }
     val errJson = if (failed.isEmpty) "" else failed.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
     Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     spark.stop()

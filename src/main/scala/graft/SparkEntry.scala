@@ -31,6 +31,18 @@ import graft.transform.Transforms
   */
 object SparkEntry {
 
+  /** The shared d4/d6/d7 pair pipeline: prefix-blocked Jaccard with the
+    * keep/drop decision taken on the 4dp-ROUNDED value (mirrors the oracle;
+    * prefixBlockedJaccard itself thresholds pre-rounding, hence
+    * threshold = 0 here and the explicit rounded filter). One definition so
+    * the three queries and their three oracle mirrors cannot drift apart.
+    */
+  private def d4RoundedPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixBlockedJaccard(t(spark, dir, "documents"), "doc_id", "text",
+      prefixLen = 32, threshold = 0.0)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .filter(col("jaccard") >= 0.35)
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
@@ -385,11 +397,7 @@ object SparkEntry {
     // (the LSH pair path stays exercised by d2/d3).
     "d7_dedup_materialize" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.prefixBlockedJaccard(docs, "doc_id", "text",
-        prefixLen = 32, threshold = 0.0)
-        .withColumn("jaccard", round(col("jaccard"), 4))
-        .filter(col("jaccard") >= 0.35)
-      val losers = Dedup.canonicalize(pairs)
+      val losers = Dedup.canonicalize(d4RoundedPairs(s, d))
         .filter(col("id") =!= col("keeper_id"))
         .select(col("id").as("doc_id"))
       docs.join(losers, Seq("doc_id"), "left_anti")
@@ -479,11 +487,7 @@ object SparkEntry {
     // (threshold 0 in the operator; the 4dp-rounded filter here mirrors the
     // oracle, which also thresholds the ROUNDED value)
     "d4_jaccard_neardup" -> ((s, d) =>
-      Dedup.prefixBlockedJaccard(t(s, d, "documents"), "doc_id", "text",
-        prefixLen = 32, threshold = 0.0)
-        .withColumn("jaccard", round(col("jaccard"), 4))
-        .filter(col("jaccard") >= 0.35)
-        .orderBy("a", "b")),
+      d4RoundedPairs(s, d).orderBy("a", "b")),
 
     // D-dedup: embedding-cosine near-dup within a blocking key
     "d5_embedding_neardup" -> ((s, d) =>
@@ -500,11 +504,7 @@ object SparkEntry {
     // exactness) — the oracle mirrors the label propagation with a
     // recursive-CTE transitive closure
     "d6_canonicalize" -> ((s, d) => {
-      val pairs = Dedup.prefixBlockedJaccard(t(s, d, "documents"), "doc_id", "text",
-        prefixLen = 32, threshold = 0.0)
-        .withColumn("jaccard", round(col("jaccard"), 4))
-        .filter(col("jaccard") >= 0.35)
-      Dedup.canonicalize(pairs).orderBy("id")
+      Dedup.canonicalize(d4RoundedPairs(s, d)).orderBy("id")
     }),
 
     // D-dedup: train/test contamination — per-doc fraction of 8-gram
@@ -1222,12 +1222,16 @@ object SparkEntry {
         |  SELECT doc_id, text,
         |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
         |  FROM documents
+        |), blk AS (
+        |  SELECT substr(norm, 1, 32) AS pfx FROM n
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256
         |), p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
         |         list_distinct(string_split(a.norm, ' ')) AS wa,
         |         list_distinct(string_split(b.norm, ' ')) AS wb
         |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
         |   AND a.doc_id < b.doc_id
+        |  WHERE substr(a.norm, 1, 32) IN (SELECT pfx FROM blk)
         |), j AS (
         |  SELECT a, b,
         |         round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
@@ -1244,12 +1248,16 @@ object SparkEntry {
       """WITH RECURSIVE n AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
         |  FROM documents
+        |), blk AS (
+        |  SELECT substr(norm, 1, 32) AS pfx FROM n
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256
         |), p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
         |         list_distinct(string_split(a.norm, ' ')) AS wa,
         |         list_distinct(string_split(b.norm, ' ')) AS wb
         |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
         |   AND a.doc_id < b.doc_id
+        |  WHERE substr(a.norm, 1, 32) IN (SELECT pfx FROM blk)
         |), j AS (
         |  SELECT a, b,
         |         round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
@@ -1273,12 +1281,16 @@ object SparkEntry {
       """WITH RECURSIVE n AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
         |  FROM documents
+        |), blk AS (
+        |  SELECT substr(norm, 1, 32) AS pfx FROM n
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256
         |), p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
         |         list_distinct(string_split(a.norm, ' ')) AS wa,
         |         list_distinct(string_split(b.norm, ' ')) AS wb
         |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
         |   AND a.doc_id < b.doc_id
+        |  WHERE substr(a.norm, 1, 32) IN (SELECT pfx FROM blk)
         |), j AS (
         |  SELECT a, b,
         |         round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)

@@ -122,14 +122,25 @@ object Dedup {
     * chars) followed by exact word-set Jaccard on let-bound token arrays.
     * Prefix blocking catches the append/truncate near-dup shape; use
     * [[minhashLshPairs]] when edits may hit the document head.
+    *
+    * Blocks are size-capped at `maxBlock` — the same skew guard as the LSH
+    * buckets: N documents sharing one prefix (empty docs, a boilerplate
+    * header) would otherwise expand N²/2 candidate pairs carrying full
+    * token arrays. The pre-filter is a semi-join on the SAME key as the
+    * pair join, so it rides the same shuffle partitioning.
     */
   def prefixBlockedJaccard(df: DataFrame, idCol: String, textCol: String,
-      prefixLen: Int = 32, threshold: Double = 0.35): DataFrame = {
+      prefixLen: Int = 32, threshold: Double = 0.35,
+      maxBlock: Int = 256): DataFrame = {
     val norm = lower(trim(regexp_replace(col(textCol), lit("[^A-Za-z0-9]+"), lit(" "))))
-    val sides = ColOps.parallelize(df).select(
+    val allSides = ColOps.parallelize(df).select(
       col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("ws"),
       substring(norm, 1, prefixLen).as("pfx"))
+    val keep = allSides.groupBy("pfx").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBlock))
+      .select("pfx")
+    val sides = allSides.join(keep, Seq("pfx"), "left_semi")
     val a = sides.select(col("pfx"), col("id").as("a"), col("ws").as("wa"))
     val b = sides.select(col("pfx"), col("id").as("b"), col("ws").as("wb"))
     val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")

@@ -27,11 +27,14 @@ final class HttpFront(service: Service, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/health", (x: HttpExchange) => handleHealth(x))
   server.createContext("/v1/environmental", (x: HttpExchange) => handleEnvironmental(x))
-  server.setExecutor(null) // serve on the dispatch thread; Spark does the heavy work
+  // a small pool, NOT the dispatch thread: one slow query must not starve
+  // /health into liveness-probe flaps
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Starts the server; returns the bound port (useful with port=0). */
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def handleHealth(x: HttpExchange): Unit =
     try {
@@ -42,7 +45,13 @@ final class HttpFront(service: Service, port: Int = 0) {
   private def handleEnvironmental(x: HttpExchange): Unit =
     try {
       if (x.getRequestMethod != "GET") { respond(x, 405, error("method not allowed")); return }
-      val q = queryParams(x)
+      // malformed percent-encoding is a CLIENT error (400), not a 500
+      val q =
+        try queryParams(x)
+        catch {
+          case _: IllegalArgumentException =>
+            respond(x, 400, error("malformed query string")); return
+        }
       RequestValidation.parse(
         q.getOrElse("lat", ""), q.getOrElse("lon", ""),
         q.getOrElse("timestamp", ""), q.getOrElse("variables", "")) match {

@@ -48,9 +48,15 @@ object Deadline {
     }, group)
     runner.setDaemon(true)
     runner.start()
-    runner.join(budget.toMillis)
+    // join(0) means wait-forever — a sub-millisecond budget must still be a
+    // deadline, not the absence of one
+    runner.join(math.max(1L, budget.toMillis))
     if (runner.isAlive) {
-      sc.cancelJobGroup(group)
+      // ...AndFutureJobs: plain cancelJobGroup only reaches jobs active at
+      // this instant — a runner between jobs (planning, AQE stage boundary)
+      // would submit the rest and run unbudgeted to completion
+      sc.cancelJobGroupAndFutureJobs(group)
+      runner.interrupt() // also break driver-side waits between jobs
       Left(ServeError.Timeout(budget.getSeconds))
     } else out
   }

@@ -126,7 +126,13 @@ object Similarity {
         norm(col(embCol)).as("nrm")))
     val d =
       if (dim > 0) dim
-      else corpus.select(size(col(embCol))).limit(1).collect()(0).getInt(0)
+      else {
+        val first = corpus.select(size(col(embCol))).limit(1).collect()
+        if (first.isEmpty) // empty corpus → empty pair set, not a crash
+          return e.sparkSession.emptyDataFrame
+            .select(lit(0L).as("a"), lit(0L).as("b"), lit(0d).as("cosine")).limit(0)
+        first(0).getInt(0)
+      }
     val n = if (nRows >= 0) nRows else corpus.count()
     val bandBits =
       if (bandBitsOverride > 0) bandBitsOverride

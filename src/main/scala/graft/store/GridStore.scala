@@ -137,18 +137,26 @@ final class GridStore(spark: SparkSession, val path: String,
     // recovery = promote either. The aside root lives NEXT TO the store so
     // partition discovery over `path` never sees a non-partition dir.
     import org.apache.hadoop.fs.Path
+    // rename returns FALSE (it does not throw) on several filesystems; an
+    // unchecked failed rename-aside would leave the live dir in place and
+    // the next rename would move the staged dir INSIDE it (Hadoop rename
+    // onto an existing directory is move-into) — silent nesting corruption
+    def renameOrFail(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"compact swap aborted: rename $src -> $dst failed; staged data intact at $staged")
     val oldRoot = new Path(path + ".compact.old")
     fs.delete(oldRoot, true) // clear leftovers from any previously-failed swap
     if (dates.isEmpty) {
-      fs.rename(new Path(path), oldRoot)
-      fs.rename(new Path(staged), new Path(path))
+      renameOrFail(new Path(path), oldRoot)
+      renameOrFail(new Path(staged), new Path(path))
     } else {
       fs.mkdirs(oldRoot)
       dates.foreach { d =>
         val part = s"date=$d"
         val live = new Path(s"$path/$part")
-        if (fs.exists(live)) fs.rename(live, new Path(oldRoot, part))
-        fs.rename(new Path(s"$staged/$part"), live)
+        if (fs.exists(live)) renameOrFail(live, new Path(oldRoot, part))
+        renameOrFail(new Path(s"$staged/$part"), live)
       }
       fs.delete(new Path(staged), true)
     }
