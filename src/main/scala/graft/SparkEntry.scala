@@ -88,6 +88,35 @@ object SparkEntry {
 
     // ── Jackfruit operator surface ────────────────────────────────────────
 
+    // S1/S2 binary path — the real GRIB2 codec, oracle-checked: an
+    // integer-valued field packs with E=0, so encode→decode is value-EXACT
+    // and DuckDB can recompute the decoded frame from the same formula —
+    // an independent first-principles check of the binary decoder
+    // (sections, sign-magnitude coords, bit unpacking, lon normalization).
+    "s3_grib2_decode" -> ((s, _) => {
+      import java.time.LocalDateTime
+      import graft.sources.{Grib, Grib2}
+      val grid = Grib2.GridSpec(ni = 40, nj = 25, lat1Deg = 60.0,
+        lon1Deg = 350.0, dLatDeg = 0.25, dLonDeg = 0.25)
+      val values = Array.tabulate(grid.numPoints)(i => ((i * 37 + 11) % 4096).toDouble)
+      val bytes = Grib2.encode(Grib2.Chemical(40009), grid,
+        LocalDateTime.of(2026, 1, 1, 0, 0), 6, values, nbits = 12)
+      val tmp = java.nio.file.Files.createTempFile("s3-grib2", ".grib2")
+      java.nio.file.Files.write(tmp, bytes)
+      try {
+        val df = Grib.toDataFrame(s, Grib2.CamsGrib2Reader.open(tmp.toString).toSeq)
+        df.groupBy(col("variable"), col("unit"), col("timestamp"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value"), 3).as("sum_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"),
+            min(col("lat")).cast("double").as("min_lat"),
+            max(col("lat")).cast("double").as("max_lat"),
+            min(col("lon")).cast("double").as("min_lon"),
+            max(col("lon")).cast("double").as("max_lon"))
+      } finally java.nio.file.Files.delete(tmp)
+    }),
+
     // S1/S2 + F1 + J2 + F5 + C2 + C3 — full synthetic-GRIB ECMWF pipeline:
     // distributed meshgrid → Europe clip → pivot pairing → Magnus → per-
     // timestamp validation aggregates (A5 shape) + grid-regularity check.
@@ -720,6 +749,29 @@ object SparkEntry {
         |       round(min(rh), 2) AS min_rh, round(max(rh), 2) AS max_rh,
         |       CAST(sum(CAST(rh AS DECIMAL(30,2))) AS DOUBLE) AS sum_rh
         |FROM rhh GROUP BY timestamp ORDER BY timestamp""".stripMargin,
+
+    // s3: the oracle rebuilds the decoded field from the SAME integer
+    // formula — if any decode stage (bit unpacking, R/E scaling, grid
+    // generation, lon normalization) were off, these aggregates would not
+    // match. lon 350..359.75 normalizes to [-10, -0.25]; 0.25-degree steps
+    // are float-exact so the float->double casts agree.
+    "s3_grib2_decode" ->
+      """WITH idx AS (
+        |  SELECT unnest(range(0, 1000)) AS i
+        |), f AS (
+        |  SELECT CAST((i * 37 + 11) % 4096 AS DOUBLE) AS value,
+        |         CAST(60.0 - (i // 40) * 0.25 AS DOUBLE) AS lat,
+        |         CAST(350.0 + (i % 40) * 0.25 - 360.0 AS DOUBLE) AS lon
+        |  FROM idx
+        |)
+        |SELECT 'pm2p5' AS variable, 'kg m-3' AS unit,
+        |       TIMESTAMP '2026-01-01 06:00:00' AS timestamp,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       min(lat) AS min_lat, max(lat) AS max_lat,
+        |       min(lon) AS min_lon, max(lon) AS max_lon
+        |FROM f""".stripMargin,
 
     "s1_cams_pipeline" ->
       """WITH grid AS (
