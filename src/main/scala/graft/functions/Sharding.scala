@@ -17,16 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Sharding {
 
-  /** Write `df` ordered by `orderCol` into `path` as parquet shards of at
-    * most `rowsPerShard` rows. Returns the shard file count.
+  /** Write `df` ordered by `(orderCol, tiebreakCols…)` into `path` as
+    * parquet shards of at most `rowsPerShard` rows. Returns the shard file
+    * count.
+    *
+    * Pass the primary key in `tiebreakCols` whenever `orderCol` can carry
+    * ties (e.g. [[shuffleKey]], whose 10⁴ bucket space collides at corpus
+    * scale) — equal keys otherwise have no defined order and the export
+    * stops being run-reproducible. Pass `nRows` when the caller already
+    * knows the count to skip one full pass; the remaining two passes
+    * (range-bound sampling + write) are inherent to range partitioning.
     */
   def writeShards(df: DataFrame, path: String, orderCol: String,
-      rowsPerShard: Int): Int = {
+      rowsPerShard: Int, tiebreakCols: Seq[String] = Nil,
+      nRows: Long = -1L): Int = {
     require(rowsPerShard > 0, s"rowsPerShard must be positive: $rowsPerShard")
-    val n = df.count()
+    val n = if (nRows >= 0L) nRows else df.count()
     val parts = math.max(1, ((n + rowsPerShard - 1) / rowsPerShard).toInt)
     df.repartitionByRange(parts, col(orderCol))
-      .sortWithinPartitions(orderCol)
+      .sortWithinPartitions((orderCol +: tiebreakCols).map(col): _*)
       .write
       .option("maxRecordsPerFile", rowsPerShard.toLong)
       .mode("overwrite")

@@ -27,9 +27,12 @@ final class HttpFront(service: Service, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/health", (x: HttpExchange) => handleHealth(x))
   server.createContext("/v1/environmental", (x: HttpExchange) => handleEnvironmental(x))
-  // a small pool, NOT the dispatch thread: one slow query must not starve
-  // /health into liveness-probe flaps
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  // a pool, NOT the dispatch thread — and query concurrency bounded BELOW
+  // the pool size by a semaphore, so even with every query slot busy there
+  // is always a free thread for /health (liveness probes must never queue
+  // behind Spark work); saturated query slots answer 503 immediately
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  private val queryPermits = new java.util.concurrent.Semaphore(4)
   server.setExecutor(pool)
 
   /** Starts the server; returns the bound port (useful with port=0). */
@@ -45,6 +48,12 @@ final class HttpFront(service: Service, port: Int = 0) {
   private def handleEnvironmental(x: HttpExchange): Unit =
     try {
       if (x.getRequestMethod != "GET") { respond(x, 405, error("method not allowed")); return }
+      if (!queryPermits.tryAcquire()) { respond(x, 503, error("server busy")); return }
+      try handleEnvironmentalInner(x) finally queryPermits.release()
+    } catch { case _: Throwable => respond(x, 500, error("internal server error")) }
+
+  private def handleEnvironmentalInner(x: HttpExchange): Unit =
+    try {
       // malformed percent-encoding is a CLIENT error (400), not a 500
       val q =
         try queryParams(x)

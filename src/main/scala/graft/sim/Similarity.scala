@@ -128,9 +128,7 @@ object Similarity {
       if (dim > 0) dim
       else {
         val first = corpus.select(size(col(embCol))).limit(1).collect()
-        if (first.isEmpty) // empty corpus → empty pair set, not a crash
-          return e.sparkSession.emptyDataFrame
-            .select(lit(0L).as("a"), lit(0L).as("b"), lit(0d).as("cosine")).limit(0)
+        if (first.isEmpty) return emptyPairs(e) // empty corpus, not a crash
         first(0).getInt(0)
       }
     val n = if (nRows >= 0) nRows else corpus.count()
@@ -141,6 +139,13 @@ object Similarity {
     annPairsWith(e, planes, nBands, bandBits, threshold, maxBucket,
       roundVerify = false)
   }
+
+  /** Zero-row pair frame whose a/b columns carry the REAL id type — a
+    * hardcoded long literal would make the empty-corpus schema diverge
+    * from the non-empty one (string ids, unions, schema-merged writes).
+    */
+  private def emptyPairs(e: DataFrame): DataFrame =
+    e.select(col("id").as("a"), col("id").as("b"), lit(0d).as("cosine")).limit(0)
 
   private def annPairsWith(e: DataFrame, planes: Array[Array[Double]],
       nBands: Int, bandBits: Int, threshold: Double, maxBucket: Int,
@@ -215,9 +220,7 @@ object Similarity {
       corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
         norm(col(embCol)).as("nrm")))
     val firstDim = corpus.select(size(col(embCol))).limit(1).collect()
-    if (firstDim.isEmpty) // empty corpus → empty pair set, not a crash
-      return e.sparkSession.emptyDataFrame
-        .select(lit(0L).as("a"), lit(0L).as("b"), lit(0d).as("cosine")).limit(0)
+    if (firstDim.isEmpty) return emptyPairs(e) // empty corpus, not a crash
     val d = firstDim(0).getInt(0)
     val n = corpus.count()
     val bandBits = bandBitsPortable(n, targetBucket)

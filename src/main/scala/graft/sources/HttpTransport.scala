@@ -83,6 +83,8 @@ object HttpTransport {
   private[graft] def resolve(c: Config, location: String): URI = {
     val base = c.baseUrl.stripSuffix("/")
     if (location.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")) URI.create(location)
+    else if (location.startsWith("//")) // protocol-relative: keep base scheme
+      URI.create(URI.create(base).getScheme + ":" + location)
     else if (location.startsWith("/")) URI.create(base + location)
     else URI.create(base + "/" + location)
   }

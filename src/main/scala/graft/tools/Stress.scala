@@ -47,12 +47,19 @@ object Stress {
 
     def multiplied(k: Int): DataFrame = {
       val copies = spark.range(k.toLong).select(col("id").as("copy"))
+      // suffix AFTER applying the dedup normalization (non-alnum runs → one
+      // space): suffixing raw space-split words would leave punctuated
+      // compounds ("a.b.c") re-splitting into unsuffixed tokens shared
+      // across copies, quietly reintroducing the cross-copy candidate work
+      // this probe exists to rule out
+      val normed = concat_ws(" ",
+        transform(
+          split(lower(trim(regexp_replace(col("text"), lit("[^A-Za-z0-9]+"), lit(" ")))),
+            " ", -1),
+          w => concat(w, lit("x"), col("copy"))))
       docs0.crossJoin(copies)
         .select((col("doc_id") + col("copy") * idStride).as("doc_id"),
-          when(col("copy") === 0, col("text"))
-            .otherwise(concat_ws(" ",
-              transform(split(col("text"), " "),
-                w => concat(w, lit("x"), col("copy"))))).as("text"),
+          when(col("copy") === 0, col("text")).otherwise(normed).as("text"),
           col("lang"))
     }
 
@@ -79,8 +86,11 @@ object Stress {
           graft.functions.Sampling.hashSample(docs, "doc_id", 0.05), "text",
           shingleN = 8).count()
       }
-      println(f"""{"op":"d2_lsh","scale":$k,"n_docs":$n,"sec":$tLsh%.2f,"out_rows":$pairsLsh}""")
-      println(f"""{"op":"d8_contamination","scale":$k,"n_docs":$n,"sec":$tCont%.2f,"out_rows":$rowsCont}""")
+      // Locale.ROOT: the f-interpolator would print comma decimals on
+      // de/fr JVMs — invalid JSON (same fix as Bench)
+      def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+      println(s"""{"op":"d2_lsh","scale":$k,"n_docs":$n,"sec":${num(tLsh)},"out_rows":$pairsLsh}""")
+      println(s"""{"op":"d8_contamination","scale":$k,"n_docs":$n,"sec":${num(tCont)},"out_rows":$rowsCont}""")
       docs.unpersist()
     }
     spark.stop()
