@@ -17,6 +17,8 @@ class DifferentialSpec extends SparkSpec {
     "d3_simhash_pairs",     // SimhashAgg + bit ops
     "d2_minhash_lsh",       // MinhashAgg + LSH pipeline
     "t4_rolling_fingerprint", // native RollingHash codepoint walk
+    "v3_ann_pairs",         // portable ANN: plane dots + bucket expansion
+    "d8_contamination",     // broadcast semi-join + HOF shingles
     "j5_asof_join",         // union + running last window
     "e7_session_window"     // session-window semantics
   )
