@@ -144,6 +144,17 @@ class ServeSpec extends SparkSpec {
     assert(elapsed < 30.0, s"cancellation must not wait out the full scan ($elapsed s)")
   }
 
+  test("T7: a sub-millisecond budget is an immediate deadline, not forever") {
+    // Duration.toMillis == 0 used to hit Thread.join(0) == wait-indefinitely
+    val t0n = System.nanoTime()
+    val out = serve.Deadline.run(spark, java.time.Duration.ofNanos(500000)) {
+      Thread.sleep(5000); 42
+    }
+    val elapsed = (System.nanoTime() - t0n) / 1e9
+    assert(out.isLeft && out.swap.toOption.get.isInstanceOf[serve.ServeError.Timeout])
+    assert(elapsed < 3.0, s"tightest budget must still deadline (took $elapsed s)")
+  }
+
   test("F4/C9: request validation accepts valid, rejects each bad field") {
     val ok = RequestValidation.parse("52.5", "13.4", "2026-01-01T12:00:00Z", "temperature, humidity")
     assert(ok.toOption.get.variables === Seq("temperature", "humidity"))
