@@ -94,6 +94,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)), s"exact dup pair missing from $pairs")
   }
 
+  test("D4: the block cap drops a pathological shared-prefix block whole") {
+    // 600 docs sharing one 32-char normalized prefix (a boilerplate header)
+    // would expand ~180k candidate pairs; the cap drops the block instead
+    val boiler = (1L to 600L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog unique tail $i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixBlockedJaccard(boiler, "doc_id", "text",
+      prefixLen = 32, threshold = 0.0, maxBlock = 256)
+    assert(out.count() === 0L, "an over-cap block must not produce pairs")
+    // under the cap the same corpus pairs normally
+    val small = boiler.filter(col("doc_id") <= 10)
+    assert(Dedup.prefixBlockedJaccard(small, "doc_id", "text",
+      prefixLen = 32, threshold = 0.5).count() > 0L)
+  }
+
   test("D8: contamination rate — benchmark dup flagged 1.0, unrelated 0.0") {
     val benchmark = docs.filter(col("doc_id") === 1L)
     val out = Dedup.contaminationRate(docs, "doc_id", "text", benchmark, "text",
