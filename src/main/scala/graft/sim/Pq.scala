@@ -1,0 +1,114 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColOps
+
+/** Product quantization — the memory side of the 100 TB embedding story:
+  * a d-dim float vector (d·4 bytes) compresses to `m` small codes (m bytes
+  * at k ≤ 256), so a corpus whose raw vectors span terabytes keeps its
+  * codes in a fraction of the space, and approximate distances are
+  * computed WITHOUT touching the original vectors (ADC — asymmetric
+  * distance computation: per probe, an m×k lookup table of sub-distances;
+  * per corpus row, m table lookups and adds).
+  *
+  * Pipeline shape: `fit` is m small sampled KMeans runs (driver-looped —
+  * the loop is over SUBSPACES, never data); `encode` is one narrow map
+  * over the corpus (pure Column expressions, codegen'd — no UDF);
+  * `search` broadcasts the probe's lookup table as a literal and plans as
+  * scan + TakeOrderedAndProject. Compose with [[Ivf]] for IVF-PQ: encode
+  * each inverted list and ADC-scan only the probed lists.
+  */
+object Pq {
+
+  /** `codebooks(j)(c)` is centroid `c` of subspace `j` (length `dsub`). */
+  final case class Model(m: Int, dsub: Int, codebooks: Seq[Seq[Seq[Double]]]) {
+    require(codebooks.length == m)
+    def k: Int = codebooks.head.length
+  }
+
+  /** Fit `m` subspace codebooks of `k` centroids each on a bounded sample.
+    * `dim` must be divisible by `m`.
+    */
+  def fit(corpus: DataFrame, embCol: String, dim: Int, m: Int = 8,
+      k: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      maxFitRows: Int = 100000): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(k >= 2 && k <= 256, s"k out of [2,256]: $k")
+    val dsub = dim / m
+    val sample = corpus
+      .select(col(embCol).cast("array<double>").as("emb"))
+      .limit(maxFitRows).coalesce(4).cache()
+    try {
+      val books = (0 until m).map { j =>
+        val feats = sample.select(
+          array_to_vector(slice(col("emb"), j * dsub + 1, dsub)).as("features"))
+        val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+          .fit(feats)
+        model.clusterCenters.toSeq.map(_.toArray.toSeq)
+      }
+      Model(m, dsub, books)
+    } finally { sample.unpersist(); () }
+  }
+
+  /** Squared distance between a slice of `emb` and a constant centroid —
+    * expanded as `‖x‖² − 2·x·c + ‖c‖²` so the per-row work is one dot
+    * against a literal (codegen'd) plus a precomputed sub-norm.
+    */
+  private def subDist(emb: Column, j: Int, dsub: Int, cent: Seq[Double]): Column = {
+    val x = slice(emb, j * dsub + 1, dsub)
+    val cNorm2 = cent.map(v => v * v).sum
+    Similarity.dot(x, x) - lit(2.0) * Similarity.dot(x, typedlit(cent)) + lit(cNorm2)
+  }
+
+  /** Encode the corpus: adds `codes` — an array of `m` codes, `codes(j)` =
+    * index of the nearest subspace-`j` centroid. Ties break to the lowest
+    * index (struct min compares distance first, then index) so encoding is
+    * deterministic. Narrow, no shuffle.
+    */
+  def encode(corpus: DataFrame, idCol: String, embCol: String,
+      model: Model): DataFrame = {
+    val emb = col(embCol).cast("array<double>")
+    val codeCols = (0 until model.m).map { j =>
+      val cands = (0 until model.k).map { c =>
+        struct(subDist(emb, j, model.dsub, model.codebooks(j)(c)).as("d"),
+          lit(c).as("i"))
+      }
+      array_min(array(cands: _*)).getField("i")
+    }
+    ColOps.parallelize(corpus)
+      .select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: approximate squared distances to `probe` via the probe's
+    * m×k lookup table (computed driver-side — it is m·k doubles, broadcast
+    * as a literal). Plans as scan + TakeOrderedAndProject; the original
+    * vectors are never read.
+    */
+  def search(encoded: DataFrame, model: Model, probe: Seq[Double],
+      topK: Int): DataFrame = {
+    require(probe.length == model.m * model.dsub,
+      s"probe dim ${probe.length} != ${model.m * model.dsub}")
+    val lut: Seq[Seq[Double]] = (0 until model.m).map { j =>
+      val p = probe.slice(j * model.dsub, (j + 1) * model.dsub)
+      (0 until model.k).map { c =>
+        val cent = model.codebooks(j)(c)
+        p.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+    }
+    val lutCol = typedlit(lut)
+    val approx = aggregate(
+      sequence(lit(0), lit(model.m - 1)),
+      lit(0.0),
+      (acc, j) => acc +
+        element_at(element_at(lutCol, j.cast("int") + 1),
+          element_at(col("codes"), j.cast("int") + 1) + 1))
+    encoded.withColumn("approx_dist", approx)
+      .orderBy(col("approx_dist").asc, col("id").asc)
+      .limit(topK)
+      .select(col("id"), col("approx_dist"))
+  }
+}

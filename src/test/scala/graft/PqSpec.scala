@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Pq, Similarity}
+
+/** Product quantization: code validity, determinism, compression shape,
+  * and ADC recall against exact brute force on separable clusters.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 well-separated clusters of 10 vectors in 16 dims
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    (0 until 40).map { i =>
+      val c = i / 10
+      val base = Array.tabulate(16)(d => if (d % 4 == c) 10.0f else 0.0f)
+      (i.toLong, base.map(v => v + rnd.nextFloat() * 0.5f).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private lazy val model = Pq.fit(clustered, "embedding", dim = 16, m = 4, k = 8)
+
+  test("encode: m codes per row, each in [0, k); deterministic") {
+    val codes = Pq.encode(clustered, "vec_id", "embedding", model)
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Int](1)).toMap
+    assert(codes.size === 40)
+    codes.values.foreach { cs =>
+      assert(cs.length === 4)
+      assert(cs.forall(c => c >= 0 && c < 8))
+    }
+    val again = Pq.encode(clustered, "vec_id", "embedding", model)
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Int](1)).toMap
+    assert(codes === again)
+    // compression shape: 4 small codes stand in for 16 floats
+    assert(model.codebooks.length === 4 && model.codebooks.head.length === 8)
+  }
+
+  test("same-cluster vectors share codes more than cross-cluster ones") {
+    val codes = Pq.encode(clustered, "vec_id", "embedding", model)
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Int](1)).toMap
+    def overlap(a: Long, b: Long): Int =
+      codes(a).zip(codes(b)).count(p => p._1 == p._2)
+    val within = (for (a <- 0L to 8L; b <- (a + 1) to 9L) yield overlap(a, b))
+    val across = (for (a <- 0L to 9L; b <- 10L to 19L) yield overlap(a, b))
+    assert(within.sum.toDouble / within.size > across.sum.toDouble / across.size,
+      "PQ codes must reflect cluster structure")
+  }
+
+  test("ADC search recalls the exact nearest neighbors on separable data") {
+    val encoded = Pq.encode(clustered, "vec_id", "embedding", model).cache()
+    val probeRow = clustered.filter($"vec_id" === 5L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val adc = Pq.search(encoded, model, probeRow, topK = 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // exact brute-force top-10 by squared distance
+    val exact = clustered
+      .select(col("vec_id"),
+        (Similarity.dot(col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))
+          - lit(2.0) * Similarity.dot(col("embedding").cast("array<double>"), typedlit(probeRow))).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = adc.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ADC recall@10 too low: $recall (adc=$adc exact=$exact)")
+    encoded.unpersist()
+  }
+
+  test("search never touches the raw vectors (plan reads codes only)") {
+    val encoded = Pq.encode(clustered, "vec_id", "embedding", model)
+    val plan = Pq.search(encoded, model, Seq.fill(16)(0.0), topK = 5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("embedding"), s"raw embedding column leaked into ADC:\n$plan")
+  }
+}
