@@ -41,6 +41,12 @@ final case class SyntheticMessage(
     lons: Array[Double]
 ) extends GribMessage
 
+/** One decoded grid point — the row shape the rest of the engine consumes
+  * (shared by the batch explode and the executor-side streaming decode).
+  */
+final case class GridPoint(variable: String, unit: String, timestamp: Timestamp,
+    lat: Float, lon: Float, value: Double)
+
 object Grib {
 
   /** Longitude normalization to [-180, 180) — a documented historical
@@ -52,21 +58,26 @@ object Grib {
     m
   }
 
+  /** Flatten one message to grid points (boundary normalization applied). */
+  def messagePoints(m: GribMessage): IndexedSeq[GridPoint] = {
+    require(m.values.length == m.lats.length && m.lats.length == m.lons.length,
+      s"ragged grid in ${m.variableName}@${m.timestamp}")
+    m.values.indices.map { i =>
+      GridPoint(m.variableName, m.unit, m.timestamp,
+        m.lats(i).toFloat, normalizeLon(m.lons(i)).toFloat, m.values(i))
+    }
+  }
+
   /** Explode decoded messages into the long row-per-gridpoint DataFrame the
     * rest of the engine consumes. Each message becomes `values.length` rows.
     * Decoding happens message-at-a-time on the driver (messages are ≤~1M
-    * points); the exploded frame is immediately distributed.
+    * points); the exploded frame is immediately distributed. For decode ON
+    * the executors (the 100 TB ingest shape), see
+    * [[graft.streaming.EventStream.gribLandingStream]].
     */
   def toDataFrame(spark: SparkSession, messages: Seq[GribMessage]): DataFrame = {
     import spark.implicits._
-    val rows = messages.flatMap { m =>
-      require(m.values.length == m.lats.length && m.lats.length == m.lons.length,
-        s"ragged grid in ${m.variableName}@${m.timestamp}")
-      m.values.indices.map { i =>
-        (m.variableName, m.unit, m.timestamp,
-          m.lats(i).toFloat, normalizeLon(m.lons(i)).toFloat, m.values(i))
-      }
-    }
-    rows.toDF("variable", "unit", "timestamp", "lat", "lon", "value")
+    messages.flatMap(messagePoints)
+      .toDF("variable", "unit", "timestamp", "lat", "lon", "value")
   }
 }

@@ -403,12 +403,17 @@ object Grib2 {
 
   /** CAMS adapter: constituentType → variable name
     * (`cams_adapter.py:9-12`), unit "kg m-3" (mass density — the engine's canonical spelling, GridFunctions.kgM3ToUgM3).
+    *
+    * `openBytes` is the executor-side entry point: decoding is a pure
+    * function of the payload, so streaming/batch ingestion decodes WHERE
+    * THE BYTES LAND (e.g. a `binaryFile` stream) instead of funneling
+    * files through the driver.
     */
-  object CamsGrib2Reader extends GribReader {
+  object CamsGrib2Reader extends GribReader with Serializable {
     val ConstituentNames: Map[Int, String] = Map(40008 -> "pm10", 40009 -> "pm2p5")
 
-    override def open(path: String): Iterator[GribMessage] =
-      decode(Files.readAllBytes(Paths.get(path))).iterator.map { d =>
+    def openBytes(bytes: Array[Byte]): Iterator[GribMessage] =
+      decode(bytes).iterator.map { d =>
         val ct = d.product match {
           case Chemical(c) => c
           case p => fail(s"CAMS reader expects chemical constituents, got $p")
@@ -417,17 +422,20 @@ object Grib2 {
         val (lats, lons) = gridArrays(d.grid)
         DecodedMessage(name, "kg m-3", d.validTime, d.values, lats, lons)
       }
+
+    override def open(path: String): Iterator[GribMessage] =
+      openBytes(Files.readAllBytes(Paths.get(path)))
   }
 
   /** ECMWF adapter: (category, number) → shortName → variable name
     * (`ecmwf_adapter.py:10-13`), unit K.
     */
-  object EcmwfGrib2Reader extends GribReader {
+  object EcmwfGrib2Reader extends GribReader with Serializable {
     val VariableNames: Map[(Int, Int), String] =
       Map((0, 0) -> "temperature", (0, 6) -> "dewpoint") // 2t, 2d
 
-    override def open(path: String): Iterator[GribMessage] =
-      decode(Files.readAllBytes(Paths.get(path))).iterator.map { d =>
+    def openBytes(bytes: Array[Byte]): Iterator[GribMessage] =
+      decode(bytes).iterator.map { d =>
         val key = d.product match {
           case Meteo(c, n) => (c, n)
           case p => fail(s"ECMWF reader expects meteo products, got $p")
@@ -436,5 +444,8 @@ object Grib2 {
         val (lats, lons) = gridArrays(d.grid)
         DecodedMessage(name, "K", d.validTime, d.values, lats, lons)
       }
+
+    override def open(path: String): Iterator[GribMessage] =
+      openBytes(Files.readAllBytes(Paths.get(path)))
   }
 }

@@ -52,6 +52,33 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous GRIB2 landing-zone ingestion: a `binaryFile` stream over
+    * the raw directory where each arriving file decodes ON THE EXECUTOR
+    * that reads it ([[graft.sources.Grib2]] decode is a pure function of
+    * the payload — nothing funnels through the driver) and explodes into
+    * the engine's grid-point rows. The streaming arm of S1/S2: run with
+    * `Trigger.AvailableNow` for daily catch-up or continuously, and
+    * compose with [[gridSink]] for checkpointed ingestion into the
+    * curated store. At 100 TB this is the ingest shape — decode
+    * parallelism == file-read parallelism, and the exploded rows flow
+    * straight into the date-partitioned sorted writes.
+    */
+  def gribLandingStream(spark: SparkSession, dir: String,
+      decodeBytes: Array[Byte] => Iterator[graft.sources.GribMessage]): DataFrame = {
+    import spark.implicits._
+    // the binaryFile source's fixed schema — streaming sources require it
+    // spelled out even when the format defines it
+    val binarySchema = StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.grib2")
+      .load(dir)
+      .select("content").as[Array[Byte]]
+      .flatMap(bytes => decodeBytes(bytes).flatMap(graft.sources.Grib.messagePoints))
+      .toDF()
+  }
+
   /** Streaming exact dedup: drop duplicate event ids with state bounded by
     * the watermark horizon (`dropDuplicatesWithinWatermark` — re-deliveries
     * arrive close to the original, so state for older ids can be evicted).

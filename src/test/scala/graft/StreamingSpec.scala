@@ -98,6 +98,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("gribLandingStream: arriving GRIB2 files decode on executors into grid rows") {
+    import java.time.LocalDateTime
+    import graft.sources.Grib2
+    val base = tempDir("griblanding")
+    val landing = new java.io.File(s"$base/raw"); landing.mkdirs()
+    val grid = Grib2.GridSpec(6, 4, 55.0, 355.0, 0.5, 0.5)
+    def field(b: Double) = Array.tabulate(grid.numPoints)(i => b + i)
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$base/raw/f1.grib2"),
+      Grib2.encode(Grib2.Chemical(40009), grid, LocalDateTime.of(2026, 1, 2, 0, 0), 0, field(1.0)))
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$base/raw/f2.grib2"),
+      Grib2.encode(Grib2.Chemical(40008), grid, LocalDateTime.of(2026, 1, 2, 0, 0), 1, field(100.0)))
+
+    val stream = EventStream.gribLandingStream(spark, s"$base/raw",
+      graft.sources.Grib2.CamsGrib2Reader.openBytes)
+    EventStream.runAvailableNow(stream, s"$base/sink", s"$base/ckpt").awaitTermination()
+
+    val out = spark.read.parquet(s"$base/sink")
+    assert(out.count() === 48L) // 2 files x 24 points
+    val vars = out.select("variable").distinct().collect().map(_.getString(0)).toSet
+    assert(vars === Set("pm2p5", "pm10"))
+    // decode-boundary lon normalization survived the executor-side path
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    val lons = out.agg(smin("lon"), smax("lon")).collect()(0)
+    assert(lons.getFloat(0) === -5.0f && lons.getFloat(1) === -2.5f)
+    // incremental: re-running with the same checkpoint ingests nothing new
+    EventStream.runAvailableNow(
+      EventStream.gribLandingStream(spark, s"$base/raw",
+        graft.sources.Grib2.CamsGrib2Reader.openBytes),
+      s"$base/sink", s"$base/ckpt").awaitTermination()
+    assert(spark.read.parquet(s"$base/sink").count() === 48L)
+  }
+
   test("dedupStream drops re-delivered events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
