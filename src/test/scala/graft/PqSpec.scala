@@ -66,6 +66,30 @@ class PqSpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("IVF-PQ composition: coarse lists bound the ADC scan") {
+    import graft.sim.Ivf
+    val idx = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    val codes = Pq.encode(
+      idx.lists.select(col("id").as("vec_id"), col("emb").as("embedding")),
+      "vec_id", "embedding", model)
+    val withLists = idx.lists.select(col("id"), col("listId"))
+      .join(codes, Seq("id"))
+    val probe = clustered.filter($"vec_id" === 25L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    // rank centroids exactly (they are tiny and driver-local), probe 2 lists
+    val probedLists = idx.centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(probe).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(2).map(_._2)
+    val candidates = withLists.filter(col("listId").isin(probedLists: _*))
+    val nCandidates = candidates.count()
+    assert(nCandidates < 40, s"probing 2 of 4 lists must bound the scan ($nCandidates)")
+    val hits = Pq.search(candidates.select("id", "codes"), model, probe, topK = 5)
+      .collect().map(_.getAs[Long]("id"))
+    // probe 25 sits in cluster 2 (ids 20-29); its neighbors must dominate
+    assert(hits.count(id => id >= 20 && id <= 29) >= 4,
+      s"IVF-PQ top-5 should come from the probe's cluster: ${hits.toSeq}")
+  }
+
   test("search never touches the raw vectors (plan reads codes only)") {
     val encoded = Pq.encode(clustered, "vec_id", "embedding", model)
     val plan = Pq.search(encoded, model, Seq.fill(16)(0.0), topK = 5)
