@@ -42,6 +42,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"no global window allowed:\n$p")
   }
 
+  test("w1 top-k: the rank filter plans as WindowGroupLimit, not a full sort") {
+    val p = SparkEntry.queries("w1_topk_per_group")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must push a group limit below the window:\n$p")
+  }
+
+  test("a2j3 serving flagship: probes and lineage dims broadcast") {
+    val p = SparkEntry.queries("a2j3_serving_flagship")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"small sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the serving path must not shuffle-join:\n$p")
+  }
+
   test("filter pushdown: contract scans reach parquet with PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"
     // f1 filters lat/lon; f3 filters variable+timestamp — both must reach
