@@ -33,7 +33,12 @@ object Sharding {
       nRows: Long = -1L): Int = {
     require(rowsPerShard > 0, s"rowsPerShard must be positive: $rowsPerShard")
     val n = if (nRows >= 0L) nRows else df.count()
-    val parts = math.max(1, ((n + rowsPerShard - 1) / rowsPerShard).toInt)
+    // Long math then a bounds check — an Int overflow here would clamp a
+    // trillion-row export to ONE range partition (single-executor sort)
+    val partsL = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard)
+    require(partsL <= 10000000L,
+      s"$partsL shards of $rowsPerShard rows — raise rowsPerShard")
+    val parts = partsL.toInt
     df.repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions((orderCol +: tiebreakCols).map(col): _*)
       .write

@@ -50,10 +50,17 @@ final class HttpFront(service: Service, port: Int = 0) {
       if (x.getRequestMethod != "GET") { respond(x, 405, error("method not allowed")); return }
       if (!queryPermits.tryAcquire()) { respond(x, 503, error("server busy")); return }
       try handleEnvironmentalInner(x) finally queryPermits.release()
-    } catch { case _: Throwable => respond(x, 500, error("internal server error")) }
+    } catch {
+      // single catch-all for the whole request; best-effort 500 — if the
+      // failure WAS the response write (client gone mid-body), a second
+      // respond would itself throw, so just close
+      case _: Throwable =>
+        try respond(x, 500, error("internal server error"))
+        catch { case _: Throwable => x.close() }
+    }
 
-  private def handleEnvironmentalInner(x: HttpExchange): Unit =
-    try {
+  private def handleEnvironmentalInner(x: HttpExchange): Unit = {
+    {
       // malformed percent-encoding is a CLIENT error (400), not a 500
       val q =
         try queryParams(x)
@@ -73,7 +80,8 @@ final class HttpFront(service: Service, port: Int = 0) {
             case Left(e: ServeError.Failure)       => respond(x, 500, error("internal server error"))
           }
       }
-    } catch { case _: Throwable => respond(x, 500, error("internal server error")) }
+    }
+  }
 
   private def queryParams(x: HttpExchange): Map[String, String] =
     Option(x.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq

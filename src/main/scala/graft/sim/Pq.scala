@@ -48,20 +48,27 @@ object Pq {
           array_to_vector(slice(col("emb"), j * dsub + 1, dsub)).as("features"))
         val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
           .fit(feats)
-        model.clusterCenters.toSeq.map(_.toArray.toSeq)
+        val centers = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+        // KMeans returns FEWER than k centers on degenerate subspaces (a
+        // constant/zero-padded dim range); pad by repeating the last center
+        // so every codebook is exactly k wide — duplicates are harmless
+        // (argmin ties break to the lowest index)
+        centers ++ Seq.fill(k - centers.length)(centers.last)
       }
       Model(m, dsub, books)
     } finally { sample.unpersist(); () }
   }
 
-  /** Squared distance between a slice of `emb` and a constant centroid —
-    * expanded as `‖x‖² − 2·x·c + ‖c‖²` so the per-row work is one dot
-    * against a literal (codegen'd) plus a precomputed sub-norm.
+  /** Nearest-centroid SCORE for a slice of `emb` against a constant
+    * centroid: `−2·x·c + ‖c‖²`. The `‖x‖²` term of the true squared
+    * distance is identical across a subspace's k candidates, so dropping
+    * it leaves the argmin unchanged and halves the per-candidate work to
+    * ONE dot against a literal (codegen'd) plus a precomputed constant.
     */
-  private def subDist(emb: Column, j: Int, dsub: Int, cent: Seq[Double]): Column = {
+  private def subScore(emb: Column, j: Int, dsub: Int, cent: Seq[Double]): Column = {
     val x = slice(emb, j * dsub + 1, dsub)
     val cNorm2 = cent.map(v => v * v).sum
-    Similarity.dot(x, x) - lit(2.0) * Similarity.dot(x, typedlit(cent)) + lit(cNorm2)
+    lit(cNorm2) - lit(2.0) * Similarity.dot(x, typedlit(cent))
   }
 
   /** Encode the corpus: adds `codes` — an array of `m` codes, `codes(j)` =
@@ -74,7 +81,7 @@ object Pq {
     val emb = col(embCol).cast("array<double>")
     val codeCols = (0 until model.m).map { j =>
       val cands = (0 until model.k).map { c =>
-        struct(subDist(emb, j, model.dsub, model.codebooks(j)(c)).as("d"),
+        struct(subScore(emb, j, model.dsub, model.codebooks(j)(c)).as("d"),
           lit(c).as("i"))
       }
       array_min(array(cands: _*)).getField("i")

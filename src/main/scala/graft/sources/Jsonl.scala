@@ -15,16 +15,25 @@ object Jsonl {
 
   val CorruptCol = "_corrupt_record"
 
-  /** Read `path` with `schema`; returns `(good, quarantined)`.
+  /** A JSONL read split into parsed rows and quarantined raw lines. Call
+    * [[JsonlData.release]] when done — it unpersists the shared cached
+    * scan BOTH frames derive from (unpersisting `good` itself would be a
+    * no-op: Spark uncaches by plan identity, and the cache entry belongs
+    * to the raw parse, not the filtered views).
+    */
+  final case class JsonlData(good: DataFrame, quarantined: DataFrame,
+      private val raw: DataFrame) {
+    def release(): Unit = { raw.unpersist(); () }
+  }
+
+  /** Read `path` with `schema`.
     *
     * The one-cache subtlety: Spark refuses queries that select ONLY the
     * internal corrupt-record column from a raw JSON scan, so the split
     * must happen against a materialized frame — the cache below is load-
-    * bearing, not an optimization. Callers should `unpersist` the good
-    * frame when done.
+    * bearing, not an optimization.
     */
-  def read(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+  def read(spark: SparkSession, path: String, schema: StructType): JsonlData = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not predefine $CorruptCol")
     val raw = spark.read
@@ -33,10 +42,10 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
       .cache()
-    val good = raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
-    val quarantined = raw.filter(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw_line"))
-    (good, quarantined)
+    JsonlData(
+      raw.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      raw.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line")),
+      raw)
   }
 
   /** Write a frame as JSONL shards (one JSON object per line). */

@@ -74,8 +74,20 @@ object EventStream {
       .schema(binarySchema)
       .option("pathGlobFilter", "*.grib2")
       .load(dir)
-      .select("content").as[Array[Byte]]
-      .flatMap(bytes => decodeBytes(bytes).flatMap(graft.sources.Grib.messagePoints))
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        // a corrupt/truncated file (observed mid-copy, bad delivery) must
+        // not wedge the stream: the checkpoint replays the same file set,
+        // so an executor throw here fails EVERY restart identically. Log
+        // and skip the file; the raw bytes stay in the landing zone for
+        // triage (cf. Jsonl's quarantine — here the file IS the quarantine)
+        try decodeBytes(bytes).flatMap(graft.sources.Grib.messagePoints)
+        catch {
+          case e: Exception =>
+            System.err.println(s"[gribLandingStream] skipping corrupt $path: $e")
+            Iterator.empty
+        }
+      }
       .toDF()
   }
 

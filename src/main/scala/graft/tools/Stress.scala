@@ -53,9 +53,7 @@ object Stress {
       // across copies, quietly reintroducing the cross-copy candidate work
       // this probe exists to rule out
       val normed = concat_ws(" ",
-        transform(
-          split(lower(trim(regexp_replace(col("text"), lit("[^A-Za-z0-9]+"), lit(" ")))),
-            " ", -1),
+        transform(Dedup.tokens(col("text")),
           w => concat(w, lit("x"), col("copy"))))
       docs0.crossJoin(copies)
         .select((col("doc_id") + col("copy") * idStride).as("doc_id"),

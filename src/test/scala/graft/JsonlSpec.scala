@@ -25,13 +25,15 @@ class JsonlSpec extends SparkSpec {
         """{"doc_id": 4, "text": "ok", "lang": "de"}"""
       ).mkString("\n").getBytes(StandardCharsets.UTF_8))
 
-    val (good, quarantined) = Jsonl.read(spark, dir, schema)
+    val data = Jsonl.read(spark, dir, schema)
+    val (good, quarantined) = (data.good, data.quarantined)
     assert(good.count() === 3L)
     assert(good.columns.toSeq === Seq("doc_id", "text", "lang"))
     assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 4L))
     val bad = quarantined.collect().map(_.getString(0))
     assert(bad.length === 1 && bad(0).contains("missing comma"),
       "the raw malformed line must be preserved for triage")
+    data.release() // frees the shared cached scan both frames derive from
   }
 
   test("JSONL write round-trips through read with the same schema") {
@@ -39,7 +41,8 @@ class JsonlSpec extends SparkSpec {
     val df = Seq((10L, "alpha", "en"), (11L, "beta", "de"))
       .toDF("doc_id", "text", "lang")
     Jsonl.write(df, s"$dir/out")
-    val (back, quarantined) = Jsonl.read(spark, s"$dir/out", schema)
+    val rt = Jsonl.read(spark, s"$dir/out", schema)
+    val (back, quarantined) = (rt.good, rt.quarantined)
     assert(quarantined.count() === 0L)
     assert(back.orderBy("doc_id").collect().map(r =>
       (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===

@@ -111,6 +111,10 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Path.of(s"$base/raw/f2.grib2"),
       Grib2.encode(Grib2.Chemical(40008), grid, LocalDateTime.of(2026, 1, 2, 0, 0), 1, field(100.0)))
+    // a corrupt delivery must be skipped, not wedge the checkpointed stream
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$base/raw/broken.grib2"),
+      "not a grib file".getBytes("UTF-8"))
 
     val stream = EventStream.gribLandingStream(spark, s"$base/raw",
       graft.sources.Grib2.CamsGrib2Reader.openBytes)
