@@ -104,8 +104,9 @@ object TextAnalysis {
       .select(col(idCol).as("id"), explode(Dedup.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select("id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency from the ALREADY-AGGREGATED tf (one row per
+    // (id, term)), not from a second tokenize-and-distinct over the corpus
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.select(countDistinct(col(idCol)).as("n"))
     tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
