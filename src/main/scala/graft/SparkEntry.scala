@@ -462,6 +462,24 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // P-profiling: per-source corpus curation report — the rollup every
+    // curation pipeline ships (doc counts, token mass, mean quality,
+    // language spread, exact-dup rate by source); one hash aggregate
+    "p2_source_profile" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+          col("lang"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          round(dsum(col("q"), 4) / count(lit(1)), 4).as("avg_quality"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
+        .orderBy("source")),
+
     // T-text: corpus-LM quality — avg unigram log-prob per doc (KenLM-style
     // perplexity filter shape); two hash-aggs + scalar broadcast
     "t9_lm_quality" -> ((s, d) =>
@@ -1024,6 +1042,36 @@ object SparkEntry {
         |      + 0.3 * least(CAST(stop_hits AS DOUBLE) / 3.0, 1.0)
         |      + 0.2 * (CASE WHEN CAST(punct AS DOUBLE) / greatest(nc, 1.0) > 0.1 THEN 0.2 ELSE 1.0 END), 4) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "p2_source_profile" ->
+      """WITH base AS (
+        |  SELECT source, lang,
+        |         md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |         CAST(length(text) AS DOUBLE) AS nc,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntd,
+        |         (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END) AS stop_hits,
+        |         (length(text) - length(replace(text, '.', ''))
+        |          + length(text) - length(replace(text, ',', ''))) AS punct
+        |  FROM documents
+        |), q AS (
+        |  SELECT source, lang, fp, nt,
+        |    round(0.3 * least(nc / 200.0, 1.0)
+        |        + 0.2 * (CASE WHEN (nc - (ntd - 1.0)) / ntd BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+        |        + 0.3 * least(CAST(stop_hits AS DOUBLE) / 3.0, 1.0)
+        |        + 0.2 * (CASE WHEN CAST(punct AS DOUBLE) / greatest(nc, 1.0) > 0.1 THEN 0.2 ELSE 1.0 END), 4) AS q
+        |  FROM base
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(CAST(q AS DECIMAL(30,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "t3_lang_id" ->
       """WITH s AS (
