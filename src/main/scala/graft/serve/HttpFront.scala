@@ -60,26 +60,24 @@ final class HttpFront(service: Service, port: Int = 0) {
     }
 
   private def handleEnvironmentalInner(x: HttpExchange): Unit = {
-    {
-      // malformed percent-encoding is a CLIENT error (400), not a 500
-      val q =
-        try queryParams(x)
-        catch {
-          case _: IllegalArgumentException =>
-            respond(x, 400, error("malformed query string")); return
-        }
-      RequestValidation.parse(
-        q.getOrElse("lat", ""), q.getOrElse("lon", ""),
-        q.getOrElse("timestamp", ""), q.getOrElse("variables", "")) match {
-        case Left(msg) => respond(x, 400, error(msg))
-        case Right(req) =>
-          service.getVariables(req) match {
-            case Right(results)                    => respond(x, 200, body(req, results))
-            case Left(e: ServeError.Missing)       => respond(x, 404, error(e.message))
-            case Left(e: ServeError.Timeout)       => respond(x, 504, error("query timed out"))
-            case Left(e: ServeError.Failure)       => respond(x, 500, error("internal server error"))
-          }
+    // malformed percent-encoding is a CLIENT error (400), not a 500
+    val q =
+      try queryParams(x)
+      catch {
+        case _: IllegalArgumentException =>
+          respond(x, 400, error("malformed query string")); return
       }
+    RequestValidation.parse(
+      q.getOrElse("lat", ""), q.getOrElse("lon", ""),
+      q.getOrElse("timestamp", ""), q.getOrElse("variables", "")) match {
+      case Left(msg) => respond(x, 400, error(msg))
+      case Right(req) =>
+        service.getVariables(req) match {
+          case Right(results)                    => respond(x, 200, body(req, results))
+          case Left(e: ServeError.Missing)       => respond(x, 404, error(e.message))
+          case Left(e: ServeError.Timeout)       => respond(x, 504, error("query timed out"))
+          case Left(e: ServeError.Failure)       => respond(x, 500, error("internal server error"))
+        }
     }
   }
 

@@ -80,8 +80,12 @@ object EventStream {
         // not wedge the stream: the checkpoint replays the same file set,
         // so an executor throw here fails EVERY restart identically. Log
         // and skip the file; the raw bytes stay in the landing zone for
-        // triage (cf. Jsonl's quarantine — here the file IS the quarantine)
+        // triage (cf. Jsonl's quarantine — here the file IS the quarantine).
+        // MATERIALIZE inside the try: the adapters decode lazily, so an
+        // unknown constituent / ragged grid would otherwise throw when
+        // Spark consumes the iterator, OUTSIDE this guard
         try decodeBytes(bytes).flatMap(graft.sources.Grib.messagePoints)
+          .toVector.iterator
         catch {
           case e: Exception =>
             System.err.println(s"[gribLandingStream] skipping corrupt $path: $e")

@@ -47,6 +47,7 @@ class JsonlSpec extends SparkSpec {
     assert(back.orderBy("doc_id").collect().map(r =>
       (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
       Seq((10L, "alpha", "en"), (11L, "beta", "de")))
+    rt.release()
   }
 
   test("a schema predefining the corrupt column is rejected") {

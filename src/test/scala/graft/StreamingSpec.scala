@@ -115,6 +115,11 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Path.of(s"$base/raw/broken.grib2"),
       "not a grib file".getBytes("UTF-8"))
+    // ...including a STRUCTURALLY valid file the adapter rejects lazily
+    // (unknown constituent — thrown from the adapter map, not the decoder)
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(s"$base/raw/unknown.grib2"),
+      Grib2.encode(Grib2.Chemical(40010), grid, LocalDateTime.of(2026, 1, 2, 0, 0), 2, field(7.0)))
 
     val stream = EventStream.gribLandingStream(spark, s"$base/raw",
       graft.sources.Grib2.CamsGrib2Reader.openBytes)
