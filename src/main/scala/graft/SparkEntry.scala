@@ -249,6 +249,26 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // J7 — bloom-pruned equi-join: a selective build-side predicate becomes
+    // a codegen'd sketch probe ON THE SCAN of the big side, so pruned rows
+    // never reach the join exchange; the exact join behind it makes false
+    // positives free, so the result equals the plain join (the oracle)
+    "j7_bloom_prune_join" -> ((s, d) => {
+      val sel = t(s, d, "orders").filter(col("o_totalprice") > 450000.0)
+        .select("o_orderkey")
+      graft.functions.BloomSketch
+        .prunedJoin(t(s, d, "lineitem"), "l_orderkey", sel, "o_orderkey",
+          expectedBuildKeys = -1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          // scale 4, not 2: a 2dp price × a 2dp discount factor is EXACTLY a
+          // 4dp number, so the double→decimal cast never sits on a rounding
+          // tie (at scale 2 the two engines split .xx5 ties differently)
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
     // A1/W2 — keep-latest dedup (the ReplacingMergeTree FINAL semantic)
     "a1_keep_latest" -> ((s, d) =>
       Replacing.latest(t(s, d, "events"),
@@ -462,6 +482,24 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // SM-sampling: token-budget domain mixing — cap each source's token
+    // mass at a budget with data-derived per-source rates (tiny aggregate,
+    // broadcast back) and deterministic md5-bucket membership; result is a
+    // per-source mix report
+    "sm3_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      graft.functions.Sampling
+        .tokenBudgetSample(docs, "doc_id", "source", "nt", budget = 800L)
+        .groupBy("source")
+        .agg(max(col("stratum_tokens")).as("stratum_tokens"),
+          max(col("keep_buckets")).as("keep_buckets"),
+          count(lit(1)).as("n_kept"),
+          sum(col("nt")).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
     // P-profiling: per-source corpus curation report — the rollup every
     // curation pipeline ships (doc counts, token mass, mean quality,
     // language spread, exact-dup rate by source); one hash aggregate
@@ -479,6 +517,39 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
         .orderBy("source")),
+
+    // P-PII: detect + redact emails/IPv4s/phones (the pre-release scrub).
+    // The corpus is synthetic word-salad, so each doc gets a deterministic
+    // PII-bearing suffix DERIVED FROM ITS OWN KEY (same expression in the
+    // oracle) — redaction then exercises both match and no-match paths and
+    // the redacted text is compared byte-for-byte
+    "p3_pii_redact" -> ((s, d) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example from 10."),
+        col("doc_id") % 256, lit(".0.1"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" tel 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+          .otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), withPii.as("pii_text"))
+        .select(col("doc_id"),
+          graft.text.Pii.emailCount(col("pii_text")).cast("long").as("n_emails"),
+          graft.text.Pii.ipv4Count(col("pii_text")).cast("long").as("n_ips"),
+          graft.text.Pii.phoneCount(col("pii_text")).cast("long").as("n_phones"),
+          graft.text.Pii.redact(col("pii_text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // T-text: Gopher-style repetition filter — duplicate / top 2-gram
+    // fractions with a keep decision on the ROUNDED values (deterministic
+    // across engines)
+    "t10_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text", n = 2)
+        .select(col("id").as("doc_id"), col("n_grams").as("n_2grams"),
+          col("dup_frac").as("dup_2gram_frac"), col("top_frac").as("top_2gram_frac"),
+          (col("dup_frac") <= 0.03 && col("top_frac") <= 0.04).as("keep"))
+        .orderBy("doc_id")),
 
     // T-text: corpus-LM quality — avg unigram log-prob per doc (KenLM-style
     // perplexity filter shape); two hash-aggs + scalar broadcast
@@ -913,6 +984,15 @@ object SparkEntry {
         |FROM events e JOIN iv ON e.value BETWEEN lo AND hi
         |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
 
+    // j7: the bloom prune is exactness-preserving (no false negatives; the
+    // exact join absorbs false positives), so the oracle is the PLAIN join
+    "j7_bloom_prune_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "a1_keep_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,
@@ -1073,6 +1153,55 @@ object SparkEntry {
         |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
+    // p3: same synthetic-suffix construction, same regexes (Java/RE2
+    // dialect intersection), byte-for-byte redaction compare; DuckDB
+    // needs the 'g' flag to mirror Spark's replace-all
+    "p3_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@mail.example from 10.'
+        |              || (doc_id % 256) || '.0.1'
+        |              || CASE WHEN doc_id % 3 = 0
+        |                      THEN ' tel 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |                      ELSE '' END AS pii_text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(pii_text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(pii_text, '\b[0-9]{3}-[0-9]{2,4}(-[0-9]{2,4})?\b')) AS BIGINT) AS n_phones,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |         '\b[0-9]{3}-[0-9]{2,4}(-[0-9]{2,4})?\b', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // t10: n-gram slots from a correlated range-unnest; sum() goes HUGEINT
+    // in DuckDB, so every counter is cast back to BIGINT; keep compares the
+    // ROUNDED fractions (deterministic across engines)
+    "t10_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), grams AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram FROM (
+        |    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks
+        |  )
+        |), g AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+        |), st AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot, count(*) AS dis, max(c) AS topc
+        |  FROM g GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(tot, 0) AS n_2grams,
+        |       round(CASE WHEN tot > 0 THEN CAST(tot - dis AS DOUBLE) / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) AS dup_2gram_frac,
+        |       round(CASE WHEN tot > 0 THEN CAST(topc AS DOUBLE) / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) AS top_2gram_frac,
+        |       (round(CASE WHEN tot > 0 THEN CAST(tot - dis AS DOUBLE) / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) <= 0.03
+        |        AND round(CASE WHEN tot > 0 THEN CAST(topc AS DOUBLE) / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) <= 0.04) AS keep
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "t3_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents
@@ -1139,6 +1268,28 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000 WHEN 'zh' THEN 10000
         |            ELSE 2500 END
         |ORDER BY doc_id""".stripMargin,
+
+    // sm3: data-derived per-source rate → floor(min(1, budget/total)·10⁴)
+    // in IEEE double (engine-exact), then the sm1 md5 bucket for membership
+    "sm3_token_budget" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents
+        |), totals AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS stratum_tokens FROM docs GROUP BY source
+        |), thr AS (
+        |  SELECT source, stratum_tokens,
+        |         CAST(floor(least(1.0, 800.0 / CAST(stratum_tokens AS DOUBLE)) * 10000) AS BIGINT) AS keep_buckets
+        |  FROM totals
+        |)
+        |SELECT source,
+        |       max(stratum_tokens) AS stratum_tokens,
+        |       max(keep_buckets) AS keep_buckets,
+        |       count(*) AS n_kept,
+        |       CAST(sum(nt) AS BIGINT) AS kept_tokens
+        |FROM docs JOIN thr USING (source)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < keep_buckets
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // t9: per-token log-probs round to 9dp (absorbs last-ULP ln divergence)
     // and sum as exact DECIMAL (order-independent) — same determinism

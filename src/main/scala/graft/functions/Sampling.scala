@@ -27,6 +27,31 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < (fraction * Buckets).toLong)
   }
 
+  /** Token-budget domain mixing: downsample each stratum (source, domain,
+    * language) to at most `budget` tokens of expected mass, keeping small
+    * strata whole — the "cap the dominant crawl, keep the rare book corpus"
+    * move of training-mix assembly.
+    *
+    * Per-stratum rates are DERIVED FROM THE DATA in one tiny aggregate
+    * (stratum → token total, broadcast back), then membership is the same
+    * deterministic md5 bucket as [[hashSample]] — so the mix is stable
+    * across runs/engines/cluster sizes and nests under rate changes. The
+    * rate→bucket conversion floors `min(1, budget/total) · Buckets` in
+    * IEEE double, which every engine reproduces exactly.
+    *
+    * Scale: aggregate + broadcast join + scan-local filter; the only
+    * shuffle is the stratum aggregate (stratum-count-sized, not data-sized).
+    */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, strataCol: String,
+      nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val totals = df.groupBy(col(strataCol)).agg(sum(col(nTokensCol)).as("stratum_tokens"))
+    val thr = floor(least(lit(1.0),
+      lit(budget.toDouble) / col("stratum_tokens").cast("double")) * Buckets).cast("long")
+    df.join(broadcast(totals.withColumn("keep_buckets", thr)), Seq(strataCol))
+      .filter(hashBucket(col(keyCol)) < col("keep_buckets"))
+  }
+
   /** Per-stratum deterministic sampling: each stratum gets its own fraction
     * (e.g. downsample the dominant language, keep all of the rare one).
     */

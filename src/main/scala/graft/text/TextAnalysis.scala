@@ -194,6 +194,42 @@ object TextAnalysis {
         floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
   }
 
+  /** Gopher-style repetition statistics: the fraction of token n-gram slots
+    * occupied by repeats (`dup_frac = 1 − distinct/total`) and the share of
+    * the single most frequent n-gram (`top_frac = max_count/total`), the two
+    * filters that catch boilerplate and degenerate loops that plain length/
+    * quality heuristics miss.
+    *
+    * Plan shape is the TF-IDF skeleton: one executor-local explode of the
+    * n-gram array, two hash aggregates ((doc, gram) counts → per-doc stats),
+    * then a join back to the full document list so under-length documents
+    * (fewer than n tokens) still report zero grams instead of vanishing.
+    * Linear in corpus size — no quadratic stage, nothing driver-side.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val grams = graft.functions.ColOps.parallelize(base)
+      .filter(size(split(col("text"), " ", -1)) >= n)
+      .select(col("id"),
+        explode(graft.functions.ColOps.bindLet(split(col("text"), " ", -1), ws =>
+          transform(sequence(lit(1), size(ws) - lit(n - 1)),
+            i => concat_ws(" ", slice(ws, i, lit(n)))))).as("gram"))
+    val counts = grams.groupBy("id", "gram").agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy("id").agg(
+      sum("c").as("tot"), count(lit(1)).as("dis"), max("c").as("topc"))
+    base.select(col("id")).join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("tot"), lit(0L)).as("n_grams"),
+        round(when(col("tot") > 0,
+          (col("tot") - col("dis")).cast("double") / col("tot").cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"),
+        round(when(col("tot") > 0,
+          col("topc").cast("double") / col("tot").cast("double"))
+          .otherwise(lit(0.0)), 6).as("top_frac"))
+  }
+
   /** Polynomial rolling hash (h·31 + codepoint, mod 1e9+7) over the
     * normalized text — the incremental-hash flavor of fingerprinting (cheap
     * to extend, engine-portable integer arithmetic; same value from DuckDB's

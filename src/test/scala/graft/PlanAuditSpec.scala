@@ -57,6 +57,22 @@ class PlanAuditSpec extends SparkSpec {
       s"the serving path must not shuffle-join:\n$p")
   }
 
+  test("j7 bloom prune: the sketch probe filters the probe side BELOW the join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val big = spark.range(0, 2000).select(col("id").as("k"), col("id").as("v"))
+    val small = spark.range(0, 50).select((col("id") * 3).as("bk"))
+    val df = graft.functions.BloomSketch.prunedJoin(big, "k", small, "bk")
+    val join = df.queryExecution.optimizedPlan.collectFirst { case j: Join => j }
+    assert(join.isDefined, "no join in the pruned-join plan")
+    val probeFiltered = join.get.left.collectFirst {
+      case f: Filter
+          if f.condition.find(_.isInstanceOf[graft.functions.BloomContains]).isDefined =>
+        f
+    }
+    assert(probeFiltered.isDefined,
+      s"bloom probe must prune the scan side below the join:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("filter pushdown: contract scans reach parquet with PushedFilters") {
     val sfDir = "/root/testdata/sf0.001"
     // f1 filters lat/lon; f3 filters variable+timestamp — both must reach

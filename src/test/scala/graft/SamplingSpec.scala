@@ -44,6 +44,24 @@ class SamplingSpec extends SparkSpec {
     assert(first.sameElements(again))
   }
 
+  test("token-budget mixing caps the big stratum, keeps the small one whole") {
+    val df = spark.range(0, 1000).select(col("id"),
+      when(col("id") < 900, "big").otherwise("rare").as("src"),
+      lit(10L).as("nt"))
+    // big: 9000 tokens → rate 1000/9000 ≈ 0.111; rare: 1000 ≤ budget → rate 1
+    val out = Sampling.tokenBudgetSample(df, "id", "src", "nt", budget = 1000L)
+    val by = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("rare") === 100L, s"small stratum must be kept whole, got ${by("rare")}")
+    assert(math.abs(by("big") / 900.0 - 0.111) < 0.05,
+      s"big stratum rate ${by("big") / 900.0} far from budget/total")
+    // determinism: the same call keeps the same rows
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.tokenBudgetSample(df, "id", "src", "nt", budget = 1000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === again)
+  }
+
   test("stratified fractions apply per stratum, default drops") {
     val df = spark.range(10000)
       .select(col("id"), (col("id") % 2 === 0).cast("string").as("s"))

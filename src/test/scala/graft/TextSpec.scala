@@ -7,6 +7,35 @@ import graft.text.TextAnalysis
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pii: counts and redacts emails, ips, phones; leaves clean text alone") {
+    import graft.text.Pii
+    val df = Seq(
+      (1L, "write to bob.smith@corp.example or 192.168.0.1 tel 555-0123"),
+      (2L, "no pii here at all")
+    ).toDF("id", "text")
+      .select(col("id"),
+        Pii.emailCount(col("text")).as("e"), Pii.ipv4Count(col("text")).as("i"),
+        Pii.phoneCount(col("text")).as("p"), Pii.redact(col("text")).as("r"))
+      .orderBy("id").collect()
+    assert(df(0).getInt(1) === 1 && df(0).getInt(2) === 1 && df(0).getInt(3) === 1)
+    assert(df(0).getString(4) === "write to <EMAIL> or <IP> tel <PHONE>")
+    assert(df(1).getInt(1) === 0 && df(1).getInt(2) === 0 && df(1).getInt(3) === 0)
+    assert(df(1).getString(4) === "no pii here at all")
+  }
+
+  test("repetition stats: duplicate and top 2-gram fractions, short docs kept") {
+    val df = Seq((1L, "a b a b c"), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(df, "doc_id", "text", n = 2)
+      .orderBy("id").collect()
+    // grams of doc 1: "a b", "b a", "a b", "b c" → tot 4, distinct 3, top 2
+    assert(rows(0).getLong(1) === 4L)
+    assert(rows(0).getDouble(2) === 0.25)
+    assert(rows(0).getDouble(3) === 0.5)
+    // doc 2 has one token — zero grams, but it still appears
+    assert(rows(1).getLong(1) === 0L)
+    assert(rows(1).getDouble(2) === 0.0 && rows(1).getDouble(3) === 0.0)
+  }
+
   test("token counts: whitespace and BPE-ish regex") {
     val df = Seq("hello world 42", "a-b c! d").toDF("text")
       .select(TextAnalysis.tokenCount(col("text")).as("n"),
