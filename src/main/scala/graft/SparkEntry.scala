@@ -551,6 +551,33 @@ object SparkEntry {
           (col("dup_frac") <= 0.03 && col("top_frac") <= 0.04).as("keep"))
         .orderBy("doc_id")),
 
+    // T-text: the integrated curation decision — language ID, quality
+    // score, repetition, and length rules composed into one keep/reason
+    // verdict per document (the C4/Gopher-style filter chain as ONE plan:
+    // the rule columns are a single scan-local projection; the only
+    // shuffles are the two t10 hash aggregates and the linear join back).
+    // All thresholds compare ROUNDED values, so the verdict reproduces
+    // exactly in any engine
+    "t11_filter_pipeline" -> ((s, d) => {
+      val rep = TextAnalysis.repetitionStats(t(s, d, "documents"),
+        "doc_id", "text", n = 2)
+        .select(col("id").as("doc_id"), col("dup_frac"))
+      val base = t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val reason = when(col("lang_pred") === "und", "lang")
+        .when(col("n_tokens") < 20, "length")
+        .when(col("quality") < 0.8, "quality")
+        .when(col("dup_frac") > 0.05, "repetition")
+        .otherwise("ok")
+      base.join(rep, Seq("doc_id"))
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          col("n_tokens"), col("dup_frac").as("dup_2gram_frac"),
+          reason.as("reason"), (reason === "ok").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // T-text: corpus-LM quality — avg unigram log-prob per doc (KenLM-style
     // perplexity filter shape); two hash-aggs + scalar broadcast
     "t9_lm_quality" -> ((s, d) =>
@@ -636,6 +663,15 @@ object SparkEntry {
           col("n_contaminated"), col("rate"))
         .orderBy("doc_id")
     }),
+
+    // D-dedup: cross-document duplicated-span detection (substring-level
+    // dedup) — disjoint 16-token chunks fingerprinted, counted across docs,
+    // folded to a per-doc duplicated-span fraction; TF-IDF plan shape
+    "d9_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(t(s, d, "documents"), "doc_id", "text", window = 16)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          col("dup_span_frac"))
+        .orderBy("doc_id")),
 
     // T-text: corpus vocabulary statistics (explode + distinct at scale)
     "t5_vocab_stats" -> ((s, d) => {
@@ -1202,6 +1238,92 @@ object SparkEntry {
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // t11: the t3 + t2 + t10 oracle fragments composed; every threshold
+    // compares a ROUNDED value so the verdict is engine-exact
+    "t11_filter_pipeline" ->
+      """WITH s AS (
+        |  SELECT doc_id, ' ' || text || ' ' AS p FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' to ') THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' nicht ') THEN 1 ELSE 0 END) AS s_de,
+        |    (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' que ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' una ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' por ') THEN 1 ELSE 0 END) AS s_es,
+        |    (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' une ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' dans ') THEN 1 ELSE 0 END) AS s_fr,
+        |    (CASE WHEN contains(p, ' 的 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 是 ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' 了 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 在 ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' 我 ') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM s
+        |), lp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+        |         WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM sc
+        |), q0 AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS DOUBLE) AS nc,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |         (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END) AS stop_hits,
+        |         (length(text) - length(replace(text, '.', ''))
+        |          + length(text) - length(replace(text, ',', ''))) AS punct
+        |  FROM documents
+        |), ql AS (
+        |  SELECT doc_id,
+        |    round(0.3 * least(nc / 200.0, 1.0)
+        |        + 0.2 * (CASE WHEN (nc - (nt - 1.0)) / nt BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+        |        + 0.3 * least(CAST(stop_hits AS DOUBLE) / 3.0, 1.0)
+        |        + 0.2 * (CASE WHEN CAST(punct AS DOUBLE) / greatest(nc, 1.0) > 0.1 THEN 0.2 ELSE 1.0 END), 4) AS quality
+        |  FROM q0
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), grams AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram FROM (
+        |    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks
+        |  )
+        |), g AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+        |), st AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot, count(*) AS dis
+        |  FROM g GROUP BY doc_id
+        |), rep AS (
+        |  SELECT d.doc_id,
+        |         round(CASE WHEN tot > 0 THEN CAST(tot - dis AS DOUBLE) / CAST(tot AS DOUBLE) ELSE 0.0 END, 6) AS dupf
+        |  FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |), base AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+        |)
+        |SELECT b.doc_id, lang_pred, quality, n_tokens, dupf AS dup_2gram_frac,
+        |       CASE WHEN lang_pred = 'und' THEN 'lang'
+        |            WHEN n_tokens < 20 THEN 'length'
+        |            WHEN quality < 0.8 THEN 'quality'
+        |            WHEN dupf > 0.05 THEN 'repetition'
+        |            ELSE 'ok' END AS reason,
+        |       (CASE WHEN lang_pred = 'und' THEN 'lang'
+        |             WHEN n_tokens < 20 THEN 'length'
+        |             WHEN quality < 0.8 THEN 'quality'
+        |             WHEN dupf > 0.05 THEN 'repetition'
+        |             ELSE 'ok' END = 'ok') AS keep
+        |FROM base b
+        |JOIN lp ON lp.doc_id = b.doc_id
+        |JOIN ql ON ql.doc_id = b.doc_id
+        |JOIN rep ON rep.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
     "t3_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents
@@ -1467,6 +1589,29 @@ object SparkEntry {
         |             / CAST(len(s.sh) AS DOUBLE), 4) AS rate
         |FROM s LEFT JOIN h ON h.id = s.id
         |ORDER BY doc_id""".stripMargin,
+
+    // d9: the t7 chunk idiom with stride = window (disjoint spans), then
+    // fingerprint → distinct-doc count → per-doc fold
+    "d9_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), c AS (
+        |  SELECT doc_id, ws,
+        |         greatest(CAST(ceil((len(ws) - 16) / 16.0) AS BIGINT) + 1, 1) AS nc
+        |  FROM toks
+        |), chunks AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_slice(ws, CAST(i*16 AS INT) + 1,
+        |                                        CAST(i*16 AS INT) + 16), ' ')) AS fp
+        |  FROM (SELECT doc_id, ws, unnest(range(0, nc)) AS i FROM c)
+        |), byfp AS (
+        |  SELECT fp, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_span_frac
+        |FROM chunks JOIN byfp USING (fp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d4_jaccard_neardup" ->
       """WITH n AS (

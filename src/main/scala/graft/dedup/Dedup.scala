@@ -453,4 +453,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }
+
+  /** Cross-document duplicated-SPAN detection — the substring-level dedup
+    * pass (à la "Deduplicating Training Data Makes Language Models Better"):
+    * doc-level MinHash misses a boilerplate paragraph pasted into thousands
+    * of otherwise-distinct pages; this finds it by fingerprinting disjoint
+    * `window`-token chunks and counting, per document, how many of its
+    * chunks also occur in ANOTHER document.
+    *
+    * Plan: executor-local chunk explode (t7 machinery, stride = window), an
+    * md5 fingerprint per chunk, one hash aggregate (fingerprint →
+    * distinct-doc count), a linear join back, one per-doc aggregate.
+    * Nothing quadratic, nothing driver-side; at 100 TB this is the TF-IDF
+    * plan shape over ~n_tokens/window rows.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16): DataFrame = {
+    val chunks = ColOps.parallelize(df)
+      .select(col(idCol).as("id"),
+        explode(graft.text.TextAnalysis.chunkWindows(col(textCol), window, window))
+          .as("chunk"))
+      .select(col("id"), md5(col("chunk")).as("fp"))
+    val byFp = chunks.groupBy("fp").agg(countDistinct(col("id")).as("nd"))
+    chunks.join(byFp, Seq("fp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_span_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
+  }
 }

@@ -145,4 +145,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
     assert(out.toSet === Set((1L, 2L)))
   }
+
+  test("D9: dupSpans flags a boilerplate span shared across documents") {
+    val span = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, span + " " + (1 to 16).map(i => s"x$i").mkString(" ")),
+      (2L, span + " " + (1 to 16).map(i => s"y$i").mkString(" ")),
+      (3L, (1 to 32).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dupSpans(docs, "doc_id", "text", window = 16)
+      .orderBy("id").collect()
+    // docs 1 and 2 share exactly their first 16-token chunk; doc 3 is clean
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    assert(rows(0).getDouble(3) === 0.5)
+  }
 }
