@@ -1191,7 +1191,10 @@ object SparkEntry {
 
     // p3: same synthetic-suffix construction, same regexes (Java/RE2
     // dialect intersection), byte-for-byte redaction compare; DuckDB
-    // needs the 'g' flag to mirror Spark's replace-all
+    // needs the 'g' flag to mirror Spark's replace-all. Counts run on the
+    // progressively redacted text (emails on original, IPs on the
+    // email-redacted text, phones after email+IP) so n_X always equals the
+    // number of <X> tags in the output — same chain as graft.text.Pii
     "p3_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,
@@ -1201,17 +1204,20 @@ object SparkEntry {
         |                      THEN ' tel 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
         |                      ELSE '' END AS pii_text
         |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, pii_text,
+        |         regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t_email,
+        |         regexp_replace(
+        |           regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t_ip
+        |  FROM p
         |)
         |SELECT doc_id,
         |       CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |       CAST(len(regexp_extract_all(pii_text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
-        |       CAST(len(regexp_extract_all(pii_text, '\b[0-9]{3}-[0-9]{2,4}(-[0-9]{2,4})?\b')) AS BIGINT) AS n_phones,
-        |       regexp_replace(
-        |         regexp_replace(
-        |           regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-        |         '\b[0-9]{3}-[0-9]{2,4}(-[0-9]{2,4})?\b', '<PHONE>', 'g') AS redacted
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |       CAST(len(regexp_extract_all(t_email, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(t_ip, '\b[0-9]{3}-[0-9]{2,4}(-[0-9]{2,4})?\b')) AS BIGINT) AS n_phones,
+        |       regexp_replace(t_ip, '\b[0-9]{3}-[0-9]{2,4}(-[0-9]{2,4})?\b', '<PHONE>', 'g') AS redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // t10: n-gram slots from a correlated range-unnest; sum() goes HUGEINT
     // in DuckDB, so every counter is cast back to BIGINT; keep compares the

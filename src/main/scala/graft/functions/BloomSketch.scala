@@ -79,12 +79,17 @@ object BloomSketch {
   }
 
   /** Bits for `n` keys at `bitsPerKey`, rounded up to a power of two
-    * (min 1024 so tiny builds still get a meaningful space).
+    * (min 1024 so tiny builds still get a meaningful space). Capped at the
+    * documented task-binary envelope: 2^27 bits = 16 MiB (≈10⁷ keys at
+    * 10 bits/key) — beyond that the sketch no longer belongs in the task
+    * binary and the caller should fall back to a shuffle semi-join.
     */
   def sizeBits(n: Long, bitsPerKey: Int = 10): Int = {
     require(n >= 0 && bitsPerKey > 0)
     val want = math.max(1024L, n * bitsPerKey)
-    require(want <= (1L << 30), s"bloom over 2^30 bits ($want) — use a semi-join")
+    require(want <= (1L << 27),
+      s"bloom over 2^27 bits ($want bits > 16 MiB task-shipped sketch) — " +
+        "use a shuffle semi-join instead")
     java.lang.Long.highestOneBit(math.max(1024L, want * 2 - 1)).toInt
   }
 
@@ -119,10 +124,21 @@ object BloomSketch {
     */
   def prunedJoin(probe: DataFrame, probeKey: String, buildSide: DataFrame,
       buildKey: String, expectedBuildKeys: Long = -1, numHashes: Int = 5): DataFrame = {
+    // xxhash64 is type-sensitive (INT 5 and BIGINT 5 hash differently) while
+    // the equi-join behind the sketch coerces types — a type mismatch here
+    // would turn coercion into bloom FALSE NEGATIVES that silently drop
+    // matching rows. Refuse up front; the caller casts one side explicitly.
+    val pt = probe.schema(probeKey).dataType
+    val bt = buildSide.schema(buildKey).dataType
+    require(pt == bt,
+      s"prunedJoin key types must match exactly ($probeKey: ${pt.simpleString} " +
+        s"vs $buildKey: ${bt.simpleString}) — xxhash64 is type-sensitive, so a " +
+        "coerced join would see bloom false negatives; cast one side first")
     val n = if (expectedBuildKeys > 0) expectedBuildKeys else buildSide.count()
-    val words = build(buildSide, col(buildKey), sizeBits(n), numHashes)
-    probe.filter(mightContain(col(probeKey), words, numHashes))
-      .join(buildSide, col(probeKey) === col(buildKey))
+    val words = build(buildSide, buildSide(buildKey), sizeBits(n), numHashes)
+    // DataFrame-apply disambiguates same-named keys on the two sides.
+    probe.filter(mightContain(probe(probeKey), words, numHashes))
+      .join(buildSide, probe(probeKey) === buildSide(buildKey))
   }
 }
 

@@ -23,6 +23,23 @@ class TextSpec extends SparkSpec {
     assert(df(1).getString(4) === "no pii here at all")
   }
 
+  test("pii: overlapping categories — counts match the tags actually emitted") {
+    import graft.text.Pii
+    // '123-45@mail.example' matches BOTH the phone and email patterns; the
+    // email stage wins (it runs first), so n_phones must NOT report a match
+    // that never appears as <PHONE> in the redacted output
+    val r = Seq((1L, "reach me at 123-45@mail.example ok")).toDF("id", "text")
+      .select(
+        Pii.emailCount(col("text")).as("e"),
+        Pii.phoneCount(col("text")).as("p"),
+        Pii.redact(col("text")).as("r"))
+      .head()
+    assert(r.getInt(0) === 1)
+    assert(r.getString(2) === "reach me at <EMAIL> ok")
+    assert(r.getInt(1) === 0,
+      "phone count must be taken on the email-redacted text")
+  }
+
   test("repetition stats: duplicate and top 2-gram fractions, short docs kept") {
     val df = Seq((1L, "a b a b c"), (2L, "x")).toDF("doc_id", "text")
     val rows = TextAnalysis.repetitionStats(df, "doc_id", "text", n = 2)
