@@ -712,10 +712,14 @@ object SparkEntry {
         .orderBy("a", "b")),
 
     // V-similarity: IVF-flat ANN — KMeans coarse quantizer, nProbe nearest
-    // inverted lists, exact cosine top-k within candidates (rows-only)
+    // inverted lists, exact cosine top-k within candidates. The fitted
+    // centroids are persisted to a fixed path so the oracle reproduces
+    // assignment + probe selection + top-k from the same doubles (the
+    // KMeans FIT is not portable; everything downstream of it is)
     "v5_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/v5_ivf")
       Ivf.search(idx, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         nProbe = 4, k = 5)
         .withColumn("cosine", round(col("cosine"), 6))
@@ -740,7 +744,8 @@ object SparkEntry {
         .orderBy("media_id")),
 
     // M-multimodal: full decode/feature-extract pipeline over binary payloads
-    // (mapPartitions batch transform; stubbed codec — rows-only)
+    // (mapPartitions batch transform; portable md5 stub codec, so the whole
+    // decode is reproduced hex-slice-for-hex-slice by the DuckDB oracle)
     "m2_media_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(t(s, d, "documents"))
       Multimodal.extractFeatures(media).toDF()
@@ -749,15 +754,17 @@ object SparkEntry {
         .orderBy("mediaId")
     }),
 
-    // M-multimodal: resize + strided frame sampling, aggregated per media
-    // row (1→N explode stays executor-local; rows-only — stub codec)
+    // M-multimodal: strided frame sampling aggregated per media row (1→N
+    // explode stays executor-local). Samples the ORIGINAL payloads so the
+    // md5-derived frame count is oracle-reproducible; the resize stage is
+    // covered by MultimodalSpec (its payload rewrite is not SQL-expressible)
     "m3_frame_sampling" -> ((s, d) => {
       val media = Multimodal.fromDocuments(t(s, d, "documents"))
-      val resized = Multimodal.resize(media, 128, 128)
-      Multimodal.sampleFrames(resized, stride = 5).toDF()
+      Multimodal.sampleFrames(media, stride = 5).toDF()
         .groupBy("mediaId")
         .agg(count(lit(1)).as("n_frames"),
-          sum(octet_length(col("bytes"))).as("total_bytes"))
+          sum(octet_length(col("bytes"))).as("total_bytes"),
+          max(col("frameIdx")).as("max_frame_idx"))
         .orderBy("mediaId")
     }),
 
@@ -1781,6 +1788,46 @@ object SparkEntry {
         |SELECT vec_id, round(cos_raw, 6) AS cosine FROM c
         |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin,
 
+    // v5: consumes the centroid table the query persists (the one artifact
+    // the KMeans fit produces); assignment, nProbe list selection, and the
+    // exact cosine top-k are recomputed from those doubles with the same
+    // left-to-right folds as the engine — same ties, same ranks
+    "v5_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v5_ivf/centroids/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), en AS (
+        |  SELECT vec_id, emb,
+        |         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+        |  FROM e
+        |), dist AS (
+        |  SELECT en.vec_id, en.emb, en.nrm, c.listId,
+        |         list_aggregate(list_transform(range(1, len(en.emb) + 1),
+        |           i -> (en.emb[i] - c.cent[i]) * (en.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM en, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, nrm, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), pl AS (
+        |  SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+        |    FROM dist WHERE vec_id < 5) WHERE lr <= 4
+        |), cand AS (
+        |  SELECT pl.probe_id, a.vec_id AS id,
+        |         list_aggregate(list_transform(range(1, len(a.emb) + 1),
+        |           i -> a.emb[i] * pl.p_emb[i]), 'sum') / (a.nrm * pl.p_nrm) AS cos_raw
+        |  FROM pl JOIN asg a USING (listId)
+        |  WHERE a.vec_id <> pl.probe_id
+        |), r AS (
+        |  SELECT probe_id, id, cos_raw,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, id ASC) AS rank
+        |  FROM cand
+        |)
+        |SELECT probe_id, id AS neighbor_id, round(cos_raw, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
     "v2_knn_join" ->
       """WITH c AS (
         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
@@ -1809,6 +1856,36 @@ object SparkEntry {
         |  octet_length(encode(text)) AS size_bytes,
         |  sha256(text) AS content_hash
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // m2/m3: the stub codec's fields are fixed hex slices of md5(payload)
+    // (see Multimodal.fakeDecode) — the oracle replays the same slices
+    "m2_media_features" ->
+      """SELECT doc_id AS mediaId,
+        |  (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS sizeBytes,
+        |  CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS INT) AS width,
+        |  CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |            ELSE 1 + ('0x' || substr(md5(text), 9, 2))::BIGINT % 64 END AS INT) AS nFrames,
+        |  round(('0x' || substr(md5(text), 11, 4))::BIGINT / 65535.0 * 255.0, 4) AS meanLuma
+        |FROM documents ORDER BY mediaId""".stripMargin,
+
+    // m3: frames sampled at stride 5 from the md5-derived frame count; every
+    // sampled frame's stub payload is exactly 16 bytes (max(16, (8+i)*8/64)
+    // with i ≤ 63), so total_bytes = 16 · n_frames
+    "m3_frame_sampling" ->
+      """WITH f AS (
+        |  SELECT doc_id AS mediaId,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1
+        |              ELSE CAST(1 + ('0x' || substr(md5(text), 9, 2))::BIGINT % 64 AS INT)
+        |         END AS n
+        |  FROM documents
+        |)
+        |SELECT mediaId,
+        |       CAST((n - 1) // 5 + 1 AS BIGINT) AS n_frames,
+        |       CAST(16 * ((n - 1) // 5 + 1) AS BIGINT) AS total_bytes,
+        |       CAST(((n - 1) // 5) * 5 AS INT) AS max_frame_idx
+        |FROM f ORDER BY mediaId""".stripMargin,
 
     "e1_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

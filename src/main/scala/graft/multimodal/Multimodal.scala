@@ -40,17 +40,29 @@ object Multimodal {
   /** STUB decode: deterministic pseudo-decode from the payload bytes.
     * Stands in for a real codec; everything downstream (schema, batching,
     * partitioning) is production-shaped.
+    *
+    * The pseudo-decode is PORTABLE by construction: every field derives
+    * from fixed hex slices of `md5(payload)` — the same derivation any
+    * SQL engine can reproduce (`('0x' || substr(md5(x), …))::BIGINT`),
+    * which is what makes the m2/m3 contract queries oracle-checkable
+    * instead of rows-only. Slices (1-based hex positions, as in SQL
+    * `substr`): width ← [1,4], height ← [5,8], frames ← [9,10],
+    * luma ← [11,14].
     */
-  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-    val w = 64 + ((h & 0x3ff).toInt % 1024).abs
-    val ht = 64 + (((h >>> 10) & 0x3ff).toInt % 1024).abs
-    val frames = 1 + (((h >>> 20) & 0xff).toInt % 64).abs
-    val luma = ((h >>> 32) & 0xffff).toDouble / 65535.0 * 255.0
+  def fakeDecode(bytes: Array[Byte], md: java.security.MessageDigest): (Int, Int, Int, Double) = {
+    md.reset()
+    val d = md.digest(bytes)
+    def u8(i: Int): Int = d(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1) // 4 hex chars at 2i
+    val w = 64 + u16(0) % 1024
+    val ht = 64 + u16(2) % 1024
+    val frames = 1 + u8(4) % 64
+    val luma = u16(5).toDouble / 65535.0 * 255.0
     (w, ht, frames, luma)
   }
+
+  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) =
+    fakeDecode(bytes, java.security.MessageDigest.getInstance("MD5"))
 
   /** Feature extraction as a partition-preserving typed transform — the shape
     * a Pandas-UDF/`mapInPandas` stage takes in PySpark, expressed with
@@ -59,8 +71,9 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // one per partition, reset per row
       it.map { m =>
-        val (w, h, frames, luma) = fakeDecode(m.bytes)
+        val (w, h, frames, luma) = fakeDecode(m.bytes, md)
         val vec = Array.tabulate(8) { i =>
           (((w * 31 + h) * 31 + frames) * 31 + i).toFloat % 997f / 997f
         }
@@ -105,14 +118,17 @@ object Multimodal {
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.flatMap { m =>
-      val (_, _, frames, _) = fakeDecode(m.bytes)
-      val n = if (m.kind == "image") 1 else frames
-      (0 until n by stride).map { i =>
-        // stub frame payload: deterministic slice-hash of the source bytes
-        Frame(m.mediaId, i, fakeResize(m.bytes, 8 + i, 8))
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val (_, _, frames, _) = fakeDecode(m.bytes, md)
+        val n = if (m.kind == "image") 1 else frames
+        (0 until n by stride).map { i =>
+          // stub frame payload: deterministic slice-hash of the source bytes
+          Frame(m.mediaId, i, fakeResize(m.bytes, 8 + i, 8))
+        }
       }
-    })
+    }
   }
 
   /** Metadata projection: blob-free frame safe to join/aggregate at scale. */

@@ -31,6 +31,12 @@ object Ivf {
     * KMeans over thousands of tiny tasks is scheduling-bound; at 100 TB you
     * fit on a sample regardless) — only the single-pass assignment runs over
     * the full corpus.
+    *
+    * Assignment runs through [[assign]] (portable argmin over the fitted
+    * centroids) rather than `model.transform`, so given the persisted
+    * centroid table any engine reproduces the exact same inverted lists —
+    * that is what turns the v5 contract query from rows-only into a full
+    * DuckDB hash-match.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
       nLists: Int = 16, seed: Long = 42L, maxIter: Int = 10,
@@ -38,13 +44,30 @@ object Ivf {
     val e = ColOps.parallelize(
       corpus.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
         Similarity.norm(col(embCol)).as("nrm")))
-    val feats = e.withColumn("features", array_to_vector(col("emb")))
-    val fitSample = feats.select("features").limit(maxFitRows).coalesce(4).cache()
+    val fitSample = e.select(array_to_vector(col("emb")).as("features"))
+      .limit(maxFitRows).coalesce(4).cache()
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(fitSample)
     fitSample.unpersist()
-    val lists = model.transform(feats)
-      .select(col("id"), col("emb"), col("nrm"), col("prediction").as("listId"))
-    Index(model.clusterCenters.toSeq.map(v => v.toArray.toSeq), lists)
+    val centroids = model.clusterCenters.toSeq.map(v => v.toArray.toSeq)
+    Index(centroids, assign(e, centroids))
+  }
+
+  /** Nearest-centroid assignment as a pure Column argmin: squared L2 to each
+    * centroid via a left-to-right `zip_with`/`aggregate` fold (bit-identical
+    * to a SQL `list_aggregate(…, 'sum')` over the same doubles), ties to the
+    * lowest listId (struct min compares distance first, then index). One
+    * narrow codegen'd pass — no shuffle, no model object at scoring time.
+    */
+  def assign(e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val cands = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(
+          zip_with(col("emb"), typedlit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        lit(i).as("i"))
+    }
+    e.withColumn("listId", array_min(array(cands: _*)).getField("i"))
+      .select(col("id"), col("emb"), col("nrm"), col("listId"))
   }
 
   /** Persist the index: inverted lists as parquet partitioned by `listId`
@@ -52,9 +75,16 @@ object Ivf {
     * centroids as a tiny parquet alongside. Build once, serve many.
     */
   def save(index: Index, path: String): Unit = {
+    index.lists.write.mode("overwrite").partitionBy("listId").parquet(s"$path/lists")
+    saveCentroids(index, path)
+  }
+
+  /** Persist just the centroid table — the (tiny) artifact an external
+    * engine needs to reproduce assignment + search exactly.
+    */
+  def saveCentroids(index: Index, path: String): Unit = {
     val spark = index.lists.sparkSession
     import spark.implicits._
-    index.lists.write.mode("overwrite").partitionBy("listId").parquet(s"$path/lists")
     index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("listId", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

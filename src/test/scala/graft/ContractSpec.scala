@@ -8,11 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
-  private val RowsOnly = Set(
-    "v5_ivf_topk",      // KMeans quantizer
-    "m2_media_features", // stub codec (FNV fold) — not SQL-expressible
-    "m3_frame_sampling"  // same stub codec through resize + frame sampling
-  )
+  // Round 4: v5/m2/m3 left this set — the stub codec became portable md5
+  // hex-slices and the IVF oracle consumes the persisted centroid table.
+  private val RowsOnly = Set.empty[String]
 
   test("every oracle key names an existing query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
