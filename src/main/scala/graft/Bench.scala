@@ -57,30 +57,44 @@ object Bench {
       case None       => SparkEntry.queries
     }).toSeq.sortBy(_._1) // deterministic order: bench runs are comparable across rounds
 
+    // Median of N in-process repetitions per query: a single run is JIT/IO
+    // noise (round 2→3 saw 5× per-query swings with zero code changes), so
+    // per-query numbers are medians and `spread` records max−min. The cache
+    // is cleared between reps so a rep can't ride a previous rep's persisted
+    // frames (d9 legitimately persists its chunk projection WITHIN a run).
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { exhaust(fn(spark, sfDir)); None }
+      var err: Option[String] = None
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (times.length < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try exhaust(fn(spark, sfDir))
         catch {
           case e: Throwable =>
             // strip EVERY control character (not just \n\r\t) — one stray
             // \f in an error message would make the whole line unparseable
-            Some(e.getClass.getSimpleName + ": " +
+            err = Some(e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse("")
                 .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160))
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+        finally spark.catalog.clearCache()
+        times += (System.nanoTime() - t0) / 1e9
+      }
+      val sorted = times.sorted
+      (name, sorted(sorted.length / 2), sorted.last - sorted.head, err)
     }
 
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which on
     // de/fr JVMs prints a comma decimal separator — invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v, _) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(m)) => s""""$k":"$m"""" }
+    val qs = results.map { case (k, v, _, _) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
+    val sp = results.map { case (k, _, s, _) => s""""$k":${num(s)}""" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, Some(m)) => s""""$k":"$m"""" }
     val errJson = if (failed.isEmpty) "" else failed.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+        s""""reps":$reps,"spread":$sp,"sf":"$sfDir"$errJson}"""
     Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     println(line)
     spark.stop()

@@ -8,8 +8,8 @@ import graft.dedup.Dedup
 import graft.functions.GridFunctions
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin}
-import graft.serve.PointQuery
-import graft.sim.{Ivf, Similarity}
+import graft.serve.{Deadline, PointQuery}
+import graft.sim.{Ivf, Pq, Similarity}
 import graft.sources.SyntheticGrid
 import graft.store.{GridStore, Replacing}
 import graft.streaming.EventStream
@@ -372,6 +372,20 @@ object SparkEntry {
     // A2+J3 — the flagship serving read path, set-oriented over all variables
     "a2j3_serving_flagship" -> ((s, d) => servingFlagship(s, d)),
 
+    // T7 — the same flagship executed UNDER the Deadline budget guard: the
+    // whole plan runs on the budgeted runner thread (job group set, cancel
+    // path armed), so the T7 operator is exercised by the driver contract,
+    // not just the unit suite. The generous budget means the query must
+    // finish — the result (and oracle) are identical to a2j3's
+    "x1_deadline_flagship" -> ((s, d) => {
+      val df = servingFlagship(s, d)
+      Deadline.run(s, java.time.Duration.ofSeconds(300))(df.collect()) match {
+        case Right(rows) =>
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        case Left(e) => throw new RuntimeException(s"deadline path failed: ${e.message}")
+      }
+    }),
+
     // C1/C2 — conditional unit conversion (when/otherwise column rewrite)
     "c1_unit_conversion" -> ((s, d) =>
       t(s, d, "lineitem").select(
@@ -726,6 +740,21 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // V-similarity: IVF-PQ — the composed memory-side ANN path: IVF lists
+    // restrict candidates, PQ ADC distances rank them without reading a raw
+    // vector. Centroids + codebooks persist so the oracle replays encode +
+    // LUT + fold from the same doubles
+    "v6_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      val pq = Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/v6_ivfpq")
+      Pq.saveCodebooks(pq, s, "/tmp/graft_oracle/v6_ivfpq")
+      Pq.ivfpqSearch(idx, pq, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        nProbe = 4, topK = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
     // V-similarity: per-label aggregate over vector norms
     "v4_label_norms" -> ((s, d) =>
       t(s, d, "embeddings").groupBy("label").agg(
@@ -852,6 +881,26 @@ object SparkEntry {
       (col("value") + valueShift).as("value"),
       lit("u").as("unit"),
       col("event_id").cast("string").as("catalogId"))
+
+  /** Shared by a2j3 (plain) and x1 (Deadline-budgeted) — byte-identical
+    * result contract.
+    */
+  private val FlagshipOracleSql: String =
+    """WITH g AS (
+      |  SELECT event_type AS probeId, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         CAST(user_id % 100 AS DOUBLE) AS lat, CAST(event_id % 100 AS DOUBLE) AS lon,
+      |         value, CAST(event_id AS VARCHAR) AS cid
+      |  FROM events WHERE date_trunc('day', ts) <= TIMESTAMP '2024-01-20 00:00:00'
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY probeId
+      |    ORDER BY day DESC,
+      |             (lat - 50.0) * (lat - 50.0) + (lon - 50.0) * (lon - 50.0) ASC,
+      |             lat ASC, lon ASC, value ASC, cid DESC) AS rn
+      |  FROM g
+      |)
+      |SELECT probeId, day AS refTimestamp, lat AS actualLat, lon AS actualLon,
+      |       value, cid AS catalogId
+      |FROM r WHERE rn = 1 ORDER BY probeId""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s2_grib_pipeline" ->
@@ -1104,22 +1153,11 @@ object SparkEntry {
         |       CAST(min(valf) AS DOUBLE) AS min_v, CAST(max(valf) AS DOUBLE) AS max_v
         |FROM dd WHERE rn = 1 GROUP BY variable ORDER BY variable""".stripMargin,
 
-    "a2j3_serving_flagship" ->
-      """WITH g AS (
-        |  SELECT event_type AS probeId, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |         CAST(user_id % 100 AS DOUBLE) AS lat, CAST(event_id % 100 AS DOUBLE) AS lon,
-        |         value, CAST(event_id AS VARCHAR) AS cid
-        |  FROM events WHERE date_trunc('day', ts) <= TIMESTAMP '2024-01-20 00:00:00'
-        |), r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY probeId
-        |    ORDER BY day DESC,
-        |             (lat - 50.0) * (lat - 50.0) + (lon - 50.0) * (lon - 50.0) ASC,
-        |             lat ASC, lon ASC, value ASC, cid DESC) AS rn
-        |  FROM g
-        |)
-        |SELECT probeId, day AS refTimestamp, lat AS actualLat, lon AS actualLon,
-        |       value, cid AS catalogId
-        |FROM r WHERE rn = 1 ORDER BY probeId""".stripMargin,
+    "a2j3_serving_flagship" -> FlagshipOracleSql,
+
+    // x1 runs the identical flagship plan under the Deadline guard — same
+    // rows, same oracle
+    "x1_deadline_flagship" -> FlagshipOracleSql,
 
     "c1_unit_conversion" ->
       """SELECT l_orderkey, l_linenumber,
@@ -1826,6 +1864,65 @@ object SparkEntry {
         |  FROM cand
         |)
         |SELECT probe_id, id AS neighbor_id, round(cos_raw, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // v6: replays IVF assignment (as v5), PQ encoding (argmin of the
+    // ‖c‖²−2xc sub-scores, ties to lowest code), the probe LUT, and the
+    // j-ordered ADC fold (list(… ORDER BY j) keeps the sum left-to-right,
+    // matching the engine's sequence fold bit-for-bit)
+    "v6_ivfpq_topk" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v6_ivfpq/centroids/*.parquet')
+        |), cb AS (
+        |  SELECT j, c, cent FROM read_parquet('/tmp/graft_oracle/v6_ivfpq/codebooks/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), dist AS (
+        |  SELECT e.vec_id, e.emb, c.listId,
+        |         list_aggregate(list_transform(range(1, len(e.emb) + 1),
+        |           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM e, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), sub AS (
+        |  SELECT a.vec_id, cb.j, cb.c,
+        |         list_aggregate(list_transform(range(1, 9), i -> cb.cent[i] * cb.cent[i]), 'sum')
+        |           - 2.0 * list_aggregate(list_transform(range(1, 9),
+        |               i -> a.emb[cb.j * 8 + i] * cb.cent[i]), 'sum') AS d
+        |  FROM asg a, cb
+        |), codes AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM sub) WHERE rn = 1
+        |), pl AS (
+        |  SELECT vec_id AS probe_id, emb AS p_emb, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+        |    FROM dist WHERE vec_id < 5) WHERE lr <= 4
+        |), lut AS (
+        |  SELECT p2.probe_id, cb.j, cb.c,
+        |         list_aggregate(list_transform(range(1, 9),
+        |           i -> (p2.p_emb[cb.j * 8 + i] - cb.cent[i])
+        |              * (p2.p_emb[cb.j * 8 + i] - cb.cent[i])), 'sum') AS pd
+        |  FROM (SELECT DISTINCT probe_id, p_emb FROM pl) p2, cb
+        |), cand AS (
+        |  SELECT pl.probe_id, a.vec_id AS id
+        |  FROM pl JOIN asg a USING (listId)
+        |  WHERE a.vec_id <> pl.probe_id
+        |), adc AS (
+        |  SELECT cand.probe_id, cand.id,
+        |         list_aggregate(list(l.pd ORDER BY l.j), 'sum') AS approx
+        |  FROM cand
+        |  JOIN codes k2 ON k2.vec_id = cand.id
+        |  JOIN lut l ON l.probe_id = cand.probe_id AND l.j = k2.j AND l.c = k2.code
+        |  GROUP BY cand.probe_id, cand.id
+        |), r AS (
+        |  SELECT probe_id, id, approx,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY approx ASC, id ASC) AS rank
+        |  FROM adc
+        |)
+        |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "v2_knn_join" ->

@@ -469,11 +469,17 @@ object Dedup {
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
       window: Int = 16): DataFrame = {
+    // The narrow (id, fp) frame feeds BOTH the fingerprint aggregate and the
+    // join-back; without a persist Spark recomputes the full tokenize +
+    // chunk-explode + md5 pass for each consumer — at corpus scale that is a
+    // 2× read of the text column. The persisted projection is ~40 bytes/chunk
+    // (spills to disk if it outgrows memory), a fraction of the corpus.
     val chunks = ColOps.parallelize(df)
       .select(col(idCol).as("id"),
         explode(graft.text.TextAnalysis.chunkWindows(col(textCol), window, window))
           .as("chunk"))
       .select(col("id"), md5(col("chunk")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byFp = chunks.groupBy("fp").agg(countDistinct(col("id")).as("nd"))
     chunks.join(byFp, Seq("fp"))
       .groupBy("id")

@@ -2,7 +2,8 @@ package graft.sim
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColOps
@@ -77,7 +78,7 @@ object Pq {
     * deterministic. Narrow, no shuffle.
     */
   def encode(corpus: DataFrame, idCol: String, embCol: String,
-      model: Model): DataFrame = {
+      model: Model, keepCols: Seq[String] = Nil): DataFrame = {
     val emb = col(embCol).cast("array<double>")
     val codeCols = (0 until model.m).map { j =>
       val cands = (0 until model.k).map { c =>
@@ -87,7 +88,8 @@ object Pq {
       array_min(array(cands: _*)).getField("i")
     }
     ColOps.parallelize(corpus)
-      .select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+      .select(col(idCol).as("id") +: array(codeCols: _*).as("codes") +:
+        keepCols.map(col): _*)
   }
 
   /** ADC top-k: approximate squared distances to `probe` via the probe's
@@ -117,5 +119,72 @@ object Pq {
       .orderBy(col("approx_dist").asc, col("id").asc)
       .limit(topK)
       .select(col("id"), col("approx_dist"))
+  }
+
+  /** Persist the codebooks as a tiny `(j, c, cent)` table — together with
+    * [[Ivf.saveCentroids]] this is everything an external engine needs to
+    * reproduce IVF-PQ encoding and ADC search exactly.
+    */
+  def saveCodebooks(model: Model, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val rows = for { j <- 0 until model.m; c <- 0 until model.k }
+      yield (j, c, model.codebooks(j)(c))
+    rows.toDF("j", "c", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** IVF-PQ: the composed 100 TB search path — the IVF quantizer restricts
+    * each probe to its `nProbe` inverted lists; within them candidates are
+    * ranked by PQ ADC distance, so the search never touches a raw corpus
+    * vector (codes are `m` bytes/row vs `dim·4`).
+    *
+    * Set-oriented: each probe's m×k LUT is computed as a Column on the
+    * (tiny) probe frame, which then BROADCASTS to the encoded lists — one
+    * narrow join on `listId`, a per-row m-lookup fold, and a per-probe
+    * top-k window. Every fold is left-to-right over fixed slices, so the
+    * whole pipeline is reproducible from the persisted centroids+codebooks.
+    */
+  def ivfpqSearch(index: Ivf.Index, model: Model, probes: DataFrame,
+      idCol: String, embCol: String, nProbe: Int = 4, topK: Int = 10): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val encoded = encode(index.lists, "id", "emb", model, keepCols = Seq("listId"))
+    val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("listId", "cent")
+    val lutCol = array((0 until model.m).map { j =>
+      array((0 until model.k).map { c =>
+        aggregate(
+          zip_with(slice(col("p_emb"), j * model.dsub + 1, model.dsub),
+            typedlit(model.codebooks(j)(c)), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)
+      }: _*)
+    }: _*)
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(embCol).cast("array<double>").as("p_emb"))
+      .withColumn("lut", lutCol)
+    val d2 = aggregate(
+      zip_with(col("p_emb"), col("cent"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    val wl = Window.partitionBy("probe_id").orderBy(col("d2").asc, col("listId").asc)
+    val probeLists = p.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("lr", row_number().over(wl))
+      .filter(col("lr") <= nProbe)
+      .select(col("probe_id"), col("lut"), col("listId"))
+    val approx = aggregate(
+      sequence(lit(0), lit(model.m - 1)),
+      lit(0.0),
+      (acc, j) => acc +
+        element_at(element_at(col("lut"), j.cast("int") + 1),
+          element_at(col("codes"), j.cast("int") + 1) + 1))
+    val w = Window.partitionBy("probe_id").orderBy(col("approx").asc, col("id").asc)
+    encoded
+      .join(broadcast(probeLists), Seq("listId"))
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("approx", approx)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("id").as("neighbor_id"),
+        round(col("approx"), 6).as("approx_dist"), col("rank"))
   }
 }

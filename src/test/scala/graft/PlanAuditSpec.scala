@@ -85,6 +85,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d9 dup-spans: tokenize+md5 runs once — both consumers read the cached frame") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = Dedup.dupSpans(docs, "doc_id", "text", window = 4)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan // AQE hides the tree
+        case p => p
+      }
+    val gens = plan.collect { case g: GenerateExec => g }
+    assert(gens.isEmpty,
+      s"chunk explode must live inside the cached frame, not re-run per consumer:\n$plan")
+    val scans = plan.collect { case s: InMemoryTableScanExec => s.relation.cacheBuilder }
+    assert(scans.length == 2 && scans.distinct.length == 1,
+      s"both consumers must read the SAME cached (id, fp) frame:\n$plan")
+  }
+
   test("d2 portable minhash: signature projection sits below the band Generate") {
     // the CollapseProject guard: the band explode must consume the
     // signature as a bound attribute, not recompute it per band
