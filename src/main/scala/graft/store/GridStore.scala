@@ -162,4 +162,47 @@ final class GridStore(spark: SparkSession, val path: String,
     }
     fs.delete(oldRoot, true)
   }
+
+  /** Crash recovery for the [[compact]] swap — the startup step a deployment
+    * runs before serving from this store. Each crash window leaves a state
+    * this repairs:
+    *
+    *   1. during the staged write → live intact, dangling `.compact.tmp`:
+    *      delete the staging leftovers;
+    *   2. between the two renames (whole-store) → live ABSENT, both
+    *      `.compact.old` (pre-compaction data) and `.compact.tmp` (compacted
+    *      copy, `_SUCCESS`-complete) durable: promote the staged copy —
+    *      it is the deduped one; fall back to the aside copy if staging is
+    *      incomplete;
+    *   3. mid per-date loop → live partition dirs partially swapped: any
+    *      date moved aside but never replaced gets its staged partition (or,
+    *      failing that, the aside original) back;
+    *   4. after the swap, before cleanup → live intact: delete leftovers.
+    *
+    * Idempotent; a no-op on a healthy store.
+    */
+  def recover(): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val staged = new Path(path + ".compact.tmp")
+    val oldRoot = new Path(path + ".compact.old")
+    val stagedOk = fs.exists(staged) && fs.exists(new Path(staged, "_SUCCESS"))
+    if (!fs.exists(live)) {
+      if (stagedOk) { fs.rename(staged, live); () }
+      else if (fs.exists(oldRoot)) { fs.rename(oldRoot, live); () }
+    } else if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("date=") && !fs.exists(new Path(live, name))) {
+          val stagedPart = new Path(staged, name)
+          if (stagedOk && fs.exists(stagedPart)) fs.rename(stagedPart, new Path(live, name))
+          else fs.rename(st.getPath, new Path(live, name))
+        }
+      }
+    }
+    fs.delete(staged, true)
+    fs.delete(oldRoot, true)
+    ()
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.text.{Pii, TextAnalysis}
 
 /** Scale-behavior probe: run the candidate-generation-bounded operators
   * (LSH dedup, contamination scoring) at ×1/×4/×16 multiples of the sf
@@ -39,7 +40,7 @@ object Stress {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs0 = graft.Tables(spark, sfDir, "documents")
-      .select("doc_id", "text", "lang")
+      .select("doc_id", "text", "lang", "source")
 
     // id stride from the data, not a constant — a fixed stride collides
     // once the base corpus outgrows it and copies silently merge
@@ -58,7 +59,7 @@ object Stress {
       docs0.crossJoin(copies)
         .select((col("doc_id") + col("copy") * idStride).as("doc_id"),
           when(col("copy") === 0, col("text")).otherwise(normed).as("text"),
-          col("lang"))
+          col("lang"), col("source"))
     }
 
     def time(f: => Long): (Double, Long) = {
@@ -67,9 +68,27 @@ object Stress {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
+    // The t11-shaped curation decision: langid + quality + token count
+    // joined with 2-gram repetition stats — the composed per-doc filter.
+    def curation(docs: DataFrame): DataFrame = {
+      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+        .select(col("id").as("doc_id"), col("dup_frac"))
+      docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(rep, Seq("doc_id"))
+    }
+
     // JIT/codegen warmup so the x1 measurement isn't charged cold-start
-    Dedup.minhashLshPairsPortable(docs0.limit(100), "doc_id", "text",
+    val w = docs0.limit(100).cache(); w.count()
+    Dedup.minhashLshPairsPortable(w, "doc_id", "text",
       shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4).count()
+    Dedup.dupSpans(w, "doc_id", "text", window = 16).count()
+    curation(w).count()
+    w.select(sum(length(Pii.redact(col("text"))))).collect()
+    w.unpersist()
+    spark.catalog.clearCache()
 
     Seq(1, 4, 16).foreach { k =>
       val docs = multiplied(k).cache()
@@ -84,12 +103,36 @@ object Stress {
           graft.functions.Sampling.hashSample(docs, "doc_id", 0.05), "text",
           shingleN = 8).count()
       }
+      val (tSpan, rowsSpan) = time {
+        Dedup.dupSpans(docs, "doc_id", "text", window = 16).count()
+      }
+      val (tCur, rowsCur) = time { curation(docs).count() }
+      // count() would prune the redaction projection away — force it
+      // through an aggregate over the redacted text's length
+      val (tPii, charsPii) = time {
+        docs.select(sum(length(Pii.redact(col("text")))))
+          .collect()(0).getLong(0)
+      }
+      val (tTb, rowsTb) = time {
+        val withNt = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        graft.functions.Sampling
+          .tokenBudgetSample(withNt, "doc_id", "source", "nt", budget = 800L)
+          .count()
+      }
       // Locale.ROOT: the f-interpolator would print comma decimals on
       // de/fr JVMs — invalid JSON (same fix as Bench)
       def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
       println(s"""{"op":"d2_lsh","scale":$k,"n_docs":$n,"sec":${num(tLsh)},"out_rows":$pairsLsh}""")
       println(s"""{"op":"d8_contamination","scale":$k,"n_docs":$n,"sec":${num(tCont)},"out_rows":$rowsCont}""")
+      println(s"""{"op":"d9_dup_spans","scale":$k,"n_docs":$n,"sec":${num(tSpan)},"out_rows":$rowsSpan}""")
+      println(s"""{"op":"t11_curation","scale":$k,"n_docs":$n,"sec":${num(tCur)},"out_rows":$rowsCur}""")
+      println(s"""{"op":"p3_pii_redact","scale":$k,"n_docs":$n,"sec":${num(tPii)},"out_chars":$charsPii}""")
+      println(s"""{"op":"sm3_token_budget","scale":$k,"n_docs":$n,"sec":${num(tTb)},"out_rows":$rowsTb}""")
       docs.unpersist()
+      // d9 persists its chunk frame internally; drop it between scales so a
+      // later scale can't ride an earlier scale's cache
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -145,6 +145,55 @@ class StoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(store.path + ".compact.tmp")))
   }
 
+  test("T5: crash between the compaction renames is recoverable from either copy") {
+    import org.apache.hadoop.fs.Path
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    store.append(gridRows(t0, 1.0))
+    store.append(gridRows(t1, 100.0))
+    val expected = store.finalView()
+      .select("variable", "timestamp", "lat", "lon", "value")
+      .collect().map(_.toSeq).toSet
+    val fs = new Path(store.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Reproduce the exact window-2 state compact() crashes into: the staged
+    // (compacted, _SUCCESS-complete) copy written, live renamed ASIDE, the
+    // rename-in never executed — live path absent, two durable copies.
+    val staged = store.path + ".compact.tmp"
+    Replacing.latestAgg(store.raw(), store.keyCols, store.versionCol,
+      tiebreakCols = Seq("catalogId"))
+      .write.partitionBy("date").parquet(staged)
+    assert(fs.rename(new Path(store.path), new Path(store.path + ".compact.old")))
+    assert(!fs.exists(new Path(store.path)), "simulated crash: live path absent")
+
+    store.recover()
+    assert(fs.exists(new Path(store.path)), "recovery must restore the live path")
+    assert(!fs.exists(new Path(staged)) &&
+      !fs.exists(new Path(store.path + ".compact.old")),
+      "recovery must clean both leftover roots")
+    // the promoted copy is the compacted one: already deduped, same answers
+    assert(store.raw().count() === 3L)
+    val got = store.finalView()
+      .select("variable", "timestamp", "lat", "lon", "value")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+    store.recover() // idempotent on the healthy store
+    assert(store.raw().count() === 3L)
+  }
+
+  test("T5: crash DURING the staged write leaves live data untouched; recover cleans up") {
+    import org.apache.hadoop.fs.Path
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    store.append(gridRows(t0, 1.0))
+    val fs = new Path(store.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a half-written staging dir: files present, no _SUCCESS marker
+    val staged = new Path(store.path + ".compact.tmp/date=2026-01-01")
+    fs.mkdirs(staged)
+    fs.create(new Path(staged, "part-00000.parquet")).close()
+    store.recover()
+    assert(!fs.exists(new Path(store.path + ".compact.tmp")),
+      "incomplete staging dir must be removed")
+    assert(store.raw().count() === 3L, "live data untouched")
+  }
+
   test("z-ordered store answers identically to the primary-key-sorted store") {
     val plain = new GridStore(spark, tempDir("store") + "/grid")
     val zord = new GridStore(spark, tempDir("storez") + "/grid", zorderCellDeg = Some(0.1))
