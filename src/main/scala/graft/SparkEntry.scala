@@ -858,6 +858,92 @@ object SparkEntry {
         .withColumnRenamed("column", "col_name")
         .orderBy("col_name")),
 
+    // P-profiling: portable linear-counting cardinality estimation — the
+    // HLL-shaped "how many distinct values" pass with an engine-neutral
+    // sketch (md5 buckets), estimator verified against the exact count
+    "p4_cardinality" -> ((s, d) =>
+      graft.functions.Profiling.cardinality(t(s, d, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"), m = 1024)
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")),
+
+    // SM-sampling: weighted sampling without replacement (Efraimidis–
+    // Spirakis) — long documents proportionally likelier; deterministic
+    // md5 uniforms + 9dp-rounded rank so the selected set reproduces
+    "sm4_weighted_sample" -> ((s, d) =>
+      graft.functions.Sampling.weightedSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", k = 25)
+        .orderBy("doc_id")),
+
+    // T-text: corpus heavy hitters — top-k most frequent bigrams with
+    // occurrence + document counts (the "what boilerplate dominates this
+    // crawl" report); one hash agg + TakeOrderedAndProject top-k
+    "t12_heavyhitters" -> ((s, d) =>
+      TextAnalysis.topNgrams(t(s, d, "documents"), "doc_id", "text",
+        n = 2, k = 20)
+        .orderBy(col("n_occurrences").desc, col("gram").asc)),
+
+    // D-dedup: duplicated-span SCRUB — materialize the corpus with every
+    // cross-document duplicated chunk removed except its first global
+    // occurrence (ExactSubstr-style rewrite; the byte-for-byte scrubbed
+    // text is oracle-compared)
+    "d10_span_scrub" -> ((s, d) =>
+      Dedup.scrubDupSpans(t(s, d, "documents"), "doc_id", "text", window = 16)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept_chunks"),
+          col("scrubbed_text"))
+        .orderBy("doc_id")),
+
+    // H-OLAP: the classic pricing-summary scan-aggregate (TPC-H Q1 shape) —
+    // one partial+final hash agg over the fact table, decimal-exact sums;
+    // the "is the scan + codegen path fast" benchmark anchor
+    "h1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          round(dsum(col("l_quantity"), 2) / count(lit(1)), 6).as("avg_qty"),
+          round(dsum(col("l_extendedprice"), 2) / count(lit(1)), 6).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // H-OLAP: regional revenue (TPC-H Q5 shape) — fact⋈fact shuffle join
+    // (lineitem⋈orders, AQE-planned) with the dimension chain broadcast;
+    // the "do joins pick the right strategy" benchmark anchor
+    "h2_regional_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")),
+
+    // H-OLAP: order-priority counting (TPC-H Q4 shape) — EXISTS as a
+    // left-semi join (no fact-side duplication), then a tiny agg
+    "h3_order_priority" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "lineitem").filter(col("l_discount") > 0.05),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
     // E-events: gap-based sessionization (lag window + cumulative flags)
     "e2_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -2060,6 +2146,129 @@ object SparkEntry {
         |       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    // p4: linear counting replayed in SQL — same md5 bucket as sm1, the
+    // −m·ln(1−V/m) estimate with the 9dp-ln / 3dp-final rounding discipline
+    // (m = 1024 is a power of two, so the multiply is IEEE-exact)
+    "p4_cardinality" ->
+      """WITH c1 AS (
+        |  SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_distinct,
+        |         count(DISTINCT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1024) AS nb
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |), c2 AS (
+        |  SELECT count(*) AS n_rows, count(DISTINCT lang) AS n_distinct,
+        |         count(DISTINCT ('0x' || substr(md5(lang), 1, 8))::BIGINT % 1024) AS nb
+        |  FROM documents WHERE lang IS NOT NULL
+        |), c3 AS (
+        |  SELECT count(*) AS n_rows, count(DISTINCT source) AS n_distinct,
+        |         count(DISTINCT ('0x' || substr(md5(source), 1, 8))::BIGINT % 1024) AS nb
+        |  FROM documents WHERE source IS NOT NULL
+        |), c4 AS (
+        |  SELECT count(*) AS n_rows, count(DISTINCT n_chars) AS n_distinct,
+        |         count(DISTINCT ('0x' || substr(md5(CAST(n_chars AS VARCHAR)), 1, 8))::BIGINT % 1024) AS nb
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), u AS (
+        |  SELECT 'doc_id' AS col_name, * FROM c1
+        |  UNION ALL SELECT 'lang', * FROM c2
+        |  UNION ALL SELECT 'source', * FROM c3
+        |  UNION ALL SELECT 'n_chars', * FROM c4
+        |)
+        |SELECT col_name, n_rows, n_distinct, nb AS n_buckets,
+        |       CASE WHEN nb < 1024
+        |            THEN round(-1024.0 * round(ln(1.0 - CAST(nb AS DOUBLE) / 1024), 9), 3)
+        |            ELSE round(1024.0 * round(ln(1024.0), 9), 3) END AS est_distinct
+        |FROM u ORDER BY col_name""".stripMargin,
+
+    // sm4: Efraimidis–Spirakis rank replayed in SQL — u from the sm1 md5
+    // bucket, rank = round(ln(u)/w, 9), top-k with the key as tiebreak
+    "sm4_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars, es_key FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         round(ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) + 0.5)
+        |                  / 10000) / CAST(n_chars AS DOUBLE), 9) AS es_key
+        |  FROM documents
+        |  ORDER BY es_key DESC, doc_id ASC LIMIT 25
+        |) ORDER BY doc_id""".stripMargin,
+
+    "t12_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |         string_split(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents
+        |), g AS (
+        |  SELECT id, array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS gram
+        |  FROM (SELECT id, ws, unnest(range(1, len(ws))) AS i FROM toks WHERE len(ws) >= 2)
+        |)
+        |SELECT gram, count(*) AS n_occurrences, count(DISTINCT id) AS n_docs
+        |FROM g WHERE gram <> ''
+        |GROUP BY gram ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
+
+    // d10: the d9 chunk idiom plus first-occurrence ranking and in-order
+    // reassembly (string_agg ORDER BY idx ≡ Spark's sorted collect_list)
+    "d10_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), c AS (
+        |  SELECT doc_id, ws,
+        |         greatest(CAST(ceil((len(ws) - 16) / 16.0) AS BIGINT) + 1, 1) AS nc
+        |  FROM toks
+        |), chunks AS (
+        |  SELECT doc_id, i AS idx,
+        |         array_to_string(list_slice(ws, CAST(i*16 AS INT) + 1,
+        |                                    CAST(i*16 AS INT) + 16), ' ') AS chunk
+        |  FROM (SELECT doc_id, ws, unnest(range(0, nc)) AS i FROM c)
+        |), ranked AS (
+        |  SELECT doc_id, idx, chunk,
+        |         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+        |  FROM chunks
+        |), reb AS (
+        |  SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY idx) AS s
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_chunks,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept_chunks,
+        |       coalesce(r.s, '') AS scrubbed_text
+        |FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "h1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "h2_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "h3_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "e2_sessionize" ->
       """WITH x AS (

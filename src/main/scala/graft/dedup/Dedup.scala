@@ -488,4 +488,48 @@ object Dedup {
       .withColumn("dup_span_frac",
         round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
   }
+
+  /** Duplicated-span SCRUB — the materializing counterpart of [[dupSpans]]
+    * (à la ExactSubstr dedup in "Deduplicating Training Data Makes Language
+    * Models Better"): rewrite every document keeping only the FIRST global
+    * occurrence of each `window`-token chunk. The first occurrence is the
+    * minimum `(doc id, chunk index)` over all occurrences of the chunk's
+    * fingerprint, so a boilerplate paragraph pasted into thousands of pages
+    * survives exactly once (in the lowest-id document) and is cut everywhere
+    * else; repeats WITHIN one document collapse to their first position too.
+    *
+    * Plan: one chunk explode with position (persisted narrow — id, idx, fp,
+    * chunk — so tokenize runs once for its two consumers), one hash
+    * aggregate (fp → min (id, idx) occurrence), a linear join-back keeping
+    * matching occurrences, and one per-doc aggregate that reassembles the
+    * kept chunks in index order. Nothing quadratic, nothing driver-side; the
+    * join-back key (fp) is the same as the aggregate key, so AQE can plan
+    * both over one exchange. Docs whose every chunk was seen earlier
+    * elsewhere come back with empty text, not dropped.
+    */
+  def scrubDupSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16): DataFrame = {
+    val chunks = ColOps.parallelize(df)
+      .select(col(idCol).as("id"),
+        posexplode(graft.text.TextAnalysis.chunkWindows(col(textCol), window, window))
+          .as(Seq("idx", "chunk")))
+      .withColumn("fp", md5(col("chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = chunks.groupBy("fp")
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+    val rebuilt = chunks.join(firstSeen, Seq("fp"))
+      .filter(col("id") === col("first.id") && col("idx") === col("first.idx"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            _.getField("chunk"))).as("scrubbed"))
+    val totals = chunks.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+    df.select(col(idCol).as("id"))
+      .join(totals, Seq("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept_chunks"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed_text"))
+  }
 }

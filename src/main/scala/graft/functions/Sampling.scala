@@ -52,6 +52,29 @@ object Sampling {
       .filter(hashBucket(col(keyCol)) < col("keep_buckets"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res): each
+    * row draws a deterministic uniform `u` from its key's md5 bucket and
+    * ranks by `ln(u)/w` (monotone with the classic `u^(1/w)` key — heavier
+    * rows float to the top); the global top-`k` IS the weighted sample.
+    *
+    * Determinism discipline: `u = (bucket + 0.5) / 10000` is an exact IEEE
+    * value from integer inputs, and the rank is ROUNDED to 9dp before the
+    * top-k (absorbs last-ULP `ln` divergence between engines) with the key
+    * as tiebreak — so the selected set reproduces in any engine.
+    *
+    * Scale: one scan computing the rank + `orderBy.limit(k)`, which Catalyst
+    * plans as `TakeOrderedAndProject` (bounded per-partition heap, k-row
+    * driver merge — no global sort). Weights must be strictly positive.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (hashBucket(col(keyCol)).cast("double") + lit(0.5)) / Buckets
+    df.withColumn("es_key", round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("es_key").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Per-stratum deterministic sampling: each stratum gets its own fraction
     * (e.g. downsample the dominant language, keep all of the rare one).
     */

@@ -230,6 +230,39 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).as("top_frac"))
   }
 
+  /** Corpus-wide heavy hitters: the `k` most frequent word `n`-grams with
+    * their occurrence and distinct-document counts — the "what boilerplate
+    * dominates this crawl" report every curation pass starts from.
+    *
+    * Plan: one executor-local n-gram explode, ONE hash aggregate computing
+    * both counts (map-side partial combine — hot grams pre-reduce inside
+    * each task before the shuffle), then top-k as `orderBy.limit(k)`, which
+    * Catalyst plans as `TakeOrderedAndProject` — a bounded per-partition
+    * heap + driver merge of k rows per partition, NOT a global sort. At
+    * 100 TB the shuffle carries one row per distinct gram (vocab-sized, not
+    * corpus-sized) and the driver sees k rows. Ties break on the gram text
+    * so the result is total-ordered and engine-reproducible.
+    */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 2, k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    import graft.dedup.Dedup
+    // pre-filter under-length docs: sequence(1, size-n+1) would run
+    // DESCENDING for size < n (Spark's sequence reverses when start > stop)
+    val grams = graft.functions.ColOps.parallelize(df)
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("ws"), i, lit(n))))).as("gram"))
+      .filter(col("gram") =!= "")
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Polynomial rolling hash (h·31 + codepoint, mod 1e9+7) over the
     * normalized text — the incremental-hash flavor of fingerprinting (cheap
     * to extend, engine-portable integer arithmetic; same value from DuckDB's

@@ -160,4 +160,36 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
     assert(rows(0).getDouble(3) === 0.5)
   }
+
+  test("D10: scrubDupSpans keeps the first global occurrence, cuts the rest") {
+    val span = (1 to 16).map(i => s"b$i").mkString(" ")
+    val x = (1 to 16).map(i => s"x$i").mkString(" ")
+    val y = (1 to 16).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, span + " " + x),            // first occurrence of span → kept whole
+      (2L, span + " " + y),            // span cut, y kept
+      (3L, span + " " + span),         // both chunks cut (seen in doc 1)
+      (4L, y + " " + y)                // within-doc repeat: second copy cut
+    ).toDF("doc_id", "text")
+    val rows = Dedup.scrubDupSpans(docs, "doc_id", "text", window = 16)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows(0) === ((1L, 2L, 2L, span + " " + x)))
+    assert(rows(1) === ((2L, 2L, 1L, y)))
+    assert(rows(2) === ((3L, 2L, 0L, "")))
+    // doc 4's y chunk was already claimed by doc 2 (lower id), so BOTH copies cut
+    assert(rows(3) === ((4L, 2L, 0L, "")))
+  }
+
+  test("D10: a unique corpus round-trips unchanged") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.scrubDupSpans(docs, "doc_id", "text", window = 16)
+      .orderBy("id").collect()
+    val orig = docs.orderBy("doc_id").collect().map(_.getString(1))
+    assert(rows.map(_.getString(3)).toSeq === orig.toSeq)
+    assert(rows.forall(r => r.getLong(1) === r.getLong(2)))
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Profiling
+
+/** Column profiling and portable cardinality estimation. */
+class ProfilingSpec extends SparkSpec {
+
+  test("profile: nulls, distincts, and min/max per column") {
+    val df = spark.range(0, 100).select(
+      col("id"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 7).as("m"))
+    val rows = Profiling.profile(df, Seq("id", "m")).orderBy("column").collect()
+    val id = rows(0)
+    assert(id.getString(0) === "id" && id.getLong(1) === 100L &&
+      id.getLong(2) === 0L && id.getLong(3) === 100L)
+    val m = rows(1)
+    assert(m.getLong(2) === 10L, "10 nulls expected")
+    assert(m.getLong(3) === 7L, "7 distinct non-null values")
+  }
+
+  test("cardinality: linear-counting estimate brackets the exact count") {
+    val df = spark.range(0, 10000).select((col("id") % 100).as("v"))
+    val r = Profiling.cardinality(df, Seq("v"), m = 1024).collect()(0)
+    assert(r.getLong(1) === 10000L)
+    val exact = r.getLong(2)
+    val buckets = r.getLong(3)
+    val est = r.getDouble(4)
+    assert(exact === 100L)
+    // with 100 values in 1024 buckets, collisions are rare: occupied ≤ exact
+    // and the estimator corrects occupancy back up to ~exact
+    assert(buckets <= exact)
+    assert(math.abs(est - exact) / exact < 0.15,
+      s"estimate $est too far from exact $exact")
+  }
+
+  test("cardinality: high-cardinality column stays within estimator error") {
+    val df = spark.range(0, 2000).toDF("v") // 2000 distinct > m = 1024 buckets
+    val r = Profiling.cardinality(df, Seq("v"), m = 1024).collect()(0)
+    val est = r.getDouble(4)
+    // linear counting still tracks cardinality past m (until saturation)
+    assert(est > 1200 && est < 3200, s"estimate $est implausible for 2000 distinct")
+  }
+
+  test("cardinality: nulls are excluded from the estimate") {
+    val df = spark.range(0, 50).select(
+      when(col("id") < 10, lit(null)).otherwise(col("id")).as("v"))
+    val r = Profiling.cardinality(df, Seq("v"), m = 256).collect()(0)
+    assert(r.getLong(1) === 40L, "null rows must not count")
+    assert(r.getLong(2) === 40L)
+  }
+}

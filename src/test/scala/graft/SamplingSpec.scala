@@ -74,4 +74,22 @@ class SamplingSpec extends SparkSpec {
     val none = Sampling.stratifiedHashSample(df, "id", "s", Map("true" -> 0.1))
     assert(none.filter(col("s") === "false").count() === 0L, "default 0 drops stratum")
   }
+
+  test("weighted sample: deterministic, k-sized, dominated by heavy weights") {
+    val df = spark.range(0, 200).select(col("id"),
+      when(col("id") === 7, 1000000L).otherwise(1L).as("w"))
+    val out = Sampling.weightedSample(df, "id", "w", k = 10)
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size === 10)
+    // rank = ln(u)/w with u ∈ [5e-5, 0.99995]: the 10⁶-weight row's rank
+    // (≥ −1e-5) beats every weight-1 row (≤ −5e-5) — always selected
+    assert(ids.contains(7L), "heavy row must be in the sample")
+    val again = Sampling.weightedSample(df, "id", "w", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === again, "weighted sample must be deterministic")
+    // uniform weights degrade to plain deterministic sampling of k rows
+    val uni = Sampling.weightedSample(
+      spark.range(0, 200).select(col("id"), lit(5L).as("w")), "id", "w", k = 15)
+    assert(uni.count() === 15L)
+  }
 }

@@ -183,4 +183,19 @@ class TextSpec extends SparkSpec {
       assert(packs === (0L to packs.max).toVector)
     }
   }
+
+  test("topNgrams: hand-computed heavy hitters with count-then-gram ordering") {
+    val docs = Seq(
+      (1L, "spark runs fast spark runs"),
+      (2L, "spark runs everywhere"),
+      (3L, "nothing shared here"),
+      (4L, "x") // under-length for bigrams: contributes nothing
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs, "doc_id", "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "spark runs" ×3 across docs 1,2; then ties at 1 break alphabetically
+    assert(top(0) === (("spark runs", 3L, 2L)))
+    assert(top.length === 3)
+    assert(top(1)._2 === 1L && top(2)._2 === 1L && top(1)._1 < top(2)._1)
+  }
 }
