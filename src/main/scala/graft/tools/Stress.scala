@@ -85,6 +85,9 @@ object Stress {
     Dedup.minhashLshPairsPortable(w, "doc_id", "text",
       shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4).count()
     Dedup.dupSpans(w, "doc_id", "text", window = 16).count()
+    Dedup.scrubDupSpans(w, "doc_id", "text", window = 16)
+      .select(sum(length(col("scrubbed_text")))).collect()
+    TextAnalysis.topNgrams(w, "doc_id", "text", n = 2, k = 20).count()
     curation(w).count()
     w.select(sum(length(Pii.redact(col("text"))))).collect()
     w.unpersist()
@@ -107,6 +110,15 @@ object Stress {
         Dedup.dupSpans(docs, "doc_id", "text", window = 16).count()
       }
       val (tCur, rowsCur) = time { curation(docs).count() }
+      // d10 materializes scrubbed text: force every byte with a length sum
+      val (tScrub, charsScrub) = time {
+        Dedup.scrubDupSpans(docs, "doc_id", "text", window = 16)
+          .select(sum(length(col("scrubbed_text"))))
+          .collect()(0).getLong(0)
+      }
+      val (tHh, rowsHh) = time {
+        TextAnalysis.topNgrams(docs, "doc_id", "text", n = 2, k = 20).count()
+      }
       // count() would prune the redaction projection away — force it
       // through an aggregate over the redacted text's length
       val (tPii, charsPii) = time {
@@ -127,6 +139,8 @@ object Stress {
       println(s"""{"op":"d8_contamination","scale":$k,"n_docs":$n,"sec":${num(tCont)},"out_rows":$rowsCont}""")
       println(s"""{"op":"d9_dup_spans","scale":$k,"n_docs":$n,"sec":${num(tSpan)},"out_rows":$rowsSpan}""")
       println(s"""{"op":"t11_curation","scale":$k,"n_docs":$n,"sec":${num(tCur)},"out_rows":$rowsCur}""")
+      println(s"""{"op":"d10_span_scrub","scale":$k,"n_docs":$n,"sec":${num(tScrub)},"out_chars":$charsScrub}""")
+      println(s"""{"op":"t12_heavyhitters","scale":$k,"n_docs":$n,"sec":${num(tHh)},"out_rows":$rowsHh}""")
       println(s"""{"op":"p3_pii_redact","scale":$k,"n_docs":$n,"sec":${num(tPii)},"out_chars":$charsPii}""")
       println(s"""{"op":"sm3_token_budget","scale":$k,"n_docs":$n,"sec":${num(tTb)},"out_rows":$rowsTb}""")
       docs.unpersist()

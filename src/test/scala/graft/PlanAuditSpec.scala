@@ -102,6 +102,48 @@ class PlanAuditSpec extends SparkSpec {
       s"both consumers must read the SAME cached (id, fp) frame:\n$plan")
   }
 
+  test("d10 span scrub: single chunk explode, shared across all three consumers") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = Dedup.scrubDupSpans(docs, "doc_id", "text", window = 4)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    assert(plan.collect { case g: GenerateExec => g }.isEmpty,
+      s"chunk explode must live inside the persisted frame:\n$plan")
+    val scans = plan.collect { case s: InMemoryTableScanExec => s.relation.cacheBuilder }
+    assert(scans.length == 3 && scans.distinct.length == 1,
+      s"first-seen agg, join-back, and totals must share ONE cached chunk frame:\n$plan")
+  }
+
+  test("t12/sm4 top-k: plan as TakeOrderedAndProject, not a global sort") {
+    val top = TextAnalysis.topNgrams(docs, "doc_id", "text", n = 2, k = 5)
+    assert(planOf(top).contains("TakeOrderedAndProject"),
+      s"heavy-hitter top-k must be a bounded heap:\n${planOf(top)}")
+    val ws = graft.functions.Sampling.weightedSample(
+      docs.select(col("doc_id"), length(col("text")).as("w")), "doc_id", "w", 5)
+    assert(planOf(ws).contains("TakeOrderedAndProject"),
+      s"weighted-sample top-k must be a bounded heap:\n${planOf(ws)}")
+  }
+
+  test("h2 regional revenue: dimensions broadcast; lineitem is never a build side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val sfDir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("h2_regional_revenue")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"nation/region must broadcast:\n$plan")
+    // smaller sides (dims, and at tiny SF even filtered orders) may broadcast
+    // by size — but the big fact scan must NEVER be materialized on the driver
+    val broadcastScans = plan.collect { case b: BroadcastExchangeExec => b }
+      .flatMap(_.collect { case s: FileSourceScanExec => s.relation.location.rootPaths.mkString })
+    assert(!broadcastScans.exists(_.contains("lineitem")),
+      s"lineitem must not be a broadcast build side:\n$plan")
+  }
+
   test("d2 portable minhash: signature projection sits below the band Generate") {
     // the CollapseProject guard: the band explode must consume the
     // signature as a bound attribute, not recompute it per band
