@@ -46,7 +46,11 @@ object Ivf {
         Similarity.norm(col(embCol)).as("nrm")))
     val fitSample = e.select(array_to_vector(col("emb")).as("features"))
       .limit(maxFitRows).coalesce(4).cache()
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(fitSample)
+    // random (seeded) init, not the default k-means||: the parallel init
+    // alone costs ~5 extra distributed jobs, and a coarse quantizer does
+    // not need init quality — Lloyd iterations converge it either way
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random").fit(fitSample)
     fitSample.unpersist()
     val centroids = model.clusterCenters.toSeq.map(v => v.toArray.toSeq)
     Index(centroids, assign(e, centroids))

@@ -43,19 +43,29 @@ object Pq {
     val sample = corpus
       .select(col(embCol).cast("array<double>").as("emb"))
       .limit(maxFitRows).coalesce(4).cache()
+    // force the cache ONCE before fanning out — otherwise the m concurrent
+    // first-touches race to materialize it and each recomputes the sample
+    sample.count()
     try {
-      val books = (0 until m).map { j =>
-        val feats = sample.select(
-          array_to_vector(slice(col("emb"), j * dsub + 1, dsub)).as("features"))
-        val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
-          .fit(feats)
-        val centers = model.clusterCenters.toSeq.map(_.toArray.toSeq)
-        // KMeans returns FEWER than k centers on degenerate subspaces (a
-        // constant/zero-padded dim range); pad by repeating the last center
-        // so every codebook is exactly k wide — duplicates are harmless
-        // (argmin ties break to the lowest index)
-        centers ++ Seq.fill(k - centers.length)(centers.last)
-      }
+      // the m subspace fits are independent tiny iterative jobs; run them as
+      // CONCURRENT Spark jobs (scheduler interleaves fine) — sequentially,
+      // m × maxIter job-scheduling latencies dominate the fit wall-clock
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val books = Await.result(
+        Future.traverse((0 until m).toList) { j => Future {
+          val feats = sample.select(
+            array_to_vector(slice(col("emb"), j * dsub + 1, dsub)).as("features"))
+          val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+            .setInitMode("random").fit(feats)
+          val centers = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+          // KMeans returns FEWER than k centers on degenerate subspaces (a
+          // constant/zero-padded dim range); pad by repeating the last center
+          // so every codebook is exactly k wide — duplicates are harmless
+          // (argmin ties break to the lowest index)
+          centers ++ Seq.fill(k - centers.length)(centers.last)
+        } }, Duration.Inf)
       Model(m, dsub, books)
     } finally { sample.unpersist(); () }
   }
@@ -148,7 +158,16 @@ object Pq {
       idCol: String, embCol: String, nProbe: Int = 4, topK: Int = 10): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
+    // Materialize the encoded corpus once and TRUNCATE its lineage: the
+    // assign+encode tree carries m×k literal codebooks, and every downstream
+    // stage (join, window, sort) would re-run Catalyst analysis/codegen over
+    // that mega-tree — on a 2k-row test corpus the optimizer walk costs more
+    // than the data. The checkpointed frame is exactly the PQ memory story:
+    // (listId, id, codes) at m bytes per row, never the raw vectors. At
+    // serving scale you'd persist this with Ivf.save and skip the encode
+    // entirely (build once, serve many).
     val encoded = encode(index.lists, "id", "emb", model, keepCols = Seq("listId"))
+      .localCheckpoint()
     val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("listId", "cent")
     val lutCol = array((0 until model.m).map { j =>
