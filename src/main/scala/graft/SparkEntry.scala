@@ -755,6 +755,42 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // D-dedup: SemDeDup — semantic dedup with a LEARNED blocking key: the
+    // IVF coarse quantizer clusters the embedding space, then within-cluster
+    // cosine near-dups drop (keep the min id). Unlike d5 (which blocks on a
+    // given column), the blocking here is the quantizer output — the scale
+    // path for corpora with no natural block. Centroids persist so the
+    // oracle replays assignment + pairing from the same doubles
+    "d11_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 8)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/d11_semdedup")
+      val pairs = Dedup.embeddingNearDup(
+        idx.lists.select(col("listId"), col("id"), col("emb")),
+        "id", "emb", "listId", threshold = 0.2)
+      val dropped = pairs.select(col("b").as("vec_id")).distinct()
+        .withColumn("hit", lit(true))
+      idx.lists.select(col("id").as("vec_id"), col("listId"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("listId"), col("hit").isNull.as("keep"))
+        .orderBy("vec_id")
+    }),
+
+    // J-joins: skew-salted two-phase aggregation — the hot-key guard
+    // (functions.Salting): phase 1 spreads each key over 8 salt buckets,
+    // phase 2 merges partials; algebraic aggregates make the result
+    // IDENTICAL to the direct groupBy, which is exactly what the oracle
+    // runs (decimal sums so merge order cannot show)
+    "j8_salted_agg" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        col("value").cast("decimal(30,3)").as("v"), col("event_id"))
+      graft.functions.Salting.saltedAgg(ev, Seq("event_type"), Seq("event_id"),
+        buckets = 8, Map("v" -> "sum", "event_id" -> "count"))
+        .select(col("event_type"), col("sum_v").cast("double").as("sum_value"),
+          col("count_event_id").as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // V-similarity: per-label aggregate over vector norms
     "v4_label_norms" -> ((s, d) =>
       t(s, d, "embeddings").groupBy("label").agg(
@@ -1916,6 +1952,44 @@ object SparkEntry {
     // the KMeans fit produces); assignment, nProbe list selection, and the
     // exact cosine top-k are recomputed from those doubles with the same
     // left-to-right folds as the engine — same ties, same ranks
+    // d11: IVF assignment replayed from the persisted centroids (the v5
+    // idiom), then the within-cluster cosine pairing and keep/drop verdict
+    "d11_semdedup" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/d11_semdedup/centroids/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), dist AS (
+        |  SELECT e.vec_id, e.emb, c.listId,
+        |         list_aggregate(list_transform(range(1, len(e.emb) + 1),
+        |           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM e, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), en AS (
+        |  SELECT vec_id, listId, emb,
+        |         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+        |  FROM asg
+        |), dr AS (
+        |  SELECT DISTINCT b.vec_id AS b
+        |  FROM en a JOIN en b ON a.listId = b.listId AND a.vec_id < b.vec_id
+        |  WHERE list_aggregate(list_transform(range(1, len(a.emb) + 1),
+        |          i -> a.emb[i] * b.emb[i]), 'sum') / (a.nrm * b.nrm) >= 0.2
+        |)
+        |SELECT asg.vec_id, asg.listId, (dr.b IS NULL) AS keep
+        |FROM asg LEFT JOIN dr ON dr.b = asg.vec_id
+        |ORDER BY asg.vec_id""".stripMargin,
+
+    // j8: the salted two-phase aggregation is algebraically identical to
+    // the direct groupBy — the oracle IS the direct groupBy
+    "j8_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       count(event_id) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "v5_ivf_topk" ->
       """WITH cents AS (
         |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v5_ivf/centroids/*.parquet')

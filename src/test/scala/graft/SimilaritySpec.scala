@@ -127,4 +127,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length === 3)
     assert(out.forall(_.getAs[Long]("neighbor_id") < 10L), "neighbors from probe's cluster")
   }
+
+  test("D11: SemDeDup composition — quantizer lists block the cosine dedup") {
+    import graft.dedup.Dedup
+    val df = clustered
+    val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
+    val pairs = Dedup.embeddingNearDup(
+      idx.lists.select(col("listId"), col("id"), col("emb")),
+      "id", "emb", "listId", threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.nonEmpty, "tight clusters must yield near-dup pairs")
+    // the learned block equals the true cluster here, so no pair crosses one
+    assert(pairs.forall { case (a, b) => a / 10 === b / 10 },
+      s"cross-cluster pair leaked through the quantizer block: ${pairs.toSeq}")
+    // keep-the-min-id verdict drops exactly the b sides
+    val dropped = pairs.map(_._2).toSet
+    assert(!dropped.exists(pairs.map(_._1).toSet.diff(dropped).contains))
+  }
 }
