@@ -878,6 +878,45 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy("event_type", "day")),
 
+    // E-events: full CUBE grouping sets (all four aggregation lattices in
+    // one pass — Spark expands to a single Expand + hash agg, not 4 scans)
+    "e8_cube" -> ((s, d) =>
+      t(s, d, "events")
+        .cube(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 3).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("day"), lit("9999-12-31").cast("date")).as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "day")),
+
+    // H-OLAP: top unshipped orders (TPC-H Q3 shape) — segment-filtered
+    // customer broadcast, fact⋈fact join, then top-10 by revenue as a
+    // bounded heap (revenue is a decimal-exact double, ties on orderkey)
+    "h4_top_unshipped" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+
+    // P-profiling: per-source document-length histogram (fixed-width
+    // buckets, capped tail) — the distribution report behind length filters
+    "p5_length_histogram" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          least(floor(col("n_chars") / 100), lit(9L)).cast("long").as("bucket"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "bucket")),
+
     // E-events: exact interpolated quantiles per group
     "e5_quantiles" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type").agg(
@@ -2186,6 +2225,34 @@ object SparkEntry {
         |         CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
         |  FROM events GROUP BY ROLLUP(event_type, day)
         |) ORDER BY event_type, day""".stripMargin,
+
+    "e8_cube" ->
+      """SELECT coalesce(event_type, '(all)') AS event_type,
+        |       coalesce(day, DATE '9999-12-31') AS day,
+        |       n, sum_value FROM (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY CUBE(event_type, day)
+        |) ORDER BY event_type, day""".stripMargin,
+
+    "h4_top_unshipped" ->
+      """SELECT l_orderkey, o_orderdate,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "p5_length_histogram" ->
+      """SELECT source, least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bucket,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
 
     "e5_quantiles" ->
       """SELECT event_type,
