@@ -907,6 +907,18 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)),
 
+    // H-OLAP: forecasting-revenue-change (TPC-H Q6 shape) — filter + global
+    // sum, nothing else: the "did every predicate reach the parquet scan"
+    // anchor (PlanAuditSpec pins PushedFilters on it)
+    "h5_filter_sum" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // P-profiling: per-source document-length histogram (fixed-width
     // buckets, capped tail) — the distribution report behind length filters
     "p5_length_histogram" -> ((s, d) =>
@@ -2247,6 +2259,15 @@ object SparkEntry {
         |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "h5_filter_sum" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "p5_length_histogram" ->
       """SELECT source, least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bucket,

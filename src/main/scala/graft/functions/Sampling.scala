@@ -70,7 +70,11 @@ object Sampling {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val u = (hashBucket(col(keyCol)).cast("double") + lit(0.5)) / Buckets
-    df.withColumn("es_key", round(log(u) / col(weightCol).cast("double"), 9))
+    // non-positive weights are excluded up front: w = 0 would null the rank
+    // (and Spark orders nulls last under DESC where SQL engines put them
+    // first — a silent cross-engine divergence), w < 0 would flip the order
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol).cast("double"), 9))
       .orderBy(col("es_key").desc, col(keyCol).asc)
       .limit(k)
   }

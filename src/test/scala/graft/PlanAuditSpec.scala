@@ -77,7 +77,7 @@ class PlanAuditSpec extends SparkSpec {
     val sfDir = "/root/testdata/sf0.001"
     // f1 filters lat/lon; f3 filters variable+timestamp — both must reach
     // the parquet reader, not evaluate post-scan only
-    Seq("f1_bbox_filter", "f3_variable_slice").foreach { q =>
+    Seq("f1_bbox_filter", "f3_variable_slice", "h5_filter_sum").foreach { q =>
       val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
       val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
       assert(pushed.contains("PushedFilters: [") && !pushed.contains("PushedFilters: []"),

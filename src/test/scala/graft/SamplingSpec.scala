@@ -91,5 +91,12 @@ class SamplingSpec extends SparkSpec {
     val uni = Sampling.weightedSample(
       spark.range(0, 200).select(col("id"), lit(5L).as("w")), "id", "w", k = 15)
     assert(uni.count() === 15L)
+    // non-positive weights are excluded, never ranked (a zero weight would
+    // null the rank and engines disagree on NULL ordering)
+    val zeros = Sampling.weightedSample(
+      spark.range(0, 20).select(col("id"),
+        when(col("id") < 15, 0L).otherwise(1L).as("w")), "id", "w", k = 10)
+    assert(zeros.count() === 5L)
+    assert(zeros.collect().forall(_.getLong(1) === 1L))
   }
 }
