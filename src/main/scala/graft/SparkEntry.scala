@@ -929,6 +929,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source", "bucket")),
 
+    // K-sinks: CDC-style change preview — the dry run of K3/K4: classify an
+    // incoming batch against the current table (insert / update / unchanged,
+    // null-safe comparison) without writing; one left join + scan-local diff
+    "k6_change_preview" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          // every 6th doc arrives with a changed payload
+          when(col("doc_id") % 6 === 0, col("n_chars") + 7)
+            .otherwise(col("n_chars")).as("n_chars"))
+      graft.store.CatalogStore
+        .changePreview(existing, incoming, "doc_id", Seq("lang", "n_chars"))
+        .select(col("doc_id"), col("action"))
+        .orderBy("doc_id")
+    }),
+
+    // H-OLAP: customer order-count distribution (TPC-H Q13 shape) — LEFT
+    // OUTER join so zero-order customers survive, count per customer, then
+    // a histogram of the counts (two hash aggs, no window)
+    "h6_customer_distribution" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy("c_count")),
+
+    // SM-sampling: deterministic train/val/test split assignment — the same
+    // md5 bucket as sm1, so membership is stable and splits are disjoint by
+    // construction in any engine
+    "sm5_split_assign" -> ((s, d) => {
+      val b = graft.functions.Sampling.hashBucket(col("doc_id"))
+      t(s, d, "documents")
+        .select(col("source"),
+          when(b < 8000, "train").when(b < 9000, "val").otherwise("test")
+            .as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")
+    }),
+
     // E-events: exact interpolated quantiles per group
     "e5_quantiles" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type").agg(
@@ -2259,6 +2304,43 @@ object SparkEntry {
         |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "k6_change_preview" ->
+      """WITH existing AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 <> 0
+        |), incoming AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 6 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT i.doc_id,
+        |       CASE WHEN e.doc_id IS NULL THEN 'insert'
+        |            WHEN i.lang IS DISTINCT FROM e.lang
+        |              OR i.n_chars IS DISTINCT FROM e.n_chars THEN 'update'
+        |            ELSE 'unchanged' END AS action
+        |FROM incoming i LEFT JOIN existing e ON i.doc_id = e.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
+
+    "h6_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS n_custs
+        |FROM pc GROUP BY c_count ORDER BY c_count""".stripMargin,
+
+    "sm5_split_assign" ->
+      """WITH s AS (
+        |  SELECT source,
+        |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+        |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT source, split, count(*) AS n_docs
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
 
     "h5_filter_sum" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

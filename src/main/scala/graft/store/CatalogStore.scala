@@ -57,3 +57,31 @@ final class CatalogStore(spark: SparkSession, val path: String, val keyCol: Stri
     fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(path))
   }
 }
+
+object CatalogStore {
+
+  /** Change preview (the CDC-style dry run of K3/K4): classify each incoming
+    * row against the existing table as `insert` (key absent), `update` (key
+    * present, any compared column differs — null-safe) or `unchanged`,
+    * WITHOUT writing. The report every guarded merge pipeline runs before
+    * committing a batch.
+    *
+    * One left join on the key (broadcast-eligible when the existing side is
+    * a dimension; at fact scale it shuffles on the same key the merge itself
+    * would) and a scan-local comparison — no second pass, no driver-side
+    * diffing. Returns the incoming rows plus an `action` column.
+    */
+  def changePreview(existing: DataFrame, incoming: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one column to compare")
+    val o = existing.select(
+      (keyCol +: compareCols).map(c => col(c).as(s"__o_$c")): _*)
+    val changed = compareCols.map(c => !(col(c) <=> col(s"__o_$c"))).reduce(_ || _)
+    incoming.join(o, col(keyCol) === col(s"__o_$keyCol"), "left")
+      .withColumn("action",
+        when(col(s"__o_$keyCol").isNull, "insert")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .drop((s"__o_$keyCol" +: compareCols.map(c => s"__o_$c")): _*)
+  }
+}

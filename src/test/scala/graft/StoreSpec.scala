@@ -216,4 +216,28 @@ class StoreSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("changePreview classifies insert/update/unchanged with null-safe diffs") {
+    val existing = Seq(
+      (1L, Some("en"), 100L), (2L, None, 200L), (3L, Some("de"), 300L)
+    ).toDF("id", "lang", "n")
+    val incoming = Seq(
+      (1L, Some("en"), 100L), // identical → unchanged
+      (2L, None, 200L),       // identical incl. null lang → unchanged
+      (3L, Some("de"), 999L), // value changed → update
+      (4L, Some("fr"), 50L),  // new key → insert
+      (5L, None, 60L)         // new key with null col → insert
+    ).toDF("id", "lang", "n")
+    val out = graft.store.CatalogStore
+      .changePreview(existing, incoming, "id", Seq("lang", "n"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("action"))
+    assert(out.toSeq === Seq(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "update", 4L -> "insert", 5L -> "insert"))
+    // null flipping to value (and back) is an update, not unchanged
+    val flip = graft.store.CatalogStore.changePreview(
+      existing, Seq((2L, Some("zh"), 200L)).toDF("id", "lang", "n"),
+      "id", Seq("lang", "n")).collect()
+    assert(flip(0).getAs[String]("action") === "update")
+  }
 }
