@@ -1076,6 +1076,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")),
 
+    // W-windows: ntile quartiles per group (rank-family breadth) — total
+    // order inside each partition pins the tile assignment cross-engine
+    "w3_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, d, "events")
+        .select(col("event_type"), col("value"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("min_value"),
+          round(max(col("value")), 6).as("max_value"))
+        .orderBy("event_type", "quartile")
+    }),
+
+    // M-multimodal: perceptual-band blocking — the candidate-generation
+    // stage of media dedup: decoded features quantize into coarse bands
+    // (kind, size, luma) and each band reports its population + keeper;
+    // the quadratic verify stage would then run per band (d5's shape)
+    "m4_media_buckets" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(t(s, d, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("mediaId"), col("kind"),
+          floor(col("width") / 256).cast("long").as("w_band"),
+          floor(col("height") / 256).cast("long").as("h_band"),
+          floor(col("meanLuma") / 64).cast("long").as("luma_band"))
+        .groupBy("kind", "w_band", "h_band", "luma_band")
+        .agg(count(lit(1)).as("n_items"), min(col("mediaId")).as("keeper_id"))
+        .orderBy("kind", "w_band", "h_band", "luma_band")
+    }),
+
     // E-events: gap-based sessionization (lag window + cumulative flags)
     "e2_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -2239,6 +2270,36 @@ object SparkEntry {
         |       CAST(16 * ((n - 1) // 5 + 1) AS BIGINT) AS total_bytes,
         |       CAST(((n - 1) // 5) * 5 AS INT) AS max_frame_idx
         |FROM f ORDER BY mediaId""".stripMargin,
+
+    "w3_ntile" ->
+      """WITH q AS (
+        |  SELECT event_type, value,
+        |         ntile(4) OVER (PARTITION BY event_type
+        |                        ORDER BY value ASC, event_id ASC) AS quartile
+        |  FROM events
+        |)
+        |SELECT event_type, quartile, count(*) AS n,
+        |       round(min(value), 6) AS min_value,
+        |       round(max(value), 6) AS max_value
+        |FROM q GROUP BY event_type, quartile
+        |ORDER BY event_type, quartile""".stripMargin,
+
+    // m4: the m2 portable decode, quantized to coarse bands
+    "m4_media_buckets" ->
+      """WITH f AS (
+        |  SELECT doc_id AS mediaId,
+        |         (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
+        |         64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
+        |         64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
+        |         ('0x' || substr(md5(text), 11, 4))::BIGINT / 65535.0 * 255.0 AS meanLuma
+        |  FROM documents
+        |)
+        |SELECT kind, CAST(floor(width / 256) AS BIGINT) AS w_band,
+        |       CAST(floor(height / 256) AS BIGINT) AS h_band,
+        |       CAST(floor(meanLuma / 64) AS BIGINT) AS luma_band,
+        |       count(*) AS n_items, min(mediaId) AS keeper_id
+        |FROM f GROUP BY kind, w_band, h_band, luma_band
+        |ORDER BY kind, w_band, h_band, luma_band""".stripMargin,
 
     "e1_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
