@@ -791,6 +791,34 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // V-similarity: ANN quality measured IN-ENGINE — recall@10 of the IVF
+    // index (nProbe = 2 of 16 lists, deliberately non-exhaustive) against
+    // the brute-force ground truth, per probe. Evaluation-as-a-query: the
+    // same engine that builds the index also scores it, and the whole
+    // measurement (assignment, probed search, exact top-k, overlap) is
+    // replayed by the oracle from the persisted centroids
+    "v7_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/v7_recall")
+      val probes = emb.filter(col("vec_id") < 10)
+      val approx = Ivf.search(idx, probes, "vec_id", "embedding",
+        nProbe = 2, k = 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val exact = Similarity.knnJoin(probes, emb, "vec_id", "embedding", 10)
+        .select(col("probe_id").as("pid"), col("neighbor_id").as("nid"))
+      val hits = approx
+        .join(exact, col("probe_id") === col("pid") &&
+          col("neighbor_id") === col("nid"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+      probes.select(col("vec_id").as("probe_id"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0).as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // V-similarity: per-label aggregate over vector norms
     "v4_label_norms" -> ((s, d) =>
       t(s, d, "embeddings").groupBy("label").agg(
@@ -2116,6 +2144,63 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
         |       count(event_id) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // v7: both sides of the recall measurement replayed — IVF assignment +
+    // probed search from the persisted centroids (the v5 idiom, nProbe=2)
+    // and the exact brute-force top-10, joined for per-probe overlap
+    "v7_ann_recall" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v7_recall/centroids/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), en AS (
+        |  SELECT vec_id, emb,
+        |         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+        |  FROM e
+        |), dist AS (
+        |  SELECT en.vec_id, en.emb, en.nrm, c.listId,
+        |         list_aggregate(list_transform(range(1, len(en.emb) + 1),
+        |           i -> (en.emb[i] - c.cent[i]) * (en.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM en, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, nrm, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), pl AS (
+        |  SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+        |    FROM dist WHERE vec_id < 10) WHERE lr <= 2
+        |), cand AS (
+        |  SELECT pl.probe_id, a.vec_id AS id,
+        |         list_aggregate(list_transform(range(1, len(a.emb) + 1),
+        |           i -> a.emb[i] * pl.p_emb[i]), 'sum') / (a.nrm * pl.p_nrm) AS cos_raw
+        |  FROM pl JOIN asg a USING (listId)
+        |  WHERE a.vec_id <> pl.probe_id
+        |), appr AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |           row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, id ASC) AS rank
+        |    FROM cand) WHERE rank <= 10
+        |), exc AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+        |         list_aggregate(list_transform(range(1, len(c.emb) + 1),
+        |           i -> c.emb[i] * p.emb[i]), 'sum') / (c.nrm * p.nrm) AS cos_raw
+        |  FROM en p JOIN en c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10
+        |), ex AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |           row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, id ASC) AS rank
+        |    FROM exc) WHERE rank <= 10
+        |), h AS (
+        |  SELECT a.probe_id, count(*) AS n_hits
+        |  FROM appr a JOIN ex USING (probe_id, id) GROUP BY a.probe_id
+        |)
+        |SELECT en.vec_id AS probe_id,
+        |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) / 10.0 AS recall
+        |FROM en LEFT JOIN h ON h.probe_id = en.vec_id
+        |WHERE en.vec_id < 10 ORDER BY probe_id""".stripMargin,
 
     "v5_ivf_topk" ->
       """WITH cents AS (
