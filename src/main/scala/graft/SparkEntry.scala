@@ -1135,6 +1135,16 @@ object SparkEntry {
         .orderBy("kind", "w_band", "h_band", "luma_band")
     }),
 
+    // E-events: bounded-state approximate quantiles — unit-width histogram
+    // buckets, cumulative counts, integer-exact threshold tests (cum·den ≥
+    // n·num, no float compare); the scale path exact percentile (e5, full
+    // sort per group) cannot take
+    "e9_approx_quantiles" -> ((s, d) =>
+      graft.functions.Profiling.histogramQuantiles(
+        t(s, d, "events"), "event_type", "value", width = 1.0,
+        Seq(("p50_bucket", 1, 2), ("p90_bucket", 9, 10), ("p99_bucket", 99, 100)))
+        .orderBy("event_type")),
+
     // E-events: gap-based sessionization (lag window + cumulative flags)
     "e2_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -2385,6 +2395,23 @@ object SparkEntry {
         |       count(*) AS n_items, min(mediaId) AS keeper_id
         |FROM f GROUP BY kind, w_band, h_band, luma_band
         |ORDER BY kind, w_band, h_band, luma_band""".stripMargin,
+
+    "e9_approx_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(floor(value / 1.0) AS BIGINT) AS bucket FROM events
+        |), c AS (
+        |  SELECT g, bucket, count(*) AS c FROM b GROUP BY g, bucket
+        |), cc AS (
+        |  SELECT g, bucket, c,
+        |         sum(c) OVER (PARTITION BY g ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER (PARTITION BY g) AS n
+        |  FROM c
+        |)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |       min(CASE WHEN cum * 2 >= n * 1 THEN bucket END) AS p50_bucket,
+        |       min(CASE WHEN cum * 10 >= n * 9 THEN bucket END) AS p90_bucket,
+        |       min(CASE WHEN cum * 100 >= n * 99 THEN bucket END) AS p99_bucket
+        |FROM cc GROUP BY g ORDER BY event_type""".stripMargin,
 
     "e1_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

@@ -41,6 +41,38 @@ object Profiling {
     * (absorbs cross-engine last-ULP divergence); saturated bucket spaces
     * (every bucket hit) report the `m·ln(m)` upper bound.
     */
+  /** Histogram-based approximate quantiles with BOUNDED state: values bucket
+    * to `floor(value / width)`, per-group bucket counts cumulate, and the
+    * q-quantile reports the lower bound of the first bucket whose cumulative
+    * count reaches q·n — tested with INTEGER arithmetic (`cum·den ≥ num·n`),
+    * so the answer is bit-exact in any engine, no float thresholds.
+    *
+    * This is the scale path exact `percentile` cannot take: exact quantiles
+    * need the full value multiset per group (sort-bound); the histogram
+    * needs one row per occupied bucket — error bounded by `width`, state
+    * bounded by value-range/width. Quantiles are (name, num, den) pairs,
+    * e.g. ("p90", 9, 10).
+    */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      width: Double, quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(width > 0 && quantiles.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("g"),
+        floor(col(valueCol) / width).cast("long").as("bucket"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("g").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    val qCols = quantiles.map { case (name, num, den) =>
+      min(when(col("cum") * den >= col("n") * num, col("bucket"))).as(name)
+    }
+    cum.groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"), qCols: _*)
+  }
+
   def cardinality(df: DataFrame, cols: Seq[String], m: Int = 1024): DataFrame = {
     require(m >= 2, s"bucket count must be >= 2: $m")
     cols.map { c =>

@@ -43,6 +43,27 @@ class ProfilingSpec extends SparkSpec {
     assert(est > 1200 && est < 3200, s"estimate $est implausible for 2000 distinct")
   }
 
+  test("histogramQuantiles: bucket quantiles bracket the exact percentiles") {
+    // 1000 uniform values 0..999 per group: p50 bucket (width 10) must be 49
+    // or 50, p90 ~ 89/90 — within one bucket of exact
+    val df = spark.range(0, 2000).select(
+      (col("id") % 2).cast("string").as("g"), (col("id") / 2).as("v"))
+    val r = Profiling.histogramQuantiles(df, "g", "v", width = 10.0,
+      Seq(("p50", 1, 2), ("p90", 9, 10))).orderBy("g").collect()
+    r.foreach { row =>
+      assert(row.getLong(1) === 1000L)
+      assert(math.abs(row.getLong(2) - 50L) <= 1, s"p50 bucket ${row.getLong(2)}")
+      assert(math.abs(row.getLong(3) - 90L) <= 1, s"p90 bucket ${row.getLong(3)}")
+    }
+  }
+
+  test("histogramQuantiles: a single-value group lands every quantile on it") {
+    val df = spark.range(0, 7).select(lit("a").as("g"), lit(42.7).as("v"))
+    val r = Profiling.histogramQuantiles(df, "g", "v", width = 1.0,
+      Seq(("p50", 1, 2), ("p99", 99, 100))).collect()(0)
+    assert(r.getLong(1) === 7L && r.getLong(2) === 42L && r.getLong(3) === 42L)
+  }
+
   test("cardinality: nulls are excluded from the estimate") {
     val df = spark.range(0, 50).select(
       when(col("id") < 10, lit(null)).otherwise(col("id")).as("v"))
