@@ -237,6 +237,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // J9 — FORWARD as-of: for each purchase, the next click at-or-after it
+    // (asof mirrored in time; same single-shuffle union-window plan)
+    "j9_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id"),
+          max_by(col("value"), col("event_id")).as("click_value"))
+      AsofJoin.asofForward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("click_id", "click_value"), prefix = "next_")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("next_ts"), col("next_click_id"), col("next_click_value"))
+        .orderBy("event_id")
+    }),
+
     // J6 — range join via interval binning (hash join on the bin, not BNLJ)
     "j6_range_join" -> ((s, d) => {
       val pts = t(s, d, "events").select(col("event_id"), col("value"))
@@ -1351,6 +1368,21 @@ object SparkEntry {
         |       c.click_value AS last_click_value
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "j9_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id,
+        |         arg_max(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.value,
+        |       c.ts AS next_ts, c.click_id AS next_click_id,
+        |       c.click_value AS next_click_value
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts >= p.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "j6_range_join" ->

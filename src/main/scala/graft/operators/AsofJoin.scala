@@ -51,4 +51,33 @@ object AsofJoin {
       (rightTs +: rightPayload).map(c => col(s"__m.$c").as(s"$prefix$c"))
     out.select(projected: _*)
   }
+
+  /** FORWARD as-of join — for each left row, the EARLIEST right row whose
+    * timestamp is ≥ the left row's, per key (the "next quote after the
+    * order" alignment; [[asof]] mirrored in time). Same single-shuffle
+    * union-window shape: the window looks FORWARD (`first(ignoreNulls)`
+    * over current→following) and left rows sort before right rows at equal
+    * ts so an exact-ts right row still matches (inclusive).
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      prefix: String = "r_"): DataFrame = {
+    val rStructCols = (rightTs +: rightPayload).map(col)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select((keys.map(col) :+ col(rightTs).as("__ts")) :+
+        struct(rStructCols: _*).as("__r"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned.withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+    val out = carried.filter(col("__side") === 1)
+    val projected = left.columns.map(col).toSeq ++
+      (rightTs +: rightPayload).map(c => col(s"__m.$c").as(s"$prefix$c"))
+    out.select(projected: _*)
+  }
 }

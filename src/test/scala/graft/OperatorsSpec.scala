@@ -29,6 +29,43 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> None))
   }
 
+  test("asofForward: inclusive match, earliest-wins, null when nothing follows") {
+    val left = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00")), // exact-tie with right at 10:00
+      (2L, 1L, ts("2026-01-01 10:10:00")), // next right is 10:30
+      (3L, 2L, ts("2026-01-01 10:00:00")), // key has no right rows
+      (4L, 1L, ts("2026-01-01 11:00:00"))  // nothing follows
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 100.0),
+      (1L, ts("2026-01-01 10:30:00"), 200.0),
+      (3L, ts("2026-01-01 11:00:00"), 300.0)
+    ).toDF("k", "ts", "rv")
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("r_rv"))) None else Some(r.getAs[Double]("r_rv")))).toMap
+    assert(out === Map(1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> None))
+  }
+
+  test("asofForward matches a brute-force reference on randomized data") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(1000).toLong)).toDF("id", "k", "t")
+    val right = (1 to 150).map(i =>
+      ((i % 7).toLong, rnd.nextInt(1000).toLong, rnd.nextDouble())).toDF("k", "t", "rv")
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+    val got = AsofJoin.asofForward(left, right, Seq("k"), "t", "t", Seq("rv"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("r_t"))) None else Some(r.getAs[Long]("r_t")))).toMap
+    val rightRows = right.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    left.collect().foreach { l =>
+      val (id, k, t) = (l.getLong(0), l.getLong(1), l.getLong(2))
+      val expect = rightRows.filter(r => r._1 == k && r._2 >= t)
+        .map(_._2).sorted.headOption
+      assert(got(id) === expect, s"left id=$id k=$k t=$t")
+    }
+  }
+
   test("asof result columns carry the matched right timestamp") {
     val left = Seq((1L, 1L, ts("2026-01-01 12:00:00"))).toDF("id", "k", "ts")
     val right = Seq((1L, ts("2026-01-01 10:30:00"), 7.0)).toDF("k", "ts", "rv")
