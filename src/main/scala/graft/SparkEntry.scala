@@ -1162,6 +1162,22 @@ object SparkEntry {
         Seq(("p50_bucket", 1, 2), ("p90_bucket", 9, 10), ("p99_bucket", 99, 100)))
         .orderBy("event_type")),
 
+    // E-events: JSON extraction — schema-declared from_json over the props
+    // column (codegen'd Jackson parse, one pass; never schema inference on
+    // a 100 TB column), extracted field feeds a plain aggregate
+    "e10_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // E-events: gap-based sessionization (lag window + cumulative flags)
     "e2_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -2427,6 +2443,14 @@ object SparkEntry {
         |       count(*) AS n_items, min(mediaId) AS keeper_id
         |FROM f GROUP BY kind, w_band, h_band, luma_band
         |ORDER BY kind, w_band, h_band, luma_band""".stripMargin,
+
+    "e10_json_extract" ->
+      """SELECT event_type,
+        |       count(json_extract(props, '$.k')) AS n_with_k,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e9_approx_quantiles" ->
       """WITH b AS (
