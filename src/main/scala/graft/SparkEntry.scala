@@ -704,6 +704,26 @@ object SparkEntry {
           col("dup_span_frac"))
         .orderBy("doc_id")),
 
+    // T-text: edit-distance fuzzy matching — levenshtein over normalized
+    // 48-char heads, candidates blocked by 16-char prefix with the d4 block
+    // cap (the quadratic is bounded per block; the head truncation bounds
+    // the O(len²) distance itself)
+    "t13_fuzzy_match" -> ((s, d) => {
+      val norm = lower(trim(regexp_replace(col("text"), lit("[^A-Za-z0-9]+"), lit(" "))))
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        substring(norm, 1, 48).as("head"), substring(norm, 1, 16).as("pfx"))
+      val keep = docs.groupBy("pfx").agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 256)).select("pfx")
+      val sides = docs.join(keep, Seq("pfx"), "left_semi")
+      val a = sides.select(col("pfx"), col("doc_id").as("a"), col("head").as("ha"))
+      val b = sides.select(col("pfx"), col("doc_id").as("b"), col("head").as("hb"))
+      a.join(b, Seq("pfx")).filter(col("a") < col("b"))
+        .withColumn("lev", levenshtein(col("ha"), col("hb")).cast("long"))
+        .filter(col("lev") <= 16)
+        .select(col("a"), col("b"), col("lev"))
+        .orderBy("a", "b")
+    }),
+
     // T-text: corpus vocabulary statistics (explode + distinct at scale)
     "t5_vocab_stats" -> ((s, d) => {
       val toks = t(s, d, "documents")
@@ -1998,6 +2018,22 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_span_frac
         |FROM chunks JOIN byfp USING (fp)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t13_fuzzy_match" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         substr(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), 1, 48) AS head,
+        |         substr(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), 1, 16) AS pfx
+        |  FROM documents
+        |), blk AS (
+        |  SELECT pfx FROM n GROUP BY pfx HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+        |  FROM n a JOIN n b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        |  WHERE a.pfx IN (SELECT pfx FROM blk)
+        |)
+        |SELECT a, b, lev FROM p WHERE lev <= 16 ORDER BY a, b""".stripMargin,
 
     "d4_jaccard_neardup" ->
       """WITH n AS (
