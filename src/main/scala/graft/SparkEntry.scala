@@ -695,6 +695,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // G-graph: PageRank centrality over the d4 near-dup pair graph — "which
+    // documents sit at the center of duplication clusters" (the triage
+    // signal for which boilerplate to hunt first). Fixed 3 iterations,
+    // decimal contribution sums + per-iteration 9dp rounding so both
+    // engines iterate from the same grid point
+    "g1_pagerank" -> ((s, d) =>
+      graft.graph.Graph.pagerank(d4RoundedPairs(s, d), iters = 3)
+        .select(col("id").as("doc_id"), col("r").as("rank"))
+        .orderBy("doc_id")),
+
     // D-dedup: cross-document duplicated-span detection (substring-level
     // dedup) — disjoint 16-token chunks fingerprinted, counted across docs,
     // folded to a per-doc duplicated-span fraction; TF-IDF plan shape
@@ -2034,6 +2044,50 @@ object SparkEntry {
         |  WHERE a.pfx IN (SELECT pfx FROM blk)
         |)
         |SELECT a, b, lev FROM p WHERE lev <= 16 ORDER BY a, b""".stripMargin,
+
+    // g1: the d4 pair pipeline, then 3 unrolled PageRank iterations — each
+    // iteration sums decimal contributions and rounds to 9dp, mirroring the
+    // engine's per-round grid exactly
+    "g1_pagerank" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), blk AS (
+        |  SELECT substr(norm, 1, 32) AS pfx FROM n
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256
+        |), pr AS (
+        |  SELECT a, b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b,
+        |           round(CAST(len(list_intersect(list_distinct(string_split(a.norm, ' ')),
+        |                                         list_distinct(string_split(b.norm, ' ')))) AS DOUBLE)
+        |             / (CAST(len(list_distinct(string_split(a.norm, ' '))) AS DOUBLE)
+        |                + CAST(len(list_distinct(string_split(b.norm, ' '))) AS DOUBLE)
+        |                - CAST(len(list_intersect(list_distinct(string_split(a.norm, ' ')),
+        |                                          list_distinct(string_split(b.norm, ' ')))) AS DOUBLE)), 4) AS jaccard
+        |    FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+        |     AND a.doc_id < b.doc_id
+        |    WHERE substr(a.norm, 1, 32) IN (SELECT pfx FROM blk)
+        |  ) WHERE jaccard >= 0.35
+        |), e AS (
+        |  SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr
+        |), deg AS (
+        |  SELECT x AS id, count(*) AS deg FROM e GROUP BY x
+        |), r0 AS (
+        |  SELECT DISTINCT x AS id, 1.0 AS r FROM e
+        |), r1 AS (
+        |  SELECT e.x AS id,
+        |         round(0.15 + 0.85 * CAST(sum(CAST(r0.r / deg.deg AS DECIMAL(30,12))) AS DOUBLE), 9) AS r
+        |  FROM e JOIN r0 ON r0.id = e.y JOIN deg ON deg.id = e.y GROUP BY e.x
+        |), r2 AS (
+        |  SELECT e.x AS id,
+        |         round(0.15 + 0.85 * CAST(sum(CAST(r1.r / deg.deg AS DECIMAL(30,12))) AS DOUBLE), 9) AS r
+        |  FROM e JOIN r1 ON r1.id = e.y JOIN deg ON deg.id = e.y GROUP BY e.x
+        |), r3 AS (
+        |  SELECT e.x AS id,
+        |         round(0.15 + 0.85 * CAST(sum(CAST(r2.r / deg.deg AS DECIMAL(30,12))) AS DOUBLE), 9) AS r
+        |  FROM e JOIN r2 ON r2.id = e.y JOIN deg ON deg.id = e.y GROUP BY e.x
+        |)
+        |SELECT id AS doc_id, r AS rank FROM r3 ORDER BY doc_id""".stripMargin,
 
     "d4_jaccard_neardup" ->
       """WITH n AS (

@@ -1,0 +1,53 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over pair sets (the near-dup graphs the dedup
+  * family emits). Same scale discipline as [[graft.dedup.Dedup.canonicalize]]:
+  * edge and rank frames stay distributed, each iteration is a bounded number
+  * of shuffles, and lineage is truncated per round so plans don't grow.
+  */
+object Graph {
+
+  /** PageRank over an UNDIRECTED pair set `(a, b)` — rank flows both ways.
+    * A fixed iteration count (not convergence-tested) keeps the result a
+    * pure function of the input; cross-engine determinism discipline:
+    *   - per-neighbor contributions `r/deg` are summed as exact DECIMALs
+    *     (order-independent — double sums change with partial-agg order),
+    *   - each iteration's rank is rounded to 9dp, so both engines keep
+    *     iterating from the SAME grid point and error cannot compound.
+    *
+    * `base` is passed explicitly rather than computed as `1 − damping`:
+    * `1.0 − 0.85` in IEEE is 0.15000000000000002 while the literal `0.15`
+    * parses to a different double — the oracle writes literals, so we take
+    * literals.
+    *
+    * Scale: each iteration = one join edges⋈ranks (shuffle on the node id)
+    * + one hash aggregate; state is one row per node. Isolated nodes (none
+    * in a pair graph) would need a dangling-mass term — out of scope.
+    */
+  def pagerank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      base: Double = 0.15): DataFrame = {
+    require(iters >= 1, s"need >= 1 iteration: $iters")
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+      .localCheckpoint(eager = true) // iterated twice per round — compute the
+                                     // (possibly expensive) pair pipeline once
+    val deg = edges.groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
+    var ranks = edges.select(col("x").as("id")).distinct()
+      .withColumn("r", lit(1.0))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "y"), Seq("y"))
+        .join(deg.withColumnRenamed("id", "y").withColumnRenamed("deg", "ydeg"), Seq("y"))
+        .select(col("x").as("id"),
+          (col("r") / col("ydeg").cast("double")).cast("decimal(30,12)").as("c"))
+      ranks = contrib.groupBy("id")
+        .agg(round(lit(base) + lit(damping) * sum(col("c")).cast("double"), 9).as("r"))
+        .localCheckpoint(eager = true) // truncate iterative lineage
+    }
+    ranks
+  }
+}
