@@ -57,31 +57,43 @@ object Bench {
       case None       => SparkEntry.queries
     }).toSeq.sortBy(_._1) // deterministic order: bench runs are comparable across rounds
 
-    // Median of N in-process repetitions per query: a single run is JIT/IO
-    // noise (round 2→3 saw 5× per-query swings with zero code changes), so
-    // per-query numbers are medians and `spread` records max−min. The cache
-    // is cleared between reps so a rep can't ride a previous rep's persisted
-    // frames (d9 legitimately persists its chunk projection WITHIN a run).
+    // Median of N repetitions per query, run REP-MAJOR (all queries rep 1,
+    // then all rep 2, …): a single run is JIT/IO noise (round 2→3 saw 5×
+    // per-query swings with zero code changes), and back-to-back reps let one
+    // transient load spike poison all of a query's reps (the r4 d2/d11 spread
+    // signature) — interleaving spaces a query's reps minutes apart so the
+    // median resists load. The cache is cleared between queries so a rep
+    // can't ride a previous rep's persisted frames (d9 legitimately persists
+    // its chunk projection WITHIN a run).
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
-    val results = selected.map { case (name, fn) =>
-      var err: Option[String] = None
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      while (times.length < reps && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try exhaust(fn(spark, sfDir))
-        catch {
-          case e: Throwable =>
-            // strip EVERY control character (not just \n\r\t) — one stray
-            // \f in an error message would make the whole line unparseable
-            err = Some(e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("")
-                .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160))
-        }
-        finally spark.catalog.clearCache()
-        times += (System.nanoTime() - t0) / 1e9
+    val times = scala.collection.mutable.LinkedHashMap(
+      selected.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (_ <- 1 to reps; (name, fn) <- selected if !errs.contains(name)) {
+      val t0 = System.nanoTime()
+      try exhaust(fn(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          // strip EVERY control character (not just \n\r\t) — one stray
+          // \f in an error message would make the whole line unparseable
+          errs(name) = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")
+              .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160)
       }
-      val sorted = times.sorted
-      (name, sorted(sorted.length / 2), sorted.last - sorted.head, err)
+      finally spark.catalog.clearCache()
+      times(name) += (System.nanoTime() - t0) / 1e9
+    }
+    val results = selected.map { case (name, _) =>
+      val sorted = times(name).sorted
+      (name, sorted(sorted.length / 2), sorted.last - sorted.head, errs.get(name))
+    }
+
+    // Row count per input table: lets the judge scale-normalize per-query
+    // times mechanically. Parquet metadata-only counts — microseconds.
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings").flatMap { t =>
+      try Some(t -> Tables(spark, sfDir, t).count())
+      catch { case _: Throwable => None }
     }
 
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which on
@@ -89,13 +101,23 @@ object Bench {
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v, _, _) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val sp = results.map { case (k, _, s, _) => s""""$k":${num(s)}""" }.mkString("{", ",", "}")
+    val tb = tables.map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, Some(m)) => s""""$k":"$m"""" }
     val errJson = if (failed.isEmpty) "" else failed.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
+    // Two stdout lines: a `detail` line (spread/reps/tables — diagnostics)
+    // FIRST, then a compact headline line LAST. The driver tail-captures and
+    // parses the final line; r4's single ~6 KB line outgrew its capture
+    // window (BENCH_r04 came back `parsed: null`), so the headline carries
+    // only metric/value/queries/sf/tables (~3 KB for 96 queries).
+    val detail =
+      s"""{"detail":"bench","reps":$reps,"spread":$sp$errJson}"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
-        s""""reps":$reps,"spread":$sp,"sf":"$sfDir"$errJson}"""
-    Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
+        s""""tables":$tb,"sf":"$sfDir"$errJson}"""
+    Files.write(Paths.get("bench_out.json"),
+      (detail + "\n" + line + "\n").getBytes(StandardCharsets.UTF_8))
+    println(detail)
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

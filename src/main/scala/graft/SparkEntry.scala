@@ -2534,12 +2534,16 @@ object SparkEntry {
         |FROM f GROUP BY kind, w_band, h_band, luma_band
         |ORDER BY kind, w_band, h_band, luma_band""".stripMargin,
 
+    // ->> (json_extract_string) returns SQL NULL for a present-but-null k —
+    // matching Spark's from_json — and TRY_CAST maps a non-integer k to NULL
+    // rather than erroring, so engine and oracle agree on null/malformed
+    // values by construction, not by data-generation luck
     "e10_json_extract" ->
       """SELECT event_type,
-        |       count(json_extract(props, '$.k')) AS n_with_k,
-        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-        |       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |       count(TRY_CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+        |       CAST(sum(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(min(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(max(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e9_approx_quantiles" ->
@@ -2743,13 +2747,16 @@ object SparkEntry {
         |FROM u ORDER BY col_name""".stripMargin,
 
     // sm4: Efraimidis–Spirakis rank replayed in SQL — u from the sm1 md5
-    // bucket, rank = round(ln(u)/w, 9), top-k with the key as tiebreak
+    // bucket, rank = round(ln(u)/w, 9), top-k with the key as tiebreak.
+    // WHERE n_chars > 0 mirrors the engine's non-positive-weight guard
+    // (weightedSample filters w > 0) instead of relying on the data never
+    // containing an empty document
     "sm4_weighted_sample" ->
       """SELECT doc_id, lang, n_chars, es_key FROM (
         |  SELECT doc_id, lang, n_chars,
         |         round(ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) + 0.5)
         |                  / 10000) / CAST(n_chars AS DOUBLE), 9) AS es_key
-        |  FROM documents
+        |  FROM documents WHERE n_chars > 0
         |  ORDER BY es_key DESC, doc_id ASC LIMIT 25
         |) ORDER BY doc_id""".stripMargin,
 

@@ -55,9 +55,17 @@ object AsofJoin {
   /** FORWARD as-of join — for each left row, the EARLIEST right row whose
     * timestamp is ≥ the left row's, per key (the "next quote after the
     * order" alignment; [[asof]] mirrored in time). Same single-shuffle
-    * union-window shape: the window looks FORWARD (`first(ignoreNulls)`
-    * over current→following) and left rows sort before right rows at equal
-    * ts so an exact-ts right row still matches (inclusive).
+    * union-window shape, mirrored in the SORT rather than the frame: the
+    * union is ordered by ts DESCENDING and the carried match is a running
+    * `last(ignoreNulls)` over (unboundedPreceding → currentRow) — the
+    * linear accumulating frame. A forward-looking frame
+    * (currentRow → unboundedFollowing) would execute as
+    * UnboundedFollowingWindowFunctionFrame, which re-scans to the partition
+    * end for EVERY row — O(n²) on hot keys. In descending order, rows seen
+    * so far are exactly those with ts ≥ the current row's, and the running
+    * last is the smallest such — the earliest match. Right rows sort before
+    * left at equal ts (__side asc) so an exact-ts right row still matches
+    * (inclusive).
     */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPayload: Seq[String],
@@ -72,9 +80,9 @@ object AsofJoin {
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = unioned.withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
     val out = carried.filter(col("__side") === 1)
     val projected = left.columns.map(col).toSeq ++
       (rightTs +: rightPayload).map(c => col(s"__m.$c").as(s"$prefix$c"))

@@ -130,10 +130,18 @@ class PlanAuditSpec extends SparkSpec {
 
   test("h2 regional revenue: dimensions broadcast; lineitem is never a build side") {
     import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val sfDir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("h2_regional_revenue")(spark, sfDir)
-    val plan = df.queryExecution.executedPlan
+    // AQE wraps the whole tree in AdaptiveSparkPlanExec (a leaf to collect{}),
+    // so guard the FINAL plan: run the query, then unwrap — without this the
+    // BroadcastExchange collect below matches nothing and the test is vacuous
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
     assert(plan.toString.contains("BroadcastHashJoin"),
       s"nation/region must broadcast:\n$plan")
     // smaller sides (dims, and at tiny SF even filtered orders) may broadcast
