@@ -321,20 +321,21 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Persisted: the shingle frame feeds the signature AND both sides of
+    // the exact-Jaccard verify join — without a persist the tokenize +
+    // shingle pass over the text column runs three times (the r4 d2 bench
+    // instability was GC churn × recomputation). Narrow (id, shingles)
+    // rows; spills to disk if it outgrows memory. Callers run under
+    // bench/verify harnesses that clear the cache between queries.
     val sh = ColOps.parallelize(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    // base-hash array let-bound around the k-loop: md5 runs once per
-    // shingle, not once per (hash k, shingle) — and even if the upstream
-    // shingle expression is inlined here by CollapseProject, it evaluates
-    // once per document
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One-buffer native fold (graft.functions.PortableMinhash): md5 runs
+    // once per shingle and all 48 affine minima update in a single pass —
+    // the Column form allocated one array per hash index per doc
+    // (interpreted HOF lambdas), the r4 GC-pressure signature
     val sig = sh.select(col("id"),
-      ColOps.bindLet(
-        transform(col("sh"), x =>
-          conv(substring(md5(x), 1, 15), 16, 10).cast("long") % PortableP),
-        hs =>
-          transform(sequence(lit(0), lit(numHashes - 1)),
-            k => array_min(transform(hs,
-              h => (h * (k * 1000003 + 12345) + k * 999331) % PortableP)))).as("sig"))
+      graft.functions.PortableMinhash.portableMinhash(col("sh"), numHashes).as("sig"))
     // Explode the band index BEFORE computing the bucket key: if the bucket
     // expression lived inside a per-band lambda, CollapseProject would
     // inline the whole 48-hash signature into it and recompute it once PER

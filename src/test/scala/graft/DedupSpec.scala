@@ -61,6 +61,27 @@ class DedupSpec extends SparkSpec {
     assert(native === spec)
   }
 
+  test("D2: native PortableMinhash matches the md5/affine Column spec exactly") {
+    // the Column formulation is the executable spec the DuckDB oracle
+    // replays; the native one-buffer fold must be bit-identical to it
+    val numHashes = 48
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val native = sh.select(col("doc_id"),
+      graft.functions.PortableMinhash.portableMinhash(col("sh"), numHashes).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val spec = sh.select(col("doc_id"),
+      graft.functions.ColOps.bindLet(
+        transform(col("sh"), x =>
+          conv(substring(md5(x), 1, 15), 16, 10).cast("long") % Dedup.PortableP),
+        hs =>
+          transform(sequence(lit(0), lit(numHashes - 1)),
+            k => array_min(transform(hs,
+              h => (h * (k * 1000003 + 12345) + k * 999331) % Dedup.PortableP)))).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(native === spec)
+  }
+
   test("D2: portable (md5-hex) MinHash+LSH finds the same near-dup cluster") {
     val pairs = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
       shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)
