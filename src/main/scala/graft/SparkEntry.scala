@@ -802,6 +802,27 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // V-similarity: IVF-PQ searched from a PERSISTED index — the
+    // build-once/serve-many serving path: the full index (coarse centroids,
+    // PQ codebooks, codes parquet partitioned by listId) is written to disk,
+    // loaded back, and the returned plan searches the LOADED codes — no
+    // KMeans fit, no encode, no raw-vector read anywhere in it. The oracle
+    // replays the ENTIRE pipeline (assignment, encode, LUT, ADC fold) from
+    // the persisted centroids+codebooks and raw embeddings, so a lossy
+    // save/load roundtrip would hash-mismatch. Same parameters as v6 —
+    // results must be identical through the disk roundtrip.
+    "v8_ivfpq_persisted" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      val pq = Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16)
+      Pq.save(idx, pq, "/tmp/graft_oracle/v8_ivfpq")
+      val loaded = Pq.load(s, "/tmp/graft_oracle/v8_ivfpq")
+      Pq.searchEncoded(loaded.codes, loaded.centroids, loaded.model,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        nProbe = 4, topK = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
     // D-dedup: SemDeDup — semantic dedup with a LEARNED blocking key: the
     // IVF coarse quantizer clusters the embedding space, then within-cluster
     // cosine near-dups drop (keep the min id). Unlike d5 (which blocks on a
@@ -2395,6 +2416,66 @@ object SparkEntry {
         |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v6_ivfpq/centroids/*.parquet')
         |), cb AS (
         |  SELECT j, c, cent FROM read_parquet('/tmp/graft_oracle/v6_ivfpq/codebooks/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), dist AS (
+        |  SELECT e.vec_id, e.emb, c.listId,
+        |         list_aggregate(list_transform(range(1, len(e.emb) + 1),
+        |           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM e, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), sub AS (
+        |  SELECT a.vec_id, cb.j, cb.c,
+        |         list_aggregate(list_transform(range(1, 9), i -> cb.cent[i] * cb.cent[i]), 'sum')
+        |           - 2.0 * list_aggregate(list_transform(range(1, 9),
+        |               i -> a.emb[cb.j * 8 + i] * cb.cent[i]), 'sum') AS d
+        |  FROM asg a, cb
+        |), codes AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM sub) WHERE rn = 1
+        |), pl AS (
+        |  SELECT vec_id AS probe_id, emb AS p_emb, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+        |    FROM dist WHERE vec_id < 5) WHERE lr <= 4
+        |), lut AS (
+        |  SELECT p2.probe_id, cb.j, cb.c,
+        |         list_aggregate(list_transform(range(1, 9),
+        |           i -> (p2.p_emb[cb.j * 8 + i] - cb.cent[i])
+        |              * (p2.p_emb[cb.j * 8 + i] - cb.cent[i])), 'sum') AS pd
+        |  FROM (SELECT DISTINCT probe_id, p_emb FROM pl) p2, cb
+        |), cand AS (
+        |  SELECT pl.probe_id, a.vec_id AS id
+        |  FROM pl JOIN asg a USING (listId)
+        |  WHERE a.vec_id <> pl.probe_id
+        |), adc AS (
+        |  SELECT cand.probe_id, cand.id,
+        |         list_aggregate(list(l.pd ORDER BY l.j), 'sum') AS approx
+        |  FROM cand
+        |  JOIN codes k2 ON k2.vec_id = cand.id
+        |  JOIN lut l ON l.probe_id = cand.probe_id AND l.j = k2.j AND l.c = k2.code
+        |  GROUP BY cand.probe_id, cand.id
+        |), r AS (
+        |  SELECT probe_id, id, approx,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY approx ASC, id ASC) AS rank
+        |  FROM adc
+        |)
+        |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // v8: identical replay to v6 but against the v8 persisted-index
+    // artifacts — the oracle recomputes assignment/encode/LUT/ADC from the
+    // centroids+codebooks and RAW embeddings, so the engine's disk
+    // roundtrip (save → load → search codes parquet) must reproduce the
+    // from-scratch result bit-for-bit to hash-match
+    "v8_ivfpq_persisted" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v8_ivfpq/centroids/*.parquet')
+        |), cb AS (
+        |  SELECT j, c, cent FROM read_parquet('/tmp/graft_oracle/v8_ivfpq/codebooks/*.parquet')
         |), e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
         |), dist AS (

@@ -143,6 +143,45 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** A persisted IVF-PQ index loaded back from disk: coarse centroids, PQ
+    * codebooks, and the encoded codes frame (`listId, id, codes`) read from
+    * parquet — search via [[searchEncoded]] never re-fits or re-encodes.
+    */
+  final case class LoadedIndex(centroids: Seq[Seq[Double]], model: Model,
+      codes: DataFrame)
+
+  /** Persist the COMPLETE IVF-PQ index: coarse centroids + PQ codebooks
+    * (tiny driver-side tables) and the encoded codes parquet PARTITIONED BY
+    * `listId` — at serving scale a search touches `nProbe` directories of
+    * m-byte code rows, never a raw vector. Build once, serve many.
+    */
+  def save(index: Ivf.Index, model: Model, path: String): Unit = {
+    val spark = index.lists.sparkSession
+    Ivf.saveCentroids(index, path)
+    saveCodebooks(model, spark, path)
+    encode(index.lists, "id", "emb", model, keepCols = Seq("listId"))
+      .write.mode("overwrite").partitionBy("listId").parquet(s"$path/codes")
+  }
+
+  /** Load a [[save]]d index. The `Model` is reconstructed from the codebook
+    * table (m = distinct j, k = distinct c, dsub = centroid length); codes
+    * stay a lazy parquet scan so the broadcast probe-list join can prune to
+    * the probed `listId` partitions at run time.
+    */
+  def load(spark: SparkSession, path: String): LoadedIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = cbRows.map(_._1).max + 1
+    val books = (0 until m).map { j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq
+    }
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("listId"), col("id"), col("codes"))
+    LoadedIndex(cents.toSeq, Model(m, books.head.head.length, books), codes)
+  }
+
   /** IVF-PQ: the composed 100 TB search path — the IVF quantizer restricts
     * each probe to its `nProbe` inverted lists; within them candidates are
     * ranked by PQ ADC distance, so the search never touches a raw corpus
@@ -156,19 +195,31 @@ object Pq {
     */
   def ivfpqSearch(index: Ivf.Index, model: Model, probes: DataFrame,
       idCol: String, embCol: String, nProbe: Int = 4, topK: Int = 10): DataFrame = {
-    val spark = probes.sparkSession
-    import spark.implicits._
     // Materialize the encoded corpus once and TRUNCATE its lineage: the
     // assign+encode tree carries m×k literal codebooks, and every downstream
     // stage (join, window, sort) would re-run Catalyst analysis/codegen over
     // that mega-tree — on a 2k-row test corpus the optimizer walk costs more
     // than the data. The checkpointed frame is exactly the PQ memory story:
     // (listId, id, codes) at m bytes per row, never the raw vectors. At
-    // serving scale you'd persist this with Ivf.save and skip the encode
-    // entirely (build once, serve many).
+    // serving scale you'd persist this with [[save]] and search the LOADED
+    // index instead (build once, serve many — [[searchEncoded]] over
+    // [[load]]).
     val encoded = encode(index.lists, "id", "emb", model, keepCols = Seq("listId"))
       .localCheckpoint()
-    val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+    searchEncoded(encoded, index.centroids, model, probes, idCol, embCol, nProbe, topK)
+  }
+
+  /** ADC search over an ALREADY-ENCODED corpus — the serve-path core shared
+    * by [[ivfpqSearch]] (encode-on-the-fly) and a [[load]]ed persisted
+    * index. `encoded` carries `(listId, id, codes)` only; raw vectors are
+    * never read.
+    */
+  def searchEncoded(encoded: DataFrame, centroids: Seq[Seq[Double]],
+      model: Model, probes: DataFrame, idCol: String, embCol: String,
+      nProbe: Int = 4, topK: Int = 10): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("listId", "cent")
     val lutCol = array((0 until model.m).map { j =>
       array((0 until model.k).map { c =>

@@ -96,4 +96,40 @@ class PqSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("embedding"), s"raw embedding column leaked into ADC:\n$plan")
   }
+
+  test("persisted index: save/load/searchEncoded == from-scratch ivfpqSearch") {
+    import graft.sim.Ivf
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    val idx = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    val probes = clustered.filter($"vec_id" < 3L)
+    val fresh = Pq.ivfpqSearch(idx, model, probes, "vec_id", "embedding",
+      nProbe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    Pq.save(idx, model, dir)
+    val loaded = Pq.load(spark, dir)
+    // model + centroids survive the roundtrip exactly
+    assert(loaded.model === model)
+    assert(loaded.centroids === idx.centroids)
+    val served = Pq.searchEncoded(loaded.codes, loaded.centroids, loaded.model,
+      probes, "vec_id", "embedding", nProbe = 2, topK = 5)
+    assert(served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet === fresh)
+    // the serve-path plan reads the codes PARQUET — no KMeans refit, no
+    // encode, no raw corpus vector anywhere in it (probe embeddings are the
+    // only vectors, and they come from the probe frame)
+    assert(loaded.codes.columns.toSeq === Seq("listId", "id", "codes"),
+      "loaded codes frame must carry codes only, never raw vectors")
+    val scans = served.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scans.exists(_.contains("codes")),
+      s"loaded-index search must scan the codes parquet, scans=$scans")
+    assert(!scans.exists(_.contains("lists")),
+      s"serve path must not read the raw inverted lists, scans=$scans")
+  }
 }
