@@ -2012,10 +2012,14 @@ object SparkEntry {
         |           i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS sh
         |  FROM n
         |), bench AS (
-        |  SELECT DISTINCT unnest(sh) AS g FROM s
-        |  WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 500
+        |  -- same 60-bit md5 fingerprint domain as the engine's broadcast
+        |  -- join key, so a cross-string collision hits both sides alike
+        |  SELECT DISTINCT ('0x' || substr(md5(g0), 1, 15))::BIGINT AS g FROM (
+        |    SELECT unnest(sh) AS g0 FROM s
+        |    WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 500)
         |), x AS (
-        |  SELECT id, unnest(sh) AS g FROM s
+        |  SELECT id, ('0x' || substr(md5(g0), 1, 15))::BIGINT AS g FROM (
+        |    SELECT id, unnest(sh) AS g0 FROM s)
         |), h AS (
         |  SELECT id, count(*) AS n_contaminated FROM x
         |  WHERE g IN (SELECT g FROM bench) GROUP BY id

@@ -379,16 +379,31 @@ object Dedup {
     * second scan: one shuffle total, of narrow (id, counts) rows. Returns
     * every corpus doc with `(n_shingles, n_contaminated, rate)`; rate is
     * rounded to 4dp (engine-portable comparison).
+    *
+    * The join key is a 60-bit md5 FINGERPRINT of the shingle, not the
+    * shingle string: an 8-gram averages ~50 bytes, so a string-keyed
+    * broadcast of a million-shingle benchmark is tens-of-MB of UTF-8 plus
+    * hash-table overhead — at stress ×16 the build alone took ~55 s. Longs
+    * shrink the build ~8× and make every probe an integer compare. The
+    * fingerprint is the portable `conv(substring(md5(g),1,15),16,10)`
+    * idiom, so the oracle replays the SAME fingerprint domain and any
+    * (astronomically rare) cross-string collision affects both engines
+    * identically rather than diverging the gate.
     */
   def contaminationRate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, shingleN: Int = 8): DataFrame = {
+    def fp(g: Column): Column = conv(substring(md5(g), 1, 15), 16, 10).cast("long")
     val s = ColOps.parallelize(docs)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // explode first, fingerprint in the next projection: a generator
+    // cannot nest inside another expression
     val benchShingles = benchmark
-      .select(explode(shingles(col(benchTextCol), shingleN)).as("g"))
+      .select(explode(shingles(col(benchTextCol), shingleN)).as("g0"))
+      .select(fp(col("g0")).as("g"))
       .distinct()
       .withColumn("hit", lit(1))
-    s.select(col("id"), explode(col("sh")).as("g"))
+    s.select(col("id"), explode(col("sh")).as("g0"))
+      .select(col("id"), fp(col("g0")).as("g"))
       .join(broadcast(benchShingles), Seq("g"), "left")
       .groupBy("id")
       // shingles are distinct within a doc, so row count == shingle count
