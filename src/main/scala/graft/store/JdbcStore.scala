@@ -1,0 +1,134 @@
+package graft.store
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational (JDBC) store backend — the engine's answer to the reference's
+  * native external stores: the ClickHouse grid sink's column batch inserts
+  * (`pipeline-python/src/pipeline_python/storage/clickhouse_grid_store.py:43-68`)
+  * and the Postgres catalog's idempotent / latest-wins writes
+  * (`defs/resources.py:47-48` — `ON CONFLICT DO NOTHING` for raw files,
+  * `ON CONFLICT DO UPDATE` for curated metadata).
+  *
+  * Spark-first shape:
+  *  - **Appends are executor-parallel**: `df.write.jdbc` opens one
+  *    connection per partition and batch-inserts (`batchsize` rows per
+  *    round trip) — the 1000-executor posture is "repartition to the
+  *    connection budget the target can absorb", not a driver-side loop.
+  *  - **Upsert / insert-if-absent run as staging + one set-based MERGE**:
+  *    the frame bulk-loads into a staging table (parallel, conflict-free),
+  *    then a single `MERGE INTO` statement applies it transactionally —
+  *    the same statement Postgres, ClickHouse (via `ALTER ... UPDATE` or
+  *    ReplacingMergeTree semantics), and every ANSI target executes
+  *    set-based, never row-at-a-time JDBC upserts from the driver.
+  *  - **Reads push down**: `spark.read.jdbc` with `predicates` partitions
+  *    the scan, and Catalyst pushes filters into the remote `WHERE`
+  *    (`PushedFilters` in the scan node — pinned in JdbcStoreSpec).
+  *
+  * The sandbox has no ClickHouse/Postgres server, so the spec exercises
+  * the store against embedded Derby (bundled with Spark); nothing here is
+  * Derby-specific beyond the default driver — `Conn(url, driver)` points
+  * the same code at any JDBC target.
+  */
+object JdbcStore {
+
+  /** Connection descriptor. `columnTypes` feeds Spark's
+    * `createTableColumnTypes` so string keys become comparable VARCHARs
+    * (several dialects map StringType to CLOB/TEXT, which some targets —
+    * Derby included — refuse to compare in a MERGE predicate).
+    */
+  final case class Conn(
+      url: String,
+      driver: String = "org.apache.derby.jdbc.EmbeddedDriver",
+      columnTypes: Option[String] = None)
+
+  private def props(conn: Conn): java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", conn.driver)
+    p
+  }
+
+  private def withConnection[T](conn: Conn)(f: Connection => T): T = {
+    Class.forName(conn.driver)
+    val c = DriverManager.getConnection(conn.url)
+    try f(c) finally c.close()
+  }
+
+  /** Quoted (case-exact) identifier — Spark's JDBC writer creates columns
+    * quoted, so every statement here must reference them the same way.
+    */
+  private def q(ident: String): String = "\"" + ident + "\""
+
+  /** Executor-parallel batch append (the ClickHouse `insert_grid` analog).
+    * Creates the table on first write.
+    */
+  def append(df: DataFrame, conn: Conn, table: String,
+      batchSize: Int = 10000): Unit = {
+    val w = df.write.mode("append")
+      .option("driver", conn.driver)
+      .option("batchsize", batchSize)
+    conn.columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+      .jdbc(conn.url, table, new java.util.Properties())
+  }
+
+  /** Idempotent insert (the `ON CONFLICT (id) DO NOTHING` analog): rows
+    * whose `keys` already exist in `table` are skipped, the rest insert —
+    * one set-based MERGE over a bulk-loaded staging table.
+    */
+  def insertIfAbsent(df: DataFrame, conn: Conn, table: String,
+      keys: Seq[String]): Unit =
+    merge(df, conn, table, keys, updateOnMatch = false)
+
+  /** Latest-wins upsert (the `ON CONFLICT (id) DO UPDATE` analog): matched
+    * rows take the incoming values, unmatched rows insert.
+    */
+  def upsert(df: DataFrame, conn: Conn, table: String,
+      keys: Seq[String]): Unit =
+    merge(df, conn, table, keys, updateOnMatch = true)
+
+  private def merge(df: DataFrame, conn: Conn, table: String,
+      keys: Seq[String], updateOnMatch: Boolean): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val cols = df.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    // ensure the target exists with the incoming schema (empty append is a
+    // no-op on data but creates the table with the declared column types)
+    append(df.limit(0), conn, table)
+    val stage = table + "_stage"
+    withConnection(conn) { c =>
+      try { c.createStatement().execute(s"DROP TABLE $stage") }
+      catch { case _: java.sql.SQLException => () } // first run: no stage yet
+    }
+    append(df, conn, stage)
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val setList = nonKeys.map(k => s"${q(k)} = s.${q(k)}").mkString(", ")
+    val insertCols = cols.map(q).mkString(", ")
+    val insertVals = cols.map(k => s"s.${q(k)}").mkString(", ")
+    val matched =
+      if (updateOnMatch && nonKeys.nonEmpty)
+        s"WHEN MATCHED THEN UPDATE SET $setList "
+      else ""
+    val sql =
+      s"MERGE INTO $table t USING $stage s ON $on " + matched +
+        s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
+    withConnection(conn) { c =>
+      c.createStatement().execute(sql)
+      c.createStatement().execute(s"DROP TABLE $stage")
+    }
+  }
+
+  /** Read the table as a DataFrame; filters composed on top push into the
+    * remote WHERE clause (JDBC scan `PushedFilters`).
+    */
+  def read(spark: SparkSession, conn: Conn, table: String): DataFrame =
+    spark.read.jdbc(conn.url, table, props(conn))
+
+  /** Partitioned parallel read: one remote query per predicate, so a large
+    * table scans with `predicates.length` concurrent connections (the
+    * read-side mirror of the parallel append).
+    */
+  def readPartitioned(spark: SparkSession, conn: Conn, table: String,
+      predicates: Seq[String]): DataFrame =
+    spark.read.jdbc(conn.url, table, predicates.toArray, props(conn))
+}
