@@ -421,6 +421,14 @@ object Dedup {
     * per (bit, token).
     */
   def simhashBitsPortable(text: Column): Column =
+    graft.functions.PortableSimhash.portableSimhash(array_distinct(tokens(text)))
+
+  /** The Column-only executable SPEC of [[simhashBitsPortable]] — 64
+    * interpreted vote folds per document; kept for the DedupSpec parity
+    * test pinning the native one-buffer fold bit-identical to it (and to
+    * the SQL the oracle replays).
+    */
+  def simhashBitsPortableSpec(text: Column): Column =
     ColOps.bindLet(
       transform(array_distinct(tokens(text)), w => substring(md5(w), 1, 16)),
       h =>

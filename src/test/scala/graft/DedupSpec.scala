@@ -100,6 +100,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("D3: native PortableSimhash matches the md5-nibble Column spec exactly") {
+    val native = docs.select(col("doc_id"),
+      Dedup.simhashBitsPortable(col("text")).as("bits")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+    val spec = docs.select(col("doc_id"),
+      Dedup.simhashBitsPortableSpec(col("text")).as("bits")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+    assert(native === spec)
+  }
+
   test("D3: portable SimHash bits — identical docs collide, near-dups close") {
     val sig = docs.select(col("doc_id"),
       Dedup.simhashBitsPortable(col("text")).as("bits")).collect()
