@@ -100,6 +100,30 @@ object Ivf {
     Index(cents.toSeq, spark.read.parquet(s"$path/lists"))
   }
 
+  /** Incrementally add vectors to a PERSISTED index — the serve-side ingest
+    * path: new rows are assigned against the EXISTING quantizer (one narrow
+    * codegen'd pass, no refit) and appended to the `listId`-partitioned
+    * parquet, touching only the partitions the new rows land in. At 100 TB
+    * this is how the index tracks a growing corpus between (rare, sampled)
+    * quantizer refits — a rebuild rewrites the corpus, an append writes
+    * only the delta. Returns the refreshed Index over the same path.
+    *
+    * Quantizer drift is the operator's documented trade: appended vectors
+    * always join their nearest EXISTING list, so recall degrades only if
+    * the data distribution moves away from the fitted centroids — the same
+    * contract as every IVF serving system's add-without-train.
+    */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, idCol: String, embCol: String): Index = {
+    val idx = load(spark, path)
+    val e = ColOps.parallelize(
+      rows.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
+        Similarity.norm(col(embCol)).as("nrm")))
+    assign(e, idx.centroids)
+      .write.mode("append").partitionBy("listId").parquet(s"$path/lists")
+    load(spark, path)
+  }
+
   /** Set-oriented search: probes × centroid table (tiny, broadcast) → keep
     * `nProbe` nearest lists per probe → join candidates on `listId` → exact
     * cosine top-k per probe.

@@ -119,6 +119,38 @@ class SimilaritySpec extends SparkSpec {
     assert(run(loaded) === run(idx))
   }
 
+  test("V5: append adds vectors to a persisted index without a refit or rebuild") {
+    val df = clustered
+    val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
+    val path = tempDir("ivf_append") + "/index"
+    Ivf.save(idx, path)
+    // new vectors land in cluster 2's axis region, ids disjoint from the corpus
+    val delta = (0 until 5).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(4) = 1.0f; base(5) = 0.1f * i
+      (100L + i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val appended = Ivf.append(spark, path, delta, "vec_id", "embedding")
+    // quantizer untouched; lists grew by exactly the delta
+    assert(appended.centroids === idx.centroids)
+    assert(appended.lists.count() === 45L)
+    // appended rows got the same assignment a from-scratch assign would give
+    val expected = Ivf.assign(
+      delta.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"),
+        Similarity.norm(col("embedding")).as("nrm")),
+      idx.centroids)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("listId")).toMap
+    val actual = appended.lists.filter(col("id") >= 100L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("listId")).toMap
+    assert(actual === expected)
+    // a search now surfaces the appended neighbors for an in-cluster probe
+    val hits = Ivf.search(appended, delta.filter($"vec_id" === 100L),
+      "vec_id", "embedding", nProbe = 1, k = 4)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(hits.exists(_ >= 101L), s"appended vectors must be searchable: $hits")
+  }
+
   test("V5: IVF with nProbe=1 on tight clusters still finds in-cluster neighbors") {
     val df = clustered
     val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
