@@ -683,6 +683,42 @@ object SparkEntry {
       Dedup.canonicalize(d4RoundedPairs(s, d)).orderBy("id")
     }),
 
+    // G-graph: duplicate-cluster size distribution — the curation
+    // diagnostic over the canonicalized graph (how much of the corpus sits
+    // in 2-doc pairs vs 50-doc boilerplate families decides the dedup
+    // policy). Two hash aggregates over the d6 output; nothing new
+    // shuffles beyond the cluster ids
+    "g2_cluster_sizes" -> ((s, d) =>
+      Dedup.canonicalize(d4RoundedPairs(s, d))
+        .groupBy(col("keeper_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
+    // D-dedup: MinHash ESTIMATE quality measured in-engine (the v7 pattern
+    // applied to d2): for every LSH candidate pair, the signature-match
+    // fraction (the MinHash Jaccard estimator) against the exact shingle
+    // Jaccard. Evaluation-as-a-query: the same signatures that bucket the
+    // corpus are scored for estimator error, and the oracle replays both
+    // sides from the same md5/affine doubles
+    "d12_minhash_estimate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+        shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.0)
+        .select(col("a"), col("b"), col("jaccard").as("exact_jaccard"))
+      val sig = Dedup.portableSignatures(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 48)
+      val matches = aggregate(
+        zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+      pairs
+        .join(sig.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
+        .join(sig.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
+        .withColumn("est_jaccard", round(matches.cast("double") / 48, 4))
+        .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 4))
+        .select("a", "b", "est_jaccard", "exact_jaccard", "abs_err")
+        .orderBy("a", "b")
+    }),
+
     // D-dedup: train/test contamination — per-doc fraction of 8-gram
     // shingles appearing in a (deterministically sampled) benchmark set;
     // the benchmark shingle set broadcasts, corpus side never shuffles
@@ -1961,6 +1997,59 @@ object SparkEntry {
         |)
         |SELECT a, b, jaccard FROM v WHERE jaccard >= 0.4 ORDER BY a, b""".stripMargin,
 
+    // d12: the d2 signature replay, scored as an estimator — signature
+    // match fraction vs exact Jaccard per candidate pair (no threshold)
+    "d12_minhash_estimate" ->
+      """WITH n AS (
+        |  SELECT doc_id AS id,
+        |         string_split(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents
+        |), s AS (
+        |  SELECT id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(ws) - 3, 0) + 2),
+        |           i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS sh
+        |  FROM n
+        |), hb AS (
+        |  SELECT id, sh,
+        |         list_transform(sh, x ->
+        |           ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM s
+        |), sg AS (
+        |  SELECT id, sh,
+        |         list_transform(range(0, 48),
+        |           k -> list_min(list_transform(hs,
+        |             h -> (h * (k*1000003 + 12345) + k*999331) % 2147483647))) AS sig
+        |  FROM hb
+        |), br AS (
+        |  SELECT id, unnest(list_transform(range(0, 12),
+        |           b -> b::VARCHAR || '#' ||
+        |                array_to_string(list_transform(
+        |                  list_slice(sig, b*4 + 1, b*4 + 4), v -> v::VARCHAR), '|'))) AS bk
+        |  FROM sg
+        |), bu AS (
+        |  SELECT bk, list(id) AS ids FROM br GROUP BY bk
+        |  HAVING count(*) BETWEEN 2 AND 64
+        |), e1 AS (
+        |  SELECT unnest(ids) AS a, ids FROM bu
+        |), pr AS (
+        |  SELECT DISTINCT a, b FROM (SELECT a, unnest(ids) AS b FROM e1) WHERE a < b
+        |), v AS (
+        |  SELECT pr.a, pr.b,
+        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |          CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS exact_jaccard
+        |  FROM pr JOIN s sa ON sa.id = pr.a JOIN s sb ON sb.id = pr.b
+        |), est AS (
+        |  SELECT pr.a, pr.b,
+        |    round(CAST(len(list_filter(range(1, 49), i -> ga.sig[i] = gb.sig[i])) AS DOUBLE)
+        |          / 48, 4) AS est_jaccard
+        |  FROM pr JOIN sg ga ON ga.id = pr.a JOIN sg gb ON gb.id = pr.b
+        |)
+        |SELECT est.a AS a, est.b AS b, est.est_jaccard, v.exact_jaccard,
+        |       round(abs(est.est_jaccard - v.exact_jaccard), 4) AS abs_err
+        |FROM est JOIN v ON v.a = est.a AND v.b = est.b
+        |ORDER BY est.a, est.b""".stripMargin,
+
     "d3_simhash_pairs" ->
       """WITH n AS (
         |  SELECT doc_id AS id,
@@ -2173,6 +2262,45 @@ object SparkEntry {
         |  SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
         |)
         |SELECT id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // g2: the d6 transitive closure, folded to cluster-size → count
+    "g2_cluster_sizes" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), blk AS (
+        |  SELECT substr(norm, 1, 32) AS pfx FROM n
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         list_distinct(string_split(a.norm, ' ')) AS wa,
+        |         list_distinct(string_split(b.norm, ' ')) AS wb
+        |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+        |   AND a.doc_id < b.doc_id
+        |  WHERE substr(a.norm, 1, 32) IN (SELECT pfx FROM blk)
+        |), j AS (
+        |  SELECT a, b,
+        |         round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |           / (CAST(len(wa) AS DOUBLE) + CAST(len(wb) AS DOUBLE)
+        |              - CAST(len(list_intersect(wa, wb)) AS DOUBLE)), 4) AS jaccard
+        |  FROM p
+        |), pairs AS (
+        |  SELECT a, b FROM j WHERE jaccard >= 0.35
+        |), edges AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT x AS id FROM edges
+        |), reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
+        |), cc AS (
+        |  SELECT id, min(r) AS keeper_id FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT keeper_id, count(*) AS cluster_size FROM cc GROUP BY keeper_id
+        |)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "d7_dedup_materialize" ->
       """WITH RECURSIVE n AS (

@@ -366,6 +366,18 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Portable MinHash signatures as a frame — `(id, sig)` with `sig` the
+    * `numHashes`-wide md5/affine signature of the document's shingle set
+    * (the [[minhashLshPairsPortable]] family, exposed for
+    * signature-quality evaluation queries).
+    */
+  def portableSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 48): DataFrame =
+    ColOps.parallelize(df)
+      .select(col(idCol).as("id"),
+        graft.functions.PortableMinhash.portableMinhash(
+          shingles(col(textCol), shingleN), numHashes).as("sig"))
+
   /** Train/test contamination check: for each document, the fraction of its
     * `n`-gram shingles that appear anywhere in the benchmark set — the
     * standard decontamination signal for training corpora (docs overlapping
