@@ -105,16 +105,20 @@ object Bench {
     val failed = results.collect { case (k, _, _, Some(m)) => s""""$k":"$m"""" }
     val errJson = if (failed.isEmpty) "" else failed.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    // Two stdout lines: a `detail` line (spread/reps/tables — diagnostics)
-    // FIRST, then a compact headline line LAST. The driver tail-captures and
-    // parses the final line; r4's single ~6 KB line outgrew its capture
-    // window (BENCH_r04 came back `parsed: null`), so the headline carries
-    // only metric/value/queries/sf/tables (~3 KB for 96 queries).
+    // Two stdout lines: a `detail` line (spread/reps + full error map —
+    // diagnostics) FIRST, then a compact headline line LAST. The driver
+    // tail-captures and parses the final line; r4's single ~6 KB line
+    // outgrew its capture window (BENCH_r04 came back `parsed: null`), so
+    // the headline stays bounded — metric/value/queries/tables/sf plus an
+    // error COUNT only (a broadly-failing run would otherwise re-inflate
+    // it by ~176 chars per failed query, recreating the r4 truncation
+    // exactly when the driver needs the error signal).
     val detail =
       s"""{"detail":"bench","reps":$reps,"spread":$sp$errJson}"""
+    val errCount = if (failed.isEmpty) "" else s""","n_errors":${failed.length}"""
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
-        s""""tables":$tb,"sf":"$sfDir"$errJson}"""
+        s""""tables":$tb,"sf":"$sfDir"$errCount}"""
     Files.write(Paths.get("bench_out.json"),
       (detail + "\n" + line + "\n").getBytes(StandardCharsets.UTF_8))
     println(detail)

@@ -702,11 +702,17 @@ object SparkEntry {
     // sides from the same md5/affine doubles
     "d12_minhash_estimate" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
-        shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.0)
+      // ONE persisted shingle frame shared by the pair pipeline and the
+      // estimator; the signature frame persists too since it feeds both
+      // join sides — without these the tokenize+shingle+minhash pass runs
+      // three times over the corpus (the SKILL.md multi-consumer gotcha)
+      val sh = Dedup.shingleFrame(docs, "doc_id", "text", shingleN = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.minhashLshPairsPortableOnShingles(sh,
+        bands = 12, rowsPerBand = 4, threshold = 0.0)
         .select(col("a"), col("b"), col("jaccard").as("exact_jaccard"))
-      val sig = Dedup.portableSignatures(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 48)
+      val sig = Dedup.portableSignaturesOnShingles(sh, numHashes = 48)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val matches = aggregate(
         zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v)
@@ -754,21 +760,11 @@ object SparkEntry {
     // 48-char heads, candidates blocked by 16-char prefix with the d4 block
     // cap (the quadratic is bounded per block; the head truncation bounds
     // the O(len²) distance itself)
-    "t13_fuzzy_match" -> ((s, d) => {
-      val norm = lower(trim(regexp_replace(col("text"), lit("[^A-Za-z0-9]+"), lit(" "))))
-      val docs = t(s, d, "documents").select(col("doc_id"),
-        substring(norm, 1, 48).as("head"), substring(norm, 1, 16).as("pfx"))
-      val keep = docs.groupBy("pfx").agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, 256)).select("pfx")
-      val sides = docs.join(keep, Seq("pfx"), "left_semi")
-      val a = sides.select(col("pfx"), col("doc_id").as("a"), col("head").as("ha"))
-      val b = sides.select(col("pfx"), col("doc_id").as("b"), col("head").as("hb"))
-      a.join(b, Seq("pfx")).filter(col("a") < col("b"))
-        .withColumn("lev", levenshtein(col("ha"), col("hb")).cast("long"))
-        .filter(col("lev") <= 16)
-        .select(col("a"), col("b"), col("lev"))
-        .orderBy("a", "b")
-    }),
+    "t13_fuzzy_match" -> ((s, d) =>
+      graft.text.TextAnalysis.fuzzyMatchBlocked(
+        t(s, d, "documents"), "doc_id", "text",
+        headLen = 48, pfxLen = 16, maxBlock = 256, maxLev = 16)
+        .orderBy("a", "b")),
 
     // T-text: corpus vocabulary statistics (explode + distinct at scale)
     "t5_vocab_stats" -> ((s, d) => {

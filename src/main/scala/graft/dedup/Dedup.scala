@@ -320,16 +320,33 @@ object Dedup {
   def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    val numHashes = bands * rowsPerBand
     // Persisted: the shingle frame feeds the signature AND both sides of
     // the exact-Jaccard verify join — without a persist the tokenize +
     // shingle pass over the text column runs three times (the r4 d2 bench
     // instability was GC churn × recomputation). Narrow (id, shingles)
     // rows; spills to disk if it outgrows memory. Callers run under
     // bench/verify harnesses that clear the cache between queries.
-    val sh = ColOps.parallelize(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val sh = shingleFrame(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashLshPairsPortableOnShingles(sh, bands, rowsPerBand, threshold, maxBucket)
+  }
+
+  /** The normalized `(id, sh)` shingle frame every portable-LSH stage
+    * consumes — exposed so a caller composing multiple signature consumers
+    * (pairs + estimator, d12) can persist ONE frame and share it.
+    */
+  def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    ColOps.parallelize(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+
+  /** [[minhashLshPairsPortable]] over a prepared (ideally persisted)
+    * `(id, sh)` frame from [[shingleFrame]].
+    */
+  def minhashLshPairsPortableOnShingles(sh: DataFrame,
+      bands: Int = 12, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val numHashes = bands * rowsPerBand
     // One-buffer native fold (graft.functions.PortableMinhash): md5 runs
     // once per shingle and all 48 affine minima update in a single pass —
     // the Column form allocated one array per hash index per doc
@@ -373,10 +390,12 @@ object Dedup {
     */
   def portableSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 48): DataFrame =
-    ColOps.parallelize(df)
-      .select(col(idCol).as("id"),
-        graft.functions.PortableMinhash.portableMinhash(
-          shingles(col(textCol), shingleN), numHashes).as("sig"))
+    portableSignaturesOnShingles(shingleFrame(df, idCol, textCol, shingleN), numHashes)
+
+  /** [[portableSignatures]] over a prepared `(id, sh)` [[shingleFrame]]. */
+  def portableSignaturesOnShingles(sh: DataFrame, numHashes: Int = 48): DataFrame =
+    sh.select(col("id"),
+      graft.functions.PortableMinhash.portableMinhash(col("sh"), numHashes).as("sig"))
 
   /** Train/test contamination check: for each document, the fraction of its
     * `n`-gram shingles that appear anywhere in the benchmark set — the

@@ -116,9 +116,17 @@ object Ivf {
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
       rows: DataFrame, idCol: String, embCol: String): Index = {
     val idx = load(spark, path)
+    val dim = idx.centroids.head.length
     val e = ColOps.parallelize(
       rows.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
         Similarity.norm(col(embCol)).as("nrm")))
+    // ingest-boundary validation: a wrong-dimension vector would zip_with
+    // nulls through the distance fold and argmin to a garbage listId —
+    // permanently corrupting the serving parquet. Fail fast instead (one
+    // tiny agg over the delta, which is small by definition here).
+    val badDim = e.filter(size(col("emb")) =!= dim).limit(1).count()
+    require(badDim == 0,
+      s"append rows must match the fitted dim $dim; found a differently-sized embedding")
     assign(e, idx.centroids)
       .write.mode("append").partitionBy("listId").parquet(s"$path/lists")
     load(spark, path)

@@ -2,7 +2,7 @@ package graft.store
 
 import java.sql.{Connection, DriverManager}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 
 /** Relational (JDBC) store backend — the engine's answer to the reference's
   * native external stores: the ClickHouse grid sink's column batch inserts
@@ -92,14 +92,26 @@ object JdbcStore {
     require(keys.nonEmpty, "merge needs at least one key column")
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
+    // One-row-per-key is a PRECONDITION, as it is for the Postgres ON
+    // CONFLICT statements this mirrors (Postgres errors with "cannot
+    // affect row a second time" on intra-batch duplicates; Derby's MERGE
+    // raises a cardinality violation AFTER half-applying) — fail fast
+    // HERE, before anything touches the target, instead of surfacing a
+    // mid-merge remote error or silently inserting duplicate key rows.
+    val Array(n, nKeys) = df
+      .agg(functions.count(functions.lit(1)),
+        functions.count_distinct(functions.struct(keys.map(functions.col): _*)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(n == nKeys,
+      s"merge batch has ${n - nKeys} duplicate key rows on (${keys.mkString(", ")}); " +
+        "pre-aggregate to one row per key (e.g. keep-latest) before upserting")
     // ensure the target exists with the incoming schema (empty append is a
     // no-op on data but creates the table with the declared column types)
     append(df.limit(0), conn, table)
-    val stage = table + "_stage"
-    withConnection(conn) { c =>
-      try { c.createStatement().execute(s"DROP TABLE $stage") }
-      catch { case _: java.sql.SQLException => () } // first run: no stage yet
-    }
+    // unique per-merge staging name: a fixed suffix would clobber a real
+    // table of that name and race concurrent merges into the same target
+    val stage = table + "_stage_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     append(df, conn, stage)
     val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val setList = nonKeys.map(k => s"${q(k)} = s.${q(k)}").mkString(", ")
@@ -113,8 +125,8 @@ object JdbcStore {
       s"MERGE INTO $table t USING $stage s ON $on " + matched +
         s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
     withConnection(conn) { c =>
-      c.createStatement().execute(sql)
-      c.createStatement().execute(s"DROP TABLE $stage")
+      try c.createStatement().execute(sql)
+      finally c.createStatement().execute(s"DROP TABLE $stage")
     }
   }
 

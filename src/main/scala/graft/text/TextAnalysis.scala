@@ -289,4 +289,31 @@ object TextAnalysis {
         lit(0L),
         (h, c) => (h * 31L + c) % 1000000007L))
   }
+
+  /** Edit-distance fuzzy matching, doubly bounded for scale: candidates
+    * block on a `pfxLen`-char prefix of the normalized text with a
+    * `maxBlock` cap (the d4 skew guard — a pathological shared-prefix
+    * block drops whole rather than going quadratic), and the levenshtein
+    * itself runs over `headLen`-char heads only, bounding the O(len²) DP.
+    * Returns `(a, b, lev)` pairs with `lev <= maxLev`.
+    *
+    * Shared by the `t13_fuzzy_match` contract query and `tools.Stress` so
+    * the stress numbers always characterize exactly the contract shape.
+    */
+  def fuzzyMatchBlocked(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, headLen: Int = 48, pfxLen: Int = 16,
+      maxBlock: Int = 256, maxLev: Int = 16): org.apache.spark.sql.DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), lit("[^A-Za-z0-9]+"), lit(" "))))
+    val docs = df.select(col(idCol).as("id"),
+      substring(norm, 1, headLen).as("head"), substring(norm, 1, pfxLen).as("pfx"))
+    val keep = docs.groupBy("pfx").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBlock)).select("pfx")
+    val sides = docs.join(keep, Seq("pfx"), "left_semi")
+    val a = sides.select(col("pfx"), col("id").as("a"), col("head").as("ha"))
+    val b = sides.select(col("pfx"), col("id").as("b"), col("head").as("hb"))
+    a.join(b, Seq("pfx")).filter(col("a") < col("b"))
+      .withColumn("lev", levenshtein(col("ha"), col("hb")).cast("long"))
+      .filter(col("lev") <= maxLev)
+      .select(col("a"), col("b"), col("lev"))
+  }
 }

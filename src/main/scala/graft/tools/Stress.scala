@@ -181,20 +181,12 @@ object Stress {
     spark.stop()
   }
 
-  /** t13's blocked levenshtein shape (SparkEntry keeps the contract copy). */
-  private def fuzzyMatch(docs: DataFrame): DataFrame = {
-    val norm = lower(trim(regexp_replace(col("text"), lit("[^A-Za-z0-9]+"), lit(" "))))
-    val d = docs.select(col("doc_id"),
-      substring(norm, 1, 48).as("head"), substring(norm, 1, 16).as("pfx"))
-    val keep = d.groupBy("pfx").agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, 256)).select("pfx")
-    val sides = d.join(keep, Seq("pfx"), "left_semi")
-    val a = sides.select(col("pfx"), col("doc_id").as("a"), col("head").as("ha"))
-    val b = sides.select(col("pfx"), col("doc_id").as("b"), col("head").as("hb"))
-    a.join(b, Seq("pfx")).filter(col("a") < col("b"))
-      .withColumn("lev", levenshtein(col("ha"), col("hb")).cast("long"))
-      .filter(col("lev") <= 16)
-  }
+  /** t13's blocked levenshtein — the SAME function the contract query
+    * runs, so the stress row always characterizes the contract shape.
+    */
+  private def fuzzyMatch(docs: DataFrame): DataFrame =
+    TextAnalysis.fuzzyMatchBlocked(docs, "doc_id", "text",
+      headLen = 48, pfxLen = 16, maxBlock = 256, maxLev = 16)
 
   /** The embedding-side probes: d11 SemDeDup and v6 PQ encode at ×1/×4/×16.
     *

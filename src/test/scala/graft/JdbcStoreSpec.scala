@@ -58,6 +58,17 @@ class JdbcStoreSpec extends SparkSpec {
     back.unpersist()
   }
 
+  test("merge rejects intra-batch duplicate keys before touching the target") {
+    // mirrors Postgres: ON CONFLICT errors on a batch affecting one row
+    // twice — fail fast locally instead of a mid-merge remote error
+    val dup = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("id", "v")
+    val c = conn("v VARCHAR(8)")
+    val e = intercept[IllegalArgumentException] {
+      JdbcStore.upsert(dup, c, "dup_target", Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
   test("read pushes filters into the remote scan; partitioned read splits") {
     val df = JdbcStore.read(spark, conn(), "grid_rows").filter(col("value") > 100.0)
     val scan = df.queryExecution.executedPlan.toString

@@ -149,6 +149,13 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", nProbe = 1, k = 4)
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     assert(hits.exists(_ >= 101L), s"appended vectors must be searchable: $hits")
+    // ingest-boundary guard: a wrong-dimension vector must fail fast, not
+    // argmin through null distances into a garbage list
+    val badDim = Seq((200L, Seq.fill(5)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.append(spark, path, badDim, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("dim"))
   }
 
   test("V5: IVF with nProbe=1 on tight clusters still finds in-cluster neighbors") {
