@@ -843,6 +843,52 @@ object SparkEntry {
     // the persisted centroids+codebooks and raw embeddings, so a lossy
     // save/load roundtrip would hash-mismatch. Same parameters as v6 —
     // results must be identical through the disk roundtrip.
+    // V-similarity: two-stage ANN serving — the standard recipe: a cheap
+    // PQ ADC shortlist (topK=25, codes only) then EXACT cosine re-ranking
+    // of just those candidates against their raw vectors (25 vector reads
+    // per probe instead of a corpus scan). The shortlist frame is tiny and
+    // broadcasts into the corpus-side vector join; ranking happens on raw
+    // doubles (left-to-right folds) so both engines order identically
+    "v9_pq_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      val pq = Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/v9_rerank")
+      Pq.saveCodebooks(pq, s, "/tmp/graft_oracle/v9_rerank")
+      val probes = emb.filter(col("vec_id") < 5)
+      val shortlist = Pq.ivfpqSearch(idx, pq, probes, "vec_id", "embedding",
+        nProbe = 4, topK = 25)
+        .select(col("probe_id"), col("neighbor_id"))
+      val pe = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("p_emb"),
+        Similarity.norm(col("embedding")).as("p_nrm"))
+      val ne = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("n_emb"),
+        Similarity.norm(col("embedding")).as("n_nrm"))
+      val small = shortlist.join(broadcast(pe), Seq("probe_id"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_raw").desc, col("neighbor_id").asc)
+      ne.join(broadcast(small), Seq("neighbor_id"))
+        .withColumn("cos_raw",
+          Similarity.dot(col("n_emb"), col("p_emb")) / (col("n_nrm") * col("p_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("neighbor_id"),
+          round(col("cos_raw"), 6).as("cosine"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // T-text: hashed-feature linear classifier inference (fasttext-shaped
+    // quality filter): token → feature bucket (portable md5), per-bucket
+    // integer weight (deterministically generated model — the inference
+    // plumbing is the content), mean-pooled per document in one explode +
+    // hash aggregate
+    "t14_quality_classifier" -> ((s, d) =>
+      graft.text.TextAnalysis.classifierScore(
+        t(s, d, "documents"), "doc_id", "text", buckets = 1024)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("clf_score"), col("keep"))
+        .orderBy("doc_id")),
+
     "v8_ivfpq_persisted" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
@@ -2593,6 +2639,98 @@ object SparkEntry {
         |)
         |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // v9: the v6 ADC replay (against the v9 artifacts) truncated at a
+    // 25-deep shortlist, then exact-cosine re-ranking on raw embeddings —
+    // both stages ordered on raw left-to-right-fold doubles
+    "v9_pq_rerank" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v9_rerank/centroids/*.parquet')
+        |), cb AS (
+        |  SELECT j, c, cent FROM read_parquet('/tmp/graft_oracle/v9_rerank/codebooks/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), dist AS (
+        |  SELECT e.vec_id, e.emb, c.listId,
+        |         list_aggregate(list_transform(range(1, len(e.emb) + 1),
+        |           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM e, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), sub AS (
+        |  SELECT a.vec_id, cb.j, cb.c,
+        |         list_aggregate(list_transform(range(1, 9), i -> cb.cent[i] * cb.cent[i]), 'sum')
+        |           - 2.0 * list_aggregate(list_transform(range(1, 9),
+        |               i -> a.emb[cb.j * 8 + i] * cb.cent[i]), 'sum') AS d
+        |  FROM asg a, cb
+        |), codes AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM sub) WHERE rn = 1
+        |), pl AS (
+        |  SELECT vec_id AS probe_id, emb AS p_emb, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+        |    FROM dist WHERE vec_id < 5) WHERE lr <= 4
+        |), lut AS (
+        |  SELECT p2.probe_id, cb.j, cb.c,
+        |         list_aggregate(list_transform(range(1, 9),
+        |           i -> (p2.p_emb[cb.j * 8 + i] - cb.cent[i])
+        |              * (p2.p_emb[cb.j * 8 + i] - cb.cent[i])), 'sum') AS pd
+        |  FROM (SELECT DISTINCT probe_id, p_emb FROM pl) p2, cb
+        |), cand AS (
+        |  SELECT pl.probe_id, a.vec_id AS id
+        |  FROM pl JOIN asg a USING (listId)
+        |  WHERE a.vec_id <> pl.probe_id
+        |), adc AS (
+        |  SELECT cand.probe_id, cand.id,
+        |         list_aggregate(list(l.pd ORDER BY l.j), 'sum') AS approx
+        |  FROM cand
+        |  JOIN codes k2 ON k2.vec_id = cand.id
+        |  JOIN lut l ON l.probe_id = cand.probe_id AND l.j = k2.j AND l.c = k2.code
+        |  GROUP BY cand.probe_id, cand.id
+        |), shortlist AS (
+        |  SELECT probe_id, id AS neighbor_id FROM (
+        |    SELECT probe_id, id, approx,
+        |           row_number() OVER (PARTITION BY probe_id ORDER BY approx ASC, id ASC) AS rank
+        |    FROM adc) WHERE rank <= 25
+        |), rr AS (
+        |  SELECT s.probe_id, s.neighbor_id,
+        |    list_aggregate(list_transform(range(1, len(ne.emb) + 1),
+        |      i -> ne.emb[i] * pe.emb[i]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(ne.emb, x -> x * x), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(pe.emb, x -> x * x), 'sum'))) AS cos_raw
+        |  FROM shortlist s
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id
+        |  JOIN e pe ON pe.vec_id = s.probe_id
+        |), rk AS (
+        |  SELECT probe_id, neighbor_id, cos_raw,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+        |  FROM rr
+        |)
+        |SELECT probe_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+        |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // t14: per-token bucket weights are pure integer arithmetic, so the
+    // mean-pooled score is exact in both engines up to one final division
+    "t14_quality_classifier" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id,
+        |         ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) * 2654435761 + 123456789)
+        |           % 2147483647 % 20001 - 10000 AS wi
+        |  FROM tk
+        |), s AS (
+        |  SELECT doc_id, CAST(sum(wi) AS BIGINT) AS sw, count(*) AS n_tokens FROM w GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens,
+        |       round(CAST(sw AS DOUBLE) / (n_tokens * 10000.0), 6) AS clf_score,
+        |       round(CAST(sw AS DOUBLE) / (n_tokens * 10000.0), 6) >= 0.0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // v8: identical replay to v6 but against the v8 persisted-index
     // artifacts — the oracle recomputes assignment/encode/LUT/ADC from the

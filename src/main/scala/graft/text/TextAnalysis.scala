@@ -290,6 +290,44 @@ object TextAnalysis {
         (h, c) => (h * 31L + c) % 1000000007L))
   }
 
+  /** Hashed-feature LINEAR CLASSIFIER inference — the fasttext-shaped
+    * quality filter as one codegen'd pass: each normalized token hashes to
+    * one of `buckets` feature ids (portable md5 idiom), the model is a
+    * weight per bucket, and the document score is the mean token weight
+    * (fasttext mean pooling, linear head). Plan: token explode → per-token
+    * weight lookup as pure arithmetic → one partial-combined hash
+    * aggregate per document — the scalable shape for model-based filtering
+    * of a 100 TB corpus (no UDF, no per-row model object, shuffle only on
+    * the doc id).
+    *
+    * The weight table here is DETERMINISTICALLY GENERATED from the bucket
+    * id (integer affine hash → [-10000, 10000], divided out at the end),
+    * standing in for trained weights the same way the multimodal codec is
+    * stubbed: the inference plumbing — feature hashing, pooling,
+    * thresholding — is real and oracle-checked; a production model would
+    * broadcast its integer weight array instead. Integer weight sums keep
+    * the aggregation EXACT in any engine; the single final division is
+    * deterministic IEEE.
+    *
+    * Returns `(id, n_tokens, clf_score, keep)` — score rounded to 6dp,
+    * keep = score ≥ 0 on the rounded value.
+    */
+  def classifierScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val toks = graft.functions.ColOps.parallelize(df)
+      .select(col(idCol).as("id"),
+        explode(graft.dedup.Dedup.tokens(col(textCol))).as("tok"))
+    val bucket = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % buckets
+    val wInt = (bucket * 2654435761L + 123456789L) % 2147483647L % 20001L - 10000L
+    toks.select(col("id"), wInt.as("wi"))
+      .groupBy("id")
+      .agg(sum(col("wi")).as("sw"), count(lit(1)).as("n_tokens"))
+      .withColumn("clf_score",
+        round(col("sw").cast("double") / (col("n_tokens") * 10000.0), 6))
+      .select(col("id"), col("n_tokens"), col("clf_score"),
+        (col("clf_score") >= 0.0).as("keep"))
+  }
+
   /** Edit-distance fuzzy matching, doubly bounded for scale: candidates
     * block on a `pfxLen`-char prefix of the normalized text with a
     * `maxBlock` cap (the d4 skew guard — a pathological shared-prefix
