@@ -82,6 +82,35 @@ class DedupSpec extends SparkSpec {
     assert(native === spec)
   }
 
+  test("D2/D3: native folds match specs on randomized corpora (empty/short/unicode)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc déü 漢字 01!@#   "
+    val rdocs = (1L to 60L).map { i =>
+      (i, (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    val sh = rdocs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val mhNative = sh.select(col("doc_id"),
+      graft.functions.PortableMinhash.portableMinhash(col("sh"), 48).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val mhSpec = sh.select(col("doc_id"),
+      graft.functions.ColOps.bindLet(
+        transform(col("sh"), x =>
+          conv(substring(md5(x), 1, 15), 16, 10).cast("long") % Dedup.PortableP),
+        hs => transform(sequence(lit(0), lit(47)),
+          k => array_min(transform(hs,
+            h => (h * (k * 1000003 + 12345) + k * 999331) % Dedup.PortableP)))).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(mhNative === mhSpec)
+    val shNative = rdocs.select(col("doc_id"),
+      Dedup.simhashBitsPortable(col("text")).as("bits")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+    val shSpec = rdocs.select(col("doc_id"),
+      Dedup.simhashBitsPortableSpec(col("text")).as("bits")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Int](1)).toMap
+    assert(shNative === shSpec)
+  }
+
   test("D2: portable (md5-hex) MinHash+LSH finds the same near-dup cluster") {
     val pairs = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
       shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4)

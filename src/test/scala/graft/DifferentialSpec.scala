@@ -20,7 +20,10 @@ class DifferentialSpec extends SparkSpec {
     "v3_ann_pairs",         // portable ANN: plane dots + bucket expansion
     "d8_contamination",     // broadcast semi-join + HOF shingles
     "j5_asof_join",         // union + running last window
-    "e7_session_window"     // session-window semantics
+    "j9_asof_forward",      // mirrored-sort running last (r5 frame rewrite)
+    "e7_session_window",    // session-window semantics
+    "d12_minhash_estimate", // native PortableMinhash signatures + zip folds
+    "t14_quality_classifier" // portable bucket hash + integer weight agg
   )
 
   private def runAll(codegen: Boolean): Map[String, Set[Seq[Any]]] = {
