@@ -1315,6 +1315,49 @@ object SparkEntry {
         .groupBy("user_id")
         .agg((lit(1) + sum(when(col("gap_us") > 1800000000L, 1).otherwise(0))).as("n_sessions"))
         .orderBy("user_id")
+    }),
+
+    // E-events: strictly-ordered funnel (view → click → purchase) — each
+    // stage is the user's first qualifying event AFTER the previous stage:
+    // three per-user min-aggregates chained by join, all shuffling on the
+    // same user_id key (AQE reuses the exchange); no window over the full
+    // event stream, no per-user event sorting
+    "e11_funnel" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      t1.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }),
+
+    // E-events: cohort retention — users grouped by first-seen date, and
+    // for offsets 1/7/14 days the count still active that day. One
+    // distinct-activity frame joined to the cohort frame; conditional
+    // count-distincts fold the whole retention matrix in one aggregate
+    "e12_retention" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val firstSeen = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
+      val activity = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      activity.join(firstSeen, Seq("user_id"))
+        .withColumn("off", datediff(col("day"), col("cohort")))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_date"))
+        .agg(countDistinct(col("user_id")).as("n_new"),
+          countDistinct(when(col("off") === 1, col("user_id"))).as("retained_d1"),
+          countDistinct(when(col("off") === 7, col("user_id"))).as("retained_d7"),
+          countDistinct(when(col("off") === 14, col("user_id"))).as("retained_d14"))
+        .orderBy("cohort_date")
     })
   )
 
@@ -2639,6 +2682,40 @@ object SparkEntry {
         |)
         |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "e11_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |), t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+        |), t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+        |), t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+        |)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+        |  UNION ALL SELECT '2_click', count(*) FROM t2
+        |  UNION ALL SELECT '3_purchase', count(*) FROM t3
+        |) ORDER BY stage""".stripMargin,
+
+    "e12_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), j AS (
+        |  SELECT act.user_id, fs.cohort, date_diff('day', fs.cohort, act.day) AS off
+        |  FROM act JOIN fs ON act.user_id = fs.user_id
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+        |       count(DISTINCT user_id) AS n_new,
+        |       count(DISTINCT CASE WHEN off = 1 THEN user_id END) AS retained_d1,
+        |       count(DISTINCT CASE WHEN off = 7 THEN user_id END) AS retained_d7,
+        |       count(DISTINCT CASE WHEN off = 14 THEN user_id END) AS retained_d14
+        |FROM j GROUP BY cohort ORDER BY cohort_date""".stripMargin,
 
     // v9: the v6 ADC replay (against the v9 artifacts) truncated at a
     // 25-deep shortlist, then exact-cosine re-ranking on raw embeddings —
