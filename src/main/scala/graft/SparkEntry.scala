@@ -1317,6 +1317,33 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // F-spatial: haversine-ranked nearest neighbors — the drop-in
+    // great-circle alternative to j3's squared-degree ranking (correct
+    // when probes span latitudes). Synthetic lat/lon derived from event
+    // ids; ranking on the raw double distance plans as
+    // TakeOrderedAndProject (bounded heap, no global sort)
+    "f6_haversine_rank" -> ((s, d) => {
+      val pts = t(s, d, "events").select(col("event_id"),
+        ((col("user_id") % 180).cast("double") - 90.0 + 0.25).as("lat"),
+        ((col("event_id") % 360).cast("double") - 180.0 + 0.5).as("lon"))
+      pts.withColumn("d_raw",
+        graft.functions.Spatial.haversineKm(lit(50.0), lit(10.0), col("lat"), col("lon")))
+        .orderBy(col("d_raw").asc, col("event_id").asc)
+        .limit(5)
+        .select(col("event_id"), round(col("d_raw"), 6).as("dist_km"))
+    }),
+
+    // K-layout: the Z-order (Morton) layout key the grid store sorts by —
+    // pure bit-spreading Columns; per-row codes hash-compared against a
+    // SQL reconstruction of the magic-mask cascade, so the physical
+    // clustering key is itself oracle-exact
+    "k7_zorder_cells" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        graft.functions.Spatial.morton(
+          (col("user_id") % 65536).cast("long"),
+          (col("event_id") % 65536).cast("long")).as("zcode"))
+        .orderBy("event_id")),
+
     // E-events: strictly-ordered funnel (view → click → purchase) — each
     // stage is the user's first qualifying event AFTER the previous stage:
     // three per-user min-aggregates chained by join, all shuffling on the
@@ -2682,6 +2709,42 @@ object SparkEntry {
         |)
         |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "f6_haversine_rank" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |         CAST(user_id % 180 AS DOUBLE) - 90.0 + 0.25 AS lat,
+        |         CAST(event_id % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+        |  FROM events
+        |), dcalc AS (
+        |  SELECT event_id,
+        |    6371.0088 * 2 * asin(sqrt(
+        |      sin(radians(lat - 50.0) / 2) * sin(radians(lat - 50.0) / 2)
+        |      + cos(radians(50.0)) * cos(radians(lat))
+        |        * sin(radians(lon - 10.0) / 2) * sin(radians(lon - 10.0) / 2))) AS d
+        |  FROM p
+        |)
+        |SELECT event_id, round(d, 6) AS dist_km
+        |FROM dcalc ORDER BY d ASC, event_id ASC LIMIT 5""".stripMargin,
+
+    // k7: the magic-mask bit-spread cascade replayed with SQL bitwise ops
+    "k7_zorder_cells" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id % 65536 AS x0, event_id % 65536 AS y0 FROM events
+        |), a AS (
+        |  SELECT event_id, ((x0 | (x0 << 8)) & 71777214294589695) AS x1,
+        |                   ((y0 | (y0 << 8)) & 71777214294589695) AS y1 FROM c
+        |), b AS (
+        |  SELECT event_id, ((x1 | (x1 << 4)) & 1085102592571150095) AS x2,
+        |                   ((y1 | (y1 << 4)) & 1085102592571150095) AS y2 FROM a
+        |), cc AS (
+        |  SELECT event_id, ((x2 | (x2 << 2)) & 3689348814741910323) AS x3,
+        |                   ((y2 | (y2 << 2)) & 3689348814741910323) AS y3 FROM b
+        |), dd AS (
+        |  SELECT event_id, ((x3 | (x3 << 1)) & 6148914691236517205) AS x4,
+        |                   ((y3 | (y3 << 1)) & 6148914691236517205) AS y4 FROM cc
+        |)
+        |SELECT event_id, (x4 | (y4 << 1)) AS zcode FROM dd ORDER BY event_id""".stripMargin,
 
     "e11_funnel" ->
       """WITH e AS (
