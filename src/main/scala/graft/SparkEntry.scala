@@ -1317,6 +1317,38 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // P-profiling: in-engine MODEL FIT — closed-form per-group OLS (value
+    // vs hour-of-day trend per event type) from five algebraic sums in ONE
+    // partial-combined aggregate. x is a small integer and y is quantized
+    // to 6dp decimal, so every sum is EXACT in any engine (no float
+    // accumulation order anywhere); only the final slope/intercept
+    // divisions are floating, rounded to 6dp on both sides. The t14
+    // classifier is inference-as-a-scan; this is its training-side
+    // counterpart — sufficient statistics reduce, the model falls out
+    "p6_linreg" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_type"),
+        hour(col("ts")).cast("long").as("x"),
+        round(col("value"), 6).cast("decimal(30,6)").as("y"))
+      // sums are exact (integers / 6dp decimals); everything after them is
+      // plain double arithmetic in a FIXED operation order mirrored
+      // exactly by the oracle SQL, so both engines produce the same bits
+      val agg = e.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      agg
+        .withColumn("slope_r", round(slope, 6))
+        .withColumn("intercept_r",
+          round((col("sy") - slope * col("sx")) / col("n"), 6))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("slope_r").as("slope"), col("intercept_r").as("intercept"))
+        .orderBy("event_type")
+    }),
+
     // F-spatial: haversine-ranked nearest neighbors — the drop-in
     // great-circle alternative to j3's squared-degree ranking (correct
     // when probes span latitudes). Synthetic lat/lon derived from event
@@ -2709,6 +2741,28 @@ object SparkEntry {
         |)
         |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // p6: exact decimal/integer sums, then the identical double-arithmetic
+    // slope/intercept expressions (same parenthesization → same bits)
+    "p6_linreg" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(extract(hour FROM ts) AS BIGINT) AS x,
+        |         CAST(round(value, 6) AS DECIMAL(30,6)) AS y
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS sx,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |         CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "f6_haversine_rank" ->
       """WITH p AS (
