@@ -152,6 +152,30 @@ class PlanAuditSpec extends SparkSpec {
       s"lineitem must not be a broadcast build side:\n$plan")
   }
 
+  test("f6 haversine top-k: bounded heap, never a global sort") {
+    val p = SparkEntry.queries("f6_haversine_rank")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"haversine top-k must plan as a bounded heap:\n$p")
+  }
+
+  test("t14 classifier: one partial-combined aggregate, no extra shuffle") {
+    val p = SparkEntry.queries("t14_quality_classifier")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // partial_sum / partial_count prove the map-side combine; exactly one
+    // hashpartitioning exchange (on the doc id) feeds the final aggregate
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"classifier aggregate must combine map-side:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"classifier must not cascade shuffles ($exchanges):\n$p")
+  }
+
+  test("e11 funnel: chained min-aggregates, no full-stream window") {
+    val p = SparkEntry.queries("e11_funnel")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"funnel must not window the event stream:\n$p")
+  }
+
   test("d2 portable minhash: signature projection sits below the band Generate") {
     // the CollapseProject guard: the band explode must consume the
     // signature as a bound attribute, not recompute it per band
