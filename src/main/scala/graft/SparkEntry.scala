@@ -2906,8 +2906,10 @@ object SparkEntry {
         |SELECT probe_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
         |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
-    // t14: per-token bucket weights are pure integer arithmetic, so the
-    // mean-pooled score is exact in both engines up to one final division
+    // t14: per-token bucket weights are pure integer arithmetic; the score
+    // is the RAW double quotient of exact integers (bit-identical in both
+    // engines — a per-engine fixed-dp round would diverge on decimal
+    // halves) and keep compares the integer sum
     "t14_quality_classifier" ->
       """WITH tk AS (
         |  SELECT doc_id,
@@ -2922,8 +2924,8 @@ object SparkEntry {
         |  SELECT doc_id, CAST(sum(wi) AS BIGINT) AS sw, count(*) AS n_tokens FROM w GROUP BY doc_id
         |)
         |SELECT doc_id, n_tokens,
-        |       round(CAST(sw AS DOUBLE) / (n_tokens * 10000.0), 6) AS clf_score,
-        |       round(CAST(sw AS DOUBLE) / (n_tokens * 10000.0), 6) >= 0.0 AS keep
+        |       CAST(sw AS DOUBLE) / (n_tokens * 10000.0) AS clf_score,
+        |       sw >= 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // v8: identical replay to v6 but against the v8 persisted-index

@@ -309,8 +309,14 @@ object TextAnalysis {
     * the aggregation EXACT in any engine; the single final division is
     * deterministic IEEE.
     *
-    * Returns `(id, n_tokens, clf_score, keep)` — score rounded to 6dp,
-    * keep = score ≥ 0 on the rounded value.
+    * Returns `(id, n_tokens, clf_score, keep)`. The score is the RAW
+    * double quotient of two exact integers — deliberately NOT rounded:
+    * both engines divide the same exact `sw` by the same exact
+    * `n·10⁴`, so the doubles are bit-identical, whereas a fixed-dp round
+    * applied separately by each engine diverges when the exact rational
+    * lands on a decimal half (Spark HALF_UP on the exact binary value vs
+    * DuckDB's multiply-then-round — observed at sf0.1). `keep` compares
+    * the INTEGER sum, not the float.
     */
   def classifierScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
@@ -323,9 +329,9 @@ object TextAnalysis {
       .groupBy("id")
       .agg(sum(col("wi")).as("sw"), count(lit(1)).as("n_tokens"))
       .withColumn("clf_score",
-        round(col("sw").cast("double") / (col("n_tokens") * 10000.0), 6))
+        col("sw").cast("double") / (col("n_tokens") * 10000.0))
       .select(col("id"), col("n_tokens"), col("clf_score"),
-        (col("clf_score") >= 0.0).as("keep"))
+        (col("sw") >= 0L).as("keep"))
   }
 
   /** Edit-distance fuzzy matching, doubly bounded for scale: candidates
