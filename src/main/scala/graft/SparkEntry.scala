@@ -1317,6 +1317,70 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // J-joins: as-of with a STALENESS TOLERANCE — the serving horizon as
+    // an operator: a match older than the bound is rejected (nulled), not
+    // served. Same single-shuffle union-window asof; the tolerance is one
+    // post-match predicate on the carried timestamp
+    "j10_asof_tolerance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_id"))
+      val tolUs = 1800000000L // 30 min
+      val fresh = unix_micros(col("ts")) - unix_micros(col("last_ts")) <= tolUs
+      AsofJoin.asof(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("click_id"), prefix = "last_")
+        .select(col("event_id"), col("user_id"), col("value"),
+          when(fresh, col("last_ts")).as("fresh_ts"),
+          when(fresh, col("last_click_id")).as("fresh_click_id"))
+        .orderBy("event_id")
+    }),
+
+    // E-events: trending items — top-3 event types per day by volume; the
+    // rank filter plans as WindowGroupLimit over the (day, type) counts,
+    // never a per-event window
+    "e14_trending" -> ((s, d) => {
+      val byDay = t(s, d, "events")
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("day").orderBy(col("n").desc, col("event_type").asc)
+      byDay.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("day", "event_type", "n", "rank")
+        .orderBy("day", "rank")
+    }),
+
+    // P-profiling: sketch MERGEABILITY measured in-engine — the property
+    // that makes bounded-state sketches distributable: per-partition
+    // register (occupied-bucket) sets union to exactly the full-corpus
+    // register set, so the merged estimate EQUALS the single-pass
+    // estimate. Rows half_0/half_1/merged/full make the associativity
+    // visible; merged and full must carry identical numbers
+    "p7_sketch_merge" -> ((s, d) => {
+      val m = 1024
+      val e = t(s, d, "events")
+      val bucket =
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long") % m
+      val occ = e.select((col("event_id") % 2).cast("string").as("half"), bucket.as("b"))
+        .distinct()
+      val est = (v: Column) =>
+        when(v < m, round(lit(-m.toDouble) *
+          round(log(lit(1.0) - v.cast("double") / m), 9), 3))
+          .otherwise(round(lit(m.toDouble) * round(log(lit(m.toDouble)), 9), 3))
+      val halves = occ.groupBy(concat(lit("half_"), col("half")).as("part"))
+        .agg(count(lit(1)).as("n_buckets"))
+      val merged = occ.select("b").distinct()
+        .agg(count(lit(1)).as("n_buckets")).select(lit("merged").as("part"), col("n_buckets"))
+      val full = e.select(bucket.as("b")).distinct()
+        .agg(count(lit(1)).as("n_buckets")).select(lit("zfull").as("part"), col("n_buckets"))
+      halves.unionByName(merged).unionByName(full)
+        .withColumn("est_distinct", est(col("n_buckets")))
+        .orderBy("part")
+    }),
+
     // P-profiling: in-engine MODEL FIT — closed-form per-group OLS (value
     // vs hour-of-day trend per event type) from five algebraic sums in ONE
     // partial-combined aggregate. x is a small integer and y is quantized
@@ -2741,6 +2805,59 @@ object SparkEntry {
         |)
         |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "j10_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT p.event_id, p.user_id, p.value, p.ts AS pts,
+        |         c.ts AS cts, c.click_id
+        |  FROM p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |)
+        |SELECT event_id, user_id, value,
+        |       CASE WHEN date_diff('microsecond', cts, pts) <= 1800000000
+        |            THEN cts END AS fresh_ts,
+        |       CASE WHEN date_diff('microsecond', cts, pts) <= 1800000000
+        |            THEN click_id END AS fresh_click_id
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    "e14_trending" ->
+      """WITH d AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT day, event_type, n,
+        |         row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rank
+        |  FROM d
+        |)
+        |SELECT day, event_type, n, rank FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
+
+    "p7_sketch_merge" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT CAST(event_id % 2 AS VARCHAR) AS half,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS b
+        |  FROM events
+        |), halves AS (
+        |  SELECT 'half_' || half AS part, count(*) AS n_buckets FROM occ GROUP BY half
+        |), merged AS (
+        |  SELECT 'merged' AS part, count(DISTINCT b) AS n_buckets FROM occ
+        |), zfull AS (
+        |  SELECT 'zfull' AS part, count(DISTINCT b) AS n_buckets FROM (
+        |    SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS b
+        |    FROM events)
+        |), u AS (
+        |  SELECT * FROM halves UNION ALL SELECT * FROM merged UNION ALL SELECT * FROM zfull
+        |)
+        |SELECT part, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |       CASE WHEN n_buckets < 1024
+        |            THEN round(-1024.0 * round(ln(1.0 - CAST(n_buckets AS DOUBLE) / 1024), 9), 3)
+        |            ELSE round(1024.0 * round(ln(1024.0), 9), 3) END AS est_distinct
+        |FROM u ORDER BY part""".stripMargin,
 
     // p6: exact decimal/integer sums, then the identical double-arithmetic
     // slope/intercept expressions (same parenthesization → same bits)
