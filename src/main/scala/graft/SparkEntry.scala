@@ -834,15 +834,6 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
-    // V-similarity: IVF-PQ searched from a PERSISTED index — the
-    // build-once/serve-many serving path: the full index (coarse centroids,
-    // PQ codebooks, codes parquet partitioned by listId) is written to disk,
-    // loaded back, and the returned plan searches the LOADED codes — no
-    // KMeans fit, no encode, no raw-vector read anywhere in it. The oracle
-    // replays the ENTIRE pipeline (assignment, encode, LUT, ADC fold) from
-    // the persisted centroids+codebooks and raw embeddings, so a lossy
-    // save/load roundtrip would hash-mismatch. Same parameters as v6 —
-    // results must be identical through the disk roundtrip.
     // V-similarity: two-stage ANN serving — the standard recipe: a cheap
     // PQ ADC shortlist (topK=25, codes only) then EXACT cosine re-ranking
     // of just those candidates against their raw vectors (25 vector reads
@@ -889,6 +880,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("clf_score"), col("keep"))
         .orderBy("doc_id")),
 
+    // V-similarity: IVF-PQ searched from a PERSISTED index — the
+    // build-once/serve-many serving path: the full index (coarse centroids,
+    // PQ codebooks, codes parquet partitioned by listId) is written to disk,
+    // loaded back, and the returned plan searches the LOADED codes — no
+    // KMeans fit, no encode, no raw-vector read anywhere in it. The oracle
+    // replays the ENTIRE pipeline (assignment, encode, LUT, ADC fold) from
+    // the persisted centroids+codebooks and raw embeddings, so a lossy
+    // save/load roundtrip would hash-mismatch. Same parameters as v6 —
+    // results must be identical through the disk roundtrip.
     "v8_ivfpq_persisted" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
@@ -1390,6 +1390,12 @@ object SparkEntry {
     // classifier is inference-as-a-scan; this is its training-side
     // counterpart — sufficient statistics reduce, the model falls out
     "p6_linreg" -> ((s, d) => {
+      // QUANTIZATION CONTRACT: y is the input double quantized at 6dp.
+      // Both engines apply their own round+cast, which agree whenever the
+      // input carries ≤6 decimal digits (true of events.value, 2dp) but
+      // could differ by one micro-unit for a full-precision double within
+      // an ulp of a 6dp half — if the generator ever emits such values,
+      // quantize in integer space instead (see the t14 lesson)
       val e = t(s, d, "events").select(col("event_type"),
         hour(col("ts")).cast("long").as("x"),
         round(col("value"), 6).cast("decimal(30,6)").as("y"))
@@ -1426,6 +1432,9 @@ object SparkEntry {
         graft.functions.Spatial.haversineKm(lit(50.0), lit(10.0), col("lat"), col("lon")))
         .orderBy(col("d_raw").asc, col("event_id").asc)
         .limit(5)
+        // explicit re-sort of the 5 survivors: row order must not depend on
+        // the physical TakeOrderedAndProject surviving the trailing select
+        .orderBy(col("d_raw").asc, col("event_id").asc)
         .select(col("event_id"), round(col("d_raw"), 6).as("dist_km"))
     }),
 
@@ -3036,14 +3045,15 @@ object SparkEntry {
         |  SELECT doc_id,
         |         ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) * 2654435761 + 123456789)
         |           % 2147483647 % 20001 - 10000 AS wi
-        |  FROM tk
+        |  FROM tk WHERE tok <> ''
         |), s AS (
         |  SELECT doc_id, CAST(sum(wi) AS BIGINT) AS sw, count(*) AS n_tokens FROM w GROUP BY doc_id
         |)
-        |SELECT doc_id, n_tokens,
-        |       CAST(sw AS DOUBLE) / (n_tokens * 10000.0) AS clf_score,
-        |       sw >= 0 AS keep
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(s.sw AS DOUBLE) / (s.n_tokens * 10000.0) AS clf_score,
+        |       coalesce(s.sw >= 0, false) AS keep
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // v8: identical replay to v6 but against the v8 persisted-index
     // artifacts — the oracle recomputes assignment/encode/LUT/ADC from the

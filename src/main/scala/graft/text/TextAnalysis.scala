@@ -320,18 +320,24 @@ object TextAnalysis {
     */
   def classifierScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    // empty-string tokens are dropped: `split("", " ")` yields [""], which
+    // would hash the md5("") bucket and score an empty/punctuation-only
+    // document by one arbitrary weight; such documents instead come back
+    // via the left join with n_tokens=0, null score, keep=false
     val toks = graft.functions.ColOps.parallelize(df)
       .select(col(idCol).as("id"),
         explode(graft.dedup.Dedup.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
     val bucket = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % buckets
     val wInt = (bucket * 2654435761L + 123456789L) % 2147483647L % 20001L - 10000L
-    toks.select(col("id"), wInt.as("wi"))
+    val agg = toks.select(col("id"), wInt.as("wi"))
       .groupBy("id")
       .agg(sum(col("wi")).as("sw"), count(lit(1)).as("n_tokens"))
-      .withColumn("clf_score",
-        col("sw").cast("double") / (col("n_tokens") * 10000.0))
-      .select(col("id"), col("n_tokens"), col("clf_score"),
-        (col("sw") >= 0L).as("keep"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (col("sw").cast("double") / (col("n_tokens") * 10000.0)).as("clf_score"),
+        coalesce(col("sw") >= 0L, lit(false)).as("keep"))
   }
 
   /** Edit-distance fuzzy matching, doubly bounded for scale: candidates

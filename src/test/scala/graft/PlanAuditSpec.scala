@@ -159,13 +159,16 @@ class PlanAuditSpec extends SparkSpec {
       s"haversine top-k must plan as a bounded heap:\n$p")
   }
 
-  test("t14 classifier: one partial-combined aggregate, no extra shuffle") {
+  test("t14 classifier: map-side sum combine, bounded shuffles") {
     val p = SparkEntry.queries("t14_quality_classifier")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    // partial_sum / partial_count prove the map-side combine; exactly one
-    // hashpartitioning exchange (on the doc id) feeds the final aggregate
-    assert(p.contains("partial_sum") || p.contains("partial"),
-      s"classifier aggregate must combine map-side:\n$p")
+    // the weight SUM specifically must combine map-side (partial_sum in the
+    // partial HashAggregate) — `contains("partial")` alone would be
+    // satisfied by any unrelated partial stage
+    assert(p.contains("partial_sum"),
+      s"classifier weight sum must combine map-side:\n$p")
+    // one hash exchange for the per-doc aggregate, at most one more for the
+    // left join back to the document base
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"classifier must not cascade shuffles ($exchanges):\n$p")
   }
