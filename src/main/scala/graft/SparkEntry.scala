@@ -1252,6 +1252,40 @@ object SparkEntry {
 
     // W-windows: ntile quartiles per group (rank-family breadth) — total
     // order inside each partition pins the tile assignment cross-engine
+    // W-windows: rank distributions — cume_dist and percent_rank are
+    // quotients of exact window counts, emitted as RAW doubles (the t14
+    // lesson: identical integers → identical IEEE quotients in any engine,
+    // while per-engine rounding can diverge on decimal halves). Top-5 per
+    // type keeps the output bounded
+    "w4_cume_dist" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+        .select(col("event_type"), col("event_id"), col("cd"), col("pr"), col("rn"))
+        .orderBy("event_type", "rn")
+    }),
+
+    // A-aggregation: explicit GROUPING SETS — the lattice CONTROL the
+    // rollup/cube pair can't express (exactly the (lang), (source), ()
+    // groupings, nothing else), planned as ONE Expand + hash aggregate.
+    // Runs through spark.sql over a temp view: the SQL surface is part of
+    // the engine's API and gets exercised by the contract too
+    "a6_grouping_sets" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_gs")
+      s.sql("""
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(grouping_id(lang, source) AS BIGINT) AS gid
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        ORDER BY gid, lang, source
+      """)
+    }),
+
     "w3_ntile" -> ((s, d) => {
       val w = Window.partitionBy("event_type")
         .orderBy(col("value").asc, col("event_id").asc)
@@ -2814,6 +2848,25 @@ object SparkEntry {
         |)
         |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "w4_cume_dist" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |         cume_dist() OVER w AS cd,
+        |         percent_rank() OVER w AS pr,
+        |         row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        |)
+        |SELECT event_type, event_id, cd, pr, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+
+    "a6_grouping_sets" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY gid, lang, source""".stripMargin,
 
     "j10_asof_tolerance" ->
       """WITH clicks AS (
