@@ -756,6 +756,17 @@ object SparkEntry {
           col("dup_span_frac"))
         .orderBy("doc_id")),
 
+    // T-text: per-document n-gram novelty — what fraction of a doc's
+    // disjoint 16-token chunks the corpus sees HERE first (min doc id owns
+    // the first occurrence)? The incremental-curation score a crawl-refresh
+    // pipeline gates on before paying to keep a page; d9's single-persisted-
+    // chunk-frame plan with min(id) in place of the distinct-doc count.
+    "t15_ngram_novelty" -> ((s, d) =>
+      Dedup.novelSpans(t(s, d, "documents"), "doc_id", "text", window = 16)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_novel"),
+          col("novelty_frac"))
+        .orderBy("doc_id")),
+
     // T-text: edit-distance fuzzy matching — levenshtein over normalized
     // 48-char heads, candidates blocked by 16-char prefix with the d4 block
     // cap (the quadratic is bounded per block; the head truncation bounds
@@ -794,6 +805,18 @@ object SparkEntry {
       Similarity.knnJoin(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 3)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("probe_id", "rank")
+    }),
+
+    // V-similarity: margin-based pair mining (Artetxe–Schwenk bitext score)
+    // — each probe's best neighbor scored RELATIVE to both endpoints'
+    // k-NN neighborhood densities; margin > 1 is the true-pair signature an
+    // absolute cosine threshold misses in dense regions. Two broadcast-probe
+    // corpus scans, densities folded in DECIMAL (see Similarity.marginMining)
+    "v10_margin_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.marginMining(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 4)
+        .orderBy("probe_id")
     }),
 
     // V-similarity: LSH-bucketed ANN near-pairs — portable geometry (md5-
@@ -1148,6 +1171,25 @@ object SparkEntry {
         .orderBy("source", "split")
     }),
 
+    // SM-sampling: mixture reweighting — per-source sampling weights that
+    // steer the observed token mixture toward a uniform target share (the
+    // static data-mixing pass before pretraining: weight = target_share /
+    // actual_share). Token totals are all-integer (exact); one map-side
+    // partial agg over the corpus, then window totals over the 20-row
+    // source frame — nothing driver-side, output one row per source.
+    "sm6_mixture_weights" -> ((s, d) => {
+      val w = Window.partitionBy()
+      t(s, d, "documents")
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("share", round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(w).cast("double"), 6))
+        .withColumn("weight", round(sum(col("n_tokens")).over(w).cast("double") /
+          (count(lit(1)).over(w) * col("n_tokens")).cast("double"), 6))
+        .orderBy("source")
+    }),
+
     // E-events: exact interpolated quantiles per group
     "e5_quantiles" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type").agg(
@@ -1172,6 +1214,49 @@ object SparkEntry {
         Seq("doc_id", "lang", "source", "n_chars"), m = 1024)
         .withColumnRenamed("column", "col_name")
         .orderBy("col_name")),
+
+    // P-profiling: distribution drift (Population Stability Index) per
+    // event_type between a reference half (even event_id) and the current
+    // half (odd) — the data-quality gate that catches a feed silently
+    // changing shape between pipeline runs. 10 equal-width buckets from the
+    // REFERENCE min/max (broadcast 5-row spec), Laplace-smoothed proportions
+    // so empty buckets contribute finitely, PSI = Σ (p−q)·ln(p/q) folded in
+    // 9dp DECIMAL for order-independent sums. Two partial aggs + one
+    // broadcast join; nothing quadratic, nothing driver-side.
+    "p8_drift_psi" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("value"),
+        (col("event_id") % 2 === 0).as("is_ref"))
+      val edges = ev.filter(col("is_ref"))
+        .groupBy("event_type")
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val bucketed = ev.join(broadcast(edges), Seq("event_type"))
+        .withColumn("bucket", when(col("mx") > col("mn"),
+          least(lit(9), greatest(lit(0),
+            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 10)
+              .cast("int"))))
+          .otherwise(lit(0)))
+      val counts = bucketed.groupBy("event_type", "is_ref", "bucket")
+        .agg(count(lit(1)).as("n"))
+      // dense (type × side × bucket) grid so EMPTY buckets smooth to the
+      // Laplace floor instead of silently dropping out of the sum
+      val grid = edges.select(col("event_type"),
+          explode(sequence(lit(0), lit(9))).as("bucket"))
+        .select(col("event_type"), col("bucket"),
+          explode(array(lit(true), lit(false))).as("is_ref"))
+      val w = Window.partitionBy("event_type", "is_ref")
+      val props = grid
+        .join(counts, Seq("event_type", "is_ref", "bucket"), "left")
+        .na.fill(0L, Seq("n"))
+        .withColumn("p", (col("n") + 1).cast("double") /
+          (sum(col("n")).over(w) + 10).cast("double"))
+      props.groupBy("event_type", "bucket")
+        .agg(max(when(col("is_ref"), col("p"))).as("p_ref"),
+          max(when(!col("is_ref"), col("p"))).as("p_cur"))
+        .groupBy("event_type")
+        .agg(dsum(round((col("p_ref") - col("p_cur")) *
+          log(col("p_ref") / col("p_cur")), 9), 9).as("psi"))
+        .orderBy("event_type")
+    }),
 
     // SM-sampling: weighted sampling without replacement (Efraimidis–
     // Spirakis) — long documents proportionally likelier; deterministic
@@ -2394,6 +2479,29 @@ object SparkEntry {
         |FROM chunks JOIN byfp USING (fp)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // t15: d9's chunk idiom, byfp keeps the FIRST doc (min id) per
+    // fingerprint instead of the distinct-doc count
+    "t15_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), c AS (
+        |  SELECT doc_id, ws,
+        |         greatest(CAST(ceil((len(ws) - 16) / 16.0) AS BIGINT) + 1, 1) AS nc
+        |  FROM toks
+        |), chunks AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_slice(ws, CAST(i*16 AS INT) + 1,
+        |                                        CAST(i*16 AS INT) + 16), ' ')) AS fp
+        |  FROM (SELECT doc_id, ws, unnest(range(0, nc)) AS i FROM c)
+        |), byfp AS (
+        |  SELECT fp, min(doc_id) AS first_id FROM chunks GROUP BY fp
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty_frac
+        |FROM chunks JOIN byfp USING (fp)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t13_fuzzy_match" ->
       """WITH n AS (
         |  SELECT doc_id,
@@ -3184,6 +3292,49 @@ object SparkEntry {
         |SELECT probe_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
+    // v10: the v2 cosine/rank machinery twice (probe side, then the distinct
+    // rank-1 endpoints), densities as DECIMAL sums of 9dp-rounded cosines
+    "v10_margin_pairs" ->
+      """WITH c AS (
+        |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_raw
+        |  FROM embeddings p JOIN embeddings e ON p.vec_id < 10 AND e.vec_id <> p.vec_id
+        |), r AS (
+        |  SELECT probe_id, neighbor_id, cos_raw,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM c
+        |), top1 AS (
+        |  SELECT probe_id, neighbor_id, cos_raw FROM r WHERE rank = 1
+        |), pdens AS (
+        |  SELECT probe_id,
+        |         CAST(sum(CAST(round(cos_raw, 9) AS DECIMAL(30,9))) AS DOUBLE) / 4 AS p_dens
+        |  FROM r WHERE rank <= 4 GROUP BY probe_id
+        |), c2 AS (
+        |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+        |    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos_raw
+        |  FROM embeddings p
+        |  JOIN (SELECT DISTINCT neighbor_id AS vec_id FROM top1) n USING (vec_id)
+        |  JOIN embeddings e ON e.vec_id <> p.vec_id
+        |), r2 AS (
+        |  SELECT probe_id, neighbor_id, cos_raw,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM c2
+        |), ndens AS (
+        |  SELECT probe_id AS neighbor_id,
+        |         CAST(sum(CAST(round(cos_raw, 9) AS DECIMAL(30,9))) AS DOUBLE) / 4 AS n_dens
+        |  FROM r2 WHERE rank <= 4 GROUP BY probe_id
+        |)
+        |SELECT t.probe_id, t.neighbor_id, round(t.cos_raw, 6) AS cosine,
+        |       round(t.cos_raw / ((p.p_dens + nd.n_dens) / 2), 6) AS margin
+        |FROM top1 t JOIN pdens p USING (probe_id) JOIN ndens nd USING (neighbor_id)
+        |ORDER BY probe_id""".stripMargin,
+
     "v4_label_norms" ->
       """SELECT label, count(*) AS n,
         |  CAST(sum(CAST(round(list_aggregate(list_transform(embedding,
@@ -3388,6 +3539,18 @@ object SparkEntry {
         |SELECT source, split, count(*) AS n_docs
         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
 
+    "sm6_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS share,
+        |  round(CAST(sum(n_tokens) OVER () AS DOUBLE) /
+        |        CAST(count(*) OVER () * n_tokens AS DOUBLE), 6) AS weight
+        |FROM s ORDER BY source""".stripMargin,
+
     "h5_filter_sum" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
@@ -3436,6 +3599,42 @@ object SparkEntry {
         |       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    // p8: bucket edges from the even-id reference half, width-buckets in
+    // shared double arithmetic (identical op order both engines), Laplace
+    // (+1 / +10) smoothing over a dense grid, per-term 9dp rounding before
+    // the DECIMAL fold
+    "p8_drift_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, (event_id % 2 = 0) AS is_ref FROM events
+        |), edges AS (
+        |  SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM ev WHERE is_ref GROUP BY event_type
+        |), b AS (
+        |  SELECT ev.event_type, ev.is_ref,
+        |    CASE WHEN mx > mn THEN least(9, greatest(0,
+        |      CAST(floor((value - mn) / (mx - mn) * 10) AS INT))) ELSE 0 END AS bucket
+        |  FROM ev JOIN edges USING (event_type)
+        |), cnt AS (
+        |  SELECT event_type, is_ref, bucket, count(*) AS n
+        |  FROM b GROUP BY event_type, is_ref, bucket
+        |), grid AS (
+        |  SELECT e.event_type, g.bucket, r.is_ref
+        |  FROM edges e, range(0, 10) g(bucket), (VALUES (TRUE), (FALSE)) r(is_ref)
+        |), props AS (
+        |  SELECT g.event_type, g.is_ref, g.bucket,
+        |    CAST(coalesce(n, 0) + 1 AS DOUBLE) /
+        |    CAST(sum(coalesce(n, 0)) OVER (PARTITION BY g.event_type, g.is_ref) + 10 AS DOUBLE) AS p
+        |  FROM grid g LEFT JOIN cnt USING (event_type, is_ref, bucket)
+        |), wide AS (
+        |  SELECT event_type, bucket,
+        |    max(CASE WHEN is_ref THEN p END) AS p_ref,
+        |    max(CASE WHEN NOT is_ref THEN p END) AS p_cur
+        |  FROM props GROUP BY event_type, bucket
+        |)
+        |SELECT event_type,
+        |  CAST(sum(CAST(round((p_ref - p_cur) * ln(p_ref / p_cur), 9) AS DECIMAL(30,9))) AS DOUBLE) AS psi
+        |FROM wide GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // p4: linear counting replayed in SQL — same md5 bucket as sm1, the
     // −m·ln(1−V/m) estimate with the 9dp-ln / 3dp-final rounding discipline

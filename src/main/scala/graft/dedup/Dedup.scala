@@ -544,6 +544,36 @@ object Dedup {
         round(col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
   }
 
+  /** Per-document n-gram NOVELTY — the incremental-curation counterpart of
+    * [[dupSpans]]: what fraction of a document's `window`-token chunks appear
+    * here for the FIRST time in corpus order (min doc id owns the first
+    * occurrence)? A crawl-refresh pipeline uses this to score how much new
+    * content each incoming document contributes before paying to keep it;
+    * boilerplate-heavy pages score near 0, genuinely new text near 1.
+    *
+    * Plan shape is dupSpans': one persisted narrow (id, fp) chunk frame
+    * feeding both the first-occurrence aggregate (fp → min id) and the
+    * join-back, so the tokenize + explode pass runs once. Everything shuffles
+    * on the fingerprint — the same single-exchange discipline that holds at
+    * corpus scale.
+    */
+  def novelSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16): DataFrame = {
+    val chunks = ColOps.parallelize(df)
+      .select(col(idCol).as("id"),
+        explode(graft.text.TextAnalysis.chunkWindows(col(textCol), window, window))
+          .as("chunk"))
+      .select(col("id"), md5(col("chunk")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = chunks.groupBy("fp").agg(min(col("id")).as("first_id"))
+    chunks.join(firstSeen, Seq("fp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") / col("n_chunks").cast("double"), 6))
+  }
+
   /** Duplicated-span SCRUB — the materializing counterpart of [[dupSpans]]
     * (à la ExactSubstr dedup in "Deduplicating Training Data Makes Language
     * Models Better"): rewrite every document keeping only the FIRST global

@@ -73,6 +73,49 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Margin-based pair mining (the bitext-mining score of Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"): an absolute cosine threshold over-accepts pairs in dense
+    * regions and under-accepts in sparse ones, so each candidate pair is
+    * scored RELATIVE to its endpoints' neighborhoods —
+    * `margin = cos(x,y) / ((avgK(x) + avgK(y)) / 2)` where `avgK(v)` is the
+    * mean cosine of v's k nearest neighbors. Margin > 1 means x and y are
+    * closer to each other than to their own neighborhoods — the signature of
+    * a true translation/duplicate pair rather than a hub.
+    *
+    * Plan: one [[knnJoin]] for the probes (broadcast probes, one corpus
+    * scan), the rank-1 neighbor per probe becomes the candidate pair; the
+    * distinct rank-1 endpoints (≤ |probes| rows) feed a second knnJoin for
+    * the other side's density. Densities sum k 9dp-rounded cosines in
+    * DECIMAL so the mean is reproducible regardless of partial-agg order.
+    * |probes| stays small by construction; the corpus is scanned twice and
+    * never shuffled.
+    */
+  def marginMining(probes: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    def density(nn: DataFrame, idAlias: String, densAlias: String): DataFrame =
+      nn.groupBy(col("probe_id").as(idAlias))
+        .agg((sum(round(col("cosine"), 9).cast("decimal(30,9)")).cast("double") / k)
+          .as(densAlias))
+    val pNN = knnJoin(probes, corpus, idCol, embCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top1 = pNN.filter(col("rank") === 1)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+    val pDens = density(pNN, "probe_id", "p_dens")
+    val nProbes = corpus.join(
+      broadcast(top1.select(col("neighbor_id").as(idCol)).distinct()), Seq(idCol))
+    val nDens = density(knnJoin(nProbes, corpus, idCol, embCol, k),
+      "neighbor_id", "n_dens")
+    val out = top1
+      .join(pDens, Seq("probe_id"))
+      .join(nDens, Seq("neighbor_id"))
+      .withColumn("margin",
+        round(col("cosine") / ((col("p_dens") + col("n_dens")) / 2d), 6))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("margin"))
+    out
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes: sign of a seeded integer hash
     * of (plane, dim) — reproducible with no RNG state, which keeps plans
     * replayable (and resume-safe) at any scale.

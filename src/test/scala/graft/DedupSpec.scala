@@ -221,6 +221,22 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getDouble(3) === 0.5)
   }
 
+  test("T15: novelSpans credits the first occurrence to the min-id doc") {
+    val span = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, span + " " + (1 to 16).map(i => s"x$i").mkString(" ")),
+      (2L, span + " " + (1 to 16).map(i => s"y$i").mkString(" ")),
+      (3L, (1 to 32).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.novelSpans(docs, "doc_id", "text", window = 16)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1 owns the shared span (min id) → fully novel; doc 2 loses that
+    // chunk; doc 3 never overlaps
+    assert(rows.toSeq === Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 2L, 1.0)))
+  }
+
   test("D10: scrubDupSpans keeps the first global occurrence, cuts the rest") {
     val span = (1 to 16).map(i => s"b$i").mkString(" ")
     val x = (1 to 16).map(i => s"x$i").mkString(" ")

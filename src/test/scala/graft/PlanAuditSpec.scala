@@ -152,6 +152,37 @@ class PlanAuditSpec extends SparkSpec {
       s"lineitem must not be a broadcast build side:\n$plan")
   }
 
+  test("p8 drift PSI: the bucket-edge spec joins by broadcast, events never shuffle for it") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("p8_drift_psi")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // the 5-row min/max edge table must broadcast onto the event scan; a
+    // SortMergeJoin here would shuffle the full event stream on event_type
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket edges must broadcast:\n$plan")
+  }
+
+  test("t15 novelty: tokenize+md5 runs once — both consumers read the cached frame") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = Dedup.novelSpans(docs, "doc_id", "text", window = 4)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val gens = plan.collect { case g: GenerateExec => g }
+    assert(gens.isEmpty,
+      s"chunk explode must live inside the cached frame, not re-run per consumer:\n$plan")
+    val scans = plan.collect { case s: InMemoryTableScanExec => s.relation.cacheBuilder }
+    assert(scans.length == 2 && scans.distinct.length == 1,
+      s"both consumers must read the SAME cached (id, fp) frame:\n$plan")
+  }
+
   test("f6 haversine top-k: bounded heap, never a global sort") {
     val p = SparkEntry.queries("f6_haversine_rank")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

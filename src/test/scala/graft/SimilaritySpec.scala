@@ -43,6 +43,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.sameElements(Array(1, 2, 3)))
   }
 
+  test("V10: marginMining scores a true near-duplicate above its neighborhood") {
+    val df = clustered
+    val out = Similarity.marginMining(df.filter($"vec_id" < 3), df,
+      "vec_id", "embedding", k = 4).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("probe_id") != r.getAs[Long]("neighbor_id"))
+      // the rank-1 cosine is by definition ≥ the k-NN mean on the probe
+      // side, so margin against the two-sided mean stays near/above 1
+      assert(r.getAs[Double]("margin") > 0.9,
+        s"margin collapsed: ${r.mkString(",")}")
+    }
+    // margin must exceed raw cosine's rank ordering only via density — both
+    // columns are present and rounded
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("margin"))))
+  }
+
   test("V3: annPairs finds within-cluster pairs, never cross-cluster ones") {
     val pairs = Similarity.annPairs(clustered, "vec_id", "embedding",
       nBands = 4, bandBitsOverride = 6, threshold = 0.8, maxBucket = 64)
