@@ -1436,6 +1436,41 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // E-events: behavioral transition matrix — per-user next-event bigrams
+    // (one lead window over the user timeline, ties broken by event_id)
+    // folded to Markov transition counts and row-normalized probabilities.
+    // The user-path model product analytics builds funnels from; one shuffle
+    // on user_id, the normalizing window runs over the tiny (from,to) matrix.
+    "e13_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")).cast("double"), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // SM-sampling: per-source quota — cap any single domain's contribution
+    // by keeping only its top-N docs (longest-first, id tiebreak). The
+    // anti-domination guard every crawl-curation pipeline runs so one giant
+    // source can't swamp the mixture; WindowGroupLimit keeps the rank
+    // bounded per partition, then one roll-up row per source.
+    "sm7_source_quota" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= 20, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") > 20, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("rk") <= 20, col("n_chars")).otherwise(0L)).as("chars_kept"))
+        .orderBy("source")
+    }),
+
     // J-joins: as-of with a STALENESS TOLERANCE — the serving horizon as
     // an operator: a match older than the bound is rejected (nulled), not
     // served. Same single-shuffle union-window asof; the tolerance is one
@@ -3771,6 +3806,33 @@ object SparkEntry {
         |SELECT user_id,
         |       CAST(1 + sum(CASE WHEN pts IS NOT NULL AND epoch_us(ts) - epoch_us(pts) > 1800000000
         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // e13: e2's ordered user timeline (ts, event_id tiebreak — both engines
+    // see identical µs timestamps), lead → bigram counts → row-normalized
+    "e13_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        |)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "sm7_source_quota" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rk > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN rk <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 }
