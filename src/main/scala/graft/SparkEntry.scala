@@ -700,6 +700,21 @@ object SparkEntry {
     // Jaccard. Evaluation-as-a-query: the same signatures that bucket the
     // corpus are scored for estimator error, and the oracle replays both
     // sides from the same md5/affine doubles
+    // D-dedup: incremental screening — the 20% batch (doc_id % 5 == 0)
+    // joins the 80% history's dedup index (fingerprints + capped LSH band
+    // buckets + shingles); history never re-pairs with itself. The shape
+    // that keeps daily dedup affordable at corpus scale.
+    "d13_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalScreen(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
+        threshold = 0.4, maxBucket = 64)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "d12_minhash_estimate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // ONE persisted shingle frame shared by the pair pipeline and the
@@ -2370,6 +2385,68 @@ object SparkEntry {
 
     // d12: the d2 signature replay, scored as an estimator — signature
     // match fraction vs exact Jaccard per candidate pair (no threshold)
+    // d13: the d2 signature replay split batch/history — exact via the d1
+    // fingerprint, near via band-bucket join (history buckets capped at 64)
+    // + jaccard verify, best match by (jaccard desc, id)
+    "d13_incremental_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id AS id, doc_id % 5 = 0 AS is_batch,
+        |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), s AS (
+        |  SELECT id, is_batch, md5(norm) AS fp,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(norm, ' ')) - 3, 0) + 2),
+        |           i -> array_to_string(list_slice(string_split(norm, ' '), i, i + 2), ' '))) AS sh
+        |  FROM n
+        |), hb AS (
+        |  SELECT id, is_batch, sh,
+        |         list_transform(sh, x ->
+        |           ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM s
+        |), sg AS (
+        |  SELECT id, is_batch,
+        |         list_transform(range(0, 48),
+        |           k -> list_min(list_transform(hs,
+        |             h -> (h * (k*1000003 + 12345) + k*999331) % 2147483647))) AS sig
+        |  FROM hb
+        |), br AS (
+        |  SELECT id, is_batch, unnest(list_transform(range(0, 12),
+        |           b -> b::VARCHAR || '#' ||
+        |                array_to_string(list_transform(
+        |                  list_slice(sig, b*4 + 1, b*4 + 4), v -> v::VARCHAR), '|'))) AS bk
+        |  FROM sg
+        |), cok AS (
+        |  SELECT bk FROM br WHERE NOT is_batch GROUP BY bk HAVING count(*) <= 64
+        |), cand AS (
+        |  SELECT DISTINCT b.id AS bid, c.id AS cid
+        |  FROM br b JOIN br c ON b.bk = c.bk AND b.is_batch AND NOT c.is_batch
+        |  WHERE b.bk IN (SELECT bk FROM cok)
+        |), ex AS (
+        |  SELECT b.id AS bid, min(c.id) AS exact_match
+        |  FROM s b JOIN s c ON b.fp = c.fp AND b.is_batch AND NOT c.is_batch
+        |  GROUP BY b.id
+        |), v AS (
+        |  SELECT cand.bid, cand.cid,
+        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |          CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+        |  FROM cand JOIN s sa ON sa.id = cand.bid JOIN s sb ON sb.id = cand.cid
+        |), nr AS (
+        |  SELECT bid, cid AS near_match, jaccard,
+        |         row_number() OVER (PARTITION BY bid ORDER BY jaccard DESC, cid) AS rk
+        |  FROM v WHERE jaccard >= 0.4
+        |)
+        |SELECT b.id AS doc_id,
+        |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+        |       WHEN nr.near_match IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS verdict,
+        |  coalesce(ex.exact_match, nr.near_match) AS match_id,
+        |  CASE WHEN ex.exact_match IS NULL THEN nr.jaccard END AS jaccard
+        |FROM (SELECT id FROM n WHERE is_batch) b
+        |LEFT JOIN ex ON ex.bid = b.id
+        |LEFT JOIN (SELECT * FROM nr WHERE rk = 1) nr ON nr.bid = b.id
+        |ORDER BY doc_id""".stripMargin,
+
     "d12_minhash_estimate" ->
       """WITH n AS (
         |  SELECT doc_id AS id,

@@ -353,18 +353,7 @@ object Dedup {
     // (interpreted HOF lambdas), the r4 GC-pressure signature
     val sig = sh.select(col("id"),
       graft.functions.PortableMinhash.portableMinhash(col("sh"), numHashes).as("sig"))
-    // Explode the band index BEFORE computing the bucket key: if the bucket
-    // expression lived inside a per-band lambda, CollapseProject would
-    // inline the whole 48-hash signature into it and recompute it once PER
-    // BAND (12×). Below a Generate the signature is a materialized
-    // attribute — computed once per document, byte-copied per band row.
-    val bandRows = sig
-      .select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("b"))
-      .select(col("id"), concat(col("b").cast("string"), lit("#"),
-        concat_ws("|",
-          transform(slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)),
-            _.cast("string")))).as("bk"))
+    val bandRows = bandRowsOfSignatures(sig, bands, rowsPerBand)
     val buckets = bandRows.groupBy("bk")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -381,6 +370,93 @@ object Dedup {
       .withColumn("jaccard", round(jac, 4))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** `(id, bk)` LSH band-key rows of a `(id, sig)` signature frame.
+    * The band index explodes BEFORE the bucket key is computed: if the
+    * bucket expression lived inside a per-band lambda, CollapseProject
+    * would inline the whole signature into it and recompute it once PER
+    * BAND. Below a Generate the signature is a materialized attribute —
+    * computed once per document, byte-copied per band row.
+    */
+  def bandRowsOfSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .select(col("id"), concat(col("b").cast("string"), lit("#"),
+        concat_ws("|",
+          transform(slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")))).as("bk"))
+
+  /** Incremental near-dup SCREENING — the daily-crawl regime: the
+    * historical corpus contributes a dedup index (exact fingerprints, LSH
+    * band keys, shingle sets) and each incoming batch joins that index;
+    * history never re-pairs with itself. At 100 TB this is the only shape
+    * that keeps daily dedup affordable — a day's cost is
+    * |batch| × bucket-overlap, independent of |corpus|², and the index
+    * tables are exactly what [[minhashLshPairsPortable]] already computes,
+    * so one build serves both the self-dedup and every later increment.
+    *
+    * Verdict per batch doc, in precedence order: `exact` (normalized-text
+    * fingerprint already indexed; match = min such corpus id), `near`
+    * (shares a band bucket with an indexed doc and verifies at
+    * `jaccard ≥ threshold`; match = the best-jaccard corpus id, min-id
+    * tiebreak), else `new`. Corpus-side buckets larger than `maxBucket`
+    * are dropped from the index at build time — the LSH skew guard baked
+    * in, so a boilerplate bucket can't fan a batch doc into thousands of
+    * verify pairs.
+    */
+  def incrementalScreen(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val numHashes = bands * rowsPerBand
+    def sigBands(sh: DataFrame): DataFrame =
+      bandRowsOfSignatures(
+        sh.select(col("id"),
+          graft.functions.PortableMinhash.portableMinhash(col("sh"), numHashes).as("sig")),
+        bands, rowsPerBand)
+    // the index half: shingles persist (they feed band keys AND the verify
+    // join), band buckets capped at build
+    val cSh = shingleFrame(corpus, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cFp = corpus.select(col(idCol).as("cid"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val cBands = sigBands(cSh)
+    val okBuckets = cBands.groupBy("bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("bk")
+    val cBandsCapped = cBands.join(okBuckets, Seq("bk"), "left_semi")
+    // the batch half
+    val bSh = shingleFrame(batch, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bFp = batch.select(col(idCol).as("bid"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exact = bFp.join(cFp, Seq("fp"))
+      .groupBy("bid").agg(min(col("cid")).as("exact_match"))
+    val cand = sigBands(bSh).select(col("bk"), col("id").as("bid"))
+      .join(cBandsCapped.select(col("bk"), col("id").as("cid")), Seq("bk"))
+      .select("bid", "cid").distinct()
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double")
+    val near = cand
+      .join(bSh.select(col("id").as("bid"), col("sh").as("sha")), Seq("bid"))
+      .join(cSh.select(col("id").as("cid"), col("sh").as("shb")), Seq("cid"))
+      .withColumn("jaccard", round(jac, 4))
+      .filter(col("jaccard") >= threshold)
+    val bestNear = near
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bid").orderBy(col("jaccard").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("bid"), col("cid").as("near_match"), col("jaccard"))
+    batch.select(col(idCol).as("bid"))
+      .join(exact, Seq("bid"), "left")
+      .join(bestNear, Seq("bid"), "left")
+      .select(col("bid").as("id"),
+        when(col("exact_match").isNotNull, "exact")
+          .when(col("near_match").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
   }
 
   /** Portable MinHash signatures as a frame — `(id, sig)` with `sig` the

@@ -221,6 +221,25 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getDouble(3) === 0.5)
   }
 
+  test("D13: incrementalScreen verdicts — exact beats near beats new") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),                                   // indexed original
+      (2L, (100 to 130).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                                  // byte-identical → exact
+      (11L, base + " extra trailing words here"),   // high-overlap → near
+      (12L, (200 to 230).map(i => s"z$i").mkString(" ")) // unseen → new
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalScreen(corpus, batch, "doc_id", "text",
+      threshold = 0.4).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (10L, "exact", 1L), (11L, "near", 1L), (12L, "new", -1L)))
+  }
+
   test("T15: novelSpans credits the first occurrence to the min-id doc") {
     val span = (1 to 16).map(i => s"b$i").mkString(" ")
     val docs = Seq(
