@@ -379,14 +379,17 @@ object Dedup {
     * BAND. Below a Generate the signature is a materialized attribute —
     * computed once per document, byte-copied per band row.
     */
-  def bandRowsOfSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  def bandRowsOfSignatures(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    // non-sig columns ride through the explode untouched (id, side tags, …)
+    val passThrough = sig.columns.filterNot(_ == "sig").map(col).toSeq
     sig
-      .select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("b"))
-      .select(col("id"), concat(col("b").cast("string"), lit("#"),
+      .select(passThrough ++ Seq(col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b")): _*)
+      .select(passThrough :+ concat(col("b").cast("string"), lit("#"),
         concat_ws("|",
           transform(slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)),
-            _.cast("string")))).as("bk"))
+            _.cast("string")))).as("bk"): _*)
+  }
 
   /** Incremental near-dup SCREENING — the daily-crawl regime: the
     * historical corpus contributes a dedup index (exact fingerprints, LSH
@@ -411,36 +414,39 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val numHashes = bands * rowsPerBand
-    def sigBands(sh: DataFrame): DataFrame =
-      bandRowsOfSignatures(
-        sh.select(col("id"),
-          graft.functions.PortableMinhash.portableMinhash(col("sh"), numHashes).as("sig")),
-        bands, rowsPerBand)
-    // the index half: shingles persist (they feed band keys AND the verify
-    // join), band buckets capped at build
-    val cSh = shingleFrame(corpus, idCol, textCol, shingleN)
+    // ONE tokenize + shingle + fingerprint + signature pipeline over the
+    // tagged union — every consumer (band keys, exact fps, both verify-join
+    // sides) reads the persisted frame, so the expensive text pass runs and
+    // codegens once, not once per side.
+    val tagged = corpus
+      .select(col(idCol).as("id"), col(textCol).as("__t"), lit(false).as("__b"))
+      .unionByName(batch
+        .select(col(idCol).as("id"), col(textCol).as("__t"), lit(true).as("__b")))
+    val sh = ColOps.parallelize(tagged)
+      .select(col("id"), col("__b"),
+        shingles(col("__t"), shingleN).as("sh"),
+        TextAnalysis.fingerprint(col("__t")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cFp = corpus.select(col(idCol).as("cid"),
-      TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val cBands = sigBands(cSh)
+    val bandsAll = bandRowsOfSignatures(
+      sh.select(col("id"), col("__b"),
+        graft.functions.PortableMinhash.portableMinhash(col("sh"), numHashes).as("sig")),
+      bands, rowsPerBand)
+    // index half: band buckets capped at build (the LSH skew guard)
+    val cBands = bandsAll.filter(!col("__b"))
     val okBuckets = cBands.groupBy("bk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select("bk")
     val cBandsCapped = cBands.join(okBuckets, Seq("bk"), "left_semi")
-    // the batch half
-    val bSh = shingleFrame(batch, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bFp = batch.select(col(idCol).as("bid"),
-      TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val exact = bFp.join(cFp, Seq("fp"))
+    val exact = sh.filter(col("__b")).select(col("id").as("bid"), col("fp"))
+      .join(sh.filter(!col("__b")).select(col("id").as("cid"), col("fp")), Seq("fp"))
       .groupBy("bid").agg(min(col("cid")).as("exact_match"))
-    val cand = sigBands(bSh).select(col("bk"), col("id").as("bid"))
+    val cand = bandsAll.filter(col("__b")).select(col("bk"), col("id").as("bid"))
       .join(cBandsCapped.select(col("bk"), col("id").as("cid")), Seq("bk"))
       .select("bid", "cid").distinct()
     val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
       size(array_union(col("sha"), col("shb"))).cast("double")
     val near = cand
-      .join(bSh.select(col("id").as("bid"), col("sh").as("sha")), Seq("bid"))
-      .join(cSh.select(col("id").as("cid"), col("sh").as("shb")), Seq("cid"))
+      .join(sh.select(col("id").as("bid"), col("sh").as("sha")), Seq("bid"))
+      .join(sh.select(col("id").as("cid"), col("sh").as("shb")), Seq("cid"))
       .withColumn("jaccard", round(jac, 4))
       .filter(col("jaccard") >= threshold)
     val bestNear = near
