@@ -80,11 +80,20 @@ object Stress {
         .join(rep, Seq("doc_id"))
     }
 
+    // fixed screening batch for the d13 probe: 10% of the ×1 corpus under
+    // fresh ids (idStride*1000 clears every multiplied-copy id range)
+    val batch0 = graft.functions.Sampling.hashSample(docs0, "doc_id", 0.10)
+      .select((col("doc_id") + lit(idStride * 1000L)).as("doc_id"), col("text"))
+      .cache()
+    val nBatch = batch0.count()
+
     // JIT/codegen warmup so the x1 measurement isn't charged cold-start
     val w = docs0.limit(100).cache(); w.count()
     Dedup.minhashLshPairsPortable(w, "doc_id", "text",
       shingleN = 3, bands = 12, rowsPerBand = 4, threshold = 0.4).count()
     Dedup.dupSpans(w, "doc_id", "text", window = 16).count()
+    Dedup.incrementalScreen(w, w.limit(10), "doc_id", "text",
+      threshold = 0.4).count()
     Dedup.scrubDupSpans(w, "doc_id", "text", window = 16)
       .select(sum(length(col("scrubbed_text")))).collect()
     TextAnalysis.topNgrams(w, "doc_id", "text", n = 2, k = 20).count()
@@ -163,6 +172,19 @@ object Stress {
       }
       pairs.unpersist()
       println(s"""{"op":"g1_pagerank","scale":$k,"n_docs":$n,"edges":$nEdges,"sec":${num(tPr)},"out_rows":$rowsPr}""")
+
+      // d13: incremental screening — the BATCH is held fixed (10% of the
+      // ×1 corpus, novel ids, unchanged text → exact hits against the
+      // embedded ×1 copy) while the history grows with the scale. Cost
+      // must track |history| (index signatures are linear) and never
+      // |history|² — the claim that makes daily dedup affordable; copies
+      // share no shingles, so the candidate join stays batch-bounded.
+      val (tInc, rowsInc) = time {
+        Dedup.incrementalScreen(docs, batch0, "doc_id", "text",
+          shingleN = 3, bands = 12, rowsPerBand = 4,
+          threshold = 0.4, maxBucket = 64).count()
+      }
+      println(s"""{"op":"d13_incremental","scale":$k,"n_hist":$n,"n_batch":$nBatch,"sec":${num(tInc)},"out_rows":$rowsInc}""")
 
       // t13: edit-distance fuzzy match — prefix blocking with the 256-cap
       // bounds the per-block quadratic, and the 48-char head truncation

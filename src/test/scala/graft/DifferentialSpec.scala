@@ -23,7 +23,9 @@ class DifferentialSpec extends SparkSpec {
     "j9_asof_forward",      // mirrored-sort running last (r5 frame rewrite)
     "e7_session_window",    // session-window semantics
     "d12_minhash_estimate", // native PortableMinhash signatures + zip folds
-    "t14_quality_classifier" // portable bucket hash + integer weight agg
+    "t14_quality_classifier", // portable bucket hash + integer weight agg
+    "d13_incremental_dedup", // PortableMinhash over a tagged union + screen joins
+    "v10_margin_pairs"      // ArrayDot twice + DECIMAL density folds
   )
 
   private def runAll(codegen: Boolean): Map[String, Set[Seq[Any]]] = {
