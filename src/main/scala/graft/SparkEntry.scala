@@ -1214,6 +1214,45 @@ object SparkEntry {
         round(expr("percentile(value, 0.95)"), 6).as("p95"))
         .orderBy("event_type")),
 
+    // E-events: Tukey-fence outlier counting per event type — exact
+    // quartiles (rounded to the 6dp grid BOTH engines agree on before any
+    // fence arithmetic, so the comparisons run on identical doubles),
+    // 1.5·IQR fences broadcast back onto the stream, one counting pass.
+    // The standard data-quality outlier gate.
+    "e15_outlier_fences" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val fences = ev.groupBy("event_type").agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"))
+      ev.join(broadcast(fences), Seq("event_type"))
+        .withColumn("lo", col("p25") - (col("p75") - col("p25")) * 1.5)
+        .withColumn("hi", col("p75") + (col("p75") - col("p25")) * 1.5)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_frac",
+          round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
+        .orderBy("event_type")
+    }),
+
+    // W-window: top user paths — each user's first three events (ts order,
+    // event_id tiebreak) joined into a path string, counted across users.
+    // The sort lives inside the per-user array (3 elements), not a global
+    // shuffle; the path histogram is one hash agg.
+    "w5_session_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rk"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy("path")
+    }),
+
     // P-profiling: per-column corpus profile (nulls/distinct/min/max)
     "p1_profile" -> ((s, d) =>
       graft.functions.Profiling.profile(t(s, d, "lineitem"),
@@ -1271,6 +1310,30 @@ object SparkEntry {
         .agg(dsum(round((col("p_ref") - col("p_cur")) *
           log(col("p_ref") / col("p_cur")), 9), 9).as("psi"))
         .orderBy("event_type")
+    }),
+
+    // SM-sampling: distribution matching — subsample overrepresented
+    // strata (languages) down to a uniform target share with deterministic
+    // md5-bucket acceptance; the companion to sm6's weights that actually
+    // MATERIALIZES the rebalanced mixture. Rates are computed on exact
+    // integer counts; the acceptance cut is an integer threshold on the
+    // same hash bucket family as sm1/sm5, so the kept set reproduces.
+    "sm8_distribution_match" -> ((s, d) => {
+      val w = Window.partitionBy()
+      val byLang = t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("target", sum(col("n_docs")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+        .withColumn("rate", least(lit(1.0), col("target") / col("n_docs").cast("double")))
+        .withColumn("cut", floor(col("rate") * 10000).cast("long"))
+      val kept = t(s, d, "documents")
+        .join(broadcast(byLang.select("lang", "cut")), Seq("lang"))
+        .filter(graft.functions.Sampling.hashBucket(col("doc_id")) < col("cut"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      byLang.select(col("lang"), col("n_docs"), round(col("rate"), 6).as("rate"))
+        .join(kept, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_kept"))
+        .orderBy("lang")
     }),
 
     // SM-sampling: weighted sampling without replacement (Efraimidis–
@@ -3651,6 +3714,27 @@ object SparkEntry {
         |SELECT source, split, count(*) AS n_docs
         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
 
+    // sm8: uniform-target acceptance rates on exact integer counts, the
+    // sm1/sm5 md5 bucket family for the deterministic keep decision
+    "sm8_distribution_match" ->
+      """WITH l AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        |), r AS (
+        |  SELECT lang, n_docs,
+        |         least(1.0, (CAST(sum(n_docs) OVER () AS DOUBLE) /
+        |                     CAST(count(*) OVER () AS DOUBLE)) / CAST(n_docs AS DOUBLE)) AS rate
+        |  FROM l
+        |), c AS (
+        |  SELECT lang, n_docs, rate, CAST(floor(rate * 10000) AS BIGINT) AS cut FROM r
+        |), k AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN c USING (lang)
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < cut
+        |  GROUP BY d.lang
+        |)
+        |SELECT c.lang, c.n_docs, round(c.rate, 6) AS rate, coalesce(k.n_kept, 0) AS n_kept
+        |FROM c LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin,
+
     "sm6_mixture_weights" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs,
@@ -3685,6 +3769,35 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.75), 6) AS p75,
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // e15: quartiles rounded to the shared 6dp grid BEFORE the fence
+    // arithmetic (e5 proves 6dp quantile parity), so both engines compare
+    // against bit-identical fences
+    "e15_outlier_fences" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         round(quantile_cont(value, 0.25), 6) AS p25,
+        |         round(quantile_cont(value, 0.75), 6) AS p75
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN e.value < p25 - (p75 - p25) * 1.5
+        |                  OR e.value > p75 + (p75 - p25) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN e.value < p25 - (p75 - p25) * 1.5
+        |                  OR e.value > p75 + (p75 - p25) * 1.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_frac
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
+
+    "w5_session_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, array_to_string(list(event_type ORDER BY rk), '>') AS path
+        |  FROM r WHERE rk <= 3 GROUP BY user_id
+        |)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path ORDER BY path""".stripMargin,
 
     "p1_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
