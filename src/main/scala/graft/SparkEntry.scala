@@ -1253,6 +1253,33 @@ object SparkEntry {
         .orderBy("path")
     }),
 
+    // E-events: exponentially time-decayed engagement — each user's
+    // Σ value·2^(−age/24h) against the stream's max timestamp (broadcast
+    // 1-row scalar, not a global window), 9dp-rounded terms folded in
+    // DECIMAL, top-20 on the exact rounded score. The "recent activity
+    // counts more" ranking a freshness-aware sampler feeds on.
+    "e16_decayed_score" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("decay", exp(lit(-0.693147180559945) / 24.0 *
+          ((col("max_us") - unix_micros(col("ts"))).cast("double") / 3600e6)))
+        .groupBy("user_id")
+        .agg(dsum(round(col("value") * col("decay"), 9), 9).as("raw"))
+        .select(col("user_id"), round(col("raw"), 6).as("score"))
+        .orderBy(col("score").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // P-profiling: per-column value-distribution entropy — catches a
+    // column silently collapsing to one dominant value when counts and
+    // min/max still look healthy (see Profiling.entropy)
+    "p9_entropy_profile" -> ((s, d) =>
+      graft.functions.Profiling.entropy(
+        t(s, d, "documents").withColumn("len_bucket", (col("n_chars") / 100).cast("long")),
+        Seq("lang", "source", "len_bucket"))
+        .orderBy("col_name")),
+
     // P-profiling: per-column corpus profile (nulls/distinct/min/max)
     "p1_profile" -> ((s, d) =>
       graft.functions.Profiling.profile(t(s, d, "lineitem"),
@@ -3787,6 +3814,51 @@ object SparkEntry {
         |                  OR e.value > p75 + (p75 - p25) * 1.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_frac
         |FROM events e JOIN f USING (event_type)
         |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
+
+    // e16: shared explicit ln2 constant (decimal parse is correctly rounded
+    // in both engines → identical double), identical op order, 9dp-rounded
+    // terms in a DECIMAL fold, exact rounded scores ordering the top-20
+    "e16_decayed_score" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * exp(-0.693147180559945 / 24.0 *
+        |      (CAST(max_us - epoch_us(ts) AS DOUBLE) / 3600000000.0)), 9) AS DECIMAL(30,9))) AS DOUBLE) AS raw
+        |  FROM events, m GROUP BY user_id
+        |)
+        |SELECT user_id, round(raw, 6) AS score FROM s
+        |ORDER BY score DESC, user_id LIMIT 20""".stripMargin,
+
+    // p9: exact integer value counts → p doubles → 9dp-rounded −p·ln p
+    // terms in DECIMAL; one block per profiled column, unioned
+    "p9_entropy_profile" ->
+      """WITH e_lang AS (
+        |  SELECT 'lang' AS col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    round(CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(30,9))) AS DOUBLE), 6) AS entropy,
+        |    round(CASE WHEN count(*) > 1
+        |      THEN CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(30,9))) AS DOUBLE) / ln(CAST(count(*) AS DOUBLE))
+        |      ELSE 0 END, 6) AS norm_entropy
+        |  FROM (SELECT CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE) AS p
+        |        FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang))
+        |), e_source AS (
+        |  SELECT 'source' AS col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    round(CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(30,9))) AS DOUBLE), 6) AS entropy,
+        |    round(CASE WHEN count(*) > 1
+        |      THEN CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(30,9))) AS DOUBLE) / ln(CAST(count(*) AS DOUBLE))
+        |      ELSE 0 END, 6) AS norm_entropy
+        |  FROM (SELECT CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE) AS p
+        |        FROM (SELECT count(*) AS cnt FROM documents GROUP BY source))
+        |), e_len AS (
+        |  SELECT 'len_bucket' AS col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    round(CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(30,9))) AS DOUBLE), 6) AS entropy,
+        |    round(CASE WHEN count(*) > 1
+        |      THEN CAST(sum(CAST(round(-p * ln(p), 9) AS DECIMAL(30,9))) AS DOUBLE) / ln(CAST(count(*) AS DOUBLE))
+        |      ELSE 0 END, 6) AS norm_entropy
+        |  FROM (SELECT CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE) AS p
+        |        FROM (SELECT count(*) AS cnt FROM documents GROUP BY CAST(n_chars // 100 AS BIGINT)))
+        |)
+        |SELECT * FROM e_lang UNION ALL SELECT * FROM e_source UNION ALL SELECT * FROM e_len
+        |ORDER BY col_name""".stripMargin,
 
     "w5_session_paths" ->
       """WITH r AS (

@@ -26,6 +26,40 @@ object Profiling {
           col("n_distinct"), col("min_v"), col("max_v"))
     }.reduce(_ unionByName _)
 
+  /** Per-column Shannon entropy of the VALUE DISTRIBUTION — the profiling
+    * signal that catches a column silently collapsing (one value suddenly
+    * dominating a source/lang mix) when row counts and min/max still look
+    * healthy. `H = −Σ p·ln p` over exact integer value counts, plus the
+    * `H / ln(n_distinct)` normalization (0 when a column is constant).
+    *
+    * Scale: one hash-agg per column produces the (value, count) frame; the
+    * entropy fold then runs over DISTINCT VALUES, not rows, so the window
+    * totals touch at most cardinality-many narrow rows. Terms are
+    * 9dp-rounded and summed in DECIMAL — order-independent, replayable.
+    * Meaningful for the bounded-cardinality columns profiling cares about
+    * (sources, languages, buckets); for data-sized cardinalities use
+    * [[cardinality]]'s bounded-state estimate instead.
+    */
+  def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    cols.map { c =>
+      df.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", col("cnt").cast("double") /
+          sum(col("cnt")).over(w).cast("double"))
+        .agg(
+          count(lit(1)).as("n_distinct"),
+          sum(round(-col("p") * log(col("p")), 9).cast("decimal(30,9)"))
+            .cast("double").as("raw"))
+        .select(lit(c).as("col_name"), col("n_distinct"),
+          round(col("raw"), 6).as("entropy"),
+          round(when(col("n_distinct") > 1,
+            col("raw") / log(col("n_distinct").cast("double")))
+            .otherwise(0d), 6).as("norm_entropy"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Portable distinct-count estimation via LINEAR COUNTING: hash each value
     * into one of `m` md5 buckets and estimate cardinality from the occupied
     * fraction, `est = −m · ln(1 − occupied/m)`. Unlike HLL sketches (whose

@@ -20,6 +20,22 @@ class ProfilingSpec extends SparkSpec {
     assert(m.getLong(3) === 7L, "7 distinct non-null values")
   }
 
+  test("entropy: constant column scores 0, uniform column scores 1 normalized") {
+    val df = spark.range(0, 64).select(
+      lit("same").as("const_col"),
+      (col("id") % 8).as("uniform_col"),
+      when(col("id") < 57, lit("dom")).otherwise(lit("rare")).as("skew_col"))
+    val rows = Profiling.entropy(df, Seq("const_col", "uniform_col", "skew_col"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows("const_col") === ((1L, 0.0, 0.0)))
+    // 8 equally likely values: H = ln 8, normalized exactly 1
+    assert(rows("uniform_col")._1 === 8L)
+    assert(math.abs(rows("uniform_col")._3 - 1.0) < 1e-6)
+    // heavy skew: normalized entropy well below uniform
+    assert(rows("skew_col")._3 < 0.5)
+  }
+
   test("cardinality: linear-counting estimate brackets the exact count") {
     val df = spark.range(0, 10000).select((col("id") % 100).as("v"))
     val r = Profiling.cardinality(df, Seq("v"), m = 1024).collect()(0)
