@@ -106,6 +106,27 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming arm of [[graft.dedup.Dedup.incrementalScreen]]: each arriving
+    * micro-batch of documents screens against the FIXED historical corpus
+    * and appends its exact/near/new verdicts — the daily-crawl increment as
+    * a checkpointed stream, so a replayed batch is never re-screened. The
+    * history's index halves recompute per batch here; at scale the caller
+    * caches the corpus frame (foreachBatch closes over stable frames), and
+    * the persisted-index build amortizes exactly as in the batch path.
+    */
+  def screeningSink(docsStream: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, sinkPath: String, checkpoint: String,
+      threshold: Double = 0.4): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.dedup.Dedup.incrementalScreen(corpus, batch.toDF(), idCol,
+          textCol, threshold = threshold)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream → curated store: each micro-batch goes through
     * [[graft.store.GridStore.append]] (boundary normalization + date
     * partitioning + sorted write), so streaming ingestion lands with exactly

@@ -98,6 +98,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("screeningSink: arriving doc batches screen against the fixed corpus, replay-safe") {
+    val base = tempDir("screenstream")
+    val landing = s"$base/new"
+    val sink = s"$base/verdicts"
+    val ckpt = s"$base/ckpt"
+    val span = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, span),
+      (2L, (100 to 130).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val schema = corpus.schema
+    Seq((10L, span)).toDF("doc_id", "text").write.mode("append").parquet(landing)
+    EventStream.screeningSink(
+      EventStream.landingStream(spark, landing, schema), corpus,
+      "doc_id", "text", sink, ckpt).awaitTermination()
+    val first = spark.read.parquet(sink).collect()
+    assert(first.length === 1)
+    assert(first(0).getString(1) === "exact" && first(0).getLong(2) === 1L)
+    // a later arrival screens incrementally; the first file is not re-screened
+    Seq((11L, (200 to 230).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").parquet(landing)
+    EventStream.screeningSink(
+      EventStream.landingStream(spark, landing, schema), corpus,
+      "doc_id", "text", sink, ckpt).awaitTermination()
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(out.toSeq === Seq((10L, "exact"), (11L, "new")),
+      "one verdict per arrival, no replays")
+  }
+
   test("gribLandingStream: arriving GRIB2 files decode on executors into grid rows") {
     import java.time.LocalDateTime
     import graft.sources.Grib2
