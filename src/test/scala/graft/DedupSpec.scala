@@ -221,6 +221,41 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getDouble(3) === 0.5)
   }
 
+  test("D13/T15 invariants on a randomized overlapping corpus") {
+    val rnd = new scala.util.Random(42)
+    // documents assembled from a 40-token vocab in 16-token runs — heavy
+    // chunk overlap by construction
+    def doc(): String =
+      (1 to 32).map(_ => s"tok${rnd.nextInt(40)}").mkString(" ")
+    val all = (1L to 30L).map(i => (i, doc()))
+    val df = all.toDF("doc_id", "text")
+
+    val nv = Dedup.novelSpans(df, "doc_id", "text", window = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(nv.length === 30)
+    nv.foreach { case (id, nChunks, nNovel, frac) =>
+      assert(nNovel >= 0 && nNovel <= nChunks, s"doc $id novel out of range")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // the min-id doc can never have seen any chunk earlier
+    val first = nv.minBy(_._1)
+    assert(first._2 === first._3, "min-id doc must be fully novel")
+
+    val corpus = df.filter($"doc_id" <= 20)
+    val batch = df.filter($"doc_id" > 20)
+      .unionByName(Seq((100L, all.head._2)).toDF("doc_id", "text")) // exact copy of doc 1
+    val out = Dedup.incrementalScreen(corpus, batch, "doc_id", "text",
+      threshold = 0.3).collect()
+    assert(out.length === 11, "exactly one verdict per batch doc")
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(byId(100L)._1 === "exact" && byId(100L)._2 === Some(1L))
+    byId.foreach { case (id, (verdict, m)) =>
+      assert(m.isEmpty === (verdict == "new"),
+        s"doc $id: match attribution must accompany exactly the non-new verdicts")
+    }
+  }
+
   test("D13: incrementalScreen verdicts — exact beats near beats new") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val corpus = Seq(
