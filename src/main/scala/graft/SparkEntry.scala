@@ -1428,6 +1428,51 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
+    // H-OLAP: shipping-priority top-10 (TPC-H Q3 shape) — segment-filtered
+    // customers broadcast, date predicates pushed to both fact scans, exact
+    // decimal revenue, TakeOrderedAndProject for the top-10 (never a global
+    // sort)
+    "h7_shipping_priority" -> ((s, d) => {
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      t(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+        .join(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue"))
+    }),
+
+    // V-similarity: IVF nProbe sweep — the recall/latency tuning curve
+    // measured in-engine (v7's eval-as-a-query, swept over the knob the
+    // serving layer actually turns). Exact top-10 persists once and scores
+    // all three probe widths.
+    "v11_nprobe_sweep" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/v11_sweep")
+      val probes = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.knnJoin(probes, emb, "vec_id", "embedding", 10)
+        .select(col("probe_id").as("pid"), col("neighbor_id").as("nid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(1, 2, 4).map { np =>
+        Ivf.search(idx, probes, "vec_id", "embedding", nProbe = np, k = 10)
+          .select(col("probe_id"), col("neighbor_id"))
+          .join(exact, col("probe_id") === col("pid") &&
+            col("neighbor_id") === col("nid"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("n_probe"), col("n_hits"),
+            round(col("n_hits").cast("double") / 100.0, 4).as("recall_at_10"))
+      }.reduce(_ unionByName _).orderBy("n_probe")
+    }),
+
     // H-OLAP: order-priority counting (TPC-H Q4 shape) — EXISTS as a
     // left-semi join (no fact-side duplication), then a tiny agg
     "h3_order_priority" -> ((s, d) =>
@@ -3064,6 +3109,64 @@ object SparkEntry {
         |FROM en LEFT JOIN h ON h.probe_id = en.vec_id
         |WHERE en.vec_id < 10 ORDER BY probe_id""".stripMargin,
 
+    // v11: v7's assign/probe/top-k replay swept over nProbe via a VALUES
+    // cross join — one probe-list ranking reused for all three widths
+    "v11_nprobe_sweep" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v11_sweep/centroids/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), en AS (
+        |  SELECT vec_id, emb,
+        |         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+        |  FROM e
+        |), dist AS (
+        |  SELECT en.vec_id, en.emb, en.nrm, c.listId,
+        |         list_aggregate(list_transform(range(1, len(en.emb) + 1),
+        |           i -> (en.emb[i] - c.cent[i]) * (en.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM en, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, nrm, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), pl AS (
+        |  SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, listId, lr FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+        |    FROM dist WHERE vec_id < 10) WHERE lr <= 4
+        |), sweep AS (
+        |  SELECT np FROM (VALUES (1), (2), (4)) s(np)
+        |), cand AS (
+        |  SELECT s.np, pl.probe_id, a.vec_id AS id,
+        |         list_aggregate(list_transform(range(1, len(a.emb) + 1),
+        |           i -> a.emb[i] * pl.p_emb[i]), 'sum') / (a.nrm * pl.p_nrm) AS cos_raw
+        |  FROM sweep s CROSS JOIN pl JOIN asg a USING (listId)
+        |  WHERE pl.lr <= s.np AND a.vec_id <> pl.probe_id
+        |), appr AS (
+        |  SELECT np, probe_id, id FROM (
+        |    SELECT np, probe_id, id,
+        |           row_number() OVER (PARTITION BY np, probe_id ORDER BY cos_raw DESC, id ASC) AS rank
+        |    FROM cand) WHERE rank <= 10
+        |), exc AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+        |         list_aggregate(list_transform(range(1, len(c.emb) + 1),
+        |           i -> c.emb[i] * p.emb[i]), 'sum') / (c.nrm * p.nrm) AS cos_raw
+        |  FROM en p JOIN en c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10
+        |), ex AS (
+        |  SELECT probe_id, id FROM (
+        |    SELECT probe_id, id,
+        |           row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, id ASC) AS rank
+        |    FROM exc) WHERE rank <= 10
+        |), h AS (
+        |  SELECT a.np, count(*) AS n_hits
+        |  FROM appr a JOIN ex USING (probe_id, id)
+        |  GROUP BY a.np
+        |)
+        |SELECT s.np AS n_probe, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 100.0, 4) AS recall_at_10
+        |FROM sweep s LEFT JOIN h ON h.np = s.np
+        |ORDER BY n_probe""".stripMargin,
+
     "v5_ivf_topk" ->
       """WITH cents AS (
         |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v5_ivf/centroids/*.parquet')
@@ -4035,6 +4138,18 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "h7_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "h2_regional_revenue" ->
       """SELECT n_name,

@@ -183,6 +183,16 @@ class PlanAuditSpec extends SparkSpec {
       s"both consumers must read the SAME cached (id, fp) frame:\n$plan")
   }
 
+  test("h7 shipping priority: top-10 is a bounded heap with pushed date filters") {
+    val df = SparkEntry.queries("h7_shipping_priority")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Q3 top-10 must plan as a bounded heap, not a global sort:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("l_shipdate")) && pushed.exists(_.contains("o_orderdate")),
+      s"date predicates must reach both parquet scans:\n${pushed.mkString("\n")}")
+  }
+
   test("f6 haversine top-k: bounded heap, never a global sort") {
     val p = SparkEntry.queries("f6_haversine_rank")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
