@@ -715,6 +715,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X-flagship: the curation pipeline END-TO-END in one plan — exact
+    // dedup (keep min-id per fingerprint), quality gate, per-source quota —
+    // with per-stage survivor counts and the final token total. The single
+    // number a pipeline owner actually watches ("how much survives each
+    // gate"); intermediate frames persist once and feed both their stage
+    // count and the next stage.
+    "x2_curation_flagship" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keepers = docs
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val quality = deduped
+        .filter(round(TextAnalysis.qualityScore(col("text")), 4) >= 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val quota = quality.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(deduped.agg(count(lit(1)).as("n_after_dedup")))
+        .crossJoin(quality.agg(count(lit(1)).as("n_after_quality")))
+        .crossJoin(quota.agg(count(lit(1)).as("n_after_quota"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept")))
+    }),
+
+    // T-text: language-ID confusion matrix — predicted vs labeled language
+    // counts, the eval-as-a-query view of t3's classifier (which cells leak
+    // is what a curation owner tunes marker lists against)
+    "t16_lang_confusion" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
+    // D-dedup: near-dup yield curve — pair counts at three Jaccard
+    // thresholds from ONE persisted blocked-pair frame (the knob-tuning
+    // view of d4: how aggressive can the dedup gate get before it starts
+    // eating real content)
+    "d14_threshold_curve" -> ((s, d) => {
+      val pairs = Dedup.prefixBlockedJaccard(t(s, d, "documents"),
+        "doc_id", "text", prefixLen = 32, threshold = 0.0, maxBlock = 256)
+        .withColumn("j4", round(col("jaccard"), 4))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(0.25, 0.5, 0.75).map { th =>
+        pairs.filter(col("j4") >= th).agg(count(lit(1)).as("n_pairs"))
+          .select(lit(th).as("threshold"), col("n_pairs"))
+      }.reduce(_ unionByName _).orderBy("threshold")
+    }),
+
     "d12_minhash_estimate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // ONE persisted shingle frame shared by the pair pipeline and the
@@ -2126,6 +2178,44 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_regex_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // x2: d1's keep-min dedup, t2's quality replay, sm7's quota window,
+    // scalar-subquery stage counts
+    "x2_curation_flagship" ->
+      """WITH k AS (
+        |  SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp
+        |    FROM documents) GROUP BY fp
+        |), dd AS (
+        |  SELECT d.* FROM documents d JOIN k USING (doc_id)
+        |), qx AS (
+        |  SELECT doc_id, source, n_chars, text,
+        |         CAST(length(text) AS DOUBLE) AS nc,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |         (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END) AS stop_hits,
+        |         (length(text) - length(replace(text, '.', ''))
+        |          + length(text) - length(replace(text, ',', ''))) AS punct
+        |  FROM dd
+        |), qf AS (
+        |  SELECT doc_id, source, n_chars, text FROM qx
+        |  WHERE round(0.3 * least(nc / 200.0, 1.0)
+        |      + 0.2 * (CASE WHEN (nc - (nt - 1.0)) / nt BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+        |      + 0.3 * least(CAST(stop_hits AS DOUBLE) / 3.0, 1.0)
+        |      + 0.2 * (CASE WHEN CAST(punct AS DOUBLE) / greatest(nc, 1.0) > 0.1 THEN 0.2 ELSE 1.0 END), 4) >= 0.5
+        |), qt AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM qf
+        |)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |       (SELECT count(*) FROM dd) AS n_after_dedup,
+        |       (SELECT count(*) FROM qf) AS n_after_quality,
+        |       (SELECT count(*) FROM qt WHERE rk <= 20) AS n_after_quota,
+        |       (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |        FROM qt WHERE rk <= 20) AS tokens_kept""".stripMargin,
+
     "t2_quality_score" ->
       """WITH q AS (
         |  SELECT doc_id,
@@ -2348,6 +2438,41 @@ object SparkEntry {
         |       WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
         |       ELSE 'und' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // t16: t3's marker-score replay folded to a confusion matrix
+    "t16_lang_confusion" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents
+        |), sc AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN contains(p, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' and ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' is ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' to ') THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN contains(p, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' die ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' ist ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' nicht ') THEN 1 ELSE 0 END) AS s_de,
+        |    (CASE WHEN contains(p, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' que ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' los ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' una ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' por ') THEN 1 ELSE 0 END) AS s_es,
+        |    (CASE WHEN contains(p, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' les ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' est ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' une ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' dans ') THEN 1 ELSE 0 END) AS s_fr,
+        |    (CASE WHEN contains(p, ' 的 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 是 ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' 了 ') THEN 1 ELSE 0 END + CASE WHEN contains(p, ' 在 ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(p, ' 我 ') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM s
+        |), pr AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+        |         WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM sc
+        |)
+        |SELECT lang, lang_pred, count(*) AS n
+        |FROM pr GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     "t6_tfidf_top_term" ->
       """WITH toks AS (
@@ -2808,6 +2933,36 @@ object SparkEntry {
         |  FROM e JOIN r2 ON r2.id = e.y JOIN deg ON deg.id = e.y GROUP BY e.x
         |)
         |SELECT id AS doc_id, r AS rank FROM r3 ORDER BY doc_id""".stripMargin,
+
+    // d14: d4's blocked-pair CTEs swept over three thresholds (rounded
+    // jaccard compared against DOUBLE-cast sweep values)
+    "d14_threshold_curve" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), blk AS (
+        |  SELECT substr(norm, 1, 32) AS pfx FROM n
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         list_distinct(string_split(a.norm, ' ')) AS wa,
+        |         list_distinct(string_split(b.norm, ' ')) AS wb
+        |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+        |   AND a.doc_id < b.doc_id
+        |  WHERE substr(a.norm, 1, 32) IN (SELECT pfx FROM blk)
+        |), j AS (
+        |  SELECT round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |           / (CAST(len(wa) AS DOUBLE) + CAST(len(wb) AS DOUBLE)
+        |              - CAST(len(list_intersect(wa, wb)) AS DOUBLE)), 4) AS j4
+        |  FROM p
+        |), sweep AS (
+        |  SELECT CAST(th AS DOUBLE) AS threshold FROM (VALUES (0.25), (0.5), (0.75)) s(th)
+        |)
+        |SELECT s.threshold,
+        |       CAST(sum(CASE WHEN j.j4 >= s.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+        |FROM sweep s CROSS JOIN j
+        |GROUP BY s.threshold ORDER BY threshold""".stripMargin,
 
     "d4_jaccard_neardup" ->
       """WITH n AS (
