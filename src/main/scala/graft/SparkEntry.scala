@@ -767,6 +767,14 @@ object SparkEntry {
       }.reduce(_ unionByName _).orderBy("threshold")
     }),
 
+    // G-graph: triangle census of the near-dup graph — is duplication
+    // clustered (template families, safe to keep-one-per-cluster) or
+    // chained (drifting revisions, where transitive collapse over-merges)?
+    // Edges⋈edges path enumeration + closing-edge semi-join, all-integer
+    // counts (see Graph.triangleStats).
+    "g3_triangles" -> ((s, d) =>
+      graft.graph.Graph.triangleStats(d4RoundedPairs(s, d))),
+
     "d12_minhash_estimate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // ONE persisted shingle frame shared by the pair pipeline and the
@@ -1671,6 +1679,25 @@ object SparkEntry {
           sum(when(col("rk") > 20, 1L).otherwise(0L)).as("n_dropped"),
           sum(when(col("rk") <= 20, col("n_chars")).otherwise(0L)).as("chars_kept"))
         .orderBy("source")
+    }),
+
+    // J-joins: interval-OVERLAP join — which event-type activity windows
+    // intersect per user, counted per type pair. A bare overlap predicate
+    // plans as BNLJ; day-bin explode restores the equi-key (see
+    // operators.OverlapJoin), pairs dedup narrow, exact predicate verifies.
+    "j12_overlap_join" -> ((s, d) => {
+      val win = t(s, d, "events").groupBy("user_id", "event_type")
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val l = win.select(col("user_id"), col("event_type").as("ta"),
+        col("s_us").as("sa"), col("e_us").as("ea"))
+      val r = win.select(col("user_id"), col("event_type").as("tb"),
+        col("s_us").as("sb"), col("e_us").as("eb"))
+      graft.operators.OverlapJoin.overlapPairs(l, r, Seq("user_id"),
+        "ta", "sa", "ea", "tb", "sb", "eb", binWidth = 86400000000L)
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_users"))
+        .orderBy("ta", "tb")
     }),
 
     // J-joins: as-of with a STALENESS TOLERANCE — the serving horizon as
@@ -3025,6 +3052,47 @@ object SparkEntry {
         |SELECT id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     // g2: the d6 transitive closure, folded to cluster-size → count
+    // g3: the d4 pair CTEs, then degrees → wedges, pairs⋈pairs⋈pairs →
+    // triangles (a<b<c orientation makes each triangle count exactly once)
+    "g3_triangles" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), blk AS (
+        |  SELECT substr(norm, 1, 32) AS pfx FROM n
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         list_distinct(string_split(a.norm, ' ')) AS wa,
+        |         list_distinct(string_split(b.norm, ' ')) AS wb
+        |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+        |   AND a.doc_id < b.doc_id
+        |  WHERE substr(a.norm, 1, 32) IN (SELECT pfx FROM blk)
+        |), j AS (
+        |  SELECT a, b,
+        |         round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |           / (CAST(len(wa) AS DOUBLE) + CAST(len(wb) AS DOUBLE)
+        |              - CAST(len(list_intersect(wa, wb)) AS DOUBLE)), 4) AS jaccard
+        |  FROM p
+        |), pairs AS (
+        |  SELECT a, b FROM j WHERE jaccard >= 0.35
+        |), deg AS (
+        |  SELECT id, count(*) AS d
+        |  FROM (SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs)
+        |  GROUP BY id
+        |), w AS (
+        |  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+        |), tr AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM pairs p1 JOIN pairs p2 ON p1.b = p2.a
+        |  JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+        |), ne AS (
+        |  SELECT count(*) AS n_edges FROM pairs
+        |)
+        |SELECT ne.n_edges, w.n_wedges, tr.n_triangles,
+        |  round(CASE WHEN w.n_wedges > 0 THEN 3.0 * tr.n_triangles / w.n_wedges ELSE 0 END, 6) AS clustering
+        |FROM ne, w, tr""".stripMargin,
+
     "g2_cluster_sizes" ->
       """WITH RECURSIVE n AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
@@ -4339,6 +4407,17 @@ object SparkEntry {
         |       CAST(1 + sum(CASE WHEN pts IS NOT NULL AND epoch_us(ts) - epoch_us(pts) > 1800000000
         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "j12_overlap_join" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type,
+        |         min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+        |  FROM events GROUP BY user_id, event_type
+        |)
+        |SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_users
+        |FROM w a JOIN w b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        |GROUP BY ta, tb ORDER BY ta, tb""".stripMargin,
 
     // e13: e2's ordered user timeline (ts, event_id tiebreak — both engines
     // see identical µs timestamps), lead → bigram counts → row-normalized

@@ -10,6 +10,40 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Triangle census of an undirected pair graph given as `(a, b)` edges
+    * with `a < b` — edge count, wedge count (open 2-paths, Σ d·(d−1)/2),
+    * triangle count, and the global clustering coefficient
+    * `3·triangles / wedges`. The standard structure probe for a near-dup
+    * graph: a high coefficient means duplication comes in dense clusters
+    * (template families), a low one means long chains (drifting revisions)
+    * — which changes whether keep-one-per-cluster is safe.
+    *
+    * Scale: the triangle join is edges⋈edges on a node key then a semi-join
+    * back on the closing edge — cost is Σ deg(v)² path rows, the standard
+    * distributed triangle enumeration (no per-node adjacency materialized
+    * on any single executor). All counts integer; the one float (the
+    * coefficient) derives from two exact integers.
+    */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(expr("sum(d * (d - 1) div 2)").as("n_wedges"))
+    val paths = e.select(col("a").as("pa"), col("b").as("pb")).as("p")
+      .join(e.select(col("a").as("qa"), col("b").as("qb")).as("q"),
+        col("pb") === col("qa"))
+      .select(col("pa").as("a"), col("qb").as("b"))
+    val tris = paths.join(e, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges)
+      .crossJoin(tris)
+      .withColumn("clustering",
+        round(when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(0.0), 6))
+  }
+
   /** PageRank over an UNDIRECTED pair set `(a, b)` — rank flows both ways.
     * A fixed iteration count (not convergence-tested) keeps the result a
     * pure function of the input; cross-engine determinism discipline:

@@ -19,6 +19,17 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) === 1.1275)
   }
 
+  test("triangleStats: hand-counted census on a triangle with a pendant") {
+    // triangle 1-2-3 plus pendant edge 3-4: degrees 2,2,3,1 →
+    // wedges 1+1+3+0 = 5, one triangle, clustering 3·1/5 = 0.6
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.triangleStats(pairs).collect()(0)
+    assert(r.getLong(0) === 4L, "edges")
+    assert(r.getLong(1) === 5L, "wedges")
+    assert(r.getLong(2) === 1L, "triangles")
+    assert(r.getDouble(3) === 0.6, "clustering coefficient")
+  }
+
   test("pagerank: symmetric components get symmetric ranks; mass stays near n") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
     val r = Graph.pagerank(pairs, iters = 3).collect()

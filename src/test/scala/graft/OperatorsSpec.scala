@@ -115,6 +115,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("overlap join equals the naive quadratic join, pairs exactly once") {
+    val rnd = new scala.util.Random(7)
+    def intervals(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (idBase + i, s, s + rnd.nextInt(120).toLong)
+    }
+    val l = intervals(60, 0L).toDF("lid", "ls", "le")
+    val r = intervals(50, 1000L).toDF("rid", "rs", "re")
+    val got = graft.operators.OverlapJoin.overlapPairs(l, r, Nil,
+      "lid", "ls", "le", "rid", "rs", "re", binWidth = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val want = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length === got.distinct.length, "each pair exactly once")
+    assert(got.toSet === want.toSet)
+    assert(want.nonEmpty, "fixture must actually overlap")
+  }
+
+  test("overlap join respects equi-keys (no cross-key pairs)") {
+    val l = Seq((1L, 10L, 0L, 100L), (2L, 11L, 0L, 100L)).toDF("k", "lid", "ls", "le")
+    val r = Seq((1L, 20L, 50L, 60L), (2L, 21L, 50L, 60L)).toDF("k", "rid", "rs", "re")
+    val got = graft.operators.OverlapJoin.overlapPairs(l, r, Seq("k"),
+      "lid", "ls", "le", "rid", "rs", "re", binWidth = 16)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got === Set((1L, 10L, 20L), (2L, 11L, 21L)))
+  }
+
   test("range join handles negative domains (floor binning)") {
     val pts = Seq((1L, -15.0), (2L, -5.0), (3L, 0.0), (4L, 7.5)).toDF("pid", "p")
     val ivs = Seq((1L, -20.0, -10.0), (2L, -6.0, 1.0), (3L, 5.0, 8.0)).toDF("iid", "lo", "hi")
