@@ -1296,6 +1296,56 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // W-window: Pareto / contribution analysis — how concentrated is
+    // revenue across suppliers? Cumulative DECIMAL share ordered largest-
+    // first; the 80% frontier test runs entirely in exact DECIMAL×INT
+    // arithmetic ((cum−rev)·10 < total·8), so no float boundary can
+    // disagree across engines. The ordered window runs over the tiny
+    // post-aggregate supplier frame, never the fact table.
+    "w6_pareto" -> ((s, d) => {
+      val bySupp = t(s, d, "lineitem").groupBy("l_suppkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,6)")).as("rev"))
+      val wOrd = Window.orderBy(col("rev").desc, col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bySupp
+        .withColumn("cum", sum(col("rev")).over(wOrd))
+        .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(when((col("cum") - col("rev")) * 10 < col("total") * 8, 1L)
+            .otherwise(0L)).as("n_top80"),
+          sum(when((col("cum") - col("rev")) * 10 < col("total") * 8, col("rev"))
+            .otherwise(lit(0).cast("decimal(30,6)"))).cast("double").as("rev_top80"),
+          max(col("total")).cast("double").as("total_rev"))
+    }),
+
+    // E-events: co-occurrence lift — which event types appear together in
+    // the same (user, day) basket beyond what their base rates predict.
+    // All-integer counts up to one final division of exact products; the
+    // basket distinct, the pair join on the basket key, two broadcast
+    // joins back to the base rates.
+    "e18_cooccurrence" -> ((s, d) => {
+      val b = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBaskets = b.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val nA = b.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val ab = b.select(col("user_id"), col("day"), col("event_type").as("ta"))
+        .join(b.select(col("user_id"), col("day"), col("event_type").as("tb")),
+          Seq("user_id", "day"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+      ab.crossJoin(broadcast(nBaskets))
+        .join(broadcast(nA.select(col("event_type").as("ta"), col("n_t").as("n_a"))), Seq("ta"))
+        .join(broadcast(nA.select(col("event_type").as("tb"), col("n_t").as("n_b"))), Seq("tb"))
+        .select(col("ta"), col("tb"), col("n_ab"),
+          round((col("n_ab") * col("n_baskets")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+        .orderBy("ta", "tb")
+    }),
+
     // W-window: top user paths — each user's first three events (ts order,
     // event_id tiebreak) joined into a path string, counted across users.
     // The sort lives inside the per-user array (3 elements), not a global
@@ -4185,6 +4235,48 @@ object SparkEntry {
         |)
         |SELECT * FROM e_lang UNION ALL SELECT * FROM e_source UNION ALL SELECT * FROM e_len
         |ORDER BY col_name""".stripMargin,
+
+    // w6: exact-DECIMAL cumulative shares; the 80% frontier compares
+    // DECIMAL×INT products, never floats
+    "w6_pareto" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS rev
+        |  FROM lineitem GROUP BY l_suppkey
+        |), c AS (
+        |  SELECT l_suppkey, rev,
+        |         sum(rev) OVER (ORDER BY rev DESC, l_suppkey
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(rev) OVER () AS total
+        |  FROM r
+        |)
+        |SELECT count(*) AS n_suppliers,
+        |  CAST(sum(CASE WHEN (cum - rev) * 10 < total * 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+        |  CAST(sum(CASE WHEN (cum - rev) * 10 < total * 8 THEN rev ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS rev_top80,
+        |  CAST(max(total) AS DOUBLE) AS total_rev
+        |FROM c""".stripMargin,
+
+    // e18: all-integer basket counts; lift = one division of exact products
+    "e18_cooccurrence" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+        |), nb AS (
+        |  SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b)
+        |), na AS (
+        |  SELECT event_type, count(*) AS n_t FROM b GROUP BY event_type
+        |), ab AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+        |   AND x.event_type < y.event_type
+        |  GROUP BY ta, tb
+        |)
+        |SELECT ab.ta, ab.tb, ab.n_ab,
+        |  round(CAST(ab.n_ab * nb.n_baskets AS DOUBLE) /
+        |        CAST(a1.n_t * a2.n_t AS DOUBLE), 6) AS lift
+        |FROM ab CROSS JOIN nb
+        |JOIN na a1 ON a1.event_type = ab.ta
+        |JOIN na a2 ON a2.event_type = ab.tb
+        |ORDER BY ta, tb""".stripMargin,
 
     "w5_session_paths" ->
       """WITH r AS (
