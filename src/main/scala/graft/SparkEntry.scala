@@ -723,10 +723,8 @@ object SparkEntry {
     // count and the next stage.
     "x2_curation_flagship" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val keepers = docs
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
+      val keepers = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
       val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val quality = deduped
@@ -1463,6 +1461,9 @@ object SparkEntry {
           count(lit(1)).over(w).cast("double"))
         .withColumn("rate", least(lit(1.0), col("target") / col("n_docs").cast("double")))
         .withColumn("cut", floor(col("rate") * 10000).cast("long"))
+        // feeds both the broadcast cut table and the final select — persist
+        // or the documents scan+agg runs twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = t(s, d, "documents")
         .join(broadcast(byLang.select("lang", "cut")), Seq("lang"))
         .filter(graft.functions.Sampling.hashBucket(col("doc_id")) < col("cut"))

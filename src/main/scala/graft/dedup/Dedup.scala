@@ -444,9 +444,14 @@ object Dedup {
       .select("bid", "cid").distinct()
     val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
       size(array_union(col("sha"), col("shb"))).cast("double")
+    // verify sides are SIDE-FILTERED: an id present in both corpus and
+    // batch (a revised re-crawl of an indexed doc) must verify against its
+    // own side's shingles, not whichever row the join finds first
     val near = cand
-      .join(sh.select(col("id").as("bid"), col("sh").as("sha")), Seq("bid"))
-      .join(sh.select(col("id").as("cid"), col("sh").as("shb")), Seq("cid"))
+      .join(sh.filter(col("__b"))
+        .select(col("id").as("bid"), col("sh").as("sha")), Seq("bid"))
+      .join(sh.filter(!col("__b"))
+        .select(col("id").as("cid"), col("sh").as("shb")), Seq("cid"))
       .withColumn("jaccard", round(jac, 4))
       .filter(col("jaccard") >= threshold)
     val bestNear = near

@@ -116,12 +116,15 @@ object EventStream {
     */
   def screeningSink(docsStream: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, sinkPath: String, checkpoint: String,
-      threshold: Double = 0.4): StreamingQuery =
+      threshold: Double = 0.5): StreamingQuery =
     docsStream.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // foreachBatch is at-least-once; overwriting a per-batchId
+        // partition makes the replayed epoch idempotent (a blind append
+        // would duplicate every verdict of the re-run batch)
         graft.dedup.Dedup.incrementalScreen(corpus, batch.toDF(), idCol,
           textCol, threshold = threshold)
-          .write.mode("append").parquet(sinkPath)
+          .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

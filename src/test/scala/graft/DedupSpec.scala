@@ -221,6 +221,22 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getDouble(3) === 0.5)
   }
 
+  test("D13: a batch id colliding with a corpus id verifies against its OWN text") {
+    val b = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, b), (7L, b)).toDF("doc_id", "text") // dup pair in history
+    // batch re-crawls id 7 with a REVISED page: near its history copy but
+    // not identical — the verify must score the batch text, not doc 7's
+    // old corpus text (which would report jaccard 1.0)
+    val batch = Seq((7L, b + " freshly added tail")).toDF("doc_id", "text")
+    val out = Dedup.incrementalScreen(corpus, batch, "doc_id", "text",
+      threshold = 0.4).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getString(1) === "near" && r.getLong(2) === 1L)
+    assert(r.getDouble(3) < 1.0,
+      s"jaccard ${r.getDouble(3)} must reflect the revised batch text, not the stale corpus copy")
+  }
+
   test("D13/T15 invariants on a randomized overlapping corpus") {
     val rnd = new scala.util.Random(42)
     // documents assembled from a 40-token vocab in 16-token runs — heavy
