@@ -193,6 +193,25 @@ class PlanAuditSpec extends SparkSpec {
       s"date predicates must reach both parquet scans:\n${pushed.mkString("\n")}")
   }
 
+  test("binned joins never degrade to nested-loop: d13, j12, e18 plan hash joins only") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    Seq("d13_incremental_dedup", "j12_overlap_join", "e18_cooccurrence").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val bad = plan.collect {
+        case b: BroadcastNestedLoopJoinExec => b
+        case c: CartesianProductExec => c
+      }
+      assert(bad.isEmpty,
+        s"$q must keep every join equi-keyed (bin/bucket/fingerprint):\n$plan")
+    }
+  }
+
   test("f6 haversine top-k: bounded heap, never a global sort") {
     val p = SparkEntry.queries("f6_haversine_rank")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
