@@ -32,6 +32,55 @@ class EndToEndSpec extends SparkSpec {
     }
   }
 
+  test("curation delivery: screen→quality→quota→sharded export, globally ordered") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Sampling, Sharding}
+    import graft.text.TextAnalysis
+    val spark2 = spark
+    import spark2.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sfDir, "documents")
+    // screen the odd-id "increment" against the even-id "history"
+    val verdicts = graft.dedup.Dedup.incrementalScreen(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", threshold = 0.4)
+    val keep = verdicts.filter($"verdict" === "new").select($"id".as("doc_id"))
+    val curated = docs.join(keep, Seq("doc_id"), "left_semi")
+      .filter(round(TextAnalysis.qualityScore($"text"), 4) >= 0.3)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rk" <= 10).drop("rk")
+      .withColumn("shard_key", Sharding.shuffleKey($"doc_id"))
+    val out = tempDir("delivery")
+    val nShards = Sharding.writeShards(curated, out, "shard_key",
+      rowsPerShard = 16, tiebreakCols = Seq("doc_id"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === curated.count() && back.count() > 0)
+    // shards are range-disjoint: max key of file i < min key of file i+1
+    val ranges = back
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min($"shard_key").as("lo"), max($"shard_key").as("hi"))
+      .orderBy("lo").collect()
+    assert(ranges.length === nShards)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        "shard files must cover disjoint, ordered key ranges")
+      case _ =>
+    }
+    // deterministic: re-running the whole pipeline selects the same set
+    val again = docs.join(
+        verdicts.filter($"verdict" === "new").select($"id".as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .filter(round(TextAnalysis.qualityScore($"text"), 4) >= 0.3)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rk" <= 10)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet === again)
+  }
+
   test("§7.2: ingest→transform→store→serve answers the humidity point query") {
     val base = tempDir("e2e")
     val grids = new GridStore(spark, s"$base/grid")
