@@ -773,6 +773,25 @@ object SparkEntry {
     "g3_triangles" -> ((s, d) =>
       graft.graph.Graph.triangleStats(d4RoundedPairs(s, d))),
 
+    // D-dedup: screening against a PERSISTED index — build once, save,
+    // load, screen (the v8 build/serve demo for dedup): the serve plan
+    // reads only the index parquet for history (no history text is
+    // tokenized or signed), which is what makes daily dedup against a
+    // 100 TB archive affordable. Same verdict semantics as d13.
+    "d15_indexed_screen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = Dedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
+        maxBucket = 64)
+      Dedup.saveIndex(idx, "/tmp/graft_oracle/d15_index")
+      val loaded = Dedup.loadIndex(s, "/tmp/graft_oracle/d15_index")
+      Dedup.screenAgainstIndex(loaded, docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
+        threshold = 0.4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "d12_minhash_estimate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // ONE persisted shingle frame shared by the pair pipeline and the
@@ -1960,6 +1979,67 @@ object SparkEntry {
       |       value, cid AS catalogId
       |FROM r WHERE rn = 1 ORDER BY probeId""".stripMargin
 
+  /** The d13/d15 oracle replay — shared because the persisted-index
+    * screen is verdict-identical to the inline screen by construction. */
+  private val incrementalScreenSql: String =
+    """WITH n AS (
+        |  SELECT doc_id AS id, doc_id % 5 = 0 AS is_batch,
+        |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), s AS (
+        |  SELECT id, is_batch, md5(norm) AS fp,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(norm, ' ')) - 3, 0) + 2),
+        |           i -> array_to_string(list_slice(string_split(norm, ' '), i, i + 2), ' '))) AS sh
+        |  FROM n
+        |), hb AS (
+        |  SELECT id, is_batch, sh,
+        |         list_transform(sh, x ->
+        |           ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM s
+        |), sg AS (
+        |  SELECT id, is_batch,
+        |         list_transform(range(0, 48),
+        |           k -> list_min(list_transform(hs,
+        |             h -> (h * (k*1000003 + 12345) + k*999331) % 2147483647))) AS sig
+        |  FROM hb
+        |), br AS (
+        |  SELECT id, is_batch, unnest(list_transform(range(0, 12),
+        |           b -> b::VARCHAR || '#' ||
+        |                array_to_string(list_transform(
+        |                  list_slice(sig, b*4 + 1, b*4 + 4), v -> v::VARCHAR), '|'))) AS bk
+        |  FROM sg
+        |), cok AS (
+        |  SELECT bk FROM br WHERE NOT is_batch GROUP BY bk HAVING count(*) <= 64
+        |), cand AS (
+        |  SELECT DISTINCT b.id AS bid, c.id AS cid
+        |  FROM br b JOIN br c ON b.bk = c.bk AND b.is_batch AND NOT c.is_batch
+        |  WHERE b.bk IN (SELECT bk FROM cok)
+        |), ex AS (
+        |  SELECT b.id AS bid, min(c.id) AS exact_match
+        |  FROM s b JOIN s c ON b.fp = c.fp AND b.is_batch AND NOT c.is_batch
+        |  GROUP BY b.id
+        |), v AS (
+        |  SELECT cand.bid, cand.cid,
+        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |          CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+        |  FROM cand JOIN s sa ON sa.id = cand.bid JOIN s sb ON sb.id = cand.cid
+        |), nr AS (
+        |  SELECT bid, cid AS near_match, jaccard,
+        |         row_number() OVER (PARTITION BY bid ORDER BY jaccard DESC, cid) AS rk
+        |  FROM v WHERE jaccard >= 0.4
+        |)
+        |SELECT b.id AS doc_id,
+        |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+        |       WHEN nr.near_match IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS verdict,
+        |  coalesce(ex.exact_match, nr.near_match) AS match_id,
+        |  CASE WHEN ex.exact_match IS NULL THEN nr.jaccard END AS jaccard
+        |FROM (SELECT id FROM n WHERE is_batch) b
+        |LEFT JOIN ex ON ex.bid = b.id
+        |LEFT JOIN (SELECT * FROM nr WHERE rk = 1) nr ON nr.bid = b.id
+        |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s2_grib_pipeline" ->
       """WITH grid AS (
@@ -2726,64 +2806,14 @@ object SparkEntry {
     // d13: the d2 signature replay split batch/history — exact via the d1
     // fingerprint, near via band-bucket join (history buckets capped at 64)
     // + jaccard verify, best match by (jaccard desc, id)
-    "d13_incremental_dedup" ->
-      """WITH n AS (
-        |  SELECT doc_id AS id, doc_id % 5 = 0 AS is_batch,
-        |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
-        |  FROM documents
-        |), s AS (
-        |  SELECT id, is_batch, md5(norm) AS fp,
-        |         list_distinct(list_transform(
-        |           range(1, greatest(len(string_split(norm, ' ')) - 3, 0) + 2),
-        |           i -> array_to_string(list_slice(string_split(norm, ' '), i, i + 2), ' '))) AS sh
-        |  FROM n
-        |), hb AS (
-        |  SELECT id, is_batch, sh,
-        |         list_transform(sh, x ->
-        |           ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
-        |  FROM s
-        |), sg AS (
-        |  SELECT id, is_batch,
-        |         list_transform(range(0, 48),
-        |           k -> list_min(list_transform(hs,
-        |             h -> (h * (k*1000003 + 12345) + k*999331) % 2147483647))) AS sig
-        |  FROM hb
-        |), br AS (
-        |  SELECT id, is_batch, unnest(list_transform(range(0, 12),
-        |           b -> b::VARCHAR || '#' ||
-        |                array_to_string(list_transform(
-        |                  list_slice(sig, b*4 + 1, b*4 + 4), v -> v::VARCHAR), '|'))) AS bk
-        |  FROM sg
-        |), cok AS (
-        |  SELECT bk FROM br WHERE NOT is_batch GROUP BY bk HAVING count(*) <= 64
-        |), cand AS (
-        |  SELECT DISTINCT b.id AS bid, c.id AS cid
-        |  FROM br b JOIN br c ON b.bk = c.bk AND b.is_batch AND NOT c.is_batch
-        |  WHERE b.bk IN (SELECT bk FROM cok)
-        |), ex AS (
-        |  SELECT b.id AS bid, min(c.id) AS exact_match
-        |  FROM s b JOIN s c ON b.fp = c.fp AND b.is_batch AND NOT c.is_batch
-        |  GROUP BY b.id
-        |), v AS (
-        |  SELECT cand.bid, cand.cid,
-        |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |          CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
-        |  FROM cand JOIN s sa ON sa.id = cand.bid JOIN s sb ON sb.id = cand.cid
-        |), nr AS (
-        |  SELECT bid, cid AS near_match, jaccard,
-        |         row_number() OVER (PARTITION BY bid ORDER BY jaccard DESC, cid) AS rk
-        |  FROM v WHERE jaccard >= 0.4
-        |)
-        |SELECT b.id AS doc_id,
-        |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
-        |       WHEN nr.near_match IS NOT NULL THEN 'near'
-        |       ELSE 'new' END AS verdict,
-        |  coalesce(ex.exact_match, nr.near_match) AS match_id,
-        |  CASE WHEN ex.exact_match IS NULL THEN nr.jaccard END AS jaccard
-        |FROM (SELECT id FROM n WHERE is_batch) b
-        |LEFT JOIN ex ON ex.bid = b.id
-        |LEFT JOIN (SELECT * FROM nr WHERE rk = 1) nr ON nr.bid = b.id
-        |ORDER BY doc_id""".stripMargin,
+    "d13_incremental_dedup" -> incrementalScreenSql,
+
+    // d15 screens against the PERSISTED index built from the same 80%
+    // history — by construction the verdicts equal d13's, so the oracle is
+    // the same replay (the persistence round-trip is what the query tests)
+    "d15_indexed_screen" -> incrementalScreenSql,
+
+
 
     "d12_minhash_estimate" ->
       """WITH n AS (

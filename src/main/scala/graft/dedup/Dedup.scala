@@ -470,6 +470,99 @@ object Dedup {
         when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
   }
 
+  /** A persisted dedup index: `docs` carries `(id, fp, sh)` — exact
+    * fingerprint + shingle set per historical document — and `bands` the
+    * size-capped `(id, bk)` LSH band rows. Build once per corpus snapshot,
+    * screen every increment against it ([[screenAgainstIndex]]): the
+    * amortized form of [[incrementalScreen]], which rebuilds this state
+    * inline per call.
+    */
+  final case class DedupIndex(docs: DataFrame, bands: DataFrame)
+
+  /** Build the [[DedupIndex]] of a corpus: one tokenize+shingle+fingerprint
+    * +signature pass; band buckets larger than `maxBucket` are dropped HERE
+    * (the LSH skew guard baked into the artifact, so no later screen can
+    * fan out on a boilerplate bucket).
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
+      maxBucket: Int = 64): DedupIndex = {
+    val sh = ColOps.parallelize(corpus)
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = bandRowsOfSignatures(
+      sh.select(col("id"),
+        graft.functions.PortableMinhash.portableMinhash(col("sh"), bands * rowsPerBand)
+          .as("sig")),
+      bands, rowsPerBand)
+    val ok = bandRows.groupBy("bk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("bk")
+    DedupIndex(sh, bandRows.join(ok, Seq("bk"), "left_semi"))
+  }
+
+  /** Persist an index as two parquet tables; `load` with [[loadIndex]].
+    * At corpus scale `bands` would additionally bucket by `bk` so a screen
+    * prunes to the buckets its batch touches.
+    */
+  def saveIndex(idx: DedupIndex, path: String): Unit = {
+    idx.docs.write.mode("overwrite").parquet(s"$path/docs")
+    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex =
+    DedupIndex(spark.read.parquet(s"$path/docs"),
+      spark.read.parquet(s"$path/bands"))
+
+  /** Screen a batch against a prebuilt (typically [[loadIndex]]-ed) index —
+    * the serve path of incremental dedup: history contributes only its
+    * artifact tables; no history text is read, tokenized or signed. Same
+    * verdict semantics as [[incrementalScreen]].
+    */
+  def screenAgainstIndex(index: DedupIndex, batch: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bSh = ColOps.parallelize(batch)
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = bandRowsOfSignatures(
+      bSh.select(col("id"),
+        graft.functions.PortableMinhash.portableMinhash(col("sh"), bands * rowsPerBand)
+          .as("sig")),
+      bands, rowsPerBand)
+    val exact = bSh.select(col("id").as("bid"), col("fp"))
+      .join(index.docs.select(col("id").as("cid"), col("fp")), Seq("fp"))
+      .groupBy("bid").agg(min(col("cid")).as("exact_match"))
+    val cand = bBands.select(col("bk"), col("id").as("bid"))
+      .join(index.bands.select(col("bk"), col("id").as("cid")), Seq("bk"))
+      .select("bid", "cid").distinct()
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double")
+    val near = cand
+      .join(bSh.select(col("id").as("bid"), col("sh").as("sha")), Seq("bid"))
+      .join(index.docs.select(col("id").as("cid"), col("sh").as("shb")), Seq("cid"))
+      .withColumn("jaccard", round(jac, 4))
+      .filter(col("jaccard") >= threshold)
+    val bestNear = near
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bid").orderBy(col("jaccard").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("bid"), col("cid").as("near_match"), col("jaccard"))
+    batch.select(col(idCol).as("bid"))
+      .join(exact, Seq("bid"), "left")
+      .join(bestNear, Seq("bid"), "left")
+      .select(col("bid").as("id"),
+        when(col("exact_match").isNotNull, "exact")
+          .when(col("near_match").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+  }
+
   /** Portable MinHash signatures as a frame — `(id, sig)` with `sig` the
     * `numHashes`-wide md5/affine signature of the document's shingle set
     * (the [[minhashLshPairsPortable]] family, exposed for

@@ -237,6 +237,22 @@ class DedupSpec extends SparkSpec {
       s"jaccard ${r.getDouble(3)} must reflect the revised batch text, not the stale corpus copy")
   }
 
+  test("D15: screening against a saved+loaded index equals the inline screen") {
+    val rnd = new scala.util.Random(11)
+    def doc(): String = (1 to 32).map(_ => s"tok${rnd.nextInt(40)}").mkString(" ")
+    val all = (1L to 30L).map(i => (i, doc()))
+    val corpus = all.take(20).toDF("doc_id", "text")
+    val batch = all.drop(20).toDF("doc_id", "text")
+    val inline = Dedup.incrementalScreen(corpus, batch, "doc_id", "text",
+      threshold = 0.3).collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    Dedup.saveIndex(Dedup.buildIndex(corpus, "doc_id", "text"), dir)
+    val viaIndex = Dedup.screenAgainstIndex(Dedup.loadIndex(spark, dir),
+      batch, "doc_id", "text", threshold = 0.3).collect().map(_.toSeq).toSet
+    assert(viaIndex === inline,
+      "the persisted-index path must be verdict-identical to the inline screen")
+  }
+
   test("D13/T15 invariants on a randomized overlapping corpus") {
     val rnd = new scala.util.Random(42)
     // documents assembled from a 40-token vocab in 16-token runs — heavy

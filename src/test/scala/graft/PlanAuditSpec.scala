@@ -212,6 +212,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d15: the serve plan reads history from the index artifact tables") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("d15_indexed_screen")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // typed collect{FileSourceScanExec} is blind here even after unwrapping:
+    // AQE rewrites finished subtrees into QueryStageExec LEAVES whose inner
+    // plan is a member, not a child — the string rendering includes them
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("d15_index/docs") && plan.contains("d15_index/bands"),
+      s"history must come from the persisted index parquet:\n$plan")
+  }
+
   test("f6 haversine top-k: bounded heap, never a global sort") {
     val p = SparkEntry.queries("f6_haversine_rank")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
