@@ -227,6 +227,34 @@ class PlanAuditSpec extends SparkSpec {
       s"history must come from the persisted index parquet:\n$plan")
   }
 
+  test("v10 margin mining: probes broadcast — the corpus is never a build side") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("v10_margin_pairs")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the tiny probe set must broadcast onto the corpus scan:\n$plan")
+  }
+
+  test("w6 pareto: the ordered window runs over the post-aggregate frame, not lineitem") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // logical plan — the physical one hides subtrees in AQE QueryStage
+    // leaves; the altitude claim (window ABOVE the supplier aggregate, so
+    // the single-partition sort sees suppliers, never fact rows) is a
+    // logical-plan property anyway
+    val lp = SparkEntry.queries("w6_pareto")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, s"expected window nodes:\n$lp")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"cumulative window must consume the aggregated supplier frame:\n$w")
+    }
+  }
+
   test("f6 haversine top-k: bounded heap, never a global sort") {
     val p = SparkEntry.queries("f6_haversine_rank")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
