@@ -87,8 +87,22 @@ object JdbcStore {
       keys: Seq[String]): Unit =
     merge(df, conn, table, keys, updateOnMatch = true)
 
+  /** VERSIONED upsert — the ReplacingMergeTree semantic over JDBC: a
+    * matched row updates only when the incoming `versionCol` is strictly
+    * newer, so a delayed replay of yesterday's batch can never clobber
+    * today's rows (plain [[upsert]] is last-WRITER-wins; this is
+    * last-VERSION-wins, which is what makes re-runs and out-of-order
+    * backfills safe against a remote store). Same bulk staging + one
+    * set-based MERGE; the version predicate rides the MATCHED clause.
+    */
+  def upsertVersioned(df: DataFrame, conn: Conn, table: String,
+      keys: Seq[String], versionCol: String): Unit =
+    merge(df, conn, table, keys, updateOnMatch = true,
+      matchCondition = Some(s"s.${q(versionCol)} > t.${q(versionCol)}"))
+
   private def merge(df: DataFrame, conn: Conn, table: String,
-      keys: Seq[String], updateOnMatch: Boolean): Unit = {
+      keys: Seq[String], updateOnMatch: Boolean,
+      matchCondition: Option[String] = None): Unit = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
@@ -118,9 +132,10 @@ object JdbcStore {
     val insertCols = cols.map(q).mkString(", ")
     val insertVals = cols.map(k => s"s.${q(k)}").mkString(", ")
     val matched =
-      if (updateOnMatch && nonKeys.nonEmpty)
-        s"WHEN MATCHED THEN UPDATE SET $setList "
-      else ""
+      if (updateOnMatch && nonKeys.nonEmpty) {
+        val cond = matchCondition.fold("")(c => s"AND $c ")
+        s"WHEN MATCHED ${cond}THEN UPDATE SET $setList "
+      } else ""
     val sql =
       s"MERGE INTO $table t USING $stage s ON $on " + matched +
         s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"

@@ -58,6 +58,30 @@ class JdbcStoreSpec extends SparkSpec {
     back.unpersist()
   }
 
+  test("upsertVersioned: a replayed OLD batch never clobbers newer rows") {
+    val day2 = (1L to 10L).map(i => (i, 2L, i * 100.0)).toDF("id", "version", "value")
+    val c = conn("")
+    JdbcStore.upsertVersioned(day2, c, "versioned", Seq("id"), "version")
+    // yesterday's batch replays AFTER today's load (the backfill/retry
+    // reality) — ReplacingMergeTree semantics: last VERSION wins, not last
+    // writer, so ids 1-10 keep day-2 values and only 11-12 insert
+    val day1 = (1L to 12L).map(i => (i, 1L, i * 1.0)).toDF("id", "version", "value")
+    JdbcStore.upsertVersioned(day1, c, "versioned", Seq("id"), "version")
+    val back = JdbcStore.read(spark, c, "versioned").cache()
+    assert(back.count() === 12L)
+    assert(back.filter(col("id") === 5L).head().getDouble(2) === 500.0,
+      "a stale replay must not overwrite the newer version")
+    assert(back.filter(col("id") === 5L).head().getLong(1) === 2L)
+    assert(back.filter(col("id") === 11L).head().getDouble(2) === 11.0,
+      "genuinely new keys from the old batch still insert")
+    // a genuinely newer version DOES update
+    val day3 = Seq((5L, 3L, 5000.0)).toDF("id", "version", "value")
+    JdbcStore.upsertVersioned(day3, c, "versioned", Seq("id"), "version")
+    assert(JdbcStore.read(spark, c, "versioned")
+      .filter(col("id") === 5L).head().getDouble(2) === 5000.0)
+    back.unpersist()
+  }
+
   test("merge rejects intra-batch duplicate keys before touching the target") {
     // mirrors Postgres: ON CONFLICT errors on a batch affecting one row
     // twice — fail fast locally instead of a mid-merge remote error
