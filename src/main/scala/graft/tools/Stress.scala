@@ -170,8 +170,15 @@ object Stress {
       val (tPr, rowsPr) = time {
         graft.graph.Graph.pagerank(pairs, iters = 5).count()
       }
+      // g3: triangle census over the same cached pair frame — cost tracks
+      // Σ deg(v)² (the path join); disjoint copies keep degrees original,
+      // so time should scale with the edge count, not its square
+      val (tTri, nTri) = time {
+        graft.graph.Graph.triangleStats(pairs).collect()(0).getLong(2)
+      }
       pairs.unpersist()
       println(s"""{"op":"g1_pagerank","scale":$k,"n_docs":$n,"edges":$nEdges,"sec":${num(tPr)},"out_rows":$rowsPr}""")
+      println(s"""{"op":"g3_triangles","scale":$k,"n_docs":$n,"edges":$nEdges,"sec":${num(tTri)},"triangles":$nTri}""")
 
       // d13: incremental screening — the BATCH is held fixed (10% of the
       // ×1 corpus, novel ids, unchanged text → exact hits against the
