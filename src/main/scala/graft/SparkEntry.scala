@@ -46,6 +46,34 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** Build-once guard for the `*_serve` queries: run `build` only when `dir`
+    * does not already hold artifacts built from the CURRENT source table —
+    * fingerprinted by the source parquet's file names/sizes/mtimes plus the
+    * sf dir, so a regenerated table or a different scale factor forces a
+    * rebuild while a repeat invocation reuses the persisted index. Under the
+    * rep-major bench the first rep pays the build and the median lands on
+    * the serve path alone — the amortization production serving sees.
+    */
+  private def buildOnce(sfDir: String, table: String, dir: String)(build: => Unit): Unit = {
+    import java.nio.file.{Files, Paths}
+    def listing(p: java.io.File): String =
+      if (p.isDirectory)
+        Option(p.listFiles).getOrElse(Array.empty).sortBy(_.getName)
+          .map(listing).mkString("[", ";", "]")
+      else s"${p.getName}:${p.length}:${p.lastModified}"
+    val fp = s"$sfDir|${listing(new java.io.File(s"$sfDir/$table.parquet"))}"
+    val marker = Paths.get(dir, "_fingerprint")
+    val cur =
+      if (Files.exists(marker))
+        new String(Files.readAllBytes(marker), java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    if (cur != fp) {
+      build
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Exact decimal sum of a double expression, returned as double. */
   private def dsum(c: Column, scale: Int = 3): Column =
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
@@ -792,6 +820,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D-dedup: the SERVE half of d15 in isolation — the index is built (and
+    // persisted) at most once per corpus snapshot via buildOnce; the
+    // measured plan is load + screen only, i.e. the amortized per-day cost
+    // of screening a crawl increment against a 100 TB archive. Same split,
+    // parameters and verdict semantics as d15_indexed_screen, so the two
+    // bench rows separate build+serve from serve.
+    "d15s_screen_amortized" -> ((s, d) => {
+      val dir = "/tmp/graft_oracle/d15s_screen"
+      buildOnce(d, "documents", dir) {
+        Dedup.saveIndex(Dedup.buildIndex(
+          t(s, d, "documents").filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
+          maxBucket = 64), dir)
+      }
+      Dedup.screenAgainstIndex(Dedup.loadIndex(s, dir),
+        t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
+        threshold = 0.4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "d12_minhash_estimate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // ONE persisted shingle frame shared by the pair pipeline and the
@@ -1012,6 +1062,25 @@ object SparkEntry {
       val loaded = Pq.load(s, "/tmp/graft_oracle/v8_ivfpq")
       Pq.searchEncoded(loaded.codes, loaded.centroids, loaded.model,
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        nProbe = 4, topK = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // V-similarity: the SERVE half of v8 in isolation — fit/encode/save run
+    // at most once per corpus snapshot (buildOnce); the measured plan is
+    // load + ADC search over the persisted codes only, which is the number
+    // the serving-layer 100× claim rests on (v8 deliberately re-runs the
+    // whole build→save→load→serve cycle as its demo).
+    "v8s_search_amortized" -> ((s, d) => {
+      val dir = "/tmp/graft_oracle/v8s_search"
+      buildOnce(d, "embeddings", dir) {
+        val emb = t(s, d, "embeddings")
+        Pq.save(Ivf.build(emb, "vec_id", "embedding", nLists = 16),
+          Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16), dir)
+      }
+      val loaded = Pq.load(s, dir)
+      Pq.searchEncoded(loaded.codes, loaded.centroids, loaded.model,
+        t(s, d, "embeddings").filter(col("vec_id") < 5), "vec_id", "embedding",
         nProbe = 4, topK = 5)
         .orderBy("probe_id", "rank")
     }),
@@ -1578,6 +1647,10 @@ object SparkEntry {
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
           col("revenue"))
+        // row order must not depend on TakeOrderedAndProject's ordering
+        // surviving the trailing projection (same discipline as f6): the
+        // oracle's ORDER BY revenue DESC is row-order-sensitive
+        .orderBy(col("revenue").desc, col("o_orderkey"))
     }),
 
     // V-similarity: IVF nProbe sweep — the recall/latency tuning curve
@@ -1981,6 +2054,67 @@ object SparkEntry {
 
   /** The d13/d15 oracle replay — shared because the persisted-index
     * screen is verdict-identical to the inline screen by construction. */
+  /** The v8/v8s oracle, parameterized by index path: replays the ENTIRE
+    * IVF-PQ pipeline (coarse assignment, residual-free subvector encode,
+    * LUT build, ADC fold, top-k) from the persisted centroids+codebooks at
+    * `path` and the RAW embeddings — so the engine's save→load→searchEncoded
+    * roundtrip must reproduce the from-scratch result bit-for-bit.
+    */
+  private def v8OracleSql(path: String): String =
+    s"""WITH cents AS (
+       |  SELECT listId, cent FROM read_parquet('$path/centroids/*.parquet')
+       |), cb AS (
+       |  SELECT j, c, cent FROM read_parquet('$path/codebooks/*.parquet')
+       |), e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+       |), dist AS (
+       |  SELECT e.vec_id, e.emb, c.listId,
+       |         list_aggregate(list_transform(range(1, len(e.emb) + 1),
+       |           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])), 'sum') AS d2
+       |  FROM e, cents c
+       |), asg AS (
+       |  SELECT vec_id, emb, listId FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+       |    FROM dist) WHERE rn = 1
+       |), sub AS (
+       |  SELECT a.vec_id, cb.j, cb.c,
+       |         list_aggregate(list_transform(range(1, 9), i -> cb.cent[i] * cb.cent[i]), 'sum')
+       |           - 2.0 * list_aggregate(list_transform(range(1, 9),
+       |               i -> a.emb[cb.j * 8 + i] * cb.cent[i]), 'sum') AS d
+       |  FROM asg a, cb
+       |), codes AS (
+       |  SELECT vec_id, j, c AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+       |    FROM sub) WHERE rn = 1
+       |), pl AS (
+       |  SELECT vec_id AS probe_id, emb AS p_emb, listId FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+       |    FROM dist WHERE vec_id < 5) WHERE lr <= 4
+       |), lut AS (
+       |  SELECT p2.probe_id, cb.j, cb.c,
+       |         list_aggregate(list_transform(range(1, 9),
+       |           i -> (p2.p_emb[cb.j * 8 + i] - cb.cent[i])
+       |              * (p2.p_emb[cb.j * 8 + i] - cb.cent[i])), 'sum') AS pd
+       |  FROM (SELECT DISTINCT probe_id, p_emb FROM pl) p2, cb
+       |), cand AS (
+       |  SELECT pl.probe_id, a.vec_id AS id
+       |  FROM pl JOIN asg a USING (listId)
+       |  WHERE a.vec_id <> pl.probe_id
+       |), adc AS (
+       |  SELECT cand.probe_id, cand.id,
+       |         list_aggregate(list(l.pd ORDER BY l.j), 'sum') AS approx
+       |  FROM cand
+       |  JOIN codes k2 ON k2.vec_id = cand.id
+       |  JOIN lut l ON l.probe_id = cand.probe_id AND l.j = k2.j AND l.c = k2.code
+       |  GROUP BY cand.probe_id, cand.id
+       |), r AS (
+       |  SELECT probe_id, id, approx,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY approx ASC, id ASC) AS rank
+       |  FROM adc
+       |)
+       |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
+       |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   private val incrementalScreenSql: String =
     """WITH n AS (
         |  SELECT doc_id AS id, doc_id % 5 = 0 AS is_batch,
@@ -2812,6 +2946,8 @@ object SparkEntry {
     // history — by construction the verdicts equal d13's, so the oracle is
     // the same replay (the persistence round-trip is what the query tests)
     "d15_indexed_screen" -> incrementalScreenSql,
+    // same split/params/verdict semantics as d15, serve path measured alone
+    "d15s_screen_amortized" -> incrementalScreenSql,
 
 
 
@@ -3830,60 +3966,10 @@ object SparkEntry {
     // centroids+codebooks and RAW embeddings, so the engine's disk
     // roundtrip (save → load → search codes parquet) must reproduce the
     // from-scratch result bit-for-bit to hash-match
-    "v8_ivfpq_persisted" ->
-      """WITH cents AS (
-        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v8_ivfpq/centroids/*.parquet')
-        |), cb AS (
-        |  SELECT j, c, cent FROM read_parquet('/tmp/graft_oracle/v8_ivfpq/codebooks/*.parquet')
-        |), e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
-        |), dist AS (
-        |  SELECT e.vec_id, e.emb, c.listId,
-        |         list_aggregate(list_transform(range(1, len(e.emb) + 1),
-        |           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])), 'sum') AS d2
-        |  FROM e, cents c
-        |), asg AS (
-        |  SELECT vec_id, emb, listId FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
-        |    FROM dist) WHERE rn = 1
-        |), sub AS (
-        |  SELECT a.vec_id, cb.j, cb.c,
-        |         list_aggregate(list_transform(range(1, 9), i -> cb.cent[i] * cb.cent[i]), 'sum')
-        |           - 2.0 * list_aggregate(list_transform(range(1, 9),
-        |               i -> a.emb[cb.j * 8 + i] * cb.cent[i]), 'sum') AS d
-        |  FROM asg a, cb
-        |), codes AS (
-        |  SELECT vec_id, j, c AS code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
-        |    FROM sub) WHERE rn = 1
-        |), pl AS (
-        |  SELECT vec_id AS probe_id, emb AS p_emb, listId FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
-        |    FROM dist WHERE vec_id < 5) WHERE lr <= 4
-        |), lut AS (
-        |  SELECT p2.probe_id, cb.j, cb.c,
-        |         list_aggregate(list_transform(range(1, 9),
-        |           i -> (p2.p_emb[cb.j * 8 + i] - cb.cent[i])
-        |              * (p2.p_emb[cb.j * 8 + i] - cb.cent[i])), 'sum') AS pd
-        |  FROM (SELECT DISTINCT probe_id, p_emb FROM pl) p2, cb
-        |), cand AS (
-        |  SELECT pl.probe_id, a.vec_id AS id
-        |  FROM pl JOIN asg a USING (listId)
-        |  WHERE a.vec_id <> pl.probe_id
-        |), adc AS (
-        |  SELECT cand.probe_id, cand.id,
-        |         list_aggregate(list(l.pd ORDER BY l.j), 'sum') AS approx
-        |  FROM cand
-        |  JOIN codes k2 ON k2.vec_id = cand.id
-        |  JOIN lut l ON l.probe_id = cand.probe_id AND l.j = k2.j AND l.c = k2.code
-        |  GROUP BY cand.probe_id, cand.id
-        |), r AS (
-        |  SELECT probe_id, id, approx,
-        |         row_number() OVER (PARTITION BY probe_id ORDER BY approx ASC, id ASC) AS rank
-        |  FROM adc
-        |)
-        |SELECT probe_id, id AS neighbor_id, round(approx, 6) AS approx_dist, rank
-        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "v8_ivfpq_persisted" -> v8OracleSql("/tmp/graft_oracle/v8_ivfpq"),
+    // v8s replays the identical pipeline from ITS index's persisted
+    // centroids/codebooks (built at most once per corpus snapshot)
+    "v8s_search_amortized" -> v8OracleSql("/tmp/graft_oracle/v8s_search"),
 
     "v2_knn_join" ->
       """WITH c AS (
@@ -3919,7 +4005,7 @@ object SparkEntry {
         |  SELECT probe_id, neighbor_id, cos_raw FROM r WHERE rank = 1
         |), pdens AS (
         |  SELECT probe_id,
-        |         CAST(sum(CAST(round(cos_raw, 9) AS DECIMAL(30,9))) AS DOUBLE) / 4 AS p_dens
+        |         CAST(sum(CAST(round(cos_raw, 9) AS DECIMAL(30,9))) AS DOUBLE) / count(*) AS p_dens
         |  FROM r WHERE rank <= 4 GROUP BY probe_id
         |), c2 AS (
         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
@@ -3936,7 +4022,7 @@ object SparkEntry {
         |  FROM c2
         |), ndens AS (
         |  SELECT probe_id AS neighbor_id,
-        |         CAST(sum(CAST(round(cos_raw, 9) AS DECIMAL(30,9))) AS DOUBLE) / 4 AS n_dens
+        |         CAST(sum(CAST(round(cos_raw, 9) AS DECIMAL(30,9))) AS DOUBLE) / count(*) AS n_dens
         |  FROM r2 WHERE rank <= 4 GROUP BY probe_id
         |)
         |SELECT t.probe_id, t.neighbor_id, round(t.cos_raw, 6) AS cosine,

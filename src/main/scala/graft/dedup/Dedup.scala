@@ -324,8 +324,11 @@ object Dedup {
     // the exact-Jaccard verify join — without a persist the tokenize +
     // shingle pass over the text column runs three times (the r4 d2 bench
     // instability was GC churn × recomputation). Narrow (id, shingles)
-    // rows; spills to disk if it outgrows memory. Callers run under
-    // bench/verify harnesses that clear the cache between queries.
+    // rows; spills to disk if it outgrows memory. The handle lives until
+    // the session cache is cleared — one-shot callers (bench/verify clear
+    // the cache between queries) are fine; LOOPING callers should build
+    // the shingle frame themselves, persist, call the OnShingles variant,
+    // and unpersist when done (the d12 pattern).
     val sh = shingleFrame(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashLshPairsPortableOnShingles(sh, bands, rowsPerBand, threshold, maxBucket)
@@ -411,7 +414,22 @@ object Dedup {
     */
   def incrementalScreen(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame =
+    incrementalScreenHandles(corpus, batch, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold, maxBucket)._1
+
+  /** [[incrementalScreen]] plus the frames it internally persisted, so a
+    * LOOPING caller (a foreachBatch epoch, a serve loop) can unpersist them
+    * once the verdicts are materialized. The one-shot form leaves the
+    * persisted shingle frame cached — fine under bench/verify harnesses
+    * that clear the cache between queries, but a long-running stream
+    * re-persisting a corpus-sized frame every epoch accumulates blocks for
+    * the lifetime of the query ([[graft.streaming.EventStream.screeningSink]]
+    * unpersists per epoch via this variant).
+    */
+  def incrementalScreenHandles(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 64): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val numHashes = bands * rowsPerBand
     // ONE tokenize + shingle + fingerprint + signature pipeline over the
@@ -459,7 +477,7 @@ object Dedup {
         Window.partitionBy("bid").orderBy(col("jaccard").desc, col("cid"))))
       .filter(col("rk") === 1)
       .select(col("bid"), col("cid").as("near_match"), col("jaccard"))
-    batch.select(col(idCol).as("bid"))
+    val out = batch.select(col(idCol).as("bid"))
       .join(exact, Seq("bid"), "left")
       .join(bestNear, Seq("bid"), "left")
       .select(col("bid").as("id"),
@@ -468,16 +486,27 @@ object Dedup {
           .otherwise("new").as("verdict"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"),
         when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+    (out, Seq(sh))
   }
+
+  /** The LSH parameters a [[DedupIndex]] was built with. Persisted with the
+    * index and validated at screen time: a screen run with mismatched
+    * parameters would not error — band keys simply never match and every
+    * verdict silently degrades to exact/new.
+    */
+  final case class IndexParams(shingleN: Int, bands: Int, rowsPerBand: Int,
+    maxBucket: Int)
 
   /** A persisted dedup index: `docs` carries `(id, fp, sh)` — exact
     * fingerprint + shingle set per historical document — and `bands` the
     * size-capped `(id, bk)` LSH band rows. Build once per corpus snapshot,
     * screen every increment against it ([[screenAgainstIndex]]): the
     * amortized form of [[incrementalScreen]], which rebuilds this state
-    * inline per call.
+    * inline per call. `params` records the build-time LSH parameters
+    * (None only for a hand-assembled index).
     */
-  final case class DedupIndex(docs: DataFrame, bands: DataFrame)
+  final case class DedupIndex(docs: DataFrame, bands: DataFrame,
+    params: Option[IndexParams] = None)
 
   /** Build the [[DedupIndex]] of a corpus: one tokenize+shingle+fingerprint
     * +signature pass; band buckets larger than `maxBucket` are dropped HERE
@@ -499,21 +528,35 @@ object Dedup {
       bands, rowsPerBand)
     val ok = bandRows.groupBy("bk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select("bk")
-    DedupIndex(sh, bandRows.join(ok, Seq("bk"), "left_semi"))
+    DedupIndex(sh, bandRows.join(ok, Seq("bk"), "left_semi"),
+      Some(IndexParams(shingleN, bands, rowsPerBand, maxBucket)))
   }
 
-  /** Persist an index as two parquet tables; `load` with [[loadIndex]].
-    * At corpus scale `bands` would additionally bucket by `bk` so a screen
-    * prunes to the buckets its batch touches.
+  /** Persist an index as two parquet tables plus a one-row `params` table
+    * (build-time LSH parameters, validated on screen); `load` with
+    * [[loadIndex]]. At corpus scale `bands` would additionally bucket by
+    * `bk` so a screen prunes to the buckets its batch touches.
     */
   def saveIndex(idx: DedupIndex, path: String): Unit = {
     idx.docs.write.mode("overwrite").parquet(s"$path/docs")
     idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+    val spark = idx.docs.sparkSession
+    import spark.implicits._
+    idx.params.foreach(p =>
+      Seq(p).toDF().write.mode("overwrite").parquet(s"$path/params"))
   }
 
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex =
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
+    // params written by every current saveIndex; tolerate its absence so a
+    // pre-params index still loads (it just screens unvalidated)
+    val params =
+      try {
+        import spark.implicits._
+        spark.read.parquet(s"$path/params").as[IndexParams].collect().headOption
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
     DedupIndex(spark.read.parquet(s"$path/docs"),
-      spark.read.parquet(s"$path/bands"))
+      spark.read.parquet(s"$path/bands"), params)
+  }
 
   /** Screen a batch against a prebuilt (typically [[loadIndex]]-ed) index —
     * the serve path of incremental dedup: history contributes only its
@@ -522,8 +565,26 @@ object Dedup {
     */
   def screenAgainstIndex(index: DedupIndex, batch: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    screenAgainstIndexHandles(index, batch, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold)._1
+
+  /** [[screenAgainstIndex]] plus its internally persisted batch-shingle
+    * frame — the loop-caller form (see [[incrementalScreenHandles]]).
+    */
+  def screenAgainstIndexHandles(index: DedupIndex, batch: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, bands: Int = 12, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
+    // a screen with parameters differing from the build produces silently
+    // wrong verdicts (band keys never collide → everything looks exact/new),
+    // so when the index carries its build params, enforce the match
+    index.params.foreach { p =>
+      require(p.shingleN == shingleN && p.bands == bands &&
+        p.rowsPerBand == rowsPerBand,
+        s"screen params (shingleN=$shingleN, bands=$bands, rowsPerBand=$rowsPerBand) " +
+          s"do not match the index build params $p")
+    }
     val bSh = ColOps.parallelize(batch)
       .select(col(idCol).as("id"),
         shingles(col(textCol), shingleN).as("sh"),
@@ -552,7 +613,7 @@ object Dedup {
         Window.partitionBy("bid").orderBy(col("jaccard").desc, col("cid"))))
       .filter(col("rk") === 1)
       .select(col("bid"), col("cid").as("near_match"), col("jaccard"))
-    batch.select(col(idCol).as("bid"))
+    val out = batch.select(col(idCol).as("bid"))
       .join(exact, Seq("bid"), "left")
       .join(bestNear, Seq("bid"), "left")
       .select(col("bid").as("id"),
@@ -561,6 +622,7 @@ object Dedup {
           .otherwise("new").as("verdict"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"),
         when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+    (out, Seq(bSh))
   }
 
   /** Portable MinHash signatures as a frame — `(id, sig)` with `sig` the

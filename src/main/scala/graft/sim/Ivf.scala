@@ -124,9 +124,15 @@ object Ivf {
     // nulls through the distance fold and argmin to a garbage listId —
     // permanently corrupting the serving parquet. Fail fast instead (one
     // tiny agg over the delta, which is small by definition here).
-    val badDim = e.filter(size(col("emb")) =!= dim).limit(1).count()
+    // `size(NULL)` is NULL, and a NULL predicate DROPS the row from a
+    // filter — a null embedding would sail through a bare size() check, so
+    // null rows and null ELEMENTS (which also poison the distance fold)
+    // are guarded explicitly.
+    val badDim = e.filter(col("emb").isNull || size(col("emb")) =!= dim ||
+      exists(col("emb"), _.isNull)).limit(1).count()
     require(badDim == 0,
-      s"append rows must match the fitted dim $dim; found a differently-sized embedding")
+      s"append rows must match the fitted dim $dim with no null elements; " +
+        "found a null or differently-sized embedding")
     assign(e, idx.centroids)
       .write.mode("append").partitionBy("listId").parquet(s"$path/lists")
     load(spark, path)

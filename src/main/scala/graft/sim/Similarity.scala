@@ -93,10 +93,13 @@ object Similarity {
     */
   def marginMining(probes: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, k: Int): DataFrame = {
+    // divided by the ACTUAL neighbor count, not the constant k: a corpus
+    // smaller than k+1 rows yields fewer than k neighbors per probe, and a
+    // /k there deflates the density and inflates every margin
     def density(nn: DataFrame, idAlias: String, densAlias: String): DataFrame =
       nn.groupBy(col("probe_id").as(idAlias))
-        .agg((sum(round(col("cosine"), 9).cast("decimal(30,9)")).cast("double") / k)
-          .as(densAlias))
+        .agg((sum(round(col("cosine"), 9).cast("decimal(30,9)")).cast("double") /
+          count(lit(1))).as(densAlias))
     val pNN = knnJoin(probes, corpus, idCol, embCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top1 = pNN.filter(col("rank") === 1)

@@ -122,9 +122,13 @@ object EventStream {
         // foreachBatch is at-least-once; overwriting a per-batchId
         // partition makes the replayed epoch idempotent (a blind append
         // would duplicate every verdict of the re-run batch)
-        graft.dedup.Dedup.incrementalScreen(corpus, batch.toDF(), idCol,
-          textCol, threshold = threshold)
-          .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+        val (verdicts, persisted) = graft.dedup.Dedup.incrementalScreenHandles(
+          corpus, batch.toDF(), idCol, textCol, threshold = threshold)
+        try verdicts.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+        // the screen persists a corpus-sized shingle frame internally;
+        // without an epoch-end unpersist every micro-batch re-persists it
+        // and the blocks accumulate for the lifetime of the stream
+        finally persisted.foreach(_.unpersist())
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

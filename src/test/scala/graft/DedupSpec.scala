@@ -253,6 +253,39 @@ class DedupSpec extends SparkSpec {
       "the persisted-index path must be verdict-identical to the inline screen")
   }
 
+  test("D15: the persisted index records its build params and a mismatched screen fails fast") {
+    val corpus = Seq((1L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedupidxp").toString
+    Dedup.saveIndex(Dedup.buildIndex(corpus, "doc_id", "text",
+      shingleN = 3, bands = 12, rowsPerBand = 4), dir)
+    val loaded = Dedup.loadIndex(spark, dir)
+    assert(loaded.params === Some(Dedup.IndexParams(3, 12, 4, 64)),
+      "load must round-trip the build-time LSH parameters")
+    // a mismatched screen would not error on its own — band keys simply
+    // never collide and every verdict silently degrades to exact/new
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.screenAgainstIndex(loaded, corpus, "doc_id", "text",
+        shingleN = 5, bands = 12, rowsPerBand = 4)
+    }
+    assert(ex.getMessage.contains("do not match the index build params"))
+  }
+
+  test("D13: the handles variant exposes exactly the frames it persisted") {
+    val corpus = Seq((1L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq((2L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (out, handles) = Dedup.incrementalScreenHandles(corpus, batch,
+      "doc_id", "text", threshold = 0.4)
+    assert(out.collect().length === 1)
+    assert(handles.nonEmpty && handles.forall(_.storageLevel.useMemory),
+      "handles must be the persisted frames (so a loop caller can release them)")
+    handles.foreach(_.unpersist(blocking = true))
+    assert(handles.forall(h => !h.storageLevel.useMemory),
+      "unpersisting the handle must actually release the cached frame")
+  }
+
   test("D13/T15 invariants on a randomized overlapping corpus") {
     val rnd = new scala.util.Random(42)
     // documents assembled from a 40-token vocab in 16-token runs — heavy
