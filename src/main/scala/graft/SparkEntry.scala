@@ -414,6 +414,101 @@ object SparkEntry {
         .orderBy("variable")
     }),
 
+    // K2/S3 — object-store PUT→GET round-trip through the REAL store
+    // boundary (sources.ObjectStore): each region's nations serialize into
+    // one object uploaded via uploadRaw, every key is fetched back via
+    // downloadRaw (exact key, never LIST — the reference's 404-mapping GET)
+    // and parsed back to rows. A corrupted or mis-keyed round-trip
+    // hash-mismatches the pure-SQL join oracle. The driver loop is bounded
+    // by |region| = 5, mirroring the reference's per-file fetch loop.
+    "k2_object_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("k2store").toString
+      val store = new graft.sources.LocalObjectStore(root)
+      val groups = t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name").collect()
+        .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      groups.foreach { case (r, rows) =>
+        val tmp = java.nio.file.Files.createTempFile("k2up", ".txt")
+        java.nio.file.Files.write(tmp,
+          rows.map(_.getString(1)).sorted.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        store.uploadRaw(tmp.toString, s"graft/nations/$r.txt")
+      }
+      val back = groups.map(_._1).flatMap { r =>
+        val dst = java.nio.file.Files.createTempFile("k2dl", ".txt")
+        store.downloadRaw(s"graft/nations/$r.txt", dst.toString)
+        new String(java.nio.file.Files.readAllBytes(dst),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.map(n => (r, n))
+      }
+      back.toDF("r_name", "n_name").orderBy("r_name", "n_name")
+    }),
+
+    // C6 — UUIDv7 under the oracle gate: one deterministic UUIDv7 per
+    // (event_type, day) slice, generated in the same bounded driver loop
+    // the reference uses (`defs/assets.py:105-119` assigns ids per grid
+    // slice before explode). The oracle can't replay the splitmix tail, so
+    // the query emits the CHECKABLE structure instead: the 48-bit
+    // timestamp prefix parsed back to epoch millis (must equal the slice's
+    // epoch), the version nibble, the variant nibble, and a per-type
+    // rank-agreement flag proving lexicographic uuid order == time order.
+    "c6_uuidv7_bits" -> ((s, d) => {
+      import s.implicits._
+      val slices = t(s, d, "events")
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)))
+        .sortBy(x => (x._1, x._2.getTime))
+      val rows = slices.map { case (et, day) =>
+        (et, day, graft.functions.UuidV7.deterministic(day.getTime, et.hashCode.toLong))
+      }
+      val w = Window.partitionBy("event_type")
+      rows.toSeq.toDF("event_type", "day", "uuid")
+        .withColumn("uuid_rank", row_number().over(w.orderBy("uuid")))
+        .withColumn("time_rank", row_number().over(w.orderBy("day")))
+        .select(col("event_type"), col("day"),
+          conv(concat(substring(col("uuid"), 1, 8), substring(col("uuid"), 10, 4)),
+            16, 10).cast("long").as("uuid_ms"),
+          substring(col("uuid"), 15, 1).as("version"),
+          substring(col("uuid"), 20, 1).isin("8", "9", "a", "b").as("variant_ok"),
+          (col("uuid_rank") === col("time_rank")).as("time_ordered"))
+        .orderBy("event_type", "day")
+    }),
+
+    // K3/K4 over a REAL relational target — the reference's Postgres
+    // catalog semantics (`defs/resources.py:68-123`) executed against
+    // embedded Derby through store.JdbcStore: executor-parallel staged
+    // batches, insert-if-absent, then a version-conditional MERGE where a
+    // stale replay (ver 0) must not clobber and a fresh batch (ver 2)
+    // must. Read back through the partitioned parallel JDBC read. The
+    // oracle computes the expected final store state from the orders table
+    // in pure SQL — any merge mis-step hash-mismatches.
+    "k8_jdbc_roundtrip" -> ((s, d) => {
+      import graft.store.JdbcStore
+      val dbDir = java.nio.file.Files.createTempDirectory("k8jdbc").toString
+      val c = JdbcStore.Conn(url = s"jdbc:derby:$dbDir/db;create=true")
+      val base = t(s, d, "orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), lit(1L).as("ver"),
+          col("o_totalprice").as("price"))
+      JdbcStore.insertIfAbsent(base, c, "catalog", Seq("o_orderkey"))
+      // stale replay: version 0 on a third of the keys — must change NOTHING
+      JdbcStore.upsertVersioned(
+        base.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), lit(0L).as("ver"), lit(-1.0).as("price")),
+        c, "catalog", Seq("o_orderkey"), "ver")
+      // fresh batch: version 2 on the even keys — must win (price doubles)
+      JdbcStore.upsertVersioned(
+        base.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), lit(2L).as("ver"),
+            (col("price") * 2d).as("price")),
+        c, "catalog", Seq("o_orderkey"), "ver")
+      JdbcStore.readPartitioned(s, c, "catalog",
+        Seq("\"o_orderkey\" <= 1000", "\"o_orderkey\" > 1000"))
+        .orderBy("o_orderkey")
+    }),
+
     // A2+J3 — the flagship serving read path, set-oriented over all variables
     "a2j3_serving_flagship" -> ((s, d) => servingFlagship(s, d)),
 
@@ -2439,6 +2534,34 @@ object SparkEntry {
         |SELECT variable, count(*) AS n,
         |       CAST(min(valf) AS DOUBLE) AS min_v, CAST(max(valf) AS DOUBLE) AS max_v
         |FROM dd WHERE rn = 1 GROUP BY variable ORDER BY variable""".stripMargin,
+
+    // k2: the engine side PUTs each region's nations as an object and GETs
+    // them back through the ObjectStore boundary; the oracle is the pure
+    // join the round-trip must reproduce byte-for-byte
+    "k2_object_roundtrip" ->
+      """SELECT r_name, n_name
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    // c6: the oracle reconstructs what a correct UUIDv7 must encode per
+    // slice — 48-bit prefix = the slice's epoch millis, version nibble 7,
+    // IETF variant, lexicographic order = time order (fixed-width lowercase
+    // hex of an increasing integer is lexicographically increasing)
+    "c6_uuidv7_bits" ->
+      """SELECT event_type, day, epoch_ms(day) AS uuid_ms,
+        |       '7' AS version, TRUE AS variant_ok, TRUE AS time_ordered
+        |FROM (SELECT DISTINCT event_type,
+        |        CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // k8: expected final store state after insert-if-absent + a stale
+    // version-0 replay (no-op) + a fresh version-2 batch on the even keys
+    "k8_jdbc_roundtrip" ->
+      """SELECT o_orderkey,
+        |       CAST(CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "a2j3_serving_flagship" -> FlagshipOracleSql,
 
