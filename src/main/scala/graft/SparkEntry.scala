@@ -1180,6 +1180,28 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // V-similarity: INCREMENTAL index ingest — the index is built from 3/4
+    // of the corpus, the remaining quarter arrives later via Pq.append
+    // (assigned against the EXISTING centroids, encoded with the EXISTING
+    // codebooks, appended to only the touched listId partitions — no refit
+    // anywhere), and the search runs over the loaded result. Because
+    // assignment+encode are deterministic given the persisted artifacts,
+    // the oracle replays the whole pipeline over the FULL corpus from those
+    // artifacts — a mis-assigned or re-fit append hash-mismatches.
+    "v12_pq_append" -> ((s, d) => {
+      val dir = "/tmp/graft_oracle/v12_pq_append"
+      val emb = t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") % 4 =!= 3)
+      Pq.save(Ivf.build(base, "vec_id", "embedding", nLists = 16),
+        Pq.fit(base, "embedding", dim = 64, m = 8, k = 16), dir)
+      val grown = Pq.append(s, dir, emb.filter(col("vec_id") % 4 === 3),
+        "vec_id", "embedding")
+      Pq.searchEncoded(grown.codes, grown.centroids, grown.model,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        nProbe = 4, topK = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
     // D-dedup: SemDeDup — semantic dedup with a LEARNED blocking key: the
     // IVF coarse quantizer clusters the embedding space, then within-cluster
     // cosine near-dups drop (keep the min id). Unlike d5 (which blocks on a
@@ -4093,6 +4115,10 @@ object SparkEntry {
     // v8s replays the identical pipeline from ITS index's persisted
     // centroids/codebooks (built at most once per corpus snapshot)
     "v8s_search_amortized" -> v8OracleSql("/tmp/graft_oracle/v8s_search"),
+    // v12: same replay over the FULL corpus from the base-built artifacts —
+    // build(base) + append(delta) must equal encode(base ∪ delta) exactly,
+    // since assignment/encode are deterministic given centroids+codebooks
+    "v12_pq_append" -> v8OracleSql("/tmp/graft_oracle/v12_pq_append"),
 
     "v2_knn_join" ->
       """WITH c AS (

@@ -163,6 +163,42 @@ object Pq {
       .write.mode("overwrite").partitionBy("listId").parquet(s"$path/codes")
   }
 
+  /** Incrementally add vectors to a PERSISTED IVF-PQ index — the
+    * [[graft.sim.Ivf.append]] analog for the encoded form, and the ingest
+    * path that keeps the serving index tracking a growing corpus between
+    * (rare, sampled) refits: the delta is assigned against the EXISTING
+    * coarse centroids and encoded with the EXISTING codebooks — one narrow
+    * codegen'd pass, no KMeans anywhere — then appended to the
+    * `listId`-partitioned codes parquet, touching only the partitions the
+    * new rows land in. At 100 TB a rebuild re-encodes the corpus; an append
+    * writes m bytes per new row. Quantizer/codebook drift is the documented
+    * trade, exactly as in every ANN system's add-without-train.
+    *
+    * Because assignment and encoding are deterministic per row given the
+    * persisted artifacts, build(base) + append(delta) is bit-identical to
+    * build-encoding base∪delta against the same centroids/codebooks — which
+    * is what lets the v12 contract query hash-check this path end-to-end.
+    */
+  def append(spark: SparkSession, path: String, rows: DataFrame,
+      idCol: String, embCol: String): LoadedIndex = {
+    val idx = load(spark, path)
+    val dim = idx.model.m * idx.model.dsub
+    val e = ColOps.parallelize(
+      rows.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
+        Similarity.norm(col(embCol)).as("nrm")))
+    // same ingest-boundary guard as Ivf.append: a null or wrong-dimension
+    // vector would fold to garbage codes and corrupt the serving parquet
+    val bad = e.filter(col("emb").isNull || size(col("emb")) =!= dim ||
+      exists(col("emb"), _.isNull)).limit(1).count()
+    require(bad == 0,
+      s"append rows must match the fitted dim $dim with no null elements; " +
+        "found a null or differently-sized embedding")
+    encode(Ivf.assign(e, idx.centroids), "id", "emb", idx.model,
+      keepCols = Seq("listId"))
+      .write.mode("append").partitionBy("listId").parquet(s"$path/codes")
+    load(spark, path)
+  }
+
   /** Load a [[save]]d index. The `Model` is reconstructed from the codebook
     * table (m = distinct j, k = distinct c, dsub = centroid length); codes
     * stay a lazy parquet scan so the broadcast probe-list join can prune to

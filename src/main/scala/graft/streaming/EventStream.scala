@@ -134,6 +134,35 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming arm of [[graft.dedup.Dedup.screenAgainstIndex]] — the
+    * AMORTIZED screening stream: every micro-batch screens against a
+    * PREBUILT persisted index ([[graft.dedup.Dedup.loadIndex]]), so the
+    * per-epoch cost is the batch's shingle pass plus the bounded bucket
+    * join — no history text is ever read, tokenized or signed, epoch after
+    * epoch. This is the production daily-crawl shape: [[screeningSink]]
+    * recomputes the history's index state inline each epoch (fine for a
+    * small fixed corpus), this sink reads the build-once artifact instead.
+    * LSH parameters come from the index's persisted build params, so the
+    * stream can never silently screen with a mismatched family.
+    */
+  def indexScreeningSink(docsStream: DataFrame,
+      index: graft.dedup.Dedup.DedupIndex, idCol: String, textCol: String,
+      sinkPath: String, checkpoint: String,
+      threshold: Double = 0.5): StreamingQuery = {
+    val p = index.params.getOrElse(graft.dedup.Dedup.IndexParams(3, 12, 4, 64))
+    docsStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val (verdicts, persisted) = graft.dedup.Dedup.screenAgainstIndexHandles(
+          index, batch.toDF(), idCol, textCol,
+          p.shingleN, p.bands, p.rowsPerBand, threshold)
+        try verdicts.write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+        finally persisted.foreach(_.unpersist())
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream → curated store: each micro-batch goes through
     * [[graft.store.GridStore.append]] (boundary normalization + date
     * partitioning + sorted write), so streaming ingestion lands with exactly

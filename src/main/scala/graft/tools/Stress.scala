@@ -193,6 +193,30 @@ object Stress {
       }
       println(s"""{"op":"d13_incremental","scale":$k,"n_hist":$n,"n_batch":$nBatch,"sec":${num(tInc)},"out_rows":$rowsInc}""")
 
+      // d15s: the SERVE path of the persisted index — the FIXED batch
+      // screens against a PREBUILT index of the ×k history; build+save run
+      // untimed (the amortized build-once cost), the timed region is
+      // load + screen only. The 100 TB claim under test: a day's screen
+      // cost is |batch| × bucket-overlap, flat in |history| — if this row
+      // grows like d13's inline row, the index artifact isn't buying the
+      // amortization it exists for.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory(s"stress_d15s_x$k").toString
+      val builtIdx = Dedup.buildIndex(docs, "doc_id", "text",
+        shingleN = 3, bands = 12, rowsPerBand = 4, maxBucket = 64)
+      Dedup.saveIndex(builtIdx, idxDir)
+      builtIdx.docs.unpersist() // release the build's shingle cache, keep docs/batch0
+      val (tScr, rowsScr) = time {
+        val (scr, handles) = Dedup.screenAgainstIndexHandles(
+          Dedup.loadIndex(spark, idxDir), batch0,
+          "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
+          threshold = 0.4)
+        val rows = scr.count()
+        handles.foreach(_.unpersist())
+        rows
+      }
+      println(s"""{"op":"d15s_screen","scale":$k,"n_hist":$n,"n_batch":$nBatch,"sec":${num(tScr)},"out_rows":$rowsScr}""")
+
       // t13: edit-distance fuzzy match — prefix blocking with the 256-cap
       // bounds the per-block quadratic, and the 48-char head truncation
       // bounds each levenshtein; token suffixes make copy prefixes
@@ -279,6 +303,26 @@ object Stress {
         ((System.nanoTime() - s0) / 1e9, s)
       }
       println(s"""{"op":"v6_pq_encode","scale":$k,"n_vecs":$n,"sec":${num(tEnc)},"code_sum":$sumCodes}""")
+
+      // v8s: the SERVE path of the persisted IVF-PQ index — FIXED probes
+      // against a PREBUILT index of the ×k corpus (reusing the nLists ∝
+      // scale quantizer above); fit/encode/save run untimed, the timed
+      // region is load + ADC search only. The 100 TB claim under test:
+      // with nLists growing with the corpus, a search touches nProbe
+      // bounded lists of m-byte codes, so serve time stays flat as the
+      // indexed corpus grows.
+      val v8sDir = java.nio.file.Files
+        .createTempDirectory(s"stress_v8s_x$k").toString
+      Pq.save(idx, pqModel, v8sDir)
+      val (tSrv, rowsSrv) = {
+        val s0 = System.nanoTime()
+        val loaded = Pq.load(spark, v8sDir)
+        val r = Pq.searchEncoded(loaded.codes, loaded.centroids, loaded.model,
+          emb0.filter(col("vec_id") < 5), "vec_id", "embedding",
+          nProbe = 4, topK = 5).count()
+        ((System.nanoTime() - s0) / 1e9, r)
+      }
+      println(s"""{"op":"v8s_search","scale":$k,"n_vecs":$n,"sec":${num(tSrv)},"out_rows":$rowsSrv}""")
 
       e.unpersist()
       spark.catalog.clearCache()

@@ -227,6 +227,40 @@ class PlanAuditSpec extends SparkSpec {
       s"history must come from the persisted index parquet:\n$plan")
   }
 
+  test("d15s/v8s: the amortized serve plans read ONLY persisted artifacts for history") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def servedPlan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+    }
+    // d15s: history shingles/bands come from the index parquet; the only
+    // documents.parquet scan is the batch being screened
+    val d15s = servedPlan("d15s_screen_amortized")
+    assert(d15s.contains("d15s_screen/docs") && d15s.contains("d15s_screen/bands"),
+      s"d15s history must come from the persisted index parquet:\n$d15s")
+    // v8s: candidates are ranked from the persisted PQ codes; the only
+    // embeddings.parquet scan is the probe set (vec_id < 5, pushed down)
+    val v8s = servedPlan("v8s_search_amortized")
+    assert(v8s.contains("v8s_search/codes"),
+      s"v8s candidates must come from the persisted codes parquet:\n$v8s")
+    // this test built the shared artifacts from sf0.001 — delete them so a
+    // later Verify at another sf can never be checked against THESE (the
+    // buildOnce fingerprint would rebuild anyway, but stale-on-crash beats
+    // stale-on-read)
+    Seq("/tmp/graft_oracle/d15s_screen", "/tmp/graft_oracle/v8s_search")
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
+  }
+
   test("v10 margin mining: probes broadcast — the corpus is never a build side") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("v10_margin_pairs")(spark, "/root/testdata/sf0.001")

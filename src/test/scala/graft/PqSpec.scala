@@ -132,4 +132,38 @@ class PqSpec extends SparkSpec {
     assert(!scans.exists(_.contains("lists")),
       s"serve path must not read the raw inverted lists, scans=$scans")
   }
+
+  test("append: build(base) + append(delta) == save of the full corpus; no refit") {
+    import graft.sim.Ivf
+    val base = clustered.filter($"vec_id" < 30)
+    val delta = clustered.filter($"vec_id" >= 30)
+    val idx = Ivf.build(base, "vec_id", "embedding", nLists = 4)
+    val m = Pq.fit(base, "embedding", dim = 16, m = 4, k = 8)
+
+    val dirGrown = java.nio.file.Files.createTempDirectory("pq_grow").toString
+    Pq.save(idx, m, dirGrown)
+    val grown = Pq.append(spark, dirGrown, delta, "vec_id", "embedding")
+    // centroids/codebooks are untouched by the append — add-without-train
+    assert(grown.centroids === idx.centroids && grown.model === m)
+
+    // reference: encode base ∪ delta directly against the SAME artifacts
+    val full = Pq.encode(
+      Ivf.assign(graft.functions.ColOps.parallelize(
+        clustered.select($"vec_id".as("id"),
+          $"embedding".cast("array<double>").as("emb"),
+          Similarity.norm($"embedding").as("nrm"))), idx.centroids),
+      "id", "emb", m, keepCols = Seq("listId"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getSeq[Int](1), r.getInt(2))).toSet
+    val appended = grown.codes
+      .collect().map(r => (r.getAs[Long]("id"), r.getSeq[Int](2), r.getInt(0))).toSet
+    assert(appended === full,
+      "appended index must be code-identical to encoding the full corpus")
+
+    // a wrong-dimension delta row must fail fast, not corrupt the parquet
+    val badRow = Seq((99L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.append(spark, dirGrown, badRow, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("must match the fitted dim"))
+  }
 }

@@ -128,6 +128,32 @@ class StreamingSpec extends SparkSpec {
       "one verdict per arrival, no replays")
   }
 
+  test("indexScreeningSink: batches screen against the PERSISTED index, verdicts match inline") {
+    import graft.dedup.Dedup
+    val base = tempDir("idxscreenstream")
+    val landing = s"$base/new"
+    val span = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, span),
+      (2L, (100 to 130).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val schema = corpus.schema
+    val idxDir = s"$base/idx"
+    Dedup.saveIndex(Dedup.buildIndex(corpus, "doc_id", "text"), idxDir)
+    val loaded = Dedup.loadIndex(spark, idxDir)
+    Seq((10L, span), (11L, span + " freshly appended tail words"),
+      (12L, (200 to 230).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text").write.mode("append").parquet(landing)
+    EventStream.indexScreeningSink(
+      EventStream.landingStream(spark, landing, schema), loaded,
+      "doc_id", "text", s"$base/verdicts", s"$base/ckpt",
+      threshold = 0.4).awaitTermination()
+    val out = spark.read.parquet(s"$base/verdicts").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(out === Seq((10L, "exact"), (11L, "near"), (12L, "new")),
+      "streamed verdicts must match the batch screen semantics")
+  }
+
   test("gribLandingStream: arriving GRIB2 files decode on executors into grid rows") {
     import java.time.LocalDateTime
     import graft.sources.Grib2
