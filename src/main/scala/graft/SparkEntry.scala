@@ -12,7 +12,7 @@ import graft.serve.{Deadline, PointQuery}
 import graft.sim.{Ivf, Pq, Similarity}
 import graft.sources.SyntheticGrid
 import graft.store.{GridStore, Replacing}
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, StreamContract}
 import graft.text.TextAnalysis
 import graft.transform.Transforms
 
@@ -1906,6 +1906,33 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ST-streaming: T1/T4 under the hash gate — a REAL readStream→writeStream
+    // drain (Trigger.AvailableNow) over an at-least-once landing zone (every
+    // event present twice), streaming dropDuplicates state, and a SECOND
+    // drain against the same checkpoint that must find nothing new. The
+    // result aggregates the sink; doubled counts = broken dedup or broken
+    // file tracking. See streaming/StreamContract.scala.
+    "st1_stream_dedup_ingest" -> ((s, d) => StreamContract.dedupIngest(s, d)),
+
+    // ST-streaming: stateful gap sessionization (flatMapGroupsWithState) as
+    // a stream — closed sessions only; each user's trailing open session
+    // stays in state, exactly the unbounded-stream semantics. The oracle
+    // rebuilds gap sessions in SQL and drops each user's last session.
+    "st2_stream_sessions" -> ((s, d) => StreamContract.sessions(s, d)),
+
+    // ST-streaming: watermarked windowed aggregation in complete mode —
+    // foreachBatch overwrites the sink with the complete-to-date hourly
+    // aggregate; the final overwrite must equal the batch GROUP BY (decimal
+    // accumulator, so micro-batch boundaries can't show through).
+    "st3_stream_hourly" -> ((s, d) => StreamContract.hourly(s, d)),
+
+    // ST-streaming: the daily-crawl screen as a stream against the PERSISTED
+    // dedup index (EventStream.indexScreeningSink) — d15's split/parameters/
+    // verdicts, so the same first-principles oracle applies; the hash now
+    // additionally pins the foreachBatch plumbing and the params coming from
+    // the index artifact.
+    "st4_stream_screen" -> ((s, d) => StreamContract.screen(s, d)),
+
     // E-events: behavioral transition matrix — per-user next-event bigrams
     // (one lead window over the user timeline, ties broken by event_id)
     // folded to Markov transition counts and row-normalized probabilities.
@@ -3093,6 +3120,9 @@ object SparkEntry {
     "d15_indexed_screen" -> incrementalScreenSql,
     // same split/params/verdict semantics as d15, serve path measured alone
     "d15s_screen_amortized" -> incrementalScreenSql,
+    // st4: same split/params/verdict semantics as d15, streamed through the
+    // foreachBatch index screen — the same replay applies
+    "st4_stream_screen" -> incrementalScreenSql,
 
 
 
@@ -4765,6 +4795,53 @@ object SparkEntry {
         |       CAST(1 + sum(CASE WHEN pts IS NOT NULL AND epoch_us(ts) - epoch_us(pts) > 1800000000
         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // st1: the sink holds exactly ONE copy of every event iff streaming
+    // dedup + checkpointed file tracking both worked; the oracle is the
+    // plain single-copy aggregate
+    "st1_stream_dedup_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // st2: gap sessionization replayed in SQL at MILLISECOND precision (the
+    // stream's session state tracks Timestamp.getTime ms), minus each
+    // user's trailing session — the one an unbounded stream can never close
+    "st2_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events
+        |), o AS (
+        |  SELECT user_id, event_id, ms, value,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM x
+        |), g AS (
+        |  SELECT user_id, ms, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), sess AS (
+        |  SELECT user_id, sid,
+        |    make_timestamp(min(ms) * 1000) AS session_start,
+        |    make_timestamp(max(ms) * 1000) AS session_end,
+        |    count(*) AS n_events,
+        |    round(sum(value), 6) AS sum_value
+        |  FROM g GROUP BY user_id, sid
+        |), m AS (
+        |  SELECT *, max(sid) OVER (PARTITION BY user_id) AS msid FROM sess
+        |)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM m WHERE sid < msid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // st3: the complete-mode streaming aggregate's final overwrite must
+    // equal the batch hourly GROUP BY
+    "st3_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
 
     "j12_overlap_join" ->
       """WITH w AS (

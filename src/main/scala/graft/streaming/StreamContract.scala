@@ -1,0 +1,167 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** Structured Streaming under the DRIVER'S HASH GATE (SURVEY.md §2.8).
+  *
+  * Every function here runs a REAL `readStream → writeStream` pipeline with
+  * `Trigger.AvailableNow` inside a contract query: the input table is
+  * materialized into a fresh landing directory, the stream drains through a
+  * checkpointed sink, and the SINK is read back as the query result — so the
+  * DuckDB oracle hash-checks the streaming machinery itself (file-source
+  * tracking, checkpointing, stateful operators, idempotent re-drain), not a
+  * batch stand-in. The reference's incremental surface is a daily cron
+  * (`defs/assets.py:105-119` — materialize one date partition, run-key
+  * dedup); these are its Spark-native analogs plus the genuinely streaming
+  * operators the reference lacks.
+  *
+  * Each invocation uses fresh temp dirs, so a bench rep pays the full
+  * landing-write + drain cost every time (that IS the measured operation).
+  */
+object StreamContract {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** T1/T4 under the oracle — at-least-once landing, exactly-once result:
+    * the landing zone holds every event TWICE (two identical file sets — a
+    * re-delivered daily drop), the stream deduplicates on `event_id` with
+    * unbounded state, and the drain runs TWO SEPARATE TIMES against the same
+    * checkpoint — the second drain finds no new files and must emit nothing.
+    * A failure of either mechanism (dedup state or checkpointed file
+    * tracking) doubles the counts and hash-mismatches the oracle.
+    */
+  def dedupIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables(spark, sfDir, "events")
+    val landing = tmp("st1_landing")
+    val sink = tmp("st1_sink")
+    val ckpt = tmp("st1_ckpt")
+    events.write.mode("append").parquet(landing)
+    events.write.mode("append").parquet(landing)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(events.schema).parquet(landing)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    drain() // idempotent re-run: checkpoint says every file is already done
+    spark.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Stateful sessionization as a STREAM — `flatMapGroupsWithState` closed
+    * sessions only: the landing zone is one file (one micro-batch), the
+    * session state machine emits a session when a later event arrives past
+    * the gap, and each user's trailing OPEN session stays in state and is
+    * never emitted — exactly the streaming semantics (an unbounded stream
+    * cannot know a session ended until the next event or a timeout). The
+    * oracle reconstructs gap sessionization in SQL and drops each user's
+    * last session. Millisecond precision throughout: session state tracks
+    * `Timestamp.getTime` ms (see [[EventStream.sessionize]]), so the oracle
+    * mirrors with `epoch_ms`/`date_trunc('milliseconds', …)`.
+    */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val landing = tmp("st2_landing")
+    val sink = tmp("st2_sink")
+    val ckpt = tmp("st2_ckpt")
+    // createTempDirectory pre-creates the dir, so the landing write overwrites
+    events.coalesce(1).write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream.schema(events.schema).parquet(landing)
+      .as[EventStream.Event]
+    val q = EventStream
+      .sessionize(stream, gapSeconds = 1800, idleTimeout = false, flushOpen = false)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .select(col("user_id"),
+        col("sessionStart").as("session_start"),
+        col("sessionEnd").as("session_end"),
+        col("nEvents").cast("long").as("n_events"),
+        round(col("sumValue"), 6).as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Watermarked windowed aggregation as a STREAM, complete mode: the
+    * hourly-counts plan of [[EventStream.hourlyCounts]] runs as a streaming
+    * aggregation and `foreachBatch` overwrites the sink with the
+    * complete-to-date result each trigger — the last trigger's overwrite is
+    * the full aggregate, which must equal the batch GROUP BY. The decimal
+    * accumulator makes the sum order-independent, so micro-batch boundaries
+    * cannot show through.
+    */
+  def hourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables(spark, sfDir, "events")
+    val landing = tmp("st3_landing")
+    val sink = tmp("st3_sink")
+    val ckpt = tmp("st3_ckpt")
+    events.write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream.schema(events.schema).parquet(landing)
+    val q = EventStream.hourlyCounts(stream)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(sink); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink).orderBy("hour", "event_type")
+  }
+
+  /** The daily-crawl screening STREAM against a persisted dedup index
+    * ([[EventStream.indexScreeningSink]]) under the oracle: history (4/5 of
+    * the corpus) is built and saved once, the remaining fifth arrives as a
+    * streamed batch, and the per-epoch screen verdicts land in per-batch
+    * sink partitions. Same split, parameters and verdict semantics as the
+    * batch `d15_indexed_screen`, so the same first-principles oracle SQL
+    * applies — what the hash now additionally pins is the foreachBatch
+    * plumbing (params taken from the index artifact, epoch-scoped persist
+    * handles, idempotent per-batch overwrite).
+    */
+  def screen(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val idxDir = tmp("st4_idx")
+    val landing = tmp("st4_landing")
+    val sink = tmp("st4_sink")
+    val ckpt = tmp("st4_ckpt")
+    val built = graft.dedup.Dedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4, maxBucket = 64)
+    graft.dedup.Dedup.saveIndex(built, idxDir)
+    built.docs.unpersist() // the build's shingle cache; the screen reads parquet
+    docs.filter(col("doc_id") % 5 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream.schema(docs.schema).parquet(landing)
+    val q = EventStream.indexScreeningSink(stream,
+      graft.dedup.Dedup.loadIndex(spark, idxDir), "doc_id", "text",
+      sink, ckpt, threshold = 0.4)
+    q.awaitTermination()
+    // the sink is partitioned by batch id (one dir per epoch); the verdict
+    // schema is batch-invariant, so drop the synthetic partition column
+    spark.read.parquet(sink).drop("batch")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+}

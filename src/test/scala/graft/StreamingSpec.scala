@@ -257,6 +257,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming contract queries drain end-to-end at sf0.001") {
+    // the full readStream→sink→read-back pipelines behind the st* contract
+    // queries (oracle-checked by the driver at sf0.01; this pins the
+    // plumbing in the suite): dedup-ingest must see exactly one copy,
+    // sessions must omit each user's trailing open session
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables(spark, dir, "events")
+    val n = events.count()
+    val st1 = SparkEntry.queries("st1_stream_dedup_ingest")(spark, dir)
+    assert(st1.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === n,
+      "the doubled landing zone must dedup back to one copy of every event")
+    val st2 = SparkEntry.queries("st2_stream_sessions")(spark, dir)
+    val nUsers = events.select("user_id").distinct().count()
+    val closedPlusOpen = st2.count() + nUsers
+    val allSessions = SparkEntry.queries("e2_sessionize")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_sessions")).head().getLong(0)
+    assert(closedPlusOpen === allSessions,
+      "closed sessions + one open session per user == e2's total session count")
+  }
+
   test("batch sessionize with flushOpen emits every user's trailing session") {
     val events = Seq(
       Event(1, ts("2026-01-01 10:00:00"), 7, "click", 1.0),
