@@ -477,6 +477,31 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    // K-store: bucketed CO-LOCATED join — both tables written pre-hashed
+    // into 8 buckets on the join key (store.Bucketing), so the fact⋈dim
+    // merge-join plans with ZERO Exchange nodes (pinned in PlanAuditSpec):
+    // the shuffle was paid once at write time and amortizes over every
+    // subsequent join. The 100 TB layout move — a fact table bucketed on
+    // its join key never shuffles again.
+    "k9_bucketed_join" -> ((s, d) => {
+      import graft.store.Bucketing
+      val base = java.nio.file.Files.createTempDirectory("k9_bucketed").toString
+      Bucketing.writeBucketed(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        "k9_orders_b", Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"),
+        path = Some(s"$base/orders"))
+      Bucketing.writeBucketed(
+        t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        "k9_lineitem_b", Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"),
+        path = Some(s"$base/lineitem"))
+      Bucketing.coLocatedJoin(s, "k9_lineitem_b", "l_orderkey",
+          "k9_orders_b", "o_orderkey")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("month")
+    }),
+
     // K3/K4 over a REAL relational target — the reference's Postgres
     // catalog semantics (`defs/resources.py:68-123`) executed against
     // embedded Derby through store.JdbcStore: executor-parallel staged
@@ -2611,6 +2636,15 @@ object SparkEntry {
         |       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
         |FROM orders WHERE o_orderkey <= 2000
         |ORDER BY o_orderkey""".stripMargin,
+
+    // k9: the co-located join must produce exactly the plain join's answer —
+    // bucketing is a physical layout, never a semantic change
+    "k9_bucketed_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY month ORDER BY month""".stripMargin,
 
     "a2j3_serving_flagship" -> FlagshipOracleSql,
 

@@ -18,15 +18,33 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, optionally sorted, managed Parquet table. */
+  /** Write `df` as a bucketed, optionally sorted, Parquet table — managed
+    * (warehouse dir) by default, external at `path` when given (bucketed
+    * reads need the session catalog either way: bucket metadata lives in
+    * the catalog, not the parquet footer).
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       nBuckets: Int, sortCols: Seq[String] = Nil,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+      mode: SaveMode = SaveMode.Overwrite, path: Option[String] = None): Unit = {
     val w = df.write.mode(mode).format("parquet")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
-    sorted.saveAsTable(table)
+    path.fold(sorted)(p => sorted.option("path", p)).saveAsTable(table)
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Equi-join two same-bucketed catalog tables with NO exchange on either
+    * side. The merge hint pins sort-merge regardless of session conf (a
+    * broadcast would also skip the shuffle but wouldn't demonstrate — or
+    * scale to — two big sides); the bucketed scans already satisfy the
+    * join's distribution requirement, so the plan is scan → (sort) →
+    * merge-join with zero Exchange nodes — pinned in PlanAuditSpec.
+    */
+  def coLocatedJoin(spark: SparkSession, leftTable: String, leftKey: String,
+      rightTable: String, rightKey: String): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable),
+        org.apache.spark.sql.functions.col(leftKey) ===
+          org.apache.spark.sql.functions.col(rightKey))
 }

@@ -227,6 +227,33 @@ class PlanAuditSpec extends SparkSpec {
       s"history must come from the persisted index parquet:\n$plan")
   }
 
+  test("k9: the bucketed co-located join has ZERO Exchange below the merge join") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("k9_pin").toString
+    graft.store.Bucketing.writeBucketed(
+      Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+      "k9_orders_b", Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"),
+      path = Some(s"$tmp/orders"))
+    graft.store.Bucketing.writeBucketed(
+      Tables(spark, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+      "k9_lineitem_b", Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"),
+      path = Some(s"$tmp/lineitem"))
+    val joined = graft.store.Bucketing.coLocatedJoin(spark,
+      "k9_lineitem_b", "l_orderkey", "k9_orders_b", "o_orderkey")
+    joined.collect()
+    val plan = (joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("SortMergeJoin"),
+      s"the co-located join must plan as a merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"matching bucketed scans must satisfy the join distribution with no shuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"both sides must be bucketed scans:\n$plan")
+  }
+
   test("d15s/v8s: the amortized serve plans read ONLY persisted artifacts for history") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     def servedPlan(q: String): String = {
