@@ -9,7 +9,7 @@ import graft.functions.GridFunctions
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin}
 import graft.serve.{Deadline, PointQuery}
-import graft.sim.{Ivf, Pq, Similarity}
+import graft.sim.{Ivf, Pq, Similarity, Sq}
 import graft.sources.SyntheticGrid
 import graft.store.{GridStore, Replacing}
 import graft.streaming.{EventStream, StreamContract}
@@ -1224,6 +1224,23 @@ object SparkEntry {
       Pq.searchEncoded(grown.codes, grown.centroids, grown.model,
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         nProbe = 4, topK = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // V-similarity: SQ8 scalar-quantized search — per-dimension 8-bit
+    // affine codes (≈1 byte/dim after parquet bit-packing, 8× less scan
+    // than float64) with ASYMMETRIC search: raw probes against the decoded
+    // corpus, so only the 100 TB side pays quantization error. Fit-free
+    // (no KMeans), so the oracle replays encode→decode→cosine→top-k from
+    // the persisted params parquet alone.
+    "v13_sq8_topk" -> ((s, d) => {
+      val dir = "/tmp/graft_oracle/v13_sq8"
+      val emb = t(s, d, "embeddings")
+      Sq.saveParams(Sq.fit(emb, "embedding"), dir)
+      val p = Sq.loadParams(s, dir)
+      val codes = Sq.encode(emb, "vec_id", "embedding", p)
+      Sq.search(codes, p, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("probe_id", "rank")
     }),
 
@@ -4183,6 +4200,43 @@ object SparkEntry {
     // build(base) + append(delta) must equal encode(base ∪ delta) exactly,
     // since assignment/encode are deterministic given centroids+codebooks
     "v12_pq_append" -> v8OracleSql("/tmp/graft_oracle/v12_pq_append"),
+
+    // v13: full replay from the persisted per-dimension params — encode
+    // (floor(v+0.5) clamp), decode (mn + c*step), asymmetric cosine, rank.
+    // Steps derived from (mn, mx) with the identical formula on both sides.
+    "v13_sq8_topk" ->
+      """WITH pr AS (
+        |  SELECT j, mn, CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS st
+        |  FROM read_parquet('/tmp/graft_oracle/v13_sq8/params/*.parquet')
+        |), pl AS (
+        |  SELECT list(mn ORDER BY j) AS mins, list(st ORDER BY j) AS steps FROM pr
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), dec AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(emb) + 1), i ->
+        |      pl.mins[i] + least(greatest(floor((emb[i] - pl.mins[i]) / pl.steps[i] + 0.5), 0), 255) * pl.steps[i]) AS demb
+        |  FROM e, pl
+        |), p AS (
+        |  SELECT vec_id AS probe_id, emb AS pemb,
+        |         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS pnrm
+        |  FROM e WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, demb,
+        |         sqrt(list_aggregate(list_transform(demb, x -> x * x), 'sum')) AS cnrm
+        |  FROM dec
+        |), jd AS (
+        |  SELECT p.probe_id, c.neighbor_id,
+        |    list_aggregate(list_transform(range(1, len(c.demb) + 1),
+        |      i -> c.demb[i] * p.pemb[i]), 'sum') / (c.cnrm * p.pnrm) AS cos_raw
+        |  FROM p JOIN c ON p.probe_id <> c.neighbor_id
+        |), r AS (
+        |  SELECT probe_id, neighbor_id, cos_raw,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        |  FROM jd
+        |)
+        |SELECT probe_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "v2_knn_join" ->
       """WITH c AS (

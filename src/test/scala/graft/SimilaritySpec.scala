@@ -184,6 +184,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("neighbor_id") < 10L), "neighbors from probe's cluster")
   }
 
+  test("V13: SQ8 codes are in-range and asymmetric search matches exact top-k here") {
+    import graft.sim.Sq
+    val df = clustered
+    val dir = java.nio.file.Files.createTempDirectory("sq_spec").toString
+    Sq.saveParams(Sq.fit(df, "embedding"), dir)
+    val p = Sq.loadParams(spark, dir)
+    assert(p.mins.length === 8 && p.steps.forall(_ > 0.0))
+    val codes = Sq.encode(df, "vec_id", "embedding", p)
+    val flat = codes.select(explode(col("code"))).as[Int].collect()
+    assert(flat.forall(c => c >= 0 && c <= 255), "codes must be 8-bit")
+    // extremes of each dimension must quantize to the end codes
+    assert(flat.min === 0 && flat.max === 255)
+    // decode(encode(x)) is within half a step of x per dimension
+    val err = Sq.decode(codes, "demb", p)
+      .join(df.select(col("vec_id").as("id"), col("embedding")), "id")
+      .select(max(expr(
+        "aggregate(zip_with(demb, embedding, (a, b) -> abs(a - CAST(b AS DOUBLE))), 0D, (m, v) -> greatest(m, v))")))
+      .as[Double].head()
+    assert(err <= p.steps.max / 2 + 1e-12, s"reconstruction error $err exceeds step/2")
+    // on well-separated clusters the quantized ranking agrees with exact
+    val exact = Similarity.knnJoin(df.filter($"vec_id" === 5), df, "vec_id", "embedding", 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    val sq = Sq.search(codes, p, df.filter($"vec_id" === 5), "vec_id", "embedding", 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((exact intersect sq).size >= 4, s"SQ8 top-5 diverged: exact=$exact sq=$sq")
+  }
+
   test("D11: SemDeDup composition — quantizer lists block the cosine dedup") {
     import graft.dedup.Dedup
     val df = clustered
