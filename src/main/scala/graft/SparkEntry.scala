@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.functions.GridFunctions
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin}
-import graft.serve.{Deadline, PointQuery}
+import graft.serve.{Deadline, PointQuery, RequestValidation}
 import graft.sim.{Ivf, Pq, Similarity, Sq}
 import graft.sources.SyntheticGrid
 import graft.store.{GridStore, Replacing}
@@ -209,6 +209,43 @@ object SparkEntry {
           col("ts") <= expr("TIMESTAMP '2024-01-15 00:00:00'"))
         .select("event_id", "user_id", "value")
         .orderBy("event_id")),
+
+    // F4/C9 — request parsing + validation UNDER THE ORACLE: deterministic
+    // request strings derived from events (a mix of valid, out-of-range,
+    // unparseable, bad-CSV cases via modular conditions) run through the
+    // REAL serve.RequestValidation.parse — the same Either-chain the HTTP
+    // front door calls (reference `serving-go/internal/api/request.go:18-91`)
+    // — distributed as a typed Dataset map (400 rows; front-door logic, not
+    // data-plane). The oracle rebuilds the identical strings and replays the
+    // validation chain with TRY_CAST in the same short-circuit order; the
+    // error CLASS (the message's constant head) is part of the contract.
+    "f4_request_validation" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events").filter(col("event_id") < 400)
+        .select(col("event_id"), col("user_id")).as[(Long, Long)]
+        .map { case (eid, uid) =>
+          val latS = if (eid % 11 == 0) "x" else if (eid % 7 == 0) "95.5"
+            else s"${uid % 90}.5"
+          val lonS = if (eid % 13 == 0) "-200.25" else s"${eid % 180}.25"
+          val tsS = if (eid % 17 == 0) "not-a-time"
+            else s"2024-01-0${eid % 9 + 1}T00:00:0${eid % 10}Z"
+          val varsS = if (eid % 19 == 0) "" else if (eid % 23 == 0) "pm25,,o3"
+            else "pm25, o3 ,no2"
+          RequestValidation.parse(latS, lonS, tsS, varsS) match {
+            // err is "" (not null) on valid rows: the driver's compare sorts
+            // column values and a None/str mix does not order
+            case Right(r) => (eid, true, "",
+              Option(r.lat.toDouble), Option(r.lon.toDouble),
+              Option(r.variables.size))
+            case Left(msg) =>
+              val cut = msg.indexOf(':')
+              (eid, false, if (cut >= 0) msg.substring(0, cut) else msg,
+                Option.empty[Double], Option.empty[Double], Option.empty[Int])
+          }
+        }
+        .toDF("req_id", "valid", "err", "lat", "lon", "n_vars")
+        .orderBy("req_id")
+    }),
 
     // J1 — lineage equi-join (small dim → broadcast hash join)
     "j1_lineage_join" -> ((s, d) =>
@@ -2490,6 +2527,49 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'click' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
         |ORDER BY event_id""".stripMargin,
+
+    // f4: identical deterministic request strings, validation chain replayed
+    // with TRY_CAST in the same short-circuit order; err is the constant
+    // message head (text before the first ':')
+    "f4_request_validation" ->
+      """WITH r AS (
+        |  SELECT event_id AS req_id,
+        |    CASE WHEN event_id % 11 = 0 THEN 'x'
+        |         WHEN event_id % 7 = 0 THEN '95.5'
+        |         ELSE CAST(user_id % 90 AS VARCHAR) || '.5' END AS lat_s,
+        |    CASE WHEN event_id % 13 = 0 THEN '-200.25'
+        |         ELSE CAST(event_id % 180 AS VARCHAR) || '.25' END AS lon_s,
+        |    CASE WHEN event_id % 17 = 0 THEN 'not-a-time'
+        |         ELSE '2024-01-0' || CAST(event_id % 9 + 1 AS VARCHAR) ||
+        |              'T00:00:0' || CAST(event_id % 10 AS VARCHAR) || 'Z' END AS ts_s,
+        |    CASE WHEN event_id % 19 = 0 THEN ''
+        |         WHEN event_id % 23 = 0 THEN 'pm25,,o3'
+        |         ELSE 'pm25, o3 ,no2' END AS vars_s
+        |  FROM events WHERE event_id < 400
+        |), v AS (
+        |  SELECT req_id, vars_s,
+        |    TRY_CAST(lat_s AS FLOAT) AS latf,
+        |    TRY_CAST(lon_s AS FLOAT) AS lonf,
+        |    TRY_CAST(ts_s AS TIMESTAMP) AS tsv
+        |  FROM r
+        |), e AS (
+        |  SELECT req_id, vars_s, latf, lonf,
+        |    CASE WHEN latf IS NULL THEN 'invalid lat'
+        |         WHEN latf < -90 OR latf > 90 THEN 'lat out of range [-90,90]'
+        |         WHEN lonf IS NULL THEN 'invalid lon'
+        |         WHEN lonf < -180 OR lonf > 180 THEN 'lon out of range [-180,180]'
+        |         WHEN tsv IS NULL THEN 'invalid RFC3339 timestamp'
+        |         WHEN trim(vars_s) = '' THEN 'variables must be non-empty'
+        |         WHEN len(list_filter(list_transform(string_split(vars_s, ','),
+        |              x -> trim(x)), x -> x = '')) > 0 THEN 'empty variable in list'
+        |         ELSE NULL END AS err
+        |  FROM v
+        |)
+        |SELECT req_id, err IS NULL AS valid, COALESCE(err, '') AS err,
+        |  CASE WHEN err IS NULL THEN CAST(latf AS DOUBLE) END AS lat,
+        |  CASE WHEN err IS NULL THEN CAST(lonf AS DOUBLE) END AS lon,
+        |  CASE WHEN err IS NULL THEN len(string_split(vars_s, ',')) END AS n_vars
+        |FROM e ORDER BY req_id""".stripMargin,
 
     "j1_lineage_join" ->
       """SELECT o_orderkey, c_name, o_totalprice
