@@ -1859,6 +1859,30 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey"))
     }),
 
+    // OLAP anchor: TPC-H Q18 shape (large-volume orders) — an aggregation
+    // FILTER feeding a join (the IN-subquery-over-agg form): lineitem rolls
+    // up per order (integer-exact quantity sums), the HAVING survivors join
+    // back to orders + broadcast customer, bounded-heap top-100. The
+    // agg-as-semi-join shape the optimizer must keep OUT of the broadcast
+    // build side at scale (the survivors frame is small — AQE may broadcast
+    // it; lineitem itself never is).
+    "h8_large_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        // f6/h7 discipline: row order must not depend on
+        // TakeOrderedAndProject's ordering surviving the trailing projection
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // V-similarity: IVF nProbe sweep — the recall/latency tuning curve
     // measured in-engine (v7's eval-as-a-query, swept over the knob the
     // serving layer actually turns). Exact top-10 persists once and scores
@@ -2752,6 +2776,21 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    // h8: integer-exact quantity sums (quantities are whole numbers), raw
+    // o_totalprice ordering with o_orderkey ties
+    "h8_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "a2j3_serving_flagship" -> FlagshipOracleSql,
 
