@@ -127,7 +127,9 @@ object Bench {
     // the quiet r5 artifact with a loaded 161.8 s run, leaving README's
     // number unverifiable). Keep every run under a unique name too, so a
     // quiet measurement always survives to be cited.
-    Files.write(Paths.get(s"bench_out_${System.currentTimeMillis / 1000}.json"),
+    // millisecond resolution: two runs in the same wall-clock SECOND would
+    // clobber each other under a seconds-granularity name
+    Files.write(Paths.get(s"bench_out_${System.currentTimeMillis}.json"),
       body.getBytes(StandardCharsets.UTF_8))
     println(medians)
     println(detail)

@@ -47,21 +47,26 @@ object SparkEntry {
     Tables(spark, dir, name)
 
   /** Build-once guard for the `*_serve` queries: run `build` only when `dir`
-    * does not already hold artifacts built from the CURRENT source table —
-    * fingerprinted by the source parquet's file names/sizes/mtimes plus the
-    * sf dir, so a regenerated table or a different scale factor forces a
-    * rebuild while a repeat invocation reuses the persisted index. Under the
-    * rep-major bench the first rep pays the build and the median lands on
-    * the serve path alone — the amortization production serving sees.
+    * does not already hold artifacts built from the CURRENT source table
+    * AND the CURRENT build parameters — fingerprinted by the source
+    * parquet's file names/sizes/mtimes plus the sf dir plus `params`, so a
+    * regenerated table, a different scale factor, or an edited build knob
+    * (nLists, bands, m/k…) forces a rebuild while a repeat invocation
+    * reuses the persisted index. Without `params` in the fingerprint, a
+    * code edit to the knobs would silently serve — and oracle-replay
+    * against — the STALE artifact. Under the rep-major bench the first rep
+    * pays the build and the median lands on the serve path alone — the
+    * amortization production serving sees.
     */
-  private def buildOnce(sfDir: String, table: String, dir: String)(build: => Unit): Unit = {
+  private def buildOnce(sfDir: String, table: String, dir: String,
+      params: String)(build: => Unit): Unit = {
     import java.nio.file.{Files, Paths}
     def listing(p: java.io.File): String =
       if (p.isDirectory)
         Option(p.listFiles).getOrElse(Array.empty).sortBy(_.getName)
           .map(listing).mkString("[", ";", "]")
       else s"${p.getName}:${p.length}:${p.lastModified}"
-    val fp = s"$sfDir|${listing(new java.io.File(s"$sfDir/$table.parquet"))}"
+    val fp = s"$sfDir|$params|${listing(new java.io.File(s"$sfDir/$table.parquet"))}"
     val marker = Paths.get(dir, "_fingerprint")
     val cur =
       if (Files.exists(marker))
@@ -522,14 +527,27 @@ object SparkEntry {
     // its join key never shuffles again.
     "k9_bucketed_join" -> ((s, d) => {
       import graft.store.Bucketing
-      val base = java.nio.file.Files.createTempDirectory("k9_bucketed").toString
-      Bucketing.writeBucketed(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
-        "k9_orders_b", Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"),
-        path = Some(s"$base/orders"))
-      Bucketing.writeBucketed(
-        t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-        "k9_lineitem_b", Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"),
-        path = Some(s"$base/lineitem"))
+      // the bucketed LAYOUT is the amortized artifact: written at most once
+      // per corpus snapshot (buildOnce, the v8s/d15s discipline), so the
+      // measured median is the zero-Exchange join alone — a fresh session
+      // re-registers the catalog metadata over the existing files instead
+      // of re-paying the layout shuffle
+      val dir = "/tmp/graft_oracle/k9_bucketed"
+      val ordersSel = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+      val liSel =
+        t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      buildOnce(d, "orders", s"$dir/orders", "buckets=8") {
+        Bucketing.writeBucketed(ordersSel, "k9_orders_b", Seq("o_orderkey"), 8,
+          sortCols = Seq("o_orderkey"), path = Some(s"$dir/orders/data"))
+      }
+      buildOnce(d, "lineitem", s"$dir/lineitem", "buckets=8") {
+        Bucketing.writeBucketed(liSel, "k9_lineitem_b", Seq("l_orderkey"), 8,
+          sortCols = Seq("l_orderkey"), path = Some(s"$dir/lineitem/data"))
+      }
+      Bucketing.ensureExternal(s, "k9_orders_b", ordersSel.schema,
+        Seq("o_orderkey"), 8, Seq("o_orderkey"), s"$dir/orders/data")
+      Bucketing.ensureExternal(s, "k9_lineitem_b", liSel.schema,
+        Seq("l_orderkey"), 8, Seq("l_orderkey"), s"$dir/lineitem/data")
       Bucketing.coLocatedJoin(s, "k9_lineitem_b", "l_orderkey",
           "k9_orders_b", "o_orderkey")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
@@ -969,6 +987,9 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
         maxBucket = 64)
       Dedup.saveIndex(idx, "/tmp/graft_oracle/d15_index")
+      // the screen below reads the PERSISTED index, not the build handles —
+      // release the build's cached shingle frame before measuring the serve
+      idx.docs.unpersist()
       val loaded = Dedup.loadIndex(s, "/tmp/graft_oracle/d15_index")
       Dedup.screenAgainstIndex(loaded, docs.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
@@ -985,11 +1006,18 @@ object SparkEntry {
     // bench rows separate build+serve from serve.
     "d15s_screen_amortized" -> ((s, d) => {
       val dir = "/tmp/graft_oracle/d15s_screen"
-      buildOnce(d, "documents", dir) {
-        Dedup.saveIndex(Dedup.buildIndex(
+      buildOnce(d, "documents", dir, "shingleN=3,bands=12,rowsPerBand=4,maxBucket=64,holdout=5") {
+        val idx = Dedup.buildIndex(
           t(s, d, "documents").filter(col("doc_id") % 5 =!= 0),
           "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
-          maxBucket = 64), dir)
+          maxBucket = 64)
+        Dedup.saveIndex(idx, dir)
+        // buildIndex persists a corpus-sized shingle frame; release it so
+        // the serve-path reps (and non-cache-clearing callers) don't run
+        // under a leaked cached frame — same discipline as
+        // StreamContract.screen and tools.Stress
+        idx.docs.unpersist()
+        ()
       }
       Dedup.screenAgainstIndex(Dedup.loadIndex(s, dir),
         t(s, d, "documents").filter(col("doc_id") % 5 === 0),
@@ -1230,7 +1258,7 @@ object SparkEntry {
     // whole build→save→load→serve cycle as its demo).
     "v8s_search_amortized" -> ((s, d) => {
       val dir = "/tmp/graft_oracle/v8s_search"
-      buildOnce(d, "embeddings", dir) {
+      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16") {
         val emb = t(s, d, "embeddings")
         Pq.save(Ivf.build(emb, "vec_id", "embedding", nLists = 16),
           Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16), dir)
@@ -1259,7 +1287,7 @@ object SparkEntry {
       // append is still fully hash-checked, because the oracle replays the
       // full-corpus encode from the persisted centroids/codebooks and any
       // mis-assigned or re-fit append diverges the codes parquet
-      buildOnce(d, "embeddings", dir) {
+      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16,appendQuarter=3") {
         val base = emb.filter(col("vec_id") % 4 =!= 3)
         Pq.save(Ivf.build(base, "vec_id", "embedding", nLists = 16),
           Pq.fit(base, "embedding", dim = 64, m = 8, k = 16), dir)
@@ -5022,27 +5050,28 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // st2: gap sessionization replayed in SQL at MILLISECOND precision (the
-    // stream's session state tracks Timestamp.getTime ms), minus each
-    // user's trailing session — the one an unbounded stream can never close
+    // st2: gap sessionization replayed in SQL at MICROSECOND precision
+    // (the stream's session state tracks epoch-µs, same unit as the batch
+    // e2 sessionizer), minus each user's trailing session — the one an
+    // unbounded stream can never close
     "st2_stream_sessions" ->
       """WITH x AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
         |), o AS (
-        |  SELECT user_id, event_id, ms, value,
-        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
-        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+        |  SELECT user_id, event_id, us, value,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM x
         |), g AS (
-        |  SELECT user_id, ms, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |  SELECT user_id, us, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
         |                   ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM o
         |), sess AS (
         |  SELECT user_id, sid,
-        |    make_timestamp(min(ms) * 1000) AS session_start,
-        |    make_timestamp(max(ms) * 1000) AS session_end,
+        |    make_timestamp(min(us)) AS session_start,
+        |    make_timestamp(max(us)) AS session_end,
         |    count(*) AS n_events,
         |    round(sum(value), 6) AS sum_value
         |  FROM g GROUP BY user_id, sid

@@ -547,13 +547,18 @@ object Dedup {
   }
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
-    // params written by every current saveIndex; tolerate its absence so a
-    // pre-params index still loads (it just screens unvalidated)
+    // params written by every current saveIndex; tolerate only its ABSENCE
+    // (a pre-params index still loads, it just screens unvalidated). A
+    // params table that exists but fails to read is corruption — let it
+    // throw rather than silently screening with an unvalidated family.
+    val pPath = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val params =
-      try {
+      if (!fs.exists(pPath)) None
+      else {
         import spark.implicits._
         spark.read.parquet(s"$path/params").as[IndexParams].collect().headOption
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      }
     DedupIndex(spark.read.parquet(s"$path/docs"),
       spark.read.parquet(s"$path/bands"), params)
   }

@@ -34,6 +34,26 @@ object Bucketing {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Register (if absent) a catalog entry over an ALREADY-WRITTEN bucketed
+    * layout at `path` — metadata only, no data movement. Bucket metadata
+    * lives in the session catalog, not the parquet footers, and the catalog
+    * is per-session: a new session reusing a build-once bucketed layout
+    * re-registers here instead of re-paying the layout write (Spark
+    * recovers each file's bucket id from the `_NNNNN` file-name suffix).
+    */
+  def ensureExternal(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String], path: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val sorted =
+        if (sortCols.nonEmpty) s"SORTED BY (${sortCols.mkString(", ")}) " else ""
+      spark.sql(
+        s"""CREATE TABLE $table (${schema.toDDL}) USING parquet
+           |CLUSTERED BY (${bucketCols.mkString(", ")}) ${sorted}INTO $nBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+      ()
+    }
+
   /** Equi-join two same-bucketed catalog tables with NO exchange on either
     * side. The merge hint pins sort-merge regardless of session conf (a
     * broadcast would also skip the shuffle but wouldn't demonstrate — or

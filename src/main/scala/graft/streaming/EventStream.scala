@@ -149,7 +149,13 @@ object EventStream {
       index: graft.dedup.Dedup.DedupIndex, idCol: String, textCol: String,
       sinkPath: String, checkpoint: String,
       threshold: Double = 0.5): StreamingQuery = {
-    val p = index.params.getOrElse(graft.dedup.Dedup.IndexParams(3, 12, 4, 64))
+    // no silent default: a guessed LSH family against a params-less index
+    // degrades every verdict to exact/new without erroring — exactly the
+    // failure mode persisted params exist to prevent
+    val p = index.params.getOrElse(throw new IllegalArgumentException(
+      "indexScreeningSink requires an index with persisted build params " +
+        "(saveIndex writes them); rebuild the index or screen with the " +
+        "explicit-parameter batch API instead"))
     docsStream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val (verdicts, persisted) = graft.dedup.Dedup.screenAgainstIndexHandles(
@@ -205,14 +211,28 @@ object EventStream {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+  // sessionStart/lastTs are MICROSECONDS since epoch: the events table is
+  // µs-precision, and a ms-floored gap comparison disagrees with the batch
+  // sessionizer (e2) for gaps within 1 ms of the boundary (1_800_000_400 µs
+  // floors to exactly 1_800_000 ms and would NOT break the session)
   final case class SessionState(sessionStart: Long, lastTs: Long, n: Int, sum: Double)
   final case class Session(user_id: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
       nEvents: Int, sumValue: Double)
 
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsToTs(us: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session closes
     * when a later event arrives past `gapSeconds`, or — with `idleTimeout`
     * on — when the user goes idle (processing-time timeout flushes the open
-    * session). Leave `idleTimeout` off for batch runs and tests: pending
+    * session). Gap arithmetic and event ordering are MICROSECOND-precision,
+    * matching the batch sessionizer (e2) on µs-precision inputs. Leave `idleTimeout` off for batch runs and tests: pending
     * timeouts make the stream trigger continuously even with no data.
     * State per user is O(1) — this scales to any number of users because
     * state is partitioned by the grouping key.
@@ -239,21 +259,21 @@ object EventStream {
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           if (state.hasTimedOut) {
             state.getOption.foreach { s =>
-              out += Session(userId, new Timestamp(s.sessionStart), new Timestamp(s.lastTs),
+              out += Session(userId, microsToTs(s.sessionStart), microsToTs(s.lastTs),
                 s.n, s.sum)
             }
             state.remove()
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.lastTs <= gapSeconds * 1000 =>
+                case Some(s) if t - s.lastTs <= gapSeconds * 1000000L =>
                   cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
-                  out += Session(userId, new Timestamp(s.sessionStart),
-                    new Timestamp(s.lastTs), s.n, s.sum)
+                  out += Session(userId, microsToTs(s.sessionStart),
+                    microsToTs(s.lastTs), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -261,8 +281,8 @@ object EventStream {
             }
             if (flushOpen) {
               cur.foreach { s =>
-                out += Session(userId, new Timestamp(s.sessionStart),
-                  new Timestamp(s.lastTs), s.n, s.sum)
+                out += Session(userId, microsToTs(s.sessionStart),
+                  microsToTs(s.lastTs), s.n, s.sum)
               }
               state.remove()
             } else {

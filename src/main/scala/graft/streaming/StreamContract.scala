@@ -71,9 +71,9 @@ object StreamContract {
     * never emitted — exactly the streaming semantics (an unbounded stream
     * cannot know a session ended until the next event or a timeout). The
     * oracle reconstructs gap sessionization in SQL and drops each user's
-    * last session. Millisecond precision throughout: session state tracks
-    * `Timestamp.getTime` ms (see [[EventStream.sessionize]]), so the oracle
-    * mirrors with `epoch_ms`/`date_trunc('milliseconds', …)`.
+    * last session. Microsecond precision throughout: session state tracks
+    * epoch-µs (see [[EventStream.sessionize]]) — the same unit as the batch
+    * e2 sessionizer — so the oracle mirrors with `epoch_us`.
     */
   def sessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
