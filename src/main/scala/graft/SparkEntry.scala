@@ -1911,6 +1911,110 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // H-OLAP: bilateral nation volume (TPC-H Q7 shape) — two independently
+    // filtered copies of the same dimension (supplier's nation vs
+    // customer's nation) classify each shipped line, pair-asymmetry applied
+    // after both sides resolve. The nation filter lands INSIDE the
+    // broadcast supplier build (pair nations only), so ~2/25ths of lineitem
+    // survives the first join — the dimension-prunes-the-fact plan Q7
+    // exists to test. Revenue in exact decimal, year as the group key.
+    "h9_nation_volume" -> ((s, d) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val suppNation = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val custNation = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val supp = broadcast(t(s, d, "supplier")
+        .join(suppNation, col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      val cust = t(s, d, "customer")
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("cust_nation"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // H-OLAP: returned-items customer ranking (TPC-H Q10 shape) — the
+    // quarter's orders join return-flagged lineitems, roll up revenue per
+    // customer, top-20 by a bounded heap. Date range prunes orders at the
+    // scan; nation broadcasts; lineitem's returnflag filter pushes down.
+    "h10_returned_items" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        // f6/h7 discipline: re-assert order after the top-k
+        .orderBy(col("revenue").desc, col("c_custkey"))
+    }),
+
+    // J-joins: POINT-IN-TIME join — each event joins the SCD-2 status
+    // interval covering its timestamp ("what was the user's status when
+    // the event happened"), the temporal-correctness join every
+    // training-data pipeline needs to avoid label leakage. Equi-key on
+    // user_id carries the join; the interval predicate filters inside the
+    // matched key group (per-key interval counts are bounded, so no skew);
+    // exactly one interval covers each event, pinned by n_events summing
+    // to the full table. Folded to per-(status, event_type) counts.
+    "j13_pit_join" -> ((s, d) => {
+      val feed = t(s, d, "events").select(col("user_id"),
+        col("event_type").as("status"), col("ts"), col("event_id"))
+      val dim = graft.store.Scd2.history(feed, "user_id", "status", "ts",
+        Seq("event_id"))
+        .select(col("user_id").as("d_user_id"), col("status"),
+          col("valid_from"), col("valid_to"))
+      t(s, d, "events")
+        .join(dim, col("user_id") === col("d_user_id") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .groupBy(col("status").as("status_at_event"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value"), 3).as("sum_value"))
+        .orderBy("status_at_event", "event_type")
+    }),
+
+    // K-store: SCD-2 dimension history + incremental CDC merge under the
+    // hash gate — the first 20 days of the user-status change feed build
+    // the dimension, the remaining days arrive as the daily batch,
+    // Scd2.merge applies them (anti-join pass-through for untouched keys,
+    // replay + re-collapse for affected ones), and the merged result must
+    // hash-equal deriving the history from the FULL feed from scratch —
+    // which is exactly what the oracle does. A wrong merge (duplicate open
+    // rows, a run split at the batch boundary, a lost interval) cannot
+    // hash-match.
+    "k10_scd2_merge" -> ((s, d) => {
+      val feed = t(s, d, "events").select(col("user_id"),
+        col("event_type").as("status"), col("ts"), col("event_id"))
+      val cut = lit("2024-01-21").cast("timestamp")
+      val dim = graft.store.Scd2.history(feed.filter(col("ts") < cut),
+        "user_id", "status", "ts", Seq("event_id"))
+      graft.store.Scd2.merge(dim, feed.filter(col("ts") >= cut),
+        "user_id", "status", "ts", Seq("event_id"))
+        .select(col("user_id"), col("status"), col("valid_from"),
+          col("valid_to"), col("is_current").cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     // V-similarity: IVF nProbe sweep — the recall/latency tuning curve
     // measured in-engine (v7's eval-as-a-query, swept over the knob the
     // serving layer actually turns). Exact top-10 persists once and scores
@@ -2073,6 +2177,13 @@ object SparkEntry {
     // additionally pins the foreachBatch plumbing and the params coming from
     // the index artifact.
     "st4_stream_screen" -> ((s, d) => StreamContract.screen(s, d)),
+
+    // ST-streaming: watermarked STREAM-STREAM inner join — views and
+    // purchases as two independent streams, event-time watermarks on both
+    // sides, time-range join condition bounding the buffered state. The one
+    // stateful streaming operator foreachBatch can't fake; the oracle
+    // replays the identical interval join in SQL.
+    "st5_stream_attribution" -> ((s, d) => StreamContract.attribution(s, d)),
 
     // E-events: behavioral transition matrix — per-user next-event bigrams
     // (one lead window over the user timeline, ties broken by event_id)
@@ -5088,6 +5199,100 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+    // st5: the stream-stream interval join replayed as a plain SQL interval
+    // join — every (view, purchase-within-6h) pair, µs-exact gap
+    "st5_stream_attribution" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id
+        | AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '6 hours'
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
+
+    "h9_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND n1.n_name IN ('NATION_3', 'NATION_7')
+        |    AND n2.n_name IN ('NATION_3', 'NATION_7')
+        |    AND n1.n_name <> n2.n_name
+        |)
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "h10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // j13: the SCD-2 intervals re-derived in SQL, then each event matched
+    // to the interval covering its timestamp — exactly one per event
+    "j13_pit_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type AS status, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id, status, ts AS valid_from
+        |  FROM c WHERE prev IS NULL OR prev <> status
+        |), h AS (
+        |  SELECT user_id, status, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |  FROM runs
+        |)
+        |SELECT h.status AS status_at_event, e.event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN h ON e.user_id = h.user_id
+        |      AND e.ts >= h.valid_from
+        |      AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        |GROUP BY status_at_event, e.event_type
+        |ORDER BY status_at_event, e.event_type""".stripMargin,
+
+    // k10: the incremental SCD-2 merge must equal history derived from the
+    // FULL change feed from scratch — consecutive-equal statuses collapse
+    // into runs, valid_to = next run's start, open current row per user
+    "k10_scd2_merge" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type AS status, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id, status, ts AS valid_from
+        |  FROM c WHERE prev IS NULL OR prev <> status
+        |), h AS (
+        |  SELECT user_id, status, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |  FROM runs
+        |)
+        |SELECT user_id, status, valid_from, valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM h ORDER BY user_id, valid_from""".stripMargin,
 
     "j12_overlap_join" ->
       """WITH w AS (

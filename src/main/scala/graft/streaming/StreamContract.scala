@@ -131,6 +131,54 @@ object StreamContract {
     spark.read.parquet(sink).orderBy("hour", "event_type")
   }
 
+  /** Watermarked STREAM-STREAM inner join — the attribution query (every
+    * purchase within 6 h of a view by the same user) as two independent
+    * streams: views and purchases land in separate zones, each side carries
+    * its own event-time watermark, and the time-range join condition bounds
+    * the buffered state (a view older than the purchase watermark minus 6 h
+    * can never match again and is evicted). This is the one stateful
+    * streaming operator that cannot be faked with foreachBatch — Spark
+    * buffers BOTH sides in the state store and emits matches as they form.
+    * The oracle replays the identical interval join in SQL.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables(spark, sfDir, "events")
+    val viewsDir = tmp("st5_views")
+    val purchDir = tmp("st5_purch")
+    val sink = tmp("st5_sink")
+    val ckpt = tmp("st5_ckpt")
+    events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id"))
+      .coalesce(1).write.mode("overwrite").parquet(viewsDir)
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user_id"), col("value").as("purchase_value"))
+      .coalesce(1).write.mode("overwrite").parquet(purchDir)
+    val views = spark.readStream
+      .schema(spark.read.parquet(viewsDir).schema).parquet(viewsDir)
+      .withWatermark("view_ts", "1 hour")
+    val purchases = spark.readStream
+      .schema(spark.read.parquet(purchDir).schema).parquet(purchDir)
+      .withWatermark("purchase_ts", "7 hours")
+    val q = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"),
+        col("purchase_value"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   /** The daily-crawl screening STREAM against a persisted dedup index
     * ([[EventStream.indexScreeningSink]]) under the oracle: history (4/5 of
     * the corpus) is built and saved once, the remaining fifth arrives as a

@@ -152,6 +152,32 @@ class PlanAuditSpec extends SparkSpec {
       s"lineitem must not be a broadcast build side:\n$plan")
   }
 
+  test("h9 nation volume: pair-filtered supplier broadcasts; lineitem is never a build side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val df = SparkEntry.queries("h9_nation_volume")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"the pair-filtered supplier/nation dims must broadcast:\n$plan")
+    val broadcastScans = plan.collect { case b: BroadcastExchangeExec => b }
+      .flatMap(_.collect { case s: FileSourceScanExec => s.relation.location.rootPaths.mkString })
+    assert(!broadcastScans.exists(_.contains("lineitem")),
+      s"lineitem must not be a broadcast build side:\n$plan")
+    // the ship-date predicate must reach the lineitem scan, not sit above a
+    // join — finished AQE subtrees are QueryStageExec LEAVES invisible to
+    // typed collect{}, so pin via the plan STRING
+    val liScanLines = plan.toString.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lineitem")).toSeq
+    assert(liScanLines.nonEmpty &&
+      liScanLines.forall(_.contains("l_shipdate")),
+      s"ship-date filter must be pushed to the lineitem scan:\n$plan")
+  }
+
   test("p8 drift PSI: the bucket-edge spec joins by broadcast, events never shuffle for it") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("p8_drift_psi")(spark, "/root/testdata/sf0.001")
