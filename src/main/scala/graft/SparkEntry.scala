@@ -1971,14 +1971,21 @@ object SparkEntry {
     // J-joins: POINT-IN-TIME join — each event joins the SCD-2 status
     // interval covering its timestamp ("what was the user's status when
     // the event happened"), the temporal-correctness join every
-    // training-data pipeline needs to avoid label leakage. Equi-key on
-    // user_id carries the join; the interval predicate filters inside the
-    // matched key group (per-key interval counts are bounded, so no skew);
-    // exactly one interval covers each event, pinned by n_events summing
-    // to the full table. Folded to per-(status, event_type) counts.
+    // training-data pipeline needs to avoid label leakage. The dimension
+    // derives from the lifecycle events ONLY (signup/purchase/error), so
+    // the joined status genuinely differs from the event's own type —
+    // views and clicks carry whatever status their user held at that
+    // instant, and events before a user's first lifecycle event drop out
+    // (inner PIT semantics). Equi-key on user_id carries the join; the
+    // interval predicate filters inside the matched key group (per-key
+    // interval counts are bounded, so no skew). Folded to
+    // per-(status, event_type) counts.
     "j13_pit_join" -> ((s, d) => {
-      val feed = t(s, d, "events").select(col("user_id"),
-        col("event_type").as("status"), col("ts"), col("event_id"))
+      val lifecycle = Seq("signup", "purchase", "error")
+      val feed = t(s, d, "events")
+        .filter(col("event_type").isin(lifecycle: _*))
+        .select(col("user_id"), col("event_type").as("status"), col("ts"),
+          col("event_id"))
       val dim = graft.store.Scd2.history(feed, "user_id", "status", "ts",
         Seq("event_id"))
         .select(col("user_id").as("d_user_id"), col("status"),
@@ -5249,13 +5256,14 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
-    // j13: the SCD-2 intervals re-derived in SQL, then each event matched
-    // to the interval covering its timestamp — exactly one per event
+    // j13: the lifecycle-only SCD-2 intervals re-derived in SQL, then each
+    // event matched to the interval covering its timestamp (at most one)
     "j13_pit_join" ->
       """WITH c AS (
         |  SELECT user_id, event_type AS status, ts,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events
+        |  WHERE event_type IN ('signup', 'purchase', 'error')
         |), runs AS (
         |  SELECT user_id, status, ts AS valid_from
         |  FROM c WHERE prev IS NULL OR prev <> status
