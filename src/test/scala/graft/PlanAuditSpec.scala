@@ -178,6 +178,18 @@ class PlanAuditSpec extends SparkSpec {
       s"ship-date filter must be pushed to the lineitem scan:\n$plan")
   }
 
+  test("j13 PIT join: interval predicate rides the user_id equi-join, never a nested loop") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("j13_pit_join")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the PIT interval predicate must be a post-filter on the user_id equi-join:\n$plan")
+  }
+
   test("p8 drift PSI: the bucket-edge spec joins by broadcast, events never shuffle for it") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("p8_drift_psi")(spark, "/root/testdata/sf0.001")

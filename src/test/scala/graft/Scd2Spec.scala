@@ -63,6 +63,16 @@ class Scd2Spec extends SparkSpec {
     assert(u1(2).isNullAt(3))
   }
 
+  test("merge inserts a brand-new key as its own open run") {
+    val dim = Scd2.history(feed, "user_id", "status", "ts", Seq("event_id"))
+    val batch = Seq((9L, "bronze", ts("2026-01-10 00:00:00"), 11L))
+      .toDF("user_id", "status", "ts", "event_id")
+    val merged = Scd2.merge(dim, batch, "user_id", "status", "ts", Seq("event_id"))
+    assert(merged.count() === dim.count() + 1)
+    val u9 = merged.filter($"user_id" === 9L).collect()
+    assert(u9.length === 1 && u9(0).getString(1) === "bronze" && u9(0).isNullAt(3))
+  }
+
   test("merge leaves untouched keys byte-identical and closes changed runs") {
     val dim = Scd2.history(feed, "user_id", "status", "ts", Seq("event_id"))
     val batch = Seq((2L, "platinum", ts("2026-01-09 00:00:00"), 10L))
