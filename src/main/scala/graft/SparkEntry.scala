@@ -5260,16 +5260,16 @@ object SparkEntry {
     // event matched to the interval covering its timestamp (at most one)
     "j13_pit_join" ->
       """WITH c AS (
-        |  SELECT user_id, event_type AS status, ts,
+        |  SELECT user_id, event_type AS status, ts, event_id,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events
         |  WHERE event_type IN ('signup', 'purchase', 'error')
         |), runs AS (
-        |  SELECT user_id, status, ts AS valid_from
+        |  SELECT user_id, status, ts AS valid_from, event_id
         |  FROM c WHERE prev IS NULL OR prev <> status
         |), h AS (
         |  SELECT user_id, status, valid_from,
-        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
         |  FROM runs
         |)
         |SELECT h.status AS status_at_event, e.event_type,
@@ -5287,15 +5287,15 @@ object SparkEntry {
     // into runs, valid_to = next run's start, open current row per user
     "k10_scd2_merge" ->
       """WITH c AS (
-        |  SELECT user_id, event_type AS status, ts,
+        |  SELECT user_id, event_type AS status, ts, event_id,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events
         |), runs AS (
-        |  SELECT user_id, status, ts AS valid_from
+        |  SELECT user_id, status, ts AS valid_from, event_id
         |  FROM c WHERE prev IS NULL OR prev <> status
         |), h AS (
         |  SELECT user_id, status, valid_from,
-        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
         |  FROM runs
         |)
         |SELECT user_id, status, valid_from, valid_to,

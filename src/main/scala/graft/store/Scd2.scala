@@ -36,13 +36,17 @@ object Scd2 {
     val runs = changes
       .withColumn("graft_prev", lag(col(attr), 1).over(w))
       .filter(col("graft_prev").isNull || col("graft_prev") =!= col(attr))
-      .select(col(key), col(attr), col(ts).as("valid_from"))
-    // run starts are strictly increasing per key, so the plain-ts window is
-    // deterministic here even when the raw feed had ties
-    val w2 = Window.partitionBy(key).orderBy(col("valid_from").asc)
+      .select((col(key) +: col(attr) +: col(ts).as("valid_from")
+        +: tieBreak.map(col)): _*)
+    // the tie-break columns ride through to the second window: two DIFFERENT
+    // attr values at the same (key, ts) are both run starts, and valid_to
+    // assignment must see the same total order the run detection used
+    val ord2 = (col("valid_from").asc +: tieBreak.map(col(_).asc)).toSeq
+    val w2 = Window.partitionBy(key).orderBy(ord2: _*)
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
       .withColumn("is_current", col("valid_to").isNull)
+      .drop(tieBreak: _*)
   }
 
   /** Apply a batch of new changes to an existing SCD-2 dimension.
@@ -57,13 +61,20 @@ object Scd2 {
     */
   def merge(dim: DataFrame, changes: DataFrame, key: String, attr: String,
             ts: String, tieBreak: Seq[String] = Nil): DataFrame = {
-    val affectedKeys = changes.select(col(key)).distinct()
+    // materialized once (it feeds BOTH the anti-join and the replay join —
+    // without this the batch is scanned and de-duplicated twice), and
+    // lineage-truncated so daily re-merges don't grow the plan
+    val affectedKeys = changes.select(col(key)).distinct().localCheckpoint()
     val untouched = dim.join(affectedKeys, Seq(key), "left_anti")
     val replayed = dim.join(affectedKeys, Seq(key))
       .select(col(key), col(attr), col("valid_from").as(ts))
     val feedCols = replayed.columns.toSeq
-    // replayed rows carry no tie-break columns; null-pad so the union works
-    // (run starts are unique per key, so nulls never decide an order)
+    // Replayed rows carry no tie-break columns; null-pad so the union works.
+    // Contract: a batch change whose ts COLLIDES with an existing run start
+    // is ordered deterministically AFTER the replayed row (asc_nulls_first)
+    // but the original feed's tie-break for that historical row is gone —
+    // event-time CDC feeds must deliver batches in ts order for the
+    // merge ≡ from-scratch equivalence to hold on tied timestamps.
     val padded = tieBreak.foldLeft(replayed)((f, c) => f.withColumn(c, lit(null)))
     val updates = changes.select((feedCols ++ tieBreak).distinct.map(col): _*)
     untouched.unionByName(

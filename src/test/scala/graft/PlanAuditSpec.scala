@@ -22,6 +22,36 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Flatten an executed plan THROUGH the AQE leaf boundaries: finished
+    * subtrees are QueryStageExec leaves (their inner plan is a member, not
+    * a child) and the whole tree may sit inside AdaptiveSparkPlanExec /
+    * ReusedExchangeExec — a plain typed `collect{}` sees none of it, which
+    * made the h2-style "lineitem never broadcasts" pins vacuous.
+    */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Seq.empty
+    }
+    p +: (p.children ++ inner).flatMap(flatten)
+  }
+
+  /** Root paths of parquet scans that sit INSIDE a broadcast build side. */
+  private def broadcastScanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    flatten(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastExchangeExec => b }
+      .flatMap(flatten(_).collect {
+        case s: FileSourceScanExec => s.relation.location.rootPaths.mkString
+      })
+  }
+
   test("d8 contamination: benchmark broadcasts; no corpus-on-corpus join") {
     val p = planOf(Dedup.contaminationRate(docs, "doc_id", "text",
       docs.limit(5), "text", shingleN = 3))
@@ -129,53 +159,38 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("h2 regional revenue: dimensions broadcast; lineitem is never a build side") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val sfDir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("h2_regional_revenue")(spark, sfDir)
-    // AQE wraps the whole tree in AdaptiveSparkPlanExec (a leaf to collect{}),
-    // so guard the FINAL plan: run the query, then unwrap — without this the
-    // BroadcastExchange collect below matches nothing and the test is vacuous
     df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    assert(plan.toString.contains("BroadcastHashJoin"),
-      s"nation/region must broadcast:\n$plan")
+    val planStr = planOf(df)
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"nation/region must broadcast:\n$planStr")
     // smaller sides (dims, and at tiny SF even filtered orders) may broadcast
-    // by size — but the big fact scan must NEVER be materialized on the driver
-    val broadcastScans = plan.collect { case b: BroadcastExchangeExec => b }
-      .flatMap(_.collect { case s: FileSourceScanExec => s.relation.location.rootPaths.mkString })
-    assert(!broadcastScans.exists(_.contains("lineitem")),
-      s"lineitem must not be a broadcast build side:\n$plan")
+    // by size — but the big fact scan must NEVER be materialized on the driver.
+    // flatten() pierces the AQE QueryStageExec leaves; the scans MUST be
+    // visible or the assertion below is vacuous
+    val scans = broadcastScanPaths(df)
+    assert(scans.nonEmpty, s"no broadcast scans found — pin is vacuous:\n$planStr")
+    assert(!scans.exists(_.contains("lineitem")),
+      s"lineitem must not be a broadcast build side:\n$planStr")
   }
 
   test("h9 nation volume: pair-filtered supplier broadcasts; lineitem is never a build side") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val df = SparkEntry.queries("h9_nation_volume")(spark, "/root/testdata/sf0.001")
     df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    assert(plan.toString.contains("BroadcastHashJoin"),
-      s"the pair-filtered supplier/nation dims must broadcast:\n$plan")
-    val broadcastScans = plan.collect { case b: BroadcastExchangeExec => b }
-      .flatMap(_.collect { case s: FileSourceScanExec => s.relation.location.rootPaths.mkString })
-    assert(!broadcastScans.exists(_.contains("lineitem")),
-      s"lineitem must not be a broadcast build side:\n$plan")
-    // the ship-date predicate must reach the lineitem scan, not sit above a
-    // join — finished AQE subtrees are QueryStageExec LEAVES invisible to
-    // typed collect{}, so pin via the plan STRING
-    val liScanLines = plan.toString.linesIterator
+    val planStr = planOf(df)
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"the pair-filtered supplier/nation dims must broadcast:\n$planStr")
+    val scans = broadcastScanPaths(df)
+    assert(scans.nonEmpty, s"no broadcast scans found — pin is vacuous:\n$planStr")
+    assert(!scans.exists(_.contains("lineitem")),
+      s"lineitem must not be a broadcast build side:\n$planStr")
+    // the ship-date predicate must reach the lineitem scan, not sit above a join
+    val liScanLines = planStr.linesIterator
       .filter(l => l.contains("FileScan") && l.contains("lineitem")).toSeq
     assert(liScanLines.nonEmpty &&
       liScanLines.forall(_.contains("l_shipdate")),
-      s"ship-date filter must be pushed to the lineitem scan:\n$plan")
+      s"ship-date filter must be pushed to the lineitem scan:\n$planStr")
   }
 
   test("j13 PIT join: interval predicate rides the user_id equi-join, never a nested loop") {

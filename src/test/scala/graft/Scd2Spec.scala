@@ -45,9 +45,10 @@ class Scd2Spec extends SparkSpec {
     val merged = Scd2.merge(dim, feed.filter($"ts" >= cut),
       "user_id", "status", "ts", Seq("event_id"))
     val full = Scd2.history(feed, "user_id", "status", "ts", Seq("event_id"))
-    assert(merged.unionByName(full).distinct().count() === full.count(),
+    // exact multiset equality in both directions — union-distinct counting
+    // would pass a merge that duplicates one interval and loses another
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
       "merge must reproduce the from-scratch history exactly")
-    assert(merged.count() === full.count())
   }
 
   test("merge extends an open run when the batch repeats the current status") {
