@@ -47,6 +47,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Fail fast, loudly, and ONCE on testdata drift (stderr — stdout is the
+    // parsed JSON channel). r6 lost 54 queries to one silent dtype change.
+    Tables.probe(spark, sfDir).foreach { case (t, s) =>
+      System.err.println(s"[testdata-probe] $t: $s")
+    }
+
     warmup(spark, sfDir)
 
     // Optional comma-separated subset for local iteration, e.g.

@@ -3794,22 +3794,33 @@ object SparkEntry {
         |  FROM p
         |), pairs AS (
         |  SELECT a, b FROM j WHERE jaccard >= 0.35
-        |), deg AS (
+        |), deg0 AS (
         |  SELECT id, count(*) AS d
         |  FROM (SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs)
+        |  GROUP BY id
+        |), hubs AS (
+        |  SELECT id FROM deg0 WHERE d > 64
+        |), e AS (
+        |  SELECT a, b FROM pairs
+        |  WHERE a NOT IN (SELECT id FROM hubs) AND b NOT IN (SELECT id FROM hubs)
+        |), deg AS (
+        |  SELECT id, count(*) AS d
+        |  FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
         |  GROUP BY id
         |), w AS (
         |  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
         |), tr AS (
         |  SELECT count(*) AS n_triangles
-        |  FROM pairs p1 JOIN pairs p2 ON p1.b = p2.a
-        |  JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+        |  FROM e p1 JOIN e p2 ON p1.b = p2.a
+        |  JOIN e p3 ON p3.a = p1.a AND p3.b = p2.b
         |), ne AS (
-        |  SELECT count(*) AS n_edges FROM pairs
+        |  SELECT count(*) AS n_edges FROM e
+        |), nh AS (
+        |  SELECT count(*) AS n_hubs_excluded FROM hubs
         |)
-        |SELECT ne.n_edges, w.n_wedges, tr.n_triangles,
+        |SELECT ne.n_edges, w.n_wedges, tr.n_triangles, nh.n_hubs_excluded,
         |  round(CASE WHEN w.n_wedges > 0 THEN 3.0 * tr.n_triangles / w.n_wedges ELSE 0 END, 6) AS clustering
-        |FROM ne, w, tr""".stripMargin,
+        |FROM ne, w, tr, nh""".stripMargin,
 
     "g2_cluster_sizes" ->
       """WITH RECURSIVE n AS (

@@ -12,21 +12,48 @@ object Graph {
 
   /** Triangle census of an undirected pair graph given as `(a, b)` edges
     * with `a < b` — edge count, wedge count (open 2-paths, Σ d·(d−1)/2),
-    * triangle count, and the global clustering coefficient
-    * `3·triangles / wedges`. The standard structure probe for a near-dup
-    * graph: a high coefficient means duplication comes in dense clusters
-    * (template families), a low one means long chains (drifting revisions)
-    * — which changes whether keep-one-per-cluster is safe.
+    * triangle count, the count of excluded hub nodes, and the global
+    * clustering coefficient `3·triangles / wedges`. The standard structure
+    * probe for a near-dup graph: a high coefficient means duplication comes
+    * in dense clusters (template families), a low one means long chains
+    * (drifting revisions) — which changes whether keep-one-per-cluster is
+    * safe.
     *
     * Scale: the triangle join is edges⋈edges on a node key then a semi-join
     * back on the closing edge — cost is Σ deg(v)² path rows, the standard
     * distributed triangle enumeration (no per-node adjacency materialized
-    * on any single executor). All counts integer; the one float (the
-    * coefficient) derives from two exact integers.
+    * on any single executor). Σ deg² is unbounded under skew: ONE hub node
+    * (a boilerplate template with 10⁶ members in a 100× near-dup graph)
+    * yields 10¹² path rows. So, same discipline as LSH `maxBucket`: nodes
+    * with degree > `maxDegree` are EXCLUDED from the census (all their
+    * edges dropped, `n_hubs_excluded` reports how many nodes) — the census
+    * is over the degree-bounded subgraph, and path rows are provably
+    * ≤ |E'|·maxDegree. A dense cluster a hub anchors is template-family
+    * duplication, which the LSH bucket caps upstream already bound —
+    * census-ing its quadratic interior adds no curation signal.
+    * All counts integer; the one float (the coefficient) derives from two
+    * exact integers.
     */
-  def triangleStats(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("a"), col("b"))
+  def triangleStats(pairs: DataFrame, maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1: $maxDegree")
+    val e0 = pairs.select(col("a"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg0 = e0.select(col("a").as("id")).unionAll(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // |hubs| ≤ 2|E|/maxDegree — small for any sane cap, but NOT broadcast-
+    // hinted: at 10¹² edges it can still exceed driver memory, and a
+    // shuffled anti-join on the node id is safe at every scale (AQE
+    // broadcasts it when it is in fact small).
+    val hubs = deg0.filter(col("d") > maxDegree).select("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHubs = hubs.agg(count(lit(1)).as("n_hubs_excluded"))
+    val e = e0
+      .join(hubs.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+      .join(hubs.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // degrees RE-derived on the bounded subgraph, so wedges/triangles/
+    // clustering describe one consistent graph
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val wedges = deg.agg(expr("sum(d * (d - 1) div 2)").as("n_wedges"))
@@ -39,6 +66,7 @@ object Graph {
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wedges)
       .crossJoin(tris)
+      .crossJoin(nHubs)
       .withColumn("clustering",
         round(when(col("n_wedges") > 0,
           lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(0.0), 6))

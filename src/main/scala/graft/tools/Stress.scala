@@ -180,6 +180,28 @@ object Stress {
       println(s"""{"op":"g1_pagerank","scale":$k,"n_docs":$n,"edges":$nEdges,"sec":${num(tPr)},"out_rows":$rowsPr}""")
       println(s"""{"op":"g3_triangles","scale":$k,"n_docs":$n,"edges":$nEdges,"sec":${num(tTri)},"triangles":$nTri}""")
 
+      // g3-hub: the degree cap under adversarial skew — one hub of degree
+      // 5000·k (the "boilerplate template with 10⁶ members" shape) glued to
+      // a 20-node mesh. Uncapped, the path join is Σdeg² ≈ (5000k)² rows;
+      // with maxDegree=64 the hub is excluded and cost must stay FLAT in k
+      // (the census runs on the 190-edge mesh: path rows ≤ |E'|·cap).
+      val hubDeg = 5000L * k
+      val meshIds = spark.range(1, 21)
+      val hubPairs = spark.range(1, hubDeg + 1)
+        .select(lit(0L).as("a"), col("id").as("b"))
+        .unionByName(meshIds.select(col("id").as("a"))
+          .crossJoin(meshIds.select(col("id").as("b")))
+          .filter(col("a") < col("b")))
+        .cache()
+      hubPairs.count()
+      var hubRow: org.apache.spark.sql.Row = null
+      val (tHub, _) = time {
+        hubRow = graft.graph.Graph.triangleStats(hubPairs, maxDegree = 64).collect()(0)
+        hubRow.getLong(0)
+      }
+      hubPairs.unpersist()
+      println(s"""{"op":"g3_hub_capped","scale":$k,"hub_degree":$hubDeg,"sec":${num(tHub)},"edges_kept":${hubRow.getLong(0)},"hubs_excluded":${hubRow.getLong(3)},"triangles":${hubRow.getLong(2)}}""")
+
       // d13: incremental screening — the BATCH is held fixed (10% of the
       // ×1 corpus, novel ids, unchanged text → exact hits against the
       // embedded ×1 copy) while the history grows with the scale. Cost

@@ -27,7 +27,28 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(0) === 4L, "edges")
     assert(r.getLong(1) === 5L, "wedges")
     assert(r.getLong(2) === 1L, "triangles")
-    assert(r.getDouble(3) === 0.6, "clustering coefficient")
+    assert(r.getLong(3) === 0L, "no hubs excluded")
+    assert(r.getDouble(4) === 0.6, "clustering coefficient")
+  }
+
+  test("triangleStats: hub nodes above maxDegree are excluded from the census") {
+    // star center 0 → 1..100 (deg 100) plus triangle 1-2-3. With the cap at
+    // 64 the center is dropped and the census sees ONLY the triangle:
+    // 3 edges, 3 wedges, 1 triangle, clustering 1.0, one hub reported.
+    val star = (1L to 100L).map(i => (0L, i))
+    val pairs = (star ++ Seq((1L, 2L), (2L, 3L), (1L, 3L))).toDF("a", "b")
+    val r = Graph.triangleStats(pairs, maxDegree = 64).collect()(0)
+    assert(r.getLong(0) === 3L, "edges after hub exclusion")
+    assert(r.getLong(1) === 3L, "wedges on the bounded subgraph")
+    assert(r.getLong(2) === 1L, "triangles")
+    assert(r.getLong(3) === 1L, "the star center is the one excluded hub")
+    assert(r.getDouble(4) === 1.0, "clustering of a bare triangle")
+    // and with a cap the star clears, nothing is excluded: star wedges
+    // = C(100,2) = 4950 plus the triangle's nodes (1,2,3 now deg 3 → 3 each)
+    val r2 = Graph.triangleStats(pairs, maxDegree = 1000).collect()(0)
+    assert(r2.getLong(0) === 103L)
+    assert(r2.getLong(3) === 0L)
+    assert(r2.getLong(1) === 4950L + 9L, "wedges with the hub kept")
   }
 
   test("pagerank: symmetric components get symmetric ranks; mass stays near n") {
