@@ -150,6 +150,32 @@ object SparkEntry {
       } finally java.nio.file.Files.delete(tmp)
     }),
 
+    // S1/S2 binary path, complex packing: same first-principles oracle as
+    // s3 but the message is DRT 5.3 (complex packing + order-2 spatial
+    // differencing — what real CAMS/ECMWF production files use). The
+    // integer field packs with E=0 so group unpacking, descriptor
+    // sign-magnitude reads, and the difference integration are all
+    // value-EXACT against DuckDB's replay of the generating formula.
+    "s4_grib2_complex" -> ((s, _) => {
+      import java.time.LocalDateTime
+      import graft.sources.{Grib, Grib2}
+      val grid = Grib2.GridSpec(ni = 50, nj = 20, lat1Deg = 65.0,
+        lon1Deg = 350.0, dLatDeg = 0.5, dLonDeg = 0.5)
+      val values = Array.tabulate(grid.numPoints)(i => ((i * 53 + 7) % 2048).toDouble)
+      val bytes = Grib2.encodeComplex(Grib2.Meteo(0, 0), grid,
+        LocalDateTime.of(2026, 1, 2, 0, 0), 12, values, nbits = 11, order = 2)
+      val df = Grib.toDataFrame(s, Grib2.EcmwfGrib2Reader.openBytes(bytes).toSeq)
+      df.groupBy(col("variable"), col("unit"), col("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 3).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          min(col("lat")).cast("double").as("min_lat"),
+          max(col("lat")).cast("double").as("max_lat"),
+          min(col("lon")).cast("double").as("min_lon"),
+          max(col("lon")).cast("double").as("max_lon"))
+    }),
+
     // S1/S2 + F1 + J2 + F5 + C2 + C3 — full synthetic-GRIB ECMWF pipeline:
     // distributed meshgrid → Europe clip → pivot pairing → Magnus → per-
     // timestamp validation aggregates (A5 shape) + grid-regularity check.
@@ -2622,6 +2648,27 @@ object SparkEntry {
         |)
         |SELECT 'pm2p5' AS variable, 'kg m-3' AS unit,
         |       TIMESTAMP '2026-01-01 06:00:00' AS timestamp,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       min(lat) AS min_lat, max(lat) AS max_lat,
+        |       min(lon) AS min_lon, max(lon) AS max_lon
+        |FROM f""".stripMargin,
+
+    // s4: complex packing (5.3) decode replayed from the generating
+    // formula — grid 50x20 from (65N, 350E) at 0.5 deg; lon normalizes to
+    // [-10, 14.5]. E=0 integer packing makes every stage exact.
+    "s4_grib2_complex" ->
+      """WITH idx AS (
+        |  SELECT unnest(range(0, 1000)) AS i
+        |), f AS (
+        |  SELECT CAST((i * 53 + 7) % 2048 AS DOUBLE) AS value,
+        |         CAST(65.0 - (i // 50) * 0.5 AS DOUBLE) AS lat,
+        |         CAST(350.0 + (i % 50) * 0.5 - 360.0 AS DOUBLE) AS lon
+        |  FROM idx
+        |)
+        |SELECT 'temperature' AS variable, 'K' AS unit,
+        |       TIMESTAMP '2026-01-02 12:00:00' AS timestamp,
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
         |       min(value) AS min_value, max(value) AS max_value,

@@ -17,13 +17,24 @@ import scala.collection.mutable.ArrayBuffer
   *    CAMS `constituentType` 40008 pm10 / 40009 pm2p5)
   *  - Data Representation Template 5.0 — simple packing
   *    `value = (R + X·2^E) / 10^D`, no bitmap (section 6 indicator 255)
+  *  - Data Representation Template 5.2 — complex packing (general group
+  *    splitting: per-group reference + width, bit-packed group ref/width/
+  *    length arrays each padded to whole octets)
+  *  - Data Representation Template 5.3 — complex packing with spatial
+  *    differencing (order 1 or 2): the scaled integers are differenced,
+  *    the overall minimum of the differences and the initial value(s) ride
+  *    in section 7 as sign-magnitude extra descriptors, and the residual
+  *    field group-packs far tighter on smooth fields. Real CAMS/ECMWF
+  *    production files predominantly use 5.2/5.3 (the reference decodes
+  *    them via ecCodes — `grib2/reader.py:36-37`).
   *
-  * Both directions are implemented: `encode` produces spec-conformant
-  * binary messages (the test-fixture generator — this environment has no
-  * ecCodes to produce files), `decode` parses any message within the
-  * template subset above. Grib2Spec round-trips through both and pins the
-  * reference's documented prime-meridian longitude bug (grids spanning
-  * 335°E→45°E must yield longitudes in [-25°, 45°), not [-335°, 45°)).
+  * Both directions are implemented: `encode`/`encodeComplex` produce
+  * spec-conformant binary messages (the test-fixture generator — this
+  * environment has no ecCodes to produce files), `decode` parses any
+  * message within the template subset above. Grib2Spec round-trips through
+  * both and pins the reference's documented prime-meridian longitude bug
+  * (grids spanning 335°E→45°E must yield longitudes in [-25°, 45°), not
+  * [-335°, 45°)).
   *
   * Binary conventions (GRIB2 §92.1): big-endian octets, sign-magnitude
   * negatives (high bit = sign) for scale factors and coordinates, bit
@@ -216,6 +227,206 @@ object Grib2 {
     w.buf.toArray
   }
 
+  /** Bits needed to represent non-negative `v` (0 → 0 bits). */
+  private def bitsFor(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  /** A bit sink that packs values MSB-first and can pad to octet edges. */
+  private final class BitWriter(w: Writer) {
+    private var acc = 0L
+    private var accBits = 0
+    def put(v: Long, nbits: Int): Unit = {
+      require(nbits >= 0 && nbits <= 32, s"field width out of [0,32]: $nbits")
+      if (nbits == 0) return
+      acc = (acc << nbits) | (v & ((1L << nbits) - 1))
+      accBits += nbits
+      while (accBits >= 8) { accBits -= 8; w.u8(((acc >>> accBits) & 0xff).toInt) }
+    }
+    def align(): Unit =
+      if (accBits > 0) { w.u8(((acc << (8 - accBits)) & 0xff).toInt); accBits = 0; acc = 0L }
+  }
+
+  /** Encode one message with complex packing: DRT 5.2 (`order = 0`) or 5.3
+    * with spatial differencing (`order` 1 or 2). Same quantization as
+    * [[encode]] — `x = round((v − R)/2^E)` with E sized for `nbits` — so a
+    * field that is value-exact under simple packing is value-exact here
+    * too. General group splitting with fixed `groupLen` runs (the split is
+    * encoder's choice under the spec; decoders honor whatever the group
+    * length array says).
+    */
+  def encodeComplex(product: Product, grid: GridSpec, refTime: LocalDateTime,
+      forecastHours: Int, values: Array[Double], nbits: Int = 16,
+      order: Int = 2, groupLen: Int = 32): Array[Byte] = {
+    require(values.length == grid.numPoints,
+      s"${values.length} values for ${grid.numPoints}-point grid")
+    require(nbits >= 1 && nbits <= 31, s"nbits out of (0,31]: $nbits")
+    require(order >= 0 && order <= 2, s"spatial differencing order out of [0,2]: $order")
+    require(groupLen >= 1, s"groupLen must be positive: $groupLen")
+    require(values.length > order, s"need more than $order points for order-$order differencing")
+    val n = values.length
+
+    // quantize exactly as simple packing does
+    val (rRef, e) = packingParams(values, nbits)
+    val scale = math.pow(2.0, -e)
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < n) { x(i) = Math.round((values(i) - rRef.toDouble) * scale); i += 1 }
+
+    // spatial differencing on the scaled integers (template 7.3 note 1):
+    // h_i = x_i − x_{i−1} (order 1) or x_i − 2x_{i−1} + x_{i−2} (order 2);
+    // the first `order` initial values and the overall minimum of the
+    // differences travel as section-7 extra descriptors, and the packed
+    // field is h − min (first `order` slots zeroed — the decoder overwrites
+    // them with the initial values).
+    val ivals = (0 until order).map(x(_)).toArray
+    val p = new Array[Long](n)
+    var gmin = 0L
+    if (order > 0) {
+      i = order
+      var mn = Long.MaxValue
+      while (i < n) {
+        p(i) = if (order == 1) x(i) - x(i - 1) else x(i) - 2 * x(i - 1) + x(i - 2)
+        if (p(i) < mn) mn = p(i)
+        i += 1
+      }
+      gmin = mn
+      i = order
+      while (i < n) { p(i) -= gmin; i += 1 }
+    } else System.arraycopy(x, 0, p, 0, n)
+
+    // group split: fixed-length runs, last group ragged
+    val ng = (n + groupLen - 1) / groupLen
+    val grpRef = new Array[Long](ng)
+    val grpWidth = new Array[Int](ng)
+    val grpLen = new Array[Int](ng)
+    var g = 0
+    while (g < ng) {
+      val from = g * groupLen
+      val until = math.min(from + groupLen, n)
+      grpLen(g) = until - from
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      i = from
+      while (i < until) { val v = p(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      grpRef(g) = mn
+      grpWidth(g) = bitsFor(mx - mn)
+      g += 1
+    }
+    val refBits = math.max(1, grpRef.map(bitsFor).max)
+    val widthRef = grpWidth.min
+    val widthBits = bitsFor((grpWidth.max - widthRef).toLong)
+    val lenRef = grpLen.min
+    val lenBits = bitsFor((grpLen.max - lenRef).toLong)
+    val lastLen = grpLen(ng - 1)
+
+    val w = new Writer
+
+    // Section 1 — identification (same as simple packing)
+    val s1 = new Writer
+    s1.u32(21); s1.u8(1)
+    s1.u16(98); s1.u16(0); s1.u8(2); s1.u8(1); s1.u8(1)
+    s1.u16(refTime.getYear); s1.u8(refTime.getMonthValue); s1.u8(refTime.getDayOfMonth)
+    s1.u8(refTime.getHour); s1.u8(refTime.getMinute); s1.u8(refTime.getSecond)
+    s1.u8(0); s1.u8(1)
+
+    // Section 3 — grid definition, template 3.0 (identical to encode)
+    val s3 = new Writer
+    s3.u32(72); s3.u8(3)
+    s3.u8(0); s3.u32(grid.numPoints); s3.u8(0); s3.u8(0); s3.u16(0)
+    s3.u8(6); s3.u8(0xff); s3.u32(0xffffffffL)
+    s3.u8(0xff); s3.u32(0xffffffffL); s3.u8(0xff); s3.u32(0xffffffffL)
+    s3.u32(grid.ni); s3.u32(grid.nj)
+    s3.u32(0); s3.u32(0xffffffffL)
+    s3.sm32(microDeg(grid.lat1Deg))
+    s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
+    s3.u8(0x30)
+    s3.sm32(microDeg(grid.lat2Deg))
+    s3.u32(microDeg(((grid.lon2Deg % 360.0) + 360.0) % 360.0))
+    s3.u32(microDeg(grid.dLonDeg)); s3.u32(microDeg(grid.dLatDeg))
+    s3.u8(0x00)
+
+    // Section 4 — product definition (identical to encode)
+    val s4 = new Writer
+    val (templateNo, cat, num, constituent) = product match {
+      case Meteo(c, nn)  => (0, c, nn, None)
+      case Chemical(ct)  => (40, 20, 0, Some(ct))
+    }
+    s4.u32(if (constituent.isEmpty) 34 else 36); s4.u8(4)
+    s4.u16(0); s4.u16(templateNo)
+    s4.u8(cat); s4.u8(num)
+    constituent.foreach(s4.u16)
+    s4.u8(2); s4.u8(255); s4.u8(255)
+    s4.u16(0); s4.u8(0); s4.u8(1)
+    s4.u32(forecastHours)
+    s4.u8(103); s4.u8(0); s4.u32(2)
+    s4.u8(255); s4.u8(0xff); s4.u32(0xffffffffL)
+
+    // Section 5 — DRT 5.2 (47 octets) / 5.3 (49 octets)
+    val extraOctets = 4 // sign-magnitude width of ival/gmin descriptors
+    val s5 = new Writer
+    s5.u32(if (order == 0) 47 else 49); s5.u8(5)
+    s5.u32(n)
+    s5.u16(if (order == 0) 2 else 3)
+    s5.f32(rRef)
+    s5.sm16(e)
+    s5.sm16(0)       // decimal scale D = 0
+    s5.u8(refBits)   // bits per group reference value
+    s5.u8(0)         // original values: floating point
+    s5.u8(1)         // group splitting: general
+    s5.u8(0)         // missing value management: none
+    s5.u32(0); s5.u32(0) // primary/secondary missing substitutes: unused
+    s5.u32(ng)
+    s5.u8(widthRef); s5.u8(widthBits)
+    s5.u32(lenRef); s5.u8(1) // length increment 1
+    s5.u32(lastLen)
+    s5.u8(lenBits)
+    if (order > 0) { s5.u8(order); s5.u8(extraOctets) }
+
+    // Section 6 — bitmap: none
+    val s6 = new Writer
+    s6.u32(6); s6.u8(6); s6.u8(255)
+
+    // Section 7 — extra descriptors (5.3), then the four bit-packed arrays,
+    // each padded to a whole octet (the layout every public implementation
+    // emits)
+    val s7body = new Writer
+    def smN(v: Long): Unit = {
+      val mag = math.abs(v)
+      require(bitsFor(mag) <= extraOctets * 8 - 1, s"descriptor overflows $extraOctets octets: $v")
+      val bits = (if (v < 0) 1L << (extraOctets * 8 - 1) else 0L) | mag
+      var sh = (extraOctets - 1) * 8
+      while (sh >= 0) { s7body.u8(((bits >>> sh) & 0xff).toInt); sh -= 8 }
+    }
+    if (order > 0) { ivals.foreach(smN); smN(gmin) }
+    val bw = new BitWriter(s7body)
+    grpRef.foreach(bw.put(_, refBits)); bw.align()
+    grpWidth.foreach(wd => bw.put((wd - widthRef).toLong, widthBits)); bw.align()
+    grpLen.foreach(l => bw.put((l - lenRef).toLong, lenBits)); bw.align()
+    g = 0
+    while (g < ng) {
+      val from = g * groupLen
+      val until = from + grpLen(g)
+      i = from
+      while (i < until) { bw.put(p(i) - grpRef(g), grpWidth(g)); i += 1 }
+      g += 1
+    }
+    bw.align()
+    val s7 = new Writer
+    s7.u32(5 + s7body.buf.length); s7.u8(7)
+    s7.buf ++= s7body.buf
+
+    val bodyLen = s1.buf.length + s3.buf.length + s4.buf.length +
+      s5.buf.length + s6.buf.length + s7.buf.length
+    w.buf ++= "GRIB".getBytes("ASCII")
+    w.u16(0xffff)
+    w.u8(0) // discipline: meteorological
+    w.u8(2)
+    w.u64(16L + bodyLen + 4L)
+    w.buf ++= s1.buf; w.buf ++= s3.buf; w.buf ++= s4.buf
+    w.buf ++= s5.buf; w.buf ++= s6.buf; w.buf ++= s7.buf
+    w.buf ++= "7777".getBytes("ASCII")
+    w.buf.toArray
+  }
+
   // ── decoding ───────────────────────────────────────────────────────────
 
   private final class Reader(bytes: Array[Byte], var pos: Int) {
@@ -231,6 +442,90 @@ object Grib2 {
 
   private def fail(msg: String): Nothing =
     throw new java.io.IOException(s"GRIB2 decode: $msg")
+
+  /** MSB-first bit stream reader with octet realignment between arrays. */
+  private final class BitReader(bytes: Array[Byte], var bytePos: Int) {
+    private var acc = 0L
+    private var accBits = 0
+    def get(nbits: Int): Long = {
+      if (nbits == 0) return 0L
+      while (accBits < nbits) {
+        acc = (acc << 8) | (bytes(bytePos) & 0xffL); bytePos += 1; accBits += 8
+      }
+      val v = (acc >>> (accBits - nbits)) & ((1L << nbits) - 1)
+      accBits -= nbits
+      v
+    }
+    def align(): Unit = { acc = 0L; accBits = 0 }
+  }
+
+  /** Section-7 payload of DRT 5.2/5.3: optional spatial-differencing
+    * descriptors, then the octet-aligned group reference / width / length
+    * arrays, then the per-group packed residuals.
+    */
+  private def unpackComplex(bytes: Array[Byte], dataPos: Int, numValues: Int,
+      rRef: Float, eScale: Int, dScale: Int, refBits: Int, ng: Int,
+      widthRef: Int, widthBits: Int, lenRef: Int, lenInc: Int, lastLen: Int,
+      lenBits: Int, sdOrder: Int, sdOctets: Int): Array[Double] = {
+    if (ng <= 0) fail(s"complex packing with $ng groups")
+    var pos = dataPos
+    // sign-magnitude big-endian extra descriptors: `sdOrder` initial values
+    // then the overall minimum of the differenced field
+    val descriptors = new Array[Long](if (sdOrder > 0) sdOrder + 1 else 0)
+    var d = 0
+    while (d < descriptors.length) {
+      var raw = 0L
+      var k = 0
+      while (k < sdOctets) { raw = (raw << 8) | (bytes(pos) & 0xffL); pos += 1; k += 1 }
+      val signBit = 1L << (sdOctets * 8 - 1)
+      descriptors(d) = if ((raw & signBit) != 0) -(raw & (signBit - 1)) else raw
+      d += 1
+    }
+    val br = new BitReader(bytes, pos)
+    val grpRef = Array.fill(ng)(br.get(refBits)); br.align()
+    val grpWidth = Array.fill(ng)(widthRef + br.get(widthBits).toInt); br.align()
+    val grpLen = Array.fill(ng)(lenRef + br.get(lenBits).toInt * lenInc); br.align()
+    grpLen(ng - 1) = lastLen
+    val total = grpLen.map(_.toLong).sum
+    if (total != numValues) fail(s"group lengths sum to $total, expected $numValues")
+
+    val x = new Array[Long](numValues)
+    var i = 0
+    var g = 0
+    while (g < ng) {
+      val w = grpWidth(g)
+      if (w < 0 || w > 32) fail(s"group width out of range: $w")
+      val ref = grpRef(g)
+      var j = 0
+      while (j < grpLen(g)) { x(i) = ref + br.get(w); i += 1; j += 1 }
+      g += 1
+    }
+
+    if (sdOrder > 0) {
+      if (numValues <= sdOrder) fail(s"$numValues points with order-$sdOrder differencing")
+      val gmin = descriptors(sdOrder)
+      i = sdOrder
+      while (i < numValues) { x(i) += gmin; i += 1 }
+      // overwrite the placeholder slots with the transported initial values,
+      // then integrate the differences back to the field
+      var o = 0
+      while (o < sdOrder) { x(o) = descriptors(o); o += 1 }
+      if (sdOrder == 1) {
+        i = 1
+        while (i < numValues) { x(i) += x(i - 1); i += 1 }
+      } else {
+        i = 2
+        while (i < numValues) { x(i) += 2 * x(i - 1) - x(i - 2); i += 1 }
+      }
+    }
+
+    val mul = math.pow(2.0, eScale)
+    val div = math.pow(10.0, dScale)
+    val out = new Array[Double](numValues)
+    i = 0
+    while (i < numValues) { out(i) = (rRef.toDouble + x(i) * mul) / div; i += 1 }
+    out
+  }
 
   /** Decode every message in the byte array (GRIB files concatenate
     * messages back to back).
@@ -268,6 +563,12 @@ object Grib2 {
     var numValues = 0
     var values: Array[Double] = null
     var bitmapIndicator = 255
+    // complex packing (DRT 5.2/5.3) state
+    var drTemplate = 0
+    var ng = 0
+    var widthRef = 0; var widthBits = 0
+    var lenRef = 0; var lenInc = 0; var lastLen = 0; var lenBits = 0
+    var sdOrder = 0; var sdOctets = 0
 
     var pos = msgOff + 16
     val end = msgOff + totalLen.toInt - 4 // trailing "7777"
@@ -329,16 +630,41 @@ object Grib2 {
         case 5 =>
           numValues = r.u32().toInt
           val template = r.u16()
-          if (template != 0) fail(s"unsupported data representation 5.$template")
+          if (template != 0 && template != 2 && template != 3)
+            fail(s"unsupported data representation 5.$template")
+          drTemplate = template
           rRef = r.f32()
           eScale = r.sm16()
           dScale = r.sm16()
           nbits = r.u8()
+          if (template == 2 || template == 3) {
+            r.skip(1) // type of original field values
+            val splitting = r.u8()
+            if (splitting != 1) fail(s"unsupported group splitting method $splitting")
+            val missingMgmt = r.u8()
+            if (missingMgmt != 0) fail(s"missing-value management not supported ($missingMgmt)")
+            r.skip(8) // primary/secondary missing substitutes
+            ng = r.u32().toInt
+            widthRef = r.u8(); widthBits = r.u8()
+            lenRef = r.u32().toInt; lenInc = r.u8()
+            lastLen = r.u32().toInt
+            lenBits = r.u8()
+            if (template == 3) {
+              sdOrder = r.u8()
+              if (sdOrder < 1 || sdOrder > 2) fail(s"unsupported spatial differencing order $sdOrder")
+              sdOctets = r.u8()
+              if (sdOctets < 1 || sdOctets > 8) fail(s"bad descriptor octet count $sdOctets")
+            }
+          }
         case 6 =>
           bitmapIndicator = r.u8()
           if (bitmapIndicator != 255) fail(s"bitmaps not supported (indicator $bitmapIndicator)")
         case 7 =>
-          if (nbits == 0) {
+          if (drTemplate == 2 || drTemplate == 3) {
+            values = unpackComplex(bytes, r.pos, numValues, rRef, eScale, dScale,
+              nbits, ng, widthRef, widthBits, lenRef, lenInc, lastLen, lenBits,
+              sdOrder, sdOctets)
+          } else if (nbits == 0) {
             values = Array.fill(numValues)(rRef.toDouble / math.pow(10.0, dScale))
           } else {
             val mul = math.pow(2.0, eScale)

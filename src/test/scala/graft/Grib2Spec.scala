@@ -72,6 +72,74 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("complex packing 5.2: round-trip decodes to the SAME values as simple packing") {
+    // identical quantization (same R, E) means complex-packed decode must be
+    // bit-identical to simple-packed decode, not just within a quantum
+    val grid = GridSpec(ni = 40, nj = 30, lat1Deg = 72.0, lon1Deg = 335.0,
+      dLatDeg = 0.5, dLonDeg = 0.5)
+    val values = field(grid, 250.0, 40.0)
+    val simple = Grib2.decode(Grib2.encode(Meteo(0, 0), grid, refTime, 12, values)).head
+    val complex = Grib2.decode(Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 12,
+      values, order = 0)).head
+    assert(complex.product === Meteo(0, 0) && complex.forecastHours === 12)
+    assert(simple.values.sameElements(complex.values), "5.2 decode != 5.0 decode")
+  }
+
+  test("complex packing 5.3: spatial differencing orders 1 and 2 round-trip exactly") {
+    val grid = GridSpec(ni = 50, nj = 20, lat1Deg = 60.0, lon1Deg = 350.0,
+      dLatDeg = 0.25, dLonDeg = 0.25)
+    val values = field(grid, 250.0, 40.0)
+    val simple = Grib2.decode(Grib2.encode(Meteo(0, 6), grid, refTime, 6, values)).head
+    Seq(1, 2).foreach { order =>
+      val complex = Grib2.decode(Grib2.encodeComplex(Meteo(0, 6), grid, refTime, 6,
+        values, order = order)).head
+      assert(simple.values.sameElements(complex.values), s"5.3 order-$order decode diverged")
+    }
+  }
+
+  test("complex packing 5.3: smooth fields pack smaller than simple packing") {
+    // the point of spatial differencing: a smooth field's residuals need far
+    // fewer bits per point than the raw 16-bit simple packing
+    val grid = GridSpec(ni = 100, nj = 50, lat1Deg = 72.0, lon1Deg = 335.0,
+      dLatDeg = 0.25, dLonDeg = 0.25)
+    val values = field(grid, 250.0, 40.0) // sinusoidal — smooth
+    val simpleLen = Grib2.encode(Meteo(0, 0), grid, refTime, 0, values).length
+    val complexLen = Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 0,
+      values, order = 2).length
+    assert(complexLen < simpleLen,
+      s"order-2 packing ($complexLen B) should beat simple packing ($simpleLen B)")
+  }
+
+  test("complex packing: ragged last group, constant field, and negative values") {
+    // 7 points with groupLen 3 → groups of 3/3/1 exercise the true-last-length path
+    val grid = GridSpec(7, 1, 50.0, 0.0, 1.0, 1.0)
+    val ragged = Array(-5.0, -3.0, 0.0, 4.0, 9.0, 2.0, -1.0)
+    Seq(0, 1, 2).foreach { order =>
+      val d = Grib2.decode(Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 0,
+        ragged, order = order, groupLen = 3)).head
+      // integer-valued field with E=0 decodes exactly
+      assert(d.values.toSeq === ragged.toSeq, s"ragged order-$order")
+    }
+    val const = Array.fill(7)(3.25)
+    val d2 = Grib2.decode(Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 0,
+      const, order = 2, groupLen = 3)).head
+    d2.values.foreach(v => assert(math.abs(v - 3.25) < 1e-6, s"constant field: $v"))
+  }
+
+  test("complex packing feeds the adapters like any other message") {
+    val grid = GridSpec(20, 10, 60.0, 350.0, 0.1, 0.1)
+    val values = field(grid, 5e-9, 4e-9)
+    val bytes = Grib2.encodeComplex(Chemical(40008), grid, refTime, 24, values,
+      nbits = 24, order = 2)
+    val msgs = Grib2.CamsGrib2Reader.openBytes(bytes).toSeq
+    assert(msgs.length === 1)
+    assert(msgs.head.variableName === "pm10" && msgs.head.unit === "kg m-3")
+    val quantum = (values.max - values.min) / ((1 << 24) - 1)
+    values.zip(msgs.head.values).foreach { case (v, got) =>
+      assert(math.abs(v - got) <= quantum + 1e-24)
+    }
+  }
+
   test("multi-message file: messages decode in order with their own metadata") {
     val grid = GridSpec(8, 6, 55.0, 10.0, 1.0, 1.0)
     val bytes =
