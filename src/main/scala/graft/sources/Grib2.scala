@@ -27,6 +27,10 @@ import scala.collection.mutable.ArrayBuffer
   *    field group-packs far tighter on smooth fields. Real CAMS/ECMWF
   *    production files predominantly use 5.2/5.3 (the reference decodes
   *    them via ecCodes — `grib2/reader.py:36-37`).
+  *  - Section-6 bitmaps (indicator 0): missing grid points decode as NaN
+  *    (sea-masked land fields and friends); packing covers present points
+  *    only, and the adapters drop missing points into the irregular-points
+  *    form the reference's clip fallback models (`defs/assets.py:59-70`).
   *
   * Both directions are implemented: `encode`/`encodeComplex` produce
   * spec-conformant binary messages (the test-fixture generator — this
@@ -72,6 +76,13 @@ object Grib2 {
       Timestamp.from(refTime.plusHours(forecastHours.toLong).toInstant(ZoneOffset.UTC))
   }
 
+  /** Missing grid points (section-6 bitmap zeros) decode as NaN; encoders
+    * treat NaN inputs as missing and emit a bitmap. The adapters DROP
+    * missing points (the irregular-points form the reference's clip
+    * fallback already models — `defs/assets.py:59-70`).
+    */
+  def isMissing(v: Double): Boolean = java.lang.Double.isNaN(v)
+
   // ── encoding ───────────────────────────────────────────────────────────
 
   private final class Writer {
@@ -113,14 +124,38 @@ object Grib2 {
     (r, e)
   }
 
+  /** Section 6 for a value field: indicator 255 (no bitmap) when every
+    * point is present, else indicator 0 with one MSB-first bit per grid
+    * point (1 = present).
+    */
+  private def bitmapSection(values: Array[Double]): Writer = {
+    val s6 = new Writer
+    if (!values.exists(isMissing)) { s6.u32(6); s6.u8(6); s6.u8(255) }
+    else {
+      s6.u32(6 + (values.length + 7) / 8); s6.u8(6); s6.u8(0)
+      var acc = 0
+      var accBits = 0
+      values.foreach { v =>
+        acc = (acc << 1) | (if (isMissing(v)) 0 else 1)
+        accBits += 1
+        if (accBits == 8) { s6.u8(acc); acc = 0; accBits = 0 }
+      }
+      if (accBits > 0) s6.u8(acc << (8 - accBits))
+    }
+    s6
+  }
+
   /** Encode one message. `values` are row-major (lat rows north→south, lon
-    * west→east within a row), `grid.numPoints` long.
+    * west→east within a row), `grid.numPoints` long; NaN marks a missing
+    * point and switches on the section-6 bitmap.
     */
   def encode(product: Product, grid: GridSpec, refTime: LocalDateTime,
       forecastHours: Int, values: Array[Double], nbits: Int = 16): Array[Byte] = {
     require(values.length == grid.numPoints,
       s"${values.length} values for ${grid.numPoints}-point grid")
     require(nbits >= 1 && nbits <= 32, s"nbits out of (0,32]: $nbits")
+    val present = values.filter(v => !isMissing(v))
+    require(present.nonEmpty, "every grid point is missing")
     val discipline = 0 // meteorological products (incl. chemical constituents)
 
     val w = new Writer
@@ -178,11 +213,12 @@ object Grib2 {
     s4.u8(103); s4.u8(0); s4.u32(2) // first surface: 2 m above ground
     s4.u8(255); s4.u8(0xff); s4.u32(0xffffffffL) // second surface: missing
 
-    // Section 5 — data representation, template 5.0 (simple packing)
-    val (r, e) = packingParams(values, nbits)
+    // Section 5 — data representation, template 5.0 (simple packing);
+    // counts and packing parameters cover PRESENT points only
+    val (r, e) = packingParams(present, nbits)
     val s5 = new Writer
     s5.u32(21); s5.u8(5)
-    s5.u32(values.length)
+    s5.u32(present.length)
     s5.u16(0) // template 5.0
     s5.f32(r)
     s5.sm16(e)
@@ -190,18 +226,17 @@ object Grib2 {
     s5.u8(nbits)
     s5.u8(0) // values are floating-point
 
-    // Section 6 — bitmap: none
-    val s6 = new Writer
-    s6.u32(6); s6.u8(6); s6.u8(255)
+    // Section 6 — bitmap (255 when nothing is missing)
+    val s6 = bitmapSection(values)
 
     // Section 7 — packed data, MSB-first bit stream
-    val dataBytes = (values.length.toLong * nbits + 7) / 8
+    val dataBytes = (present.length.toLong * nbits + 7) / 8
     val s7 = new Writer
     s7.u32(5 + dataBytes); s7.u8(7)
     val scale = math.pow(2.0, -e)
     var acc = 0L
     var accBits = 0
-    values.foreach { v =>
+    present.foreach { v =>
       val x = Math.round((v - r.toDouble) * scale)
       require(x >= 0 && (nbits == 32 || x < (1L << nbits)), s"packed value out of range: $x")
       acc = (acc << nbits) | x
@@ -261,15 +296,18 @@ object Grib2 {
     require(nbits >= 1 && nbits <= 31, s"nbits out of (0,31]: $nbits")
     require(order >= 0 && order <= 2, s"spatial differencing order out of [0,2]: $order")
     require(groupLen >= 1, s"groupLen must be positive: $groupLen")
-    require(values.length > order, s"need more than $order points for order-$order differencing")
-    val n = values.length
+    // with a bitmap, packing (and spatial differencing) runs over the
+    // present-point SEQUENCE — section 7 carries present points only
+    val present = values.filter(v => !isMissing(v))
+    require(present.length > order, s"need more than $order present points for order-$order differencing")
+    val n = present.length
 
     // quantize exactly as simple packing does
-    val (rRef, e) = packingParams(values, nbits)
+    val (rRef, e) = packingParams(present, nbits)
     val scale = math.pow(2.0, -e)
     val x = new Array[Long](n)
     var i = 0
-    while (i < n) { x(i) = Math.round((values(i) - rRef.toDouble) * scale); i += 1 }
+    while (i < n) { x(i) = Math.round((present(i) - rRef.toDouble) * scale); i += 1 }
 
     // spatial differencing on the scaled integers (template 7.3 note 1):
     // h_i = x_i − x_{i−1} (order 1) or x_i − 2x_{i−1} + x_{i−2} (order 2);
@@ -381,9 +419,8 @@ object Grib2 {
     s5.u8(lenBits)
     if (order > 0) { s5.u8(order); s5.u8(extraOctets) }
 
-    // Section 6 — bitmap: none
-    val s6 = new Writer
-    s6.u32(6); s6.u8(6); s6.u8(255)
+    // Section 6 — bitmap (255 when nothing is missing)
+    val s6 = bitmapSection(values)
 
     // Section 7 — extra descriptors (5.3), then the four bit-packed arrays,
     // each padded to a whole octet (the layout every public implementation
@@ -563,6 +600,7 @@ object Grib2 {
     var numValues = 0
     var values: Array[Double] = null
     var bitmapIndicator = 255
+    var bitmap: Array[Boolean] = null
     // complex packing (DRT 5.2/5.3) state
     var drTemplate = 0
     var ng = 0
@@ -658,7 +696,18 @@ object Grib2 {
           }
         case 6 =>
           bitmapIndicator = r.u8()
-          if (bitmapIndicator != 255) fail(s"bitmaps not supported (indicator $bitmapIndicator)")
+          bitmapIndicator match {
+            case 255 => // no bitmap
+            case 0 =>
+              if (grid == null) fail("bitmap before grid definition")
+              bitmap = new Array[Boolean](grid.numPoints)
+              var i = 0
+              while (i < grid.numPoints) {
+                bitmap(i) = (bytes(r.pos + (i >> 3)) & (0x80 >> (i & 7))) != 0
+                i += 1
+              }
+            case ind => fail(s"unsupported bitmap indicator $ind (only 0 and 255)")
+          }
         case 7 =>
           if (drTemplate == 2 || drTemplate == 3) {
             values = unpackComplex(bytes, r.pos, numValues, rRef, eScale, dScale,
@@ -686,6 +735,22 @@ object Grib2 {
               i += 1
             }
           }
+          // scatter present-point values over the grid, NaN where the
+          // bitmap says missing
+          if (bitmap != null) {
+            val present = bitmap.count(identity)
+            if (present != numValues)
+              fail(s"bitmap has $present set bits but section 5 declares $numValues values")
+            val full = new Array[Double](bitmap.length)
+            var src = 0
+            var i = 0
+            while (i < bitmap.length) {
+              if (bitmap(i)) { full(i) = values(src); src += 1 }
+              else full(i) = Double.NaN
+              i += 1
+            }
+            values = full
+          }
         case 8 => // end section reached via loop bound; not expected here
         case n => fail(s"unexpected section $n")
       }
@@ -693,6 +758,8 @@ object Grib2 {
     }
     if (refTime == null || grid == null || product == null || values == null)
       fail("incomplete message (missing section 1, 3, 4, or 7)")
+    if (values.length != grid.numPoints)
+      fail(s"${values.length} decoded values for ${grid.numPoints}-point grid (missing bitmap?)")
     Decoded(discipline, product, refTime, forecastHours, grid, values)
   }
 
@@ -727,6 +794,19 @@ object Grib2 {
       values: Array[Double], lats: Array[Double], lons: Array[Double])
     extends GribMessage
 
+  /** `(values, lats, lons)` with bitmap-missing points dropped — the
+    * irregular-points form downstream already handles (F1's reshape
+    * fallback). A bitmap-free message passes through untouched.
+    */
+  private def presentArrays(d: Decoded): (Array[Double], Array[Double], Array[Double]) = {
+    val (lats, lons) = gridArrays(d.grid)
+    if (!d.values.exists(isMissing)) (d.values, lats, lons)
+    else {
+      val idx = d.values.indices.filterNot(i => isMissing(d.values(i))).toArray
+      (idx.map(d.values), idx.map(lats), idx.map(lons))
+    }
+  }
+
   /** CAMS adapter: constituentType → variable name
     * (`cams_adapter.py:9-12`), unit "kg m-3" (mass density — the engine's canonical spelling, GridFunctions.kgM3ToUgM3).
     *
@@ -745,8 +825,8 @@ object Grib2 {
           case p => fail(s"CAMS reader expects chemical constituents, got $p")
         }
         val name = ConstituentNames.getOrElse(ct, fail(s"unknown constituent $ct"))
-        val (lats, lons) = gridArrays(d.grid)
-        DecodedMessage(name, "kg m-3", d.validTime, d.values, lats, lons)
+        val (values, lats, lons) = presentArrays(d)
+        DecodedMessage(name, "kg m-3", d.validTime, values, lats, lons)
       }
 
     override def open(path: String): Iterator[GribMessage] =
@@ -767,8 +847,8 @@ object Grib2 {
           case p => fail(s"ECMWF reader expects meteo products, got $p")
         }
         val name = VariableNames.getOrElse(key, fail(s"unknown parameter $key"))
-        val (lats, lons) = gridArrays(d.grid)
-        DecodedMessage(name, "K", d.validTime, d.values, lats, lons)
+        val (values, lats, lons) = presentArrays(d)
+        DecodedMessage(name, "K", d.validTime, values, lats, lons)
       }
 
     override def open(path: String): Iterator[GribMessage] =

@@ -192,6 +192,41 @@ class Grib2Spec extends AnyFunSuite {
     } finally Files.delete(tmp)
   }
 
+  test("bitmap: NaN points round-trip as missing under simple AND complex packing") {
+    val grid = GridSpec(10, 5, 60.0, 350.0, 0.5, 0.5)
+    // integer field (E=0, exact) with a deterministic missing pattern —
+    // every 7th point masked, including index 0 (bitmap's first bit)
+    val values = Array.tabulate(grid.numPoints) { i =>
+      if (i % 7 == 0) Double.NaN else ((i * 31 + 5) % 512).toDouble
+    }
+    val simple = Grib2.decode(Grib2.encode(Meteo(0, 0), grid, refTime, 6, values)).head
+    val complex = Grib2.decode(Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 6,
+      values, order = 2, groupLen = 5)).head
+    Seq("simple" -> simple, "complex" -> complex).foreach { case (label, d) =>
+      assert(d.values.length === grid.numPoints, label)
+      values.zip(d.values).zipWithIndex.foreach { case ((v, got), i) =>
+        if (v.isNaN) assert(got.isNaN, s"$label: point $i should be missing")
+        else assert(got === v, s"$label: point $i")
+      }
+    }
+  }
+
+  test("bitmap: adapters drop missing points, keeping value/coord alignment") {
+    val grid = GridSpec(10, 5, 60.0, 350.0, 0.5, 0.5)
+    val values = Array.tabulate(grid.numPoints) { i =>
+      if (i < 10) Double.NaN else ((i * 31 + 5) % 512).toDouble // whole first row masked
+    }
+    val bytes = Grib2.encode(Meteo(0, 0), grid, refTime, 6, values)
+    val msg = Grib2.EcmwfGrib2Reader.openBytes(bytes).toSeq.head
+    assert(msg.values.length === 40)
+    assert(msg.lats.length === 40 && msg.lons.length === 40)
+    // the masked row was lat 60.0 — no surviving point carries it
+    assert(msg.lats.forall(_ < 60.0))
+    // alignment: the first surviving point is grid index 10 → value 315
+    assert(msg.values.head === ((10 * 31 + 5) % 512).toDouble)
+    assert(math.abs(msg.lats.head - 59.5) < 1e-9)
+  }
+
   test("decoder rejects what it cannot faithfully decode") {
     val grid = GridSpec(4, 3, 50.0, 0.0, 1.0, 1.0)
     val good = Grib2.encode(Meteo(0, 0), grid, refTime, 6, field(grid, 280.0, 5.0))
