@@ -265,6 +265,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("g3: the capped triangle census keeps every join hash-keyed (no nested loop)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the hub anti-joins, wedge join, and closing-edge semi-join are all
+    // equi-keyed; the only tolerated non-equi joins are the final 1×1
+    // scalar crossJoins stitching the four aggregates together
+    val df = SparkEntry.queries("g3_triangles")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bad = plan.collect {
+      case b: BroadcastNestedLoopJoinExec
+        if b.joinType != org.apache.spark.sql.catalyst.plans.Cross => b
+      case c: CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"non-scalar nested-loop join in the census:\n$plan")
+  }
+
   test("d15: the serve plan reads history from the index artifact tables") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("d15_indexed_screen")(spark, "/root/testdata/sf0.001")
