@@ -29,6 +29,23 @@ object StreamContract {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Stateful streaming cost scales with state-store COUNT, not data: every
+    * shuffle partition materializes one state store instance per stateful
+    * operator per trigger (a stream-stream join keeps four). The batch
+    * session default (cores) is right for the batch queries but pays ~32×
+    * setup for these small drains, so the drains size their shuffle width
+    * explicitly — the same knob a production job sets per stream relative
+    * to its key cardinality, NOT a local-only hack. Runtime conf, restored
+    * after the drain; correctness is partitioning-independent (results are
+    * sorted and hash-compared).
+    */
+  private def withDrainParallelism[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** T1/T4 under the oracle — at-least-once landing, exactly-once result:
     * the landing zone holds every event TWICE (two identical file sets — a
     * re-delivered daily drop), the stream deduplicates on `event_id` with
@@ -54,8 +71,10 @@ object StreamContract {
         .start()
       q.awaitTermination()
     }
-    drain()
-    drain() // idempotent re-run: checkpoint says every file is already done
+    withDrainParallelism(spark) {
+      drain()
+      drain() // idempotent re-run: checkpoint says every file is already done
+    }
     spark.read.parquet(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -87,14 +106,16 @@ object StreamContract {
     events.coalesce(1).write.mode("overwrite").parquet(landing)
     val stream = spark.readStream.schema(events.schema).parquet(landing)
       .as[EventStream.Event]
-    val q = EventStream
-      .sessionize(stream, gapSeconds = 1800, idleTimeout = false, flushOpen = false)
-      .writeStream.format("parquet")
-      .option("path", sink)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withDrainParallelism(spark) {
+      val q = EventStream
+        .sessionize(stream, gapSeconds = 1800, idleTimeout = false, flushOpen = false)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(sink)
       .select(col("user_id"),
         col("sessionStart").as("session_start"),
@@ -119,15 +140,17 @@ object StreamContract {
     val ckpt = tmp("st3_ckpt")
     events.write.mode("overwrite").parquet(landing)
     val stream = spark.readStream.schema(events.schema).parquet(landing)
-    val q = EventStream.hourlyCounts(stream)
-      .writeStream.outputMode("complete")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(sink); ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withDrainParallelism(spark) {
+      val q = EventStream.hourlyCounts(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(sink); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(sink).orderBy("hour", "event_type")
   }
 
@@ -161,16 +184,18 @@ object StreamContract {
     val purchases = spark.readStream
       .schema(spark.read.parquet(purchDir).schema).parquet(purchDir)
       .withWatermark("purchase_ts", "7 hours")
-    val q = views.join(purchases,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") > col("view_ts") &&
-          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
-      .writeStream.format("parquet")
-      .option("path", sink)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withDrainParallelism(spark) {
+      val q = views.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") > col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(sink)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
@@ -202,10 +227,12 @@ object StreamContract {
     docs.filter(col("doc_id") % 5 === 0).coalesce(1)
       .write.mode("overwrite").parquet(landing)
     val stream = spark.readStream.schema(docs.schema).parquet(landing)
-    val q = EventStream.indexScreeningSink(stream,
-      graft.dedup.Dedup.loadIndex(spark, idxDir), "doc_id", "text",
-      sink, ckpt, threshold = 0.4)
-    q.awaitTermination()
+    withDrainParallelism(spark) {
+      val q = EventStream.indexScreeningSink(stream,
+        graft.dedup.Dedup.loadIndex(spark, idxDir), "doc_id", "text",
+        sink, ckpt, threshold = 0.4)
+      q.awaitTermination()
+    }
     // the sink is partitioned by batch id (one dir per epoch); the verdict
     // schema is batch-invariant, so drop the synthetic partition column
     spark.read.parquet(sink).drop("batch")

@@ -72,4 +72,41 @@ class PropertySpec extends AnyFunSuite {
         values.zip(d.values).forall { case (v, got) => math.abs(v - got) <= quantum }
     })
   }
+
+  test("complex packing (5.2/5.3, any order/groupLen/missing mask) decodes identically to simple packing") {
+    import graft.sources.Grib2
+    val refTime = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+    val genCase = for {
+      ni <- Gen.choose(2, 20)
+      nj <- Gen.choose(1, 12)
+      nbits <- Gen.oneOf(8, 12, 16)
+      base <- Gen.oneOf(-40.0, 0.0, 280.0)
+      amp <- Gen.chooseNum(0.0, 50.0)
+      order <- Gen.oneOf(0, 1, 2)
+      groupLen <- Gen.oneOf(1, 3, 7, 32, 500)
+      missEvery <- Gen.oneOf(0, 3, 5) // 0 = no bitmap
+      seed <- Gen.choose(0, 10000)
+    } yield (Grib2.GridSpec(ni, nj, 50.0, 10.0, 0.25, 0.25),
+      nbits, base, amp, order, groupLen, missEvery, seed)
+    check(Prop.forAll(genCase) {
+      case (grid, nbits, base, amp, order, groupLen, missEvery, seed) =>
+        val values = Array.tabulate(grid.numPoints) { i =>
+          if (missEvery > 0 && i % missEvery == 1) Double.NaN
+          else base + amp * math.sin(i * 0.7 + seed)
+        }
+        val present = values.count(v => !v.isNaN)
+        // both encoders need > order present points
+        (present <= order) || {
+          val simple = Grib2.decode(
+            Grib2.encode(Grib2.Meteo(0, 0), grid, refTime, 3, values, nbits)).head
+          val complex = Grib2.decode(Grib2.encodeComplex(Grib2.Meteo(0, 0), grid,
+            refTime, 3, values, nbits, order, groupLen)).head
+          // identical quantization → identical decode, NaNs in the same slots
+          simple.values.length == complex.values.length &&
+            simple.values.zip(complex.values).forall { case (a, b) =>
+              (a.isNaN && b.isNaN) || a == b
+            }
+        }
+    })
+  }
 }
