@@ -99,6 +99,48 @@ class JobsSpec extends SparkSpec {
     } finally java.nio.file.Files.delete(gribFile)
   }
 
+  test("daily run from a complex-packed + bitmapped file (the production CAMS shape)") {
+    import java.time.LocalDateTime
+    import graft.sources.Grib2
+    // real files mix packings: one 5.3 (order-2 spatial differencing)
+    // message with a bitmap masking a corner, one simple-packed message
+    val grid = Grib2.GridSpec(ni = 20, nj = 10, lat1Deg = 60.0, lon1Deg = 355.0,
+      dLatDeg = 0.5, dLonDeg = 0.5)
+    val masked = Array.tabulate(grid.numPoints)(i =>
+      if (i < 5) Double.NaN else 5e-9 * (1.0 + (i % 7) * 0.1))
+    val full = Array.tabulate(grid.numPoints)(i => 9e-9 * (1.0 + (i % 7) * 0.1))
+    val bytes =
+      Grib2.encodeComplex(Grib2.Chemical(40009), grid,
+        LocalDateTime.of(2026, 1, 1, 0, 0), 0, masked, nbits = 20, order = 2) ++
+      Grib2.encode(Grib2.Chemical(40008), grid,
+        LocalDateTime.of(2026, 1, 1, 0, 0), 0, full)
+    val gribFile = java.nio.file.Files.createTempFile("cams-complex", ".grib2")
+    java.nio.file.Files.write(gribFile, bytes)
+
+    val base = tempDir("jobgribc")
+    val grids = new GridStore(spark, s"$base/grid")
+    val rawFiles = new CatalogStore(spark, s"$base/raw_files", "id")
+    val curated = new CatalogStore(spark, s"$base/curated", "id")
+    val job = new DailyJob(spark, grids, rawFiles, curated)
+    try {
+      val r = job.run("cams", "eu-air-quality-forecast", date,
+        Grib2.CamsGrib2Reader, gribFile.toString, Transforms.cams, insertedAt = ts)
+      assert(r.variablesProcessed === Seq("pm10", "pm2p5"))
+      // the 5 masked points are DROPPED at the adapter, never stored
+      assert(r.insertedRows === 2L * grid.numPoints - 5L)
+      val stored = grids.finalView()
+      assert(stored.count() === 2L * grid.numPoints - 5L)
+      import org.apache.spark.sql.functions._
+      assert(stored.filter(col("value").isNaN).count() === 0L,
+        "no NaN may reach the store")
+      // complex-packed values converted like any others (C1: ×1e9)
+      val pm25 = stored.filter(col("variable") === "pm2p5")
+      assert(pm25.count() === grid.numPoints - 5L)
+      val mx = pm25.agg(max("value")).collect()(0).getFloat(0)
+      assert(math.abs(mx - 5e-9 * 1.6 * 1e9) < 1e-3, s"max pm2p5 $mx")
+    } finally java.nio.file.Files.delete(gribFile)
+  }
+
   test("T5 fail-fast: a failing decode leaves grid and curated catalogs untouched") {
     val base = tempDir("jobfail")
     val grids = new GridStore(spark, s"$base/grid")
