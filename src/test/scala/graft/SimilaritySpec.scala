@@ -227,4 +227,20 @@ class SimilaritySpec extends SparkSpec {
     val dropped = pairs.map(_._2).toSet
     assert(!dropped.exists(pairs.map(_._1).toSet.diff(dropped).contains))
   }
+
+  test("V14: inertia covers every vector and falls as the quantizer gets more lists") {
+    val df = clustered
+    val coarse = Ivf.inertia(Ivf.build(df, "vec_id", "embedding", nLists = 2))
+      .agg(org.apache.spark.sql.functions.sum("n_vecs"),
+        org.apache.spark.sql.functions.sum("inertia")).collect()(0)
+    val fine = Ivf.inertia(Ivf.build(df, "vec_id", "embedding", nLists = 4))
+      .agg(org.apache.spark.sql.functions.sum("n_vecs"),
+        org.apache.spark.sql.functions.sum("inertia")).collect()(0)
+    assert(coarse.getLong(0) === 40L && fine.getLong(0) === 40L,
+      "every vector must be counted exactly once")
+    // 4 tight clusters: a 4-list quantizer centers each cluster, a 2-list
+    // one must merge clusters — strictly worse total quantization error
+    assert(fine.getDouble(1) < coarse.getDouble(1),
+      s"inertia must fall with resolution: ${fine.getDouble(1)} vs ${coarse.getDouble(1)}")
+  }
 }
