@@ -912,6 +912,30 @@ object SparkEntry {
       Dedup.canonicalize(d4RoundedPairs(s, d)).orderBy("id")
     }),
 
+    // D-dedup: KEEP-BEST per near-dup cluster — production curation keeps
+    // the highest-QUALITY member of each duplicate family, not the lowest
+    // id (min-id keeps whatever crawled first; keep-best keeps the clean
+    // copy and drops the boilerplate-mangled ones). Composes d6's
+    // connected components with t2's quality score: per cluster, the
+    // min-struct((−quality, id)) argmax — highest quality, ties to lowest
+    // id — entirely map-side-partial. Quality is 4dp-rounded BEFORE the
+    // argmax so both engines rank identical doubles.
+    "d16_keep_best" -> ((s, d) => {
+      val clusters = Dedup.canonicalize(d4RoundedPairs(s, d))
+      val quality = t(s, d, "documents").select(
+        col("doc_id").as("id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      clusters.join(quality, Seq("id"))
+        .groupBy(col("keeper_id").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(struct((lit(0.0) - col("quality")).as("nq"), col("id").as("bid")))
+            .as("best"))
+        .select(col("cluster_id"), col("cluster_size"),
+          col("best.bid").as("best_id"),
+          (lit(0.0) - col("best.nq")).as("best_quality"))
+        .orderBy("cluster_id")
+    }),
+
     // G-graph: duplicate-cluster size distribution — the curation
     // diagnostic over the canonicalized graph (how much of the corpus sits
     // in 2-doc pairs vs 50-doc boilerplate families decides the dedup
@@ -3881,6 +3905,70 @@ object SparkEntry {
         |  SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
         |)
         |SELECT id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // d16: the d6 transitive closure joined with the t2 quality replay,
+    // best = row_number over (quality DESC, id ASC) — the same ordering as
+    // the engine's min-struct((−quality, id)) argmax
+    "d16_keep_best" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), blk AS (
+        |  SELECT substr(norm, 1, 32) AS pfx FROM n
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         list_distinct(string_split(a.norm, ' ')) AS wa,
+        |         list_distinct(string_split(b.norm, ' ')) AS wb
+        |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+        |   AND a.doc_id < b.doc_id
+        |  WHERE substr(a.norm, 1, 32) IN (SELECT pfx FROM blk)
+        |), j AS (
+        |  SELECT a, b,
+        |         round(CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |           / (CAST(len(wa) AS DOUBLE) + CAST(len(wb) AS DOUBLE)
+        |              - CAST(len(list_intersect(wa, wb)) AS DOUBLE)), 4) AS jaccard
+        |  FROM p
+        |), pairs AS (
+        |  SELECT a, b FROM j WHERE jaccard >= 0.35
+        |), edges AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT x AS id FROM edges
+        |), reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
+        |), cl AS (
+        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |), q AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS DOUBLE) AS nc,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |         (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END
+        |          + CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END) AS stop_hits,
+        |         (length(text) - length(replace(text, '.', ''))
+        |          + length(text) - length(replace(text, ',', ''))) AS punct
+        |  FROM documents
+        |), qq AS (
+        |  SELECT doc_id AS id,
+        |    round(0.3 * least(nc / 200.0, 1.0)
+        |        + 0.2 * (CASE WHEN (nc - (nt - 1.0)) / nt BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+        |        + 0.3 * least(CAST(stop_hits AS DOUBLE) / 3.0, 1.0)
+        |        + 0.2 * (CASE WHEN CAST(punct AS DOUBLE) / greatest(nc, 1.0) > 0.1 THEN 0.2 ELSE 1.0 END), 4) AS quality
+        |  FROM q
+        |), ranked AS (
+        |  SELECT cl.cluster_id, cl.id, qq.quality,
+        |         row_number() OVER (PARTITION BY cl.cluster_id
+        |                            ORDER BY qq.quality DESC, cl.id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size
+        |  FROM cl JOIN qq USING (id)
+        |)
+        |SELECT cluster_id, cluster_size, id AS best_id, quality AS best_quality
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // g2: the d6 transitive closure, folded to cluster-size → count
     // g3: the d4 pair CTEs, then degrees → wedges, pairs⋈pairs⋈pairs →
