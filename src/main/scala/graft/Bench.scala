@@ -47,15 +47,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ONE loud diagnostic on testdata drift (stderr — stdout is the parsed
-    // JSON channel), then continue: unaffected queries still measure. r6
-    // lost 54 queries to one silent dtype change.
-    try Tables.probe(spark, sfDir).foreach { case (t, s) =>
-      System.err.println(s"[testdata-probe] $t: $s")
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[testdata-probe] DRIFT DETECTED — ${e.getMessage}")
-    }
+    // r6 lost 54 queries to one silent testdata dtype change — log schemas,
+    // flag drift loudly, keep measuring what still runs
+    Tables.probeAndLog(spark, sfDir)
 
     warmup(spark, sfDir)
 

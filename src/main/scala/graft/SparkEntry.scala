@@ -1689,13 +1689,13 @@ object SparkEntry {
       val events = t(s, d, "events")
       val docGates = qualityGates(docs, Seq(
         MaxNullFrac("docs_text_not_null", "text", 0.001),
-        MinMatchFrac("docs_lang_iso2", "lang", "^[a-z][a-z]$", 0.999),
+        MinMatchFrac("docs_lang_iso2", "lang", "\\A[a-z][a-z]\\z", 0.999),
         InRangeFrac("docs_nchars_sane", "n_chars", 1, 100000, 0.999),
         UniqueKey("docs_docid_unique", "doc_id")))
       val eventGates = qualityGates(events, Seq(
         InRangeFrac("events_value_0_100", "value", 0.0, 100.0, 0.95),
         MinMatchFrac("events_type_known", "event_type",
-          "^(view|click|purchase|signup)$", 0.999)))
+          "\\A(view|click|purchase|signup)\\z", 0.999)))
       val fk = orphanCount(t(s, d, "orders"), "o_custkey",
         t(s, d, "customer"), "c_custkey", "orders_custkey_fk")
       docGates.unionByName(eventGates).unionByName(fk).orderBy("constraint")
@@ -5070,14 +5070,14 @@ object SparkEntry {
       """WITH dg AS (
         |  SELECT count(*) AS n,
         |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS m0,
-        |    sum(CASE WHEN regexp_matches(lang, '^[a-z][a-z]$') THEN 1 ELSE 0 END) AS m1,
+        |    sum(CASE WHEN regexp_matches(lang, '\A[a-z][a-z]\z') THEN 1 ELSE 0 END) AS m1,
         |    sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END) AS m2,
         |    count(DISTINCT doc_id) AS m3
         |  FROM documents
         |), eg AS (
         |  SELECT count(*) AS n,
         |    sum(CASE WHEN value BETWEEN 0.0 AND 100.0 THEN 1 ELSE 0 END) AS m0,
-        |    sum(CASE WHEN regexp_matches(event_type, '^(view|click|purchase|signup)$') THEN 1 ELSE 0 END) AS m1
+        |    sum(CASE WHEN regexp_matches(event_type, '\A(view|click|purchase|signup)\z') THEN 1 ELSE 0 END) AS m1
         |  FROM events
         |), fk AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS metric

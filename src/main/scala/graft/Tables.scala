@@ -67,4 +67,18 @@ object Tables {
       }
       t -> df.schema.simpleString
     }
+
+  /** The mains' shared probe wrapper: log every table's schema to stderr
+    * (stdout is the driver-parsed channel), and on drift print ONE loud
+    * diagnostic but CONTINUE — queries untouched by the drift still
+    * produce bench/correctness rows. The test suite asserts hard instead
+    * (TestdataProbeSpec).
+    */
+  def probeAndLog(spark: SparkSession, sfDir: String): Unit =
+    try probe(spark, sfDir).foreach { case (t, s) =>
+      System.err.println(s"[testdata-probe] $t: $s")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[testdata-probe] DRIFT DETECTED — ${e.getMessage}")
+    }
 }

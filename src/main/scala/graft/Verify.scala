@@ -16,15 +16,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one loud diagnostic on testdata drift instead of 150 scattered
-    // errors — but continue, so queries untouched by the drift still
-    // produce correctness rows
-    try Tables.probe(spark, sfDir).foreach { case (t, s) =>
-      System.err.println(s"[testdata-probe] $t: $s")
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[testdata-probe] DRIFT DETECTED — ${e.getMessage}")
-    }
+    // one loud diagnostic on testdata drift instead of 150 scattered errors
+    Tables.probeAndLog(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for local iteration (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -125,8 +125,13 @@ object Profiling {
   sealed trait Gate { def name: String }
   /** null fraction of `column` must be ≤ `max`. */
   final case class MaxNullFrac(name: String, column: String, max: Double) extends Gate
-  /** fraction of non-null rows matching `regex` (Java∩RE2 dialect — see
-    * [[graft.text.Pii]]) must be ≥ `min`; a NULL counts as a non-match. */
+  /** fraction of ALL rows matching `regex` must be ≥ `min`; a NULL counts
+    * as a non-match (so nulls need their own MaxNullFrac gate, they do not
+    * shrink this one's denominator). Keep the regex in the Java∩RE2
+    * dialect (see [[graft.text.Pii]]) and anchor with `\A`/`\z`, not
+    * `^`/`$` — Java lets `$` match before a trailing newline, RE2 does
+    * not, and a text-anchored pattern means both engines agree on every
+    * value. */
   final case class MinMatchFrac(name: String, column: String, regex: String, min: Double) extends Gate
   /** fraction of rows with `column` in [lo, hi] must be ≥ `min`. */
   final case class InRangeFrac(name: String, column: String, lo: Double, hi: Double, min: Double) extends Gate

@@ -46,12 +46,18 @@ object Graph {
     // broadcasts it when it is in fact small).
     val hubs = deg0.filter(col("d") > maxDegree).select("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nHubs = hubs.agg(count(lit(1)).as("n_hubs_excluded"))
+    val nHubs = hubs.count() // eager: materializes the hub cache too
     val e = e0
       .join(hubs.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
       .join(hubs.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
       .select("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the bounded edge cache, then release the upstream
+    // persists — a census call leaves only `e` cached behind (the result
+    // frame still reads it), not three dead edge lists per invocation
+    e.count()
+    e0.unpersist()
+    hubs.unpersist()
     // degrees RE-derived on the bounded subgraph, so wedges/triangles/
     // clustering describe one consistent graph
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
@@ -66,7 +72,7 @@ object Graph {
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wedges)
       .crossJoin(tris)
-      .crossJoin(nHubs)
+      .withColumn("n_hubs_excluded", lit(nHubs))
       .withColumn("clustering",
         round(when(col("n_wedges") > 0,
           lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(0.0), 6))

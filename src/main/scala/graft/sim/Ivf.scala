@@ -62,17 +62,24 @@ object Ivf {
     * lowest listId (struct min compares distance first, then index). One
     * narrow codegen'd pass — no shuffle, no model object at scoring time.
     */
-  def assign(e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
-    val cands = centroids.zipWithIndex.map { case (c, i) =>
+  /** One `(d², listId)` struct per centroid for the argmin fold — THE
+    * portable distance form every oracle replays (a left-to-right
+    * `zip_with`/`aggregate` sum, ties to the lowest listId via struct
+    * ordering). [[assign]] and [[inertia]] MUST share this so the fold
+    * cannot silently diverge between them.
+    */
+  private def centroidCands(centroids: Seq[Seq[Double]]): Seq[org.apache.spark.sql.Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
       struct(
         aggregate(
           zip_with(col("emb"), typedlit(c), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, v) => acc + v).as("d"),
         lit(i).as("i"))
     }
-    e.withColumn("listId", array_min(array(cands: _*)).getField("i"))
+
+  def assign(e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    e.withColumn("listId", array_min(array(centroidCands(centroids): _*)).getField("i"))
       .select(col("id"), col("emb"), col("nrm"), col("listId"))
-  }
 
   /** Per-list quantization error of a fitted index — count, Σ min-d²
     * (inertia), and mean — THE refit trigger for an IVF index under
@@ -86,16 +93,9 @@ object Ivf {
     * the persisted centroids. One narrow pass over the lists — no shuffle
     * beyond the 16-row final aggregate.
     */
-  def inertia(index: Index): DataFrame = {
-    val cands = index.centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        aggregate(
-          zip_with(col("emb"), typedlit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, v) => acc + v).as("d"),
-        lit(i).as("i"))
-    }
+  def inertia(index: Index): DataFrame =
     index.lists
-      .withColumn("best", array_min(array(cands: _*)))
+      .withColumn("best", array_min(array(centroidCands(index.centroids): _*)))
       .select(col("best").getField("i").as("listId"),
         round(col("best").getField("d"), 9).as("d2"))
       .groupBy("listId")
@@ -103,7 +103,6 @@ object Ivf {
         sum(col("d2").cast("decimal(30,9)")).cast("double").as("inertia"))
       .withColumn("mean_d2", round(col("inertia") / col("n_vecs"), 9))
       .orderBy("listId")
-  }
 
   /** Persist the index: inverted lists as parquet partitioned by `listId`
     * (a probe's nProbe lists prune to nProbe directories at scan time),

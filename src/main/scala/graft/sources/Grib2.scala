@@ -293,7 +293,13 @@ object Grib2 {
       order: Int = 2, groupLen: Int = 32): Array[Byte] = {
     require(values.length == grid.numPoints,
       s"${values.length} values for ${grid.numPoints}-point grid")
-    require(nbits >= 1 && nbits <= 31, s"nbits out of (0,31]: $nbits")
+    // order-k differencing widens residuals by up to k+... bits: |d| ≤
+    // 2^(nbits+order), so group widths reach nbits+order+1 and descriptor
+    // magnitudes 2^(nbits+order) — cap nbits so widths stay ≤ 32 (the
+    // BitWriter field limit) and descriptors inside 4-octet sign-magnitude
+    val maxNbits = if (order == 0) 31 else 29
+    require(nbits >= 1 && nbits <= maxNbits,
+      s"nbits out of (0,$maxNbits] for order-$order packing: $nbits")
     require(order >= 0 && order <= 2, s"spatial differencing order out of [0,2]: $order")
     require(groupLen >= 1, s"groupLen must be positive: $groupLen")
     // with a bitmap, packing (and spatial differencing) runs over the
@@ -505,6 +511,11 @@ object Grib2 {
       widthRef: Int, widthBits: Int, lenRef: Int, lenInc: Int, lastLen: Int,
       lenBits: Int, sdOrder: Int, sdOctets: Int): Array[Double] = {
     if (ng <= 0) fail(s"complex packing with $ng groups")
+    // wire-read bit widths are u8 (0..255); anything past 32 would wrap
+    // BitReader's shift and decode silent garbage — reject up front
+    if (refBits > 32) fail(s"group reference width out of range: $refBits")
+    if (widthBits > 32) fail(s"group width-field width out of range: $widthBits")
+    if (lenBits > 32) fail(s"group length-field width out of range: $lenBits")
     var pos = dataPos
     // sign-magnitude big-endian extra descriptors: `sdOrder` initial values
     // then the overall minimum of the differenced field
@@ -700,6 +711,8 @@ object Grib2 {
             case 255 => // no bitmap
             case 0 =>
               if (grid == null) fail("bitmap before grid definition")
+              if (secLen < 6 + (grid.numPoints + 7) / 8)
+                fail(s"bitmap section length $secLen too short for ${grid.numPoints} points")
               bitmap = new Array[Boolean](grid.numPoints)
               var i = 0
               while (i < grid.numPoints) {
