@@ -2238,6 +2238,39 @@ object SparkEntry {
         .orderBy("kind", "w_band", "h_band", "luma_band")
     }),
 
+    // M-multimodal: perceptual-hash NEAR-DUP pairs — the media dedup m4's
+    // bands exist to block for: within each (kind, dimension, luma) band,
+    // pairs whose 16-bit stub pHash (an md5 slice, portable like the rest
+    // of the fake codec; production swaps in a real pHash/dHash with the
+    // same signature contract) differ by ≤ 6 bits. Bands are the blocking
+    // key (the LSH discipline: capped at 256 members, never all-pairs) and
+    // the blob never reaches the join — only the 16-bit signature does.
+    "m5_phash_pairs" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(t(s, d, "documents"))
+      val sig = media.toDF().select(col("mediaId"),
+        conv(substring(md5(col("bytes")), 17, 4), 16, 10).cast("long").as("phash"))
+      val banded = Multimodal.extractFeatures(media).toDF()
+        .select(col("mediaId"), col("kind"),
+          floor(col("width") / 256).cast("long").as("w_band"),
+          floor(col("height") / 256).cast("long").as("h_band"),
+          floor(col("meanLuma") / 64).cast("long").as("luma_band"))
+        .join(sig, "mediaId")
+      val keys = Seq("kind", "w_band", "h_band", "luma_band")
+      val blocks = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 256)).drop("n")
+      val inBlock = banded.join(blocks, keys, "left_semi")
+      inBlock.as("x").join(inBlock.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x.mediaId") < col("y.mediaId"))
+        .withColumn("hamming",
+          bit_count(col("x.phash").bitwiseXOR(col("y.phash"))))
+        .filter(col("hamming") <= 6)
+        .select(col("x.mediaId").as("a"), col("y.mediaId").as("b"),
+          col("x.kind").as("kind"), col("hamming"))
+        .orderBy("a", "b")
+    }),
+
     // E-events: bounded-state approximate quantiles — unit-width histogram
     // buckets, cumulative counts, integer-exact threshold tests (cum·den ≥
     // n·num, no float compare); the scale path exact percentile (e5, full
@@ -4878,6 +4911,38 @@ object SparkEntry {
         |       count(*) AS n_items, min(mediaId) AS keeper_id
         |FROM f GROUP BY kind, w_band, h_band, luma_band
         |ORDER BY kind, w_band, h_band, luma_band""".stripMargin,
+
+    // m5: m4's band derivation + the md5[17,20] signature slice; hamming
+    // replayed bit-by-bit over xor (no engine-private popcount layout)
+    "m5_phash_pairs" ->
+      """WITH f AS (
+        |  SELECT doc_id AS mediaId,
+        |         (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
+        |         64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
+        |         64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
+        |         ('0x' || substr(md5(text), 11, 4))::BIGINT / 65535.0 * 255.0 AS meanLuma,
+        |         ('0x' || substr(md5(text), 17, 4))::BIGINT AS phash
+        |  FROM documents
+        |), b AS (
+        |  SELECT mediaId, kind, CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, phash
+        |  FROM f
+        |), blk AS (
+        |  SELECT kind, wb, hb, lb FROM b GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT x.mediaId AS a, y.mediaId AS b2, x.kind,
+        |         CAST(list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN ((xor(x.phash, y.phash) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM b x
+        |  JOIN blk USING (kind)
+        |  JOIN b y ON x.kind = y.kind AND x.wb = y.wb AND x.hb = y.hb AND x.lb = y.lb
+        |   AND x.mediaId < y.mediaId
+        |  WHERE x.wb = blk.wb AND x.hb = blk.hb AND x.lb = blk.lb
+        |)
+        |SELECT a, b2 AS b, kind, hamming FROM p
+        |WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
 
     // ->> (json_extract_string) returns SQL NULL for a present-but-null k —
     // matching Spark's from_json — and TRY_CAST maps a non-integer k to NULL
