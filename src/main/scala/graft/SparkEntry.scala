@@ -46,6 +46,19 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** The shared m4/m5 media-banding projection — dimension and luma bands
+    * over the extracted features. One definition so the dedup blocking key
+    * (m4's bucket, m5's pair block) and their two oracle mirrors cannot
+    * drift apart.
+    */
+  private def bandedMedia(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.fromDocuments(t(spark, dir, "documents")))
+      .toDF()
+      .select(col("mediaId"), col("kind"),
+        floor(col("width") / 256).cast("long").as("w_band"),
+        floor(col("height") / 256).cast("long").as("h_band"),
+        floor(col("meanLuma") / 64).cast("long").as("luma_band"))
+
   /** Build-once guard for the `*_serve` queries: run `build` only when `dir`
     * does not already hold artifacts built from the CURRENT source table
     * AND the CURRENT build parameters — fingerprinted by the source
@@ -2226,17 +2239,11 @@ object SparkEntry {
     // stage of media dedup: decoded features quantize into coarse bands
     // (kind, size, luma) and each band reports its population + keeper;
     // the quadratic verify stage would then run per band (d5's shape)
-    "m4_media_buckets" -> ((s, d) => {
-      val media = Multimodal.fromDocuments(t(s, d, "documents"))
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("mediaId"), col("kind"),
-          floor(col("width") / 256).cast("long").as("w_band"),
-          floor(col("height") / 256).cast("long").as("h_band"),
-          floor(col("meanLuma") / 64).cast("long").as("luma_band"))
+    "m4_media_buckets" -> ((s, d) =>
+      bandedMedia(s, d)
         .groupBy("kind", "w_band", "h_band", "luma_band")
         .agg(count(lit(1)).as("n_items"), min(col("mediaId")).as("keeper_id"))
-        .orderBy("kind", "w_band", "h_band", "luma_band")
-    }),
+        .orderBy("kind", "w_band", "h_band", "luma_band")),
 
     // M-multimodal: perceptual-hash NEAR-DUP pairs — the media dedup m4's
     // bands exist to block for: within each (kind, dimension, luma) band,
@@ -2246,15 +2253,10 @@ object SparkEntry {
     // key (the LSH discipline: capped at 256 members, never all-pairs) and
     // the blob never reaches the join — only the 16-bit signature does.
     "m5_phash_pairs" -> ((s, d) => {
-      val media = Multimodal.fromDocuments(t(s, d, "documents"))
-      val sig = media.toDF().select(col("mediaId"),
-        conv(substring(md5(col("bytes")), 17, 4), 16, 10).cast("long").as("phash"))
-      val banded = Multimodal.extractFeatures(media).toDF()
-        .select(col("mediaId"), col("kind"),
-          floor(col("width") / 256).cast("long").as("w_band"),
-          floor(col("height") / 256).cast("long").as("h_band"),
-          floor(col("meanLuma") / 64).cast("long").as("luma_band"))
-        .join(sig, "mediaId")
+      val sig = Multimodal.fromDocuments(t(s, d, "documents")).toDF()
+        .select(col("mediaId"),
+          conv(substring(md5(col("bytes")), 17, 4), 16, 10).cast("long").as("phash"))
+      val banded = bandedMedia(s, d).join(sig, "mediaId")
       val keys = Seq("kind", "w_band", "h_band", "luma_band")
       val blocks = banded.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n"))

@@ -686,6 +686,9 @@ object Grib2 {
           eScale = r.sm16()
           dScale = r.sm16()
           nbits = r.u8()
+          // wire-read u8 (0..255): past 32 the unpack accumulator wraps and
+          // values silently decode wrong — same guard class as unpackComplex
+          if (nbits > 32) fail(s"bits-per-value out of range: $nbits")
           if (template == 2 || template == 3) {
             r.skip(1) // type of original field values
             val splitting = r.u8()
