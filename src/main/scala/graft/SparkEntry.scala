@@ -96,6 +96,12 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 3): Column =
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
+  /** The reference's real ECMWF GRIB2 fixture (read-only; all 4 messages
+    * CCSDS-packed — the s5 query and Grib2Spec decode it in place).
+    */
+  private val RealEcmwfFixture =
+    "/root/reference/pipeline-python/tests/fixtures/019cf6d7-02a0-745b-ac05-e1201d8f8a72.grib"
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the serving
     * read path (snap + NN + top-1) over the events table as a grid.
     */
@@ -183,6 +189,32 @@ object SparkEntry {
           dsum(col("value"), 3).as("sum_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"),
+          min(col("lat")).cast("double").as("min_lat"),
+          max(col("lat")).cast("double").as("max_lat"),
+          min(col("lon")).cast("double").as("min_lon"),
+          max(col("lon")).cast("double").as("max_lon"))
+    }),
+
+    // S2 on the reference's REAL ECMWF file (all 4 messages DRT 5.42 —
+    // CCSDS/AEC entropy coding, decoded by the clean-room codec). Decode
+    // runs ON THE EXECUTORS: a binaryFile scan hands each file's bytes to
+    // openBytes in a flatMap — the same shape a 100 TB landing zone uses
+    // (no driver-side decode loop). The oracle pins the decoded aggregates
+    // as literals; independent cross-checks live in Grib2Spec (min == each
+    // message's section-5 R; spatial smoothness; the reference's own golden
+    // adapter facts from test_ecmwf_adapter.py:17-80).
+    "s5_grib2_real" -> ((s, _) => {
+      import s.implicits._
+      import graft.sources.{Grib, Grib2}
+      val points = s.read.format("binaryFile").load(RealEcmwfFixture)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(bytes => Grib2.EcmwfGrib2Reader.openBytes(bytes).flatMap(Grib.messagePoints))
+      points.toDF()
+        .groupBy(col("variable"), col("unit"), col("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 5).as("sum_k"),
+          min(col("value")).as("min_k"),
+          max(col("value")).as("max_k"),
           min(col("lat")).cast("double").as("min_lat"),
           max(col("lat")).cast("double").as("max_lat"),
           min(col("lon")).cast("double").as("min_lon"),
@@ -2800,6 +2832,25 @@ object SparkEntry {
         |       min(lat) AS min_lat, max(lat) AS max_lat,
         |       min(lon) AS min_lon, max(lon) AS max_lon
         |FROM f""".stripMargin,
+
+    // s5: the reference's REAL ECMWF file (DRT 5.42, CCSDS/AEC). No formula
+    // can replay an observed atmosphere, so the oracle pins the decoded
+    // aggregates as literals; their independent provenance is Grib2Spec:
+    // per-message min == the file's own section-5 reference value R,
+    // spatial smoothness < 0.5 K/step, and the reference's golden adapter
+    // facts (4 messages, 721x1440, unit K, Kelvin range).
+    "s5_grib2_real" ->
+      """SELECT variable, unit, timestamp, CAST(n AS BIGINT) AS n,
+        |       CAST(sum_k AS DOUBLE) AS sum_k, CAST(min_k AS DOUBLE) AS min_k,
+        |       CAST(max_k AS DOUBLE) AS max_k, CAST(min_lat AS DOUBLE) AS min_lat,
+        |       CAST(max_lat AS DOUBLE) AS max_lat, CAST(min_lon AS DOUBLE) AS min_lon,
+        |       CAST(max_lon AS DOUBLE) AS max_lon
+        |FROM (VALUES
+        |  ('dewpoint',    'K', TIMESTAMP '2026-03-16 00:00:00', 1038240, '282782126.97015', '208.55186462402344', '299.83311462402344', -90.0, 90.0, -180.0, 179.75),
+        |  ('dewpoint',    'K', TIMESTAMP '2026-03-16 03:00:00', 1038240, '282811600.9677',  '209.05172729492188', '299.4579772949219',  -90.0, 90.0, -180.0, 179.75),
+        |  ('temperature', 'K', TIMESTAMP '2026-03-16 00:00:00', 1038240, '287199938.16525', '210.51910400390625', '311.76910400390625', -90.0, 90.0, -180.0, 179.75),
+        |  ('temperature', 'K', TIMESTAMP '2026-03-16 03:00:00', 1038240, '287238755.3248',  '212.5752716064453',  '313.0752716064453',  -90.0, 90.0, -180.0, 179.75)
+        |) AS t(variable, unit, timestamp, n, sum_k, min_k, max_k, min_lat, max_lat, min_lon, max_lon)""".stripMargin,
 
     "s1_cams_pipeline" ->
       """WITH grid AS (

@@ -486,18 +486,33 @@ object Grib2 {
   private def fail(msg: String): Nothing =
     throw new java.io.IOException(s"GRIB2 decode: $msg")
 
-  /** MSB-first bit stream reader with octet realignment between arrays. */
-  private final class BitReader(bytes: Array[Byte], var bytePos: Int) {
+  /** MSB-first bit stream reader with octet realignment between arrays.
+    * Reads are bounded to `end` (exclusive): a truncated or lying section-7
+    * length fails through the IOException channel instead of running past
+    * the section into the '7777' trailer / next message and decoding
+    * garbage that still passes the final point-count check.
+    */
+  private final class BitReader(bytes: Array[Byte], var bytePos: Int, end: Int) {
     private var acc = 0L
     private var accBits = 0
     def get(nbits: Int): Long = {
       if (nbits == 0) return 0L
       while (accBits < nbits) {
+        if (bytePos >= end) fail(s"packed data truncated at octet $bytePos (section ends at $end)")
         acc = (acc << 8) | (bytes(bytePos) & 0xffL); bytePos += 1; accBits += 8
       }
       val v = (acc >>> (accBits - nbits)) & ((1L << nbits) - 1)
       accBits -= nbits
       v
+    }
+    /** Unary fundamental-sequence codeword: zeros-then-one, value = #zeros. */
+    def fs(limit: Int): Int = {
+      var z = 0
+      while (get(1) == 0L) {
+        z += 1
+        if (z > limit) fail(s"fundamental-sequence run exceeds $limit (corrupt stream)")
+      }
+      z
     }
     def align(): Unit = { acc = 0L; accBits = 0 }
   }
@@ -506,7 +521,7 @@ object Grib2 {
     * descriptors, then the octet-aligned group reference / width / length
     * arrays, then the per-group packed residuals.
     */
-  private def unpackComplex(bytes: Array[Byte], dataPos: Int, numValues: Int,
+  private def unpackComplex(bytes: Array[Byte], dataPos: Int, dataEnd: Int, numValues: Int,
       rRef: Float, eScale: Int, dScale: Int, refBits: Int, ng: Int,
       widthRef: Int, widthBits: Int, lenRef: Int, lenInc: Int, lastLen: Int,
       lenBits: Int, sdOrder: Int, sdOctets: Int): Array[Double] = {
@@ -516,10 +531,16 @@ object Grib2 {
     if (refBits > 32) fail(s"group reference width out of range: $refBits")
     if (widthBits > 32) fail(s"group width-field width out of range: $widthBits")
     if (lenBits > 32) fail(s"group length-field width out of range: $lenBits")
+    // u32-wire fields read as Int: a 2^31..2^32-1 value wraps negative and
+    // would corrupt the length arithmetic below
+    if (lenRef < 0) fail(s"group length reference out of range: $lenRef")
+    if (lastLen < 0) fail(s"last group length out of range: $lastLen")
     var pos = dataPos
     // sign-magnitude big-endian extra descriptors: `sdOrder` initial values
     // then the overall minimum of the differenced field
     val descriptors = new Array[Long](if (sdOrder > 0) sdOrder + 1 else 0)
+    if (pos + descriptors.length.toLong * sdOctets > dataEnd)
+      fail("section 7 too short for spatial-differencing descriptors")
     var d = 0
     while (d < descriptors.length) {
       var raw = 0L
@@ -529,7 +550,7 @@ object Grib2 {
       descriptors(d) = if ((raw & signBit) != 0) -(raw & (signBit - 1)) else raw
       d += 1
     }
-    val br = new BitReader(bytes, pos)
+    val br = new BitReader(bytes, pos, dataEnd)
     val grpRef = Array.fill(ng)(br.get(refBits)); br.align()
     val grpWidth = Array.fill(ng)(widthRef + br.get(widthBits).toInt); br.align()
     val grpLen = Array.fill(ng)(lenRef + br.get(lenBits).toInt * lenInc); br.align()
@@ -571,6 +592,146 @@ object Grib2 {
     val div = math.pow(10.0, dScale)
     val out = new Array[Double](numValues)
     i = 0
+    while (i < numValues) { out(i) = (rRef.toDouble + x(i) * mul) / div; i += 1 }
+    out
+  }
+
+  // CCSDS 121.0-B-2 AEC flag bits (template 5.42 octet 22; libaec public ABI)
+  private val CcsdsPreprocess = 0x08
+  private val CcsdsRestricted = 0x10
+  private val CcsdsPadRsi = 0x20
+
+  /** Section-7 payload of DRT 5.42: a CCSDS 121.0-B-2 adaptive-entropy
+    * (Rice) coded stream, as produced by libaec/eccodes for real ECMWF
+    * products. The stream is a sequence of coded blocks of `blockSize`
+    * samples; every `rsiBlocks` blocks start a reference-sample interval
+    * whose first sample is stored raw (when the unit-delta preprocessor is
+    * on) and whose remaining samples are mapped prediction errors. Per
+    * block, an ID field selects the coding option:
+    *
+    *   - all-ones ID          → uncompressed: `nbits` raw bits per sample
+    *   - ID k (1..)           → split: unary (FS) high parts for the whole
+    *                            block, then k−1 low bits per sample
+    *   - ID 0 + extension '0' → run of all-zero blocks (FS-coded length;
+    *                            run value 5 = "rest of 64-block segment")
+    *   - ID 0 + extension '1' → second extension: FS-coded pair index
+    *                            m = (a+b)(a+b+1)/2 + b per sample pair
+    *
+    * Reference: CCSDS 121.0-B-2 (public Blue Book) §3–5; wire layout of
+    * template 5.42 per WMO GRIB2 code tables. The reference pipeline gets
+    * this codec from eccodes+libaec (`pipeline-python/grib2/adapters/
+    * ecmwf_adapter.py` via pygrib); this is a clean-room Scala decoder.
+    */
+  private def unpackCcsds(bytes: Array[Byte], dataPos: Int, dataEnd: Int,
+      numValues: Int, rRef: Float, eScale: Int, dScale: Int, nbits: Int,
+      flags: Int, blockSize: Int, rsiBlocks: Int): Array[Double] = {
+    if (nbits < 1 || nbits > 32) fail(s"CCSDS bits-per-sample out of range: $nbits")
+    if (blockSize != 8 && blockSize != 16 && blockSize != 32 && blockSize != 64)
+      fail(s"CCSDS block size must be 8/16/32/64, got $blockSize")
+    if (rsiBlocks < 1) fail(s"CCSDS reference sample interval out of range: $rsiBlocks")
+    if ((flags & CcsdsRestricted) != 0) fail("CCSDS restricted coding not supported")
+    val preprocess = (flags & CcsdsPreprocess) != 0
+    val idLen = if (nbits > 16) 5 else if (nbits > 8) 4 else if (nbits > 4) 3
+      else if (nbits > 2) 2 else 1
+    val uncompId = (1 << idLen) - 1
+    val xmax = (1L << nbits) - 1
+    val fsLimit = (1 << math.min(nbits, 28)) + 64 // any valid FS is far below this
+    val br = new BitReader(bytes, dataPos, dataEnd)
+    val x = new Array[Long](numValues)
+    var rsiStart = 0
+    while (rsiStart < numValues) {
+      val rsiSamples = math.min(rsiBlocks * blockSize, numValues - rsiStart)
+      val rsiBlocksUsed = (rsiSamples + blockSize - 1) / blockSize
+      var b = 0
+      while (b < rsiBlocksUsed) {
+        val blkStart = rsiStart + b * blockSize
+        val blkSamples = math.min(blockSize, rsiStart + rsiSamples - blkStart)
+        val ref = preprocess && b == 0 // reference sample leads each RSI
+        val id = br.get(idLen).toInt
+        if (id == uncompId) {
+          var i = 0
+          while (i < blkSamples) { x(blkStart + i) = br.get(nbits); i += 1 }
+          b += 1
+        } else if (id > 0) {
+          // split mode, k low bits split off: FS high parts for the whole
+          // block first, then the k-bit low parts in sample order
+          val k = id - 1
+          if (ref) x(blkStart) = br.get(nbits)
+          val start = if (ref) 1 else 0
+          var i = start
+          while (i < blkSamples) { x(blkStart + i) = br.fs(fsLimit).toLong << k; i += 1 }
+          i = start
+          while (i < blkSamples) { x(blkStart + i) |= br.get(k); i += 1 }
+          b += 1
+        } else {
+          val secondExt = br.get(1) == 1L
+          if (ref) x(blkStart) = br.get(nbits)
+          if (secondExt) {
+            var i = if (ref) 1 else 0
+            while (i < blkSamples) {
+              val m = br.fs(fsLimit)
+              var g = 0
+              while ((g + 1).toLong * (g + 2) / 2 <= m) g += 1
+              val d1 = m - g.toLong * (g + 1) / 2
+              val d0 = g - d1
+              // pairs are laid out on even boundaries; a leading reference
+              // sample consumes the first pair's first element
+              if ((i & 1) == 0) {
+                x(blkStart + i) = d0; i += 1
+                if (i < blkSamples) { x(blkStart + i) = d1; i += 1 }
+                else if (d1 != 0) fail("second-extension pair overruns block")
+              } else {
+                x(blkStart + i) = d1; i += 1
+              }
+            }
+            b += 1
+          } else {
+            // zero-block run; FS value 4 = "rest of segment" (ROS): zero to
+            // the end of the current 64-block segment within this RSI
+            val f = br.fs(fsLimit)
+            var zb = f + 1
+            if (zb == 5) zb = math.min(rsiBlocksUsed - b, 64 - (b % 64))
+            else if (zb > 5) zb -= 1
+            if (zb > rsiBlocksUsed - b) fail(s"zero-block run of $zb crosses the RSI boundary")
+            var bb = 0
+            while (bb < zb) {
+              val s0 = rsiStart + (b + bb) * blockSize
+              val ns = math.min(blockSize, rsiStart + rsiSamples - s0)
+              var i = if (bb == 0 && ref) 1 else 0
+              while (i < ns) { x(s0 + i) = 0L; i += 1 }
+              bb += 1
+            }
+            b += zb
+          }
+        }
+      }
+      if (preprocess) {
+        // invert the unit-delta mapper: prediction is the previous sample,
+        // theta the headroom to the nearer range edge; mapped d ≤ 2θ
+        // alternates sign by parity, d > 2θ is the one-sided overflow
+        var prev = x(rsiStart)
+        if (prev > xmax) fail(s"reference sample $prev exceeds $xmax")
+        var i = rsiStart + 1
+        while (i < rsiStart + rsiSamples) {
+          val dd = x(i)
+          val theta = math.min(prev, xmax - prev)
+          val v =
+            if (dd > 2 * theta) { if (theta == prev) prev + (dd - theta) else prev - (dd - theta) }
+            else if ((dd & 1L) == 1L) prev - ((dd + 1L) >> 1)
+            else prev + (dd >> 1)
+          if (v < 0L || v > xmax) fail(s"CCSDS post-processed sample $v out of [0, $xmax]")
+          x(i) = v
+          prev = v
+          i += 1
+        }
+      }
+      if ((flags & CcsdsPadRsi) != 0) br.align()
+      rsiStart += rsiSamples
+    }
+    val mul = math.pow(2.0, eScale)
+    val div = math.pow(10.0, dScale)
+    val out = new Array[Double](numValues)
+    var i = 0
     while (i < numValues) { out(i) = (rRef.toDouble + x(i) * mul) / div; i += 1 }
     out
   }
@@ -618,6 +779,8 @@ object Grib2 {
     var widthRef = 0; var widthBits = 0
     var lenRef = 0; var lenInc = 0; var lastLen = 0; var lenBits = 0
     var sdOrder = 0; var sdOctets = 0
+    // CCSDS packing (DRT 5.42) state
+    var ccsdsFlags = 0; var ccsdsBlock = 0; var ccsdsRsi = 0
 
     var pos = msgOff + 16
     val end = msgOff + totalLen.toInt - 4 // trailing "7777"
@@ -679,7 +842,7 @@ object Grib2 {
         case 5 =>
           numValues = r.u32().toInt
           val template = r.u16()
-          if (template != 0 && template != 2 && template != 3)
+          if (template != 0 && template != 2 && template != 3 && template != 42)
             fail(s"unsupported data representation 5.$template")
           drTemplate = template
           rRef = r.f32()
@@ -689,6 +852,12 @@ object Grib2 {
           // wire-read u8 (0..255): past 32 the unpack accumulator wraps and
           // values silently decode wrong — same guard class as unpackComplex
           if (nbits > 32) fail(s"bits-per-value out of range: $nbits")
+          if (template == 42) {
+            r.skip(1) // type of original field values
+            ccsdsFlags = r.u8()
+            ccsdsBlock = r.u8()
+            ccsdsRsi = r.u16()
+          }
           if (template == 2 || template == 3) {
             r.skip(1) // type of original field values
             val splitting = r.u8()
@@ -725,13 +894,19 @@ object Grib2 {
             case ind => fail(s"unsupported bitmap indicator $ind (only 0 and 255)")
           }
         case 7 =>
-          if (drTemplate == 2 || drTemplate == 3) {
-            values = unpackComplex(bytes, r.pos, numValues, rRef, eScale, dScale,
+          val dataEnd = pos + secLen // section 7 body ends here; reads beyond = corrupt
+          if (drTemplate == 42) {
+            values = unpackCcsds(bytes, r.pos, dataEnd, numValues, rRef, eScale,
+              dScale, nbits, ccsdsFlags, ccsdsBlock, ccsdsRsi)
+          } else if (drTemplate == 2 || drTemplate == 3) {
+            values = unpackComplex(bytes, r.pos, dataEnd, numValues, rRef, eScale, dScale,
               nbits, ng, widthRef, widthBits, lenRef, lenInc, lastLen, lenBits,
               sdOrder, sdOctets)
           } else if (nbits == 0) {
             values = Array.fill(numValues)(rRef.toDouble / math.pow(10.0, dScale))
           } else {
+            if (numValues.toLong * nbits > (secLen - 5).toLong * 8)
+              fail(s"section 7 too short: $numValues x $nbits-bit values in ${secLen - 5} octets")
             val mul = math.pow(2.0, eScale)
             val div = math.pow(10.0, dScale)
             values = new Array[Double](numValues)

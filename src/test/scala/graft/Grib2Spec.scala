@@ -243,6 +243,70 @@ class Grib2Spec extends AnyFunSuite {
     } finally Files.delete(tmp)
   }
 
+  // The reference's REAL ECMWF fixture: all 4 messages are DRT 5.42
+  // (CCSDS/AEC), grid template 3.0, 721x1440 at 0.25 deg. Golden facts from
+  // the reference's own adapter test
+  // (pipeline-python/tests/unit/test_grib2/test_ecmwf_adapter.py:17-80):
+  // 4 messages, variable in {temperature, dewpoint}, unit K (faithful, no
+  // conversion), shape 721x1440, lats -90..90, lons -180..179.75, values in
+  // Kelvin range (150, 350).
+  private val realEcmwfFixture = java.nio.file.Paths.get(
+    "/root/reference/pipeline-python/tests/fixtures/019cf6d7-02a0-745b-ac05-e1201d8f8a72.grib")
+
+  test("CCSDS 5.42: decodes the reference's real ECMWF file to its golden facts") {
+    assume(Files.exists(realEcmwfFixture), "reference fixture not present")
+    val msgs = Grib2.EcmwfGrib2Reader.open(realEcmwfFixture.toString).toSeq
+    assert(msgs.size === 4)
+    msgs.foreach { m =>
+      assert(Set("temperature", "dewpoint").contains(m.variableName))
+      assert(m.unit === "K")
+      assert(m.values.length === 721 * 1440)
+      assert(m.lats.length === 721 * 1440 && m.lons.length === 721 * 1440)
+      assert(math.abs(m.lats.min - -90.0) < 0.5 && math.abs(m.lats.max - 90.0) < 0.5)
+      assert(math.abs(m.lons.min - -180.0) < 0.5 && math.abs(m.lons.max - 179.75) < 0.5)
+      assert(m.values.min > 150.0 && m.values.max < 350.0)
+    }
+    // 2 variables x 2 valid times (ref 2026-03-16T00Z + leadtime 0h/3h)
+    assert(msgs.map(_.variableName).toSet === Set("temperature", "dewpoint"))
+    assert(msgs.map(_.timestamp).distinct.size === 2)
+    // decoded minima must equal each message's section-5 reference value R
+    // (eccodes packs with R = field minimum): an independent bit-level
+    // cross-check of the entropy decoder against the file's own header
+    val rRefs = Seq(208.55186462402344, 210.51910400390625, 212.5752716064453, 209.05172729492188)
+    msgs.zip(rRefs).foreach { case (m, r) => assert(math.abs(m.values.min - r) < 1e-6) }
+    // a real temperature field is spatially smooth: the mean step between
+    // longitude-adjacent points is a fraction of a kelvin — a desynchronized
+    // bitstream would decode white noise with mean steps of tens of K
+    val first = msgs.head.values
+    var sumAbs = 0.0; var n = 0
+    var i = 0
+    while (i < 721 * 1440 - 1) {
+      if ((i + 1) % 1440 != 0) { sumAbs += math.abs(first(i + 1) - first(i)); n += 1 }
+      i += 1
+    }
+    assert(sumAbs / n < 0.5, s"mean adjacent-point step ${sumAbs / n} K too large")
+  }
+
+  test("CCSDS 5.42: truncated stream fails through the IOException channel") {
+    assume(Files.exists(realEcmwfFixture), "reference fixture not present")
+    val bytes = Files.readAllBytes(realEcmwfFixture)
+    // keep message 0's sections but chop the tail of its section-7 payload:
+    // patch total length + section-7 length so the walk stays in bounds
+    val cut = 100000
+    val truncated = java.util.Arrays.copyOfRange(bytes, 0, cut + 4)
+    val totalLen = (cut + 4).toLong
+    var i = 0
+    while (i < 8) { truncated(8 + i) = (totalLen >>> (8 * (7 - i))).toByte; i += 1 }
+    val sec7Len = cut - 191 // section 7 starts at 191 in message 0
+    truncated(191) = (sec7Len >>> 24).toByte
+    truncated(192) = (sec7Len >>> 16).toByte
+    truncated(193) = (sec7Len >>> 8).toByte
+    truncated(194) = sec7Len.toByte
+    truncated(cut) = '7'; truncated(cut + 1) = '7'; truncated(cut + 2) = '7'; truncated(cut + 3) = '7'
+    val e = intercept[java.io.IOException](Grib2.decode(truncated))
+    assert(e.getMessage.contains("truncated") || e.getMessage.contains("section"))
+  }
+
   test("decoded messages flow through Grib.toDataFrame into the pipeline shape") {
     val spark = TestSession.spark
     val grid = GridSpec(10, 5, 60.0, 355.0, 0.5, 0.5)
