@@ -257,14 +257,20 @@ object Pq {
     import spark.implicits._
     val cents = centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("listId", "cent")
-    val lutCol = array((0 until model.m).map { j =>
-      array((0 until model.k).map { c =>
+    // ONE nested-transform expression over a codebook literal instead of
+    // m×k unrolled subtrees: the result (and fold order per (j,c) cell) is
+    // identical, but the Catalyst tree is O(1) in m·k — the unrolled form's
+    // 128 aggregate(zip_with(slice…)) subtrees made every fresh plan of the
+    // serve path pay ~1 s of analysis+codegen, which is exactly the cost the
+    // amortized-serve contract (v8s) is supposed to exclude. Probes are a
+    // handful of rows, so the interpreted HOF evaluation is noise.
+    val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val lutCol = transform(sequence(lit(0), lit(model.m - 1)), j =>
+      transform(element_at(cbLit, j + 1), cent =>
         aggregate(
-          zip_with(slice(col("p_emb"), j * model.dsub + 1, model.dsub),
-            typedlit(model.codebooks(j)(c)), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, v) => acc + v)
-      }: _*)
-    }: _*)
+          zip_with(slice(col("p_emb"), j * lit(model.dsub) + lit(1), lit(model.dsub)),
+            cent, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)))
     val p = probes.select(col(idCol).as("probe_id"),
       col(embCol).cast("array<double>").as("p_emb"))
       .withColumn("lut", lutCol)
