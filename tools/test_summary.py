@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Archive a per-round sbt test summary as TESTS_r{N}.json.
+
+Parses the JUnit XML under target/test-reports (written by the most recent
+`sbt test`) into suite/test/failure counts with the run timestamp and the
+current git HEAD, so the round artifacts carry auditable test evidence
+instead of an untracked directory's mtimes.
+
+Usage: python3 tools/test_summary.py <round-number>  (run right after `sbt test`)
+"""
+import json
+import subprocess
+import sys
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+def main():
+    rnd = int(sys.argv[1])
+    root = Path(__file__).resolve().parents[1]
+    reports = sorted((root / "target" / "test-reports").glob("*.xml"))
+    if not reports:
+        sys.exit("no reports under target/test-reports — run `sbt test` first")
+    suites = []
+    totals = {"tests": 0, "failures": 0, "errors": 0, "skipped": 0}
+    latest_ts = ""
+    for xmlf in reports:
+        s = ET.parse(xmlf).getroot()
+        if s.tag != "testsuite":
+            s = s.find("testsuite")
+        rec = {
+            "suite": s.get("name"),
+            "tests": int(s.get("tests", 0)),
+            "failures": int(s.get("failures", 0)),
+            "errors": int(s.get("errors", 0)),
+            "skipped": int(s.get("skipped", 0)),
+            "time_s": round(float(s.get("time", 0)), 2),
+        }
+        suites.append(rec)
+        for k in totals:
+            totals[k] += rec[k]
+        latest_ts = max(latest_ts, s.get("timestamp") or "")
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=root,
+                          capture_output=True, text=True).stdout.strip()
+    out = {
+        "round": rnd,
+        "run_ts": latest_ts,
+        "git_head": head,
+        "n_suites": len(suites),
+        **totals,
+        "suites": suites,
+    }
+    path = root / f"TESTS_r{rnd:02d}.json"
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(f"{path.name}: {len(suites)} suites / {totals['tests']} tests / "
+          f"{totals['failures'] + totals['errors']} failures @ {latest_ts}")
+
+
+if __name__ == "__main__":
+    main()
