@@ -46,6 +46,24 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** The near-dup cluster map (`id → keeper_id`), MATERIALIZED once per
+    * corpus snapshot under the buildOnce discipline and read back as
+    * parquet. d6 stays the from-scratch contract demo of the
+    * canonicalization build itself; d7/d16/g2 are cluster-map CONSUMERS —
+    * at 100 TB the map is built by the dedup job and every downstream
+    * curation query reads the materialized artifact instead of re-running
+    * pair generation + label propagation per query (the d15s/v8s
+    * amortization applied to the cluster graph).
+    */
+  private def clusterMap(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_oracle/cluster_map"
+    buildOnce(dir, "documents", out, "pairs=d4,prefix=32,jacc>=0.35") {
+      Dedup.canonicalize(d4RoundedPairs(spark, dir))
+        .write.mode("overwrite").parquet(s"$out/map")
+    }
+    spark.read.parquet(s"$out/map")
+  }
+
   /** The shared m4/m5 media-banding projection — dimension and luma bands
     * over the extracted features. One definition so the dedup blocking key
     * (m4's bucket, m5's pair block) and their two oracle mirrors cannot
@@ -751,7 +769,7 @@ object SparkEntry {
     // (the LSH pair path stays exercised by d2/d3).
     "d7_dedup_materialize" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val losers = Dedup.canonicalize(d4RoundedPairs(s, d))
+      val losers = clusterMap(s, d)
         .filter(col("id") =!= col("keeper_id"))
         .select(col("id").as("doc_id"))
       docs.join(losers, Seq("doc_id"), "left_anti")
@@ -966,7 +984,7 @@ object SparkEntry {
     // id — entirely map-side-partial. Quality is 4dp-rounded BEFORE the
     // argmax so both engines rank identical doubles.
     "d16_keep_best" -> ((s, d) => {
-      val clusters = Dedup.canonicalize(d4RoundedPairs(s, d))
+      val clusters = clusterMap(s, d)
       val quality = t(s, d, "documents").select(
         col("doc_id").as("id"),
         round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
@@ -987,7 +1005,7 @@ object SparkEntry {
     // policy). Two hash aggregates over the d6 output; nothing new
     // shuffles beyond the cluster ids
     "g2_cluster_sizes" -> ((s, d) =>
-      Dedup.canonicalize(d4RoundedPairs(s, d))
+      clusterMap(s, d)
         .groupBy(col("keeper_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),

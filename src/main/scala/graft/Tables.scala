@@ -78,7 +78,10 @@ object Tables {
     try probe(spark, sfDir).foreach { case (t, s) =>
       System.err.println(s"[testdata-probe] $t: $s")
     } catch {
-      case e: Throwable =>
+      // NonFatal only: an OutOfMemoryError or interrupt during the probe
+      // must propagate, not be swallowed into a stderr line with the run
+      // continuing in a possibly corrupt state
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[testdata-probe] DRIFT DETECTED — ${e.getMessage}")
     }
 }

@@ -153,7 +153,11 @@ object Profiling {
       }
     }
     val one = df.agg(count(lit(1)).as("n"), aggs: _*)
-    gates.zipWithIndex.map { case (g, i) =>
+    // pivot the single aggregate row to (constraint, metric, pass) rows with
+    // ONE explode over literal structs — a per-gate select + union would give
+    // every union branch its own copy of the aggregate plan, scanning the
+    // table up to K times unless exchange reuse happened to dedupe it
+    val gateRows = gates.zipWithIndex.map { case (g, i) =>
       val frac = col(s"m$i").cast("double") / col("n").cast("double")
       val (metric, pass) = g match {
         case MaxNullFrac(_, _, mx)      => (frac, frac <= mx)
@@ -161,8 +165,10 @@ object Profiling {
         case InRangeFrac(_, _, _, _, mn)=> (frac, frac >= mn)
         case UniqueKey(_, _)            => (frac, col(s"m$i") === col("n"))
       }
-      one.select(lit(g.name).as("constraint"), metric.as("metric"), pass.as("pass"))
-    }.reduce(_ unionByName _)
+      struct(lit(g.name).as("constraint"), metric.as("metric"), pass.as("pass"))
+    }
+    one.select(explode(array(gateRows: _*)).as("g"))
+      .select(col("g.constraint"), col("g.metric"), col("g.pass"))
   }
 
   /** Referential-integrity gate: rows of `child` whose `childCol` has no

@@ -69,13 +69,20 @@ object Graph {
       .select(col("pa").as("a"), col("qb").as("b"))
     val tris = paths.join(e, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    e.agg(count(lit(1)).as("n_edges"))
+    // the result is ONE row — materialize it eagerly (localCheckpoint) so
+    // the bounded edge cache can be released before returning: a long-lived
+    // session running many censuses otherwise leaks one MEMORY_AND_DISK
+    // edge list per invocation with no caller-accessible handle
+    val result = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wedges)
       .crossJoin(tris)
       .withColumn("n_hubs_excluded", lit(nHubs))
       .withColumn("clustering",
         round(when(col("n_wedges") > 0,
           lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(0.0), 6))
+      .localCheckpoint()
+    e.unpersist()
+    result
   }
 
   /** PageRank over an UNDIRECTED pair set `(a, b)` — rank flows both ways.
