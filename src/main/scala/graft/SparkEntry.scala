@@ -1384,7 +1384,7 @@ object SparkEntry {
     // whole build→save→load→serve cycle as its demo).
     "v8s_search_amortized" -> ((s, d) => {
       val dir = "/tmp/graft_oracle/v8s_search"
-      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16") {
+      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16,iters=6") {
         val emb = t(s, d, "embeddings")
         Pq.save(Ivf.build(emb, "vec_id", "embedding", nLists = 16),
           Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16), dir)
@@ -1413,7 +1413,7 @@ object SparkEntry {
       // append is still fully hash-checked, because the oracle replays the
       // full-corpus encode from the persisted centroids/codebooks and any
       // mis-assigned or re-fit append diverges the codes parquet
-      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16,appendQuarter=3") {
+      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16,iters=6,appendQuarter=3") {
         val base = emb.filter(col("vec_id") % 4 =!= 3)
         Pq.save(Ivf.build(base, "vec_id", "embedding", nLists = 16),
           Pq.fit(base, "embedding", dim = 64, m = 8, k = 16), dir)

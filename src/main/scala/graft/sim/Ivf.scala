@@ -38,8 +38,11 @@ object Ivf {
     * that is what turns the v5 contract query from rows-only into a full
     * DuckDB hash-match.
     */
+  // maxIter 6: a coarse quantizer only partitions the space — past a handful
+  // of Lloyd iterations the list assignment barely moves, while every extra
+  // iteration is one more distributed job in each (re)build demo
   def build(corpus: DataFrame, idCol: String, embCol: String,
-      nLists: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      nLists: Int = 16, seed: Long = 42L, maxIter: Int = 6,
       maxFitRows: Int = 100000): Index = {
     val e = ColOps.parallelize(
       corpus.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),

@@ -34,8 +34,10 @@ object Pq {
   /** Fit `m` subspace codebooks of `k` centroids each on a bounded sample.
     * `dim` must be divisible by `m`.
     */
+  // maxIter 6: same rationale as Ivf.build — subspace codebooks stabilize in
+  // a few Lloyd iterations, and the fit cost is m concurrent iterative jobs
   def fit(corpus: DataFrame, embCol: String, dim: Int, m: Int = 8,
-      k: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      k: Int = 16, seed: Long = 42L, maxIter: Int = 6,
       maxFitRows: Int = 100000): Model = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     require(k >= 2 && k <= 256, s"k out of [2,256]: $k")

@@ -253,7 +253,134 @@ object Stress {
     }
 
     embeddingStress(spark, sfDir)
+    appendStress(spark, sfDir)
+    streamStateStress(spark, sfDir)
     spark.stop()
+  }
+
+  /** v12's scale claim measured: append cost ∝ |delta|, NOT |history|.
+    * A FIXED 5% delta (fresh ids) appends to a PREBUILT persisted IVF-PQ
+    * index of the ×k corpus; build+save run untimed, the timed region is
+    * `Pq.append` alone (assign + encode the delta against the persisted
+    * artifacts, write to the touched `listId` partitions). If this row
+    * grows with k, the append is secretly touching the corpus and the
+    * incremental-ingest story is false.
+    */
+  private def appendStress(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sim.{Ivf, Pq}
+    val emb0 = graft.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val idStride = emb0.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    val dim = emb0.select(size(col("embedding"))).head().getInt(0)
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+
+    val delta = graft.functions.Sampling.hashSample(emb0, "vec_id", 0.05)
+      .select((col("vec_id") + lit(idStride * 1000L)).as("vec_id"),
+        col("embedding"))
+      .cache()
+    val nDelta = delta.count()
+
+    def multiplied(k: Int): DataFrame = {
+      val copies = spark.range(k.toLong).select(col("id").as("copy"))
+      val rot = (col("copy") % dim).cast("int")
+      emb0.crossJoin(copies)
+        .select((col("vec_id") + col("copy") * idStride).as("vec_id"),
+          concat(slice(col("embedding"), rot + 1, lit(dim) - rot),
+            slice(col("embedding"), lit(1), rot)).as("embedding"))
+    }
+
+    Seq(1, 4, 16).foreach { k =>
+      val hist = multiplied(k).cache()
+      val nHist = hist.count()
+      val dir = java.nio.file.Files.createTempDirectory(s"stress_v12_x$k").toString
+      // nLists ∝ scale (the d11/v8s operating rule): list size stays the
+      // bounded knob, so the delta lands in constant-sized lists
+      Pq.save(Ivf.build(hist, "vec_id", "embedding", nLists = 8 * k),
+        Pq.fit(hist, "embedding", dim = dim, m = 8, k = 16), dir)
+      hist.unpersist()
+      val t0 = System.nanoTime()
+      Pq.append(spark, dir, delta, "vec_id", "embedding")
+      val tApp = (System.nanoTime() - t0) / 1e9
+      println(s"""{"op":"v12_append","scale":$k,"n_hist":$nHist,"n_delta":$nDelta,"sec":${num(tApp)}}""")
+      spark.catalog.clearCache()
+    }
+    delta.unpersist()
+    ()
+  }
+
+  /** st5's state bound measured: the stream-stream interval join's buffered
+    * state is bounded by the WATERMARK WINDOW, never by stream length. The
+    * events table is replayed as k time-shifted copies (same density, k×
+    * the time span), one file per copy per side, drained one file per
+    * micro-batch so the watermark advances between copies. `max_state_rows`
+    * is the peak `numRowsTotal` across all progress events: it must stay
+    * ~flat in k (rows older than the watermark minus the join interval are
+    * evicted every batch) while rows-in grows ×k. Unbounded growth here is
+    * exactly the "stream-stream join buffers forever" failure the time-range
+    * condition exists to prevent.
+    */
+  private def streamStateStress(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = graft.Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").cache()
+    val idStride = events.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+
+    Seq(1, 4, 16).foreach { k =>
+      val base = java.nio.file.Files.createTempDirectory(s"stress_st5_x$k")
+      val viewsDir = s"$base/views"; val purchDir = s"$base/purch"
+      val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      // one file per copy, written in time order, shifted far past the join
+      // interval so copies can never match each other
+      (0 until k).foreach { c =>
+        val shifted = events
+          .select((col("event_id") + lit(c * idStride)).as("event_id"),
+            (col("ts") + expr(s"INTERVAL ${c * 30} DAYS")).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        shifted.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+            col("user_id"))
+          .coalesce(1).write.mode("append").parquet(viewsDir)
+        shifted.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+            col("user_id").as("p_user_id"), col("value").as("purchase_value"))
+          .coalesce(1).write.mode("append").parquet(purchDir)
+      }
+      val nIn = spark.read.parquet(viewsDir).count() +
+        spark.read.parquet(purchDir).count()
+      val views = spark.readStream
+        .schema(spark.read.parquet(viewsDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(viewsDir)
+        .withWatermark("view_ts", "1 hour")
+      val purchases = spark.readStream
+        .schema(spark.read.parquet(purchDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(purchDir)
+        .withWatermark("purchase_ts", "7 hours")
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "8")
+      val (tDrain, maxState, nBatches, outRows) =
+        try {
+          val t0 = System.nanoTime()
+          val q = views.join(purchases,
+              col("user_id") === col("p_user_id") &&
+                col("purchase_ts") > col("view_ts") &&
+                col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val progress = q.recentProgress.toSeq
+          val states = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+          (sec, if (states.isEmpty) 0L else states.max, progress.size,
+            spark.read.parquet(sink).count())
+        } finally spark.conf.set(key, old)
+      println(s"""{"op":"st5_interval_join","scale":$k,"rows_in":$nIn,"sec":${num(tDrain)},"max_state_rows":$maxState,"n_batches":$nBatches,"out_rows":$outRows}""")
+    }
+    events.unpersist()
+    ()
   }
 
   /** t13's blocked levenshtein — the SAME function the contract query
