@@ -470,6 +470,246 @@ object Grib2 {
     w.buf.toArray
   }
 
+  /** CCSDS 121.0-B-2 entropy coding of non-negative `nbits`-wide samples:
+    * unit-delta preprocessing per reference sample interval, then per
+    * `blockSize`-sample block the cheapest of the four coding options
+    * (zero-run / second extension / split-k / uncompressed). Emission
+    * mirrors [[unpackCcsds]]'s stream contract exactly — reference sample
+    * after the (possibly extended) ID field, FS high parts before the k-bit
+    * low parts, decoder's pair layout for the second extension.
+    */
+  private[sources] def packCcsds(xs: Array[Long], nbits: Int,
+      blockSize: Int, rsiBlocks: Int): Array[Byte] = {
+    val w = new Writer
+    val bw = new BitWriter(w)
+    val idLen = if (nbits > 16) 5 else if (nbits > 8) 4 else if (nbits > 4) 3
+      else if (nbits > 2) 2 else 1
+    val uncompId = (1 << idLen) - 1
+    val maxK = math.min(nbits - 1, uncompId - 2) // split ids occupy 1..uncompId-1
+    val xmax = (1L << nbits) - 1
+    def putFs(v: Long): Unit = {
+      var z = v
+      while (z >= 32) { bw.put(0L, 32); z -= 32 }
+      bw.put(1L, z.toInt + 1) // z zeros then the terminating 1
+    }
+    val n = xs.length
+    var rsiStart = 0
+    while (rsiStart < n) {
+      val rsiSamples = math.min(rsiBlocks * blockSize, n - rsiStart)
+      val nb = (rsiSamples + blockSize - 1) / blockSize
+      // preprocess: slot 0 keeps the raw reference, the rest become mapped
+      // unit-delta prediction errors (the inverse of unpackCcsds's unmap)
+      val d = new Array[Long](rsiSamples)
+      d(0) = xs(rsiStart)
+      var prev = xs(rsiStart)
+      var i = 1
+      while (i < rsiSamples) {
+        val x = xs(rsiStart + i)
+        val delta = x - prev
+        val theta = math.min(prev, xmax - prev)
+        d(i) =
+          if (delta >= 0 && delta <= theta) 2 * delta
+          else if (delta < 0 && -delta <= theta) -2 * delta - 1
+          else theta + math.abs(delta)
+        prev = x
+        i += 1
+      }
+      def blkLenOf(b: Int): Int =
+        math.min(blockSize, rsiSamples - b * blockSize)
+      // coded samples of block b (slot 0 of block 0 is the reference)
+      def codedStart(b: Int): Int = if (b == 0) 1 else 0
+      def blockAllZero(b: Int): Boolean = {
+        var j = b * blockSize + codedStart(b)
+        val until = b * blockSize + blkLenOf(b)
+        while (j < until) { if (d(j) != 0L) return false; j += 1 }
+        true
+      }
+      var b = 0
+      while (b < nb) {
+        val ref = b == 0
+        val blkStart = b * blockSize
+        val blkLen = blkLenOf(b)
+        val start = codedStart(b)
+        if (blockAllZero(b)) {
+          // extend the zero run to the 64-block segment / RSI boundary
+          val segEnd = math.min(nb, b + (64 - (b % 64)))
+          var z = 1
+          while (b + z < segEnd && blockAllZero(b + z)) z += 1
+          bw.put(0L, idLen); bw.put(0L, 1)
+          if (ref) bw.put(d(0), nbits)
+          if (b + z == segEnd) putFs(4L) // ROS: rest of segment
+          else if (z <= 4) putFs((z - 1).toLong)
+          else putFs(z.toLong)
+          b += z
+        } else {
+          // cost the three non-zero options over the coded samples
+          var uncompCost = (blkLen - start).toLong * nbits
+          var seCost = 0L
+          var i2 = start
+          while (i2 < blkLen) {
+            val (a, b2) =
+              if ((i2 & 1) == 1) (0L, d(blkStart + i2))
+              else (d(blkStart + i2),
+                if (i2 + 1 < blkLen) d(blkStart + i2 + 1) else 0L)
+            seCost += (a + b2) * (a + b2 + 1) / 2 + b2 + 1
+            i2 += (if ((i2 & 1) == 1) 1 else 2)
+          }
+          var bestK = -1
+          var bestCost = Long.MaxValue
+          var k = 0
+          while (k <= maxK) {
+            var c = 0L
+            var j = blkStart + start
+            while (j < blkStart + blkLen) { c += (d(j) >>> k) + 1 + k; j += 1 }
+            if (c < bestCost) { bestCost = c; bestK = k }
+            k += 1
+          }
+          val refBits = if (ref) nbits.toLong else 0L
+          val costs = Seq(
+            (0, idLen + 1 + refBits + seCost),       // second extension
+            (1, idLen + refBits + bestCost),         // split bestK
+            (2, idLen + refBits + uncompCost))       // uncompressed
+          costs.minBy(_._2)._1 match {
+            case 0 =>
+              bw.put(0L, idLen); bw.put(1L, 1)
+              if (ref) bw.put(d(blkStart), nbits)
+              var i3 = start
+              while (i3 < blkLen) {
+                val (a, b2) =
+                  if ((i3 & 1) == 1) (0L, d(blkStart + i3))
+                  else (d(blkStart + i3),
+                    if (i3 + 1 < blkLen) d(blkStart + i3 + 1) else 0L)
+                putFs((a + b2) * (a + b2 + 1) / 2 + b2)
+                i3 += (if ((i3 & 1) == 1) 1 else 2)
+              }
+            case 1 =>
+              bw.put((bestK + 1).toLong, idLen)
+              if (ref) bw.put(d(blkStart), nbits)
+              var i3 = blkStart + start
+              while (i3 < blkStart + blkLen) { putFs(d(i3) >>> bestK); i3 += 1 }
+              i3 = blkStart + start
+              while (i3 < blkStart + blkLen) { bw.put(d(i3), bestK); i3 += 1 }
+            case _ =>
+              bw.put(uncompId.toLong, idLen)
+              var i3 = blkStart
+              while (i3 < blkStart + blkLen) { bw.put(d(i3), nbits); i3 += 1 }
+          }
+          b += 1
+        }
+      }
+      rsiStart += rsiSamples
+    }
+    bw.align()
+    w.buf.toArray
+  }
+
+  /** Encode one message with DRT 5.42 (CCSDS adaptive entropy coding) — the
+    * template real ECMWF products ship with. Same quantization as
+    * [[encode]], so an integer-valued field (E=0) round-trips value-exact.
+    * Exists to make the 5.42 DECODER provable on arbitrary fields: the real
+    * fixture exercises one encoder's option choices; the round-trip
+    * property tests exercise every branch (zero runs, second extension,
+    * split-k, uncompressed, partial blocks, partial RSIs, bitmaps).
+    */
+  def encodeCcsds(product: Product, grid: GridSpec, refTime: LocalDateTime,
+      forecastHours: Int, values: Array[Double], nbits: Int = 12,
+      blockSize: Int = 32, rsiBlocks: Int = 128): Array[Byte] = {
+    require(values.length == grid.numPoints,
+      s"${values.length} values for ${grid.numPoints}-point grid")
+    // mapped deltas stay ≤ xmax < 2^nbits; cap below 28 keeps every FS
+    // codeword and second-extension pair index comfortably inside Long
+    require(nbits >= 1 && nbits <= 24, s"nbits out of (0,24] for CCSDS packing: $nbits")
+    require(blockSize == 8 || blockSize == 16 || blockSize == 32 || blockSize == 64,
+      s"CCSDS block size must be 8/16/32/64: $blockSize")
+    require(rsiBlocks >= 1 && rsiBlocks <= 0xffff, s"CCSDS rsi out of range: $rsiBlocks")
+    val present = values.filter(v => !isMissing(v))
+    require(present.nonEmpty, "every grid point is missing")
+    val n = present.length
+
+    val (rRef, e) = packingParams(present, nbits)
+    val scale = math.pow(2.0, -e)
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < n) { x(i) = Math.round((present(i) - rRef.toDouble) * scale); i += 1 }
+    val payload = packCcsds(x, nbits, blockSize, rsiBlocks)
+
+    val w = new Writer
+
+    // Section 1 — identification (same as simple packing)
+    val s1 = new Writer
+    s1.u32(21); s1.u8(1)
+    s1.u16(98); s1.u16(0); s1.u8(2); s1.u8(1); s1.u8(1)
+    s1.u16(refTime.getYear); s1.u8(refTime.getMonthValue); s1.u8(refTime.getDayOfMonth)
+    s1.u8(refTime.getHour); s1.u8(refTime.getMinute); s1.u8(refTime.getSecond)
+    s1.u8(0); s1.u8(1)
+
+    // Section 3 — grid definition, template 3.0 (identical to encode)
+    val s3 = new Writer
+    s3.u32(72); s3.u8(3)
+    s3.u8(0); s3.u32(grid.numPoints); s3.u8(0); s3.u8(0); s3.u16(0)
+    s3.u8(6); s3.u8(0xff); s3.u32(0xffffffffL)
+    s3.u8(0xff); s3.u32(0xffffffffL); s3.u8(0xff); s3.u32(0xffffffffL)
+    s3.u32(grid.ni); s3.u32(grid.nj)
+    s3.u32(0); s3.u32(0xffffffffL)
+    s3.sm32(microDeg(grid.lat1Deg))
+    s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
+    s3.u8(0x30)
+    s3.sm32(microDeg(grid.lat2Deg))
+    s3.u32(microDeg(((grid.lon2Deg % 360.0) + 360.0) % 360.0))
+    s3.u32(microDeg(grid.dLonDeg)); s3.u32(microDeg(grid.dLatDeg))
+    s3.u8(0x00)
+
+    // Section 4 — product definition (identical to encode)
+    val s4 = new Writer
+    val (templateNo, cat, num, constituent) = product match {
+      case Meteo(c, nn)  => (0, c, nn, None)
+      case Chemical(ct)  => (40, 20, 0, Some(ct))
+    }
+    s4.u32(if (constituent.isEmpty) 34 else 36); s4.u8(4)
+    s4.u16(0); s4.u16(templateNo)
+    s4.u8(cat); s4.u8(num)
+    constituent.foreach(s4.u16)
+    s4.u8(2); s4.u8(255); s4.u8(255)
+    s4.u16(0); s4.u8(0); s4.u8(1)
+    s4.u32(forecastHours)
+    s4.u8(103); s4.u8(0); s4.u32(2)
+    s4.u8(255); s4.u8(0xff); s4.u32(0xffffffffL)
+
+    // Section 5 — DRT 5.42 (25 octets)
+    val s5 = new Writer
+    s5.u32(25); s5.u8(5)
+    s5.u32(n)
+    s5.u16(42)
+    s5.f32(rRef)
+    s5.sm16(e)
+    s5.sm16(0) // decimal scale D = 0
+    s5.u8(nbits)
+    s5.u8(0) // original values: floating point
+    s5.u8(CcsdsPreprocess | 0x04) // AEC_DATA_MSB | AEC_DATA_PREPROCESS
+    s5.u8(blockSize)
+    s5.u16(rsiBlocks)
+
+    // Section 6 — bitmap (255 when nothing is missing)
+    val s6 = bitmapSection(values)
+
+    // Section 7 — the CCSDS stream
+    val s7 = new Writer
+    s7.u32(5 + payload.length); s7.u8(7)
+    s7.buf ++= payload
+
+    val bodyLen = s1.buf.length + s3.buf.length + s4.buf.length +
+      s5.buf.length + s6.buf.length + s7.buf.length
+    w.buf ++= "GRIB".getBytes("ASCII")
+    w.u16(0xffff)
+    w.u8(0) // discipline: meteorological
+    w.u8(2)
+    w.u64(16L + bodyLen + 4L)
+    w.buf ++= s1.buf; w.buf ++= s3.buf; w.buf ++= s4.buf
+    w.buf ++= s5.buf; w.buf ++= s6.buf; w.buf ++= s7.buf
+    w.buf ++= "7777".getBytes("ASCII")
+    w.buf.toArray
+  }
+
   // ── decoding ───────────────────────────────────────────────────────────
 
   private final class Reader(bytes: Array[Byte], var pos: Int) {

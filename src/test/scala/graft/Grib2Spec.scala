@@ -307,6 +307,78 @@ class Grib2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated") || e.getMessage.contains("section"))
   }
 
+  test("CCSDS 5.42 round-trip: every coding option decodes value-exact") {
+    val grid = GridSpec(40, 25, 60.0, 350.0, 0.25, 0.25)
+    val rnd = new scala.util.Random(7)
+    // fields chosen to force each encoder branch: constant → zero runs;
+    // tiny deltas → second extension; smooth ramp → split-k; white noise →
+    // uncompressed. Integer values pack with E=0, so decode is value-exact.
+    val fields: Seq[(String, Array[Double])] = Seq(
+      "constant" -> Array.fill(grid.numPoints)(42.0),
+      "near-constant" -> Array.tabulate(grid.numPoints)(i =>
+        if (i % 37 == 0) 1.0 else 0.0),
+      "smooth-ramp" -> Array.tabulate(grid.numPoints)(i =>
+        (i / 7 + (i % 5)).toDouble),
+      "white-noise" -> Array.fill(grid.numPoints)(rnd.nextInt(4096).toDouble),
+      "steps" -> Array.tabulate(grid.numPoints)(i => ((i / 100) * 500).toDouble))
+    fields.foreach { case (name, values) =>
+      val bytes = Grib2.encodeCcsds(Meteo(0, 0), grid,
+        refTime, 3, values, nbits = 12)
+      val decoded = Grib2.decode(bytes)
+      assert(decoded.size === 1, name)
+      assert(decoded.head.values.toSeq === values.toSeq, s"field $name")
+    }
+    // compression sanity: the entropy layer must actually compress — a
+    // constant field is a handful of zero-run codewords, noise ≈ raw size
+    val tiny = Grib2.encodeCcsds(Meteo(0, 0), grid, refTime, 3, fields(0)._2, nbits = 12)
+    val noisy = Grib2.encodeCcsds(Meteo(0, 0), grid, refTime, 3, fields(3)._2, nbits = 12)
+    assert(tiny.length < 300, s"constant field should collapse: ${tiny.length} bytes")
+    assert(noisy.length > grid.numPoints * 12 / 8, "noise cannot beat raw")
+  }
+
+  test("CCSDS 5.42 round-trip: random fields, block sizes, RSIs, partial tails") {
+    val rnd = new scala.util.Random(13)
+    (0 until 20).foreach { trial =>
+      val ni = 3 + rnd.nextInt(40)
+      val nj = 2 + rnd.nextInt(20)
+      val grid = GridSpec(ni, nj, 70.0, 10.0, 0.5, 0.5)
+      val nbits = 4 + rnd.nextInt(13) // 4..16
+      val blockSize = Seq(8, 16, 32, 64)(rnd.nextInt(4))
+      val rsiBlocks = 1 + rnd.nextInt(8) // tiny RSIs → many boundaries
+      // mixture process: runs of constancy, small steps, and jumps, so one
+      // message exercises several options across blocks
+      var level = rnd.nextInt(1 << nbits)
+      val values = Array.tabulate(grid.numPoints) { _ =>
+        val roll = rnd.nextInt(100)
+        if (roll < 60) () // hold
+        else if (roll < 90) level = math.max(0,
+          math.min((1 << nbits) - 1, level + rnd.nextInt(5) - 2))
+        else level = rnd.nextInt(1 << nbits)
+        level.toDouble
+      }
+      val bytes = Grib2.encodeCcsds(Meteo(0, 6), grid, refTime, trial % 7,
+        values, nbits = nbits, blockSize = blockSize, rsiBlocks = rsiBlocks)
+      val decoded = Grib2.decode(bytes)
+      assert(decoded.head.values.toSeq === values.toSeq,
+        s"trial $trial (nbits=$nbits block=$blockSize rsi=$rsiBlocks n=${grid.numPoints})")
+    }
+  }
+
+  test("CCSDS 5.42: bitmap composes — missing points NaN, adapters drop them") {
+    val grid = GridSpec(20, 10, 55.0, 340.0, 0.5, 0.5)
+    val values = Array.tabulate(grid.numPoints)(i =>
+      if (i % 9 == 0) Double.NaN else (i % 2048).toDouble)
+    val bytes = Grib2.encodeCcsds(Chemical(40008), grid, refTime, 6, values, nbits = 11)
+    val d = Grib2.decode(bytes).head
+    assert(d.values.length === grid.numPoints)
+    values.indices.foreach { i =>
+      if (values(i).isNaN) assert(d.values(i).isNaN, s"point $i should be missing")
+      else assert(d.values(i) === values(i), s"point $i")
+    }
+    val msgs = Grib2.CamsGrib2Reader.openBytes(bytes).toSeq
+    assert(msgs.head.values.length === values.count(!_.isNaN))
+  }
+
   test("decoded messages flow through Grib.toDataFrame into the pipeline shape") {
     val spark = TestSession.spark
     val grid = GridSpec(10, 5, 60.0, 355.0, 0.5, 0.5)

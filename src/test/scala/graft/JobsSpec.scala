@@ -141,6 +141,51 @@ class JobsSpec extends SparkSpec {
     } finally java.nio.file.Files.delete(gribFile)
   }
 
+  test("daily run from a CCSDS-packed file (the production ECMWF shape), then compaction") {
+    import java.time.LocalDateTime
+    import graft.sources.Grib2
+    // the real ECMWF fixture's shape: DRT 5.42 messages; one carries a
+    // bitmap-masked corner, mixed with a complex-packed sibling
+    val grid = Grib2.GridSpec(ni = 24, nj = 12, lat1Deg = 62.0, lon1Deg = 352.0,
+      dLatDeg = 0.5, dLonDeg = 0.5)
+    val t2m = Array.tabulate(grid.numPoints)(i =>
+      if (i % 50 == 3) Double.NaN else 273.15 + (i % 30) * 0.5)
+    val d2m = Array.tabulate(grid.numPoints)(i => 263.15 + (i % 25) * 0.5)
+    val bytes =
+      Grib2.encodeCcsds(Grib2.Meteo(0, 0), grid,
+        LocalDateTime.of(2026, 1, 1, 0, 0), 0, t2m, nbits = 14) ++
+      Grib2.encodeComplex(Grib2.Meteo(0, 6), grid,
+        LocalDateTime.of(2026, 1, 1, 0, 0), 0, d2m, nbits = 14, order = 2)
+    val gribFile = java.nio.file.Files.createTempFile("ecmwf-ccsds", ".grib2")
+    java.nio.file.Files.write(gribFile, bytes)
+
+    val base = tempDir("jobgribz")
+    val grids = new GridStore(spark, s"$base/grid")
+    val rawFiles = new CatalogStore(spark, s"$base/raw_files", "id")
+    val curated = new CatalogStore(spark, s"$base/curated", "id")
+    val job = new DailyJob(spark, grids, rawFiles, curated)
+    val nMasked = t2m.count(_.isNaN)
+    try {
+      val r = job.run("ecmwf", "ifs-weather-forecast", date,
+        Grib2.EcmwfGrib2Reader, gribFile.toString, Transforms.ecmwf, insertedAt = ts)
+      // ecmwf transform derives humidity from paired t/td points: 3 variables
+      assert(r.variablesProcessed.toSet ===
+        Set("temperature", "dewpoint", "humidity"))
+      val before = grids.finalView().count()
+      // masked temperature points drop at the adapter; the ecmwf transform
+      // pairs t/td BEFORE deriving anything, so all three output variables
+      // carry only the paired (unmasked) points
+      assert(before === 3L * (grid.numPoints - nMasked))
+      // OPTIMIZE FINAL over the CCSDS-sourced rows, then crash-recovery:
+      // a no-crash recover() must be a no-op on a healthy store
+      grids.compact()
+      grids.recover()
+      assert(grids.finalView().count() === before)
+      import org.apache.spark.sql.functions._
+      assert(grids.finalView().filter(col("value").isNaN).count() === 0L)
+    } finally java.nio.file.Files.delete(gribFile)
+  }
+
   test("T5 fail-fast: a failing decode leaves grid and curated catalogs untouched") {
     val base = tempDir("jobfail")
     val grids = new GridStore(spark, s"$base/grid")

@@ -109,4 +109,39 @@ class PropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  test("CCSDS packing (5.42, any block/rsi/missing mask) decodes identically to simple packing") {
+    import graft.sources.Grib2
+    val refTime = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+    val genCase = for {
+      ni <- Gen.choose(2, 24)
+      nj <- Gen.choose(1, 12)
+      nbits <- Gen.oneOf(4, 8, 12, 16)
+      base <- Gen.oneOf(-40.0, 0.0, 280.0)
+      amp <- Gen.chooseNum(0.0, 50.0)
+      blockSize <- Gen.oneOf(8, 16, 32, 64)
+      rsiBlocks <- Gen.oneOf(1, 2, 7, 128)
+      missEvery <- Gen.oneOf(0, 3, 5) // 0 = no bitmap
+      seed <- Gen.choose(0, 10000)
+    } yield (Grib2.GridSpec(ni, nj, 50.0, 10.0, 0.25, 0.25),
+      nbits, base, amp, blockSize, rsiBlocks, missEvery, seed)
+    check(Prop.forAll(genCase) {
+      case (grid, nbits, base, amp, blockSize, rsiBlocks, missEvery, seed) =>
+        val values = Array.tabulate(grid.numPoints) { i =>
+          if (missEvery > 0 && i % missEvery == 1) Double.NaN
+          else base + amp * math.sin(i * 0.7 + seed)
+        }
+        values.exists(v => !v.isNaN) && {
+          val simple = Grib2.decode(
+            Grib2.encode(Grib2.Meteo(0, 0), grid, refTime, 3, values, nbits)).head
+          val ccsds = Grib2.decode(Grib2.encodeCcsds(Grib2.Meteo(0, 0), grid,
+            refTime, 3, values, nbits, blockSize, rsiBlocks)).head
+          // identical quantization → identical decode, NaNs in the same slots
+          simple.values.length == ccsds.values.length &&
+            simple.values.zip(ccsds.values).forall { case (a, b) =>
+              (a.isNaN && b.isNaN) || a == b
+            }
+        }
+    })
+  }
 }
