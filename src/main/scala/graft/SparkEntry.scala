@@ -226,7 +226,13 @@ object SparkEntry {
       import graft.sources.{Grib, Grib2}
       val points = s.read.format("binaryFile").load(RealEcmwfFixture)
         .select(col("content")).as[Array[Byte]]
-        .flatMap(bytes => Grib2.EcmwfGrib2Reader.openBytes(bytes).flatMap(Grib.messagePoints))
+        // header-only message split, then repartition so each ~700 KB
+        // message decodes on its own executor core (the few-huge-files
+        // ingest shape; per-file parallelism alone leaves one task decoding
+        // every message of a file)
+        .flatMap(bytes => Grib2.splitMessages(bytes))
+        .repartition(8)
+        .flatMap(m => Grib2.EcmwfGrib2Reader.openBytes(m).flatMap(Grib.messagePoints))
       points.toDF()
         .groupBy(col("variable"), col("unit"), col("timestamp"))
         .agg(count(lit(1)).as("n"),

@@ -976,6 +976,30 @@ object Grib2 {
     out
   }
 
+  /** Split a (possibly multi-message) GRIB file into per-message byte
+    * slices WITHOUT decoding — only the 16-byte section-0 headers are read.
+    * The distributed-ingest lever for few-huge-files inputs: a landing
+    * file's messages re-partition across executors and decode in parallel
+    * (each message is independently decodable by construction).
+    */
+  def splitMessages(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = ArrayBuffer[Array[Byte]]()
+    var off = 0
+    while (off + 16 <= bytes.length) {
+      if (!(bytes(off) == 'G' && bytes(off + 1) == 'R' &&
+            bytes(off + 2) == 'I' && bytes(off + 3) == 'B'))
+        fail(s"bad magic at offset $off")
+      val r = new Reader(bytes, off + 8)
+      val totalLen = r.u64()
+      if (totalLen < 20 || off + totalLen > bytes.length)
+        fail(s"message length $totalLen at offset $off overruns the file")
+      out += java.util.Arrays.copyOfRange(bytes, off, off + totalLen.toInt)
+      off += totalLen.toInt
+    }
+    if (out.isEmpty) fail("no GRIB messages found")
+    out.toSeq
+  }
+
   /** Decode every message in the byte array (GRIB files concatenate
     * messages back to back).
     */

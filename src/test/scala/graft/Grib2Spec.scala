@@ -149,6 +149,19 @@ class Grib2Spec extends AnyFunSuite {
     val msgs = Grib2.decode(bytes)
     assert(msgs.map(_.product) === Seq(Chemical(40008), Chemical(40009), Meteo(0, 6)))
     assert(msgs.map(_.forecastHours) === Seq(0, 1, 2))
+    // header-only split: slices reassemble the file exactly, and each slice
+    // decodes independently to the same message (the parallel-ingest path)
+    val slices = Grib2.splitMessages(bytes)
+    assert(slices.size === 3)
+    assert(slices.flatten.toSeq === bytes.toSeq)
+    slices.zip(msgs).foreach { case (slice, whole) =>
+      val d = Grib2.decode(slice)
+      assert(d.size === 1)
+      assert(d.head.product === whole.product)
+      assert(d.head.forecastHours === whole.forecastHours)
+      assert(d.head.values.toSeq === whole.values.toSeq)
+    }
+    intercept[java.io.IOException](Grib2.splitMessages(bytes.dropRight(30)))
   }
 
   test("ADR-002 regression: prime-meridian-crossing grid yields [-25, 45), never -335") {
