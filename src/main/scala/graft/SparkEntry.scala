@@ -55,10 +55,25 @@ object SparkEntry {
     * pair generation + label propagation per query (the d15s/v8s
     * amortization applied to the cluster graph).
     */
+  /** The d4 near-dup pair set, materialized once per corpus snapshot —
+    * the edge list every graph/cluster consumer reads. d4 itself stays the
+    * from-scratch pair-generation demo; g1/g3/clusterMap consume the
+    * artifact (at 100 TB the dedup job writes the pair table once and the
+    * graph diagnostics never re-run candidate generation).
+    */
+  private def pairTable(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_oracle/pair_table"
+    buildOnce(dir, "documents", out, "pairs=d4,prefix=32,jacc>=0.35") {
+      d4RoundedPairs(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/pairs")
+    }
+    spark.read.parquet(s"$out/pairs")
+  }
+
   private def clusterMap(spark: SparkSession, dir: String): DataFrame = {
     val out = "/tmp/graft_oracle/cluster_map"
-    buildOnce(dir, "documents", out, "pairs=d4,prefix=32,jacc>=0.35") {
-      Dedup.canonicalize(d4RoundedPairs(spark, dir))
+    buildOnce(dir, "documents", out, "pairs=d4,prefix=32,jacc>=0.35,cc=minid") {
+      Dedup.canonicalize(pairTable(spark, dir))
         .write.mode("overwrite").parquet(s"$out/map")
     }
     spark.read.parquet(s"$out/map")
@@ -1093,7 +1108,7 @@ object SparkEntry {
     // Edges⋈edges path enumeration + closing-edge semi-join, all-integer
     // counts (see Graph.triangleStats).
     "g3_triangles" -> ((s, d) =>
-      graft.graph.Graph.triangleStats(d4RoundedPairs(s, d))),
+      graft.graph.Graph.triangleStats(pairTable(s, d))),
 
     // D-dedup: screening against a PERSISTED index — build once, save,
     // load, screen (the v8 build/serve demo for dedup): the serve plan
@@ -1189,7 +1204,7 @@ object SparkEntry {
     // decimal contribution sums + per-iteration 9dp rounding so both
     // engines iterate from the same grid point
     "g1_pagerank" -> ((s, d) =>
-      graft.graph.Graph.pagerank(d4RoundedPairs(s, d), iters = 3)
+      graft.graph.Graph.pagerank(pairTable(s, d), iters = 3)
         .select(col("id").as("doc_id"), col("r").as("rank"))
         .orderBy("doc_id")),
 
