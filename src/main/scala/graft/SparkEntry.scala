@@ -1020,6 +1020,23 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // D-dedup: Bloom-pre-screened exact screen — the 20% batch probes a
+    // broadcast bitset built from the 80% history's fingerprints; only the
+    // FP-rate-bounded "maybe" residue pays the anti-join exchange, and the
+    // exact verify makes the output value-identical to the plain anti-join
+    // (no false negatives by construction). The cheapest possible daily
+    // screen: one history aggregation (amortizable) + a near-shuffle-free
+    // batch pass.
+    "d17_bloom_screen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.bloomScreen(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // G-graph: duplicate-cluster size distribution — the curation
     // diagnostic over the canonicalized graph (how much of the corpus sits
     // in 2-doc pairs vs 50-doc boilerplate families decides the dedup
@@ -2414,6 +2431,13 @@ object SparkEntry {
     // replays the identical interval join in SQL.
     "st5_stream_attribution" -> ((s, d) => StreamContract.attribution(s, d)),
 
+    // ST-streaming: st1's exactly-once result with BOUNDED state —
+    // dropDuplicatesWithinWatermark holds each key only for the re-delivery
+    // horizon (1 h past the watermark), the production dedup shape for an
+    // unbounded stream; the result must still equal exact dedup because
+    // every duplicate lands before the first trigger's watermark moves.
+    "st6_stream_dedup_bounded" -> ((s, d) => StreamContract.dedupBounded(s, d)),
+
     // E-events: behavioral transition matrix — per-user next-event bigrams
     // (one lead window over the user timeline, ties broken by event_id)
     // folded to Markov transition counts and row-normalized probabilities.
@@ -3646,6 +3670,20 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp,
         |       min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // d17: the bloom is a pure pruning device — no false negatives, and the
+    // exact verify removes its false positives — so the oracle is the plain
+    // fingerprint anti-join of batch against history
+    "d17_bloom_screen" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp FROM f
+        |WHERE doc_id % 5 = 0
+        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 <> 0)
+        |ORDER BY doc_id""".stripMargin,
 
     // d2/d3: the portable hash families (md5 base + affine re-hash mod
     // 2^31-1 for minhash; md5-nibble bit votes for simhash) are engine-
@@ -5611,6 +5649,14 @@ object SparkEntry {
     // dedup + checkpointed file tracking both worked; the oracle is the
     // plain single-copy aggregate
     "st1_stream_dedup_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // st6: watermark-bounded dedup with all duplicates inside the horizon
+    // is value-identical to exact dedup — same oracle as st1
+    "st6_stream_dedup_bounded" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users

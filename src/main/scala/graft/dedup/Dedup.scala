@@ -28,6 +28,44 @@ object Dedup {
       .groupBy("fp")
       .agg(min("id").as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Bloom-pre-screened EXACT dedup of a batch against a history corpus.
+    * The result is exactly `batch ▷ history` (anti-join on the content
+    * fingerprint — a Bloom filter has no false negatives, so no new row is
+    * ever lost), but the anti-join's shuffle sees only the Bloom "maybe"
+    * rows: at a plausible 1% false-positive rate, 99% of genuinely-new rows
+    * are admitted by a broadcast bitset probe at the batch scan and never
+    * reach an exchange. That is the 100 TB shape — screening a daily crawl
+    * increment against a multi-billion-document archive costs one
+    * sketch-build aggregation over history fingerprints (amortizable across
+    * days; rebuild only on archive compaction since deletes don't matter
+    * for an append-only archive) plus a shuffle proportional to
+    * `|batch| × fpRate + |true dups|`, not `|batch|`. Beyond the 16 MiB
+    * task-binary envelope ([[graft.functions.BloomSketch.sizeBits]], ≈10⁷
+    * keys) shard the sketch by fingerprint prefix into per-shard bitsets
+    * probed in sequence, or fall back to the plain shuffle anti-join.
+    *
+    * The batch side is scanned twice (definitely-new branch + maybe
+    * branch); the batch is the small delta, and both scans prune to
+    * `(id, text)` at the reader.
+    */
+  def bloomScreen(history: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, expectedHistoryKeys: Long = -1L,
+      bitsPerKey: Int = 10, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomSketch
+    val histFp = history.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val n = if (expectedHistoryKeys > 0) expectedHistoryKeys else histFp.count()
+    val words = BloomSketch.build(
+      histFp, col("fp"), BloomSketch.sizeBits(n, bitsPerKey), numHashes)
+    val b = batch.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val definitelyNew = b.filter(!BloomSketch.mightContain(col("fp"), words, numHashes))
+    val maybeDup = b.filter(BloomSketch.mightContain(col("fp"), words, numHashes))
+    // only the FP-rate-bounded residue pays the exchange; exact verify
+    // restores precision, so the union is value-identical to the anti-join
+    val verifiedNew = maybeDup.join(histFp, Seq("fp"), "left_anti")
+    definitelyNew.unionByName(verifiedNew.select("id", "fp"))
+  }
+
   /** `n`-word shingle set of a document (distinct, order-free). The token
     * array is let-bound so the tokenize runs once per row, not once per
     * shingle (see [[ColOps.bindLet]]).

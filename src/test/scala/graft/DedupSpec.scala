@@ -387,4 +387,36 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getString(3)).toSeq === orig.toSeq)
     assert(rows.forall(r => r.getLong(1) === r.getLong(2)))
   }
+
+  test("D17: bloomScreen equals the plain fingerprint anti-join on a randomized corpus") {
+    val rnd = new scala.util.Random(17)
+    // history and batch share ~half their contents; batch carries a
+    // within-batch duplicate pair that must BOTH survive (screen is
+    // against history only, not within-batch)
+    val pool = (1 to 120).map(i => s"document number $i body " + rnd.nextInt(40))
+    val history = pool.take(80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // pool(60..79) overlap history, pool(80..109) are new; the appended
+    // repeat of pool(100) is a within-batch duplicate NOT in history —
+    // both its copies must survive (the screen is against history only)
+    val batchTexts = pool.drop(60).take(50) :+ pool(100)
+    val batch = batchTexts.zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+    val got = Dedup.bloomScreen(history, batch, "doc_id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    val fp = graft.text.TextAnalysis.fingerprint(col("text"))
+    val want = batch.select(col("doc_id"), fp.as("fp"))
+      .join(history.select(fp.as("fp")), Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === want, s"bloom screen diverged from the anti-join")
+    assert(want.nonEmpty && want.length < batch.count(), "split must be non-trivial")
+  }
+
+  test("D17: a batch with no overlap passes whole; a fully-seen batch empties") {
+    val hist = (1 to 30).map(i => (i.toLong, s"seen doc $i")).toDF("doc_id", "text")
+    val fresh = (1 to 10).map(i => (100L + i, s"fresh doc $i")).toDF("doc_id", "text")
+    assert(Dedup.bloomScreen(hist, fresh, "doc_id", "text").count() === 10L)
+    val seen = (1 to 10).map(i => (200L + i, s"seen doc $i")).toDF("doc_id", "text")
+    assert(Dedup.bloomScreen(hist, seen, "doc_id", "text").count() === 0L)
+  }
 }
