@@ -566,6 +566,28 @@ object SparkEntry {
         .orderBy("variable")
     }),
 
+    // K11 — schema evolution on the append-only store: batch 1 predates
+    // the qc_flag column, batch 2 declares it as an evolved extra; the
+    // merged read surfaces NULL for pre-evolution rows and the values for
+    // evolved rows. No history rewrite — the ALTER ADD COLUMN discipline
+    // that survives a 100 TB archive (old files simply lack the column).
+    "k11_schema_evolution" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val store = new GridStore(s, s"$out/grid")
+      val base = eventsAsGrid2(s, d, valueShift = 0.0)
+      val id = col("catalogId").cast("long")
+      store.append(base.filter(id % 2 === 1)
+        .withColumn("insertedAt", expr("TIMESTAMP '2026-01-01 00:00:00'")))
+      store.append(base.filter(id % 2 === 0)
+        .withColumn("insertedAt", expr("TIMESTAMP '2026-01-02 00:00:00'"))
+        .withColumn("qc_flag", id % 3 === 0), extras = Seq("qc_flag"))
+      store.rawMerged().groupBy("variable").agg(
+        count(lit(1)).as("n"),
+        count(col("qc_flag")).as("n_evolved"),
+        sum(col("qc_flag").cast("long")).as("n_flagged"))
+        .orderBy("variable")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -1318,6 +1340,21 @@ object SparkEntry {
         nProbe = 4, k = 5)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("probe_id", "rank")
+    }),
+
+    // V-similarity: RADIUS search over the IVF index — all candidates in
+    // the probed lists at cosine ≥ τ (the dedup/contamination form of ANN:
+    // "everything this close", not top-k). No rank window at all — the
+    // threshold is a pure filter over the list-pruned join, strictly
+    // cheaper than top-k at scale. Oracle replays assignment, probe lists
+    // and the 6dp-rounded threshold from the persisted centroids.
+    "v15_radius_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/v15_radius")
+      Ivf.radiusSearch(idx, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        nProbe = 4, minCosine = 0.3)
+        .orderBy("probe_id", "neighbor_id")
     }),
 
     // V-similarity: quantizer INERTIA — the refit trigger for an index
@@ -3172,6 +3209,15 @@ object SparkEntry {
         |       CAST(min(valf) AS DOUBLE) AS min_v, CAST(max(valf) AS DOUBLE) AS max_v
         |FROM dd WHERE rn = 1 GROUP BY variable ORDER BY variable""".stripMargin,
 
+    // k11: evolved rows are the even event_ids (batch 2), flagged where
+    // divisible by 3; pre-evolution rows contribute NULL (counted by n only)
+    "k11_schema_evolution" ->
+      """SELECT event_type AS variable, count(*) AS n,
+        |       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+        |       CAST(sum(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // k2: the engine side PUTs each region's nations as an object and GETs
     // them back through the ObjectStore boundary; the oracle is the pure
     // join the round-trip must reproduce byte-for-byte
@@ -4518,6 +4564,40 @@ object SparkEntry {
         |)
         |SELECT probe_id, id AS neighbor_id, round(cos_raw, 6) AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // v15: the v5 replay with the rank window replaced by the 6dp-rounded
+    // cosine threshold — every candidate in the probed lists at cosine ≥ τ
+    "v15_radius_search" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v15_radius/centroids/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), en AS (
+        |  SELECT vec_id, emb,
+        |         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+        |  FROM e
+        |), dist AS (
+        |  SELECT en.vec_id, en.emb, en.nrm, c.listId,
+        |         list_aggregate(list_transform(range(1, len(en.emb) + 1),
+        |           i -> (en.emb[i] - c.cent[i]) * (en.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM en, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, nrm, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), pl AS (
+        |  SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+        |    FROM dist WHERE vec_id < 20) WHERE lr <= 4
+        |), cand AS (
+        |  SELECT pl.probe_id, a.vec_id AS id,
+        |         round(list_aggregate(list_transform(range(1, len(a.emb) + 1),
+        |           i -> a.emb[i] * pl.p_emb[i]), 'sum') / (a.nrm * pl.p_nrm), 6) AS cosine
+        |  FROM pl JOIN asg a USING (listId)
+        |  WHERE a.vec_id <> pl.probe_id
+        |)
+        |SELECT probe_id, id AS neighbor_id, cosine
+        |FROM cand WHERE cosine >= 0.3 ORDER BY probe_id, neighbor_id""".stripMargin,
 
     // v14: the assignment replay of v5 folded to per-list error sums —
     // 9dp-rounded d² into a DECIMAL sum, so partial-agg order can't show

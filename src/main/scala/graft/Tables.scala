@@ -54,7 +54,7 @@ object Tables {
           d.limit(1).collect()
           d
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             throw new IllegalStateException(
               s"[testdata-probe] table '$t' failed to read from $sfDir " +
                 s"(dtype drift or missing file?): ${e.getMessage}", e)

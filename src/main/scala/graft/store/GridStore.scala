@@ -57,10 +57,20 @@ final class GridStore(spark: SparkSession, val path: String,
     * derives the `date` partition column, sorts within partitions to emulate
     * the CH primary key, appends. Returns the written row count (A3).
     */
-  def append(rows: DataFrame): Long = {
+  def append(rows: DataFrame): Long = append(rows, Nil)
+
+  /** K11 — schema-evolved append: the canonical columns normalize exactly
+    * as the plain [[append]]; declared `extras` ride along untouched. This
+    * is the `ALTER TABLE … ADD COLUMN` analog for an append-only archive:
+    * files written before the column existed simply lack it and read back
+    * NULL under a merged schema ([[rawMerged]]) — no history rewrite, which
+    * is the only evolution discipline that survives a 100 TB store.
+    */
+  def append(rows: DataFrame, extras: Seq[String]): Long = {
     // Row count observed during the write job itself (no second scan).
     val obs = org.apache.spark.sql.Observation()
-    normalize(rows)
+    val withExtras = rows.select(canonicalCols(rows) ++ extras.map(rows(_)): _*)
+    withExtras
       .withColumn("date", to_date(col("timestamp")))
       .repartition(col("date"))
       .sortWithinPartitions(sortKey: _*)
@@ -74,19 +84,30 @@ final class GridStore(spark: SparkSession, val path: String,
     * (`finder_integration_test.go:24-25`).
     */
   def normalize(rows: DataFrame): DataFrame =
-    rows.select(
-      col("variable").cast("string"),
-      date_trunc("second", col("timestamp")).as("timestamp"),
-      col("lat").cast("float"),
-      col("lon").cast("float"),
-      col("value").cast("float"),
-      col("unit").cast("string"),
-      col("catalogId").cast("string"),
-      col("insertedAt").cast("timestamp")
-    )
+    rows.select(canonicalCols(rows): _*)
+
+  private def canonicalCols(rows: DataFrame): Seq[org.apache.spark.sql.Column] = Seq(
+    rows("variable").cast("string").as("variable"),
+    date_trunc("second", rows("timestamp")).as("timestamp"),
+    rows("lat").cast("float").as("lat"),
+    rows("lon").cast("float").as("lon"),
+    rows("value").cast("float").as("value"),
+    rows("unit").cast("string").as("unit"),
+    rows("catalogId").cast("string").as("catalogId"),
+    rows("insertedAt").cast("timestamp").as("insertedAt")
+  )
 
   /** Raw read — may contain superseded versions between compactions. */
   def raw(): DataFrame = spark.read.parquet(path)
+
+  /** Raw read under schema merge: evolved columns appear, pre-evolution
+    * files contribute NULL. Parquet footer-merging is a per-file metadata
+    * read — at archive scale a production deployment records the current
+    * schema in the catalog instead and passes it to the reader; the merge
+    * here proves the files themselves carry the evolution.
+    */
+  def rawMerged(): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** The FINAL view (A1): keep-latest per sorting key. ALL query paths go
     * through this. Uses the hash-aggregate formulation (map-side partial
@@ -117,7 +138,10 @@ final class GridStore(spark: SparkSession, val path: String,
     */
   def compact(dates: Seq[java.sql.Date] = Nil): Unit = {
     if (!exists) return
-    val base = raw()
+    // mergeSchema: a compaction that read a single file's footer would
+    // silently DROP an evolved column (K11) from every rewritten partition —
+    // the one operation that rewrites history must see the union schema.
+    val base = rawMerged()
     val scoped = if (dates.isEmpty) base else base.filter(col("date").isin(dates: _*))
     // Writing to a staged path means the source files are never overwritten
     // mid-read — no defensive cache/materialize pass needed before the swap.

@@ -123,6 +123,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("V15: radius search with nProbe == nLists matches an exact threshold scan") {
+    val df = clustered
+    val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
+    val probes = df.filter($"vec_id".isin(0L, 15L, 27L))
+    val got = Ivf.radiusSearch(idx, probes, "vec_id", "embedding",
+      nProbe = 4, minCosine = 0.5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    // exact reference: every (probe, other) pair at rounded cosine >= τ
+    val exact = Similarity.knnJoin(probes, df, "vec_id", "embedding", df.count().toInt)
+      .filter(round($"cosine", 6) >= 0.5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(got === exact)
+    assert(got.nonEmpty, "threshold chosen so the fixture yields pairs")
+    // no self-pairs, and every surfaced cosine honors the threshold
+    assert(Ivf.radiusSearch(idx, probes, "vec_id", "embedding", 4, 0.5)
+      .filter($"probe_id" === $"neighbor_id" || $"cosine" < 0.5).count() === 0L)
+  }
+
   test("V5: saved+loaded IVF index answers identically to the in-memory one") {
     val df = clustered
     val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)

@@ -49,6 +49,28 @@ class StoreSpec extends SparkSpec {
     assert(pruned.count() === 1L)
   }
 
+  test("K11: evolved column reads NULL for old files and survives compaction") {
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    store.append(gridRows(t0, 1.0)) // pre-evolution batch: no qc_flag
+    store.append(
+      gridRows(t1, 100.0).withColumn("qc_flag", $"variable" === "pm2p5"),
+      extras = Seq("qc_flag"))
+    val merged = store.rawMerged()
+    assert(merged.columns.contains("qc_flag"))
+    assert(merged.filter($"qc_flag".isNull).count() === 3L,
+      "pre-evolution files must surface NULL under the merged schema")
+    assert(merged.filter($"qc_flag" === true).count() === 2L)
+    // the ONE operation that rewrites history must not drop the column
+    store.compact()
+    val after = store.rawMerged()
+    assert(after.columns.contains("qc_flag"),
+      "compaction must preserve evolved columns")
+    // keep-latest picked the evolved (t1) versions, so no NULLs remain
+    assert(after.count() === 3L)
+    assert(after.filter($"qc_flag" === true).count() === 2L)
+    assert(after.filter($"qc_flag".isNull).count() === 0L)
+  }
+
   test("non-ASCII units survive the parquet round-trip with exact equality") {
     val store = new GridStore(spark, tempDir("store") + "/grid")
     val rows = Seq(
