@@ -1126,6 +1126,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")),
 
+    // T-text: BPE merge discovery — TOKENIZER TRAINING in-engine. One
+    // corpus scan compacts to the word-frequency table; three merge rounds
+    // then run over the vocab alone (pair-count aggregate → one-row argmax
+    // → literal merge), the exact shape production BPE trainers use to
+    // scale. The oracle unrolls the same three rounds as CTEs and must
+    // land on identical (pair, count) winners.
+    "t17_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMerges(t(s, d, "documents"), "text", rounds = 3)
+        .orderBy("round")),
+
     // D-dedup: near-dup yield curve — pair counts at three Jaccard
     // thresholds from ONE persisted blocked-pair frame (the knob-tuning
     // view of d4: how aggressive can the dedup gate get before it starts
@@ -3595,6 +3605,50 @@ object SparkEntry {
         |)
         |SELECT lang, lang_pred, count(*) AS n
         |FROM pr GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    // t17: the three BPE merge rounds unrolled as CTEs — word-frequency
+    // vocab, per-round pair counts, argmax (ties lexicographic), literal
+    // left-to-right non-overlapping merge (replace() semantics in both
+    // engines)
+    "t17_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+        |  GROUP BY word
+        |), s0 AS (
+        |  SELECT freq, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS sym FROM w
+        |), p1 AS (
+        |  SELECT pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s0))
+        |  GROUP BY pair
+        |), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1
+        |), s1 AS (
+        |  SELECT freq, replace(sym, ' ' || m1.pair || ' ',
+        |                       ' ' || replace(m1.pair, ' ', '') || ' ') AS sym
+        |  FROM s0, m1
+        |), p2 AS (
+        |  SELECT pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s1))
+        |  GROUP BY pair
+        |), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1
+        |), s2 AS (
+        |  SELECT freq, replace(sym, ' ' || m2.pair || ' ',
+        |                       ' ' || replace(m2.pair, ' ', '') || ' ') AS sym
+        |  FROM s1, m2
+        |), p3 AS (
+        |  SELECT pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s2))
+        |  GROUP BY pair
+        |), m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1)
+        |SELECT 1 AS round, pair, replace(pair, ' ', '') AS merged,
+        |       CAST(cnt AS BIGINT) AS pair_count FROM m1
+        |UNION ALL SELECT 2, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM m2
+        |UNION ALL SELECT 3, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM m3
+        |ORDER BY round""".stripMargin,
 
     "t6_tfidf_top_term" ->
       """WITH toks AS (

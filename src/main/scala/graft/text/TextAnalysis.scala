@@ -366,4 +366,72 @@ object TextAnalysis {
       .filter(col("lev") <= maxLev)
       .select(col("a"), col("b"), col("lev"))
   }
+
+  /** BPE merge discovery — TOKENIZER TRAINING as a bounded-round
+    * aggregation. The corpus is first compacted into the classic
+    * word-frequency table (ONE corpus scan + one vocab-sized shuffle —
+    * exactly how production BPE trainers scale: all subsequent rounds
+    * operate on the vocab, whose size is corpus-sublinear). Each word
+    * becomes a space-joined symbol sequence (initially characters); every
+    * round counts adjacent symbol pairs weighted by word frequency, picks
+    * the most frequent pair (ties broken lexicographically — a collect of
+    * exactly ONE row per round, driver state bounded by `rounds`), and
+    * applies the merge to every word with a left-to-right non-overlapping
+    * literal replace (the same semantics `replace` has in every engine,
+    * making the whole loop oracle-replayable value-exactly). Returns one
+    * row per round: (round, pair, merged, pair_count).
+    *
+    * At 100 TB: the corpus-sized work is the single word-count scan; the
+    * `rounds` loop never touches the corpus again. For thousands of merges
+    * you would checkpoint the vocab frame every ~50 rounds to truncate
+    * lineage; at contract scale the chain is shallow.
+    */
+  def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab0 = df
+      .select(explode(split(lower(col(textCol)), " ", -1)).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // pad so a merge pair is always matchable as ' x y ' regardless of
+      // position; symbols stay single-space-joined through every round
+      .withColumn("sym",
+        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
+      .cache()
+    vocab0.count()
+    var vocab = vocab0.select(col("freq"), col("sym"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      (1 to rounds).foreach { r =>
+        // a fully-merged word is ONE symbol: drop it before pairing —
+        // Spark's sequence(1, 0) counts DOWN (it is not empty like
+        // DuckDB's range), so the guard must be a row filter
+        val pairs = vocab
+          .select(col("freq"), split(trim(col("sym")), " ", -1).as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(col("a")) - 1),
+              i => concat(element_at(col("a"), i), lit(" "),
+                element_at(col("a"), i + 1)))).as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+          .collect()
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val merged = pair.replace(" ", "")
+          merges += ((r, pair, merged, cnt))
+          vocab = vocab.withColumn("sym",
+            regexp_replace(col("sym"),
+              java.util.regex.Pattern.quote(s" $pair "), s" $merged "))
+        }
+      }
+    } finally vocab0.unpersist()
+    merges.result()
+      .toDF("round", "pair", "merged", "pair_count")
+      .select(col("round").cast("int").as("round"), col("pair"),
+        col("merged"), col("pair_count"))
+  }
 }

@@ -246,6 +246,18 @@ object Stress {
       val (tFz, rowsFz) = time { fuzzyMatch(docs).count() }
       println(s"""{"op":"t13_fuzzy_match","scale":$k,"n_docs":$n,"sec":${num(tFz)},"out_rows":$rowsFz}""")
 
+      // d17: Bloom-pre-screened exact screen — FIXED batch against the ×k
+      // history. Cost must be ONE linear aggregation over history
+      // fingerprints (the sketch build) plus a batch-bounded probe; the
+      // out_rows stay flat (batch novelty doesn't change with history
+      // copies — suffixed tokens make copy texts unique, so no new hits).
+      // Quadratic growth or out_rows tracking k would mean the "maybe"
+      // residue isn't FP-bounded.
+      val (tBl, rowsBl) = time {
+        Dedup.bloomScreen(docs, batch0, "doc_id", "text").count()
+      }
+      println(s"""{"op":"d17_bloom_screen","scale":$k,"n_hist":$n,"n_batch":$nBatch,"sec":${num(tBl)},"out_rows":$rowsBl}""")
+
       docs.unpersist()
       // d9 persists its chunk frame internally; drop it between scales so a
       // later scale can't ride an earlier scale's cache
@@ -255,7 +267,67 @@ object Stress {
     embeddingStress(spark, sfDir)
     appendStress(spark, sfDir)
     streamStateStress(spark, sfDir)
+    streamDedupStress(spark, sfDir)
     spark.stop()
+  }
+
+  /** st6's state bound measured: `dropDuplicatesWithinWatermark` keeps one
+    * state row per key seen WITHIN the watermark window, never per key seen
+    * ever. The events table is replayed as k time-shifted copies, each
+    * written TWICE (a real at-least-once delivery: every event is a
+    * duplicate once), drained one file per micro-batch so the watermark
+    * advances between copies and evicts the previous copy's keys.
+    * `max_state_rows` must stay ~flat in k while rows_in grows ×k — a
+    * growing state row here is the unbounded-dedup-state failure the
+    * watermark-bounded form exists to prevent (plain `dropDuplicates` on a
+    * stream grows exactly that way).
+    */
+  private def streamDedupStress(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = graft.Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value").cache()
+    val idStride = events.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+
+    Seq(1, 4, 16).foreach { k =>
+      val base = java.nio.file.Files.createTempDirectory(s"stress_st6_x$k")
+      val landing = s"$base/landing"; val sink = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      (0 until k).foreach { c =>
+        val shifted = events
+          .select((col("event_id") + lit(c * idStride)).as("event_id"),
+            (col("ts") + expr(s"INTERVAL ${c * 30} DAYS")).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+        // two identical files = every event delivered twice
+        shifted.coalesce(1).write.mode("append").parquet(landing)
+        shifted.coalesce(1).write.mode("append").parquet(landing)
+      }
+      val nIn = spark.read.parquet(landing).count()
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "8")
+      val (tDrain, maxState, outRows) =
+        try {
+          val t0 = System.nanoTime()
+          val q = graft.streaming.EventStream.dedupStream(
+              spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1").parquet(landing),
+              Seq("event_id"), watermark = "1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val states = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.map(_.numRowsTotal))
+          (sec, if (states.isEmpty) 0L else states.max,
+            spark.read.parquet(sink).count())
+        } finally spark.conf.set(key, old)
+      println(s"""{"op":"st6_stream_dedup","scale":$k,"rows_in":$nIn,"sec":${num(tDrain)},"max_state_rows":$maxState,"out_rows":$outRows}""")
+    }
+    events.unpersist()
+    ()
   }
 
   /** v12's scale claim measured: append cost ∝ |delta|, NOT |history|.
@@ -472,6 +544,21 @@ object Stress {
         ((System.nanoTime() - s0) / 1e9, r)
       }
       println(s"""{"op":"v8s_search","scale":$k,"n_vecs":$n,"sec":${num(tSrv)},"out_rows":$rowsSrv}""")
+
+      // v15: RADIUS search against the same ×k index — fixed probes, fixed
+      // τ. The claim: with nLists ∝ corpus, the probed-list candidate set
+      // stays constant-sized, so a threshold scan (no rank window at all)
+      // is flat in corpus size and never costs more than top-k on the same
+      // probes. out_rows may drift slightly (rotated copies can land in a
+      // probe's lists) but must stay far from ×k.
+      val radProbes = emb0.filter(col("vec_id") < 5)
+      val (tRad, rowsRad) = {
+        val s0 = System.nanoTime()
+        val r = Ivf.radiusSearch(idx, radProbes, "vec_id", "embedding",
+          nProbe = 4, minCosine = 0.3).count()
+        ((System.nanoTime() - s0) / 1e9, r)
+      }
+      println(s"""{"op":"v15_radius","scale":$k,"n_vecs":$n,"sec":${num(tRad)},"out_rows":$rowsRad}""")
 
       e.unpersist()
       spark.catalog.clearCache()

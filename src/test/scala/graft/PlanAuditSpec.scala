@@ -300,6 +300,32 @@ class PlanAuditSpec extends SparkSpec {
       s"history must come from the persisted index parquet:\n$plan")
   }
 
+  test("v15: radius search carries no rank window; probe lists broadcast") {
+    import graft.sim.Ivf
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 4)
+    val df = Ivf.radiusSearch(idx, emb.filter($"vec_id" < 5), "vec_id",
+      "embedding", nProbe = 2, minCosine = 0.3)
+    df.collect()
+    val frames = flatten(df.queryExecution.executedPlan)
+    // the candidate side must never sort or window: the threshold is a pure
+    // filter, which is the whole reason radius beats top-k at scale. The
+    // probe-list derivation's own tiny window (nearest lists per probe)
+    // sits INSIDE the broadcast build side — assert the corpus-side join
+    // consumes a broadcast, and no Window touches the probe-side stream
+    // above it.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val joins = frames.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "corpus-side candidate join must be broadcast-hash")
+    val aboveJoin = frames.takeWhile {
+      case _: BroadcastHashJoinExec => false
+      case _ => true
+    }
+    assert(!aboveJoin.exists(_.isInstanceOf[WindowExec]),
+      "no rank window may sit above the candidate join in a radius search")
+  }
+
   test("k9: the bucketed co-located join has ZERO Exchange below the merge join") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val dir = "/root/testdata/sf0.001"

@@ -198,4 +198,19 @@ class TextSpec extends SparkSpec {
     assert(top.length === 3)
     assert(top(1)._2 === 1L && top(2)._2 === 1L && top(1)._1 < top(2)._1)
   }
+
+  test("bpeMerges: hand-computed three-round merge table with lexicographic ties") {
+    val docs = Seq(
+      (1L, "The the cat"), // lowercased; "the" total freq 3 across docs
+      (2L, "the hat")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: "h e" and "t h" both count 3 (the×3); tie → "h e" wins lexically
+    assert(m(0) === ((1, "h e", "he", 3L)))
+    // round 2: "t he" now counts 3, beating "a t" (cat+hat = 2)
+    assert(m(1) === ((2, "t he", "the", 3L)))
+    // round 3: "the" is fully merged; "a t" (2) is the top remaining pair
+    assert(m(2) === ((3, "a t", "at", 2L)))
+  }
 }
