@@ -1051,10 +1051,29 @@ object SparkEntry {
     // batch pass.
     "d17_bloom_screen" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      Dedup.bloomScreen(
-        docs.filter(col("doc_id") % 5 =!= 0),
-        docs.filter(col("doc_id") % 5 === 0),
-        "doc_id", "text")
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      // size the sketch from an id-only count (columnar, no fingerprint
+      // computation) — in production the store's A3 row accounting supplies
+      // this number for free
+      Dedup.bloomScreen(hist, docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", expectedHistoryKeys = hist.select("doc_id").count())
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // D-dedup: the SHARDED Bloom screen — past the 16 MiB task-binary
+    // envelope one bitset no longer ships, so history fingerprints build
+    // per-shard sketches in ONE grouped aggregation and the batch JOINS its
+    // shard's sketch row (no driver collect, no broadcast of all shards to
+    // every task). Exactness unchanged — the oracle is the same anti-join
+    // d17 must equal; 4 shards here exercise the join-the-sketch path at
+    // contract scale.
+    "d18_bloom_screen_sharded" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.bloomScreenSharded(hist, docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", expectedHistoryKeys = hist.select("doc_id").count(),
+        nShards = 4)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -3775,6 +3794,19 @@ object SparkEntry {
     // exact verify removes its false positives — so the oracle is the plain
     // fingerprint anti-join of batch against history
     "d17_bloom_screen" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp FROM f
+        |WHERE doc_id % 5 = 0
+        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 <> 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // d18: sharding must not change a single verdict — the oracle is the
+    // identical plain anti-join
+    "d18_bloom_screen_sharded" ->
       """WITH f AS (
         |  SELECT doc_id,
         |         md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp

@@ -46,7 +46,10 @@ object Dedup {
     *
     * The batch side is scanned twice (definitely-new branch + maybe
     * branch); the batch is the small delta, and both scans prune to
-    * `(id, text)` at the reader.
+    * `(id, text)` at the reader. History pays two linear fingerprint
+    * passes (sketch build + the exact-verify join side) — pass
+    * `expectedHistoryKeys` (the store's A3 row accounting has it for free)
+    * or sizing the bitset costs a third.
     */
   def bloomScreen(history: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, expectedHistoryKeys: Long = -1L,
@@ -64,6 +67,53 @@ object Dedup {
     // restores precision, so the union is value-identical to the anti-join
     val verifiedNew = maybeDup.join(histFp, Seq("fp"), "left_anti")
     definitelyNew.unionByName(verifiedNew.select("id", "fp"))
+  }
+
+  /** The SHARDED form of [[bloomScreen]] — past the ~16 MiB task-binary
+    * envelope (≈10⁷ history keys) ONE bitset no longer ships; here the
+    * sketch never touches the driver at all. History fingerprints group by
+    * `shard = pmod(xxhash64(fp), nShards)` and ONE aggregation pass builds
+    * every shard's bitset (map-side partial ORs per shard, a result of
+    * nShards sketch-sized rows). The batch derives the same shard key and
+    * JOINS its shard's sketch row — each task holds only the sketches its
+    * rows joined, so total sketch size is bounded by executor memory, not
+    * the task binary. The bloom hash is `xxhash64(xxhash64(fp))` — re-mixed
+    * so probe positions stay decorrelated from the shard key (sharding on
+    * the raw hash would pin the first probe's low bits within a shard).
+    * Exactness is unchanged: no false negatives, and the "maybe" residue
+    * verifies against the exact fingerprints — the result is value-identical
+    * to [[bloomScreen]] and to the plain anti-join.
+    *
+    * `nShards <= 0` sizes automatically from `expectedHistoryKeys` so each
+    * shard's bitset stays within [[graft.functions.BloomSketch.sizeBits]]'s
+    * envelope.
+    */
+  def bloomScreenSharded(history: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, expectedHistoryKeys: Long = -1L, nShards: Int = 0,
+      bitsPerKey: Int = 10, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomSketch
+    val histFp = history.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val n = if (expectedHistoryKeys > 0) expectedHistoryKeys else histFp.count()
+    val shards = if (nShards > 0) nShards
+      else math.max(1L, (n * bitsPerKey + (1L << 27) - 1) >> 27).toInt
+    val shardBits = BloomSketch.sizeBits((n + shards - 1) / shards, bitsPerKey)
+    val shardOf = pmod(xxhash64(col("fp")), lit(shards.toLong))
+    val bloomHash = xxhash64(xxhash64(col("fp")))
+    val sketches = histFp
+      .groupBy(shardOf.as("shard"))
+      .agg(BloomSketch.bloomAgg(bloomHash, shardBits, numHashes).as("bf"))
+    val b = batch.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .withColumn("shard", shardOf)
+    // LEFT join: a shard with NO sketch row means no history key hashed
+    // there — every batch row in it is definitely new (null bf)
+    val probed = b.join(sketches, Seq("shard"), "left")
+    val hit = col("bf").isNotNull &&
+      BloomSketch.mightContainBytes(bloomHash, col("bf"), numHashes)
+    val definitelyNew = probed.filter(!hit).select("id", "fp")
+    val maybeDup = probed.filter(hit).select("id", "fp")
+    definitelyNew.unionByName(maybeDup.join(histFp, Seq("fp"), "left_anti")
+      .select("id", "fp"))
   }
 
   /** `n`-word shingle set of a document (distinct, order-free). The token

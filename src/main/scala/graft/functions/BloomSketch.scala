@@ -63,6 +63,29 @@ object BloomSketch {
     }
   }
 
+  /** Probe the k bits of a SERIALIZED sketch (the [[BloomAgg]] binary
+    * output: big-endian longs) without materializing a long[] per row —
+    * the per-row kernel for the sharded screen, where the bitset arrives
+    * as a COLUMN (one sketch row per shard) instead of a driver literal.
+    * Bit b lives in word b>>>6 at in-word position b&63; in the big-endian
+    * 8-byte group that is byte 7-(k>>>3), bit k&7.
+    */
+  def containsBytes(bytes: Array[Byte], numHashes: Int, h: Long): Boolean = {
+    val mask = bytes.length.toLong * 8L - 1L
+    val step = mix(h) | 1L
+    var i = 0
+    var pos = h
+    while (i < numHashes) {
+      val bit = pos & mask
+      val k = (bit & 63L).toInt
+      val idx = ((bit >>> 6) << 3).toInt + (7 - (k >>> 3))
+      if (((bytes(idx) >> (k & 7)) & 1) == 0) return false
+      i += 1
+      pos += step
+    }
+    true
+  }
+
   /** Probe the k bits for hash `h`; shared by interpreted eval and codegen. */
   def contains(words: Array[Long], numHashes: Int, h: Long): Boolean = {
     val mask = words.length.toLong * 64L - 1L
@@ -105,6 +128,16 @@ object BloomSketch {
   /** Probe Column against a driver-held sketch. */
   def mightContain(key: Column, words: Array[Long], numHashes: Int): Column =
     Bridge.column(BloomContains(Bridge.expression(xxhash64(key)), words, numHashes))
+
+  /** Probe Column against a sketch that is itself a BINARY COLUMN (one
+    * serialized bitset per row — the sharded form, where each probe row has
+    * been joined with its shard's sketch). `hashed` must already be the
+    * LONG bloom hash so the caller controls decorrelation from the shard
+    * key.
+    */
+  def mightContainBytes(hashed: Column, bitset: Column, numHashes: Int): Column =
+    Bridge.column(BloomContainsBytes(
+      Bridge.expression(hashed), Bridge.expression(bitset), numHashes))
 
   /** Build the sketch from `build`'s key column: one aggregation pass,
     * map-side partial ORs, a single sketch-sized row collected.
@@ -236,4 +269,36 @@ case class BloomContains(child: Expression, words: Array[Long], numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Codegen'd membership probe where the bitset is a per-row BINARY column
+  * (a shard's serialized sketch joined onto the probe row) — the sharded
+  * screen's kernel: no sketch in the task binary at all, each task holds
+  * only the shard sketches its rows joined.
+  */
+case class BloomContainsBytes(left: Expression, right: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_contains_bytes expects (pre-hashed LONG, BINARY sketch), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_contains_bytes"
+
+  override protected def nullSafeEval(h: Any, bytes: Any): Any =
+    BloomSketch.containsBytes(
+      bytes.asInstanceOf[Array[Byte]], numHashes, h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, b) =>
+      s"graft.functions.BloomSketch.containsBytes($b, $numHashes, $h)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

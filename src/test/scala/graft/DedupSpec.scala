@@ -419,4 +419,27 @@ class DedupSpec extends SparkSpec {
     val seen = (1 to 10).map(i => (200L + i, s"seen doc $i")).toDF("doc_id", "text")
     assert(Dedup.bloomScreen(hist, seen, "doc_id", "text").count() === 0L)
   }
+
+  test("D18: the sharded screen equals the unsharded one verdict-for-verdict") {
+    val rnd = new scala.util.Random(18)
+    val pool = (1 to 150).map(i => s"sharded doc $i payload " + rnd.nextInt(50))
+    val history = pool.take(100).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val batch = (pool.drop(70).take(60)).zipWithIndex
+      .map { case (t, i) => (2000L + i, t) }.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted.toSeq
+    val plain = ids(Dedup.bloomScreen(history, batch, "doc_id", "text"))
+    // non-power-of-two shard count, and a shard count far above the key
+    // count (most shards empty -> null-sketch rows exercise the left join)
+    Seq(1, 3, 64).foreach { s =>
+      val sharded = ids(Dedup.bloomScreenSharded(history, batch, "doc_id",
+        "text", nShards = s))
+      assert(sharded === plain, s"nShards=$s diverged")
+    }
+    // auto-sharding picks a valid shard count from the expected keys
+    assert(ids(Dedup.bloomScreenSharded(history, batch, "doc_id", "text",
+      expectedHistoryKeys = 100L)) === plain)
+    assert(plain.nonEmpty && plain.length < batch.count(), "split must be non-trivial")
+  }
 }

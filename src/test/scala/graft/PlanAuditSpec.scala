@@ -373,6 +373,14 @@ class PlanAuditSpec extends SparkSpec {
     val v8s = servedPlan("v8s_search_amortized")
     assert(v8s.contains("v8s_search/codes"),
       s"v8s candidates must come from the persisted codes parquet:\n$v8s")
+    // the codes scan must PRUNE to the probed listId partitions (dynamic
+    // partition pruning off the broadcast probe lists) — without it a serve
+    // reads the whole archive's codes and the flat-in-corpus claim dies
+    val codesScanLine = v8s.linesIterator
+      .find(l => l.contains("v8s_search/codes") && l.contains("PartitionFilters"))
+    assert(codesScanLine.exists(l =>
+        l.contains("dynamicpruning") && l.contains("listId")),
+      s"codes scan must carry a dynamic listId partition filter:\n$v8s")
     // this test built the shared artifacts from sf0.001 — delete them so a
     // later Verify at another sf can never be checked against THESE (the
     // buildOnce fingerprint would rebuild anyway, but stale-on-crash beats
