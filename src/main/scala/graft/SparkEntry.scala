@@ -1155,6 +1155,14 @@ object SparkEntry {
       TextAnalysis.bpeMerges(t(s, d, "documents"), "text", rounds = 3)
         .orderBy("round")),
 
+    // T-text: the APPLY half of t17 — the corpus compression curve: total
+    // symbols (Σ freq × symbols-per-word, exact integers) after each merge
+    // round, round 0 = raw characters. How much sequence length each merge
+    // buys; same vocab-sized per-round cost as training.
+    "t18_bpe_compression" -> ((s, d) =>
+      TextAnalysis.bpeCompressionCurve(t(s, d, "documents"), "text", rounds = 3)
+        .orderBy("round")),
+
     // D-dedup: near-dup yield curve — pair counts at three Jaccard
     // thresholds from ONE persisted blocked-pair frame (the knob-tuning
     // view of d4: how aggressive can the dedup gate get before it starts
@@ -3668,6 +3676,54 @@ object SparkEntry {
         |UNION ALL SELECT 2, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM m2
         |UNION ALL SELECT 3, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM m3
         |ORDER BY round""".stripMargin,
+
+    // t18: the same three unrolled rounds, folded to Σ freq × symbol-count
+    // per stage (round 0 = raw characters)
+    "t18_bpe_compression" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+        |  GROUP BY word
+        |), s0 AS (
+        |  SELECT freq, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS sym FROM w
+        |), p1 AS (
+        |  SELECT pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s0))
+        |  GROUP BY pair
+        |), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1
+        |), s1 AS (
+        |  SELECT freq, replace(sym, ' ' || m1.pair || ' ',
+        |                       ' ' || replace(m1.pair, ' ', '') || ' ') AS sym
+        |  FROM s0, m1
+        |), p2 AS (
+        |  SELECT pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s1))
+        |  GROUP BY pair
+        |), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1
+        |), s2 AS (
+        |  SELECT freq, replace(sym, ' ' || m2.pair || ' ',
+        |                       ' ' || replace(m2.pair, ' ', '') || ' ') AS sym
+        |  FROM s1, m2
+        |), p3 AS (
+        |  SELECT pair, sum(freq) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s2))
+        |  GROUP BY pair
+        |), m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1
+        |), s3 AS (
+        |  SELECT freq, replace(sym, ' ' || m3.pair || ' ',
+        |                       ' ' || replace(m3.pair, ' ', '') || ' ') AS sym
+        |  FROM s2, m3
+        |), tot AS (
+        |  SELECT 0 AS round, CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT) AS total_symbols FROM s0
+        |  UNION ALL SELECT 1, CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT) FROM s3
+        |)
+        |SELECT round, total_symbols FROM tot ORDER BY round""".stripMargin,
 
     "t6_tfidf_top_term" ->
       """WITH toks AS (

@@ -388,9 +388,34 @@ object TextAnalysis {
     */
   def bpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
       rounds: Int): org.apache.spark.sql.DataFrame = {
-    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
+    bpeCore(df, textCol, rounds, wantCurve = false)._1
+      .toDF("round", "pair", "merged", "pair_count")
+      .select(col("round").cast("int").as("round"), col("pair"),
+        col("merged"), col("pair_count"))
+  }
+
+  /** The APPLY half of [[bpeMerges]] — the corpus compression curve: total
+    * symbol count (Σ word-freq × symbols-per-word, exact integers) after
+    * each merge round, round 0 being the raw character tokenization. The
+    * number a tokenizer owner watches: how much sequence length each merge
+    * buys. Same cost shape as training — the corpus is scanned once, every
+    * round is vocab-sized.
+    */
+  def bpeCompressionCurve(df: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeCore(df, textCol, rounds, wantCurve = true)._2
+      .toDF("round", "total_symbols")
+      .select(col("round").cast("int").as("round"), col("total_symbols"))
+  }
+
+  private def bpeCore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      rounds: Int, wantCurve: Boolean)
+      : (Seq[(Int, String, String, Long)], Seq[(Int, Long)]) = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
     val vocab0 = df
       .select(explode(split(lower(col(textCol)), " ", -1)).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
@@ -402,8 +427,13 @@ object TextAnalysis {
       .cache()
     vocab0.count()
     var vocab = vocab0.select(col("freq"), col("sym"))
+    def totalSymbols(v: org.apache.spark.sql.DataFrame): Long =
+      v.select(sum(col("freq") * size(split(trim(col("sym")), " ", -1))))
+        .head().getLong(0)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    val curve = Seq.newBuilder[(Int, Long)]
     try {
+      if (wantCurve) curve += ((0, totalSymbols(vocab)))
       (1 to rounds).foreach { r =>
         // a fully-merged word is ONE symbol: drop it before pairing —
         // Spark's sequence(1, 0) counts DOWN (it is not empty like
@@ -426,12 +456,10 @@ object TextAnalysis {
           vocab = vocab.withColumn("sym",
             regexp_replace(col("sym"),
               java.util.regex.Pattern.quote(s" $pair "), s" $merged "))
+          if (wantCurve) curve += ((r, totalSymbols(vocab)))
         }
       }
     } finally vocab0.unpersist()
-    merges.result()
-      .toDF("round", "pair", "merged", "pair_count")
-      .select(col("round").cast("int").as("round"), col("pair"),
-        col("merged"), col("pair_count"))
+    (merges.result(), curve.result())
   }
 }

@@ -212,5 +212,9 @@ class TextSpec extends SparkSpec {
     assert(m(1) === ((2, "t he", "the", 3L)))
     // round 3: "the" is fully merged; "a t" (2) is the top remaining pair
     assert(m(2) === ((3, "a t", "at", 2L)))
+    // the APPLY half: 15 raw chars -> 12 ("he") -> 9 ("the") -> 7 ("at")
+    val c = TextAnalysis.bpeCompressionCurve(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(c.toSeq === Seq((0, 15L), (1, 12L), (2, 9L), (3, 7L)))
   }
 }
