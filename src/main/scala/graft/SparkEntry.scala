@@ -588,6 +588,31 @@ object SparkEntry {
         .orderBy("variable")
     }),
 
+    // K12 — incremental ROLLUP maintenance: the materialized-view
+    // discipline that makes daily reporting affordable at archive scale.
+    // A 30% late-arriving delta (hash-split, so its keys OVERLAP history's)
+    // merges into the history rollup by partial-aggregate algebra —
+    // count-sum, sum-sum, min-min, max-max — and the result must equal the
+    // full recompute (the oracle) exactly. At 100 TB the history rollup is
+    // a stored table; a day's maintenance touches only the delta plus the
+    // rollup (key-count-sized), never the archive.
+    "k12_incremental_rollup" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        to_date(col("ts")).as("date"), col("value"))
+        .withColumn("late", pmod(xxhash64(col("value")), lit(10L)) < 3)
+      def part(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type", "date").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,3)")).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+      part(ev.filter(!col("late"))).unionByName(part(ev.filter(col("late"))))
+        .groupBy("event_type", "date")
+        .agg(sum(col("n")).as("n"),
+          sum(col("sv")).cast("double").as("sum_value"),
+          min(col("mn")).as("min_v"), max(col("mx")).as("max_v"))
+        .orderBy("event_type", "date")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -1116,6 +1141,36 @@ object SparkEntry {
     // number a pipeline owner actually watches ("how much survives each
     // gate"); intermediate frames persist once and feed both their stage
     // count and the next stage.
+    // X-flagship: benchmark DECONTAMINATION end-to-end — the pass every
+    // pretraining corpus runs before the eval suite means anything. The
+    // eval set (1/17 of docs) broadcasts twice: exact fingerprints prune
+    // verbatim copies, then the 8-gram shingle set (d8's broadcast shape)
+    // catches paraphrased/partial leakage at rate ≥ 0.5. One row of
+    // per-stage counts + surviving tokens; corpus-sized data crosses the
+    // wire only in the two corpus scans, never joined against itself.
+    "x3_decontamination_flagship" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+      val benchFp = bench.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+      val exactClean = corpus
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .join(broadcast(benchFp), Seq("fp"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ngFlagged = Dedup.contaminationRate(
+        exactClean, "doc_id", "text", bench, "text", shingleN = 8)
+        .filter(col("rate") >= 0.5)
+        .select(col("id").as("doc_id"))
+      val surviving = exactClean.join(ngFlagged, Seq("doc_id"), "left_anti")
+      corpus.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(bench.agg(count(lit(1)).as("n_bench")))
+        .crossJoin(exactClean.agg(count(lit(1)).as("n_after_exact")))
+        .crossJoin(surviving.agg(count(lit(1)).as("n_surviving"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("tokens_surviving")))
+    }),
+
     "x2_curation_flagship" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val keepers = Dedup.exactGroups(docs, "doc_id", "text")
@@ -3255,6 +3310,14 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // k12: the merge algebra's whole point — the incremental result must
+    // equal the direct full recompute
+    "k12_incremental_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // k2: the engine side PUTs each region's nations as an object and GETs
     // them back through the ObjectStore boundary; the oracle is the pure
     // join the round-trip must reproduce byte-for-byte
@@ -3339,6 +3402,50 @@ object SparkEntry {
 
     // x2: d1's keep-min dedup, t2's quality replay, sm7's quota window,
     // scalar-subquery stage counts
+    // x3: exact fingerprints + the d8 shingle machinery, restricted to the
+    // %17 bench split and the exact-clean corpus; rate thresholded at the
+    // same 4dp rounding the engine applies
+    "x3_decontamination_flagship" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS nt
+        |  FROM documents
+        |), fpt AS (
+        |  SELECT doc_id, text, md5(nt) AS fp, string_split(nt, ' ') AS ws FROM norm
+        |), bench AS (SELECT * FROM fpt WHERE doc_id % 17 = 0
+        |), corpus AS (SELECT * FROM fpt WHERE doc_id % 17 <> 0
+        |), exclean AS (
+        |  SELECT * FROM corpus WHERE fp NOT IN (SELECT fp FROM bench)
+        |), bsh AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(g0), 1, 15))::BIGINT AS g FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(ws) - 8, 0) + 2),
+        |      i -> array_to_string(list_slice(ws, i, i + 7), ' ')))) AS g0 FROM bench)
+        |), csh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(ws) - 8, 0) + 2),
+        |    i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS sh
+        |  FROM exclean
+        |), x AS (
+        |  SELECT doc_id, ('0x' || substr(md5(g0), 1, 15))::BIGINT AS g FROM (
+        |    SELECT doc_id, unnest(sh) AS g0 FROM csh)
+        |), h AS (
+        |  SELECT doc_id, count(*) AS nc FROM x
+        |  WHERE g IN (SELECT g FROM bsh) GROUP BY doc_id
+        |), ng AS (
+        |  SELECT c.doc_id FROM csh c LEFT JOIN h USING (doc_id)
+        |  WHERE round(CAST(coalesce(h.nc, 0) AS DOUBLE)
+        |              / CAST(len(c.sh) AS DOUBLE), 4) >= 0.5
+        |), surv AS (
+        |  SELECT * FROM exclean WHERE doc_id NOT IN (SELECT doc_id FROM ng)
+        |)
+        |SELECT (SELECT count(*) FROM corpus) AS n_corpus,
+        |       (SELECT count(*) FROM bench) AS n_bench,
+        |       (SELECT count(*) FROM exclean) AS n_after_exact,
+        |       (SELECT count(*) FROM surv) AS n_surviving,
+        |       (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM surv)
+        |         AS tokens_surviving""".stripMargin,
+
     "x2_curation_flagship" ->
       """WITH k AS (
         |  SELECT min(doc_id) AS doc_id FROM (

@@ -261,6 +261,16 @@ object Stress {
       }
       println(s"""{"op":"d17_bloom_screen","scale":$k,"n_hist":$n,"n_batch":$nBatch,"sec":${num(tBl)},"out_rows":$rowsBl}""")
 
+      // d18: the sharded form on the same inputs — auto-sized shards.
+      // Verdicts are pinned equal in DedupSpec; here the claim is the cost
+      // shape matches d17's (the grouped sketch build is the same linear
+      // aggregation, just keyed) with no driver collect at any size.
+      val (tBls, rowsBls) = time {
+        Dedup.bloomScreenSharded(docs, batch0, "doc_id", "text",
+          expectedHistoryKeys = n).count()
+      }
+      println(s"""{"op":"d18_bloom_sharded","scale":$k,"n_hist":$n,"n_batch":$nBatch,"sec":${num(tBls)},"out_rows":$rowsBls}""")
+
       docs.unpersist()
       // d9 persists its chunk frame internally; drop it between scales so a
       // later scale can't ride an earlier scale's cache
