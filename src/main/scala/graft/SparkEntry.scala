@@ -1483,6 +1483,38 @@ object SparkEntry {
     // per probe instead of a corpus scan). The shortlist frame is tiny and
     // broadcasts into the corpus-side vector join; ranking happens on raw
     // doubles (left-to-right folds) so both engines order identically
+    // V-similarity: RADIUS at PQ memory cost — the SemDeDup/contamination
+    // query shape served from the compressed index: an ADC threshold scan
+    // (no rank window; unit-norm embeddings make the bound principled,
+    // exact d² = 2(1−cos), so τ_cos = 0.3 → 1.4 with ×1.3 slack ≈ 1.8)
+    // shortlists candidates from the codes alone, then the exact cosine
+    // verifies survivors — raw vectors are touched only for the shortlist.
+    "v16_pq_radius" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      val pq = Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/v16_radius")
+      Pq.saveCodebooks(pq, s, "/tmp/graft_oracle/v16_radius")
+      val probes = emb.filter(col("vec_id") < 5)
+      val shortlist = Pq.ivfpqRadius(idx, pq, probes, "vec_id", "embedding",
+        nProbe = 4, maxApproxD2 = 1.8)
+        .select(col("probe_id"), col("neighbor_id"))
+      val pe = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("p_emb"),
+        Similarity.norm(col("embedding")).as("p_nrm"))
+      val ne = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("n_emb"),
+        Similarity.norm(col("embedding")).as("n_nrm"))
+      val small = shortlist.join(broadcast(pe), Seq("probe_id"))
+      ne.join(broadcast(small), Seq("neighbor_id"))
+        .withColumn("cosine", round(
+          Similarity.dot(col("n_emb"), col("p_emb")) / (col("n_nrm") * col("p_nrm")),
+          6))
+        .filter(col("cosine") >= 0.3)
+        .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+        .orderBy("probe_id", "neighbor_id")
+    }),
+
     "v9_pq_rerank" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
@@ -5096,6 +5128,72 @@ object SparkEntry {
     // v9: the v6 ADC replay (against the v9 artifacts) truncated at a
     // 25-deep shortlist, then exact-cosine re-ranking on raw embeddings —
     // both stages ordered on raw left-to-right-fold doubles
+    // v16: the v9 ADC replay with BOTH stages thresholded instead of
+    // ranked — shortlist by rounded approx <= 1.8, final by rounded exact
+    // cosine >= 0.3
+    "v16_pq_radius" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v16_radius/centroids/*.parquet')
+        |), cb AS (
+        |  SELECT j, c, cent FROM read_parquet('/tmp/graft_oracle/v16_radius/codebooks/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), dist AS (
+        |  SELECT e.vec_id, e.emb, c.listId,
+        |         list_aggregate(list_transform(range(1, len(e.emb) + 1),
+        |           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM e, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), sub AS (
+        |  SELECT a.vec_id, cb.j, cb.c,
+        |         list_aggregate(list_transform(range(1, 9), i -> cb.cent[i] * cb.cent[i]), 'sum')
+        |           - 2.0 * list_aggregate(list_transform(range(1, 9),
+        |               i -> a.emb[cb.j * 8 + i] * cb.cent[i]), 'sum') AS d
+        |  FROM asg a, cb
+        |), codes AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM sub) WHERE rn = 1
+        |), pl AS (
+        |  SELECT vec_id AS probe_id, emb AS p_emb, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+        |    FROM dist WHERE vec_id < 5) WHERE lr <= 4
+        |), lut AS (
+        |  SELECT p2.probe_id, cb.j, cb.c,
+        |         list_aggregate(list_transform(range(1, 9),
+        |           i -> (p2.p_emb[cb.j * 8 + i] - cb.cent[i])
+        |              * (p2.p_emb[cb.j * 8 + i] - cb.cent[i])), 'sum') AS pd
+        |  FROM (SELECT DISTINCT probe_id, p_emb FROM pl) p2, cb
+        |), cand AS (
+        |  SELECT pl.probe_id, a.vec_id AS id
+        |  FROM pl JOIN asg a USING (listId)
+        |  WHERE a.vec_id <> pl.probe_id
+        |), adc AS (
+        |  SELECT cand.probe_id, cand.id,
+        |         list_aggregate(list(l.pd ORDER BY l.j), 'sum') AS approx
+        |  FROM cand
+        |  JOIN codes k2 ON k2.vec_id = cand.id
+        |  JOIN lut l ON l.probe_id = cand.probe_id AND l.j = k2.j AND l.c = k2.code
+        |  GROUP BY cand.probe_id, cand.id
+        |), shortlist AS (
+        |  SELECT probe_id, id AS neighbor_id FROM adc
+        |  WHERE round(approx, 6) <= 1.8
+        |), rr AS (
+        |  SELECT s.probe_id, s.neighbor_id,
+        |    round(list_aggregate(list_transform(range(1, len(ne.emb) + 1),
+        |      i -> ne.emb[i] * pe.emb[i]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(ne.emb, x -> x * x), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(pe.emb, x -> x * x), 'sum'))), 6) AS cosine
+        |  FROM shortlist s
+        |  JOIN e ne ON ne.vec_id = s.neighbor_id
+        |  JOIN e pe ON pe.vec_id = s.probe_id
+        |)
+        |SELECT probe_id, neighbor_id, cosine
+        |FROM rr WHERE cosine >= 0.3 ORDER BY probe_id, neighbor_id""".stripMargin,
+
     "v9_pq_rerank" ->
       """WITH cents AS (
         |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v9_rerank/centroids/*.parquet')

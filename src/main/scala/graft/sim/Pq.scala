@@ -255,6 +255,22 @@ object Pq {
   def searchEncoded(encoded: DataFrame, centroids: Seq[Seq[Double]],
       model: Model, probes: DataFrame, idCol: String, embCol: String,
       nProbe: Int = 4, topK: Int = 10): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("approx").asc, col("id").asc)
+    adcCandidates(encoded, centroids, model, probes, idCol, embCol, nProbe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("id").as("neighbor_id"),
+        round(col("approx"), 6).as("approx_dist"), col("rank"))
+  }
+
+  /** The shared ADC candidate stage: probed lists joined to the encoded
+    * corpus with the per-probe lookup-table distance — `(probe_id, id,
+    * approx)`, no ordering semantics applied yet. [[searchEncoded]] ranks
+    * it; [[radiusEncoded]] filters it.
+    */
+  private def adcCandidates(encoded: DataFrame, centroids: Seq[Seq[Double]],
+      model: Model, probes: DataFrame, idCol: String, embCol: String,
+      nProbe: Int): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     val cents = centroids.zipWithIndex.map { case (c, i) => (i, c) }
@@ -291,14 +307,43 @@ object Pq {
       (acc, j) => acc +
         element_at(element_at(col("lut"), j.cast("int") + 1),
           element_at(col("codes"), j.cast("int") + 1) + 1))
-    val w = Window.partitionBy("probe_id").orderBy(col("approx").asc, col("id").asc)
     encoded
       .join(broadcast(probeLists), Seq("listId"))
       .filter(col("id") =!= col("probe_id"))
       .withColumn("approx", approx)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("probe_id"), col("id").as("neighbor_id"),
-        round(col("approx"), 6).as("approx_dist"), col("rank"))
+      .select(col("probe_id"), col("id"), col("approx"))
+  }
+
+  /** RADIUS form of the ADC serve path — every candidate in the probed
+    * lists whose approximate distance clears `maxApproxD2`: no rank window,
+    * no per-probe state, a pure filter over the code scan (the
+    * [[graft.sim.Ivf.radiusSearch]] shape at PQ memory cost — m bytes per
+    * candidate, raw vectors never read). For unit-normalized embeddings the
+    * threshold is principled: exact d² = 2·(1 − cos), so a cosine floor τ
+    * maps to maxApproxD2 ≈ slack · 2(1 − τ); ADC error means the caller
+    * verifies survivors exactly (the v9 rerank recipe) — this stage only
+    * bounds how much of the archive the exact pass touches. Approx is
+    * 6dp-rounded BEFORE thresholding so a replaying engine lands on the
+    * same shortlist.
+    */
+  def radiusEncoded(encoded: DataFrame, centroids: Seq[Seq[Double]],
+      model: Model, probes: DataFrame, idCol: String, embCol: String,
+      nProbe: Int, maxApproxD2: Double): DataFrame =
+    adcCandidates(encoded, centroids, model, probes, idCol, embCol, nProbe)
+      .withColumn("approx_dist", round(col("approx"), 6))
+      .filter(col("approx_dist") <= maxApproxD2)
+      .select(col("probe_id"), col("id").as("neighbor_id"), col("approx_dist"))
+
+  /** [[radiusEncoded]] over an in-memory index: encode + truncate lineage,
+    * then the threshold scan (the [[ivfpqSearch]] composition for the
+    * radius form).
+    */
+  def ivfpqRadius(index: Ivf.Index, model: Model, probes: DataFrame,
+      idCol: String, embCol: String, nProbe: Int,
+      maxApproxD2: Double): DataFrame = {
+    val encoded = encode(index.lists, "id", "emb", model, keepCols = Seq("listId"))
+      .localCheckpoint()
+    radiusEncoded(encoded, index.centroids, model, probes, idCol, embCol,
+      nProbe, maxApproxD2)
   }
 }

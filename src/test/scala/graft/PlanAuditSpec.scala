@@ -326,6 +326,45 @@ class PlanAuditSpec extends SparkSpec {
       "no rank window may sit above the candidate join in a radius search")
   }
 
+  test("d18: the sharded screen probes sketch COLUMNS; x3 broadcasts only the bench side") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = "/root/testdata/sf0.001"
+    val d18 = SparkEntry.queries("d18_bloom_screen_sharded")(spark, dir)
+    d18.collect()
+    val d18Plan = (d18.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // the probe must ride as the per-row BINARY-column kernel — a
+    // driver-held sketch (graft_bloom_contains) would mean the shards were
+    // collected, which is exactly what the sharded form exists to avoid
+    assert(d18Plan.contains("graft_bloom_contains_bytes"),
+      s"sharded screen must probe the joined sketch column:\n$d18Plan")
+    assert(!d18Plan.contains("graft_bloom_contains("),
+      s"no driver-held sketch may appear in the sharded plan:\n$d18Plan")
+
+    val x3 = SparkEntry.queries("x3_decontamination_flagship")(spark, dir)
+    x3.collect()
+    // every broadcast build side must be bench-derived (the 1/17 split or
+    // its shingle set) — the corpus must never broadcast
+    val scans = broadcastScanPaths(x3)
+    assert(scans.nonEmpty, "x3 must broadcast the bench-derived sides")
+    // both broadcast inputs scan documents.parquet but carry the bench
+    // filter; assert the corpus-sized side stays out of every build side
+    // by checking the doc_id % 17 = 0 predicate reached each broadcast scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // broadcasts with no file scan read the persisted flagged-id shortlist
+    // (batch-sized by construction) — the pin is about PARQUET-backed build
+    // sides, which must all carry the bench predicate
+    val buildFilters = flatten(x3.queryExecution.executedPlan)
+      .collect { case b: BroadcastExchangeExec => b }
+      .flatMap(b => flatten(b).collect { case s: FileSourceScanExec => s }
+        .map(_.dataFilters.mkString(",")))
+    assert(buildFilters.nonEmpty && buildFilters.forall(_.contains("% 17) = 0")),
+      s"every parquet-backed broadcast build side must be the bench split:\n$buildFilters")
+  }
+
   test("k9: the bucketed co-located join has ZERO Exchange below the merge join") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val dir = "/root/testdata/sf0.001"
