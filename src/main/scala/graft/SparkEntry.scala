@@ -2599,6 +2599,12 @@ object SparkEntry {
     // every duplicate lands before the first trigger's watermark moves.
     "st6_stream_dedup_bounded" -> ((s, d) => StreamContract.dedupBounded(s, d)),
 
+    // ST-streaming: the k12 materialized-view merge as a checkpointed
+    // stream — versioned-by-batchId rollup, at-least-once replay rewrites
+    // the same version (idempotent with no run keys), latest version is
+    // the result the oracle full-recomputes.
+    "st7_stream_rollup" -> ((s, d) => StreamContract.streamRollup(s, d)),
+
     // E-events: behavioral transition matrix — per-user next-event bigrams
     // (one lead window over the user timeline, ties broken by event_id)
     // folded to Markov transition counts and row-normalized probabilities.
@@ -6088,6 +6094,14 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // st7: the streamed versioned merge must land on the direct full
+    // recompute (same algebra the k12 oracle checks)
+    "st7_stream_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // st2: gap sessionization replayed in SQL at MICROSECOND precision
     // (the stream's session state tracks epoch-µs, same unit as the batch

@@ -185,6 +185,56 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** st7 — STREAMING materialized-view maintenance: each micro-batch folds
+    * into a stored rollup by partial-aggregate algebra (count-sum, sum-sum,
+    * min-min, max-max — the k12 merge as a stream). The rollup is VERSIONED
+    * BY BATCH ID: an epoch reads the latest version below its own id and
+    * overwrites its own version, so an at-least-once replay re-reads the
+    * same predecessor and rewrites the same output — idempotent by
+    * construction, no run-key bookkeeping. At archive scale each epoch
+    * touches the delta plus the key-count-sized rollup, never history; a
+    * retention sweep prunes old versions (kept here — they are the audit
+    * trail).
+    */
+  def rollupSink(events: DataFrame, rollupPath: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .select(col("event_type"), to_date(col("ts")).as("date"), col("value"))
+          .groupBy("event_type", "date")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(30,3)")).as("sv"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val merged = latestRollupVersion(spark, rollupPath, below = batchId) match {
+          case Some(v) =>
+            spark.read.parquet(s"$rollupPath/v=$v").unionByName(delta)
+              .groupBy("event_type", "date")
+              .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+                min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+          case None => delta
+        }
+        merged.write.mode("overwrite").parquet(s"$rollupPath/v=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Highest rollup version strictly below `below` (Long.MaxValue = latest). */
+  def latestRollupVersion(spark: SparkSession, rollupPath: String,
+      below: Long = Long.MaxValue): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(rollupPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .filter(_ < below)
+      .sorted.lastOption
+  }
+
   /** Watermarked stream-stream interval join: enrich each left event with
     * right-stream events for the same key whose event time falls within
     * `[left.ts − before, left.ts + after]`. Both sides carry watermarks and

@@ -126,6 +126,44 @@ object StreamContract {
       .orderBy("event_type")
   }
 
+  /** st7 — streaming materialized-view maintenance: the k12 rollup merge
+    * run as a checkpointed stream. Events land as THREE files (hash-split
+    * so every micro-batch carries all rollup keys — each epoch's merge is
+    * real, not a disjoint append), drain one file per trigger through
+    * [[EventStream.rollupSink]]'s versioned foreachBatch merge, re-drain to
+    * prove idempotency, and the LATEST ROLLUP VERSION is the query result —
+    * which the oracle checks against the direct full recompute.
+    */
+  def streamRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val landing = tmp("st7_landing")
+    val rollup = tmp("st7_rollup")
+    val ckpt = tmp("st7_ckpt")
+    (0 until 3).foreach { c =>
+      events.filter(pmod(col("event_id"), lit(3)) === c)
+        .coalesce(1).write.mode("append").parquet(landing)
+    }
+    def drain(): Unit = {
+      val q = EventStream.rollupSink(
+        spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing),
+        rollup, ckpt)
+      q.awaitTermination()
+    }
+    withDrainParallelism(spark) {
+      drain()
+      drain() // no new files: no epochs, the rollup version set is unchanged
+    }
+    val v = EventStream.latestRollupVersion(spark, rollup)
+      .getOrElse(sys.error("st7: no rollup version materialized"))
+    spark.read.parquet(s"$rollup/v=$v")
+      .select(col("event_type"), col("date"), col("n"),
+        col("sv").cast("double").as("sum_value"),
+        col("mn").as("min_v"), col("mx").as("max_v"))
+      .orderBy("event_type", "date")
+  }
+
   /** Stateful sessionization as a STREAM — `flatMapGroupsWithState` closed
     * sessions only: the landing zone is one file (one micro-batch), the
     * session state machine emits a session when a later event arrives past
