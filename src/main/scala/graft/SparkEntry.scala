@@ -2848,6 +2848,61 @@ object SparkEntry {
       lit("u").as("unit"),
       col("event_id").cast("string").as("catalogId"))
 
+  /** Shared by d17 (broadcast sketch) and d18 (sharded sketches) — the
+    * Bloom pre-screen is exactness-preserving, so both must equal the one
+    * plain fingerprint anti-join.
+    */
+  private val ExactScreenOracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp
+      |  FROM documents
+      |)
+      |SELECT doc_id, fp FROM f
+      |WHERE doc_id % 5 = 0
+      |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 <> 0)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The three unrolled BPE merge rounds shared by t17 (merge table) and
+    * t18 (compression curve): word-frequency vocab, per-round pair counts,
+    * argmax with lexicographic ties, literal left-to-right non-overlapping
+    * merge. Ends at CTE `m3`; each consumer appends its own tail.
+    */
+  private val BpeRoundsCte: String =
+    """WITH w AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+      |  GROUP BY word
+      |), s0 AS (
+      |  SELECT freq, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS sym FROM w
+      |), p1 AS (
+      |  SELECT pair, sum(freq) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+      |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s0))
+      |  GROUP BY pair
+      |), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1
+      |), s1 AS (
+      |  SELECT freq, replace(sym, ' ' || m1.pair || ' ',
+      |                       ' ' || replace(m1.pair, ' ', '') || ' ') AS sym
+      |  FROM s0, m1
+      |), p2 AS (
+      |  SELECT pair, sum(freq) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+      |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s1))
+      |  GROUP BY pair
+      |), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1
+      |), s2 AS (
+      |  SELECT freq, replace(sym, ' ' || m2.pair || ' ',
+      |                       ' ' || replace(m2.pair, ' ', '') || ' ') AS sym
+      |  FROM s1, m2
+      |), p3 AS (
+      |  SELECT pair, sum(freq) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
+      |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s2))
+      |  GROUP BY pair
+      |), m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1)""".stripMargin
+
   /** Shared by a2j3 (plain) and x1 (Deadline-budgeted) — byte-identical
     * result contract.
     */
@@ -3782,83 +3837,18 @@ object SparkEntry {
     // vocab, per-round pair counts, argmax (ties lexicographic), literal
     // left-to-right non-overlapping merge (replace() semantics in both
     // engines)
-    "t17_bpe_merges" ->
-      """WITH w AS (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-        |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
-        |  GROUP BY word
-        |), s0 AS (
-        |  SELECT freq, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS sym FROM w
-        |), p1 AS (
-        |  SELECT pair, sum(freq) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
-        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s0))
-        |  GROUP BY pair
-        |), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1
-        |), s1 AS (
-        |  SELECT freq, replace(sym, ' ' || m1.pair || ' ',
-        |                       ' ' || replace(m1.pair, ' ', '') || ' ') AS sym
-        |  FROM s0, m1
-        |), p2 AS (
-        |  SELECT pair, sum(freq) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
-        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s1))
-        |  GROUP BY pair
-        |), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1
-        |), s2 AS (
-        |  SELECT freq, replace(sym, ' ' || m2.pair || ' ',
-        |                       ' ' || replace(m2.pair, ' ', '') || ' ') AS sym
-        |  FROM s1, m2
-        |), p3 AS (
-        |  SELECT pair, sum(freq) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
-        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s2))
-        |  GROUP BY pair
-        |), m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1)
+    "t17_bpe_merges" -> (BpeRoundsCte +
+      """
         |SELECT 1 AS round, pair, replace(pair, ' ', '') AS merged,
         |       CAST(cnt AS BIGINT) AS pair_count FROM m1
         |UNION ALL SELECT 2, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM m2
         |UNION ALL SELECT 3, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM m3
-        |ORDER BY round""".stripMargin,
+        |ORDER BY round""".stripMargin),
 
     // t18: the same three unrolled rounds, folded to Σ freq × symbol-count
     // per stage (round 0 = raw characters)
-    "t18_bpe_compression" ->
-      """WITH w AS (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-        |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
-        |  GROUP BY word
-        |), s0 AS (
-        |  SELECT freq, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS sym FROM w
-        |), p1 AS (
-        |  SELECT pair, sum(freq) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
-        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s0))
-        |  GROUP BY pair
-        |), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1
-        |), s1 AS (
-        |  SELECT freq, replace(sym, ' ' || m1.pair || ' ',
-        |                       ' ' || replace(m1.pair, ' ', '') || ' ') AS sym
-        |  FROM s0, m1
-        |), p2 AS (
-        |  SELECT pair, sum(freq) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
-        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s1))
-        |  GROUP BY pair
-        |), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1
-        |), s2 AS (
-        |  SELECT freq, replace(sym, ' ' || m2.pair || ' ',
-        |                       ' ' || replace(m2.pair, ' ', '') || ' ') AS sym
-        |  FROM s1, m2
-        |), p3 AS (
-        |  SELECT pair, sum(freq) AS cnt FROM (
-        |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
-        |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s2))
-        |  GROUP BY pair
-        |), m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1
-        |), s3 AS (
+    "t18_bpe_compression" -> (BpeRoundsCte +
+      """, s3 AS (
         |  SELECT freq, replace(sym, ' ' || m3.pair || ' ',
         |                       ' ' || replace(m3.pair, ' ', '') || ' ') AS sym
         |  FROM s2, m3
@@ -3868,7 +3858,7 @@ object SparkEntry {
         |  UNION ALL SELECT 2, CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT) FROM s2
         |  UNION ALL SELECT 3, CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT) FROM s3
         |)
-        |SELECT round, total_symbols FROM tot ORDER BY round""".stripMargin,
+        |SELECT round, total_symbols FROM tot ORDER BY round""".stripMargin),
 
     "t6_tfidf_top_term" ->
       """WITH toks AS (
@@ -3994,29 +3984,11 @@ object SparkEntry {
     // d17: the bloom is a pure pruning device — no false negatives, and the
     // exact verify removes its false positives — so the oracle is the plain
     // fingerprint anti-join of batch against history
-    "d17_bloom_screen" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp
-        |  FROM documents
-        |)
-        |SELECT doc_id, fp FROM f
-        |WHERE doc_id % 5 = 0
-        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 <> 0)
-        |ORDER BY doc_id""".stripMargin,
+    "d17_bloom_screen" -> ExactScreenOracleSql,
 
     // d18: sharding must not change a single verdict — the oracle is the
     // identical plain anti-join
-    "d18_bloom_screen_sharded" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp
-        |  FROM documents
-        |)
-        |SELECT doc_id, fp FROM f
-        |WHERE doc_id % 5 = 0
-        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 5 <> 0)
-        |ORDER BY doc_id""".stripMargin,
+    "d18_bloom_screen_sharded" -> ExactScreenOracleSql,
 
     // d2/d3: the portable hash families (md5 base + affine re-hash mod
     // 2^31-1 for minhash; md5-nibble bit votes for simhash) are engine-

@@ -565,9 +565,15 @@ object Grib2 {
             k += 1
           }
           val refBits = if (ref) nbits.toLong else 0L
+          // nbits 1-2 leaves no representable split option (maxK < 0): the
+          // Long.MaxValue sentinel must not enter the cost sum, where the
+          // addition would wrap negative and minBy would select a split
+          // the emitter cannot encode (bestK = -1 -> negative field width)
+          val splitCost =
+            if (bestK < 0) Long.MaxValue else idLen + refBits + bestCost
           val costs = Seq(
             (0, idLen + 1 + refBits + seCost),       // second extension
-            (1, idLen + refBits + bestCost),         // split bestK
+            (1, splitCost),                          // split bestK
             (2, idLen + refBits + uncompCost))       // uncompressed
           costs.minBy(_._2)._1 match {
             case 0 =>
@@ -837,6 +843,8 @@ object Grib2 {
   }
 
   // CCSDS 121.0-B-2 AEC flag bits (template 5.42 octet 22; libaec public ABI)
+  private val CcsdsSigned = 0x01
+  private val CcsdsMsb = 0x04
   private val CcsdsPreprocess = 0x08
   private val CcsdsRestricted = 0x10
   private val CcsdsPadRsi = 0x20
@@ -870,6 +878,11 @@ object Grib2 {
       fail(s"CCSDS block size must be 8/16/32/64, got $blockSize")
     if (rsiBlocks < 1) fail(s"CCSDS reference sample interval out of range: $rsiBlocks")
     if ((flags & CcsdsRestricted) != 0) fail("CCSDS restricted coding not supported")
+    // the decoder assumes MSB-first unsigned samples throughout; a stream
+    // declaring signed or LSB-first data would decode to silently-wrong
+    // values, so refuse it the same way restricted coding is refused
+    if ((flags & CcsdsSigned) != 0) fail("CCSDS signed samples not supported")
+    if ((flags & CcsdsMsb) == 0) fail("CCSDS LSB-first samples not supported")
     val preprocess = (flags & CcsdsPreprocess) != 0
     val idLen = if (nbits > 16) 5 else if (nbits > 8) 4 else if (nbits > 4) 3
       else if (nbits > 2) 2 else 1
@@ -1051,6 +1064,12 @@ object Grib2 {
     while (pos < end) {
       val r = new Reader(bytes, pos)
       val secLen = r.u32().toInt
+      // a zero/short length would loop this cursor forever, and a length
+      // past the message end would let later reads (incl. the BitReader's
+      // dataEnd bound) index beyond the buffer as AIOOBE instead of the
+      // IOException fail channel — validate the wire field before use
+      if (secLen < 5 || pos + secLen.toLong > end)
+        fail(s"section length $secLen out of message bounds at offset $pos")
       val secNum = r.u8()
       secNum match {
         case 1 =>
@@ -1105,6 +1124,10 @@ object Grib2 {
           }
         case 5 =>
           numValues = r.u32().toInt
+          // u32 wire field read as Int: 2^31..2^32-1 wraps negative and
+          // crashes array allocation downstream — same guard class as
+          // unpackComplex's lenRef/lastLen
+          if (numValues < 0) fail(s"section 5 point count out of range: $numValues")
           val template = r.u16()
           if (template != 0 && template != 2 && template != 3 && template != 42)
             fail(s"unsupported data representation 5.$template")

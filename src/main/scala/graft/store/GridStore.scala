@@ -97,17 +97,22 @@ final class GridStore(spark: SparkSession, val path: String,
     rows("insertedAt").cast("timestamp").as("insertedAt")
   )
 
-  /** Raw read — may contain superseded versions between compactions. */
-  def raw(): DataFrame = spark.read.parquet(path)
-
-  /** Raw read under schema merge: evolved columns appear, pre-evolution
-    * files contribute NULL. Parquet footer-merging is a per-file metadata
-    * read — at archive scale a production deployment records the current
-    * schema in the catalog instead and passes it to the reader; the merge
-    * here proves the files themselves carry the evolution.
+  /** Raw read — may contain superseded versions between compactions.
+    * Always under schema merge: without it, which footer Spark samples
+    * decides whether a K11-evolved column exists, so the SAME store would
+    * nondeterministically grow and lose columns between an evolved append
+    * and the next compaction. Footer-merging is a per-file metadata read —
+    * at archive scale a production deployment records the current schema
+    * in the catalog and passes it to the reader instead; the semantics
+    * (old files surface NULL) are identical.
     */
-  def rawMerged(): DataFrame =
+  def raw(): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Alias kept for call sites that want the evolution semantics spelled
+    * out; [[raw]] itself reads merged (see there for why).
+    */
+  def rawMerged(): DataFrame = raw()
 
   /** The FINAL view (A1): keep-latest per sorting key. ALL query paths go
     * through this. Uses the hash-aggregate formulation (map-side partial

@@ -377,6 +377,60 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("CCSDS 5.42 round-trip: nbits 1-3 (no or tiny split option) still encode") {
+    // regression: with nbits <= 2 the split option does not exist (maxK < 0)
+    // and its Long.MaxValue sentinel used to wrap into the cost sum, making
+    // the encoder pick an unemittable option and crash
+    val grid = GridSpec(16, 4, 70.0, 10.0, 0.5, 0.5)
+    val rnd = new scala.util.Random(42)
+    Seq(1, 2, 3).foreach { nbits =>
+      val values = Array.tabulate(grid.numPoints)(_ => rnd.nextInt(1 << nbits).toDouble)
+      val bytes = Grib2.encodeCcsds(Meteo(0, 0), grid, refTime, 0, values, nbits = nbits)
+      assert(Grib2.decode(bytes).head.values.toSeq === values.toSeq, s"nbits=$nbits")
+    }
+  }
+
+  test("corrupt section lengths fail through the IOException channel, never hang") {
+    val grid = GridSpec(8, 4, 70.0, 10.0, 0.5, 0.5)
+    val values = Array.tabulate(grid.numPoints)(i => (i % 16).toDouble)
+    val bytes = Grib2.encodeCcsds(Meteo(0, 0), grid, refTime, 0, values, nbits = 5)
+    // zero out section 1's length (first section after the 16-byte
+    // indicator): an unvalidated read would loop forever at pos += 0
+    val zeroLen = bytes.clone()
+    zeroLen(16) = 0; zeroLen(17) = 0; zeroLen(18) = 0; zeroLen(19) = 0
+    val e1 = intercept[java.io.IOException](Grib2.decode(zeroLen))
+    assert(e1.getMessage.contains("section length"))
+    // oversize the same length field past the message end: reads past the
+    // buffer must surface as the fail() channel, not AIOOBE
+    val overLen = bytes.clone()
+    overLen(16) = 0x7f.toByte; overLen(17) = 0xff.toByte
+    overLen(18) = 0xff.toByte; overLen(19) = 0xff.toByte
+    val e2 = intercept[java.io.IOException](Grib2.decode(overLen))
+    assert(e2.getMessage.contains("section length"))
+  }
+
+  test("CCSDS flags the decoder cannot honor are refused, not mis-decoded") {
+    val grid = GridSpec(8, 4, 70.0, 10.0, 0.5, 0.5)
+    val values = Array.tabulate(grid.numPoints)(i => (i % 16).toDouble)
+    val bytes = Grib2.encodeCcsds(Meteo(0, 0), grid, refTime, 0, values, nbits = 5)
+    // octet 22 of section 5 carries the AEC flags; find section 5 and
+    // rewrite its flags byte (signed set / MSB cleared)
+    def withFlags(f: Int): Array[Byte] = {
+      val out = bytes.clone()
+      var pos = 16
+      while (!(out(pos + 4) == 5.toByte)) {
+        val len = java.nio.ByteBuffer.wrap(out, pos, 4).getInt
+        pos += len
+      }
+      out(pos + 21) = f.toByte // octet 22, 1-based, of section 5
+      out
+    }
+    val signed = intercept[java.io.IOException](Grib2.decode(withFlags(0x0D)))
+    assert(signed.getMessage.contains("signed"))
+    val lsb = intercept[java.io.IOException](Grib2.decode(withFlags(0x08)))
+    assert(lsb.getMessage.contains("LSB"))
+  }
+
   test("CCSDS 5.42: bitmap composes — missing points NaN, adapters drop them") {
     val grid = GridSpec(20, 10, 55.0, 340.0, 0.5, 0.5)
     val values = Array.tabulate(grid.numPoints)(i =>
