@@ -258,7 +258,8 @@ object Dedup {
     val b = e.select(col("block"), col("id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("block"))
       .filter(col("a") < col("b"))
-      .withColumn("cosine", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cosine", graft.sim.Similarity.cosineFrom(
+        graft.sim.Similarity.dot(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("block"), col("a"), col("b"), col("cosine"))
   }
@@ -506,6 +507,43 @@ object Dedup {
     incrementalScreenHandles(corpus, batch, idCol, textCol, shingleN, bands,
       rowsPerBand, threshold, maxBucket)._1
 
+  /** Shared verdict assembly of [[incrementalScreenHandles]] and
+    * [[screenAgainstIndexHandles]]: exact fingerprint matches, band
+    * candidates verified by exact shingle Jaccard (4dp-rounded, thresholded,
+    * best match per batch doc with a deterministic tiebreak), folded into
+    * one (id, verdict, match_id, jaccard) row per batch id. Both screens
+    * MUST rank and round identically — a semantics change here changes both
+    * at once instead of silently diverging.
+    */
+  private def screenVerdicts(batchIds: DataFrame, batchSh: DataFrame,
+      histDocs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = batchSh.select(col("id").as("bid"), col("fp"))
+      .join(histDocs.select(col("id").as("cid"), col("fp")), Seq("fp"))
+      .groupBy("bid").agg(min(col("cid")).as("exact_match"))
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double")
+    val near = cand
+      .join(batchSh.select(col("id").as("bid"), col("sh").as("sha")), Seq("bid"))
+      .join(histDocs.select(col("id").as("cid"), col("sh").as("shb")), Seq("cid"))
+      .withColumn("jaccard", round(jac, 4))
+      .filter(col("jaccard") >= threshold)
+    val bestNear = near
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bid").orderBy(col("jaccard").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("bid"), col("cid").as("near_match"), col("jaccard"))
+    batchIds
+      .join(exact, Seq("bid"), "left")
+      .join(bestNear, Seq("bid"), "left")
+      .select(col("bid").as("id"),
+        when(col("exact_match").isNotNull, "exact")
+          .when(col("near_match").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+  }
+
   /** [[incrementalScreen]] plus the frames it internally persisted, so a
     * LOOPING caller (a foreachBatch epoch, a serve loop) can unpersist them
     * once the verdicts are materialized. The one-shot form leaves the
@@ -542,38 +580,14 @@ object Dedup {
     val okBuckets = cBands.groupBy("bk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select("bk")
     val cBandsCapped = cBands.join(okBuckets, Seq("bk"), "left_semi")
-    val exact = sh.filter(col("__b")).select(col("id").as("bid"), col("fp"))
-      .join(sh.filter(!col("__b")).select(col("id").as("cid"), col("fp")), Seq("fp"))
-      .groupBy("bid").agg(min(col("cid")).as("exact_match"))
     val cand = bandsAll.filter(col("__b")).select(col("bk"), col("id").as("bid"))
       .join(cBandsCapped.select(col("bk"), col("id").as("cid")), Seq("bk"))
       .select("bid", "cid").distinct()
-    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
-      size(array_union(col("sha"), col("shb"))).cast("double")
     // verify sides are SIDE-FILTERED: an id present in both corpus and
     // batch (a revised re-crawl of an indexed doc) must verify against its
     // own side's shingles, not whichever row the join finds first
-    val near = cand
-      .join(sh.filter(col("__b"))
-        .select(col("id").as("bid"), col("sh").as("sha")), Seq("bid"))
-      .join(sh.filter(!col("__b"))
-        .select(col("id").as("cid"), col("sh").as("shb")), Seq("cid"))
-      .withColumn("jaccard", round(jac, 4))
-      .filter(col("jaccard") >= threshold)
-    val bestNear = near
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("bid").orderBy(col("jaccard").desc, col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("bid"), col("cid").as("near_match"), col("jaccard"))
-    val out = batch.select(col(idCol).as("bid"))
-      .join(exact, Seq("bid"), "left")
-      .join(bestNear, Seq("bid"), "left")
-      .select(col("bid").as("id"),
-        when(col("exact_match").isNotNull, "exact")
-          .when(col("near_match").isNotNull, "near")
-          .otherwise("new").as("verdict"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"),
-        when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+    val out = screenVerdicts(batch.select(col(idCol).as("bid")),
+      sh.filter(col("__b")), sh.filter(!col("__b")), cand, threshold)
     (out, Seq(sh))
   }
 
@@ -688,33 +702,11 @@ object Dedup {
         graft.functions.PortableMinhash.portableMinhash(col("sh"), bands * rowsPerBand)
           .as("sig")),
       bands, rowsPerBand)
-    val exact = bSh.select(col("id").as("bid"), col("fp"))
-      .join(index.docs.select(col("id").as("cid"), col("fp")), Seq("fp"))
-      .groupBy("bid").agg(min(col("cid")).as("exact_match"))
     val cand = bBands.select(col("bk"), col("id").as("bid"))
       .join(index.bands.select(col("bk"), col("id").as("cid")), Seq("bk"))
       .select("bid", "cid").distinct()
-    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
-      size(array_union(col("sha"), col("shb"))).cast("double")
-    val near = cand
-      .join(bSh.select(col("id").as("bid"), col("sh").as("sha")), Seq("bid"))
-      .join(index.docs.select(col("id").as("cid"), col("sh").as("shb")), Seq("cid"))
-      .withColumn("jaccard", round(jac, 4))
-      .filter(col("jaccard") >= threshold)
-    val bestNear = near
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("bid").orderBy(col("jaccard").desc, col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("bid"), col("cid").as("near_match"), col("jaccard"))
-    val out = batch.select(col(idCol).as("bid"))
-      .join(exact, Seq("bid"), "left")
-      .join(bestNear, Seq("bid"), "left")
-      .select(col("bid").as("id"),
-        when(col("exact_match").isNotNull, "exact")
-          .when(col("near_match").isNotNull, "near")
-          .otherwise("new").as("verdict"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"),
-        when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+    val out = screenVerdicts(batch.select(col(idCol).as("bid")),
+      bSh, index.docs, cand, threshold)
     (out, Seq(bSh))
   }
 

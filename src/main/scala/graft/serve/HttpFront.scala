@@ -115,6 +115,19 @@ final class HttpFront(service: Service, port: Int = 0) {
 
   private def error(msg: String): String = s"""{"error":${jstr(msg)}}"""
 
+  /** JSON number: bare NaN/Infinity are invalid JSON (every parser rejects
+    * the whole 200 payload), so non-finite values serialize as null —
+    * missing data stays representable without breaking the envelope.
+    */
+  private def jnum(v: Double): String =
+    if (java.lang.Double.isFinite(v)) v.toString else "null"
+
+  /** Float overload: widening to Double would change the decimal rendering
+    * (13.4f prints 13.399999618530273 as a Double).
+    */
+  private def jnum(v: Float): String =
+    if (java.lang.Float.isFinite(v)) v.toString else "null"
+
   private def body(req: EnvironmentalRequest, results: Seq[VariableResult]): String = {
     val vars = results.map { r =>
       val lineage = r.lineage match {
@@ -122,11 +135,11 @@ final class HttpFront(service: Service, port: Int = 0) {
           s""","lineage":{"source":${jstr(l.source)},"dataset":${jstr(l.dataset)},"raw_file_id":${jstr(l.rawFileId)}}"""
         case None => ""
       }
-      s"""{"name":${jstr(r.name)},"value":${r.value},"unit":${jstr(r.unit)},""" +
-        s""""ref_timestamp":${jts(r.refTimestamp)},"actual_lat":${r.actualLat},""" +
-        s""""actual_lon":${r.actualLon}$lineage}"""
+      s"""{"name":${jstr(r.name)},"value":${jnum(r.value)},"unit":${jstr(r.unit)},""" +
+        s""""ref_timestamp":${jts(r.refTimestamp)},"actual_lat":${jnum(r.actualLat)},""" +
+        s""""actual_lon":${jnum(r.actualLon)}$lineage}"""
     }.mkString("[", ",", "]")
-    s"""{"lat":${req.lat},"lon":${req.lon},""" +
+    s"""{"lat":${jnum(req.lat)},"lon":${jnum(req.lon)},""" +
       s""""requested_timestamp":${jstr(rfc3339.format(req.timestamp))},"variables":$vars}"""
   }
 

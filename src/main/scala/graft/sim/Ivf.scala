@@ -177,45 +177,21 @@ object Ivf {
     */
   def search(index: Index, probes: DataFrame, idCol: String, embCol: String,
       nProbe: Int = 4, k: Int = 10): DataFrame = {
-    val spark = probes.sparkSession
-    import spark.implicits._
-    val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("listId", "cent")
-    val p = probes.select(col(idCol).as("probe_id"),
-      col(embCol).cast("array<double>").as("p_emb"),
-      Similarity.norm(col(embCol)).as("p_nrm"))
-    val d2 = aggregate(
-      zip_with(col("p_emb"), col("cent"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, v) => acc + v)
-    val wl = Window.partitionBy("probe_id").orderBy(col("d2").asc, col("listId").asc)
-    val probeLists = p.crossJoin(broadcast(cents))
-      .withColumn("d2", d2)
-      .withColumn("lr", row_number().over(wl))
-      .filter(col("lr") <= nProbe)
-      .select(col("probe_id"), col("p_emb"), col("p_nrm"), col("listId"))
-    val cand = index.lists
-      .join(broadcast(probeLists), Seq("listId"))
-      .filter(col("id") =!= col("probe_id"))
-      .withColumn("cosine",
-        Similarity.dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")))
+    val cand = listCandidates(index, probes, idCol, embCol, nProbe)
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Radius (range) search: EVERY candidate in the probed lists with cosine
-    * ≥ `minCosine` — the dedup/contamination form of ANN ("all neighbors
-    * this close", not top-k). Same probe plan as [[search]], but the
-    * threshold replaces the rank window entirely: no per-probe sort, no
-    * state proportional to k — a pure filter over the list-pruned candidate
-    * join, which at archive scale is strictly cheaper than top-k and
-    * parallelizes perfectly (result size is data-dependent, as a range scan
-    * should be). The cosine is rounded to 6dp BEFORE thresholding so an
-    * engine replaying the same arithmetic lands on the same verdict set.
+  /** The shared candidate stage of [[search]] and [[radiusSearch]]: probes
+    * ranked against the broadcast centroid table, kept to their `nProbe`
+    * nearest lists, joined to the inverted lists with the exact cosine —
+    * `(probe_id, id, cosine)` with no ordering semantics applied yet (the
+    * [[graft.sim.Pq]] `adcCandidates` factoring).
     */
-  def radiusSearch(index: Index, probes: DataFrame, idCol: String, embCol: String,
-      nProbe: Int = 4, minCosine: Double = 0.8): DataFrame = {
+  private def listCandidates(index: Index, probes: DataFrame, idCol: String,
+      embCol: String, nProbe: Int): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     val cents = index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
@@ -235,9 +211,25 @@ object Ivf {
     index.lists
       .join(broadcast(probeLists), Seq("listId"))
       .filter(col("id") =!= col("probe_id"))
-      .withColumn("cosine", round(
-        Similarity.dot(col("emb"), col("p_emb")) / (col("nrm") * col("p_nrm")), 6))
+      .withColumn("cosine", Similarity.cosineFrom(
+        Similarity.dot(col("emb"), col("p_emb")), col("nrm"), col("p_nrm")))
+      .select(col("probe_id"), col("id"), col("cosine"))
+  }
+
+  /** Radius (range) search: EVERY candidate in the probed lists with cosine
+    * ≥ `minCosine` — the dedup/contamination form of ANN ("all neighbors
+    * this close", not top-k). Same probe plan as [[search]], but the
+    * threshold replaces the rank window entirely: no per-probe sort, no
+    * state proportional to k — a pure filter over the list-pruned candidate
+    * join, which at archive scale is strictly cheaper than top-k and
+    * parallelizes perfectly (result size is data-dependent, as a range scan
+    * should be). The cosine is rounded to 6dp BEFORE thresholding so an
+    * engine replaying the same arithmetic lands on the same verdict set.
+    */
+  def radiusSearch(index: Index, probes: DataFrame, idCol: String, embCol: String,
+      nProbe: Int = 4, minCosine: Double = 0.8): DataFrame =
+    listCandidates(index, probes, idCol, embCol, nProbe)
+      .withColumn("cosine", round(col("cosine"), 6))
       .filter(col("cosine") >= minCosine)
       .select(col("probe_id"), col("id").as("neighbor_id"), col("cosine"))
-  }
 }

@@ -36,7 +36,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine from a precomputed dot and norms. Zero-norm vectors pin to
+    * similarity 0 — the raw 0/0 would be NaN, which Spark SQL orders ABOVE
+    * every double and passes through every `>=` threshold, so one all-zero
+    * embedding would otherwise rank #1 in every top-k window and join every
+    * radius result silently.
+    */
+  def cosineFrom(dotAB: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dotAB / (na * nb))
+
+  def cosine(a: Column, b: Column): Column =
+    cosineFrom(dot(a, b), norm(a), norm(b))
 
   /** Brute-force cosine top-k against one probe vector: scan + bounded heap
     * (Catalyst plans orderBy+limit as TakeOrderedAndProject — no full sort,
@@ -65,7 +75,7 @@ object Similarity {
       norm(col(embCol)).as("c_nrm"))
     val joined = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        dot(col("c_emb"), col("p_emb")) / (col("c_nrm") * col("p_nrm")))
+        cosineFrom(dot(col("c_emb"), col("p_emb")), col("c_nrm"), col("p_nrm")))
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -100,8 +110,12 @@ object Similarity {
       nn.groupBy(col("probe_id").as(idAlias))
         .agg((sum(round(col("cosine"), 9).cast("decimal(30,9)")).cast("double") /
           count(lit(1))).as(densAlias))
-    val pNN = knnJoin(probes, corpus, idCol, embCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: the probe×k frame feeds two consumers,
+    // but a persist here has no caller-reachable handle to unpersist — a
+    // long-lived session calling marginMining per batch would accumulate
+    // one cached frame per call forever. Checkpoint blocks are released by
+    // the ContextCleaner once the frame is unreferenced.
+    val pNN = knnJoin(probes, corpus, idCol, embCol, k).localCheckpoint()
     val top1 = pNN.filter(col("rank") === 1)
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
     val pDens = density(pNN, "probe_id", "p_dens")

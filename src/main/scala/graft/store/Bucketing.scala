@@ -62,9 +62,12 @@ object Bucketing {
     * merge-join with zero Exchange nodes — pinned in PlanAuditSpec.
     */
   def coLocatedJoin(spark: SparkSession, leftTable: String, leftKey: String,
-      rightTable: String, rightKey: String): DataFrame =
-    spark.table(leftTable).hint("merge")
-      .join(spark.table(rightTable),
-        org.apache.spark.sql.functions.col(leftKey) ===
-          org.apache.spark.sql.functions.col(rightKey))
+      rightTable: String, rightKey: String): DataFrame = {
+    // frame-qualified key refs: with bare col() the common case — both
+    // sides bucketed on the SAME column name — fails analysis as an
+    // ambiguous reference after the join exposes both
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
+  }
 }

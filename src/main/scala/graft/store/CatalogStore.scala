@@ -26,14 +26,20 @@ final class CatalogStore(spark: SparkSession, val path: String, val keyCol: Stri
 
   def read(): DataFrame = spark.read.parquet(path)
 
-  /** K3 — idempotent insert: rows whose key already exists are dropped. */
+  /** K3 — idempotent insert: rows whose key already exists are dropped.
+    * The count is observed during the write job itself (the
+    * [[GridStore.append]] discipline) — a separate count() action would
+    * compute the anti-join and scan the input twice, and with a
+    * non-deterministic input could even disagree with what was written.
+    */
   def insertIfAbsent(rows: DataFrame): Long = {
     val fresh =
       if (!exists) rows
       else rows.join(broadcast(read().select(keyCol)), Seq(keyCol), "left_anti")
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode("append").parquet(path)
-    n
+    val obs = org.apache.spark.sql.Observation()
+    fresh.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(path)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** K4 — upsert: incoming rows replace existing rows with the same key.
@@ -50,11 +56,45 @@ final class CatalogStore(spark: SparkSession, val path: String, val keyCol: Stri
           Seq(keyCol), versionCol, tiebreakCols = Seq("__src")
         ).drop("__src")
       }
-    // stage-and-swap: the rewrite reads the files it replaces (T5 atomicity)
+    // stage-and-swap: the rewrite reads the files it replaces (T5
+    // atomicity). Same rename-aside discipline as GridStore.compact:
+    // delete-then-rename would leave NO live copy if the rename fails or
+    // the JVM dies in between (rename returns FALSE on several
+    // filesystems, it does not throw) — rename the live table ASIDE first
+    // so at every instant a durable copy exists outside the staging dir,
+    // and check every rename.
     val staged = path + ".upsert.tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(staged)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(path))
+    import org.apache.hadoop.fs.Path
+    def renameOrFail(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"upsert swap aborted: rename $src -> $dst failed; staged data intact at $staged")
+    val live = new Path(path)
+    val aside = new Path(path + ".upsert.old")
+    fs.delete(aside, true) // leftovers from a previously-failed swap
+    if (exists) renameOrFail(live, aside)
+    renameOrFail(new Path(staged), live)
+    fs.delete(aside, true)
+  }
+
+  /** Crash recovery for the [[upsert]] swap (the [[GridStore.recover]]
+    * analog): if the live table is absent, promote the staged copy when it
+    * completed (`_SUCCESS`), else the aside copy; then clear leftovers.
+    * Idempotent; a no-op on a healthy store.
+    */
+  def recover(): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val staged = new Path(path + ".upsert.tmp")
+    val aside = new Path(path + ".upsert.old")
+    if (!fs.exists(live)) {
+      if (fs.exists(new Path(staged, "_SUCCESS"))) { fs.rename(staged, live); () }
+      else if (fs.exists(aside)) { fs.rename(aside, live); () }
+    }
+    fs.delete(staged, true)
+    fs.delete(aside, true)
+    ()
   }
 }
 

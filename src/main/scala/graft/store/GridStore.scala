@@ -184,8 +184,14 @@ final class GridStore(spark: SparkSession, val path: String,
       dates.foreach { d =>
         val part = s"date=$d"
         val live = new Path(s"$path/$part")
-        if (fs.exists(live)) renameOrFail(live, new Path(oldRoot, part))
-        renameOrFail(new Path(s"$staged/$part"), live)
+        val stagedPart = new Path(s"$staged/$part")
+        // a requested date with no rows writes no staged partition — a
+        // maintenance call naming an empty/future date must no-op for it,
+        // not die mid-loop after earlier dates already swapped
+        if (fs.exists(stagedPart)) {
+          if (fs.exists(live)) renameOrFail(live, new Path(oldRoot, part))
+          renameOrFail(stagedPart, live)
+        }
       }
       fs.delete(new Path(staged), true)
     }

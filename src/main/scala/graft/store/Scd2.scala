@@ -33,9 +33,16 @@ object Scd2 {
               tieBreak: Seq[String] = Nil): DataFrame = {
     val ord = (col(ts).asc +: tieBreak.map(col(_).asc)).toSeq
     val w = Window.partitionBy(key).orderBy(ord: _*)
+    // run starts must be detected NULL-SAFELY: `prev =!= attr` is SQL
+    // three-valued — a change TO a null attribute evaluates NULL and the
+    // row silently drops (the cleared-to-null period gets attributed to
+    // the previous value), while consecutive null values would each open a
+    // spurious run under a bare isNull check. row_number marks the true
+    // first row; <=> compares the rest null-safely.
     val runs = changes
       .withColumn("graft_prev", lag(col(attr), 1).over(w))
-      .filter(col("graft_prev").isNull || col("graft_prev") =!= col(attr))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1 || !(col("graft_prev") <=> col(attr)))
       .select((col(key) +: col(attr) +: col(ts).as("valid_from")
         +: tieBreak.map(col)): _*)
     // the tie-break columns ride through to the second window: two DIFFERENT

@@ -54,6 +54,23 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS b_agg")
   }
 
+  test("coLocatedJoin resolves identically-named keys on both sides") {
+    // regression: bare col() refs made the COMMON case — both tables
+    // bucketed on the same column name — fail as an ambiguous reference
+    val users = (1L to 200L).map(i => (i, s"u$i")).toDF("user_id", "name")
+    val events = (1L to 400L).map(i => (i % 200 + 1, i)).toDF("user_id", "event_id")
+    Bucketing.writeBucketed(users, "b_users", Seq("user_id"), 4, sortCols = Seq("user_id"))
+    Bucketing.writeBucketed(events, "b_events", Seq("user_id"), 4, sortCols = Seq("user_id"))
+    try {
+      val joined = Bucketing.coLocatedJoin(spark, "b_users", "user_id",
+        "b_events", "user_id")
+      assert(joined.count() === 400L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_users")
+      spark.sql("DROP TABLE IF EXISTS b_events")
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

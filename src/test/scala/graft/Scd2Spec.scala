@@ -90,4 +90,25 @@ class Scd2Spec extends SparkSpec {
     assert(u2(1).getTimestamp(3) === ts("2026-01-09 00:00:00"))
     assert(u2(2).getString(1) === "platinum" && u2(2).isNullAt(3))
   }
+
+  test("null attribute values are real runs: change-to-null kept, consecutive nulls collapse") {
+    // regression: `prev =!= attr` is three-valued — a change TO null
+    // evaluated NULL and dropped the run start (the cleared period was
+    // silently attributed to the previous value), while consecutive nulls
+    // each opened a spurious run
+    val f = Seq(
+      (1L, Option("A"), ts("2026-01-01 00:00:00"), 1L),
+      (1L, Option.empty[String], ts("2026-01-02 00:00:00"), 2L), // cleared
+      (1L, Option.empty[String], ts("2026-01-03 00:00:00"), 3L), // still cleared
+      (1L, Option("A"), ts("2026-01-04 00:00:00"), 4L)           // restored
+    ).toDF("user_id", "status", "ts", "event_id")
+    val h = Scd2.history(f, "user_id", "status", "ts", Seq("event_id"))
+      .orderBy("valid_from").collect()
+    assert(h.length === 3, s"A / null / A = three runs, got ${h.length}")
+    assert(h(0).getString(1) === "A" && h(0).getTimestamp(3) === ts("2026-01-02 00:00:00"))
+    assert(h(1).isNullAt(1), "the cleared-to-null period must be its own run")
+    assert(h(1).getTimestamp(2) === ts("2026-01-02 00:00:00"))
+    assert(h(1).getTimestamp(3) === ts("2026-01-04 00:00:00"))
+    assert(h(2).getString(1) === "A" && h(2).isNullAt(3))
+  }
 }

@@ -123,6 +123,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("zero-norm embeddings rank last and never pass a radius threshold") {
+    // regression: 0/0 cosine is NaN, which Spark orders ABOVE every double
+    // and passes through every >= filter — one all-zero embedding ranked #1
+    // for every probe and joined every radius result. cosineFrom pins it
+    // to similarity 0.
+    val base = clustered.select("vec_id", "embedding")
+    val zero = Seq((999L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val corpus = base.unionByName(zero)
+    val probes = base.filter($"vec_id" === 0L)
+    val knn = Similarity.knnJoin(probes, corpus, "vec_id", "embedding", 3)
+      .collect()
+    assert(!knn.exists(_.getAs[Long]("neighbor_id") == 999L),
+      "a zero vector must not enter the top-k")
+    assert(knn.forall(r => !r.getAs[Double]("cosine").isNaN))
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 4)
+    val rad = Ivf.radiusSearch(idx, probes, "vec_id", "embedding",
+      nProbe = 4, minCosine = 0.5).collect()
+    assert(!rad.exists(_.getAs[Long]("neighbor_id") == 999L),
+      "a zero vector must not pass the radius threshold")
+    // and a zero-norm PROBE finds nothing rather than everything
+    assert(Similarity.knnJoin(zero, base, "vec_id", "embedding", 3)
+      .filter($"cosine" =!= 0.0).count() === 0L)
+  }
+
   test("V15: radius search with nProbe == nLists matches an exact threshold scan") {
     val df = clustered
     val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)

@@ -118,6 +118,42 @@ class StoreSpec extends SparkSpec {
     assert(out === Map("c-1" -> "raw-1", "c-2" -> "raw-9", "c-3" -> "raw-2"))
   }
 
+  test("K4: upsert swap survives a crash between renames; recover promotes a copy") {
+    val cat = new CatalogStore(spark, tempDir("cat") + "/curated", "id")
+    cat.upsert(Seq(("c-1", "raw-1", 1L)).toDF("id", "rawFileId", "v"), "v")
+    cat.upsert(Seq(("c-1", "raw-2", 2L)).toDF("id", "rawFileId", "v"), "v")
+    assert(cat.read().collect()(0).getString(1) === "raw-2")
+    // simulate the crash window: live renamed aside, staged not yet in
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(cat.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(cat.path)
+    fs.rename(live, new Path(cat.path + ".upsert.old"))
+    assert(!fs.exists(live))
+    cat.recover()
+    assert(fs.exists(live), "recover must promote the aside copy")
+    assert(cat.read().collect()(0).getString(1) === "raw-2")
+    // staged-complete crash state: live absent, staged has _SUCCESS
+    fs.rename(live, new Path(cat.path + ".upsert.tmp"))
+    cat.recover()
+    assert(fs.exists(live), "recover must promote the completed staged copy")
+    assert(cat.read().collect()(0).getString(1) === "raw-2")
+    assert(!fs.exists(new Path(cat.path + ".upsert.tmp")))
+    assert(!fs.exists(new Path(cat.path + ".upsert.old")))
+  }
+
+  test("K5: compact() scoped to a date with no partition is a no-op for it") {
+    val store = new GridStore(spark, tempDir("store") + "/grid")
+    store.append(gridRows(t0, 1.0))
+    store.append(gridRows(t1, 100.0))
+    // one real date plus one the store has never seen: the maintenance call
+    // must swap the real one and silently skip the empty one (it used to
+    // throw mid-loop after the first date had already swapped)
+    store.compact(Seq(java.sql.Date.valueOf("2026-01-01"),
+      java.sql.Date.valueOf("2030-12-31")))
+    assert(store.raw().filter($"date" === lit("2026-01-01").cast("date")).count() === 2L)
+    assert(store.finalView().count() === 3L)
+  }
+
   test("Replacing.latest breaks version ties deterministically") {
     val df = Seq(("k", 1L, "a"), ("k", 1L, "b")).toDF("key", "v", "tag")
     val out = Replacing.latest(df, Seq("key"), "v", tiebreakCols = Seq("tag"))
