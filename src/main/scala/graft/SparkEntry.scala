@@ -2883,8 +2883,10 @@ object SparkEntry {
       |  GROUP BY pair
       |), m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1
       |), s1 AS (
-      |  SELECT freq, replace(sym, ' ' || m1.pair || ' ',
-      |                       ' ' || replace(m1.pair, ' ', '') || ' ') AS sym
+      |  SELECT freq, replace(replace(sym, ' ' || m1.pair || ' ',
+      |                       ' ' || replace(m1.pair, ' ', '') || ' '),
+      |                 ' ' || m1.pair || ' ',
+      |                 ' ' || replace(m1.pair, ' ', '') || ' ') AS sym
       |  FROM s0, m1
       |), p2 AS (
       |  SELECT pair, sum(freq) AS cnt FROM (
@@ -2893,8 +2895,10 @@ object SparkEntry {
       |  GROUP BY pair
       |), m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1
       |), s2 AS (
-      |  SELECT freq, replace(sym, ' ' || m2.pair || ' ',
-      |                       ' ' || replace(m2.pair, ' ', '') || ' ') AS sym
+      |  SELECT freq, replace(replace(sym, ' ' || m2.pair || ' ',
+      |                       ' ' || replace(m2.pair, ' ', '') || ' '),
+      |                 ' ' || m2.pair || ' ',
+      |                 ' ' || replace(m2.pair, ' ', '') || ' ') AS sym
       |  FROM s1, m2
       |), p3 AS (
       |  SELECT pair, sum(freq) AS cnt FROM (
@@ -3849,8 +3853,10 @@ object SparkEntry {
     // per stage (round 0 = raw characters)
     "t18_bpe_compression" -> (BpeRoundsCte +
       """, s3 AS (
-        |  SELECT freq, replace(sym, ' ' || m3.pair || ' ',
-        |                       ' ' || replace(m3.pair, ' ', '') || ' ') AS sym
+        |  SELECT freq, replace(replace(sym, ' ' || m3.pair || ' ',
+        |                       ' ' || replace(m3.pair, ' ', '') || ' '),
+        |                 ' ' || m3.pair || ' ',
+        |                 ' ' || replace(m3.pair, ' ', '') || ' ') AS sym
         |  FROM s2, m3
         |), tot AS (
         |  SELECT 0 AS round, CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT) AS total_symbols FROM s0

@@ -17,7 +17,7 @@ object Dedup {
     * [[TextAnalysis.fingerprint]]).
     */
   def tokens(text: Column): Column =
-    split(lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" ")))), " ", -1)
+    split(TextAnalysis.normalize(text), " ", -1)
 
   /** Exact dedup groups by content fingerprint: one row per distinct
     * fingerprint with the keeper (min id) and multiplicity. A plain
@@ -220,7 +220,7 @@ object Dedup {
   def prefixBlockedJaccard(df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 32, threshold: Double = 0.35,
       maxBlock: Int = 256): DataFrame = {
-    val norm = lower(trim(regexp_replace(col(textCol), lit("[^A-Za-z0-9]+"), lit(" "))))
+    val norm = TextAnalysis.normalize(col(textCol))
     val allSides = ColOps.parallelize(df).select(
       col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("ws"),

@@ -48,7 +48,13 @@ object Sampling {
     val totals = df.groupBy(col(strataCol)).agg(sum(col(nTokensCol)).as("stratum_tokens"))
     val thr = floor(least(lit(1.0),
       lit(budget.toDouble) / col("stratum_tokens").cast("double")) * Buckets).cast("long")
-    df.join(broadcast(totals.withColumn("keep_buckets", thr)), Seq(strataCol))
+    // null-SAFE join key: a NULL stratum (unlabeled source/language) forms
+    // its own budget group like any other — an equi-join would never match
+    // NULL==NULL and silently drop every unlabeled document from the mix
+    val t = broadcast(totals.withColumn("keep_buckets", thr)
+      .withColumnRenamed(strataCol, "__stratum"))
+    df.join(t, col(strataCol) <=> col("__stratum"))
+      .drop("__stratum")
       .filter(hashBucket(col(keyCol)) < col("keep_buckets"))
   }
 
@@ -65,6 +71,10 @@ object Sampling {
     * Scale: one scan computing the rank + `orderBy.limit(k)`, which Catalyst
     * plans as `TakeOrderedAndProject` (bounded per-partition heap, k-row
     * driver merge — no global sort). Weights must be strictly positive.
+    *
+    * The returned frame deliberately carries the `es_key` rank column — the
+    * selection is auditable (and the sm4 oracle replays it); drop it before
+    * appending to a table that lacks the column.
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int): DataFrame = {

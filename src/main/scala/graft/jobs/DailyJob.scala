@@ -68,20 +68,25 @@ final class DailyJob(
 
     // ── transform (S1/S2 → C1..C3 → K1/K4) ──
     val decoded = Grib.toDataFrame(spark, reader.open(path).toSeq)
+    // materialize the transform ONCE: four downstream actions (grid append,
+    // curated upsert, touched-dates collect, meta collect) would otherwise
+    // each re-run the full pivot/join pipeline — ~4x the day's cluster work
     val rows = transform(decoded, insertedAt)
-    val n = grids.append(rows)
-    val curatedRows = Transforms.curatedRecords(rows, runId)
-      .withColumn("createdAt", lit(insertedAt))
-    curated.upsert(curatedRows, "createdAt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = grids.append(rows)
+      val curatedRows = Transforms.curatedRecords(rows, runId, insertedAt)
+      curated.upsert(curatedRows, "createdAt")
 
-    // ── optimize (K5): compact only the dates this run touched ──
-    val touched = rows.select(to_date(col("timestamp")).as("d")).distinct()
-      .as[Date].collect().toSeq
-    grids.compact(touched)
+      // ── optimize (K5): compact only the dates this run touched ──
+      val touched = rows.select(to_date(col("timestamp")).as("d")).distinct()
+        .as[Date].collect().toSeq
+      grids.compact(touched)
 
-    val meta = curatedRows.select("id", "variable").collect()
-    RunResult(runId, n,
-      meta.map(_.getString(1)).distinct.sorted.toSeq,
-      meta.map(_.getString(0)).sorted.toSeq)
+      val meta = curatedRows.select("id", "variable").collect()
+      RunResult(runId, n,
+        meta.map(_.getString(1)).distinct.sorted.toSeq,
+        meta.map(_.getString(0)).sorted.toSeq)
+    } finally { rows.unpersist(); () }
   }
 }

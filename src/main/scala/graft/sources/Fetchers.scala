@@ -60,12 +60,18 @@ object Fetchers {
     val StepHours = 3
     val MaxHorizonHours = 48
 
-    def buildRequest(date: Date, target: String, maxLeadtimeHours: Int): ForecastRequest = {
+    def buildRequest(date: Date, target: String, maxLeadtimeHours: Int,
+        variables: Seq[String] = Seq("temperature", "dewpoint")): ForecastRequest = {
       require(maxLeadtimeHours > 0 && maxLeadtimeHours <= MaxHorizonHours,
         s"leadtime horizon must be in (0, $MaxHorizonHours]: $maxLeadtimeHours")
+      // validate + map through the params table (the CdsClient discipline)
+      // instead of hardcoding — an unknown variable fails loudly here, not
+      // as a silent 404 from the remote service
+      val unknown = variables.filterNot(VariableParams.contains)
+      require(unknown.isEmpty, s"unknown ECMWF variables: ${unknown.mkString(",")}")
       val steps = (0 to MaxHorizonHours by StepHours).filter(_ <= maxLeadtimeHours)
       ForecastRequest(Map(
-        "param" -> Seq("2t", "2d"),
+        "param" -> variables.map(VariableParams),
         "date" -> Seq(date.toString),
         "type" -> Seq("fc"),
         "stream" -> Seq("oper"),

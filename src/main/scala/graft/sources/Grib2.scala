@@ -1029,6 +1029,11 @@ object Grib2 {
       val edition = r.u8()
       if (edition != 2) fail(s"unsupported edition $edition")
       val totalLen = r.u64()
+      // same bound splitMessages enforces: a truncated file declaring a
+      // length past the buffer must fail here, not surface later as an
+      // unclassified ArrayIndexOutOfBounds from a section read
+      if (totalLen < 20 || off + totalLen > bytes.length)
+        fail(s"message length $totalLen at offset $off overruns the file")
       out += decodeBody(bytes, off, totalLen, discipline)
       off += totalLen.toInt
     }
@@ -1117,7 +1122,12 @@ object Grib2 {
           val timeUnit = r.u8()
           val ft = r.u32().toInt
           forecastHours = timeUnit match {
-            case 0 => ft / 60 // minutes
+            case 0 =>
+              // integer division would silently truncate a sub-hour step
+              // (90 min -> 1 h) and shift validTime — fail like every other
+              // unsupported case instead of mis-stamping the field
+              if (ft % 60 != 0) fail(s"sub-hour forecast step ($ft min) not supported")
+              ft / 60
             case 1 => ft // hours
             case 2 => ft * 24 // days
             case u => fail(s"unsupported time unit $u")

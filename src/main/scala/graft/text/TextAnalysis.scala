@@ -85,12 +85,19 @@ object TextAnalysis {
     }
   }
 
-  /** Document fingerprint: md5 of the ASCII-normalized text (non-alnum runs
-    * collapsed to single spaces, lowercased, trimmed). Near-identical
+  /** THE shared text-normalization domain — non-alphanumeric runs collapse
+    * to one space, trimmed, lowercased. Every content key in the engine
+    * (fingerprints, dedup tokens, rolling hashes, fuzzy blocking) derives
+    * from this single definition so the oracle-pinned equivalences cannot
+    * silently diverge when the domain changes.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" "))))
+
+  /** Document fingerprint: md5 of [[normalize]]d text — near-identical
     * whitespace/punctuation variants collapse to one fingerprint.
     */
-  def fingerprint(text: Column): Column =
-    md5(lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" ")))))
+  def fingerprint(text: Column): Column = md5(normalize(text))
 
   /** TF-IDF over the normalized word tokens: one explode, two hash
     * aggregates (term frequency per doc, document frequency per term), a
@@ -276,13 +283,13 @@ object TextAnalysis {
     */
   def rollingFingerprint(text: Column): Column =
     graft.functions.RollingHash.rollingHash(
-      lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" ")))))
+      normalize(text))
 
   /** The Column-only spec of [[rollingFingerprint]] (interpreted HOF fold —
     * kept for the native-vs-spec equality test, not for production use).
     */
   def rollingFingerprintSpec(text: Column): Column = {
-    val norm = lower(trim(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(" "))))
+    val norm = normalize(text)
     graft.functions.ColOps.bindLet(norm, s =>
       aggregate(
         transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
@@ -353,7 +360,7 @@ object TextAnalysis {
   def fuzzyMatchBlocked(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, headLen: Int = 48, pfxLen: Int = 16,
       maxBlock: Int = 256, maxLev: Int = 16): org.apache.spark.sql.DataFrame = {
-    val norm = lower(trim(regexp_replace(col(textCol), lit("[^A-Za-z0-9]+"), lit(" "))))
+    val norm = normalize(col(textCol))
     val docs = df.select(col(idCol).as("id"),
       substring(norm, 1, headLen).as("head"), substring(norm, 1, pfxLen).as("pfx"))
     val keep = docs.groupBy("pfx").agg(count(lit(1)).as("n"))
@@ -453,9 +460,16 @@ object TextAnalysis {
           val cnt = top(0).getLong(1)
           val merged = pair.replace(" ", "")
           merges += ((r, pair, merged, cnt))
-          vocab = vocab.withColumn("sym",
-            regexp_replace(col("sym"),
-              java.util.regex.Pattern.quote(s" $pair "), s" $merged "))
+          // applied TWICE: one left-to-right non-overlapping pass skips an
+          // occurrence whose leading space the preceding match consumed
+          // ('a b a b' -> 'ab a b'); such skipped occurrences are isolated
+          // after pass one and a merge never creates a new occurrence of
+          // its own pair, so the second pass reaches the exact greedy
+          // fixpoint real BPE application produces ('ab ab')
+          def mergePass(c: org.apache.spark.sql.Column) =
+            regexp_replace(c,
+              java.util.regex.Pattern.quote(s" $pair "), s" $merged ")
+          vocab = vocab.withColumn("sym", mergePass(mergePass(col("sym"))))
           if (wantCurve) curve += ((r, totalSymbols(vocab)))
         }
       }

@@ -92,9 +92,13 @@ object Transforms {
   /** Curated-catalog rows for a transformed frame: one per catalog id
     * (reference: `defs/assets.py:221-227` — K4 upsert into `curated_data`).
     */
-  def curatedRecords(gridRows: DataFrame, rawFileId: String): DataFrame =
+  def curatedRecords(gridRows: DataFrame, rawFileId: String,
+      createdAt: java.sql.Timestamp): DataFrame =
     gridRows.select("catalogId", "variable", "unit", "timestamp").distinct()
       .withColumnRenamed("catalogId", "id")
       .withColumn("rawFileId", lit(rawFileId))
-      .withColumn("createdAt", current_timestamp())
+      // caller-supplied, never current_timestamp(): createdAt orders the
+      // catalog's keep-latest upsert, and a wall-clock stamp would make
+      // "delete the data, re-run the ETL, same results" (T4) false
+      .withColumn("createdAt", lit(createdAt))
 }

@@ -217,4 +217,21 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(c.toSeq === Seq((0, 15L), (1, 12L), (2, 9L), (3, 7L)))
   }
+
+  test("bpeMerges reaches the greedy fixpoint on adjacent repeated pairs") {
+    // regression: one left-to-right replace pass skips the second 'p a' in
+    // 'papa' (its leading space is consumed by the first merge), leaving
+    // ' pa p a ' — real BPE produces ' pa pa '. The double pass must land
+    // on the fixpoint, which round 3's 'pa pa' merge then proves: that pair
+    // only exists if BOTH occurrences merged in round 1.
+    val docs = Seq((1L, "papa papa mama")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === ((1, "p a", "pa", 4L)))
+    assert(m(1) === ((2, "m a", "ma", 2L)))
+    assert(m(2) === ((3, "pa pa", "papa", 2L)))
+    val c = TextAnalysis.bpeCompressionCurve(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(c.toSeq === Seq((0, 12L), (1, 8L), (2, 6L), (3, 4L)))
+  }
 }
