@@ -77,15 +77,20 @@ object Bench {
       val t0 = System.nanoTime()
       try exhaust(fn(spark, sfDir))
       catch {
-        case e: Throwable =>
+        // NonFatal: after an OOM the JVM is in the possibly-corrupt state
+        // probeAndLog documents — later medians would be garbage, so let
+        // fatal errors abort the run loudly instead of becoming rows
+        case scala.util.control.NonFatal(e) =>
           // strip EVERY control character (not just \n\r\t) — one stray
           // \f in an error message would make the whole line unparseable
           errs(name) = e.getClass.getSimpleName + ": " +
             Option(e.getMessage).getOrElse("")
               .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160)
       }
-      finally spark.catalog.clearCache()
+      // timestamp BEFORE the cache teardown: queries that legitimately
+      // persist within a run must not be charged the unpersist cost
       times(name) += (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
     }
     val results = selected.map { case (name, _) =>
       val sorted = times(name).sorted

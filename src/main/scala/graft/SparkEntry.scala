@@ -1386,9 +1386,12 @@ object SparkEntry {
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)
+      // final order on the RAW cosine (the oracle's ORDER BY cos_raw):
+      // sorting on the 6dp-rounded output column instead would reorder
+      // last-ulp ties differently from the oracle's row order
       Similarity.topK(emb, "vec_id", "embedding", probe, 10)
+        .orderBy(col("cosine").desc, col("id"))
         .select(col("id").as("vec_id"), round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id"))
     }),
 
     // V-similarity: k-NN join (10 probes × corpus, top-3 each)

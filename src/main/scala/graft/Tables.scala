@@ -25,7 +25,13 @@ object Tables {
     if (name == "events") {
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          // FLOOR division, not `div` (quot, truncates toward zero): a
+          // pre-1970 timestamp is negative ns, and -1500 ns is -2 µs under
+          // floor (what DuckDB's native read of the same file yields) but
+          // -1 µs under div — a silent 1 µs oracle divergence. Integer
+          // floor-div, since double arithmetic cannot hold epoch-ns exactly
+          df.withColumn("ts", timestamp_micros(
+            expr("CASE WHEN ts >= 0 THEN ts div 1000 ELSE (ts - 999) div 1000 END")))
         case org.apache.spark.sql.types.TimestampNTZType =>
           df.withColumn("ts", col("ts").cast("timestamp"))
         case _ => df // already TimestampType

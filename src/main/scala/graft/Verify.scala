@@ -26,11 +26,16 @@ object Verify {
       case None       => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
+      // NonFatal only: an OOM must abort the run, not be logged past
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries persist corpus-sized frames internally and expose no
+      // handle; without a per-query clear the storage layer accumulates
+      // every stale cache across the ~170-query run (Bench does the same)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -94,7 +94,9 @@ object Multimodal {
     var hsh = 0x9e3779b97f4a7c15L ^ (w.toLong << 32 | h.toLong)
     var i = 0
     while (i < n) {
-      hsh = (hsh ^ bytes(i % bytes.length)) * 0x100000001b3L
+      // an empty payload (document with empty text) must hash as constant
+      // input, not crash on modulo-by-zero
+      hsh = (hsh ^ (if (bytes.isEmpty) 0L else bytes(i % bytes.length))) * 0x100000001b3L
       out(i) = (hsh >>> 56).toByte
       i += 1
     }

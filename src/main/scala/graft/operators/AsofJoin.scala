@@ -79,8 +79,14 @@ object AsofJoin {
         struct(rStructCols: _*).as("__r"): _*)
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // desc_nulls_first: Spark's DESC default is NULLS LAST, which would
+    // sort a null-timestamp left row AFTER every right row and hand it the
+    // globally earliest right payload — a fabricated match for an unknown
+    // timestamp. Nulls-first puts such rows before any right row, so the
+    // running last() correctly yields no match (the backward asof's ASC
+    // nulls-first behavior, now symmetric)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").desc, col("__side").asc)
+      .orderBy(col("__ts").desc_nulls_first, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
     val out = carried.filter(col("__side") === 1)

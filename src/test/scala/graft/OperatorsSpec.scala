@@ -47,6 +47,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> None))
   }
 
+  test("asofForward: a null left timestamp gets NO match (regression: desc nulls-last)") {
+    // desc's default NULLS LAST sorted an unknown-timestamp left row after
+    // every right row, handing it the globally earliest right payload
+    val left = Seq(
+      (1L, 1L, Option(ts("2026-01-01 10:10:00"))),
+      (2L, 1L, Option.empty[java.sql.Timestamp])
+    ).toDF("id", "k", "ts")
+    val right = Seq((1L, ts("2026-01-01 10:30:00"), 200.0)).toDF("k", "ts", "rv")
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("r_rv"))) None else Some(r.getAs[Double]("r_rv")))).toMap
+    assert(out === Map(1L -> Some(200.0), 2L -> None))
+  }
+
   test("asofForward matches a brute-force reference on randomized data") {
     val rnd = new scala.util.Random(13)
     val left = (1 to 300).map(i =>
