@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, RollingHash, SimhashAgg}
+import graft.functions.{ArrayDot, BloomContainsBytes, RollingHash, SimhashAgg}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works alongside
@@ -34,7 +34,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimhashAgg(children.head).toAggregateExpression()),
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      (children: Seq[Expression]) => RollingHash(children.head, 31L, 1000000007L))
+      (children: Seq[Expression]) => RollingHash(children.head, 31L, 1000000007L)),
+    // (pre-hashed LONG key, BINARY sketch, numHashes literal) — the sharded
+    // bloom screen's per-row probe, usable from SQL against a sketch table
+    (FunctionIdentifier("graft_bloom_contains_bytes"),
+      new ExpressionInfo(classOf[BloomContainsBytes].getName, "graft_bloom_contains_bytes"),
+      (children: Seq[Expression]) => BloomContainsBytes(children(0), children(1),
+        children(2).eval().asInstanceOf[Int]))
   )
 
   /** Register into an existing session (for sessions built without the

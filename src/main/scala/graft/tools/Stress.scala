@@ -281,7 +281,56 @@ object Stress {
     appendStress(spark, sfDir)
     streamStateStress(spark, sfDir)
     streamDedupStress(spark, sfDir)
+    streamRollupStress(spark, sfDir)
     spark.stop()
+  }
+
+  /** st7's cost shape measured: the versioned rollup-merge sink's per-epoch
+    * cost is delta + key-count-sized rollup, NEVER history — so the TOTAL
+    * drain time for k epochs of a fixed-size delta must grow ~linearly in k
+    * (per-epoch ~flat), even though epoch k's merge logically contains
+    * every earlier epoch's rows. Quadratic growth here would mean the merge
+    * is re-reading event history instead of the rollup artifact.
+    */
+  private def streamRollupStress(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = graft.Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value").cache()
+    val idStride = events.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+
+    Seq(1, 4, 16).foreach { k =>
+      val base = java.nio.file.Files.createTempDirectory(s"stress_st7_x$k")
+      val landing = s"$base/landing"; val rollup = s"$base/rollup"
+      val ckpt = s"$base/ckpt"
+      // k epochs, one full events copy per epoch (same keys every time ->
+      // every epoch's merge is real), time-shifted so dates stay distinct
+      (0 until k).foreach { c =>
+        events.select((col("event_id") + lit(c * idStride)).as("event_id"),
+            (col("ts") + expr(s"INTERVAL ${c * 30} DAYS")).as("ts"),
+            col("event_type"), col("value"))
+          .coalesce(1).write.mode("append").parquet(landing)
+      }
+      val nIn = spark.read.parquet(landing).count()
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, "8")
+      val (sec, nVersions) =
+        try {
+          val t0 = System.nanoTime()
+          val q = graft.streaming.EventStream.rollupSink(
+            spark.readStream.schema(spark.read.parquet(landing).schema)
+              .option("maxFilesPerTrigger", "1").parquet(landing),
+            rollup, ckpt)
+          q.awaitTermination()
+          ((System.nanoTime() - t0) / 1e9,
+            graft.streaming.EventStream.latestRollupVersion(spark, rollup)
+              .map(_ + 1).getOrElse(0L))
+        } finally spark.conf.set(key, old)
+      println(s"""{"op":"st7_stream_rollup","scale":$k,"rows_in":$nIn,"n_epochs":$nVersions,"sec":${num(sec)}}""")
+    }
+    events.unpersist()
+    ()
   }
 
   /** st6's state bound measured: `dropDuplicatesWithinWatermark` keeps one

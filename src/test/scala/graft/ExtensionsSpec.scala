@@ -22,4 +22,21 @@ class ExtensionsSpec extends SparkSpec {
       .collect()(0).getLong(1)
     assert(sql === api)
   }
+
+  test("graft_bloom_contains_bytes probes a sketch table from SQL") {
+    GraftExtensions.register(spark)
+    import graft.functions.BloomSketch
+    // one sketch row built by the aggregate, probed per-row from SQL
+    Seq(1L, 2L, 3L).toDF("k")
+      .select(BloomSketch.bloomAgg(xxhash64(col("k")), 1024, 5).as("bf"))
+      .createOrReplaceTempView("sketch")
+    Seq(1L, 2L, 3L, 999L, 1000L).toDF("k").createOrReplaceTempView("probes")
+    val hits = spark.sql(
+      """SELECT k, graft_bloom_contains_bytes(xxhash64(k), bf, 5) AS hit
+        |FROM probes CROSS JOIN sketch""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(hits(1L) && hits(2L) && hits(3L), "no false negatives, ever")
+    // 1024 bits for 3 keys: the two absent probes are overwhelmingly misses
+    assert(!hits(999L) && !hits(1000L))
+  }
 }
