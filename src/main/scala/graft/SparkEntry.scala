@@ -2504,6 +2504,44 @@ object SparkEntry {
     // same signature contract) differ by ≤ 6 bits. Bands are the blocking
     // key (the LSH discipline: capped at 256 members, never all-pairs) and
     // the blob never reaches the join — only the 16-bit signature does.
+    // M-multimodal: cluster RESOLUTION for media near-dups — the d16
+    // keep-best discipline applied to the m5 pair graph: connected
+    // components over the banded phash pairs (min-label canonicalize, the
+    // same bounded-round machinery as d6), then each cluster keeps its
+    // highest-RESOLUTION member (width × height), ties to the lowest id.
+    // Production media curation keeps the best rendition, not the lowest
+    // id — the operator text dedup has had since d16, now for media.
+    "m6_media_keep_best" -> ((s, d) => {
+      val sig = Multimodal.fromDocuments(t(s, d, "documents")).toDF()
+        .select(col("mediaId"),
+          conv(substring(md5(col("bytes")), 17, 4), 16, 10).cast("long").as("phash"))
+      val banded = bandedMedia(s, d).join(sig, "mediaId")
+      val keys = Seq("kind", "w_band", "h_band", "luma_band")
+      val blocks = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 256)).drop("n")
+      val inBlock = banded.join(blocks, keys, "left_semi")
+      val pairs = inBlock.as("x").join(inBlock.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x.mediaId") < col("y.mediaId"))
+        .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= 6)
+        .select(col("x.mediaId").as("a"), col("y.mediaId").as("b"))
+      val clusters = Dedup.canonicalize(pairs)
+      val pixels = Multimodal.extractFeatures(
+          Multimodal.fromDocuments(t(s, d, "documents"))).toDF()
+        .select(col("mediaId").as("id"),
+          (col("width") * col("height")).cast("long").as("pixels"))
+      clusters.join(pixels, Seq("id"))
+        .groupBy(col("keeper_id").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(struct((lit(0L) - col("pixels")).as("np"), col("id").as("bid")))
+            .as("best"))
+        .select(col("cluster_id"), col("cluster_size"),
+          col("best.bid").as("best_id"),
+          (lit(0L) - col("best.np")).as("best_pixels"))
+        .orderBy("cluster_id")
+    }),
+
     "m5_phash_pairs" -> ((s, d) => {
       val sig = Multimodal.fromDocuments(t(s, d, "documents")).toDF()
         .select(col("mediaId"),
@@ -5458,6 +5496,59 @@ object SparkEntry {
 
     // m5: m4's band derivation + the md5[17,20] signature slice; hamming
     // replayed bit-by-bit over xor (no engine-private popcount layout)
+    // m6: the m5 pair replay + the d6 recursive transitive closure +
+    // per-cluster argmax on pixels (desc, id asc)
+    "m6_media_keep_best" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT doc_id AS mediaId,
+        |         (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
+        |         64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
+        |         64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
+        |         ('0x' || substr(md5(text), 11, 4))::BIGINT / 65535.0 * 255.0 AS meanLuma,
+        |         ('0x' || substr(md5(text), 17, 4))::BIGINT AS phash
+        |  FROM documents
+        |), b AS (
+        |  SELECT mediaId, kind, CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, phash
+        |  FROM f
+        |), blk AS (
+        |  SELECT kind, wb, hb, lb FROM b GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT x.mediaId AS a, y.mediaId AS b2,
+        |         CAST(list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN ((xor(x.phash, y.phash) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM b x
+        |  JOIN blk USING (kind)
+        |  JOIN b y ON x.kind = y.kind AND x.wb = y.wb AND x.hb = y.hb AND x.lb = y.lb
+        |   AND x.mediaId < y.mediaId
+        |  WHERE x.wb = blk.wb AND x.hb = blk.hb AND x.lb = blk.lb
+        |), pairs AS (
+        |  SELECT a, b2 AS b FROM p WHERE hamming <= 6
+        |), edges AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT x AS id FROM edges
+        |), reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
+        |), cl AS (
+        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |), px AS (
+        |  SELECT mediaId AS id, CAST(width * height AS BIGINT) AS pixels FROM f
+        |), rk AS (
+        |  SELECT cl.cluster_id, cl.id, px.pixels,
+        |         row_number() OVER (PARTITION BY cl.cluster_id
+        |                            ORDER BY px.pixels DESC, cl.id ASC) AS rn
+        |  FROM cl JOIN px USING (id)
+        |)
+        |SELECT s.cluster_id, s.cluster_size, rk.id AS best_id, rk.pixels AS best_pixels
+        |FROM (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1) s
+        |JOIN rk ON rk.cluster_id = s.cluster_id AND rk.rn = 1
+        |ORDER BY s.cluster_id""".stripMargin,
+
     "m5_phash_pairs" ->
       """WITH f AS (
         |  SELECT doc_id AS mediaId,
