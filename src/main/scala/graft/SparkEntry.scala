@@ -584,7 +584,9 @@ object SparkEntry {
       store.rawMerged().groupBy("variable").agg(
         count(lit(1)).as("n"),
         count(col("qc_flag")).as("n_evolved"),
-        sum(col("qc_flag").cast("long")).as("n_flagged"))
+        // coalesce: a group with no evolved rows sums to NULL while the
+        // oracle's sum(CASE ...) yields 0 — align the empty-group value
+        coalesce(sum(col("qc_flag").cast("long")), lit(0L)).as("n_flagged"))
         .orderBy("variable")
     }),
 

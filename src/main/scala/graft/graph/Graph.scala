@@ -62,27 +62,39 @@ object Graph {
     // clustering describe one consistent graph
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
-    val wedges = deg.agg(expr("sum(d * (d - 1) div 2)").as("n_wedges"))
+    // the result is ONE row of scalars — collect them eagerly so the
+    // bounded edge cache can be fully released before returning: a
+    // long-lived session running many censuses must leave NOTHING
+    // persisted behind (localCheckpoint would itself pin the result RDD
+    // in the cache with no caller-accessible handle)
+    val wedgesRow = deg.agg(expr("sum(d * (d - 1) div 2)").as("n_wedges")).collect()(0)
+    val nWedges: java.lang.Long = // null on an empty graph, like the SQL sum
+      if (wedgesRow.isNullAt(0)) null else java.lang.Long.valueOf(wedgesRow.getLong(0))
     val paths = e.select(col("a").as("pa"), col("b").as("pb")).as("p")
       .join(e.select(col("a").as("qa"), col("b").as("qb")).as("q"),
         col("pb") === col("qa"))
       .select(col("pa").as("a"), col("qb").as("b"))
-    val tris = paths.join(e, Seq("a", "b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    // the result is ONE row — materialize it eagerly (localCheckpoint) so
-    // the bounded edge cache can be released before returning: a long-lived
-    // session running many censuses otherwise leaks one MEMORY_AND_DISK
-    // edge list per invocation with no caller-accessible handle
-    val result = e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(wedges)
-      .crossJoin(tris)
-      .withColumn("n_hubs_excluded", lit(nHubs))
-      .withColumn("clustering",
-        round(when(col("n_wedges") > 0,
-          lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(0.0), 6))
-      .localCheckpoint()
+    val nTris = paths.join(e, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles")).collect()(0).getLong(0)
+    val nEdges = e.count()
     e.unpersist()
-    result
+    // HALF_UP to 6dp, matching Spark's round() the former plan used
+    val clustering: Double =
+      if (nWedges != null && nWedges.longValue > 0L)
+        BigDecimal(3.0 * nTris / nWedges.doubleValue)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+    val spark = pairs.sparkSession
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(nEdges, nWedges, nTris, nHubs, clustering)),
+      StructType(Seq(
+        StructField("n_edges", LongType, nullable = false),
+        StructField("n_wedges", LongType, nullable = true),
+        StructField("n_triangles", LongType, nullable = false),
+        StructField("n_hubs_excluded", LongType, nullable = false),
+        StructField("clustering", DoubleType, nullable = false))))
   }
 
   /** PageRank over an UNDIRECTED pair set `(a, b)` — rank flows both ways.

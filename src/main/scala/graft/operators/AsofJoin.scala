@@ -40,6 +40,10 @@ object AsofJoin {
     val r = right
       .select((keys.map(col) :+ col(rightTs).as("__ts")) :+
         struct(rStructCols: _*).as("__r"): _*)
+      // a right row with an unknown timestamp can never be "the latest at or
+      // before t" — dropped here so the nulls-first sort cannot carry its
+      // payload into left rows as a fabricated match
+      .filter(col("__ts").isNotNull)
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
@@ -77,6 +81,10 @@ object AsofJoin {
     val r = right
       .select((keys.map(col) :+ col(rightTs).as("__ts")) :+
         struct(rStructCols: _*).as("__r"): _*)
+      // null-ts right rows would sort before EVERY row under nulls-first and
+      // be carried as a forward match for null-ts left rows and for left rows
+      // past the last real right ts — they can never be a legitimate match
+      .filter(col("__ts").isNotNull)
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // desc_nulls_first: Spark's DESC default is NULLS LAST, which would

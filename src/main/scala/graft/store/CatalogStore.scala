@@ -37,9 +37,29 @@ final class CatalogStore(spark: SparkSession, val path: String, val keyCol: Stri
       if (!exists) rows
       else rows.join(broadcast(read().select(keyCol)), Seq(keyCol), "left_anti")
     val obs = org.apache.spark.sql.Observation()
+    // staged write, promoted only when rows actually landed: appending the
+    // observed job directly would create the table directory (flipping
+    // `exists` on a store that was never written) and accumulate one empty
+    // part file per no-op insert between compactions. Part-file names carry
+    // the job UUID, so renaming them into the live dir cannot collide.
+    import org.apache.hadoop.fs.Path
+    val staged = new Path(path + ".insert.tmp")
     fresh.observe(obs, count(lit(1)).as("n"))
-      .write.mode("append").parquet(path)
-    obs.get("n").asInstanceOf[Long]
+      .write.mode("overwrite").parquet(staged.toString)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n > 0L) {
+      val live = new Path(path)
+      if (!fs.exists(live)) fs.mkdirs(live)
+      fs.listStatus(staged).iterator
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          if (!fs.rename(st.getPath, new Path(live, st.getPath.getName)))
+            throw new java.io.IOException(
+              s"insertIfAbsent promote aborted: rename ${st.getPath} failed; staged data intact")
+        }
+    }
+    fs.delete(staged, true)
+    n
   }
 
   /** K4 — upsert: incoming rows replace existing rows with the same key.

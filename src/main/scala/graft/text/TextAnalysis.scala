@@ -462,10 +462,13 @@ object TextAnalysis {
           merges += ((r, pair, merged, cnt))
           // applied TWICE: one left-to-right non-overlapping pass skips an
           // occurrence whose leading space the preceding match consumed
-          // ('a b a b' -> 'ab a b'); such skipped occurrences are isolated
-          // after pass one and a merge never creates a new occurrence of
-          // its own pair, so the second pass reaches the exact greedy
-          // fixpoint real BPE application produces ('ab ab')
+          // ('a b a b' -> 'ab a b'); the second pass picks up such skipped
+          // occurrences ('ab ab'). This deterministic double-pass
+          // literal-replace is the semantics the DuckDB oracle replays
+          // verbatim; on odd runs of a self-overlapping pair it can differ
+          // from strict greedy BPE ('aaaaa' + 'a a' -> [aa,a,aa] here vs
+          // greedy's [aa,aa,a]) — symbol counts match, but adjacent-pair
+          // counts in later rounds may diverge from a strict-greedy trainer
           def mergePass(c: org.apache.spark.sql.Column) =
             regexp_replace(c,
               java.util.regex.Pattern.quote(s" $pair "), s" $merged ")

@@ -390,6 +390,52 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("complex 5.2/5.3: truncated and length-lying section 7 fail, never decode garbage") {
+    // unpackComplex must bound every descriptor/group-array read to section
+    // 7's declared end: a section-7 length that understates its own group
+    // arrays must raise the codec's IOException — silently reading into the
+    // 7777 trailer could decode garbage that still sums to numPoints
+    val grid = GridSpec(ni = 40, nj = 30, lat1Deg = 72.0, lon1Deg = 335.0,
+      dLatDeg = 0.5, dLonDeg = 0.5)
+    val values = field(grid, 250.0, 40.0)
+    def sectionPos(bytes: Array[Byte], num: Int): Int = {
+      var pos = 16
+      while (bytes(pos + 4) != num.toByte)
+        pos += java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
+      pos
+    }
+    def putU32(bytes: Array[Byte], at: Int, v: Int): Unit = {
+      bytes(at) = (v >>> 24).toByte; bytes(at + 1) = (v >>> 16).toByte
+      bytes(at + 2) = (v >>> 8).toByte; bytes(at + 3) = v.toByte
+    }
+    Seq(0, 2).foreach { order => // DRT 5.2 (order 0) and 5.3 (order 2)
+      val bytes = Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 12, values, order = order)
+      val pos7 = sectionPos(bytes, 7)
+      val sec7Len = java.nio.ByteBuffer.wrap(bytes, pos7, 4).getInt
+      // (a) consistent truncation: cut the message inside section 7's group
+      // arrays, with indicator + section lengths updated to the short size —
+      // only unpackComplex's own bound can catch this
+      val cutLen = 5 + (sec7Len - 5) / 4 // keep a quarter of the payload
+      val truncated = new Array[Byte]((pos7 + cutLen + 4).toInt)
+      System.arraycopy(bytes, 0, truncated, 0, pos7 + cutLen)
+      truncated(pos7 + cutLen) = '7'; truncated(pos7 + cutLen + 1) = '7'
+      truncated(pos7 + cutLen + 2) = '7'; truncated(pos7 + cutLen + 3) = '7'
+      putU32(truncated, pos7, cutLen)
+      // indicator total length is u64 big-endian at octets 9-16
+      val total = truncated.length.toLong
+      var i = 0
+      while (i < 8) { truncated(8 + i) = (total >>> (8 * (7 - i))).toByte; i += 1 }
+      // intercept[IOException] itself proves no raw AIOOBE leaks out
+      intercept[java.io.IOException](Grib2.decode(truncated))
+      // (b) length-lying: bytes intact, but section 7 DECLARES a length too
+      // short for its group arrays — reads crossing the declared end must
+      // fail through the codec's channel, not read into the trailer
+      val lying = bytes.clone()
+      putU32(lying, pos7, cutLen)
+      intercept[java.io.IOException](Grib2.decode(lying))
+    }
+  }
+
   test("corrupt section lengths fail through the IOException channel, never hang") {
     val grid = GridSpec(8, 4, 70.0, 10.0, 0.5, 0.5)
     val values = Array.tabulate(grid.numPoints)(i => (i % 16).toDouble)

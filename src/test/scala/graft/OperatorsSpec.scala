@@ -61,6 +61,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Map(1L -> Some(200.0), 2L -> None))
   }
 
+  test("asof/asofForward: a null RIGHT timestamp is never carried as a match") {
+    // a null-ts right row sorts first under nulls-first in both directions;
+    // unfiltered, its payload could be fabricated as the match for null-ts
+    // left rows and (forward) for left rows past the last real right ts
+    val left = Seq(
+      (1L, 1L, Option(ts("2026-01-01 10:10:00"))),
+      (2L, 1L, Option.empty[java.sql.Timestamp]),
+      (3L, 1L, Option(ts("2026-01-01 12:00:00"))) // after every real right ts
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, Option(ts("2026-01-01 10:30:00")), 200.0),
+      (1L, Option.empty[java.sql.Timestamp], 666.0) // must never match
+    ).toDF("k", "ts", "rv")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("r_rv"))) None else Some(r.getAs[Double]("r_rv")))).toMap
+    val fwd = res(AsofJoin.asofForward(left, right, Seq("k"), "ts", "ts", Seq("rv")))
+    assert(fwd === Map(1L -> Some(200.0), 2L -> None, 3L -> None))
+    val back = res(AsofJoin.asof(left, right, Seq("k"), "ts", "ts", Seq("rv")))
+    assert(back === Map(1L -> None, 2L -> None, 3L -> Some(200.0)))
+  }
+
   test("asofForward matches a brute-force reference on randomized data") {
     val rnd = new scala.util.Random(13)
     val left = (1 to 300).map(i =>

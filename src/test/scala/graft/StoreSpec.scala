@@ -108,6 +108,25 @@ class StoreSpec extends SparkSpec {
     assert(k2 === "k2", "existing row must not be updated")
   }
 
+  test("K3: a no-op insert neither creates the table nor accumulates empty files") {
+    val cat = new CatalogStore(spark, tempDir("cat") + "/raw_files", "id")
+    val rows = Seq(("id-1", "ads", "k1")).toDF("id", "source", "s3Key")
+    // empty input on an absent store: exists must stay false
+    assert(cat.insertIfAbsent(rows.limit(0)) === 0L)
+    assert(!cat.exists, "no-op insert created the table directory")
+    assert(cat.insertIfAbsent(rows) === 1L)
+    val fs = new org.apache.hadoop.fs.Path(cat.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(cat.path))
+      .count(_.getPath.getName.startsWith("part-"))
+    val before = nFiles
+    // idempotent re-runs: no new part files between compactions
+    assert(cat.insertIfAbsent(rows) === 0L)
+    assert(cat.insertIfAbsent(rows) === 0L)
+    assert(nFiles === before, "no-op inserts accumulated empty part files")
+    assert(cat.read().count() === 1L)
+  }
+
   test("K4: upsert replaces matched keys, latest version wins") {
     val cat = new CatalogStore(spark, tempDir("cat") + "/curated", "id")
     val v1 = Seq(("c-1", "raw-1", 1L), ("c-2", "raw-1", 1L)).toDF("id", "rawFileId", "v")
