@@ -79,18 +79,54 @@ object SparkEntry {
     spark.read.parquet(s"$out/map")
   }
 
-  /** The shared m4/m5 media-banding projection — dimension and luma bands
-    * over the extracted features. One definition so the dedup blocking key
-    * (m4's bucket, m5's pair block) and their two oracle mirrors cannot
-    * drift apart.
+  /** The REAL-media artifact: payloads (actual PNG bytes synthesized per
+    * document id, with `id % 97` family patterns so genuine near-duplicates
+    * exist) plus their decoded features (exact width/height, BT.601 mean
+    * luma, 64-bit aHash — all from real pixels via javax.imageio). Built
+    * ONCE per (corpus, codec params) and persisted: the DECODE is the one
+    * non-portable step (exactly like the KMeans fits), so every m* oracle
+    * replays from these parquet files — m1's oracle even recomputes the
+    * sha256 and byte length from the payload BLOBs in DuckDB — while the
+    * engine queries read the same artifact instead of re-decoding. At
+    * 100 TB this is the production shape too: decode once on ingest,
+    * persist the blob-free feature table, and every downstream dedup/
+    * curation pass reads features, never pixels.
+    */
+  private def mediaDir = "/tmp/graft_oracle/media"
+
+  private def mediaArtifact(spark: SparkSession, dir: String): Unit =
+    buildOnce(dir, "documents", mediaDir, "codec=png-ahash-v1,families=97") {
+      import spark.implicits._
+      Multimodal.synthesize(t(spark, dir, "documents")).toDF()
+        .write.mode("overwrite").parquet(s"$mediaDir/payloads")
+      Multimodal.extractFeatures(
+          spark.read.parquet(s"$mediaDir/payloads").as[Multimodal.MediaRow])
+        .toDF().drop("featureVec") // blob-free AND list-free: plain-SQL replayable
+        .write.mode("overwrite").parquet(s"$mediaDir/features")
+    }
+
+  private def mediaPayloads(spark: SparkSession, dir: String): DataFrame = {
+    mediaArtifact(spark, dir)
+    spark.read.parquet(s"$mediaDir/payloads")
+  }
+
+  private def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    mediaArtifact(spark, dir)
+    spark.read.parquet(s"$mediaDir/features")
+  }
+
+  /** The shared m4/m5/m6 media-banding projection — dimension and luma
+    * bands over the REAL decoded features. One definition so the dedup
+    * blocking key (m4's bucket, m5/m6's pair block) and their oracle
+    * mirrors cannot drift apart.
     */
   private def bandedMedia(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(Multimodal.fromDocuments(t(spark, dir, "documents")))
-      .toDF()
+    mediaFeatures(spark, dir)
       .select(col("mediaId"), col("kind"),
         floor(col("width") / 256).cast("long").as("w_band"),
         floor(col("height") / 256).cast("long").as("h_band"),
-        floor(col("meanLuma") / 64).cast("long").as("luma_band"))
+        floor(col("meanLuma") / 64).cast("long").as("luma_band"),
+        col("aHash"))
 
   /** Build-once guard for the `*_serve` queries: run `build` only when `dir`
     * does not already hold artifacts built from the CURRENT source table
@@ -1720,33 +1756,40 @@ object SparkEntry {
         dsum(round(Similarity.dot(col("embedding"), col("embedding")), 6), 6).as("sum_sqnorm"))
         .orderBy("label")),
 
-    // M-multimodal: binary-column metadata (blob-free projection)
+    // M-multimodal: binary-column metadata (blob-free projection) over REAL
+    // PNG payloads — the oracle recomputes the hash and octet_length from
+    // the very same BLOBs in DuckDB, so the hash row genuinely cross-checks
+    // the payload bytes, not a stub derivation. Hashed via the hex encoding
+    // (injective, uppercase in BOTH engines) because this DuckDB's sha256
+    // is VARCHAR-only and Spark's base64 is MIME-chunked
     "m1_media_metadata" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        octet_length(col("text")).as("size_bytes"),
-        sha2(col("text"), 256).as("content_hash"))
+      mediaPayloads(s, d).select(
+        col("mediaId").as("media_id"),
+        col("kind"),
+        octet_length(col("bytes")).cast("long").as("size_bytes"),
+        sha2(hex(col("bytes")), 256).as("content_hash"))
         .orderBy("media_id")),
 
-    // M-multimodal: full decode/feature-extract pipeline over binary payloads
-    // (mapPartitions batch transform; portable md5 stub codec, so the whole
-    // decode is reproduced hex-slice-for-hex-slice by the DuckDB oracle)
-    "m2_media_features" -> ((s, d) => {
-      val media = Multimodal.fromDocuments(t(s, d, "documents"))
-      Multimodal.extractFeatures(media).toDF()
+    // M-multimodal: the decode/feature-extract pipeline over real payloads.
+    // Dimensions/luma/aHash come from ACTUAL decoded pixels (javax.imageio;
+    // the one non-portable step, persisted like the KMeans fits); the oracle
+    // re-derives kind, sizeBytes and the size-based frame count from the
+    // payload table and passes the pixel features through from the artifact.
+    // meanLuma is emitted RAW (a quotient of exact integers — per-engine
+    // rounding would diverge on decimal halves)
+    "m2_media_features" -> ((s, d) =>
+      mediaFeatures(s, d)
         .select(col("mediaId"), col("kind"), col("sizeBytes"), col("width"),
-          col("height"), col("nFrames"), round(col("meanLuma"), 4).as("meanLuma"))
-        .orderBy("mediaId")
-    }),
+          col("height"), col("nFrames"), col("meanLuma"), col("aHash"))
+        .orderBy("mediaId")),
 
     // M-multimodal: strided frame sampling aggregated per media row (1→N
-    // explode stays executor-local). Samples the ORIGINAL payloads so the
-    // md5-derived frame count is oracle-reproducible; the resize stage is
-    // covered by MultimodalSpec (its payload rewrite is not SQL-expressible)
+    // explode stays executor-local). Frame COUNT is the portable
+    // size-derived function (a real demuxer needs ffmpeg-class libs); the
+    // per-frame payload is the clearly-marked frameStub rewrite
     "m3_frame_sampling" -> ((s, d) => {
-      val media = Multimodal.fromDocuments(t(s, d, "documents"))
+      import s.implicits._
+      val media = mediaPayloads(s, d).as[Multimodal.MediaRow]
       Multimodal.sampleFrames(media, stride = 5).toDF()
         .groupBy("mediaId")
         .agg(count(lit(1)).as("n_frames"),
@@ -2501,23 +2544,19 @@ object SparkEntry {
 
     // M-multimodal: perceptual-hash NEAR-DUP pairs — the media dedup m4's
     // bands exist to block for: within each (kind, dimension, luma) band,
-    // pairs whose 16-bit stub pHash (an md5 slice, portable like the rest
-    // of the fake codec; production swaps in a real pHash/dHash with the
-    // same signature contract) differ by ≤ 6 bits. Bands are the blocking
-    // key (the LSH discipline: capped at 256 members, never all-pairs) and
-    // the blob never reaches the join — only the 16-bit signature does.
+    // pairs whose REAL 64-bit average hash (8×8 pooled luma plane from the
+    // decoded pixels) differ by ≤ 6 bits. Bands are the blocking key (the
+    // LSH discipline: capped at 256 members, never all-pairs) and the blob
+    // never reaches the join — only the 64-bit signature does.
     // M-multimodal: cluster RESOLUTION for media near-dups — the d16
     // keep-best discipline applied to the m5 pair graph: connected
-    // components over the banded phash pairs (min-label canonicalize, the
+    // components over the banded aHash pairs (min-label canonicalize, the
     // same bounded-round machinery as d6), then each cluster keeps its
-    // highest-RESOLUTION member (width × height), ties to the lowest id.
-    // Production media curation keeps the best rendition, not the lowest
-    // id — the operator text dedup has had since d16, now for media.
+    // highest-RESOLUTION member (real width × height), ties to the lowest
+    // id. Production media curation keeps the best rendition, not the
+    // lowest id — the operator text dedup has had since d16, now for media.
     "m6_media_keep_best" -> ((s, d) => {
-      val sig = Multimodal.fromDocuments(t(s, d, "documents")).toDF()
-        .select(col("mediaId"),
-          conv(substring(md5(col("bytes")), 17, 4), 16, 10).cast("long").as("phash"))
-      val banded = bandedMedia(s, d).join(sig, "mediaId")
+      val banded = bandedMedia(s, d).withColumnRenamed("aHash", "phash")
       val keys = Seq("kind", "w_band", "h_band", "luma_band")
       val blocks = banded.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n"))
@@ -2529,10 +2568,9 @@ object SparkEntry {
         .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= 6)
         .select(col("x.mediaId").as("a"), col("y.mediaId").as("b"))
       val clusters = Dedup.canonicalize(pairs)
-      val pixels = Multimodal.extractFeatures(
-          Multimodal.fromDocuments(t(s, d, "documents"))).toDF()
+      val pixels = mediaFeatures(s, d)
         .select(col("mediaId").as("id"),
-          (col("width") * col("height")).cast("long").as("pixels"))
+          (col("width").cast("long") * col("height")).as("pixels"))
       clusters.join(pixels, Seq("id"))
         .groupBy(col("keeper_id").as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"),
@@ -2545,10 +2583,7 @@ object SparkEntry {
     }),
 
     "m5_phash_pairs" -> ((s, d) => {
-      val sig = Multimodal.fromDocuments(t(s, d, "documents")).toDF()
-        .select(col("mediaId"),
-          conv(substring(md5(col("bytes")), 17, 4), 16, 10).cast("long").as("phash"))
-      val banded = bandedMedia(s, d).join(sig, "mediaId")
+      val banded = bandedMedia(s, d).withColumnRenamed("aHash", "phash")
       val keys = Seq("kind", "w_band", "h_band", "luma_band")
       val blocks = banded.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n"))
@@ -5429,36 +5464,43 @@ object SparkEntry {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS DECIMAL(30,6))) AS DOUBLE) AS sum_sqnorm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
+    // m1: REAL cross-check — DuckDB recomputes the sha256 (over the
+    // injective uppercase-hex encoding; its sha256 is VARCHAR-only) and the
+    // byte length from the very PNG payload blobs the engine hashed
     "m1_media_metadata" ->
-      """SELECT doc_id AS media_id,
-        |  (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
-        |  octet_length(encode(text)) AS size_bytes,
-        |  sha256(text) AS content_hash
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """SELECT mediaId AS media_id, kind,
+        |  CAST(octet_length(bytes) AS BIGINT) AS size_bytes,
+        |  sha256(hex(bytes)) AS content_hash
+        |FROM read_parquet('/tmp/graft_oracle/media/payloads/*.parquet')
+        |ORDER BY media_id""".stripMargin,
 
-    // m2/m3: the stub codec's fields are fixed hex slices of md5(payload)
-    // (see Multimodal.fakeDecode) — the oracle replays the same slices
+    // m2: the decode (javax.imageio over real pixels) is the ONE
+    // non-portable step, persisted like the KMeans fits — the oracle
+    // re-derives kind / sizeBytes / frame count from the payload table and
+    // passes width/height/meanLuma/aHash through from the feature artifact
     "m2_media_features" ->
-      """SELECT doc_id AS mediaId,
-        |  (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS sizeBytes,
-        |  CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS INT) AS width,
-        |  CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-        |            ELSE 1 + ('0x' || substr(md5(text), 9, 2))::BIGINT % 64 END AS INT) AS nFrames,
-        |  round(('0x' || substr(md5(text), 11, 4))::BIGINT / 65535.0 * 255.0, 4) AS meanLuma
-        |FROM documents ORDER BY mediaId""".stripMargin,
+      """SELECT f.mediaId,
+        |  (['image', 'audio', 'video'])[CAST((f.mediaId % 3) + 1 AS INT)] AS kind,
+        |  CAST(octet_length(p.bytes) AS BIGINT) AS sizeBytes,
+        |  f.width, f.height,
+        |  CAST(CASE WHEN f.mediaId % 3 = 0 THEN 1
+        |            ELSE 1 + octet_length(p.bytes) % 64 END AS INT) AS nFrames,
+        |  f.meanLuma, f.aHash
+        |FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet') f
+        |JOIN read_parquet('/tmp/graft_oracle/media/payloads/*.parquet') p
+        |  ON p.mediaId = f.mediaId
+        |ORDER BY f.mediaId""".stripMargin,
 
-    // m3: frames sampled at stride 5 from the md5-derived frame count; every
-    // sampled frame's stub payload is exactly 16 bytes (max(16, (8+i)*8/64)
-    // with i ≤ 63), so total_bytes = 16 · n_frames
+    // m3: frames sampled at stride 5 from the size-derived frame count;
+    // every sampled frame's stub payload is exactly 16 bytes
+    // (max(16, (8+i)*8/64) with i ≤ 63), so total_bytes = 16 · n_frames
     "m3_frame_sampling" ->
       """WITH f AS (
-        |  SELECT doc_id AS mediaId,
-        |         CASE WHEN doc_id % 3 = 0 THEN 1
-        |              ELSE CAST(1 + ('0x' || substr(md5(text), 9, 2))::BIGINT % 64 AS INT)
+        |  SELECT mediaId,
+        |         CASE WHEN mediaId % 3 = 0 THEN 1
+        |              ELSE CAST(1 + octet_length(bytes) % 64 AS INT)
         |         END AS n
-        |  FROM documents
+        |  FROM read_parquet('/tmp/graft_oracle/media/payloads/*.parquet')
         |)
         |SELECT mediaId,
         |       CAST((n - 1) // 5 + 1 AS BIGINT) AS n_frames,
@@ -5479,36 +5521,25 @@ object SparkEntry {
         |FROM q GROUP BY event_type, quartile
         |ORDER BY event_type, quartile""".stripMargin,
 
-    // m4: the m2 portable decode, quantized to coarse bands
+    // m4: the REAL decoded features (persisted artifact), quantized to
+    // coarse bands — the banding itself is replayed in SQL
     "m4_media_buckets" ->
-      """WITH f AS (
-        |  SELECT doc_id AS mediaId,
-        |         (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
-        |         64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
-        |         64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
-        |         ('0x' || substr(md5(text), 11, 4))::BIGINT / 65535.0 * 255.0 AS meanLuma
-        |  FROM documents
-        |)
-        |SELECT kind, CAST(floor(width / 256) AS BIGINT) AS w_band,
+      """SELECT kind, CAST(floor(width / 256) AS BIGINT) AS w_band,
         |       CAST(floor(height / 256) AS BIGINT) AS h_band,
         |       CAST(floor(meanLuma / 64) AS BIGINT) AS luma_band,
         |       count(*) AS n_items, min(mediaId) AS keeper_id
-        |FROM f GROUP BY kind, w_band, h_band, luma_band
+        |FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
+        |GROUP BY kind, w_band, h_band, luma_band
         |ORDER BY kind, w_band, h_band, luma_band""".stripMargin,
 
-    // m5: m4's band derivation + the md5[17,20] signature slice; hamming
-    // replayed bit-by-bit over xor (no engine-private popcount layout)
+    // m5: m4's band derivation + the REAL 64-bit aHash; hamming replayed
+    // bit-by-bit over xor (no engine-private popcount layout)
     // m6: the m5 pair replay + the d6 recursive transitive closure +
-    // per-cluster argmax on pixels (desc, id asc)
+    // per-cluster argmax on real pixels (desc, id asc)
     "m6_media_keep_best" ->
       """WITH RECURSIVE f AS (
-        |  SELECT doc_id AS mediaId,
-        |         (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
-        |         64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
-        |         64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
-        |         ('0x' || substr(md5(text), 11, 4))::BIGINT / 65535.0 * 255.0 AS meanLuma,
-        |         ('0x' || substr(md5(text), 17, 4))::BIGINT AS phash
-        |  FROM documents
+        |  SELECT mediaId, kind, width, height, meanLuma, aHash AS phash
+        |  FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
         |), b AS (
         |  SELECT mediaId, kind, CAST(floor(width / 256) AS BIGINT) AS wb,
         |         CAST(floor(height / 256) AS BIGINT) AS hb,
@@ -5519,7 +5550,7 @@ object SparkEntry {
         |  HAVING count(*) BETWEEN 2 AND 256
         |), p AS (
         |  SELECT x.mediaId AS a, y.mediaId AS b2,
-        |         CAST(list_sum(list_transform(range(0, 16),
+        |         CAST(list_sum(list_transform(range(0, 64),
         |           j -> CASE WHEN ((xor(x.phash, y.phash) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         |  FROM b x
         |  JOIN blk USING (kind)
@@ -5553,13 +5584,8 @@ object SparkEntry {
 
     "m5_phash_pairs" ->
       """WITH f AS (
-        |  SELECT doc_id AS mediaId,
-        |         (['image', 'audio', 'video'])[CAST((doc_id % 3) + 1 AS INT)] AS kind,
-        |         64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
-        |         64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
-        |         ('0x' || substr(md5(text), 11, 4))::BIGINT / 65535.0 * 255.0 AS meanLuma,
-        |         ('0x' || substr(md5(text), 17, 4))::BIGINT AS phash
-        |  FROM documents
+        |  SELECT mediaId, kind, width, height, meanLuma, aHash AS phash
+        |  FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
         |), b AS (
         |  SELECT mediaId, kind, CAST(floor(width / 256) AS BIGINT) AS wb,
         |         CAST(floor(height / 256) AS BIGINT) AS hb,
@@ -5570,7 +5596,7 @@ object SparkEntry {
         |  HAVING count(*) BETWEEN 2 AND 256
         |), p AS (
         |  SELECT x.mediaId AS a, y.mediaId AS b2, x.kind,
-        |         CAST(list_sum(list_transform(range(0, 16),
+        |         CAST(list_sum(list_transform(range(0, 64),
         |           j -> CASE WHEN ((xor(x.phash, y.phash) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
         |  FROM b x
         |  JOIN blk USING (kind)

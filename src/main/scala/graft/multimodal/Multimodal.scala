@@ -6,22 +6,26 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
-  * with typed metadata. The Spark-side plumbing (schema, partition-preserving
-  * batch transforms, deterministic batching) is real; the codec step is a
-  * clearly-marked stub (`fakeDecode`) because no image/audio libraries exist
-  * in this environment — a production deployment swaps `fakeDecode` for a
-  * JNI/ffmpeg-backed decoder with the same signature.
+  * with typed metadata. The image path is REAL end to end: payloads are
+  * actual PNG bytes, and [[ImageCodec.decode]] (javax.imageio — in the JDK,
+  * no external dependency) recovers exact dimensions, the BT.601 mean luma
+  * and a 64-bit average hash from the decoded raster. Audio/video FRAME
+  * decode would need ffmpeg-class native libraries absent here — those rows
+  * still carry real PNG payloads, their frame count derives from payload
+  * size, and the per-frame payload rewrite ([[frameStub]]) is the one
+  * remaining clearly-marked stub.
   *
   * Scale posture: media bytes never pass through a shuffle — all transforms
   * are `mapPartitions` (narrow); metadata extraction projects away the blob
-  * before any wide operator.
+  * before any wide operator; feature extraction runs ONCE and persists (the
+  * m2/m4/m5/m6 queries read the persisted feature table, never re-decode).
   */
 object Multimodal {
 
   final case class MediaRow(
       mediaId: Long,
       kind: String,            // "image" | "audio" | "video"
-      bytes: Array[Byte],      // opaque encoded payload
+      bytes: Array[Byte],      // encoded payload (real PNG)
       mimeType: String,
       capturedAt: Timestamp
   )
@@ -30,72 +34,54 @@ object Multimodal {
       mediaId: Long,
       kind: String,
       sizeBytes: Long,
-      width: Int,              // decoded dimensions (stubbed)
+      width: Int,              // REAL decoded dimensions
       height: Int,
-      nFrames: Int,            // 1 for images
-      meanLuma: Double,        // stub feature
-      featureVec: Array[Float] // fixed 8-dim stub descriptor
+      nFrames: Int,            // 1 for images; size-derived for audio/video
+      meanLuma: Double,        // REAL BT.601 mean over every decoded pixel
+      aHash: Long,             // REAL 64-bit average hash of the luma plane
+      featureVec: Array[Float] // 8 row-means of the pooled luma plane, /255
   )
 
-  /** STUB decode: deterministic pseudo-decode from the payload bytes.
-    * Stands in for a real codec; everything downstream (schema, batching,
-    * partitioning) is production-shaped.
-    *
-    * The pseudo-decode is PORTABLE by construction: every field derives
-    * from fixed hex slices of `md5(payload)` — the same derivation any
-    * SQL engine can reproduce (`('0x' || substr(md5(x), …))::BIGINT`),
-    * which is what makes the m2/m3 contract queries oracle-checkable
-    * instead of rows-only. Slices (1-based hex positions, as in SQL
-    * `substr`): width ← [1,4], height ← [5,8], frames ← [9,10],
-    * luma ← [11,14].
+  /** Frame count: one per image; for audio/video a deterministic function
+    * of payload size stands in for the container's frame index (a real
+    * demuxer is unavailable here). Portable: any SQL engine reproduces it
+    * from `octet_length(bytes)`.
     */
-  def fakeDecode(bytes: Array[Byte], md: java.security.MessageDigest): (Int, Int, Int, Double) = {
-    md.reset()
-    val d = md.digest(bytes)
-    def u8(i: Int): Int = d(i) & 0xff
-    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1) // 4 hex chars at 2i
-    val w = 64 + u16(0) % 1024
-    val ht = 64 + u16(2) % 1024
-    val frames = 1 + u8(4) % 64
-    val luma = u16(5).toDouble / 65535.0 * 255.0
-    (w, ht, frames, luma)
-  }
-
-  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) =
-    fakeDecode(bytes, java.security.MessageDigest.getInstance("MD5"))
+  def frameCount(kind: String, sizeBytes: Long): Int =
+    if (kind == "image") 1 else (1L + sizeBytes % 64L).toInt
 
   /** Feature extraction as a partition-preserving typed transform — the shape
     * a Pandas-UDF/`mapInPandas` stage takes in PySpark, expressed with
     * `mapPartitions` on the JVM: batch-in/batch-out, no driver involvement.
+    * Every field but `nFrames` comes from real decoded pixels.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5") // one per partition, reset per row
-      it.map { m =>
-        val (w, h, frames, luma) = fakeDecode(m.bytes, md)
-        val vec = Array.tabulate(8) { i =>
-          (((w * 31 + h) * 31 + frames) * 31 + i).toFloat % 997f / 997f
-        }
-        MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, w, h,
-          if (m.kind == "image") 1 else frames, luma, vec)
+    media.mapPartitions(_.map { m =>
+      val d = ImageCodec.decode(m.bytes)
+      val vec = Array.tabulate(8) { r =>
+        var s = 0.0
+        var c = 0
+        while (c < 8) { s += d.cellMeans(r * 8 + c); c += 1 }
+        (s / (8.0 * 255.0)).toFloat
       }
-    }
+      MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, d.width, d.height,
+        frameCount(m.kind, m.bytes.length.toLong), d.meanLuma, d.aHash, vec)
+    })
   }
 
-  /** STUB resize: deterministic payload rewrite standing in for an image
-    * resize codec — output bytes derive from (input bytes, target dims), and
-    * the byte count scales with the target area the way a re-encoded
-    * image's would. Swaps for a real codec with the same signature.
+  /** STUB frame payload: deterministic rewrite standing in for a demuxed
+    * frame (a real video container decode needs ffmpeg-class libraries).
+    * Output bytes derive from (input bytes, target dims); the byte count
+    * scales with the target area the way a re-encoded frame's would.
     */
-  def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  def frameStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val n = math.max(16, (w.toLong * h / 64).toInt)
     val out = new Array[Byte](n)
     var hsh = 0x9e3779b97f4a7c15L ^ (w.toLong << 32 | h.toLong)
     var i = 0
     while (i < n) {
-      // an empty payload (document with empty text) must hash as constant
-      // input, not crash on modulo-by-zero
+      // an empty payload must hash as constant input, not crash on mod-zero
       hsh = (hsh ^ (if (bytes.isEmpty) 0L else bytes(i % bytes.length))) * 0x100000001b3L
       out(i) = (hsh >>> 56).toByte
       i += 1
@@ -103,34 +89,28 @@ object Multimodal {
     out
   }
 
-  /** Resize stage: partition-preserving typed transform; blobs never cross a
+  /** REAL resize: decode → nearest-neighbor resample → lossless re-encode
+    * ([[ImageCodec.resizePng]]). Partition-preserving; blobs never cross a
     * shuffle boundary.
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(m => m.copy(bytes = fakeResize(m.bytes, w, h))))
+    media.mapPartitions(_.map(m => m.copy(bytes = ImageCodec.resizePng(m.bytes, w, h))))
   }
 
   final case class Frame(mediaId: Long, frameIdx: Int, bytes: Array[Byte])
 
   /** Frame sampling: one output row per sampled frame (every `stride`-th of
-    * the decoded frame count) — the 1→N explode shape of video pipelines,
-    * expressed as a flatMap over partitions so decoding stays local to the
-    * executor holding the payload.
+    * the frame count) — the 1→N explode shape of video pipelines, expressed
+    * as a flatMap over partitions so payload access stays local to the
+    * executor holding it. Frame payloads are the [[frameStub]] rewrite.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.flatMap { m =>
-        val (_, _, frames, _) = fakeDecode(m.bytes, md)
-        val n = if (m.kind == "image") 1 else frames
-        (0 until n by stride).map { i =>
-          // stub frame payload: deterministic slice-hash of the source bytes
-          Frame(m.mediaId, i, fakeResize(m.bytes, 8 + i, 8))
-        }
-      }
-    }
+    media.mapPartitions(_.flatMap { m =>
+      val n = frameCount(m.kind, m.bytes.length.toLong)
+      (0 until n by stride).map(i => Frame(m.mediaId, i, frameStub(m.bytes, 8 + i, 8)))
+    })
   }
 
   /** Metadata projection: blob-free frame safe to join/aggregate at scale. */
@@ -139,19 +119,21 @@ object Multimodal {
       octet_length(col("bytes")).as("sizeBytes"),
       sha2(col("bytes"), 256).as("contentHash"))
 
-  /** Synthesize a deterministic media table from any source table (used by
-    * tests and the driver harness: documents' text bytes stand in for encoded
-    * payloads).
+  /** Synthesize a deterministic REAL-image media corpus keyed by the source
+    * table's ids: every payload is actual PNG bytes from
+    * [[ImageCodec.synthesize]], with `mediaId % families` family patterns so
+    * genuine near-duplicates exist for the dedup operators (same pattern,
+    * 0–3 flipped cells, in-band resolution jitter). The modality label
+    * cycles image/audio/video as metadata; every payload is a decodable
+    * image (frame decode for the other modalities is out of scope here).
     */
-  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+  def synthesize(docs: DataFrame, families: Int = 97): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(
-      col("doc_id").as("mediaId"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("bytes"),
-      lit("application/octet-stream").as("mimeType"),
-      lit(Timestamp.valueOf("2026-01-01 00:00:00")).as("capturedAt")
-    ).as[MediaRow]
+    val kinds = Array("image", "audio", "video")
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+      MediaRow(id, kinds(java.lang.Math.floorMod(id, 3L).toInt),
+        ImageCodec.synthesize(id, families), "image/png",
+        Timestamp.valueOf("2026-01-01 00:00:00"))
+    })
   }
 }
