@@ -1407,6 +1407,18 @@ object SparkEntry {
         headLen = 48, pfxLen = 16, maxBlock = 256, maxLev = 16)
         .orderBy("a", "b")),
 
+    // T-text: OUTPUT-capped fuzzy matching — t13's candidate generation,
+    // symmetrized, each doc keeping only its k=3 best partners (lowest
+    // distance, ties to the lowest id) with the pre-truncation candidate
+    // count per row. Output ≤ n·k regardless of block density: the
+    // template-heavy-corpus guard t13's stress row shows is needed
+    // (output-bound at 21k+ pairs / 80k docs)
+    "t19_fuzzy_topk" -> ((s, d) =>
+      graft.text.TextAnalysis.fuzzyMatchTopK(
+        t(s, d, "documents"), "doc_id", "text",
+        headLen = 48, pfxLen = 16, maxBlock = 256, maxLev = 16, k = 3)
+        .orderBy("a", "rnk")),
+
     // T-text: corpus vocabulary statistics (explode + distinct at scale)
     "t5_vocab_stats" -> ((s, d) => {
       val toks = t(s, d, "documents")
@@ -4323,6 +4335,32 @@ object SparkEntry {
         |  WHERE a.pfx IN (SELECT pfx FROM blk)
         |)
         |SELECT a, b, lev FROM p WHERE lev <= 16 ORDER BY a, b""".stripMargin,
+
+    // t19: the t13 pair replay, symmetrized, then a per-left top-3 window
+    // with the pre-truncation candidate count
+    "t19_fuzzy_topk" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         substr(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), 1, 48) AS head,
+        |         substr(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), 1, 16) AS pfx
+        |  FROM documents
+        |), blk AS (
+        |  SELECT pfx FROM n GROUP BY pfx HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev
+        |  FROM n a JOIN n b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        |  WHERE a.pfx IN (SELECT pfx FROM blk) AND levenshtein(a.head, b.head) <= 16
+        |), sym AS (
+        |  SELECT a, b, lev FROM p UNION ALL SELECT b AS a, a AS b, lev FROM p
+        |), r AS (
+        |  SELECT a, b, lev,
+        |         CAST(row_number() OVER (PARTITION BY a ORDER BY lev ASC, b ASC) AS INT) AS rnk,
+        |         CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS n_cands
+        |  FROM sym
+        |)
+        |SELECT a, b, lev, rnk, n_cands FROM r WHERE rnk <= 3
+        |ORDER BY a, rnk""".stripMargin,
 
     // g1: the d4 pair pipeline, then 3 unrolled PageRank iterations — each
     // iteration sums decimal contributions and rounds to 9dp, mirroring the

@@ -374,6 +374,32 @@ object TextAnalysis {
       .select(col("a"), col("b"), col("lev"))
   }
 
+  /** Output-capped fuzzy matching — [[fuzzyMatchBlocked]]'s doubly-bounded
+    * candidate generation with the skew guard applied to the OUTPUT side
+    * too: pairs are symmetrized (every doc is a "left" for its matches in
+    * both directions) and each left side keeps only its `k` best partners
+    * (lowest distance, ties to the lowest partner id), with the
+    * pre-truncation candidate count carried per row (`n_cands`) so callers
+    * see exactly what the cap dropped. Output is ≤ n·k rows regardless of
+    * block density — a template-heavy corpus whose blocks are pair-dense
+    * (the t13 stress shape: 21k+ pairs at 80k docs, output-bound) cannot
+    * blow up the result. One extra shuffle on the left id; the window
+    * state per key is the in-block candidate list, already ≤ maxBlock.
+    */
+  def fuzzyMatchTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, headLen: Int = 48, pfxLen: Int = 16,
+      maxBlock: Int = 256, maxLev: Int = 16, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val pairs = fuzzyMatchBlocked(df, idCol, textCol, headLen, pfxLen, maxBlock, maxLev)
+    val sym = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("lev")))
+    val byA = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    val w = byA.orderBy(col("lev").asc, col("b").asc)
+    sym.withColumn("rnk", row_number().over(w))
+      .withColumn("n_cands", count(lit(1)).over(byA))
+      .filter(col("rnk") <= k)
+  }
+
   /** BPE merge discovery — TOKENIZER TRAINING as a bounded-round
     * aggregation. The corpus is first compacted into the classic
     * word-frequency table (ONE corpus scan + one vocab-sized shuffle —

@@ -246,6 +246,16 @@ object Stress {
       val (tFz, rowsFz) = time { fuzzyMatch(docs).count() }
       println(s"""{"op":"t13_fuzzy_match","scale":$k,"n_docs":$n,"sec":${num(tFz)},"out_rows":$rowsFz}""")
 
+      // t19: the OUTPUT-capped variant — same candidate generation, each
+      // doc keeps its 3 best partners. out_rows must stay ≤ 3·(matched
+      // docs) however pair-dense the blocks get; t13's own stress row
+      // shows why (output-bound at 21k+ pairs), this one shows the cure
+      val (tFk, rowsFk) = time {
+        TextAnalysis.fuzzyMatchTopK(docs, "doc_id", "text",
+          headLen = 48, pfxLen = 16, maxBlock = 256, maxLev = 16, k = 3).count()
+      }
+      println(s"""{"op":"t19_fuzzy_topk","scale":$k,"n_docs":$n,"sec":${num(tFk)},"out_rows":$rowsFk}""")
+
       // d17: Bloom-pre-screened exact screen — FIXED batch against the ×k
       // history, with the sketch sized from the KNOWN history count (the
       // production shape: the store's A3 row accounting supplies it — an

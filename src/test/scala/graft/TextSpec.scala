@@ -7,6 +7,37 @@ import graft.text.TextAnalysis
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fuzzyMatchTopK: per-doc output cap, truncation count, best-first order") {
+    // one 4-doc shared-prefix block (every doc has 3 candidates) + a loner
+    val pfx = "a" * 16
+    val docs = Seq(
+      (1L, s"$pfx wolf"), (2L, s"$pfx wolfe"), (3L, s"$pfx wolff"),
+      (4L, s"$pfx xylophone zeb"), (5L, "completely different text")
+    ).toDF("doc_id", "text")
+    val all = TextAnalysis.fuzzyMatchBlocked(docs, "doc_id", "text",
+      headLen = 48, pfxLen = 16, maxBlock = 256, maxLev = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sym = all.flatMap { case (a, b, l) => Seq((a, b, l), (b, a, l)) }
+    val topk = TextAnalysis.fuzzyMatchTopK(docs, "doc_id", "text",
+      headLen = 48, pfxLen = 16, maxBlock = 256, maxLev = 16, k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("lev"),
+        r.getAs[Int]("rnk"), r.getAs[Long]("n_cands")))
+    assert(!topk.exists(_._1 == 5L), "blockless doc emits nothing")
+    topk.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.length <= 2, s"doc $a exceeded the output cap")
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length), "consecutive ranks")
+      val cands = sym.filter(_._1 == a)
+      assert(rows.head._5 === cands.length.toLong, s"doc $a candidate count")
+      // kept partners are exactly the brute-force best-2 by (lev, id)
+      val best = cands.sortBy(c => (c._3, c._2)).take(2).map(c => (c._2, c._3)).toSeq
+      assert(rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq === best, s"doc $a best-first")
+    }
+    // the cap actually bit: a 4-doc clique gives 3 candidates each, k=2
+    assert(topk.filter(_._1 == 1L).head._5 === 3L)
+    assert(topk.count(_._1 == 1L) === 2)
+  }
+
   test("pii: counts and redacts emails, ips, phones; leaves clean text alone") {
     import graft.text.Pii
     val df = Seq(
