@@ -762,8 +762,14 @@ object SparkEntry {
     // in pure SQL — any merge mis-step hash-mismatches.
     "k8_jdbc_roundtrip" -> ((s, d) => {
       import graft.store.JdbcStore
-      val dbDir = java.nio.file.Files.createTempDirectory("k8jdbc").toString
-      val c = JdbcStore.Conn(url = s"jdbc:derby:$dbDir/db;create=true")
+      // in-MEMORY Derby: the contract under test is the MERGE/versioning
+      // semantics over JDBC and the partitioned parallel read — not the
+      // store's filesystem. The former disk-backed tempdir db made this
+      // query's time mostly /tmp I/O (median swung 1.1→1.8 s across rounds
+      // with spreads near the median); disk-backed Derby coverage lives in
+      // JdbcStoreSpec. Unique db name per call; dropped eagerly below.
+      val dbName = s"k8_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val c = JdbcStore.Conn(url = s"jdbc:derby:memory:$dbName;create=true")
       val base = t(s, d, "orders").filter(col("o_orderkey") <= 2000)
         .select(col("o_orderkey"), lit(1L).as("ver"),
           col("o_totalprice").as("price"))
@@ -779,9 +785,16 @@ object SparkEntry {
           .select(col("o_orderkey"), lit(2L).as("ver"),
             (col("price") * 2d).as("price")),
         c, "catalog", Seq("o_orderkey"), "ver")
-      JdbcStore.readPartitioned(s, c, "catalog",
+      val out = JdbcStore.readPartitioned(s, c, "catalog",
         Seq("\"o_orderkey\" <= 1000", "\"o_orderkey\" > 1000"))
         .orderBy("o_orderkey")
+      // materialize the partitioned read (2,001 bounded rows), then DROP
+      // the in-memory db — a lazy frame would leak one resident Derby db
+      // per bench rep with no handle to release it
+      val rows = out.collect()
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+      catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () } // expected on drop
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // A2+J3 — the flagship serving read path, set-oriented over all variables
