@@ -264,6 +264,37 @@ object SparkEntry {
           max(col("lon")).cast("double").as("max_lon"))
     }),
 
+    // S1/S2 binary path, GAUSSIAN grid (GDT 3.40): the next file shape a
+    // real ECMWF consumer hits after regular lat/lon (ADR 002 discusses
+    // provider grid variety). The value field replays exactly in SQL (E=0
+    // integer complex packing, like s4); the row latitudes are Gaussian
+    // parallels (Legendre roots — no SQL formula), so min/max lat are
+    // pinned as 6dp literals with independent provenance in Grib2Spec
+    // (N=1 closed form, the published N48 first parallel, round-trip
+    // through all three packings).
+    "s6_grib2_gaussian" -> ((s, _) => {
+      import java.time.LocalDateTime
+      import graft.sources.{Grib, Grib2}
+      val grid = Grib2.GridSpec.gaussian(ni = 36, nj = 28, n = 24, start = 6,
+        lon1Deg = 350.0, dLonDeg = 0.5)
+      val values = Array.tabulate(grid.numPoints)(i => ((i * 41 + 13) % 3072).toDouble)
+      val bytes = Grib2.encodeComplex(Grib2.Meteo(0, 0), grid,
+        LocalDateTime.of(2026, 1, 3, 0, 0), 6, values, nbits = 12, order = 2)
+      val df = Grib.toDataFrame(s, Grib2.EcmwfGrib2Reader.openBytes(bytes).toSeq)
+      df.groupBy(col("variable"), col("unit"), col("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 3).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("lat")).as("n_parallels"),
+          // the pipeline schema carries float32 coordinates — cast up
+          // BEFORE rounding (round on a float re-rounds to the same float)
+          round(min(col("lat")).cast("double"), 6).as("min_lat"),
+          round(max(col("lat")).cast("double"), 6).as("max_lat"),
+          min(col("lon")).cast("double").as("min_lon"),
+          max(col("lon")).cast("double").as("max_lon"))
+    }),
+
     // S2 on the reference's REAL ECMWF file (all 4 messages DRT 5.42 —
     // CCSDS/AEC entropy coding, decoded by the clean-room codec). Decode
     // runs ON THE EXECUTORS: a binaryFile scan hands each file's bytes to
@@ -3222,6 +3253,30 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
         |       min(value) AS min_value, max(value) AS max_value,
         |       min(lat) AS min_lat, max(lat) AS max_lat,
+        |       min(lon) AS min_lon, max(lon) AS max_lon
+        |FROM f""".stripMargin,
+
+    // s6: gaussian-grid decode — values replayed from the generating
+    // formula (complex packing is value-exact at E=0); the 28 parallels'
+    // min/max are 6dp literals of Gaussian latitudes 33 and 6 of the
+    // N=24 table AFTER the pipeline's float32 coordinate narrowing
+    // (Legendre-root provenance pinned in Grib2Spec)
+    "s6_grib2_gaussian" ->
+      """WITH idx AS (
+        |  SELECT unnest(range(0, 1008)) AS i
+        |), f AS (
+        |  SELECT CAST((i * 41 + 13) % 3072 AS DOUBLE) AS value,
+        |         CAST(350.0 + (i % 36) * 0.5 - 360.0 AS DOUBLE) AS lon
+        |  FROM idx
+        |)
+        |SELECT 'temperature' AS variable, 'K' AS unit,
+        |       TIMESTAMP '2026-01-03 06:00:00' AS timestamp,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       CAST(28 AS BIGINT) AS n_parallels,
+        |       CAST(-35.255581 AS DOUBLE) AS min_lat,
+        |       CAST(64.941948 AS DOUBLE) AS max_lat,
         |       min(lon) AS min_lon, max(lon) AS max_lon
         |FROM f""".stripMargin,
 

@@ -48,13 +48,86 @@ object Grib2 {
 
   // ── data model ─────────────────────────────────────────────────────────
 
-  /** Regular lat/lon grid, +i (west→east) / −j (north→south) scanning. */
+  /** Lat/lon grid, +i (west→east) / −j (north→south) scanning. Two forms:
+    *   - regular (GDT 3.0): rows at `lat1Deg − j·dLatDeg` (gaussianN = 0);
+    *   - Gaussian (GDT 3.40): `gaussianN` parallels between pole and
+    *     equator — row latitudes are the Gaussian latitudes (arcsin of the
+    *     Legendre P₂ₙ roots), `gaussianStart` indexing the first row into
+    *     the full north→south table (a non-global subset grid starts
+    *     mid-table). Longitude spacing stays regular in both forms.
+    */
   final case class GridSpec(ni: Int, nj: Int,
-      lat1Deg: Double, lon1Deg: Double, dLatDeg: Double, dLonDeg: Double) {
+      lat1Deg: Double, lon1Deg: Double, dLatDeg: Double, dLonDeg: Double,
+      gaussianN: Int = 0, gaussianStart: Int = 0) {
     require(ni > 0 && nj > 0, s"empty grid $ni x $nj")
+    require(gaussianN >= 0 && gaussianStart >= 0, s"bad gaussian fields $gaussianN/$gaussianStart")
+    require(gaussianN == 0 || gaussianStart + nj <= 2 * gaussianN,
+      s"$nj rows from $gaussianStart overrun the ${2 * gaussianN} gaussian parallels")
+    def isGaussian: Boolean = gaussianN > 0
     def numPoints: Int = ni * nj
-    def lat2Deg: Double = lat1Deg - (nj - 1) * dLatDeg
+    /** Row latitudes north→south — the one coordinate source for both
+      * encoders and the adapter lat/lon arrays.
+      */
+    def rowLats: Array[Double] =
+      if (isGaussian) {
+        val gl = gaussianLatitudes(gaussianN)
+        java.util.Arrays.copyOfRange(gl, gaussianStart, gaussianStart + nj)
+      } else Array.tabulate(nj)(j => lat1Deg - j * dLatDeg)
+    def lat2Deg: Double =
+      if (isGaussian) rowLats(nj - 1) else lat1Deg - (nj - 1) * dLatDeg
     def lon2Deg: Double = (lon1Deg + (ni - 1) * dLonDeg) % 360.0
+  }
+
+  object GridSpec {
+    /** Gaussian grid constructor: rows `start until start+nj` of the
+      * 2N-parallel Gaussian latitude table.
+      */
+    def gaussian(ni: Int, nj: Int, n: Int, start: Int,
+        lon1Deg: Double, dLonDeg: Double): GridSpec = {
+      require(n > 0 && start >= 0 && start + nj <= 2 * n,
+        s"$nj rows from $start overrun the ${2 * n} gaussian parallels")
+      GridSpec(ni, nj, gaussianLatitudes(n)(start), lon1Deg, 0.0, dLonDeg, n, start)
+    }
+  }
+
+  /** The 2N Gaussian latitudes (degrees, north→south): arcsin of the roots
+    * of Legendre P₂ₙ, found by Newton iteration from the Gauss–Legendre
+    * cosine initial guess (the classic `gauleg` scheme; converges
+    * quadratically, ~5 iterations to machine precision). Memoized per N —
+    * every message of an O(N) product recomputes otherwise, and the table
+    * is shared by decode (row latitudes) and encode (wire lat1/lat2).
+    */
+  private val gaussCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  def gaussianLatitudes(n: Int): Array[Double] = {
+    require(n >= 1, s"need >= 1 gaussian parallels per hemisphere: $n")
+    gaussCache.computeIfAbsent(n, _ => {
+      val m = 2 * n
+      val lats = new Array[Double](m)
+      var i = 1
+      while (i <= n) {
+        var x = math.cos(math.Pi * (i - 0.25) / (m + 0.5))
+        var delta = 1.0
+        var iter = 0
+        while (math.abs(delta) > 1e-15 && iter < 100) {
+          var p0 = 1.0
+          var p1 = x
+          var k = 2
+          while (k <= m) {
+            val p2 = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k
+            p0 = p1; p1 = p2; k += 1
+          }
+          val dp = m * (x * p1 - p0) / (x * x - 1.0)
+          delta = p1 / dp
+          x -= delta
+          iter += 1
+        }
+        val lat = math.toDegrees(math.asin(x))
+        lats(i - 1) = lat       // northern hemisphere, descending from the pole
+        lats(m - i) = -lat      // southern mirror
+        i += 1
+      }
+      lats
+    })
   }
 
   sealed trait Product
@@ -99,6 +172,39 @@ object Grib2 {
   }
 
   private def microDeg(d: Double): Long = Math.round(d * 1e6)
+
+  /** Section 3 — grid definition, template 3.0 (regular lat/lon) or 3.40
+    * (Gaussian): identical 72-octet layout except octets 68–71, which carry
+    * the j-direction increment Dj (3.0) or N, the parallels between pole
+    * and equator (3.40). Shared by all three encoders so the grid wire
+    * format cannot drift between packings.
+    */
+  private def gridSection(grid: GridSpec): Writer = {
+    val s3 = new Writer
+    s3.u32(72); s3.u8(3)
+    s3.u8(0) // source: specified in template
+    s3.u32(grid.numPoints)
+    s3.u8(0); s3.u8(0) // no optional list
+    s3.u16(if (grid.isGaussian) 40 else 0)
+    s3.u8(6) // shape of earth: spherical r=6371229 m
+    s3.u8(0xff); s3.u32(0xffffffffL) // radius scale/value: missing
+    s3.u8(0xff); s3.u32(0xffffffffL) // major axis: missing
+    s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
+    s3.u32(grid.ni); s3.u32(grid.nj)
+    s3.u32(0) // basic angle: 0 → micro-degree units
+    s3.u32(0xffffffffL) // subdivisions: missing
+    s3.sm32(microDeg(grid.lat1Deg))
+    s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
+    // resolution flags: i increment given always; j only on the regular grid
+    s3.u8(if (grid.isGaussian) 0x20 else 0x30)
+    s3.sm32(microDeg(grid.lat2Deg))
+    s3.u32(microDeg(((grid.lon2Deg % 360.0) + 360.0) % 360.0))
+    s3.u32(microDeg(grid.dLonDeg)) // Di — i direction increment (longitude)
+    if (grid.isGaussian) s3.u32(grid.gaussianN.toLong) // N
+    else s3.u32(microDeg(grid.dLatDeg))                // Dj
+    s3.u8(0x00) // scanning mode: +i, −j, row-major
+    s3
+  }
 
   /** Simple-packing parameters chosen for `nbits`: binary scale E is the
     * smallest integer with `(max−min)/2^E ≤ 2^nbits − 1` (negative E =
@@ -171,28 +277,8 @@ object Grib2 {
     s1.u8(0) // production status: operational
     s1.u8(1) // type of data: forecast
 
-    // Section 3 — grid definition, template 3.0
-    val s3 = new Writer
-    s3.u32(72); s3.u8(3)
-    s3.u8(0) // source: specified in template
-    s3.u32(grid.numPoints)
-    s3.u8(0); s3.u8(0) // no optional list
-    s3.u16(0) // template 3.0: regular lat/lon
-    s3.u8(6) // shape of earth: spherical r=6371229 m
-    s3.u8(0xff); s3.u32(0xffffffffL) // radius scale/value: missing
-    s3.u8(0xff); s3.u32(0xffffffffL) // major axis: missing
-    s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
-    s3.u32(grid.ni); s3.u32(grid.nj)
-    s3.u32(0) // basic angle: 0 → micro-degree units
-    s3.u32(0xffffffffL) // subdivisions: missing
-    s3.sm32(microDeg(grid.lat1Deg))
-    s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
-    s3.u8(0x30) // resolution flags: Di and Dj given
-    s3.sm32(microDeg(grid.lat2Deg))
-    s3.u32(microDeg(((grid.lon2Deg % 360.0) + 360.0) % 360.0))
-    s3.u32(microDeg(grid.dLonDeg)) // Di — i direction increment (longitude)
-    s3.u32(microDeg(grid.dLatDeg)) // Dj
-    s3.u8(0x00) // scanning mode: +i, −j, row-major
+    // Section 3 — grid definition, template 3.0 or 3.40 (shared writer)
+    val s3 = gridSection(grid)
 
     // Section 4 — product definition, template 4.0 or 4.40
     val s4 = new Writer
@@ -372,21 +458,8 @@ object Grib2 {
     s1.u8(refTime.getHour); s1.u8(refTime.getMinute); s1.u8(refTime.getSecond)
     s1.u8(0); s1.u8(1)
 
-    // Section 3 — grid definition, template 3.0 (identical to encode)
-    val s3 = new Writer
-    s3.u32(72); s3.u8(3)
-    s3.u8(0); s3.u32(grid.numPoints); s3.u8(0); s3.u8(0); s3.u16(0)
-    s3.u8(6); s3.u8(0xff); s3.u32(0xffffffffL)
-    s3.u8(0xff); s3.u32(0xffffffffL); s3.u8(0xff); s3.u32(0xffffffffL)
-    s3.u32(grid.ni); s3.u32(grid.nj)
-    s3.u32(0); s3.u32(0xffffffffL)
-    s3.sm32(microDeg(grid.lat1Deg))
-    s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
-    s3.u8(0x30)
-    s3.sm32(microDeg(grid.lat2Deg))
-    s3.u32(microDeg(((grid.lon2Deg % 360.0) + 360.0) % 360.0))
-    s3.u32(microDeg(grid.dLonDeg)); s3.u32(microDeg(grid.dLatDeg))
-    s3.u8(0x00)
+    // Section 3 — grid definition, template 3.0 or 3.40 (shared writer)
+    val s3 = gridSection(grid)
 
     // Section 4 — product definition (identical to encode)
     val s4 = new Writer
@@ -649,21 +722,8 @@ object Grib2 {
     s1.u8(refTime.getHour); s1.u8(refTime.getMinute); s1.u8(refTime.getSecond)
     s1.u8(0); s1.u8(1)
 
-    // Section 3 — grid definition, template 3.0 (identical to encode)
-    val s3 = new Writer
-    s3.u32(72); s3.u8(3)
-    s3.u8(0); s3.u32(grid.numPoints); s3.u8(0); s3.u8(0); s3.u16(0)
-    s3.u8(6); s3.u8(0xff); s3.u32(0xffffffffL)
-    s3.u8(0xff); s3.u32(0xffffffffL); s3.u8(0xff); s3.u32(0xffffffffL)
-    s3.u32(grid.ni); s3.u32(grid.nj)
-    s3.u32(0); s3.u32(0xffffffffL)
-    s3.sm32(microDeg(grid.lat1Deg))
-    s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
-    s3.u8(0x30)
-    s3.sm32(microDeg(grid.lat2Deg))
-    s3.u32(microDeg(((grid.lon2Deg % 360.0) + 360.0) % 360.0))
-    s3.u32(microDeg(grid.dLonDeg)); s3.u32(microDeg(grid.dLatDeg))
-    s3.u8(0x00)
+    // Section 3 — grid definition, template 3.0 or 3.40 (shared writer)
+    val s3 = gridSection(grid)
 
     // Section 4 — product definition (identical to encode)
     val s4 = new Writer
@@ -1088,7 +1148,8 @@ object Grib2 {
           val nPoints = r.u32().toInt
           r.skip(1 + 1)
           val template = r.u16()
-          if (template != 0) fail(s"unsupported grid template 3.$template")
+          if (template != 0 && template != 40)
+            fail(s"unsupported grid template 3.$template")
           r.skip(1 + 5 + 5 + 5) // earth shape + radius + axes
           val ni = r.u32().toInt
           val nj = r.u32().toInt
@@ -1101,13 +1162,36 @@ object Grib2 {
           val lat1 = r.sm32() / 1e6
           val lon1 = r.u32() / 1e6
           r.skip(1) // resolution flags
-          r.skip(4 + 4) // lat2/lon2 (derived from increments)
+          r.skip(4 + 4) // lat2/lon2 (derived from increments / the N table)
           val di = r.u32() / 1e6
-          val dj = r.u32() / 1e6
+          // octets 68-71: Dj on 3.0; N (parallels pole→equator) on 3.40
+          val djOrN = r.u32()
           val scan = r.u8()
           if ((scan & 0xf0) != 0) fail(f"unsupported scanning mode 0x$scan%02x")
           if (ni.toLong * nj != nPoints) fail(s"grid $ni x $nj != $nPoints points")
-          grid = GridSpec(ni, nj, lat1, lon1, dj, di)
+          grid =
+            if (template == 0) GridSpec(ni, nj, lat1, lon1, djOrN / 1e6, di)
+            else {
+              // Gaussian: locate the wire lat1 in the computed 2N-latitude
+              // table (wire precision is micro-degrees; the Newton roots are
+              // exact to ~1e-13°, so a 1e-5° tolerance separates cleanly)
+              val n = djOrN.toInt
+              if (n < 1 || n > 4096) fail(s"gaussian N out of range: $n")
+              val gl = gaussianLatitudes(n)
+              var start = 0
+              var best = Double.MaxValue
+              var k = 0
+              while (k < gl.length) {
+                val diff = math.abs(gl(k) - lat1)
+                if (diff < best) { best = diff; start = k }
+                k += 1
+              }
+              if (best > 1e-5)
+                fail(f"first latitude $lat1%.6f is not a gaussian N=$n parallel")
+              if (start + nj > 2 * n)
+                fail(s"$nj rows from gaussian parallel $start overrun the ${2 * n}-row table")
+              GridSpec.gaussian(ni, nj, n, start, lon1, di)
+            }
         case 4 =>
           r.skip(2) // NV
           val template = r.u16()
@@ -1261,10 +1345,11 @@ object Grib2 {
   private def gridArrays(g: GridSpec): (Array[Double], Array[Double]) = {
     val lats = new Array[Double](g.numPoints)
     val lons = new Array[Double](g.numPoints)
+    val rows = g.rowLats // regular arithmetic or the Gaussian table window
     var idx = 0
     var j = 0
     while (j < g.nj) {
-      val lat = g.lat1Deg - j * g.dLatDeg
+      val lat = rows(j)
       var i = 0
       while (i < g.ni) {
         lats(idx) = lat

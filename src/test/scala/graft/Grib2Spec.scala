@@ -390,6 +390,76 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("gaussian latitudes: known values, symmetry, monotone north to south") {
+    // N=1: P2 root sqrt(1/3) -> arcsin = 35.264390°
+    val g1 = Grib2.gaussianLatitudes(1)
+    assert(g1.length === 2)
+    assert(math.abs(g1(0) - 35.264390) < 1e-5)
+    assert(g1(1) === -g1(0))
+    // N=48: the published ECMWF N48 first parallel is 88.5722° (octahedral
+    // and linear N48 tables alike start there)
+    val g48 = Grib2.gaussianLatitudes(48)
+    assert(g48.length === 96)
+    assert(math.abs(g48(0) - 88.5722) < 1e-3)
+    assert((0 until 95).forall(i => g48(i) > g48(i + 1)), "strictly descending")
+    assert((0 until 48).forall(i => math.abs(g48(i) + g48(95 - i)) < 1e-12), "hemispheric mirror")
+  }
+
+  test("gaussian grid 3.40: global and subset round-trip through ALL three packings") {
+    val n = 16
+    val global = Grib2.GridSpec.gaussian(ni = 64, nj = 2 * n, n = n, start = 0,
+      lon1Deg = 0.0, dLonDeg = 5.625)
+    val subset = Grib2.GridSpec.gaussian(ni = 40, nj = 12, n = n, start = 8,
+      lon1Deg = 350.0, dLonDeg = 0.5)
+    Seq(global, subset).foreach { grid =>
+      val values = field(grid, 250.0, 40.0)
+      val simple = Grib2.decode(Grib2.encode(Meteo(0, 0), grid, refTime, 12, values)).head
+      assert(simple.grid === grid, "decoded GridSpec carries the gaussian identity")
+      assert(simple.grid.isGaussian && simple.grid.gaussianN === n)
+      val quantum = (values.max - values.min) / ((1 << 16) - 1)
+      values.zip(simple.values).foreach { case (v, got) =>
+        assert(math.abs(v - got) <= quantum + 1e-9)
+      }
+      // the shared section-3 writer must carry the gaussian grid through
+      // the complex and CCSDS packings identically
+      val complex = Grib2.decode(Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 12,
+        values, order = 2)).head
+      assert(complex.grid === grid)
+      assert(simple.values.sameElements(complex.values))
+      val ccsds = Grib2.decode(Grib2.encodeCcsds(Meteo(0, 0), grid, refTime, 12,
+        values.map(v => (v * 10).floor / 10), nbits = 12)).head
+      assert(ccsds.grid === grid)
+    }
+  }
+
+  test("gaussian grid 3.40: adapters emit the gaussian row latitudes") {
+    val n = 8
+    val grid = Grib2.GridSpec.gaussian(ni = 10, nj = 2 * n, n = n, start = 0,
+      lon1Deg = 355.0, dLonDeg = 1.0)
+    val values = field(grid, 250.0, 30.0)
+    val bytes = Grib2.encode(Meteo(0, 0), grid, refTime, 6, values)
+    val msgs = Grib2.EcmwfGrib2Reader.openBytes(bytes).toSeq
+    assert(msgs.length === 1)
+    val m = msgs.head
+    val gl = Grib2.gaussianLatitudes(n)
+    assert(m.lats.length === grid.numPoints)
+    // row j carries gaussian parallel j, exactly (shared table, no rounding)
+    (0 until 2 * n).foreach { j =>
+      assert(m.lats(j * grid.ni) === gl(j), s"row $j latitude")
+    }
+    // prime-meridian crossing longitudes normalized at the boundary as ever
+    assert(m.lons.take(grid.ni).toSeq === (0 until grid.ni).map(i =>
+      if (355.0 + i < 360.0) 355.0 + i - 360.0 else (355.0 + i) % 360.0))
+    // a lat1 that is NOT a gaussian parallel is refused, not mis-gridded
+    val lying = bytes.clone()
+    // section 3 starts at 16+21=37; lat1 is at octet offset 46 within s3
+    val lat1Off = 37 + 46
+    lying(lat1Off) = 0x02; lying(lat1Off + 1) = 0x0f
+    lying(lat1Off + 2) = 0x7c.toByte; lying(lat1Off + 3) = 0x10 // 34.5°
+    val e = intercept[java.io.IOException](Grib2.decode(lying))
+    assert(e.getMessage.contains("gaussian"))
+  }
+
   test("complex 5.2/5.3: truncated and length-lying section 7 fail, never decode garbage") {
     // unpackComplex must bound every descriptor/group-array read to section
     // 7's declared end: a section-7 length that understates its own group
