@@ -130,7 +130,11 @@ object Multimodal {
   def synthesize(docs: DataFrame, families: Int = 97): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     val kinds = Array("image", "audio", "video")
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions(_.map { id =>
+    // a small id table usually arrives as ONE parquet split — repartition
+    // so the (CPU-heavy) per-id render+encode actually fans out
+    val par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .repartition(par).mapPartitions(_.map { id =>
       MediaRow(id, kinds(java.lang.Math.floorMod(id, 3L).toInt),
         ImageCodec.synthesize(id, families), "image/png",
         Timestamp.valueOf("2026-01-01 00:00:00"))
