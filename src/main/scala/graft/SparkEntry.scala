@@ -115,6 +115,34 @@ object SparkEntry {
     spark.read.parquet(s"$mediaDir/features")
   }
 
+  /** The m7 incremental batch: every 10th document id re-synthesized under
+    * a NEW media id offset by a multiple of 291 = lcm(97 families, 3
+    * kinds) — same family pattern and kind, fresh member jitter/flips, so
+    * the batch holds REAL near-duplicates of history items it has never
+    * seen. Features decoded from real pixels and persisted like the
+    * history artifact (the decode is the non-portable step).
+    */
+  private def mediaBatchDir = "/tmp/graft_oracle/media_inc"
+
+  private def mediaBatchFeatures(spark: SparkSession, dir: String): DataFrame = {
+    buildOnce(dir, "documents", mediaBatchDir,
+      "codec=png-ahash-v1,families=97,mod=10,offset=lcm291") {
+      import spark.implicits._
+      val ids = t(spark, dir, "documents").select(col("doc_id").cast("long"))
+      val maxId = ids.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val offset = (maxId / 291L + 1L) * 291L
+      Multimodal.synthesize(
+          ids.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + offset).as("doc_id")))
+        .toDF().write.mode("overwrite").parquet(s"$mediaBatchDir/payloads")
+      Multimodal.extractFeatures(
+          spark.read.parquet(s"$mediaBatchDir/payloads").as[Multimodal.MediaRow])
+        .toDF().drop("featureVec")
+        .write.mode("overwrite").parquet(s"$mediaBatchDir/features")
+    }
+    spark.read.parquet(s"$mediaBatchDir/features")
+  }
+
   /** The shared m4/m5/m6 media-banding projection — dimension and luma
     * bands over the REAL decoded features. One definition so the dedup
     * blocking key (m4's bucket, m5/m6's pair block) and their oracle
@@ -1251,6 +1279,53 @@ object SparkEntry {
         .crossJoin(surviving.agg(count(lit(1)).as("n_surviving"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long"))
             .as("tokens_surviving")))
+    }),
+
+    // X-flagship: MEDIA curation end to end — the x2 discipline for the
+    // multimodal corpus: real decoded features gate quality (resolution ≥
+    // 100k pixels, luma in [16, 240] — non-degenerate exposure), the m5
+    // banded aHash pair graph collapses near-dup renditions to their
+    // best-resolution member (m6), and the curated set is quality-passing
+    // non-losers. One row per kind with the funnel counts; blobs never
+    // leave the one persisted feature artifact.
+    "x4_media_curation_flagship" -> ((s, d) => {
+      val banded = bandedMedia(s, d).withColumnRenamed("aHash", "phash")
+      val keys = Seq("kind", "w_band", "h_band", "luma_band")
+      val blocks = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 256)).drop("n")
+      val inBlock = banded.join(blocks, keys, "left_semi")
+      val pairs = inBlock.as("x").join(inBlock.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x.mediaId") < col("y.mediaId"))
+        .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= 6)
+        .select(col("x.mediaId").as("a"), col("y.mediaId").as("b"))
+      val feats = mediaFeatures(s, d)
+        .select(col("mediaId").as("id"), col("kind"),
+          (col("width").cast("long") * col("height")).as("pixels"),
+          col("meanLuma"))
+      // cluster members that are NOT the per-cluster resolution argmax
+      val losers = Dedup.canonicalize(pairs).join(feats, Seq("id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("keeper_id")
+            .orderBy(col("pixels").desc, col("id").asc)))
+        .filter(col("rk") > 1)
+        .select(col("id"))
+      feats.join(losers.withColumnRenamed("id", "loser_id"),
+          col("id") === col("loser_id"), "left")
+        .withColumn("q_pass",
+          col("pixels") >= 100000L && col("meanLuma").between(16.0, 240.0))
+        .withColumn("kept", col("q_pass") && col("loser_id").isNull)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("q_pass").cast("long")).as("n_quality"),
+          sum(col("loser_id").isNotNull.cast("long")).as("n_dedup_losers"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          // quotient of exact integers: emit RAW (per-engine rounding
+          // would diverge on decimal halves)
+          (sum(col("kept").cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("kept_frac"))
+        .orderBy("kind")
     }),
 
     "x2_curation_flagship" -> ((s, d) => {
@@ -2638,6 +2713,45 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // M-multimodal: INCREMENTAL media dedup — the d13/d15 indexed-screen
+    // discipline for media: a new batch (re-renditions of known families
+    // under fresh ids — real near-dups history has never seen) screens
+    // against the PERSISTED history feature table. The serve plan touches
+    // only the two blob-free feature artifacts: history pixels are never
+    // re-decoded, the batch decodes once, and only band-key-colliding
+    // candidates (history blocks capped at 256) pay the hamming compare —
+    // daily media ingest against a 100 TB archive at feature-table cost.
+    "m7_media_incremental" -> ((s, d) => {
+      def banded(df: DataFrame) = df.select(col("mediaId"), col("kind"),
+        floor(col("width") / 256).cast("long").as("w_band"),
+        floor(col("height") / 256).cast("long").as("h_band"),
+        floor(col("meanLuma") / 64).cast("long").as("luma_band"),
+        col("aHash"))
+      val keys = Seq("kind", "w_band", "h_band", "luma_band")
+      val hist = banded(mediaFeatures(s, d))
+        .select((keys.map(col) :+ col("mediaId").as("hist_id")) :+
+          col("aHash").as("hist_hash"): _*)
+      val histBlocks = hist.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") <= 256).drop("n")
+      val histCapped = hist.join(histBlocks, keys, "left_semi")
+      val batch = banded(mediaBatchFeatures(s, d))
+        .select((keys.map(col) :+ col("mediaId").as("batch_id")) :+
+          col("aHash").as("batch_hash"): _*)
+      val hits = batch.join(histCapped, keys)
+        .withColumn("hamming",
+          bit_count(col("batch_hash").bitwiseXOR(col("hist_hash"))))
+        .filter(col("hamming") <= 6)
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min(struct(col("hamming"), col("hist_id"))).as("best"))
+      batch.select("batch_id").join(hits, Seq("batch_id"), "left")
+        .select(col("batch_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best.hist_id").as("best_id"),
+          col("best.hamming").as("best_hamming"))
+        .orderBy("batch_id")
+    }),
+
     "m5_phash_pairs" -> ((s, d) => {
       val banded = bandedMedia(s, d).withColumnRenamed("aHash", "phash")
       val keys = Seq("kind", "w_band", "h_band", "luma_band")
@@ -3736,6 +3850,66 @@ object SparkEntry {
         |       (SELECT count(*) FROM qt WHERE rk <= 20) AS n_after_quota,
         |       (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
         |        FROM qt WHERE rk <= 20) AS tokens_kept""".stripMargin,
+
+    // x4: the m5/m6 pair-graph replay (recursive closure, per-cluster
+    // resolution argmax) feeding the curation funnel per kind
+    "x4_media_curation_flagship" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT mediaId, kind, width, height, meanLuma, aHash AS phash
+        |  FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
+        |), b AS (
+        |  SELECT mediaId, kind, CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, phash
+        |  FROM f
+        |), blk AS (
+        |  SELECT kind, wb, hb, lb FROM b GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT x.mediaId AS a, y.mediaId AS b2,
+        |         CAST(list_sum(list_transform(range(0, 64),
+        |           j -> CASE WHEN ((xor(x.phash, y.phash) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM b x
+        |  JOIN blk USING (kind)
+        |  JOIN b y ON x.kind = y.kind AND x.wb = y.wb AND x.hb = y.hb AND x.lb = y.lb
+        |   AND x.mediaId < y.mediaId
+        |  WHERE x.wb = blk.wb AND x.hb = blk.hb AND x.lb = blk.lb
+        |), pairs AS (
+        |  SELECT a, b2 AS b FROM p WHERE hamming <= 6
+        |), edges AS (
+        |  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs
+        |), nodes AS (
+        |  SELECT DISTINCT x AS id FROM edges
+        |), reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
+        |), cl AS (
+        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |), px AS (
+        |  SELECT mediaId AS id, kind, CAST(width * height AS BIGINT) AS pixels,
+        |         meanLuma
+        |  FROM f
+        |), rk AS (
+        |  SELECT cl.id,
+        |         row_number() OVER (PARTITION BY cl.cluster_id
+        |                            ORDER BY px.pixels DESC, cl.id ASC) AS rn
+        |  FROM cl JOIN px USING (id)
+        |), losers AS (
+        |  SELECT id FROM rk WHERE rn > 1
+        |), g AS (
+        |  SELECT px.kind,
+        |         (px.pixels >= 100000 AND px.meanLuma BETWEEN 16.0 AND 240.0) AS q_pass,
+        |         (losers.id IS NOT NULL) AS is_loser
+        |  FROM px LEFT JOIN losers ON losers.id = px.id
+        |)
+        |SELECT kind, count(*) AS n_items,
+        |       CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |       CAST(sum(CASE WHEN is_loser THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_losers,
+        |       CAST(sum(CASE WHEN q_pass AND NOT is_loser THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN q_pass AND NOT is_loser THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS kept_frac
+        |FROM g GROUP BY kind ORDER BY kind""".stripMargin,
 
     "t2_quality_score" ->
       """WITH q AS (
@@ -5687,6 +5861,46 @@ object SparkEntry {
         |FROM (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1) s
         |JOIN rk ON rk.cluster_id = s.cluster_id AND rk.rn = 1
         |ORDER BY s.cluster_id""".stripMargin,
+
+    // m7: both feature artifacts replayed — band join against the capped
+    // history blocks, 64-bit hamming, per-batch-item count + argmin
+    "m7_media_incremental" ->
+      """WITH h AS (
+        |  SELECT mediaId AS hist_id, kind,
+        |         CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS hh
+        |  FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
+        |), blk AS (
+        |  SELECT kind, wb, hb, lb FROM h GROUP BY 1, 2, 3, 4 HAVING count(*) <= 256
+        |), hc AS (
+        |  SELECT h.* FROM h JOIN blk USING (kind, wb, hb, lb)
+        |), b AS (
+        |  SELECT mediaId AS batch_id, kind,
+        |         CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS bh
+        |  FROM read_parquet('/tmp/graft_oracle/media_inc/features/*.parquet')
+        |), f AS (
+        |  SELECT * FROM (
+        |    SELECT b.batch_id, hc.hist_id,
+        |           CAST(list_sum(list_transform(range(0, 64),
+        |             j -> CASE WHEN ((xor(b.bh, hc.hh) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS INT) AS hamming
+        |    FROM b JOIN hc USING (kind, wb, hb, lb)
+        |  ) WHERE hamming <= 6
+        |), r AS (
+        |  SELECT batch_id, hist_id, hamming,
+        |         row_number() OVER (PARTITION BY batch_id ORDER BY hamming, hist_id) AS rn
+        |  FROM f
+        |), agg AS (
+        |  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches FROM f GROUP BY 1
+        |)
+        |SELECT ids.batch_id, coalesce(agg.n_matches, 0) AS n_matches,
+        |       r.hist_id AS best_id, r.hamming AS best_hamming
+        |FROM (SELECT DISTINCT batch_id FROM b) ids
+        |LEFT JOIN agg USING (batch_id)
+        |LEFT JOIN (SELECT batch_id, hist_id, hamming FROM r WHERE rn = 1) r USING (batch_id)
+        |ORDER BY ids.batch_id""".stripMargin,
 
     "m5_phash_pairs" ->
       """WITH f AS (

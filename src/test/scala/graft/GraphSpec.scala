@@ -23,18 +23,20 @@ class GraphSpec extends SparkSpec {
     // triangle 1-2-3 plus pendant edge 3-4: degrees 2,2,3,1 →
     // wedges 1+1+3+0 = 5, one triangle, clustering 3·1/5 = 0.6
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val r = Graph.triangleStats(pairs).collect()(0)
     assert(r.getLong(0) === 4L, "edges")
     assert(r.getLong(1) === 5L, "wedges")
     assert(r.getLong(2) === 1L, "triangles")
     assert(r.getLong(3) === 0L, "no hubs excluded")
     assert(r.getDouble(4) === 0.6, "clustering coefficient")
-    // cache hygiene: a census must not leave any persisted frame behind —
-    // a long-lived session running many censuses would otherwise accumulate
-    // one MEMORY_AND_DISK edge list per call with no handle to release it
-    assert(spark.sparkContext.getPersistentRDDs.size === before,
-      "triangleStats leaked a cached frame")
+    // cache hygiene: a census must not leave any NEW persisted frame
+    // behind — a long-lived session running many censuses would otherwise
+    // accumulate one MEMORY_AND_DISK edge list per call with no handle to
+    // release it. Id-diff, not a size compare: the async ContextCleaner
+    // may concurrently drop UNRELATED stale entries mid-test.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"triangleStats leaked cached RDDs: $leaked")
   }
 
   test("triangleStats: hub nodes above maxDegree are excluded from the census") {
