@@ -300,6 +300,23 @@ class PlanAuditSpec extends SparkSpec {
       s"history must come from the persisted index parquet:\n$plan")
   }
 
+  test("m7: the media screen reads only the blob-free feature artifacts") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("m7_media_incremental")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    // the serve plan must touch history and batch FEATURES only — if a
+    // payload table (the PNG blobs) enters the scan set, the screen is
+    // re-decoding pixels it already paid for
+    assert(plan.contains("media/features") && plan.contains("media_inc/features"),
+      s"screen must read both persisted feature artifacts:\n$plan")
+    assert(!plan.contains("payloads"),
+      s"the media screen must never scan a payload (blob) table:\n$plan")
+  }
+
   test("v15: radius search carries no rank window; probe lists broadcast") {
     import graft.sim.Ivf
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
