@@ -256,6 +256,27 @@ object Stress {
       }
       println(s"""{"op":"t19_fuzzy_topk","scale":$k,"n_docs":$n,"sec":${num(tFk)},"out_rows":$rowsFk}""")
 
+      // t13 vs t19 under DENSITY (the g3_hub_capped pattern applied to the
+      // output side): 8 template families whose members share a 16-char
+      // prefix AND a 48-char head (lev 0 — every in-block pair matches).
+      // Family size s doubles per scale step UNDER the 256 block cap, so
+      // t13's emission grows as 8·C(s,2) — QUADRATIC per density doubling —
+      // while t19 stays ≤ 3 rows per doc, linear. The template-heavy-crawl
+      // regime where an uncapped match output floods the next stage.
+      val s = k match { case 1 => 64; case 4 => 128; case _ => 256 }
+      val dense = spark.range(8L * s).select(
+        (col("id") + 9000000L).as("doc_id"),
+        concat(lit("tpl"), lpad(pmod(col("id"), lit(8)).cast("string"), 6, "0"),
+          lit(" shared family body text long enough to fill the whole head "),
+          col("id").cast("string")).as("text"))
+      val (tD13, rowsD13) = time { fuzzyMatch(dense).count() }
+      println(s"""{"op":"t13_dense_block","scale":$k,"block_size":$s,"sec":${num(tD13)},"out_rows":$rowsD13}""")
+      val (tD19, rowsD19) = time {
+        TextAnalysis.fuzzyMatchTopK(dense, "doc_id", "text",
+          headLen = 48, pfxLen = 16, maxBlock = 256, maxLev = 16, k = 3).count()
+      }
+      println(s"""{"op":"t19_dense_block","scale":$k,"block_size":$s,"sec":${num(tD19)},"out_rows":$rowsD19}""")
+
       // d17: Bloom-pre-screened exact screen — FIXED batch against the ×k
       // history, with the sketch sized from the KNOWN history count (the
       // production shape: the store's A3 row accounting supplies it — an
