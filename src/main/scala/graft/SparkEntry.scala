@@ -1375,6 +1375,16 @@ object SparkEntry {
       TextAnalysis.bpeCompressionCurve(t(s, d, "documents"), "text", rounds = 3)
         .orderBy("round")),
 
+    // D-dedup: directed CONTAINMENT pairs — |A∩B|/|A| per direction, the
+    // asymmetric overlap Jaccard misses (a short doc quoted inside a long
+    // one: containment ≈ 1, Jaccard low). Shared-prefix blocking catches
+    // the boilerplate-wrapper regime; arbitrary-position containment is
+    // d9/t15's chunk-fingerprint job. Raw quotients of exact integers.
+    "d19_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        prefixLen = 32, threshold = 0.8, maxBlock = 256)
+        .orderBy("a", "b")),
+
     // D-dedup: near-dup yield curve — pair counts at three Jaccard
     // thresholds from ONE persisted blocked-pair frame (the knob-tuning
     // view of d4: how aggressive can the dedup gate get before it starts
@@ -4701,6 +4711,34 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT a, b, jaccard FROM j WHERE jaccard >= 0.35 ORDER BY a, b""".stripMargin,
+
+    // d19: the d4 block replay with per-direction containment quotients,
+    // emitted raw (exact-integer quotients are bit-identical cross-engine)
+    "d19_containment" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), blk AS (
+        |  SELECT substr(norm, 1, 32) AS pfx FROM n
+        |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |         list_distinct(string_split(a.norm, ' ')) AS wa,
+        |         list_distinct(string_split(b.norm, ' ')) AS wb
+        |  FROM n a JOIN n b ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+        |   AND a.doc_id < b.doc_id
+        |  WHERE substr(a.norm, 1, 32) IN (SELECT pfx FROM blk)
+        |), c AS (
+        |  SELECT a, b,
+        |         CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |           / CAST(len(wa) AS DOUBLE) AS c_a_in_b,
+        |         CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |           / CAST(len(wb) AS DOUBLE) AS c_b_in_a
+        |  FROM p
+        |)
+        |SELECT a, b, c_a_in_b, c_b_in_a FROM c
+        |WHERE greatest(c_a_in_b, c_b_in_a) >= 0.8 ORDER BY a, b""".stripMargin,
 
     // d6/d7 share the d4 pair CTEs; connected components = transitive
     // closure (recursive CTE) + min reachable id per node — the set-oriented

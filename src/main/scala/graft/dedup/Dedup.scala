@@ -241,6 +241,41 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Directed CONTAINMENT pairs — |A∩B|/|A| and |A∩B|/|B| over distinct
+    * token sets, the asymmetric overlap Jaccard misses: a short document
+    * wholly quoted inside a long one scores containment ≈ 1 while its
+    * Jaccard stays low (the denominator is the union). The
+    * boilerplate-wrapper / quoted-source detection every curation pipeline
+    * needs next to [[prefixBlockedJaccard]]. Same prefix blocking and
+    * block cap (this catches shared-prefix wrappers — template pages
+    * prepending boilerplate; arbitrary-position containment is the chunk
+    * fingerprint family's job, d9/t15). Emits both directions RAW (each is
+    * a quotient of exact integers — bit-identical cross-engine; a
+    * per-engine round would diverge on decimal halves).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 32, threshold: Double = 0.8,
+      maxBlock: Int = 256): DataFrame = {
+    val norm = TextAnalysis.normalize(col(textCol))
+    val allSides = ColOps.parallelize(df).select(
+      col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("ws"),
+      substring(norm, 1, prefixLen).as("pfx"))
+    val keep = allSides.groupBy("pfx").agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBlock))
+      .select("pfx")
+    val sides = allSides.join(keep, Seq("pfx"), "left_semi")
+    val a = sides.select(col("pfx"), col("id").as("a"), col("ws").as("wa"))
+    val b = sides.select(col("pfx"), col("id").as("b"), col("ws").as("wb"))
+    val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+    a.join(b, Seq("pfx"))
+      .filter(col("a") < col("b"))
+      .withColumn("c_a_in_b", inter / size(col("wa")).cast("double"))
+      .withColumn("c_b_in_a", inter / size(col("wb")).cast("double"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select(col("a"), col("b"), col("c_a_in_b"), col("c_b_in_a"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * label, cluster id, or LSH bucket): per-pair work is one dot product
     * (norms precomputed per row). The blocking column bounds the quadratic —

@@ -169,6 +169,31 @@ class DedupSpec extends SparkSpec {
       prefixLen = 32, threshold = 0.5).count() > 0L)
   }
 
+  test("D19: containment catches the quoted-subset pair Jaccard misses") {
+    // doc 1 = a short source; doc 2 = the same text wrapped in a long
+    // boilerplate tail (same prefix, so they block together). Containment
+    // of 1 in 2 is exactly 1.0 while Jaccard is diluted by the wrapper.
+    val srcWords = "alpha beta gamma delta epsilon zeta eta theta"
+    val tail = (1 to 24).map(i => s"wrapper$i").mkString(" ")
+    val docs = Seq(
+      (1L, srcWords),
+      (2L, s"$srcWords $tail"),
+      (3L, "completely different text that blocks alone")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      prefixLen = 32, threshold = 0.8, maxBlock = 256).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0, "all 8 source tokens appear in the wrapper doc")
+    assert(r.getDouble(3) === 8.0 / 32.0, "reverse direction diluted by the 24-word tail")
+    // the SAME pair is invisible to d4 at its threshold: jaccard = 8/32
+    val j = Dedup.prefixBlockedJaccard(docs, "doc_id", "text",
+      prefixLen = 32, threshold = 0.35, maxBlock = 256).collect()
+    assert(!j.exists(x => x.getLong(0) == 1L && x.getLong(1) == 2L),
+      "jaccard at 0.35 misses the asymmetric-subset pair")
+  }
+
   test("D8: contamination rate — benchmark dup flagged 1.0, unrelated 0.0") {
     val benchmark = docs.filter(col("doc_id") === 1L)
     val out = Dedup.contaminationRate(docs, "doc_id", "text", benchmark, "text",
