@@ -102,7 +102,7 @@ object Bench {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings").flatMap { t =>
       try Some(t -> Tables(spark, sfDir, t).count())
-      catch { case _: Throwable => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which on
@@ -155,7 +155,7 @@ object Bench {
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     Seq("events", "lineitem", "documents", "embeddings").foreach { t =>
       try Tables(spark, sfDir, t).select(count(lit(1))).collect()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     try {
       val docs = Tables(spark, sfDir, "documents").limit(200)
@@ -163,6 +163,6 @@ object Bench {
       exhaust(docs.join(broadcast(byLang), "lang")
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("doc_id"))))
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

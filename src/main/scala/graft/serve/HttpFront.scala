@@ -43,7 +43,13 @@ final class HttpFront(service: Service, port: Int = 0) {
     try {
       if (x.getRequestMethod != "GET") respond(x, 405, error("method not allowed"))
       else { x.sendResponseHeaders(204, -1); x.close() }
-    } catch { case _: Throwable => x.close() }
+    } catch {
+      // close the exchange on any failure, but let VM-fatal errors
+      // (OOM, internal error) keep propagating past the handler
+      case t: Throwable =>
+        x.close()
+        if (!scala.util.control.NonFatal(t)) throw t
+    }
 
   private def handleEnvironmental(x: HttpExchange): Unit =
     try {
@@ -54,9 +60,10 @@ final class HttpFront(service: Service, port: Int = 0) {
       // single catch-all for the whole request; best-effort 500 — if the
       // failure WAS the response write (client gone mid-body), a second
       // respond would itself throw, so just close
-      case _: Throwable =>
+      case t: Throwable =>
         try respond(x, 500, error("internal server error"))
-        catch { case _: Throwable => x.close() }
+        catch { case scala.util.control.NonFatal(_) => x.close() }
+        if (!scala.util.control.NonFatal(t)) throw t
     }
 
   private def handleEnvironmentalInner(x: HttpExchange): Unit = {

@@ -23,7 +23,7 @@ object Plans {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"  failed: ${e.getMessage}") }
+      catch { case scala.util.control.NonFatal(e) => println(s"  failed: ${e.getMessage}") }
     }
     spark.stop()
   }

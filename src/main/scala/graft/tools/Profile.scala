@@ -35,7 +35,11 @@ object Profile {
         val cold = t(SparkEntry.queries(n)(spark, sfDir).count())
         val warm = t(SparkEntry.queries(n)(spark, sfDir).count())
         println(f"$n%-24s $cold%8.2f $warm%8.2f")
-      } catch { case e: Throwable => println(f"$n%-24s FAILED ${e.getMessage}") }
+      } catch {
+        // NonFatal only: an OOM mid-profile must abort, not become a row
+        case scala.util.control.NonFatal(e) =>
+          println(f"$n%-24s FAILED ${e.getMessage}")
+      }
     }
     spark.stop()
   }
