@@ -3074,6 +3074,34 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // E-events: funnel with CONVERSION WINDOWS — e11's strictly-ordered
+    // view→click→purchase, but each stage must land within 30 minutes of
+    // the previous stage's timestamp (the semantics product analytics
+    // actually bills: an unbounded funnel counts a purchase a month later
+    // as converted). Same chained per-user min-aggregate shape — each
+    // stage is one equi-join on user_id + a bounded-range filter inside
+    // the matched key group, never a window over the full stream.
+    "e19_windowed_funnel" -> ((s, d) => {
+      val win = expr("INTERVAL 30 MINUTES")
+      val e = t(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      t1.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click_30m").as("stage"), col("n_users")))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase_30m").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }),
+
     // E-events: cohort retention — users grouped by first-seen date, and
     // for offsets 1/7/14 days the count still active that day. One
     // distinct-activity frame joined to the cohort frame; conditional
@@ -5487,6 +5515,29 @@ object SparkEntry {
         |  SELECT '1_view' AS stage, count(*) AS n_users FROM t1
         |  UNION ALL SELECT '2_click', count(*) FROM t2
         |  UNION ALL SELECT '3_purchase', count(*) FROM t3
+        |) ORDER BY stage""".stripMargin,
+
+    // e19: the e11 chain with 30-minute conversion windows per stage
+    "e19_windowed_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |), t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+        |), t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 30 MINUTE
+        |  GROUP BY e.user_id
+        |), t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |    AND e.ts <= t2.t2 + INTERVAL 30 MINUTE
+        |  GROUP BY e.user_id
+        |)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+        |  UNION ALL SELECT '2_click_30m', count(*) FROM t2
+        |  UNION ALL SELECT '3_purchase_30m', count(*) FROM t3
         |) ORDER BY stage""".stripMargin,
 
     "e12_retention" ->
