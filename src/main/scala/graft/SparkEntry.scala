@@ -95,7 +95,7 @@ object SparkEntry {
   private def mediaDir = "/tmp/graft_oracle/media"
 
   private def mediaArtifact(spark: SparkSession, dir: String): Unit =
-    buildOnce(dir, "documents", mediaDir, "codec=png-ahash-v1,families=97") {
+    buildOnce(dir, "documents", mediaDir, "codec=png-ahash-v2,families=97") {
       import spark.implicits._
       Multimodal.synthesize(t(spark, dir, "documents")).toDF()
         .write.mode("overwrite").parquet(s"$mediaDir/payloads")
@@ -126,7 +126,7 @@ object SparkEntry {
 
   private def mediaBatchFeatures(spark: SparkSession, dir: String): DataFrame = {
     buildOnce(dir, "documents", mediaBatchDir,
-      "codec=png-ahash-v1,families=97,mod=10,offset=lcm291") {
+      "codec=png-ahash-v2,families=97,mod=10,offset=lcm291") {
       import spark.implicits._
       val ids = t(spark, dir, "documents").select(col("doc_id").cast("long"))
       val maxId = ids.agg(max(col("doc_id"))).collect()(0).getLong(0)
@@ -143,18 +143,43 @@ object SparkEntry {
     spark.read.parquet(s"$mediaBatchDir/features")
   }
 
-  /** The shared m4/m5/m6 media-banding projection — dimension and luma
-    * bands over the REAL decoded features. One definition so the dedup
-    * blocking key (m4's bucket, m5/m6's pair block) and their oracle
-    * mirrors cannot drift apart.
+  /** The media-banding projection — dimension and luma bands over any REAL
+    * decoded feature frame (history or an incremental batch). ONE
+    * definition so the dedup blocking key (m4's bucket, m5/m6/x4's pair
+    * block, m7's screen key) and their oracle mirrors cannot drift apart.
     */
+  private def bandedFeatures(feats: DataFrame): DataFrame =
+    feats.select(col("mediaId"), col("kind"),
+      floor(col("width") / 256).cast("long").as("w_band"),
+      floor(col("height") / 256).cast("long").as("h_band"),
+      floor(col("meanLuma") / 64).cast("long").as("luma_band"),
+      col("aHash"))
+
   private def bandedMedia(spark: SparkSession, dir: String): DataFrame =
-    mediaFeatures(spark, dir)
-      .select(col("mediaId"), col("kind"),
-        floor(col("width") / 256).cast("long").as("w_band"),
-        floor(col("height") / 256).cast("long").as("h_band"),
-        floor(col("meanLuma") / 64).cast("long").as("luma_band"),
-        col("aHash"))
+    bandedFeatures(mediaFeatures(spark, dir))
+
+  /** The shared m5/m6/x4 banded aHash pair generation: block on the band
+    * key (population 2..256 — the LSH cap), pair within blocks, keep
+    * 64-bit hamming ≤ 6. One definition so the pair listing (m5), the
+    * keep-best collapse (m6) and the curation funnel (x4) can never
+    * diverge on cap or threshold.
+    */
+  private def mediaPairs(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedMedia(spark, dir).withColumnRenamed("aHash", "phash")
+    val keys = Seq("kind", "w_band", "h_band", "luma_band")
+    val blocks = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 256)).drop("n")
+    val inBlock = banded.join(blocks, keys, "left_semi")
+    inBlock.as("x").join(inBlock.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+          col("x.mediaId") < col("y.mediaId"))
+      .withColumn("hamming",
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))))
+      .filter(col("hamming") <= 6)
+      .select(col("x.mediaId").as("a"), col("y.mediaId").as("b"),
+        col("x.kind").as("kind"), col("hamming"))
+  }
 
   /** Build-once guard for the `*_serve` queries: run `build` only when `dir`
     * does not already hold artifacts built from the CURRENT source table
@@ -829,31 +854,37 @@ object SparkEntry {
       // JdbcStoreSpec. Unique db name per call; dropped eagerly below.
       val dbName = s"k8_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val c = JdbcStore.Conn(url = s"jdbc:derby:memory:$dbName;create=true")
-      val base = t(s, d, "orders").filter(col("o_orderkey") <= 2000)
-        .select(col("o_orderkey"), lit(1L).as("ver"),
-          col("o_totalprice").as("price"))
-      JdbcStore.insertIfAbsent(base, c, "catalog", Seq("o_orderkey"))
-      // stale replay: version 0 on a third of the keys — must change NOTHING
-      JdbcStore.upsertVersioned(
-        base.filter(col("o_orderkey") % 3 === 0)
-          .select(col("o_orderkey"), lit(0L).as("ver"), lit(-1.0).as("price")),
-        c, "catalog", Seq("o_orderkey"), "ver")
-      // fresh batch: version 2 on the even keys — must win (price doubles)
-      JdbcStore.upsertVersioned(
-        base.filter(col("o_orderkey") % 2 === 0)
-          .select(col("o_orderkey"), lit(2L).as("ver"),
-            (col("price") * 2d).as("price")),
-        c, "catalog", Seq("o_orderkey"), "ver")
-      val out = JdbcStore.readPartitioned(s, c, "catalog",
-        Seq("\"o_orderkey\" <= 1000", "\"o_orderkey\" > 1000"))
-        .orderBy("o_orderkey")
-      // materialize the partitioned read (2,001 bounded rows), then DROP
-      // the in-memory db — a lazy frame would leak one resident Derby db
-      // per bench rep with no handle to release it
-      val rows = out.collect()
-      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
-      catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () } // expected on drop
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      // everything after the first connection may create the db, so the
+      // WHOLE insert→merge→read sequence sits inside the try: a failed
+      // merge must not leak one resident Derby db per failed rep — exactly
+      // the unreleasable accumulation the eager drop exists to prevent
+      try {
+        val base = t(s, d, "orders").filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), lit(1L).as("ver"),
+            col("o_totalprice").as("price"))
+        JdbcStore.insertIfAbsent(base, c, "catalog", Seq("o_orderkey"))
+        // stale replay: version 0 on a third of the keys — must change NOTHING
+        JdbcStore.upsertVersioned(
+          base.filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), lit(0L).as("ver"), lit(-1.0).as("price")),
+          c, "catalog", Seq("o_orderkey"), "ver")
+        // fresh batch: version 2 on the even keys — must win (price doubles)
+        JdbcStore.upsertVersioned(
+          base.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), lit(2L).as("ver"),
+              (col("price") * 2d).as("price")),
+          c, "catalog", Seq("o_orderkey"), "ver")
+        // materialize the partitioned read (2,001 bounded rows) so nothing
+        // references the db after the drop below
+        val out = JdbcStore.readPartitioned(s, c, "catalog",
+          Seq("\"o_orderkey\" <= 1000", "\"o_orderkey\" > 1000"))
+          .orderBy("o_orderkey")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+        catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () } // expected on drop
+      }
     }),
 
     // A2+J3 — the flagship serving read path, set-oriented over all variables
@@ -1289,17 +1320,7 @@ object SparkEntry {
     // non-losers. One row per kind with the funnel counts; blobs never
     // leave the one persisted feature artifact.
     "x4_media_curation_flagship" -> ((s, d) => {
-      val banded = bandedMedia(s, d).withColumnRenamed("aHash", "phash")
-      val keys = Seq("kind", "w_band", "h_band", "luma_band")
-      val blocks = banded.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, 256)).drop("n")
-      val inBlock = banded.join(blocks, keys, "left_semi")
-      val pairs = inBlock.as("x").join(inBlock.as("y"),
-          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-            col("x.mediaId") < col("y.mediaId"))
-        .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= 6)
-        .select(col("x.mediaId").as("a"), col("y.mediaId").as("b"))
+      val pairs = mediaPairs(s, d).select("a", "b")
       val feats = mediaFeatures(s, d)
         .select(col("mediaId").as("id"), col("kind"),
           (col("width").cast("long") * col("height")).as("pixels"),
@@ -2697,18 +2718,7 @@ object SparkEntry {
     // id. Production media curation keeps the best rendition, not the
     // lowest id — the operator text dedup has had since d16, now for media.
     "m6_media_keep_best" -> ((s, d) => {
-      val banded = bandedMedia(s, d).withColumnRenamed("aHash", "phash")
-      val keys = Seq("kind", "w_band", "h_band", "luma_band")
-      val blocks = banded.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, 256)).drop("n")
-      val inBlock = banded.join(blocks, keys, "left_semi")
-      val pairs = inBlock.as("x").join(inBlock.as("y"),
-          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-            col("x.mediaId") < col("y.mediaId"))
-        .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= 6)
-        .select(col("x.mediaId").as("a"), col("y.mediaId").as("b"))
-      val clusters = Dedup.canonicalize(pairs)
+      val clusters = Dedup.canonicalize(mediaPairs(s, d).select("a", "b"))
       val pixels = mediaFeatures(s, d)
         .select(col("mediaId").as("id"),
           (col("width").cast("long") * col("height")).as("pixels"))
@@ -2732,19 +2742,14 @@ object SparkEntry {
     // candidates (history blocks capped at 256) pay the hamming compare —
     // daily media ingest against a 100 TB archive at feature-table cost.
     "m7_media_incremental" -> ((s, d) => {
-      def banded(df: DataFrame) = df.select(col("mediaId"), col("kind"),
-        floor(col("width") / 256).cast("long").as("w_band"),
-        floor(col("height") / 256).cast("long").as("h_band"),
-        floor(col("meanLuma") / 64).cast("long").as("luma_band"),
-        col("aHash"))
       val keys = Seq("kind", "w_band", "h_band", "luma_band")
-      val hist = banded(mediaFeatures(s, d))
+      val hist = bandedFeatures(mediaFeatures(s, d))
         .select((keys.map(col) :+ col("mediaId").as("hist_id")) :+
           col("aHash").as("hist_hash"): _*)
       val histBlocks = hist.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n")).filter(col("n") <= 256).drop("n")
       val histCapped = hist.join(histBlocks, keys, "left_semi")
-      val batch = banded(mediaBatchFeatures(s, d))
+      val batch = bandedFeatures(mediaBatchFeatures(s, d))
         .select((keys.map(col) :+ col("mediaId").as("batch_id")) :+
           col("aHash").as("batch_hash"): _*)
       val hits = batch.join(histCapped, keys)
@@ -2762,23 +2767,8 @@ object SparkEntry {
         .orderBy("batch_id")
     }),
 
-    "m5_phash_pairs" -> ((s, d) => {
-      val banded = bandedMedia(s, d).withColumnRenamed("aHash", "phash")
-      val keys = Seq("kind", "w_band", "h_band", "luma_band")
-      val blocks = banded.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, 256)).drop("n")
-      val inBlock = banded.join(blocks, keys, "left_semi")
-      inBlock.as("x").join(inBlock.as("y"),
-          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-            col("x.mediaId") < col("y.mediaId"))
-        .withColumn("hamming",
-          bit_count(col("x.phash").bitwiseXOR(col("y.phash"))))
-        .filter(col("hamming") <= 6)
-        .select(col("x.mediaId").as("a"), col("y.mediaId").as("b"),
-          col("x.kind").as("kind"), col("hamming"))
-        .orderBy("a", "b")
-    }),
+    "m5_phash_pairs" -> ((s, d) =>
+      mediaPairs(s, d).orderBy("a", "b")),
 
     // E-events: bounded-state approximate quantiles — unit-width histogram
     // buckets, cumulative counts, integer-exact threshold tests (cum·den ≥

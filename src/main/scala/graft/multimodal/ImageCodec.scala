@@ -177,9 +177,17 @@ object ImageCodec {
     val mseed = mix(mediaId * 0xc2b2ae3d27d4eb4fL + 71L)
     val lo = 8 + java.lang.Math.floorMod(mix(fseed + 1), 80L).toInt            // 8..87
     val hi = 168 + java.lang.Math.floorMod(mix(fseed + 2), 80L).toInt          // 168..247
-    val nHigh = java.lang.Math.floorMod(mix(fseed + 3), 65L).toInt             // 0..64 high cells
-    val pattern = Array.tabulate(64) { k =>
-      if (java.lang.Math.floorMod(mix(fseed + 16 + k), 64L) < nHigh) hi else lo
+    // 4..60 high cells: with at least FOUR cells of each level, the ≤3
+    // member flips can never collapse the pattern to uniform — a uniform
+    // member would aHash to 0 while its siblings keep ~nHigh set bits,
+    // breaking the family hamming ≤ 6 invariant the corpus exists for
+    val nHigh = 4 + java.lang.Math.floorMod(mix(fseed + 3), 57L).toInt         // 4..60 high cells
+    // exact count via a seeded shuffle of the 64 cell indices (a
+    // probabilistic per-cell coin could underrun the 4-cell floor)
+    val order = (0 until 64).sortBy(k => mix(fseed + 16 + k))
+    val pattern = new Array[Int](64)
+    order.zipWithIndex.foreach { case (cell, rank) =>
+      pattern(cell) = if (rank < nHigh) hi else lo
     }
     // member noise: flip 0..3 cells (low<->high)
     val nFlips = java.lang.Math.floorMod(mix(mseed + 4), 4L).toInt

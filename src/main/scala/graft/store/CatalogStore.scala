@@ -41,9 +41,12 @@ final class CatalogStore(spark: SparkSession, val path: String, val keyCol: Stri
     // observed job directly would create the table directory (flipping
     // `exists` on a store that was never written) and accumulate one empty
     // part file per no-op insert between compactions. Part-file names carry
-    // the job UUID, so renaming them into the live dir cannot collide.
+    // the job UUID, so renaming them into the live dir cannot collide; the
+    // staging dir itself is per-call unique so CONCURRENT inserts (which
+    // the old direct-append mode tolerated) cannot overwrite or delete
+    // each other's staged files mid-promote.
     import org.apache.hadoop.fs.Path
-    val staged = new Path(path + ".insert.tmp")
+    val staged = new Path(path + s".insert.${java.util.UUID.randomUUID()}.tmp")
     fresh.observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(staged.toString)
     val n = obs.get("n").asInstanceOf[Long]
@@ -58,6 +61,8 @@ final class CatalogStore(spark: SparkSession, val path: String, val keyCol: Stri
               s"insertIfAbsent promote aborted: rename ${st.getPath} failed; staged data intact")
         }
     }
+    // deleted only on success — a half-failed promote keeps its uniquely
+    // named scratch dir so "staged data intact" stays true for recovery
     fs.delete(staged, true)
     n
   }

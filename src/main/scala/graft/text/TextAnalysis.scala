@@ -390,7 +390,13 @@ object TextAnalysis {
       textCol: String, headLen: Int = 48, pfxLen: Int = 16,
       maxBlock: Int = 256, maxLev: Int = 16, k: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"need k >= 1: $k")
+    // materialize the (expensive) blocked-levenshtein pair set ONCE before
+    // symmetrizing: the two union branches shuffle on different keys, so
+    // exchange reuse cannot deduplicate the join subtree and an
+    // unmaterialized plan would run the O(block²) candidate generation
+    // twice (the Dedup.canonicalize edge-frame discipline)
     val pairs = fuzzyMatchBlocked(df, idCol, textCol, headLen, pfxLen, maxBlock, maxLev)
+      .localCheckpoint(eager = true)
     val sym = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"), col("lev")))
     val byA = org.apache.spark.sql.expressions.Window.partitionBy("a")

@@ -68,6 +68,13 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(a.meanLuma - b.meanLuma) < 36.0, "luma moves by <= 3 cells * 255/64 * 3")
     // determinism: byte-identical payloads on re-synthesis
     assert(ImageCodec.synthesize(3L).sameElements(ImageCodec.synthesize(3L)))
+    // the ≥4-cells-per-level floor: no member (0-3 flips included) can
+    // collapse to a uniform pattern, whose aHash would degenerate to 0 and
+    // break the family hamming bound — every hash keeps 1..63 set bits
+    (0L until 300L).foreach { id =>
+      val bits = java.lang.Long.bitCount(ImageCodec.decode(ImageCodec.synthesize(id)).aHash)
+      assert(bits >= 1 && bits <= 63, s"id $id degenerated to a uniform pattern ($bits bits)")
+    }
   }
 
   test("extractFeatures decodes real pixels; deterministic, schema-typed") {
