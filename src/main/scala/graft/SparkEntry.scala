@@ -149,14 +149,22 @@ object SparkEntry {
     * block, m7's screen key) and their oracle mirrors cannot drift apart.
     */
   private def bandedFeatures(feats: DataFrame): DataFrame =
-    feats.select(col("mediaId"), col("kind"),
-      floor(col("width") / 256).cast("long").as("w_band"),
-      floor(col("height") / 256).cast("long").as("h_band"),
-      floor(col("meanLuma") / 64).cast("long").as("luma_band"),
-      col("aHash"))
+    Multimodal.bandFeatures(feats)
 
   private def bandedMedia(spark: SparkSession, dir: String): DataFrame =
     bandedFeatures(mediaFeatures(spark, dir))
+
+  /** The m7/st8 screen's static side: banded history features restricted
+    * to blocks of ≤ 256 members (the LSH cap — a pathological band drops
+    * whole rather than going quadratic against every future batch).
+    */
+  private def cappedMediaHistory(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("kind", "w_band", "h_band", "luma_band")
+    val hist = bandedFeatures(mediaFeatures(spark, dir))
+    val blocks = hist.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") <= 256).drop("n")
+    hist.join(blocks, keys, "left_semi")
+  }
 
   /** The shared m5/m6/x4 banded aHash pair generation: block on the band
     * key (population 2..256 — the LSH cap), pair within blocks, keep
@@ -2743,12 +2751,9 @@ object SparkEntry {
     // daily media ingest against a 100 TB archive at feature-table cost.
     "m7_media_incremental" -> ((s, d) => {
       val keys = Seq("kind", "w_band", "h_band", "luma_band")
-      val hist = bandedFeatures(mediaFeatures(s, d))
+      val histCapped = cappedMediaHistory(s, d)
         .select((keys.map(col) :+ col("mediaId").as("hist_id")) :+
           col("aHash").as("hist_hash"): _*)
-      val histBlocks = hist.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("n")).filter(col("n") <= 256).drop("n")
-      val histCapped = hist.join(histBlocks, keys, "left_semi")
       val batch = bandedFeatures(mediaBatchFeatures(s, d))
         .select((keys.map(col) :+ col("mediaId").as("batch_id")) :+
           col("aHash").as("batch_hash"): _*)
@@ -2769,6 +2774,22 @@ object SparkEntry {
 
     "m5_phash_pairs" -> ((s, d) =>
       mediaPairs(s, d).orderBy("a", "b")),
+
+    // ST-streaming × M-multimodal: CONTINUOUS media ingest — the m7 screen
+    // as a checkpointed streaming drain: real PNG payloads stream from a
+    // landing zone, DECODE ON THE EXECUTORS inside the query (typed
+    // mapPartitions — pixels never funnel through the driver), band, and
+    // screen against the persisted blob-free history features via a
+    // stateless stream-static join; match rows land in a parquet sink.
+    // Result (and oracle) identical to m7 — what the hash additionally
+    // pins is the streaming plumbing: schema-declared binary ingest, the
+    // decode running under the micro-batch engine, checkpointed sink.
+    "st8_stream_media_screen" -> ((s, d) => {
+      val batchFeats = mediaBatchFeatures(s, d) // also ensures payloads exist
+      StreamContract.mediaScreen(s, cappedMediaHistory(s, d),
+        s"$mediaBatchDir/payloads",
+        batchFeats.select(col("mediaId").as("batch_id")))
+    }),
 
     // E-events: bounded-state approximate quantiles — unit-width histogram
     // buckets, cumulative counts, integer-exact threshold tests (cum·den ≥
@@ -5944,6 +5965,46 @@ object SparkEntry {
     // m7: both feature artifacts replayed — band join against the capped
     // history blocks, 64-bit hamming, per-batch-item count + argmin
     "m7_media_incremental" ->
+      """WITH h AS (
+        |  SELECT mediaId AS hist_id, kind,
+        |         CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS hh
+        |  FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
+        |), blk AS (
+        |  SELECT kind, wb, hb, lb FROM h GROUP BY 1, 2, 3, 4 HAVING count(*) <= 256
+        |), hc AS (
+        |  SELECT h.* FROM h JOIN blk USING (kind, wb, hb, lb)
+        |), b AS (
+        |  SELECT mediaId AS batch_id, kind,
+        |         CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS bh
+        |  FROM read_parquet('/tmp/graft_oracle/media_inc/features/*.parquet')
+        |), f AS (
+        |  SELECT * FROM (
+        |    SELECT b.batch_id, hc.hist_id,
+        |           CAST(list_sum(list_transform(range(0, 64),
+        |             j -> CASE WHEN ((xor(b.bh, hc.hh) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS INT) AS hamming
+        |    FROM b JOIN hc USING (kind, wb, hb, lb)
+        |  ) WHERE hamming <= 6
+        |), r AS (
+        |  SELECT batch_id, hist_id, hamming,
+        |         row_number() OVER (PARTITION BY batch_id ORDER BY hamming, hist_id) AS rn
+        |  FROM f
+        |), agg AS (
+        |  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches FROM f GROUP BY 1
+        |)
+        |SELECT ids.batch_id, coalesce(agg.n_matches, 0) AS n_matches,
+        |       r.hist_id AS best_id, r.hamming AS best_hamming
+        |FROM (SELECT DISTINCT batch_id FROM b) ids
+        |LEFT JOIN agg USING (batch_id)
+        |LEFT JOIN (SELECT batch_id, hist_id, hamming FROM r WHERE rn = 1) r USING (batch_id)
+        |ORDER BY ids.batch_id""".stripMargin,
+
+    // st8: the streaming drain's verdict is the m7 screen exactly — the
+    // oracle replays the same two feature artifacts
+    "st8_stream_media_screen" ->
       """WITH h AS (
         |  SELECT mediaId AS hist_id, kind,
         |         CAST(floor(width / 256) AS BIGINT) AS wb,

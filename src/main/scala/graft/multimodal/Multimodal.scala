@@ -113,6 +113,19 @@ object Multimodal {
     })
   }
 
+  /** The media-dedup banding projection over a feature frame (batch OR
+    * streaming): dimension bands of 256, luma bands of 64 — the blocking
+    * key shared by the m4 buckets, m5/m6/x4 pair generation, the m7 screen
+    * and the st8 streaming screen. ONE definition so engine queries and
+    * their oracle mirrors cannot drift apart.
+    */
+  def bandFeatures(feats: DataFrame): DataFrame =
+    feats.select(col("mediaId"), col("kind"),
+      floor(col("width") / 256).cast("long").as("w_band"),
+      floor(col("height") / 256).cast("long").as("h_band"),
+      floor(col("meanLuma") / 64).cast("long").as("luma_band"),
+      col("aHash"))
+
   /** Metadata projection: blob-free frame safe to join/aggregate at scale. */
   def metadata(df: DataFrame): DataFrame =
     df.select(col("mediaId"), col("kind"), col("mimeType"), col("capturedAt"),

@@ -320,4 +320,63 @@ object StreamContract {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }
+
+  /** ST8 — CONTINUOUS MEDIA INGEST: a landing zone of real PNG payloads is
+    * consumed as a stream, DECODED ON THE EXECUTORS inside the streaming
+    * query (javax.imageio in a typed mapPartitions — the shape a 100 TB
+    * media landing zone needs: pixels never funnel through the driver),
+    * banded, and screened against the PERSISTED blob-free history feature
+    * table via a stateless stream-static equi-join + hamming filter, match
+    * rows appended to a checkpointed parquet sink. The verdict frame
+    * re-aggregates the sink to the m7 screen shape (per-item match count +
+    * argmin), so the m7 ORACLE replays this streaming drain end to end.
+    *
+    * @param histBanded  banded, block-capped history features (static side)
+    * @param payloadsDir parquet dir of MediaRow payloads to stream-ingest
+    * @param batchIds    all batch media ids (for the no-match left join)
+    */
+  def mediaScreen(spark: SparkSession, histBanded: DataFrame,
+      payloadsDir: String, batchIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val sink = tmp("st8_sink")
+    val ckpt = tmp("st8_ckpt")
+    val keys = Seq("kind", "w_band", "h_band", "luma_band")
+    val hist = histBanded
+      .select((keys.map(col) :+ col("mediaId").as("hist_id")) :+
+        col("aHash").as("hist_hash"): _*)
+    val payloadSchema = spark.read.parquet(payloadsDir).schema
+    val stream = spark.readStream.schema(payloadSchema).parquet(payloadsDir)
+      .as[Multimodal.MediaRow]
+    // the streaming DECODE: real pixels → features, batch-in/batch-out on
+    // whichever executor holds the payload split
+    val banded = Multimodal.bandFeatures(
+        Multimodal.extractFeatures(stream).toDF())
+      .select((keys.map(col) :+ col("mediaId").as("batch_id")) :+
+        col("aHash").as("batch_hash"): _*)
+    val matches = banded.join(hist, keys) // stream-static, stateless
+      .withColumn("hamming",
+        bit_count(col("batch_hash").bitwiseXOR(col("hist_hash"))))
+      .filter(col("hamming") <= 6)
+      .select(col("batch_id"), col("hist_id"), col("hamming"))
+    withDrainParallelism(spark) {
+      val q = matches.writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val hits = spark.read.parquet(sink)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct(col("hamming"), col("hist_id"))).as("best"))
+    batchIds.join(hits, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best.hist_id").as("best_id"),
+        col("best.hamming").as("best_hamming"))
+      .orderBy("batch_id")
+  }
 }
