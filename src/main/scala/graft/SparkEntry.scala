@@ -356,6 +356,36 @@ object SparkEntry {
           max(col("lon")).cast("double").as("max_lon"))
     }),
 
+    // S1/S2 binary path, LAMBERT CONFORMAL grid (GDT 3.30) — the projected
+    // grid shape regional models (NAM/HRRR-class) ship: points regular in
+    // projected METRES, per-point lat/lon from the inverse conic projection
+    // (Snyder's spherical LCC, textbook-value-pinned in Grib2Spec). Values
+    // replay exactly in SQL (E=0 integer complex packing); the coordinate
+    // extremes are 6dp literals of the float32-narrowed inverse projection
+    // (no closed SQL form — the s5/s6 literal discipline).
+    "s7_grib2_lambert" -> ((s, _) => {
+      import java.time.LocalDateTime
+      import graft.sources.{Grib, Grib2}
+      val grid = Grib2.GridSpec.lambertConformal(ni = 25, nj = 16,
+        lat1Deg = 55.5, lon1Deg = 350.25,
+        Grib2.LambertSpec(laDDeg = 48.0, loVDeg = 355.0, latin1Deg = 42.5,
+          latin2Deg = 54.5, dxM = 12000.0, dyM = 12000.0))
+      val values = Array.tabulate(grid.numPoints)(i => ((i * 29 + 5) % 2048).toDouble)
+      val bytes = Grib2.encodeComplex(Grib2.Meteo(0, 0), grid,
+        LocalDateTime.of(2026, 1, 4, 0, 0), 3, values, nbits = 11, order = 1)
+      val df = Grib.toDataFrame(s, Grib2.EcmwfGrib2Reader.openBytes(bytes).toSeq)
+      df.groupBy(col("variable"), col("unit"), col("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 3).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("lat")).as("n_distinct_lats"),
+          round(min(col("lat")).cast("double"), 6).as("min_lat"),
+          round(max(col("lat")).cast("double"), 6).as("max_lat"),
+          round(min(col("lon")).cast("double"), 6).as("min_lon"),
+          round(max(col("lon")).cast("double"), 6).as("max_lon"))
+    }),
+
     // S2 on the reference's REAL ECMWF file (all 4 messages DRT 5.42 —
     // CCSDS/AEC entropy coding, decoded by the clean-room codec). Decode
     // runs ON THE EXECUTORS: a binaryFile scan hands each file's bytes to
@@ -3441,6 +3471,29 @@ object SparkEntry {
         |       CAST(-35.255581 AS DOUBLE) AS min_lat,
         |       CAST(64.941948 AS DOUBLE) AS max_lat,
         |       min(lon) AS min_lon, max(lon) AS max_lon
+        |FROM f""".stripMargin,
+
+    // s7: lambert-conformal decode — values replayed from the generating
+    // formula; every one of the 400 points carries a DISTINCT latitude
+    // (the per-point inverse projection), with the float32-narrowed
+    // coordinate extremes pinned as literals (provenance: Grib2Spec pins
+    // Snyder's textbook projection values and the round-trip)
+    "s7_grib2_lambert" ->
+      """WITH idx AS (
+        |  SELECT unnest(range(0, 400)) AS i
+        |), f AS (
+        |  SELECT CAST((i * 29 + 5) % 2048 AS DOUBLE) AS value FROM idx
+        |)
+        |SELECT 'temperature' AS variable, 'K' AS unit,
+        |       TIMESTAMP '2026-01-04 03:00:00' AS timestamp,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       CAST(400 AS BIGINT) AS n_distinct_lats,
+        |       CAST(53.884968 AS DOUBLE) AS min_lat,
+        |       CAST(55.583519 AS DOUBLE) AS max_lat,
+        |       CAST(-9.75 AS DOUBLE) AS min_lon,
+        |       CAST(-5.177607 AS DOUBLE) AS max_lon
         |FROM f""".stripMargin,
 
     // s5: the reference's REAL ECMWF file (DRT 5.42, CCSDS/AEC). No formula

@@ -48,31 +48,55 @@ object Grib2 {
 
   // ── data model ─────────────────────────────────────────────────────────
 
-  /** Lat/lon grid, +i (west→east) / −j (north→south) scanning. Two forms:
+  /** Lambert conformal conic projection parameters (GDT 3.30): spherical
+    * earth (shape 6, R = 6371229 m), secant cone through `latin1`/`latin2`,
+    * central meridian `loV`, grid spacing `dxM`/`dyM` in metres true at
+    * `laD`. `yPositive` mirrors scanning-mode bit 2: rows advance +y
+    * (south→north, the NAM/HRRR convention) when set, −y otherwise.
+    */
+  final case class LambertSpec(laDDeg: Double, loVDeg: Double,
+      latin1Deg: Double, latin2Deg: Double, dxM: Double, dyM: Double,
+      yPositive: Boolean = false) {
+    require(dxM > 0 && dyM > 0, s"bad grid spacing ${dxM}x$dyM")
+    require(math.abs(latin1Deg) < 90 && math.abs(latin2Deg) < 90 &&
+      latin1Deg + latin2Deg != 0.0,
+      s"unsupported cone parallels $latin1Deg/$latin2Deg")
+  }
+
+  /** Lat/lon grid, +i (west→east) scanning. Three forms:
     *   - regular (GDT 3.0): rows at `lat1Deg − j·dLatDeg` (gaussianN = 0);
     *   - Gaussian (GDT 3.40): `gaussianN` parallels between pole and
     *     equator — row latitudes are the Gaussian latitudes (arcsin of the
     *     Legendre P₂ₙ roots), `gaussianStart` indexing the first row into
     *     the full north→south table (a non-global subset grid starts
-    *     mid-table). Longitude spacing stays regular in both forms.
+    *     mid-table). Longitude spacing stays regular in both forms;
+    *   - Lambert conformal (GDT 3.30): `lambert` carries the projection —
+    *     points are regular in PROJECTED metres anchored at the first
+    *     point `(lat1Deg, lon1Deg)`, and per-point lat/lon come from the
+    *     inverse projection ([[Lcc]]).
     */
   final case class GridSpec(ni: Int, nj: Int,
       lat1Deg: Double, lon1Deg: Double, dLatDeg: Double, dLonDeg: Double,
-      gaussianN: Int = 0, gaussianStart: Int = 0) {
+      gaussianN: Int = 0, gaussianStart: Int = 0,
+      lambert: Option[LambertSpec] = None) {
     require(ni > 0 && nj > 0, s"empty grid $ni x $nj")
     require(gaussianN >= 0 && gaussianStart >= 0, s"bad gaussian fields $gaussianN/$gaussianStart")
     require(gaussianN == 0 || gaussianStart + nj <= 2 * gaussianN,
       s"$nj rows from $gaussianStart overrun the ${2 * gaussianN} gaussian parallels")
+    require(gaussianN == 0 || lambert.isEmpty, "a grid cannot be both gaussian and lambert")
     def isGaussian: Boolean = gaussianN > 0
+    def isLambert: Boolean = lambert.isDefined
     def numPoints: Int = ni * nj
-    /** Row latitudes north→south — the one coordinate source for both
-      * encoders and the adapter lat/lon arrays.
+    /** Row latitudes north→south — the coordinate source for the lat/lon
+      * forms (a Lambert grid has no shared row latitude; see [[Lcc]]).
       */
-    def rowLats: Array[Double] =
+    def rowLats: Array[Double] = {
+      require(!isLambert, "rowLats undefined for a Lambert grid (lat varies per point)")
       if (isGaussian) {
         val gl = gaussianLatitudes(gaussianN)
         java.util.Arrays.copyOfRange(gl, gaussianStart, gaussianStart + nj)
       } else Array.tabulate(nj)(j => lat1Deg - j * dLatDeg)
+    }
     def lat2Deg: Double =
       if (isGaussian) rowLats(nj - 1) else lat1Deg - (nj - 1) * dLatDeg
     def lon2Deg: Double = (lon1Deg + (ni - 1) * dLonDeg) % 360.0
@@ -87,6 +111,57 @@ object Grib2 {
       require(n > 0 && start >= 0 && start + nj <= 2 * n,
         s"$nj rows from $start overrun the ${2 * n} gaussian parallels")
       GridSpec(ni, nj, gaussianLatitudes(n)(start), lon1Deg, 0.0, dLonDeg, n, start)
+    }
+
+    /** Lambert conformal grid constructor: first point + projection. */
+    def lambertConformal(ni: Int, nj: Int, lat1Deg: Double, lon1Deg: Double,
+        spec: LambertSpec): GridSpec =
+      GridSpec(ni, nj, lat1Deg, lon1Deg, 0.0, 0.0, lambert = Some(spec))
+  }
+
+  /** Lambert conformal conic on the sphere — the Snyder 1987 ("Map
+    * Projections: A Working Manual", USGS PP 1395, eqs. 15-1..15-5 and
+    * 14-15..14-11) secant formulation the GRIB2 3.30 template encodes.
+    * Pure arithmetic, no geodesy library.
+    */
+  object Lcc {
+    val EarthRadiusM: Double = 6371229.0 // GRIB2 earth shape 6
+
+    final case class Proj(n: Double, rF: Double, rho0: Double, lam0Rad: Double)
+
+    def proj(s: LambertSpec, radiusM: Double = EarthRadiusM): Proj = {
+      val p1 = math.toRadians(s.latin1Deg)
+      val p2 = math.toRadians(s.latin2Deg)
+      def t(p: Double) = math.tan(math.Pi / 4 + p / 2)
+      val n =
+        if (s.latin1Deg == s.latin2Deg) math.sin(p1)
+        else math.log(math.cos(p1) / math.cos(p2)) / math.log(t(p2) / t(p1))
+      val rF = radiusM * math.cos(p1) * math.pow(t(p1), n) / n
+      val rho0 = rF / math.pow(t(math.toRadians(s.laDDeg)), n)
+      Proj(n, rF, rho0, math.toRadians(s.loVDeg))
+    }
+
+    /** (lat°, lon°) → projected metres relative to (laD, loV). */
+    def forward(p: Proj, latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val rho = p.rF / math.pow(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2), p.n)
+      // wrap the meridian offset to (-180, 180] BEFORE scaling by n: a
+      // 0..360-convention longitude west of loV would otherwise sweep the
+      // cone the long way around
+      var dLon = lonDeg - math.toDegrees(p.lam0Rad)
+      while (dLon > 180) dLon -= 360
+      while (dLon <= -180) dLon += 360
+      val theta = p.n * math.toRadians(dLon)
+      (rho * math.sin(theta), p.rho0 - rho * math.cos(theta))
+    }
+
+    /** Projected metres → (lat°, lon° in (−180, 180]). */
+    def inverse(p: Proj, x: Double, y: Double): (Double, Double) = {
+      val sgn = if (p.n >= 0) 1.0 else -1.0
+      val rho = sgn * math.hypot(x, p.rho0 - y)
+      val theta = math.atan2(sgn * x, sgn * (p.rho0 - y))
+      val lat = 2 * math.atan(math.pow(p.rF / rho, 1.0 / p.n)) - math.Pi / 2
+      val lon = math.toDegrees(p.lam0Rad + theta / p.n)
+      (math.toDegrees(lat), ((lon + 540.0) % 360.0) - 180.0)
     }
   }
 
@@ -181,28 +256,56 @@ object Grib2 {
     */
   private def gridSection(grid: GridSpec): Writer = {
     val s3 = new Writer
-    s3.u32(72); s3.u8(3)
-    s3.u8(0) // source: specified in template
-    s3.u32(grid.numPoints)
-    s3.u8(0); s3.u8(0) // no optional list
-    s3.u16(if (grid.isGaussian) 40 else 0)
-    s3.u8(6) // shape of earth: spherical r=6371229 m
-    s3.u8(0xff); s3.u32(0xffffffffL) // radius scale/value: missing
-    s3.u8(0xff); s3.u32(0xffffffffL) // major axis: missing
-    s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
-    s3.u32(grid.ni); s3.u32(grid.nj)
-    s3.u32(0) // basic angle: 0 → micro-degree units
-    s3.u32(0xffffffffL) // subdivisions: missing
-    s3.sm32(microDeg(grid.lat1Deg))
-    s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
-    // resolution flags: i increment given always; j only on the regular grid
-    s3.u8(if (grid.isGaussian) 0x20 else 0x30)
-    s3.sm32(microDeg(grid.lat2Deg))
-    s3.u32(microDeg(((grid.lon2Deg % 360.0) + 360.0) % 360.0))
-    s3.u32(microDeg(grid.dLonDeg)) // Di — i direction increment (longitude)
-    if (grid.isGaussian) s3.u32(grid.gaussianN.toLong) // N
-    else s3.u32(microDeg(grid.dLatDeg))                // Dj
-    s3.u8(0x00) // scanning mode: +i, −j, row-major
+    grid.lambert match {
+      case Some(lc) =>
+        // template 3.30 — Lambert conformal, 81 octets
+        s3.u32(81); s3.u8(3)
+        s3.u8(0) // source: specified in template
+        s3.u32(grid.numPoints)
+        s3.u8(0); s3.u8(0) // no optional list
+        s3.u16(30)
+        s3.u8(6) // shape of earth: spherical r=6371229 m
+        s3.u8(0xff); s3.u32(0xffffffffL) // radius scale/value: missing
+        s3.u8(0xff); s3.u32(0xffffffffL) // major axis: missing
+        s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
+        s3.u32(grid.ni); s3.u32(grid.nj)
+        s3.sm32(microDeg(grid.lat1Deg)) // La1 — first point
+        s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
+        s3.u8(0x08) // resolution flags
+        s3.sm32(microDeg(lc.laDDeg)) // LaD — where Dx/Dy are true
+        s3.u32(microDeg(((lc.loVDeg % 360.0) + 360.0) % 360.0)) // LoV
+        s3.u32(Math.round(lc.dxM * 1000.0)) // Dx in 10^-3 m
+        s3.u32(Math.round(lc.dyM * 1000.0)) // Dy
+        s3.u8(0) // projection centre: north pole on the plane
+        s3.u8(if (lc.yPositive) 0x40 else 0x00) // scanning: +i, ±j
+        s3.sm32(microDeg(lc.latin1Deg))
+        s3.sm32(microDeg(lc.latin2Deg))
+        s3.sm32(-90000000L); s3.u32(0L) // southern pole of projection
+      case None =>
+        // template 3.0 (regular lat/lon) or 3.40 (Gaussian), 72 octets
+        s3.u32(72); s3.u8(3)
+        s3.u8(0) // source: specified in template
+        s3.u32(grid.numPoints)
+        s3.u8(0); s3.u8(0) // no optional list
+        s3.u16(if (grid.isGaussian) 40 else 0)
+        s3.u8(6) // shape of earth: spherical r=6371229 m
+        s3.u8(0xff); s3.u32(0xffffffffL) // radius scale/value: missing
+        s3.u8(0xff); s3.u32(0xffffffffL) // major axis: missing
+        s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
+        s3.u32(grid.ni); s3.u32(grid.nj)
+        s3.u32(0) // basic angle: 0 → micro-degree units
+        s3.u32(0xffffffffL) // subdivisions: missing
+        s3.sm32(microDeg(grid.lat1Deg))
+        s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
+        // resolution flags: i increment given always; j only on the regular grid
+        s3.u8(if (grid.isGaussian) 0x20 else 0x30)
+        s3.sm32(microDeg(grid.lat2Deg))
+        s3.u32(microDeg(((grid.lon2Deg % 360.0) + 360.0) % 360.0))
+        s3.u32(microDeg(grid.dLonDeg)) // Di — i direction increment (longitude)
+        if (grid.isGaussian) s3.u32(grid.gaussianN.toLong) // N
+        else s3.u32(microDeg(grid.dLatDeg))                // Dj
+        s3.u8(0x00) // scanning mode: +i, −j, row-major
+    }
     s3
   }
 
@@ -1148,11 +1251,32 @@ object Grib2 {
           val nPoints = r.u32().toInt
           r.skip(1 + 1)
           val template = r.u16()
-          if (template != 0 && template != 40)
+          if (template != 0 && template != 40 && template != 30)
             fail(s"unsupported grid template 3.$template")
           r.skip(1 + 5 + 5 + 5) // earth shape + radius + axes
           val ni = r.u32().toInt
           val nj = r.u32().toInt
+          if (template == 30) {
+            // Lambert conformal: first point, then the projection params
+            val la1 = r.sm32() / 1e6
+            val lo1 = r.u32() / 1e6
+            r.skip(1) // resolution flags
+            val laD = r.sm32() / 1e6
+            val loV = r.u32() / 1e6
+            val dx = r.u32() / 1000.0 // wire 10^-3 m → metres
+            val dy = r.u32() / 1000.0
+            val centre = r.u8()
+            if (centre != 0) fail(f"unsupported projection centre flag 0x$centre%02x")
+            val scanL = r.u8()
+            if ((scanL & 0xb0) != 0) fail(f"unsupported scanning mode 0x$scanL%02x")
+            val latin1 = r.sm32() / 1e6
+            val latin2 = r.sm32() / 1e6
+            r.skip(4 + 4) // southern pole of projection
+            if (ni.toLong * nj != nPoints) fail(s"grid $ni x $nj != $nPoints points")
+            grid = GridSpec.lambertConformal(ni, nj, la1, lo1,
+              LambertSpec(laD, loV, latin1, latin2, dx, dy,
+                yPositive = (scanL & 0x40) != 0))
+          } else {
           val basicAngle = r.u32()
           // only basic angle 0 (micro-degree units) decodes faithfully —
           // accepting other values and still dividing by 1e6 would produce
@@ -1192,6 +1316,7 @@ object Grib2 {
                 fail(s"$nj rows from gaussian parallel $start overrun the ${2 * n}-row table")
               GridSpec.gaussian(ni, nj, n, start, lon1, di)
             }
+          }
         case 4 =>
           r.skip(2) // NV
           val template = r.u16()
@@ -1345,19 +1470,42 @@ object Grib2 {
   private def gridArrays(g: GridSpec): (Array[Double], Array[Double]) = {
     val lats = new Array[Double](g.numPoints)
     val lons = new Array[Double](g.numPoints)
-    val rows = g.rowLats // regular arithmetic or the Gaussian table window
-    var idx = 0
-    var j = 0
-    while (j < g.nj) {
-      val lat = rows(j)
-      var i = 0
-      while (i < g.ni) {
-        lats(idx) = lat
-        lons(idx) = Grib.normalizeLon(g.lon1Deg + i * g.dLonDeg)
-        idx += 1
-        i += 1
-      }
-      j += 1
+    g.lambert match {
+      case Some(lc) =>
+        // Lambert conformal: regular in PROJECTED metres, anchored at the
+        // first point; every grid point inverse-projects individually
+        val p = Lcc.proj(lc)
+        val (x1, y1) = Lcc.forward(p, g.lat1Deg, g.lon1Deg)
+        val ySign = if (lc.yPositive) 1.0 else -1.0
+        var idx = 0
+        var j = 0
+        while (j < g.nj) {
+          val y = y1 + ySign * j * lc.dyM
+          var i = 0
+          while (i < g.ni) {
+            val (la, lo) = Lcc.inverse(p, x1 + i * lc.dxM, y)
+            lats(idx) = la
+            lons(idx) = Grib.normalizeLon(lo)
+            idx += 1
+            i += 1
+          }
+          j += 1
+        }
+      case None =>
+        val rows = g.rowLats // regular arithmetic or the Gaussian table window
+        var idx = 0
+        var j = 0
+        while (j < g.nj) {
+          val lat = rows(j)
+          var i = 0
+          while (i < g.ni) {
+            lats(idx) = lat
+            lons(idx) = Grib.normalizeLon(g.lon1Deg + i * g.dLonDeg)
+            idx += 1
+            i += 1
+          }
+          j += 1
+        }
     }
     (lats, lons)
   }

@@ -460,6 +460,86 @@ class Grib2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("gaussian"))
   }
 
+  test("lambert conformal: Snyder's textbook forward values, inverse identity") {
+    import Grib2.{LambertSpec, Lcc}
+    // Snyder 1987 (USGS PP 1395) numerical example p. 295: sphere R=1,
+    // standard parallels 33°/45°, origin (23°, −96°); the projection of
+    // (35°, −75°) is x=0.2966785, y=0.2462112 with n=0.6304777
+    val s = LambertSpec(laDDeg = 23.0, loVDeg = -96.0,
+      latin1Deg = 33.0, latin2Deg = 45.0, dxM = 1.0, dyM = 1.0)
+    val p = Lcc.proj(s, radiusM = 1.0)
+    assert(math.abs(p.n - 0.6304777) < 1e-7)
+    val (x, y) = Lcc.forward(p, 35.0, -75.0)
+    assert(math.abs(x - 0.2966785) < 1e-7, s"x=$x")
+    assert(math.abs(y - 0.2462112) < 1e-7, s"y=$y")
+    // inverse identity across the cone (both conventions of longitude)
+    val pr = Lcc.proj(s) // real earth radius
+    for (lat <- Seq(22.0, 35.0, 51.5); lon <- Seq(-120.0, -96.0, -70.0, 290.0)) {
+      val (fx, fy) = Lcc.forward(pr, lat, lon)
+      val (bla, blo) = Lcc.inverse(pr, fx, fy)
+      assert(math.abs(bla - lat) < 1e-9, s"lat $lat -> $bla")
+      val expectLon = ((lon + 540.0) % 360.0) - 180.0
+      assert(math.abs(blo - expectLon) < 1e-9, s"lon $lon -> $blo")
+    }
+  }
+
+  test("lambert grid 3.30: round-trip through all three packings, both scan orders") {
+    import Grib2.{GridSpec, LambertSpec}
+    // a NAM-like tangent cone (latin1 == latin2 exercises the n = sin branch)
+    val tangent = GridSpec.lambertConformal(ni = 30, nj = 20,
+      lat1Deg = 12.19, lon1Deg = 226.541,
+      LambertSpec(laDDeg = 25.0, loVDeg = 265.0, latin1Deg = 25.0,
+        latin2Deg = 25.0, dxM = 32463.0, dyM = 32463.0, yPositive = true))
+    // a secant cone scanning north→south
+    val secant = GridSpec.lambertConformal(ni = 25, nj = 16,
+      lat1Deg = 55.5, lon1Deg = 350.25,
+      LambertSpec(laDDeg = 48.0, loVDeg = 355.0, latin1Deg = 42.5,
+        latin2Deg = 54.5, dxM = 12000.0, dyM = 12000.0))
+    Seq(tangent, secant).foreach { grid =>
+      val values = field(grid, 250.0, 40.0)
+      val simple = Grib2.decode(Grib2.encode(Meteo(0, 0), grid, refTime, 12, values)).head
+      assert(simple.grid === grid, "decoded GridSpec carries the full projection")
+      assert(simple.grid.isLambert)
+      val quantum = (values.max - values.min) / ((1 << 16) - 1)
+      values.zip(simple.values).foreach { case (v, got) =>
+        assert(math.abs(v - got) <= quantum + 1e-9)
+      }
+      val complex = Grib2.decode(Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 12,
+        values, order = 1)).head
+      assert(complex.grid === grid)
+      assert(simple.values.sameElements(complex.values))
+      val ccsds = Grib2.decode(Grib2.encodeCcsds(Meteo(0, 6), grid, refTime, 6,
+        values.map(v => v.floor), nbits = 10)).head
+      assert(ccsds.grid === grid)
+    }
+  }
+
+  test("lambert grid 3.30: adapters emit inverse-projected per-point coordinates") {
+    import Grib2.{GridSpec, LambertSpec, Lcc}
+    val spec = LambertSpec(laDDeg = 48.0, loVDeg = 355.0, latin1Deg = 42.5,
+      latin2Deg = 54.5, dxM = 24000.0, dyM = 24000.0)
+    val grid = GridSpec.lambertConformal(ni = 12, nj = 8,
+      lat1Deg = 55.5, lon1Deg = 350.25, spec)
+    val values = field(grid, 275.0, 20.0)
+    val m = Grib2.EcmwfGrib2Reader.openBytes(
+      Grib2.encode(Meteo(0, 0), grid, refTime, 6, values)).toSeq.head
+    assert(m.lats.length === grid.numPoints)
+    // anchor: the first grid point is (La1, Lo1) itself
+    assert(math.abs(m.lats(0) - 55.5) < 1e-6)
+    assert(math.abs(m.lons(0) - (350.25 - 360.0)) < 1e-6)
+    // unlike the lat/lon grids, latitude VARIES WITHIN a row on a conic
+    // projection (that is the point of per-point inverse projection)
+    val row0 = m.lats.take(grid.ni)
+    assert(row0.distinct.length > 1, "conic row must not be an isoline of latitude")
+    // spot-check an interior point against a direct inverse projection
+    val p = Lcc.proj(spec)
+    val (x1, y1) = Lcc.forward(p, 55.5, 350.25)
+    val (ela, elo) = Lcc.inverse(p, x1 + 7 * spec.dxM, y1 - 5 * spec.dyM)
+    val idx = 5 * grid.ni + 7
+    assert(math.abs(m.lats(idx) - ela) < 1e-6)
+    assert(math.abs(m.lons(idx) - elo) < 1e-6)
+  }
+
   test("complex 5.2/5.3: truncated and length-lying section 7 fail, never decode garbage") {
     // unpackComplex must bound every descriptor/group-array read to section
     // 7's declared end: a section-7 length that understates its own group
