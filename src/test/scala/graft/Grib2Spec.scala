@@ -540,6 +540,35 @@ class Grib2Spec extends AnyFunSuite {
     assert(math.abs(m.lons(idx) - elo) < 1e-6)
   }
 
+  test("lambert grid 3.30: unsupported projection variants are refused, not mis-gridded") {
+    import Grib2.{GridSpec, LambertSpec}
+    val grid = GridSpec.lambertConformal(ni = 10, nj = 8,
+      lat1Deg = 55.5, lon1Deg = 350.25,
+      LambertSpec(laDDeg = 48.0, loVDeg = 355.0, latin1Deg = 42.5,
+        latin2Deg = 54.5, dxM = 24000.0, dyM = 24000.0))
+    val bytes = Grib2.encode(Meteo(0, 0), grid, refTime, 6, field(grid, 275.0, 20.0))
+    // section 3 starts at 16+21=37; 1-based octets within it:
+    // 64 = projection centre flag, 65 = scanning mode
+    def mangled(off1Based: Int, v: Int): Array[Byte] = {
+      val out = bytes.clone(); out(37 + off1Based - 1) = v.toByte; out
+    }
+    // south-pole-on-plane projection centre: would need mirrored math
+    val e1 = intercept[java.io.IOException](Grib2.decode(mangled(64, 0x80)))
+    assert(e1.getMessage.contains("projection centre"))
+    // -i scanning / transposed consecutivity: silently wrong point order
+    val e2 = intercept[java.io.IOException](Grib2.decode(mangled(65, 0x80)))
+    assert(e2.getMessage.contains("scanning"))
+    intercept[java.io.IOException](Grib2.decode(mangled(65, 0x20)))
+    // ... while the supported +j order still decodes
+    assert(Grib2.decode(mangled(65, 0x40)).head.grid.lambert.get.yPositive)
+    // degenerate cones are refused at construction
+    intercept[IllegalArgumentException](
+      LambertSpec(48.0, 355.0, latin1Deg = 30.0, latin2Deg = -30.0,
+        dxM = 1000.0, dyM = 1000.0))
+    intercept[IllegalArgumentException](
+      LambertSpec(48.0, 355.0, 42.5, 54.5, dxM = 0.0, dyM = 1000.0))
+  }
+
   test("complex 5.2/5.3: truncated and length-lying section 7 fail, never decode garbage") {
     // unpackComplex must bound every descriptor/group-array read to section
     // 7's declared end: a section-7 length that understates its own group
