@@ -2787,19 +2787,12 @@ object SparkEntry {
       val batch = bandedFeatures(mediaBatchFeatures(s, d))
         .select((keys.map(col) :+ col("mediaId").as("batch_id")) :+
           col("aHash").as("batch_hash"): _*)
-      val hits = batch.join(histCapped, keys)
+      val matches = batch.join(histCapped, keys)
         .withColumn("hamming",
           bit_count(col("batch_hash").bitwiseXOR(col("hist_hash"))))
         .filter(col("hamming") <= 6)
-        .groupBy("batch_id")
-        .agg(count(lit(1)).as("n_matches"),
-          min(struct(col("hamming"), col("hist_id"))).as("best"))
-      batch.select("batch_id").join(hits, Seq("batch_id"), "left")
-        .select(col("batch_id"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          col("best.hist_id").as("best_id"),
-          col("best.hamming").as("best_hamming"))
-        .orderBy("batch_id")
+        .select("batch_id", "hist_id", "hamming")
+      Multimodal.screenVerdict(matches, batch.select("batch_id"))
     }),
 
     "m5_phash_pairs" -> ((s, d) =>
@@ -3375,6 +3368,48 @@ object SparkEntry {
         |LEFT JOIN ex ON ex.bid = b.id
         |LEFT JOIN (SELECT * FROM nr WHERE rk = 1) nr ON nr.bid = b.id
         |ORDER BY doc_id""".stripMargin
+
+  /** The m7/st8 screen oracle — ONE string: the streaming screen
+    * contractually replays the batch screen, so their oracles must be
+    * identical by construction, not by copy discipline.
+    */
+  private val mediaScreenOracleSql: String =
+    """WITH h AS (
+        |  SELECT mediaId AS hist_id, kind,
+        |         CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS hh
+        |  FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
+        |), blk AS (
+        |  SELECT kind, wb, hb, lb FROM h GROUP BY 1, 2, 3, 4 HAVING count(*) <= 256
+        |), hc AS (
+        |  SELECT h.* FROM h JOIN blk USING (kind, wb, hb, lb)
+        |), b AS (
+        |  SELECT mediaId AS batch_id, kind,
+        |         CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS bh
+        |  FROM read_parquet('/tmp/graft_oracle/media_inc/features/*.parquet')
+        |), f AS (
+        |  SELECT * FROM (
+        |    SELECT b.batch_id, hc.hist_id,
+        |           CAST(list_sum(list_transform(range(0, 64),
+        |             j -> CASE WHEN ((xor(b.bh, hc.hh) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS INT) AS hamming
+        |    FROM b JOIN hc USING (kind, wb, hb, lb)
+        |  ) WHERE hamming <= 6
+        |), r AS (
+        |  SELECT batch_id, hist_id, hamming,
+        |         row_number() OVER (PARTITION BY batch_id ORDER BY hamming, hist_id) AS rn
+        |  FROM f
+        |), agg AS (
+        |  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches FROM f GROUP BY 1
+        |)
+        |SELECT ids.batch_id, coalesce(agg.n_matches, 0) AS n_matches,
+        |       r.hist_id AS best_id, r.hamming AS best_hamming
+        |FROM (SELECT DISTINCT batch_id FROM b) ids
+        |LEFT JOIN agg USING (batch_id)
+        |LEFT JOIN (SELECT batch_id, hist_id, hamming FROM r WHERE rn = 1) r USING (batch_id)
+        |ORDER BY ids.batch_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s2_grib_pipeline" ->
@@ -6017,83 +6052,10 @@ object SparkEntry {
 
     // m7: both feature artifacts replayed — band join against the capped
     // history blocks, 64-bit hamming, per-batch-item count + argmin
-    "m7_media_incremental" ->
-      """WITH h AS (
-        |  SELECT mediaId AS hist_id, kind,
-        |         CAST(floor(width / 256) AS BIGINT) AS wb,
-        |         CAST(floor(height / 256) AS BIGINT) AS hb,
-        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS hh
-        |  FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
-        |), blk AS (
-        |  SELECT kind, wb, hb, lb FROM h GROUP BY 1, 2, 3, 4 HAVING count(*) <= 256
-        |), hc AS (
-        |  SELECT h.* FROM h JOIN blk USING (kind, wb, hb, lb)
-        |), b AS (
-        |  SELECT mediaId AS batch_id, kind,
-        |         CAST(floor(width / 256) AS BIGINT) AS wb,
-        |         CAST(floor(height / 256) AS BIGINT) AS hb,
-        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS bh
-        |  FROM read_parquet('/tmp/graft_oracle/media_inc/features/*.parquet')
-        |), f AS (
-        |  SELECT * FROM (
-        |    SELECT b.batch_id, hc.hist_id,
-        |           CAST(list_sum(list_transform(range(0, 64),
-        |             j -> CASE WHEN ((xor(b.bh, hc.hh) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS INT) AS hamming
-        |    FROM b JOIN hc USING (kind, wb, hb, lb)
-        |  ) WHERE hamming <= 6
-        |), r AS (
-        |  SELECT batch_id, hist_id, hamming,
-        |         row_number() OVER (PARTITION BY batch_id ORDER BY hamming, hist_id) AS rn
-        |  FROM f
-        |), agg AS (
-        |  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches FROM f GROUP BY 1
-        |)
-        |SELECT ids.batch_id, coalesce(agg.n_matches, 0) AS n_matches,
-        |       r.hist_id AS best_id, r.hamming AS best_hamming
-        |FROM (SELECT DISTINCT batch_id FROM b) ids
-        |LEFT JOIN agg USING (batch_id)
-        |LEFT JOIN (SELECT batch_id, hist_id, hamming FROM r WHERE rn = 1) r USING (batch_id)
-        |ORDER BY ids.batch_id""".stripMargin,
+    "m7_media_incremental" -> mediaScreenOracleSql,
 
-    // st8: the streaming drain's verdict is the m7 screen exactly — the
-    // oracle replays the same two feature artifacts
-    "st8_stream_media_screen" ->
-      """WITH h AS (
-        |  SELECT mediaId AS hist_id, kind,
-        |         CAST(floor(width / 256) AS BIGINT) AS wb,
-        |         CAST(floor(height / 256) AS BIGINT) AS hb,
-        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS hh
-        |  FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
-        |), blk AS (
-        |  SELECT kind, wb, hb, lb FROM h GROUP BY 1, 2, 3, 4 HAVING count(*) <= 256
-        |), hc AS (
-        |  SELECT h.* FROM h JOIN blk USING (kind, wb, hb, lb)
-        |), b AS (
-        |  SELECT mediaId AS batch_id, kind,
-        |         CAST(floor(width / 256) AS BIGINT) AS wb,
-        |         CAST(floor(height / 256) AS BIGINT) AS hb,
-        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash AS bh
-        |  FROM read_parquet('/tmp/graft_oracle/media_inc/features/*.parquet')
-        |), f AS (
-        |  SELECT * FROM (
-        |    SELECT b.batch_id, hc.hist_id,
-        |           CAST(list_sum(list_transform(range(0, 64),
-        |             j -> CASE WHEN ((xor(b.bh, hc.hh) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS INT) AS hamming
-        |    FROM b JOIN hc USING (kind, wb, hb, lb)
-        |  ) WHERE hamming <= 6
-        |), r AS (
-        |  SELECT batch_id, hist_id, hamming,
-        |         row_number() OVER (PARTITION BY batch_id ORDER BY hamming, hist_id) AS rn
-        |  FROM f
-        |), agg AS (
-        |  SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches FROM f GROUP BY 1
-        |)
-        |SELECT ids.batch_id, coalesce(agg.n_matches, 0) AS n_matches,
-        |       r.hist_id AS best_id, r.hamming AS best_hamming
-        |FROM (SELECT DISTINCT batch_id FROM b) ids
-        |LEFT JOIN agg USING (batch_id)
-        |LEFT JOIN (SELECT batch_id, hist_id, hamming FROM r WHERE rn = 1) r USING (batch_id)
-        |ORDER BY ids.batch_id""".stripMargin,
+    // st8: the streaming drain's verdict is the m7 screen exactly
+    "st8_stream_media_screen" -> mediaScreenOracleSql,
 
     "m5_phash_pairs" ->
       """WITH f AS (

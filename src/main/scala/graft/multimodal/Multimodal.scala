@@ -126,6 +126,25 @@ object Multimodal {
       floor(col("meanLuma") / 64).cast("long").as("luma_band"),
       col("aHash"))
 
+  /** The m7/st8 screen VERDICT: aggregate match rows
+    * `(batch_id, hist_id, hamming)` to a per-item count + argmin (lowest
+    * hamming, ties to the lowest history id) and left-join every batch id
+    * back in (no-match items report 0 / null). ONE definition — the
+    * streaming screen replays the batch screen's oracle, so the two
+    * assemblies must never drift.
+    */
+  def screenVerdict(matches: DataFrame, batchIds: DataFrame): DataFrame = {
+    val hits = matches.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct(col("hamming"), col("hist_id"))).as("best"))
+    batchIds.join(hits, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best.hist_id").as("best_id"),
+        col("best.hamming").as("best_hamming"))
+      .orderBy("batch_id")
+  }
+
   /** Metadata projection: blob-free frame safe to join/aggregate at scale. */
   def metadata(df: DataFrame): DataFrame =
     df.select(col("mediaId"), col("kind"), col("mimeType"), col("capturedAt"),

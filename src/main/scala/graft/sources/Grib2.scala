@@ -154,7 +154,9 @@ object Grib2 {
       (rho * math.sin(theta), p.rho0 - rho * math.cos(theta))
     }
 
-    /** Projected metres → (lat°, lon° in (−180, 180]). */
+    /** Projected metres → (lat°, lon° in [−180, 180) — the
+      * [[Grib.normalizeLon]] convention; the antimeridian maps to −180).
+      */
     def inverse(p: Proj, x: Double, y: Double): (Double, Double) = {
       val sgn = if (p.n >= 0) 1.0 else -1.0
       val rho = sgn * math.hypot(x, p.rho0 - y)
@@ -256,19 +258,25 @@ object Grib2 {
     */
   private def gridSection(grid: GridSpec): Writer = {
     val s3 = new Writer
+    // shared 38-octet prelude: length + number + source + point count +
+    // template + spherical earth (shape 6, axes missing) + Ni/Nj — ONE
+    // writer so the grid templates cannot drift on the common header
+    def prelude(length: Int, template: Int): Unit = {
+      s3.u32(length.toLong); s3.u8(3)
+      s3.u8(0) // source: specified in template
+      s3.u32(grid.numPoints)
+      s3.u8(0); s3.u8(0) // no optional list
+      s3.u16(template)
+      s3.u8(6) // shape of earth: spherical r=6371229 m
+      s3.u8(0xff); s3.u32(0xffffffffL) // radius scale/value: missing
+      s3.u8(0xff); s3.u32(0xffffffffL) // major axis: missing
+      s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
+      s3.u32(grid.ni); s3.u32(grid.nj)
+    }
     grid.lambert match {
       case Some(lc) =>
         // template 3.30 — Lambert conformal, 81 octets
-        s3.u32(81); s3.u8(3)
-        s3.u8(0) // source: specified in template
-        s3.u32(grid.numPoints)
-        s3.u8(0); s3.u8(0) // no optional list
-        s3.u16(30)
-        s3.u8(6) // shape of earth: spherical r=6371229 m
-        s3.u8(0xff); s3.u32(0xffffffffL) // radius scale/value: missing
-        s3.u8(0xff); s3.u32(0xffffffffL) // major axis: missing
-        s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
-        s3.u32(grid.ni); s3.u32(grid.nj)
+        prelude(81, 30)
         s3.sm32(microDeg(grid.lat1Deg)) // La1 — first point
         s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
         s3.u8(0x08) // resolution flags
@@ -283,16 +291,7 @@ object Grib2 {
         s3.sm32(-90000000L); s3.u32(0L) // southern pole of projection
       case None =>
         // template 3.0 (regular lat/lon) or 3.40 (Gaussian), 72 octets
-        s3.u32(72); s3.u8(3)
-        s3.u8(0) // source: specified in template
-        s3.u32(grid.numPoints)
-        s3.u8(0); s3.u8(0) // no optional list
-        s3.u16(if (grid.isGaussian) 40 else 0)
-        s3.u8(6) // shape of earth: spherical r=6371229 m
-        s3.u8(0xff); s3.u32(0xffffffffL) // radius scale/value: missing
-        s3.u8(0xff); s3.u32(0xffffffffL) // major axis: missing
-        s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
-        s3.u32(grid.ni); s3.u32(grid.nj)
+        prelude(72, if (grid.isGaussian) 40 else 0)
         s3.u32(0) // basic angle: 0 → micro-degree units
         s3.u32(0xffffffffL) // subdivisions: missing
         s3.sm32(microDeg(grid.lat1Deg))
@@ -1253,6 +1252,13 @@ object Grib2 {
           val template = r.u16()
           if (template != 0 && template != 40 && template != 30)
             fail(s"unsupported grid template 3.$template")
+          // a section LENGTH that understates its template's fixed size
+          // would read the next section's header bytes as projection/grid
+          // parameters — silently wrong coordinates that still pass every
+          // later check, or an AIOOBE past the last message. Bound FIRST.
+          val templateLen = if (template == 30) 81 else 72
+          if (secLen < templateLen)
+            fail(s"section 3 length $secLen too short for template 3.$template ($templateLen)")
           r.skip(1 + 5 + 5 + 5) // earth shape + radius + axes
           val ni = r.u32().toInt
           val nj = r.u32().toInt
@@ -1273,6 +1279,13 @@ object Grib2 {
             val latin2 = r.sm32() / 1e6
             r.skip(4 + 4) // southern pole of projection
             if (ni.toLong * nj != nPoints) fail(s"grid $ni x $nj != $nPoints points")
+            // degenerate wire parameters surface through the codec's
+            // IOException channel like every other malformed-wire case —
+            // LambertSpec's own require is a programming-error guard, not
+            // the quarantine path a corrupt file must take
+            if (dx <= 0 || dy <= 0) fail(s"bad lambert grid spacing ${dx}x$dy m")
+            if (math.abs(latin1) >= 90 || math.abs(latin2) >= 90 || latin1 + latin2 == 0.0)
+              fail(s"unsupported lambert cone parallels $latin1/$latin2")
             grid = GridSpec.lambertConformal(ni, nj, la1, lo1,
               LambertSpec(laD, loV, latin1, latin2, dx, dy,
                 yPositive = (scanL & 0x40) != 0))

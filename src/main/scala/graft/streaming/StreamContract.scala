@@ -368,15 +368,6 @@ object StreamContract {
         .start()
       q.awaitTermination()
     }
-    val hits = spark.read.parquet(sink)
-      .groupBy("batch_id")
-      .agg(count(lit(1)).as("n_matches"),
-        min(struct(col("hamming"), col("hist_id"))).as("best"))
-    batchIds.join(hits, Seq("batch_id"), "left")
-      .select(col("batch_id"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        col("best.hist_id").as("best_id"),
-        col("best.hamming").as("best_hamming"))
-      .orderBy("batch_id")
+    Multimodal.screenVerdict(spark.read.parquet(sink), batchIds)
   }
 }

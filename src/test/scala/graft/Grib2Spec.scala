@@ -561,7 +561,28 @@ class Grib2Spec extends AnyFunSuite {
     intercept[java.io.IOException](Grib2.decode(mangled(65, 0x20)))
     // ... while the supported +j order still decodes
     assert(Grib2.decode(mangled(65, 0x40)).head.grid.lambert.get.yPositive)
-    // degenerate cones are refused at construction
+    // a section LENGTH that understates the 81-octet template would read
+    // the next section's header bytes as projection parameters — silently
+    // wrong coordinates. Must fail through the codec channel instead.
+    val lying = bytes.clone()
+    lying(37 + 3) = 72.toByte // section-3 length 81 -> 72 (template still 30)
+    val e3 = intercept[java.io.IOException](Grib2.decode(lying))
+    assert(e3.getMessage.contains("too short for template"))
+    // degenerate cone parameters ON THE WIRE take the same IOException
+    // quarantine path as every other malformed-wire case
+    def withLatins(l1: Long, l2: Long): Array[Byte] = {
+      val out = bytes.clone()
+      def sm32(at: Int, v: Long): Unit = {
+        val raw = if (v < 0) 0x80000000L | -v else v
+        out(at) = (raw >>> 24).toByte; out(at + 1) = (raw >>> 16).toByte
+        out(at + 2) = (raw >>> 8).toByte; out(at + 3) = raw.toByte
+      }
+      sm32(37 + 65, l1 * 1000000L); sm32(37 + 69, l2 * 1000000L) // octets 66-73
+      out
+    }
+    val e4 = intercept[java.io.IOException](Grib2.decode(withLatins(30L, -30L)))
+    assert(e4.getMessage.contains("cone parallels"))
+    // degenerate cones are also refused at construction (programming-error guard)
     intercept[IllegalArgumentException](
       LambertSpec(48.0, 355.0, latin1Deg = 30.0, latin2Deg = -30.0,
         dxM = 1000.0, dyM = 1000.0))
