@@ -46,6 +46,21 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** The Graph.triangleStats persist discipline, packaged for query
+    * lambdas: force the (bounded — funnel counts, knob curves, per-group
+    * rollups, LSH-capped pair listings) result eagerly, release every
+    * persisted intermediate, and hand back the rows as a local relation.
+    * These lambdas are the reference implementations users copy into
+    * long-lived sessions, so they must leave NOTHING cached behind rather
+    * than relying on the harness's `clearCache()` between queries.
+    */
+  private def sealResult(result: DataFrame)(persisted: DataFrame*): DataFrame = {
+    val rows = result.collect()
+    persisted.foreach(_.unpersist())
+    result.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** The near-dup cluster map (`id → keeper_id`), MATERIALIZED once per
     * corpus snapshot under the buildOnce discipline and read back as
     * parquet. d6 stays the from-scratch contract demo of the
@@ -1342,12 +1357,13 @@ object SparkEntry {
         .filter(col("rate") >= 0.5)
         .select(col("id").as("doc_id"))
       val surviving = exactClean.join(ngFlagged, Seq("doc_id"), "left_anti")
-      corpus.agg(count(lit(1)).as("n_corpus"))
-        .crossJoin(bench.agg(count(lit(1)).as("n_bench")))
-        .crossJoin(exactClean.agg(count(lit(1)).as("n_after_exact")))
-        .crossJoin(surviving.agg(count(lit(1)).as("n_surviving"),
-          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
-            .as("tokens_surviving")))
+      sealResult(
+        corpus.agg(count(lit(1)).as("n_corpus"))
+          .crossJoin(bench.agg(count(lit(1)).as("n_bench")))
+          .crossJoin(exactClean.agg(count(lit(1)).as("n_after_exact")))
+          .crossJoin(surviving.agg(count(lit(1)).as("n_surviving"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+              .as("tokens_surviving"))))(exactClean)
     }),
 
     // X-flagship: MEDIA curation end to end — the x2 discipline for the
@@ -1400,11 +1416,13 @@ object SparkEntry {
         .orderBy(col("n_chars").desc, col("doc_id").asc)
       val quota = quality.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 20)
-      docs.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(deduped.agg(count(lit(1)).as("n_after_dedup")))
-        .crossJoin(quality.agg(count(lit(1)).as("n_after_quality")))
-        .crossJoin(quota.agg(count(lit(1)).as("n_after_quota"),
-          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept")))
+      sealResult(
+        docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(deduped.agg(count(lit(1)).as("n_after_dedup")))
+          .crossJoin(quality.agg(count(lit(1)).as("n_after_quality")))
+          .crossJoin(quota.agg(count(lit(1)).as("n_after_quota"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens_kept"))))(
+        deduped, quality)
     }),
 
     // T-text: language-ID confusion matrix — predicted vs labeled language
@@ -1453,10 +1471,11 @@ object SparkEntry {
         "doc_id", "text", prefixLen = 32, threshold = 0.0, maxBlock = 256)
         .withColumn("j4", round(col("jaccard"), 4))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Seq(0.25, 0.5, 0.75).map { th =>
-        pairs.filter(col("j4") >= th).agg(count(lit(1)).as("n_pairs"))
-          .select(lit(th).as("threshold"), col("n_pairs"))
-      }.reduce(_ unionByName _).orderBy("threshold")
+      sealResult(
+        Seq(0.25, 0.5, 0.75).map { th =>
+          pairs.filter(col("j4") >= th).agg(count(lit(1)).as("n_pairs"))
+            .select(lit(th).as("threshold"), col("n_pairs"))
+        }.reduce(_ unionByName _).orderBy("threshold"))(pairs)
     }),
 
     // G-graph: triangle census of the near-dup graph — is duplication
@@ -1534,13 +1553,16 @@ object SparkEntry {
       val matches = aggregate(
         zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v)
-      pairs
-        .join(sig.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
-        .join(sig.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
-        .withColumn("est_jaccard", round(matches.cast("double") / 48, 4))
-        .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 4))
-        .select("a", "b", "est_jaccard", "exact_jaccard", "abs_err")
-        .orderBy("a", "b")
+      // the pair listing is LSH-capped (bounded per corpus snapshot), so
+      // sealing it costs one bounded collect and leaves nothing cached
+      sealResult(
+        pairs
+          .join(sig.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
+          .join(sig.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
+          .withColumn("est_jaccard", round(matches.cast("double") / 48, 4))
+          .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 4))
+          .select("a", "b", "est_jaccard", "exact_jaccard", "abs_err")
+          .orderBy("a", "b"))(sh, sig)
     }),
 
     // D-dedup: train/test contamination — per-doc fraction of 8-gram
@@ -2283,13 +2305,14 @@ object SparkEntry {
           Seq("user_id", "day"))
         .filter(col("ta") < col("tb"))
         .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
-      ab.crossJoin(broadcast(nBaskets))
+      sealResult(
+        ab.crossJoin(broadcast(nBaskets))
         .join(broadcast(nA.select(col("event_type").as("ta"), col("n_t").as("n_a"))), Seq("ta"))
         .join(broadcast(nA.select(col("event_type").as("tb"), col("n_t").as("n_b"))), Seq("tb"))
         .select(col("ta"), col("tb"), col("n_ab"),
           round((col("n_ab") * col("n_baskets")).cast("double") /
             (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
-        .orderBy("ta", "tb")
+        .orderBy("ta", "tb"))(b)
     }),
 
     // W-window: top user paths — each user's first three events (ts order,
@@ -2416,10 +2439,11 @@ object SparkEntry {
         .join(broadcast(byLang.select("lang", "cut")), Seq("lang"))
         .filter(graft.functions.Sampling.hashBucket(col("doc_id")) < col("cut"))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-      byLang.select(col("lang"), col("n_docs"), round(col("rate"), 6).as("rate"))
-        .join(kept, Seq("lang"), "left")
-        .na.fill(0L, Seq("n_kept"))
-        .orderBy("lang")
+      sealResult(
+        byLang.select(col("lang"), col("n_docs"), round(col("rate"), 6).as("rate"))
+          .join(kept, Seq("lang"), "left")
+          .na.fill(0L, Seq("n_kept"))
+          .orderBy("lang"))(byLang)
     }),
 
     // SM-sampling: weighted sampling without replacement (Efraimidis–
@@ -2660,15 +2684,16 @@ object SparkEntry {
       val exact = Similarity.knnJoin(probes, emb, "vec_id", "embedding", 10)
         .select(col("probe_id").as("pid"), col("neighbor_id").as("nid"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Seq(1, 2, 4).map { np =>
-        Ivf.search(idx, probes, "vec_id", "embedding", nProbe = np, k = 10)
-          .select(col("probe_id"), col("neighbor_id"))
-          .join(exact, col("probe_id") === col("pid") &&
-            col("neighbor_id") === col("nid"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(np).as("n_probe"), col("n_hits"),
-            round(col("n_hits").cast("double") / 100.0, 4).as("recall_at_10"))
-      }.reduce(_ unionByName _).orderBy("n_probe")
+      sealResult(
+        Seq(1, 2, 4).map { np =>
+          Ivf.search(idx, probes, "vec_id", "embedding", nProbe = np, k = 10)
+            .select(col("probe_id"), col("neighbor_id"))
+            .join(exact, col("probe_id") === col("pid") &&
+              col("neighbor_id") === col("nid"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("n_probe"), col("n_hits"),
+              round(col("n_hits").cast("double") / 100.0, 4).as("recall_at_10"))
+        }.reduce(_ unionByName _).orderBy("n_probe"))(exact)
     }),
 
     // H-OLAP: order-priority counting (TPC-H Q4 shape) — EXISTS as a

@@ -67,16 +67,26 @@ object Graph {
     // long-lived session running many censuses must leave NOTHING
     // persisted behind (localCheckpoint would itself pin the result RDD
     // in the cache with no caller-accessible handle)
-    val wedgesRow = deg.agg(expr("sum(d * (d - 1) div 2)").as("n_wedges")).collect()(0)
-    val nWedges: java.lang.Long = // null on an empty graph, like the SQL sum
-      if (wedgesRow.isNullAt(0)) null else java.lang.Long.valueOf(wedgesRow.getLong(0))
     val paths = e.select(col("a").as("pa"), col("b").as("pb")).as("p")
       .join(e.select(col("a").as("qa"), col("b").as("qb")).as("q"),
         col("pb") === col("qa"))
       .select(col("pa").as("a"), col("qb").as("b"))
-    val nTris = paths.join(e, Seq("a", "b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles")).collect()(0).getLong(0)
-    val nEdges = e.count()
+    // ONE action for all three counts (wedges + edges from the degree
+    // frame — Σd counts every edge row twice, duplicates included, so
+    // Σd div 2 ≡ e.count(); triangles from the closing-edge semi-join):
+    // a cross of two one-row aggregates collects in a single job over the
+    // cached edge frame, where separate collect()/count() actions paid
+    // the full job overhead three times for the same cache traversals
+    val row = deg
+      .agg(expr("sum(d * (d - 1) div 2)").as("n_wedges"),
+        expr("coalesce(sum(d) div 2, 0)").as("n_edges"))
+      .crossJoin(paths.join(e, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles")))
+      .collect()(0)
+    val nWedges: java.lang.Long = // null on an empty graph, like the SQL sum
+      if (row.isNullAt(0)) null else java.lang.Long.valueOf(row.getLong(0))
+    val nEdges = row.getLong(1)
+    val nTris = row.getLong(2)
     e.unpersist()
     // HALF_UP to 6dp, matching Spark's round() the former plan used
     val clustering: Double =

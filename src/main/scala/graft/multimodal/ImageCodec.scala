@@ -101,11 +101,39 @@ object ImageCodec {
       }
       y += 1
     }
+    if (w < 8 || h < 8) {
+      // merge-safe pooling for sub-8-pixel dimensions: re-pool over the
+      // nearest-neighbor upscale to max(w,8) × max(h,8). Pooling commutes
+      // with block upscale, so this is the SAME definition the normal path
+      // computes when both dims are ≥ 8 — and no pooling cell is ever
+      // empty, so a 3×5 thumbnail can no longer vote phantom 0-luma cells
+      // into the aHash threshold (the mean luma above still averages the
+      // actual pixels, not the upscale).
+      java.util.Arrays.fill(cellSum, 0L)
+      java.util.Arrays.fill(cellN, 0L)
+      val upW = math.max(w, 8)
+      val upH = math.max(h, 8)
+      var uy = 0
+      while (uy < upH) {
+        val cy = uy * 8 / upH
+        val srcY = uy * h / upH
+        var ux = 0
+        while (ux < upW) {
+          val rgb = img.getRGB(ux * w / upW, srcY)
+          val lumaMilli = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+          val c = cy * 8 + ux * 8 / upW
+          cellSum(c) += lumaMilli
+          cellN(c) += 1
+          ux += 1
+        }
+        uy += 1
+      }
+    }
     val cells = new Array[Double](64)
     var sumOfMeans = 0.0
     var i = 0
     while (i < 64) {
-      cells(i) = if (cellN(i) == 0) 0.0 else cellSum(i).toDouble / (1000.0 * cellN(i))
+      cells(i) = cellSum(i).toDouble / (1000.0 * cellN(i)) // cellN ≥ 1 on both paths
       sumOfMeans += cells(i)
       i += 1
     }

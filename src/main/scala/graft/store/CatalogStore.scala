@@ -47,8 +47,17 @@ final class CatalogStore(spark: SparkSession, val path: String, val keyCol: Stri
     // each other's staged files mid-promote.
     import org.apache.hadoop.fs.Path
     val staged = new Path(path + s".insert.${java.util.UUID.randomUUID()}.tmp")
-    fresh.observe(obs, count(lit(1)).as("n"))
+    // a FAILED staged write has nothing worth recovering — delete its
+    // scratch dir instead of orphaning one uniquely-named dir per failed
+    // attempt (the keep-for-recovery behavior below is reserved for a
+    // half-failed PROMOTE, where the staged files are the only copy)
+    try fresh.observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(staged.toString)
+    catch {
+      case e: Throwable =>
+        try fs.delete(staged, true) catch { case _: java.io.IOException => () }
+        throw e
+    }
     val n = obs.get("n").asInstanceOf[Long]
     if (n > 0L) {
       val live = new Path(path)

@@ -368,6 +368,11 @@ object StreamContract {
         .start()
       q.awaitTermination()
     }
-    Multimodal.screenVerdict(spark.read.parquet(sink), batchIds)
+    // read the sink with the match schema STATED, not inferred: a screen
+    // that produced zero match rows leaves a parquet dir with no data
+    // files, where schema inference throws instead of yielding the
+    // all-no-match verdict the left join below exists to report
+    Multimodal.screenVerdict(
+      spark.read.schema(matches.schema).parquet(sink), batchIds)
   }
 }

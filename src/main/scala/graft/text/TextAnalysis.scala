@@ -390,15 +390,19 @@ object TextAnalysis {
       textCol: String, headLen: Int = 48, pfxLen: Int = 16,
       maxBlock: Int = 256, maxLev: Int = 16, k: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"need k >= 1: $k")
-    // materialize the (expensive) blocked-levenshtein pair set ONCE before
-    // symmetrizing: the two union branches shuffle on different keys, so
-    // exchange reuse cannot deduplicate the join subtree and an
-    // unmaterialized plan would run the O(block²) candidate generation
-    // twice (the Dedup.canonicalize edge-frame discipline)
+    // symmetrize with a NARROW generator instead of a self-union: a union
+    // of (pairs, swapped pairs) is two separate plan subtrees — the two
+    // branches shuffle on different keys, so exchange reuse cannot
+    // deduplicate them and the O(block²) levenshtein candidate generation
+    // would run twice (or need a materialization whose cached RDD nothing
+    // could ever unpersist — the long-lived-session cache leak). One
+    // explode on the single join output keeps ONE candidate pass and
+    // leaves nothing pinned behind.
     val pairs = fuzzyMatchBlocked(df, idCol, textCol, headLen, pfxLen, maxBlock, maxLev)
-      .localCheckpoint(eager = true)
-    val sym = pairs.unionByName(
-      pairs.select(col("b").as("a"), col("a").as("b"), col("lev")))
+    val sym = pairs.select(explode(array(
+        struct(col("a"), col("b"), col("lev")),
+        struct(col("b").as("a"), col("a").as("b"), col("lev")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.lev").as("lev"))
     val byA = org.apache.spark.sql.expressions.Window.partitionBy("a")
     val w = byA.orderBy(col("lev").asc, col("b").asc)
     sym.withColumn("rnk", row_number().over(w))
