@@ -20,6 +20,10 @@ import scala.collection.mutable.ArrayBuffer
   *  - Data Representation Template 5.2 — complex packing (general group
   *    splitting: per-group reference + width, bit-packed group ref/width/
   *    length arrays each padded to whole octets)
+  *  - Data Representation Template 5.41 — PNG packing: the scaled
+  *    integers ride a lossless PNG raster (grayscale 8/16-bit or RGB
+  *    24-bit), decoded with the JDK's own `javax.imageio` codec; 5.40
+  *    (JPEG2000) has no JDK codec and stays unsupported-fail-fast
   *  - Data Representation Template 5.3 — complex packing with spatial
   *    differencing (order 1 or 2): the scaled integers are differenced,
   *    the overall minimum of the differences and the initial value(s) ride
@@ -58,9 +62,29 @@ object Grib2 {
       latin1Deg: Double, latin2Deg: Double, dxM: Double, dyM: Double,
       yPositive: Boolean = false) {
     require(dxM > 0 && dyM > 0, s"bad grid spacing ${dxM}x$dyM")
+    // |latin1+latin2| below a millidegree ⇒ cone constant n ≈ 0 and the
+    // projection radii diverge — as degenerate as the exact-zero sum
     require(math.abs(latin1Deg) < 90 && math.abs(latin2Deg) < 90 &&
-      latin1Deg + latin2Deg != 0.0,
+      math.abs(latin1Deg + latin2Deg) >= 1e-3,
       s"unsupported cone parallels $latin1Deg/$latin2Deg")
+  }
+
+  /** Polar stereographic projection parameters (GDT 3.20): spherical earth
+    * (shape 6, R = 6371229 m), pole given by `southPole` (projection-centre
+    * flag bit 1), central meridian `loV`, grid spacing `dxM`/`dyM` in
+    * metres true at `laDDeg`. `yPositive` mirrors scanning-mode bit 2.
+    */
+  final case class PolarSpec(laDDeg: Double, loVDeg: Double,
+      dxM: Double, dyM: Double, southPole: Boolean = false,
+      yPositive: Boolean = false) {
+    require(dxM > 0 && dyM > 0, s"bad grid spacing ${dxM}x$dyM")
+    require(math.abs(laDDeg) <= 90, s"bad LaD $laDDeg")
+    // LaD at the OPPOSITE pole degenerates the projection constant
+    // c = R(1 ± sin LaD) to 0 and every radius diverges
+    require(
+      (if (southPole) 1.0 - math.sin(math.toRadians(laDDeg))
+       else 1.0 + math.sin(math.toRadians(laDDeg))) >= 1e-6,
+      s"unsupported LaD $laDDeg for ${if (southPole) "south" else "north"}-polar projection")
   }
 
   /** Lat/lon grid, +i (west→east) scanning. Three forms:
@@ -78,20 +102,27 @@ object Grib2 {
   final case class GridSpec(ni: Int, nj: Int,
       lat1Deg: Double, lon1Deg: Double, dLatDeg: Double, dLonDeg: Double,
       gaussianN: Int = 0, gaussianStart: Int = 0,
-      lambert: Option[LambertSpec] = None) {
+      lambert: Option[LambertSpec] = None,
+      polar: Option[PolarSpec] = None) {
     require(ni > 0 && nj > 0, s"empty grid $ni x $nj")
     require(gaussianN >= 0 && gaussianStart >= 0, s"bad gaussian fields $gaussianN/$gaussianStart")
     require(gaussianN == 0 || gaussianStart + nj <= 2 * gaussianN,
       s"$nj rows from $gaussianStart overrun the ${2 * gaussianN} gaussian parallels")
-    require(gaussianN == 0 || lambert.isEmpty, "a grid cannot be both gaussian and lambert")
+    require(Seq(gaussianN > 0, lambert.isDefined, polar.isDefined).count(identity) <= 1,
+      "a grid carries at most one of: gaussian parallels, a lambert cone, a polar plane")
     def isGaussian: Boolean = gaussianN > 0
     def isLambert: Boolean = lambert.isDefined
+    def isPolar: Boolean = polar.isDefined
+    /** True for the grids whose points are regular in projected METRES
+      * (3.30/3.20) rather than in degrees.
+      */
+    def isProjected: Boolean = isLambert || isPolar
     def numPoints: Int = ni * nj
     /** Row latitudes north→south — the coordinate source for the lat/lon
-      * forms (a Lambert grid has no shared row latitude; see [[Lcc]]).
+      * forms (a projected grid has no shared row latitude; see [[Lcc]]/[[Pst]]).
       */
     def rowLats: Array[Double] = {
-      require(!isLambert, "rowLats undefined for a Lambert grid (lat varies per point)")
+      require(!isProjected, "rowLats undefined for a projected grid (lat varies per point)")
       if (isGaussian) {
         val gl = gaussianLatitudes(gaussianN)
         java.util.Arrays.copyOfRange(gl, gaussianStart, gaussianStart + nj)
@@ -117,6 +148,11 @@ object Grib2 {
     def lambertConformal(ni: Int, nj: Int, lat1Deg: Double, lon1Deg: Double,
         spec: LambertSpec): GridSpec =
       GridSpec(ni, nj, lat1Deg, lon1Deg, 0.0, 0.0, lambert = Some(spec))
+
+    /** Polar stereographic grid constructor: first point + projection. */
+    def polarStereographic(ni: Int, nj: Int, lat1Deg: Double, lon1Deg: Double,
+        spec: PolarSpec): GridSpec =
+      GridSpec(ni, nj, lat1Deg, lon1Deg, 0.0, 0.0, polar = Some(spec))
   }
 
   /** Lambert conformal conic on the sphere — the Snyder 1987 ("Map
@@ -164,6 +200,61 @@ object Grib2 {
       val lat = 2 * math.atan(math.pow(p.rF / rho, 1.0 / p.n)) - math.Pi / 2
       val lon = math.toDegrees(p.lam0Rad + theta / p.n)
       (math.toDegrees(lat), ((lon + 540.0) % 360.0) - 180.0)
+    }
+  }
+
+  /** Polar stereographic on the sphere — Snyder 1987 (USGS PP 1395, eqs.
+    * 21-1..21-4 forward and 20-14..20-18 inverse, spherical case), scale
+    * true at LaD — the limit of the Lambert cone as the parallels reach
+    * the pole (cone constant n = ±1), which is exactly how GRIB2 3.20
+    * accompanies 3.30 in regional-model output. Pure arithmetic.
+    */
+  object Pst {
+
+    /** `c = R·(1 ± sin LaD)`: ρ(φ) = c·tan(π/4 ∓ φ/2); sign per pole. */
+    final case class Proj(south: Boolean, c: Double, lam0Rad: Double)
+
+    def proj(s: PolarSpec, radiusM: Double = Lcc.EarthRadiusM): Proj = {
+      val phiC = math.toRadians(s.laDDeg)
+      val c =
+        if (s.southPole) radiusM * (1.0 - math.sin(phiC))
+        else radiusM * (1.0 + math.sin(phiC))
+      Proj(s.southPole, c, math.toRadians(s.loVDeg))
+    }
+
+    /** (lat°, lon°) → projected metres; origin at the pole, y toward LoV's
+      * antimeridian on the north plane (the GRIB/Snyder orientation:
+      * y = −ρ·cos θ north, +ρ·cos θ south).
+      */
+    def forward(p: Proj, latDeg: Double, lonDeg: Double): (Double, Double) = {
+      var dLon = lonDeg - math.toDegrees(p.lam0Rad)
+      while (dLon > 180) dLon -= 360
+      while (dLon <= -180) dLon += 360
+      val theta = math.toRadians(dLon)
+      val phi = math.toRadians(latDeg)
+      if (p.south) {
+        val rho = p.c * math.tan(math.Pi / 4 + phi / 2)
+        (rho * math.sin(theta), rho * math.cos(theta))
+      } else {
+        val rho = p.c * math.tan(math.Pi / 4 - phi / 2)
+        (rho * math.sin(theta), -rho * math.cos(theta))
+      }
+    }
+
+    /** Projected metres → (lat°, lon° in [−180, 180)). The pole itself
+      * (ρ = 0) reports LoV as its longitude.
+      */
+    def inverse(p: Proj, x: Double, y: Double): (Double, Double) = {
+      val rho = math.hypot(x, y)
+      val (lat, lonRad) =
+        if (p.south)
+          (-90.0 + 2.0 * math.toDegrees(math.atan(rho / p.c)),
+            if (rho == 0.0) p.lam0Rad else p.lam0Rad + math.atan2(x, y))
+        else
+          (90.0 - 2.0 * math.toDegrees(math.atan(rho / p.c)),
+            if (rho == 0.0) p.lam0Rad else p.lam0Rad + math.atan2(x, -y))
+      val lon = math.toDegrees(lonRad)
+      (lat, ((lon + 540.0) % 360.0) - 180.0)
     }
   }
 
@@ -273,8 +364,8 @@ object Grib2 {
       s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
       s3.u32(grid.ni); s3.u32(grid.nj)
     }
-    grid.lambert match {
-      case Some(lc) =>
+    (grid.lambert, grid.polar) match {
+      case (Some(lc), _) =>
         // template 3.30 — Lambert conformal, 81 octets
         prelude(81, 30)
         s3.sm32(microDeg(grid.lat1Deg)) // La1 — first point
@@ -289,7 +380,19 @@ object Grib2 {
         s3.sm32(microDeg(lc.latin1Deg))
         s3.sm32(microDeg(lc.latin2Deg))
         s3.sm32(-90000000L); s3.u32(0L) // southern pole of projection
-      case None =>
+      case (None, Some(ps)) =>
+        // template 3.20 — polar stereographic, 65 octets
+        prelude(65, 20)
+        s3.sm32(microDeg(grid.lat1Deg)) // La1 — first point
+        s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
+        s3.u8(0x08) // resolution flags
+        s3.sm32(microDeg(ps.laDDeg)) // LaD — where Dx/Dy are true
+        s3.u32(microDeg(((ps.loVDeg % 360.0) + 360.0) % 360.0)) // LoV
+        s3.u32(Math.round(ps.dxM * 1000.0)) // Dx in 10^-3 m
+        s3.u32(Math.round(ps.dyM * 1000.0)) // Dy
+        s3.u8(if (ps.southPole) 0x80 else 0x00) // projection centre flag
+        s3.u8(if (ps.yPositive) 0x40 else 0x00) // scanning: +i, ±j
+      case (None, None) =>
         // template 3.0 (regular lat/lon) or 3.40 (Gaussian), 72 octets
         prelude(72, if (grid.isGaussian) 40 else 0)
         s3.u32(0) // basic angle: 0 → micro-degree units
@@ -443,6 +546,116 @@ object Grib2 {
     w.u16(0xffff) // reserved
     w.u8(discipline)
     w.u8(2) // edition
+    w.u64(16L + bodyLen + 4L)
+    w.buf ++= s1.buf; w.buf ++= s3.buf; w.buf ++= s4.buf
+    w.buf ++= s5.buf; w.buf ++= s6.buf; w.buf ++= s7.buf
+    w.buf ++= "7777".getBytes("ASCII")
+    w.buf.toArray
+  }
+
+  /** Encode one message with DRT 5.41 (PNG packing): the scaled integers X
+    * of the [[encode]] quantization written as a lossless PNG raster —
+    * depth 8 (grayscale), 16 (16-bit grayscale) or 24 (RGB, X decomposed
+    * big-endian across the channels) chosen from `nbits`; one pixel per
+    * PRESENT point, Ni×Nj when nothing is missing, numValues×1 under a
+    * bitmap (packing covers present points only, like every other DRT).
+    * The PNG codec is the JDK's own `javax.imageio` (the path the r9 media
+    * codec proved out), so decode(encode(…)) is value-exact at E=0. 5.40
+    * (JPEG2000) has no JDK codec and stays on the unsupported-template
+    * fail-fast. The reference reads any eccodes-supported packing through
+    * pygrib (`pipeline-python/src/pipeline_python/grib2/reader.py:36-37`).
+    */
+  def encodePngPacked(product: Product, grid: GridSpec, refTime: LocalDateTime,
+      forecastHours: Int, values: Array[Double], nbits: Int = 12): Array[Byte] = {
+    require(values.length == grid.numPoints,
+      s"${values.length} values for ${grid.numPoints}-point grid")
+    require(nbits >= 1 && nbits <= 24, s"nbits out of (0,24] for PNG packing: $nbits")
+    val present = values.filter(v => !isMissing(v))
+    require(present.nonEmpty, "every grid point is missing")
+    val n = present.length
+    val depth = if (nbits <= 8) 8 else if (nbits <= 16) 16 else 24
+
+    val (rRef, e) = packingParams(present, nbits)
+    val scale = math.pow(2.0, -e)
+    // present points lay out as the grid raster when nothing is missing,
+    // else as a single pixel row (the shape eccodes' png packer emits)
+    val (iw, ih) = if (n == grid.numPoints) (grid.ni, grid.nj) else (n, 1)
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(iw, ih, depth match {
+      case 8  => BufferedImage.TYPE_BYTE_GRAY
+      case 16 => BufferedImage.TYPE_USHORT_GRAY
+      case _  => BufferedImage.TYPE_INT_RGB
+    })
+    val raster = img.getRaster
+    var i = 0
+    while (i < n) {
+      val x = Math.round((present(i) - rRef.toDouble) * scale)
+      require(x >= 0 && x < (1L << nbits), s"packed value out of range: $x")
+      val px = i % iw
+      val py = i / iw
+      if (depth == 24) {
+        raster.setSample(px, py, 0, ((x >> 16) & 0xff).toInt)
+        raster.setSample(px, py, 1, ((x >> 8) & 0xff).toInt)
+        raster.setSample(px, py, 2, (x & 0xff).toInt)
+      } else raster.setSample(px, py, 0, x.toInt)
+      i += 1
+    }
+    val payload = graft.multimodal.ImageCodec.encodePng(img)
+
+    val w = new Writer
+
+    // Section 1 — identification (same as simple packing)
+    val s1 = new Writer
+    s1.u32(21); s1.u8(1)
+    s1.u16(98); s1.u16(0); s1.u8(2); s1.u8(1); s1.u8(1)
+    s1.u16(refTime.getYear); s1.u8(refTime.getMonthValue); s1.u8(refTime.getDayOfMonth)
+    s1.u8(refTime.getHour); s1.u8(refTime.getMinute); s1.u8(refTime.getSecond)
+    s1.u8(0); s1.u8(1)
+
+    // Section 3 — grid definition (shared writer, all grid templates)
+    val s3 = gridSection(grid)
+
+    // Section 4 — product definition (identical to encode)
+    val s4 = new Writer
+    val (templateNo, cat, num, constituent) = product match {
+      case Meteo(c, nn)  => (0, c, nn, None)
+      case Chemical(ct)  => (40, 20, 0, Some(ct))
+    }
+    s4.u32(if (constituent.isEmpty) 34 else 36); s4.u8(4)
+    s4.u16(0); s4.u16(templateNo)
+    s4.u8(cat); s4.u8(num)
+    constituent.foreach(s4.u16)
+    s4.u8(2); s4.u8(255); s4.u8(255)
+    s4.u16(0); s4.u8(0); s4.u8(1)
+    s4.u32(forecastHours)
+    s4.u8(103); s4.u8(0); s4.u32(2)
+    s4.u8(255); s4.u8(0xff); s4.u32(0xffffffffL)
+
+    // Section 5 — DRT 5.41 (21 octets: R, E, D, image depth, field type)
+    val s5 = new Writer
+    s5.u32(21); s5.u8(5)
+    s5.u32(n)
+    s5.u16(41)
+    s5.f32(rRef)
+    s5.sm16(e)
+    s5.sm16(0) // decimal scale D = 0
+    s5.u8(depth)
+    s5.u8(0) // original values: floating point
+
+    // Section 6 — bitmap (255 when nothing is missing)
+    val s6 = bitmapSection(values)
+
+    // Section 7 — the PNG bitstream
+    val s7 = new Writer
+    s7.u32(5 + payload.length); s7.u8(7)
+    s7.buf ++= payload
+
+    val bodyLen = s1.buf.length + s3.buf.length + s4.buf.length +
+      s5.buf.length + s6.buf.length + s7.buf.length
+    w.buf ++= "GRIB".getBytes("ASCII")
+    w.u16(0xffff)
+    w.u8(0) // discipline: meteorological
+    w.u8(2)
     w.u64(16L + bodyLen + 4L)
     w.buf ++= s1.buf; w.buf ++= s3.buf; w.buf ++= s4.buf
     w.buf ++= s5.buf; w.buf ++= s6.buf; w.buf ++= s7.buf
@@ -1004,6 +1217,55 @@ object Grib2 {
     out
   }
 
+  /** Section-7 payload of DRT 5.41: a PNG bitstream whose raster carries
+    * the scaled integers — 1-band rasters (grayscale, wire depths
+    * 1/2/4/8/16) read the sample directly, 3-band rasters (wire depth 24)
+    * compose big-endian RGB. 4-band (depth 32, RGBA) and palette-indexed
+    * rasters are not a shape any 5.41 packer emits and fail fast.
+    * Undecodable bytes route through the malformed-wire IOException
+    * channel like every other corrupt section.
+    */
+  private def unpackPng(bytes: Array[Byte], dataPos: Int, dataEnd: Int,
+      numValues: Int, rRef: Float, eScale: Int, dScale: Int): Array[Double] = {
+    if (dataEnd > bytes.length || dataPos > dataEnd) fail("section 7 overruns the message")
+    val slice = java.util.Arrays.copyOfRange(bytes, dataPos, dataEnd)
+    javax.imageio.ImageIO.setUseCache(false) // no executor-local temp spill
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(slice))
+      catch { case e: Exception => fail(s"PNG-packed data failed to decode: ${e.getMessage}") }
+    if (img == null) fail("PNG-packed data: no ImageIO reader matched")
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w.toLong * h != numValues)
+      fail(s"PNG raster ${w}x$h carries ${w.toLong * h} pixels for $numValues declared values")
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    if (bands != 1 && bands != 3)
+      fail(s"unsupported PNG-packed band count $bands")
+    if (bands == 1 && img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel])
+      fail("palette-indexed PNG is not a 5.41 packing shape")
+    val mul = math.pow(2.0, eScale)
+    val div = math.pow(10.0, dScale)
+    val out = new Array[Double](numValues)
+    var idx = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v: Long =
+          if (bands == 1) raster.getSample(x, y, 0).toLong & 0xffffffffL
+          else ((raster.getSample(x, y, 0).toLong & 0xff) << 16) |
+            ((raster.getSample(x, y, 1).toLong & 0xff) << 8) |
+            (raster.getSample(x, y, 2).toLong & 0xff)
+        out(idx) = (rRef.toDouble + v * mul) / div
+        idx += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // CCSDS 121.0-B-2 AEC flag bits (template 5.42 octet 22; libaec public ABI)
   private val CcsdsSigned = 0x01
   private val CcsdsMsb = 0x04
@@ -1250,19 +1512,49 @@ object Grib2 {
           val nPoints = r.u32().toInt
           r.skip(1 + 1)
           val template = r.u16()
-          if (template != 0 && template != 40 && template != 30)
+          if (template != 0 && template != 40 && template != 30 && template != 20)
             fail(s"unsupported grid template 3.$template")
           // a section LENGTH that understates its template's fixed size
           // would read the next section's header bytes as projection/grid
           // parameters — silently wrong coordinates that still pass every
           // later check, or an AIOOBE past the last message. Bound FIRST.
-          val templateLen = if (template == 30) 81 else 72
+          val templateLen =
+            if (template == 30) 81 else if (template == 20) 65 else 72
           if (secLen < templateLen)
             fail(s"section 3 length $secLen too short for template 3.$template ($templateLen)")
           r.skip(1 + 5 + 5 + 5) // earth shape + radius + axes
           val ni = r.u32().toInt
           val nj = r.u32().toInt
-          if (template == 30) {
+          if (template == 20) {
+            // polar stereographic: first point, then the projection params
+            val la1 = r.sm32() / 1e6
+            val lo1 = r.u32() / 1e6
+            r.skip(1) // resolution flags
+            val laD = r.sm32() / 1e6
+            val loV = r.u32() / 1e6
+            val dx = r.u32() / 1000.0 // wire 10^-3 m → metres
+            val dy = r.u32() / 1000.0
+            val centre = r.u8()
+            // flag table 3.5: bit 1 (0x80) = south pole on the plane; bit 2
+            // (0x40) = bipolar/symmetric — not a shape this decoder can
+            // represent faithfully, refuse
+            if ((centre & 0x7f) != 0) fail(f"unsupported projection centre flag 0x$centre%02x")
+            val south = (centre & 0x80) != 0
+            val scanP = r.u8()
+            if ((scanP & 0xb0) != 0) fail(f"unsupported scanning mode 0x$scanP%02x")
+            if (ni.toLong * nj != nPoints) fail(s"grid $ni x $nj != $nPoints points")
+            if (dx <= 0 || dy <= 0) fail(s"bad polar grid spacing ${dx}x$dy m")
+            if (math.abs(la1) > 90 || math.abs(laD) > 90)
+              fail(s"bad polar latitudes la1=$la1 laD=$laD")
+            // LaD at the opposite pole ⇒ projection constant c → 0 and the
+            // inverse blows up: quarantine through the malformed channel
+            if ((if (south) 1.0 - math.sin(math.toRadians(laD))
+                 else 1.0 + math.sin(math.toRadians(laD))) < 1e-6)
+              fail(s"unsupported LaD $laD for ${if (south) "south" else "north"}-polar grid")
+            grid = GridSpec.polarStereographic(ni, nj, la1, lo1,
+              PolarSpec(laD, loV, dx, dy, southPole = south,
+                yPositive = (scanP & 0x40) != 0))
+          } else if (template == 30) {
             // Lambert conformal: first point, then the projection params
             val la1 = r.sm32() / 1e6
             val lo1 = r.u32() / 1e6
@@ -1284,7 +1576,13 @@ object Grib2 {
             // LambertSpec's own require is a programming-error guard, not
             // the quarantine path a corrupt file must take
             if (dx <= 0 || dy <= 0) fail(s"bad lambert grid spacing ${dx}x$dy m")
-            if (math.abs(latin1) >= 90 || math.abs(latin2) >= 90 || latin1 + latin2 == 0.0)
+            // NEAR-antisymmetric parallels (0.001/−0.001) are as degenerate
+            // as exact ones: the cone constant n ≈ sin((latin1+latin2)/2)
+            // underflows toward 0 and rF = R·cosφ₁·t₁ⁿ/n blows up into
+            // absurd-but-finite coordinates — quarantine them through the
+            // malformed-wire channel, not just the exact-zero sum
+            if (math.abs(latin1) >= 90 || math.abs(latin2) >= 90 ||
+                math.abs(latin1 + latin2) < 1e-3)
               fail(s"unsupported lambert cone parallels $latin1/$latin2")
             grid = GridSpec.lambertConformal(ni, nj, la1, lo1,
               LambertSpec(laD, loV, latin1, latin2, dx, dy,
@@ -1361,7 +1659,8 @@ object Grib2 {
           // unpackComplex's lenRef/lastLen
           if (numValues < 0) fail(s"section 5 point count out of range: $numValues")
           val template = r.u16()
-          if (template != 0 && template != 2 && template != 3 && template != 42)
+          if (template != 0 && template != 2 && template != 3 &&
+              template != 41 && template != 42)
             fail(s"unsupported data representation 5.$template")
           drTemplate = template
           rRef = r.f32()
@@ -1371,6 +1670,15 @@ object Grib2 {
           // wire-read u8 (0..255): past 32 the unpack accumulator wraps and
           // values silently decode wrong — same guard class as unpackComplex
           if (nbits > 32) fail(s"bits-per-value out of range: $nbits")
+          if (template == 41) {
+            // octet 21: type of original field values; the image depth
+            // rode octet 20 (read as nbits above) — constrain it to the
+            // PNG depths a conformant packer can emit
+            if (nbits != 0 && nbits != 1 && nbits != 2 && nbits != 4 &&
+                nbits != 8 && nbits != 16 && nbits != 24)
+              fail(s"unsupported PNG image depth $nbits")
+            r.skip(1)
+          }
           if (template == 42) {
             r.skip(1) // type of original field values
             ccsdsFlags = r.u8()
@@ -1423,6 +1731,8 @@ object Grib2 {
               sdOrder, sdOctets)
           } else if (nbits == 0) {
             values = Array.fill(numValues)(rRef.toDouble / math.pow(10.0, dScale))
+          } else if (drTemplate == 41) {
+            values = unpackPng(bytes, r.pos, dataEnd, numValues, rRef, eScale, dScale)
           } else {
             if (numValues.toLong * nbits > (secLen - 5).toLong * 8)
               fail(s"section 7 too short: $numValues x $nbits-bit values in ${secLen - 5} octets")
@@ -1483,8 +1793,8 @@ object Grib2 {
   private def gridArrays(g: GridSpec): (Array[Double], Array[Double]) = {
     val lats = new Array[Double](g.numPoints)
     val lons = new Array[Double](g.numPoints)
-    g.lambert match {
-      case Some(lc) =>
+    (g.lambert, g.polar) match {
+      case (Some(lc), _) =>
         // Lambert conformal: regular in PROJECTED metres, anchored at the
         // first point; every grid point inverse-projects individually
         val p = Lcc.proj(lc)
@@ -1504,7 +1814,27 @@ object Grib2 {
           }
           j += 1
         }
-      case None =>
+      case (None, Some(ps)) =>
+        // polar stereographic: same projected-metres walk, Snyder polar
+        // inverse per point
+        val p = Pst.proj(ps)
+        val (x1, y1) = Pst.forward(p, g.lat1Deg, g.lon1Deg)
+        val ySign = if (ps.yPositive) 1.0 else -1.0
+        var idx = 0
+        var j = 0
+        while (j < g.nj) {
+          val y = y1 + ySign * j * ps.dyM
+          var i = 0
+          while (i < g.ni) {
+            val (la, lo) = Pst.inverse(p, x1 + i * ps.dxM, y)
+            lats(idx) = la
+            lons(idx) = Grib.normalizeLon(lo)
+            idx += 1
+            i += 1
+          }
+          j += 1
+        }
+      case (None, None) =>
         val rows = g.rowLats // regular arithmetic or the Gaussian table window
         var idx = 0
         var j = 0

@@ -390,6 +390,80 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("PNG packing 5.41: 8/16/24-bit depths decode identical to simple packing") {
+    // same quantization (packingParams) as 5.0, lossless PNG carrier →
+    // decode must be BIT-identical to the simple-packed decode per depth
+    val grid = GridSpec(ni = 40, nj = 30, lat1Deg = 72.0, lon1Deg = 335.0,
+      dLatDeg = 0.5, dLonDeg = 0.5)
+    val values = field(grid, 250.0, 40.0)
+    Seq(8, 16, 24).foreach { nb =>
+      val simple = Grib2.decode(Grib2.encode(Meteo(0, 0), grid, refTime, 12,
+        values, nbits = nb)).head
+      val png = Grib2.decode(Grib2.encodePngPacked(Meteo(0, 0), grid, refTime, 12,
+        values, nbits = nb)).head
+      assert(png.product === Meteo(0, 0) && png.forecastHours === 12)
+      assert(simple.values.sameElements(png.values), s"5.41 depth-$nb decode != 5.0 decode")
+    }
+    // non-octet nbits pick the enclosing depth (12 → 16-bit grayscale)
+    val png12 = Grib2.decode(Grib2.encodePngPacked(Meteo(0, 0), grid, refTime, 12,
+      values, nbits = 12)).head
+    val simple12 = Grib2.decode(Grib2.encode(Meteo(0, 0), grid, refTime, 12,
+      values, nbits = 12)).head
+    assert(simple12.values.sameElements(png12.values))
+  }
+
+  test("PNG packing 5.41: bitmap composes, gaussian and lambert grids carry PNG too") {
+    // bitmap: present points pack as a single pixel row; missing decode NaN
+    val grid = GridSpec(10, 6, 60.0, 350.0, 0.5, 0.5)
+    val values = field(grid, 250.0, 40.0)
+    values(3) = Double.NaN; values(17) = Double.NaN; values(59) = Double.NaN
+    val d = Grib2.decode(Grib2.encodePngPacked(Meteo(0, 0), grid, refTime, 6,
+      values, nbits = 16)).head
+    val simple = Grib2.decode(Grib2.encode(Meteo(0, 0), grid, refTime, 6,
+      values, nbits = 16)).head
+    assert(Seq(3, 17, 59).forall(i => d.values(i).isNaN))
+    values.indices.foreach { i =>
+      if (!values(i).isNaN)
+        assert(d.values(i) === simple.values(i), s"bitmapped point $i diverged")
+    }
+    // the PNG payload rides any grid template the codec supports
+    val gauss = GridSpec.gaussian(ni = 18, nj = 14, n = 12, start = 5,
+      lon1Deg = 350.0, dLonDeg = 1.0)
+    val gv = field(gauss, 250.0, 30.0)
+    val gd = Grib2.decode(Grib2.encodePngPacked(Meteo(0, 0), gauss, refTime, 3,
+      gv, nbits = 16)).head
+    assert(gd.grid.isGaussian && gd.values.length === gauss.numPoints)
+    val lam = GridSpec.lambertConformal(ni = 12, nj = 9, lat1Deg = 55.5,
+      lon1Deg = 350.25, Grib2.LambertSpec(laDDeg = 48.0, loVDeg = 355.0,
+        latin1Deg = 42.5, latin2Deg = 54.5, dxM = 12000.0, dyM = 12000.0))
+    val lv = field(lam, 250.0, 30.0)
+    val ld = Grib2.decode(Grib2.encodePngPacked(Meteo(0, 0), lam, refTime, 3,
+      lv, nbits = 16)).head
+    assert(ld.grid.isLambert && ld.values.length === lam.numPoints)
+  }
+
+  test("PNG packing 5.41: corrupt payload, depth lies, pixel-count lies all fail fast") {
+    val grid = GridSpec(10, 6, 60.0, 350.0, 0.5, 0.5)
+    val good = Grib2.encodePngPacked(Meteo(0, 0), grid, refTime, 6,
+      field(grid, 250.0, 40.0), nbits = 16)
+    // fixed layout: header 16, s1 21, s3 72, s4 34, s5 21 (depth at +19),
+    // s6 6, s7 from 170 (PNG payload from 175)
+    val depthLie = good.clone(); depthLie(143 + 19) = 13
+    val e1 = intercept[java.io.IOException](Grib2.decode(depthLie))
+    assert(e1.getMessage.contains("PNG image depth"))
+    val countLie = good.clone(); countLie(143 + 8) = (countLie(143 + 8) - 1).toByte
+    val e2 = intercept[java.io.IOException](Grib2.decode(countLie))
+    assert(e2.getMessage.contains("pixels"), e2.getMessage)
+    val corrupt = good.clone()
+    var i = 200
+    while (i < 230 && i < corrupt.length - 10) { corrupt(i) = 0x55; i += 1 }
+    intercept[java.io.IOException](Grib2.decode(corrupt))
+    // 5.40 (JPEG2000) stays refused: flip the wire template 41 → 40
+    val jpeg = good.clone(); jpeg(143 + 10) = 40
+    val e4 = intercept[java.io.IOException](Grib2.decode(jpeg))
+    assert(e4.getMessage.contains("5.40"))
+  }
+
   test("gaussian latitudes: known values, symmetry, monotone north to south") {
     // N=1: P2 root sqrt(1/3) -> arcsin = 35.264390°
     val g1 = Grib2.gaussianLatitudes(1)
@@ -588,6 +662,145 @@ class Grib2Spec extends AnyFunSuite {
         dxM = 1000.0, dyM = 1000.0))
     intercept[IllegalArgumentException](
       LambertSpec(48.0, 355.0, 42.5, 54.5, dxM = 0.0, dyM = 1000.0))
+  }
+
+  test("polar stereographic: analytic anchor values, inverse identity, both poles") {
+    import Grib2.{PolarSpec, Pst}
+    // at the true-scale latitude LaD the projected radius is EXACTLY the
+    // parallel circle's radius R·cos(LaD) (scale is true there):
+    // ρ = R(1+sin φc)·tan(π/4 − φc/2) = R·cos φc — an independent closed
+    // form that pins the tan-form implementation
+    val north = Pst.proj(PolarSpec(laDDeg = 60.0, loVDeg = -100.0,
+      dxM = 1.0, dyM = 1.0))
+    val r = Grib2.Lcc.EarthRadiusM
+    val (x0, y0) = Pst.forward(north, 60.0, -100.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0 - (-r * 0.5)) < 1e-6,
+      s"rho at LaD must be R*cos(60) = R/2: ($x0, $y0)")
+    val (x90, y90) = Pst.forward(north, 60.0, -10.0) // 90° east of LoV
+    assert(math.abs(x90 - r * 0.5) < 1e-6 && math.abs(y90) < 1e-6)
+    // the pole projects to the origin and inverts back to (90, LoV)
+    val (px, py) = Pst.forward(north, 90.0, 123.0)
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6)
+    assert(Pst.inverse(north, 0.0, 0.0) === ((90.0, -100.0)))
+    val south = Pst.proj(PolarSpec(laDDeg = -60.0, loVDeg = 40.0,
+      dxM = 1.0, dyM = 1.0, southPole = true))
+    val (sx, sy) = Pst.forward(south, -60.0, 40.0)
+    assert(math.abs(sx) < 1e-6 && math.abs(sy - r * 0.5) < 1e-6,
+      s"south plane: rho at LaD = R/2 toward +y: ($sx, $sy)")
+    assert(Pst.inverse(south, 0.0, 0.0) === ((-90.0, 40.0)))
+    // inverse identity across both planes (0..360 longitudes included)
+    for (proj <- Seq(north, south); lat <- Seq(30.0, 52.5, 75.0, 88.0);
+         lon <- Seq(-170.0, -100.0, 0.0, 260.0)) {
+      val signedLat = if (proj.south) -lat else lat
+      val (fx, fy) = Pst.forward(proj, signedLat, lon)
+      val (bla, blo) = Pst.inverse(proj, fx, fy)
+      assert(math.abs(bla - signedLat) < 1e-9, s"lat $signedLat -> $bla")
+      val expectLon = ((lon + 540.0) % 360.0) - 180.0
+      assert(math.abs(blo - expectLon) < 1e-9, s"lon $lon -> $blo")
+    }
+  }
+
+  test("polar grid 3.20: round-trip through all four packings, both poles and scan orders") {
+    import Grib2.{GridSpec, PolarSpec}
+    // an AROME/HRRR-arctic-like north plane scanning south→north
+    val northGrid = GridSpec.polarStereographic(ni = 30, nj = 20,
+      lat1Deg = 52.3, lon1Deg = 215.0,
+      PolarSpec(laDDeg = 60.0, loVDeg = 249.0, dxM = 22500.0, dyM = 22500.0,
+        yPositive = true))
+    // an Antarctic south plane, default scan
+    val southGrid = GridSpec.polarStereographic(ni = 25, nj = 16,
+      lat1Deg = -58.0, lon1Deg = 330.0,
+      PolarSpec(laDDeg = -60.0, loVDeg = 0.0, dxM = 25000.0, dyM = 25000.0,
+        southPole = true))
+    Seq(northGrid, southGrid).foreach { grid =>
+      val values = field(grid, 250.0, 40.0)
+      val simple = Grib2.decode(Grib2.encode(Meteo(0, 0), grid, refTime, 12, values)).head
+      assert(simple.grid === grid, "decoded GridSpec carries the full projection")
+      assert(simple.grid.isPolar)
+      val quantum = (values.max - values.min) / ((1 << 16) - 1)
+      values.zip(simple.values).foreach { case (v, got) =>
+        assert(math.abs(v - got) <= quantum + 1e-9)
+      }
+      val complex = Grib2.decode(Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 12,
+        values, order = 1)).head
+      assert(complex.grid === grid)
+      assert(simple.values.sameElements(complex.values))
+      val ccsds = Grib2.decode(Grib2.encodeCcsds(Meteo(0, 6), grid, refTime, 6,
+        values.map(v => v.floor), nbits = 10)).head
+      assert(ccsds.grid === grid)
+      val png = Grib2.decode(Grib2.encodePngPacked(Meteo(0, 0), grid, refTime, 12,
+        values, nbits = 16)).head
+      assert(png.grid === grid)
+      assert(simple.values.sameElements(png.values))
+    }
+  }
+
+  test("polar grid 3.20: adapters emit inverse-projected per-point coordinates") {
+    import Grib2.{GridSpec, PolarSpec, Pst}
+    val spec = PolarSpec(laDDeg = 60.0, loVDeg = 249.0, dxM = 45000.0,
+      dyM = 45000.0)
+    val grid = GridSpec.polarStereographic(ni = 12, nj = 8,
+      lat1Deg = 52.3, lon1Deg = 215.0, spec)
+    val values = field(grid, 275.0, 20.0)
+    val m = Grib2.EcmwfGrib2Reader.openBytes(
+      Grib2.encode(Meteo(0, 0), grid, refTime, 6, values)).toSeq.head
+    assert(m.lats.length === grid.numPoints)
+    // anchor: the first grid point is (La1, Lo1) itself
+    assert(math.abs(m.lats(0) - 52.3) < 1e-6)
+    assert(math.abs(m.lons(0) - (215.0 - 360.0)) < 1e-6)
+    // latitude varies within a row on the polar plane too
+    val row0 = m.lats.take(grid.ni)
+    assert(row0.distinct.length > 1, "projected row must not be an isoline of latitude")
+    // spot-check an interior point against a direct inverse projection
+    val p = Pst.proj(spec)
+    val (x1, y1) = Pst.forward(p, 52.3, 215.0)
+    val (ela, elo) = Pst.inverse(p, x1 + 7 * spec.dxM, y1 - 5 * spec.dyM)
+    val idx = 5 * grid.ni + 7
+    assert(math.abs(m.lats(idx) - ela) < 1e-6)
+    assert(math.abs(m.lons(idx) - elo) < 1e-6)
+  }
+
+  test("polar grid 3.20: unsupported projection variants are refused, not mis-gridded") {
+    import Grib2.{GridSpec, PolarSpec}
+    val grid = GridSpec.polarStereographic(ni = 10, nj = 8,
+      lat1Deg = 52.3, lon1Deg = 215.0,
+      PolarSpec(laDDeg = 60.0, loVDeg = 249.0, dxM = 45000.0, dyM = 45000.0))
+    val bytes = Grib2.encode(Meteo(0, 0), grid, refTime, 6, field(grid, 275.0, 20.0))
+    // section 3 starts at 16+21=37; template 3.20's 1-based octets:
+    // 64 = projection centre flag, 65 = scanning mode, 48-51 = LaD
+    def mangled(off1Based: Int, v: Int): Array[Byte] = {
+      val out = bytes.clone(); out(37 + off1Based - 1) = v.toByte; out
+    }
+    // bit 2 of the centre flag = bipolar symmetric — not representable
+    val e1 = intercept[java.io.IOException](Grib2.decode(mangled(64, 0x40)))
+    assert(e1.getMessage.contains("projection centre"))
+    // -i scanning / transposed consecutivity: silently wrong point order
+    val e2 = intercept[java.io.IOException](Grib2.decode(mangled(65, 0x80)))
+    assert(e2.getMessage.contains("scanning"))
+    intercept[java.io.IOException](Grib2.decode(mangled(65, 0x20)))
+    // ... while the supported +j and south-pole forms still decode
+    assert(Grib2.decode(mangled(65, 0x40)).head.grid.polar.get.yPositive)
+    assert(Grib2.decode(mangled(64, 0x80)).head.grid.polar.get.southPole)
+    // a length lie reads past the 65-octet template — refuse first
+    val lying = bytes.clone()
+    lying(37 + 3) = 60.toByte
+    val e3 = intercept[java.io.IOException](Grib2.decode(lying))
+    assert(e3.getMessage.contains("too short for template"))
+    // LaD at the OPPOSITE pole on the wire (north plane, LaD = −90):
+    // projection constant c → 0, quarantined as malformed
+    val badLaD = bytes.clone()
+    val raw = 0x80000000L | 90000000L // sign-magnitude −90°
+    badLaD(37 + 47) = (raw >>> 24).toByte
+    badLaD(37 + 48) = (raw >>> 16).toByte
+    badLaD(37 + 49) = (raw >>> 8).toByte
+    badLaD(37 + 50) = raw.toByte
+    val e4 = intercept[java.io.IOException](Grib2.decode(badLaD))
+    assert(e4.getMessage.contains("LaD"))
+    // construction-time guards (programming-error channel)
+    intercept[IllegalArgumentException](
+      PolarSpec(laDDeg = -90.0, loVDeg = 0.0, dxM = 1000.0, dyM = 1000.0))
+    intercept[IllegalArgumentException](
+      PolarSpec(laDDeg = 60.0, loVDeg = 0.0, dxM = 0.0, dyM = 1000.0))
   }
 
   test("complex 5.2/5.3: truncated and length-lying section 7 fail, never decode garbage") {
