@@ -61,6 +61,35 @@ object SparkEntry {
       java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** The x3 pipeline PRE-seal — package-visible so PlanAuditSpec can pin
+    * its broadcast structure (the sealed local relation the query lambda
+    * returns carries no plan to audit). Returns the result frame plus the
+    * persisted intermediates the caller must release.
+    */
+  private[graft] def x3Unsealed(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val docs = t(s, d, "documents")
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val benchFp = bench.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val exactClean = corpus
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .join(broadcast(benchFp), Seq("fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ngFlagged = Dedup.contaminationRate(
+      exactClean, "doc_id", "text", bench, "text", shingleN = 8)
+      .filter(col("rate") >= 0.5)
+      .select(col("id").as("doc_id"))
+    val surviving = exactClean.join(ngFlagged, Seq("doc_id"), "left_anti")
+    val result = corpus.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(bench.agg(count(lit(1)).as("n_bench")))
+      .crossJoin(exactClean.agg(count(lit(1)).as("n_after_exact")))
+      .crossJoin(surviving.agg(count(lit(1)).as("n_surviving"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("tokens_surviving")))
+    (result, Seq(exactClean))
+  }
+
   /** The near-dup cluster map (`id → keeper_id`), MATERIALIZED once per
     * corpus snapshot under the buildOnce discipline and read back as
     * parquet. d6 stays the from-scratch contract demo of the
@@ -110,7 +139,7 @@ object SparkEntry {
   private def mediaDir = "/tmp/graft_oracle/media"
 
   private def mediaArtifact(spark: SparkSession, dir: String): Unit =
-    buildOnce(dir, "documents", mediaDir, "codec=png-ahash-v2,families=97") {
+    buildOnce(dir, "documents", mediaDir, "codec=png+gif-ahash-v3,families=97") {
       import spark.implicits._
       Multimodal.synthesize(t(spark, dir, "documents")).toDF()
         .write.mode("overwrite").parquet(s"$mediaDir/payloads")
@@ -118,6 +147,13 @@ object SparkEntry {
           spark.read.parquet(s"$mediaDir/payloads").as[Multimodal.MediaRow])
         .toDF().drop("featureVec") // blob-free AND list-free: plain-SQL replayable
         .write.mode("overwrite").parquet(s"$mediaDir/features")
+      // per-frame features of the REAL composited frames (GIF multi-frame
+      // decode on the executors; stills are their own frame 0) — the
+      // non-portable decode persisted once, like the still features above,
+      // so the m3/m8 oracles replay frame-level aggregation from parquet
+      Multimodal.frameFeatures(
+          spark.read.parquet(s"$mediaDir/payloads").as[Multimodal.MediaRow])
+        .toDF().write.mode("overwrite").parquet(s"$mediaDir/frames")
     }
 
   private def mediaPayloads(spark: SparkSession, dir: String): DataFrame = {
@@ -128,6 +164,50 @@ object SparkEntry {
   private def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     mediaArtifact(spark, dir)
     spark.read.parquet(s"$mediaDir/features")
+  }
+
+  private def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    mediaArtifact(spark, dir)
+    spark.read.parquet(s"$mediaDir/frames")
+  }
+
+  /** The REAL-audio artifact: one genuine 8-bit PCM WAV clip per document
+    * id (`javax.sound.sampled` — in the JDK), `id % 97` family envelope
+    * patterns so genuine near-duplicate clips exist, plus the decoded
+    * features (real parsed sample counts/rates, exact amplitude stats, the
+    * 64-window RMS fingerprint). Same persisted-decode discipline as the
+    * image/frame artifacts: decode is the one non-portable step, the
+    * aggregation replays in SQL.
+    */
+  private def audioDir = "/tmp/graft_oracle/audio"
+
+  private def audioArtifact(spark: SparkSession, dir: String): Unit =
+    buildOnce(dir, "documents", audioDir, "codec=wav-rmsfp-v1,families=97") {
+      import spark.implicits._
+      val par = spark.sparkContext.defaultParallelism * 2
+      t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .repartition(par)
+        .mapPartitions(_.map(id => (id, graft.multimodal.AudioCodec.synthesizeClip(id))))
+        .toDF("mediaId", "bytes")
+        .write.mode("overwrite").parquet(s"$audioDir/payloads")
+      spark.read.parquet(s"$audioDir/payloads")
+        .select(col("mediaId"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) =>
+          val a = graft.multimodal.AudioCodec.decode(b)
+          (id, a.sampleRate, a.channels, a.nSamples, a.meanAmp, a.rms, a.fingerprint)
+        })
+        .toDF("mediaId", "sampleRate", "channels", "nSamples", "meanAmp", "rms", "fingerprint")
+        .write.mode("overwrite").parquet(s"$audioDir/features")
+    }
+
+  private def audioPayloads(spark: SparkSession, dir: String): DataFrame = {
+    audioArtifact(spark, dir)
+    spark.read.parquet(s"$audioDir/payloads")
+  }
+
+  private def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    audioArtifact(spark, dir)
+    spark.read.parquet(s"$audioDir/features")
   }
 
   /** The m7 incremental batch: every 10th document id re-synthesized under
@@ -141,7 +221,7 @@ object SparkEntry {
 
   private def mediaBatchFeatures(spark: SparkSession, dir: String): DataFrame = {
     buildOnce(dir, "documents", mediaBatchDir,
-      "codec=png-ahash-v2,families=97,mod=10,offset=lcm291") {
+      "codec=png+gif-ahash-v3,families=97,mod=10,offset=lcm291") {
       import spark.implicits._
       val ids = t(spark, dir, "documents").select(col("doc_id").cast("long"))
       val maxId = ids.agg(max(col("doc_id"))).collect()(0).getLong(0)
@@ -399,6 +479,62 @@ object SparkEntry {
           round(max(col("lat")).cast("double"), 6).as("max_lat"),
           round(min(col("lon")).cast("double"), 6).as("min_lon"),
           round(max(col("lon")).cast("double"), 6).as("max_lon"))
+    }),
+
+    // S1/S2 binary path, POLAR STEREOGRAPHIC grid (GDT 3.20) — the
+    // companion projected grid to s7's Lambert 3.30 (arctic/antarctic
+    // regional models): points regular in projected metres, per-point
+    // lat/lon from Snyder's spherical polar inverse (analytic-anchor-pinned
+    // in Grib2Spec). Values ride DRT 5.42 (CCSDS) — value-exact at E=0 —
+    // so the field replays in SQL; coordinate extremes are 6dp literals of
+    // the float32-narrowed inverse projection (the s5/s6/s7 discipline).
+    "s9_grib2_polar" -> ((s, _) => {
+      import java.time.LocalDateTime
+      import graft.sources.{Grib, Grib2}
+      val grid = Grib2.GridSpec.polarStereographic(ni = 25, nj = 16,
+        lat1Deg = 52.3, lon1Deg = 215.0,
+        Grib2.PolarSpec(laDDeg = 60.0, loVDeg = 249.0, dxM = 30000.0, dyM = 30000.0))
+      val values = Array.tabulate(grid.numPoints)(i => ((i * 31 + 7) % 2048).toDouble)
+      val bytes = Grib2.encodeCcsds(Grib2.Meteo(0, 0), grid,
+        LocalDateTime.of(2026, 1, 6, 0, 0), 6, values, nbits = 11)
+      val df = Grib.toDataFrame(s, Grib2.EcmwfGrib2Reader.openBytes(bytes).toSeq)
+      df.groupBy(col("variable"), col("unit"), col("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 3).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("lat")).as("n_distinct_lats"),
+          round(min(col("lat")).cast("double"), 6).as("min_lat"),
+          round(max(col("lat")).cast("double"), 6).as("max_lat"),
+          round(min(col("lon")).cast("double"), 6).as("min_lon"),
+          round(max(col("lon")).cast("double"), 6).as("max_lon"))
+    }),
+
+    // S1/S2 binary path, DRT 5.41 (PNG packing) — the one remaining
+    // JDK-decodable packing after 5.0/5.2/5.3/5.42: the scaled integers
+    // ride a lossless PNG raster (here 16-bit grayscale), decoded with
+    // javax.imageio on the executors. E=0 integer quantization makes the
+    // value field replay exactly in SQL (the s4/s6 oracle discipline);
+    // depth/carrier round-trips and corrupt-payload fail-fasts live in
+    // Grib2Spec.
+    "s8_grib2_png" -> ((s, _) => {
+      import java.time.LocalDateTime
+      import graft.sources.{Grib, Grib2}
+      val grid = Grib2.GridSpec(ni = 40, nj = 25, lat1Deg = 64.0,
+        lon1Deg = 340.0, dLatDeg = 0.5, dLonDeg = 0.5)
+      val values = Array.tabulate(grid.numPoints)(i => ((i * 37 + 11) % 50000).toDouble)
+      val bytes = Grib2.encodePngPacked(Grib2.Meteo(0, 0), grid,
+        LocalDateTime.of(2026, 1, 5, 0, 0), 9, values, nbits = 16)
+      val df = Grib.toDataFrame(s, Grib2.EcmwfGrib2Reader.openBytes(bytes).toSeq)
+      df.groupBy(col("variable"), col("unit"), col("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 3).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          min(col("lat")).cast("double").as("min_lat"),
+          max(col("lat")).cast("double").as("max_lat"),
+          min(col("lon")).cast("double").as("min_lon"),
+          max(col("lon")).cast("double").as("max_lon"))
     }),
 
     // S2 on the reference's REAL ECMWF file (all 4 messages DRT 5.42 —
@@ -905,6 +1041,12 @@ object SparkEntry {
       // query's time mostly /tmp I/O (median swung 1.1→1.8 s across rounds
       // with spreads near the median); disk-backed Derby coverage lives in
       // JdbcStoreSpec. Unique db name per call; dropped eagerly below.
+      // LOCAL-MODE ASSUMPTION: jdbc:derby:memory: lives per-JVM, so the
+      // executor-side insert/merge tasks reach the driver's database only
+      // because local mode shares one JVM. A real cluster must point Conn
+      // at a server URL (or a file path on shared storage) reachable from
+      // every executor — which is the production shape anyway (ClickHouse/
+      // Postgres), and what JdbcStore is written against.
       val dbName = s"k8_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val c = JdbcStore.Conn(url = s"jdbc:derby:memory:$dbName;create=true")
       // everything after the first connection may create the db, so the
@@ -1343,27 +1485,8 @@ object SparkEntry {
     // per-stage counts + surviving tokens; corpus-sized data crosses the
     // wire only in the two corpus scans, never joined against itself.
     "x3_decontamination_flagship" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val bench = docs.filter(col("doc_id") % 17 === 0)
-      val corpus = docs.filter(col("doc_id") % 17 =!= 0)
-      val benchFp = bench.select(TextAnalysis.fingerprint(col("text")).as("fp"))
-        .distinct()
-      val exactClean = corpus
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-        .join(broadcast(benchFp), Seq("fp"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ngFlagged = Dedup.contaminationRate(
-        exactClean, "doc_id", "text", bench, "text", shingleN = 8)
-        .filter(col("rate") >= 0.5)
-        .select(col("id").as("doc_id"))
-      val surviving = exactClean.join(ngFlagged, Seq("doc_id"), "left_anti")
-      sealResult(
-        corpus.agg(count(lit(1)).as("n_corpus"))
-          .crossJoin(bench.agg(count(lit(1)).as("n_bench")))
-          .crossJoin(exactClean.agg(count(lit(1)).as("n_after_exact")))
-          .crossJoin(surviving.agg(count(lit(1)).as("n_surviving"),
-            sum(TextAnalysis.tokenCount(col("text")).cast("long"))
-              .as("tokens_surviving"))))(exactClean)
+      val (result, persisted) = x3Unsealed(s, d)
+      sealResult(result)(persisted: _*)
     }),
 
     // X-flagship: MEDIA curation end to end — the x2 discipline for the
@@ -2005,19 +2128,107 @@ object SparkEntry {
           col("height"), col("nFrames"), col("meanLuma"), col("aHash"))
         .orderBy("mediaId")),
 
-    // M-multimodal: strided frame sampling aggregated per media row (1→N
-    // explode stays executor-local). Frame COUNT is the portable
-    // size-derived function (a real demuxer needs ffmpeg-class libs); the
-    // per-frame payload is the clearly-marked frameStub rewrite
+    // M-multimodal: strided sampling over REAL decoded frames — videos
+    // explode to their composited GIF frames (offsets + disposal applied
+    // ON THE EXECUTORS), stills are their own frame 0; the former
+    // size-derived stub is gone. The engine decodes LIVE here; the oracle
+    // replays the identical aggregation from the persisted frame-features
+    // artifact (decode is the one non-portable step — the m2 discipline,
+    // now at frame granularity). min/max luma, not sums: pass-through
+    // comparisons of the exact per-frame doubles, no addition-order risk
     "m3_frame_sampling" -> ((s, d) => {
       import s.implicits._
       val media = mediaPayloads(s, d).as[Multimodal.MediaRow]
-      Multimodal.sampleFrames(media, stride = 5).toDF()
+      Multimodal.frameFeatures(media).toDF()
+        .filter(col("frameIdx") % 5 === 0)
         .groupBy("mediaId")
         .agg(count(lit(1)).as("n_frames"),
-          sum(octet_length(col("bytes"))).as("total_bytes"),
-          max(col("frameIdx")).as("max_frame_idx"))
+          max(col("frameIdx")).as("max_frame_idx"),
+          countDistinct(col("aHash")).as("n_distinct_hashes"),
+          min(col("meanLuma")).as("min_luma"),
+          max(col("meanLuma")).as("max_luma"))
         .orderBy("mediaId")
+    }),
+
+    // M-multimodal: FRAME-level near-dup across videos — do two different
+    // videos share (near-)identical displayed frames (re-encoded clips,
+    // shared footage)? Same banded-aHash blocking + cap discipline as the
+    // m5 still pairs, applied to the persisted frame features; same-video
+    // frame pairs are excluded by construction (a < b on mediaId). Output
+    // is one row per video pair carrying how many frame pairs matched and
+    // the closest hamming.
+    "m8_frame_neardup" -> ((s, d) => {
+      val fr = mediaFrames(s, d)
+        .filter(col("mediaId") % 3 === 2) // video rows only
+        .select(col("mediaId"), col("frameIdx"),
+          floor(col("width") / 256).cast("long").as("w_band"),
+          floor(col("height") / 256).cast("long").as("h_band"),
+          floor(col("meanLuma") / 64).cast("long").as("luma_band"),
+          col("aHash"))
+      val keys = Seq("w_band", "h_band", "luma_band")
+      val blocks = fr.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 256)).drop("n")
+      val inBlock = fr.join(blocks, keys, "left_semi")
+      inBlock.as("x").join(inBlock.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x.mediaId") < col("y.mediaId"))
+        .withColumn("hamming",
+          bit_count(col("x.aHash").bitwiseXOR(col("y.aHash"))))
+        .filter(col("hamming") <= 6)
+        .groupBy(col("x.mediaId").as("video_a"), col("y.mediaId").as("video_b"))
+        .agg(count(lit(1)).as("n_frame_pairs"),
+          min(col("hamming")).as("min_hamming"))
+        .orderBy("video_a", "video_b")
+    }),
+
+    // AU-audio: REAL WAV decode on the executors — sample counts and rates
+    // from the parsed RIFF header (javax.sound.sampled, in the JDK), exact
+    // amplitude stats and the 64-window RMS fingerprint over every decoded
+    // sample. Engine decodes LIVE; the oracle replays from the persisted
+    // feature artifact (the m3 discipline for the audio modality). The
+    // double features are deterministic arithmetic over exact integers, so
+    // live-decode equals artifact bit-for-bit.
+    "au1_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val pay = audioPayloads(s, d)
+      pay.select(col("mediaId"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) =>
+          val a = graft.multimodal.AudioCodec.decode(b)
+          (id, b.length.toLong, a.sampleRate, a.channels, a.nSamples,
+            a.meanAmp, a.rms, a.fingerprint)
+        })
+        .toDF("mediaId", "size_bytes", "sample_rate", "channels",
+          "n_samples", "mean_amp", "rms", "fingerprint")
+        .orderBy("mediaId")
+    }),
+
+    // AU-audio: near-duplicate CLIP detection — the m5 banded-hash
+    // discipline on the audio fingerprint: block on (sample rate, 32-wide
+    // duration band) — both family-stable by synthesis, the audio analog
+    // of the image dimension bands — pair within capped blocks, keep
+    // 64-bit hamming ≤ 6
+    "au2_audio_neardup" -> ((s, d) => {
+      // 2048 = 64 windows × 32-sample band width; floor (not cast) on BOTH
+      // sides — Spark's double→long cast truncates while DuckDB's rounds
+      val f = audioFeatures(s, d).select(col("mediaId"),
+        col("sampleRate"),
+        floor(col("nSamples") / 2048).cast("long").as("dur_band"),
+        col("fingerprint"))
+      val keys = Seq("sampleRate", "dur_band")
+      val blocks = f.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 256)).drop("n")
+      val inBlock = f.join(blocks, keys, "left_semi")
+      inBlock.as("x").join(inBlock.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x.mediaId") < col("y.mediaId"))
+        .withColumn("hamming",
+          bit_count(col("x.fingerprint").bitwiseXOR(col("y.fingerprint"))))
+        .filter(col("hamming") <= 6)
+        .select(col("x.mediaId").as("a"), col("y.mediaId").as("b"),
+          col("x.sampleRate").as("sample_rate"), col("hamming"))
+        .orderBy("a", "b")
     }),
 
     // E-streaming: the Structured-Streaming windowed aggregation run over a
@@ -3554,6 +3765,50 @@ object SparkEntry {
         |       CAST(55.583519 AS DOUBLE) AS max_lat,
         |       CAST(-9.75 AS DOUBLE) AS min_lon,
         |       CAST(-5.177607 AS DOUBLE) AS max_lon
+        |FROM f""".stripMargin,
+
+    // s9: polar-stereographic decode — values replayed from the generating
+    // formula (CCSDS is value-exact at E=0); all 400 points carry distinct
+    // latitudes (per-point inverse projection), extremes pinned as 6dp
+    // float32-narrowed literals (provenance: Grib2Spec's analytic anchors
+    // and round-trips)
+    "s9_grib2_polar" ->
+      """WITH idx AS (
+        |  SELECT unnest(range(0, 400)) AS i
+        |), f AS (
+        |  SELECT CAST((i * 31 + 7) % 2048 AS DOUBLE) AS value FROM idx
+        |)
+        |SELECT 'temperature' AS variable, 'K' AS unit,
+        |       TIMESTAMP '2026-01-06 06:00:00' AS timestamp,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       CAST(400 AS BIGINT) AS n_distinct_lats,
+        |       CAST(49.050571 AS DOUBLE) AS min_lat,
+        |       CAST(55.385094 AS DOUBLE) AS max_lat,
+        |       CAST(-145.0 AS DOUBLE) AS min_lon,
+        |       CAST(-133.107758 AS DOUBLE) AS max_lon
+        |FROM f""".stripMargin,
+
+    // s8: PNG-packed decode — values replayed from the generating formula
+    // (16-bit grayscale carrier, E=0 quantization is value-exact); regular
+    // grid, so every coordinate replays arithmetically too
+    "s8_grib2_png" ->
+      """WITH idx AS (
+        |  SELECT unnest(range(0, 1000)) AS i
+        |), f AS (
+        |  SELECT CAST((i * 37 + 11) % 50000 AS DOUBLE) AS value,
+        |         CAST(64.0 - (i // 40) * 0.5 AS DOUBLE) AS lat,
+        |         CAST(340.0 + (i % 40) * 0.5 - 360.0 AS DOUBLE) AS lon
+        |  FROM idx
+        |)
+        |SELECT 'temperature' AS variable, 'K' AS unit,
+        |       TIMESTAMP '2026-01-05 09:00:00' AS timestamp,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       min(lat) AS min_lat, max(lat) AS max_lat,
+        |       min(lon) AS min_lon, max(lon) AS max_lon
         |FROM f""".stripMargin,
 
     // s5: the reference's REAL ECMWF file (DRT 5.42, CCSDS/AEC). No formula
@@ -5967,39 +6222,108 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_oracle/media/payloads/*.parquet')
         |ORDER BY media_id""".stripMargin,
 
-    // m2: the decode (javax.imageio over real pixels) is the ONE
+    // m2: the decode (javax.imageio over real pixels/frames) is the ONE
     // non-portable step, persisted like the KMeans fits — the oracle
-    // re-derives kind / sizeBytes / frame count from the payload table and
-    // passes width/height/meanLuma/aHash through from the feature artifact
+    // re-derives kind / sizeBytes from the payload table, cross-checks the
+    // now-REAL nFrames against the frame-features artifact's row count per
+    // media (two independent decode passes must agree), and passes
+    // width/height/meanLuma/aHash through from the feature artifact
     "m2_media_features" ->
       """SELECT f.mediaId,
         |  (['image', 'audio', 'video'])[CAST((f.mediaId % 3) + 1 AS INT)] AS kind,
         |  CAST(octet_length(p.bytes) AS BIGINT) AS sizeBytes,
         |  f.width, f.height,
-        |  CAST(CASE WHEN f.mediaId % 3 = 0 THEN 1
-        |            ELSE 1 + octet_length(p.bytes) % 64 END AS INT) AS nFrames,
+        |  (SELECT CAST(count(*) AS INT)
+        |   FROM read_parquet('/tmp/graft_oracle/media/frames/*.parquet') fr
+        |   WHERE fr.mediaId = f.mediaId) AS nFrames,
         |  f.meanLuma, f.aHash
         |FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet') f
         |JOIN read_parquet('/tmp/graft_oracle/media/payloads/*.parquet') p
         |  ON p.mediaId = f.mediaId
         |ORDER BY f.mediaId""".stripMargin,
 
-    // m3: frames sampled at stride 5 from the size-derived frame count;
-    // every sampled frame's stub payload is exactly 16 bytes
-    // (max(16, (8+i)*8/64) with i ≤ 63), so total_bytes = 16 · n_frames
-    "m3_frame_sampling" ->
+    // au1: the WAV decode (javax.sound.sampled over real PCM samples) is
+    // the non-portable step, persisted once — the oracle re-derives
+    // size_bytes from the payload BLOBs and passes the decoded features
+    // through from the artifact the SAME decode wrote
+    "au1_audio_features" ->
+      """SELECT f.mediaId,
+        |  CAST(octet_length(p.bytes) AS BIGINT) AS size_bytes,
+        |  f.sampleRate AS sample_rate, f.channels,
+        |  f.nSamples AS n_samples, f.meanAmp AS mean_amp, f.rms,
+        |  f.fingerprint
+        |FROM read_parquet('/tmp/graft_oracle/audio/features/*.parquet') f
+        |JOIN read_parquet('/tmp/graft_oracle/audio/payloads/*.parquet') p
+        |  ON p.mediaId = f.mediaId
+        |ORDER BY f.mediaId""".stripMargin,
+
+    // au2: the banded fingerprint pair replay — blocks on (rate, duration
+    // band), cap 2..256, bit-by-bit hamming over xor (the m5 idiom)
+    "au2_audio_neardup" ->
       """WITH f AS (
-        |  SELECT mediaId,
-        |         CASE WHEN mediaId % 3 = 0 THEN 1
-        |              ELSE CAST(1 + octet_length(bytes) % 64 AS INT)
-        |         END AS n
-        |  FROM read_parquet('/tmp/graft_oracle/media/payloads/*.parquet')
+        |  SELECT mediaId, sampleRate,
+        |         CAST(floor(nSamples / 2048) AS BIGINT) AS dur_band,
+        |         fingerprint
+        |  FROM read_parquet('/tmp/graft_oracle/audio/features/*.parquet')
+        |), blk AS (
+        |  SELECT sampleRate, dur_band FROM f GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT x.mediaId AS a, y.mediaId AS b, x.sampleRate,
+        |         CAST(list_sum(list_transform(range(0, 64),
+        |           j -> CASE WHEN ((xor(x.fingerprint, y.fingerprint) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM f x
+        |  JOIN blk ON x.sampleRate = blk.sampleRate AND x.dur_band = blk.dur_band
+        |  JOIN f y ON x.sampleRate = y.sampleRate AND x.dur_band = y.dur_band
+        |   AND x.mediaId < y.mediaId
         |)
-        |SELECT mediaId,
-        |       CAST((n - 1) // 5 + 1 AS BIGINT) AS n_frames,
-        |       CAST(16 * ((n - 1) // 5 + 1) AS BIGINT) AS total_bytes,
-        |       CAST(((n - 1) // 5) * 5 AS INT) AS max_frame_idx
-        |FROM f ORDER BY mediaId""".stripMargin,
+        |SELECT a, b, sampleRate AS sample_rate, hamming FROM p
+        |WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+
+    // m3: stride-5 sampling over the REAL composited frames — the oracle
+    // replays the aggregation from the persisted frame-features artifact
+    // (the engine decoded LIVE on executors; determinism of the decode is
+    // what makes the two equal, and MultimodalSpec pins exact per-frame
+    // hashes independently)
+    "m3_frame_sampling" ->
+      """SELECT mediaId,
+        |       count(*) AS n_frames,
+        |       max(frameIdx) AS max_frame_idx,
+        |       count(DISTINCT aHash) AS n_distinct_hashes,
+        |       min(meanLuma) AS min_luma,
+        |       max(meanLuma) AS max_luma
+        |FROM read_parquet('/tmp/graft_oracle/media/frames/*.parquet')
+        |WHERE frameIdx % 5 = 0
+        |GROUP BY mediaId ORDER BY mediaId""".stripMargin,
+
+    // m8: frame-level near-dup across videos — the m5 band/cap/hamming
+    // replay over the frame artifact, video rows only, same-video pairs
+    // excluded by a < b on mediaId
+    "m8_frame_neardup" ->
+      """WITH f AS (
+        |  SELECT mediaId, frameIdx,
+        |         CAST(floor(width / 256) AS BIGINT) AS wb,
+        |         CAST(floor(height / 256) AS BIGINT) AS hb,
+        |         CAST(floor(meanLuma / 64) AS BIGINT) AS lb, aHash
+        |  FROM read_parquet('/tmp/graft_oracle/media/frames/*.parquet')
+        |  WHERE mediaId % 3 = 2
+        |), blk AS (
+        |  SELECT wb, hb, lb FROM f GROUP BY 1, 2, 3
+        |  HAVING count(*) BETWEEN 2 AND 256
+        |), p AS (
+        |  SELECT x.mediaId AS a, y.mediaId AS b,
+        |         CAST(list_sum(list_transform(range(0, 64),
+        |           j -> CASE WHEN ((xor(x.aHash, y.aHash) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM f x
+        |  JOIN blk ON x.wb = blk.wb AND x.hb = blk.hb AND x.lb = blk.lb
+        |  JOIN f y ON x.wb = y.wb AND x.hb = y.hb AND x.lb = y.lb
+        |   AND x.mediaId < y.mediaId
+        |)
+        |SELECT a AS video_a, b AS video_b,
+        |       count(*) AS n_frame_pairs,
+        |       min(hamming) AS min_hamming
+        |FROM p WHERE hamming <= 6
+        |GROUP BY a, b ORDER BY a, b""".stripMargin,
 
     "w3_ntile" ->
       """WITH q AS (

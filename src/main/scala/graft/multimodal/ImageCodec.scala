@@ -70,14 +70,23 @@ object ImageCodec {
   }
 
   /** Decode any ImageIO-supported payload (PNG/BMP/GIF/JPEG…) and compute
-    * the real features. Fails through IOException on undecodable bytes —
-    * never returns garbage.
+    * the real features (an animated GIF yields its FIRST frame — per-frame
+    * features live in [[GifCodec.decodeFrames]]). Fails through IOException
+    * on undecodable bytes — never returns garbage.
     */
   def decode(bytes: Array[Byte]): Decoded = {
     val img =
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case e: Exception => throw new IOException(s"image decode failed: ${e.getMessage}", e) }
     if (img == null) throw new IOException("undecodable image payload (no ImageIO reader matched)")
+    features(img)
+  }
+
+  /** The feature computation over an in-memory raster — shared by
+    * [[decode]] and the per-frame GIF path, so a video frame and a still
+    * carry the SAME luma/aHash definition.
+    */
+  def features(img: BufferedImage): Decoded = {
     val w = img.getWidth
     val h = img.getHeight
     // one pass over the raster: per-cell luma·1000 sums (exact integers)
@@ -199,7 +208,17 @@ object ImageCodec {
     * exactly the corpus shape the m4/m5/m6 media-dedup operators exist for.
     * PNG is lossless, so all of this survives encode→decode exactly.
     */
-  def synthesize(mediaId: Long, families: Int = 97): Array[Byte] = {
+  /** One synthesized corpus member: the flipped family pattern, its
+    * jittered dimensions, the two luma levels, and the seeds — `fseed`
+    * drives family-stable traits (dimensions bands, audio rate/duration
+    * bands), `mseed` member-level jitter (flips, in-band jitter, frame
+    * mutations).
+    */
+  private[multimodal] final case class Member(
+      pattern: Array[Int], w: Int, h: Int, lo: Int, hi: Int,
+      fseed: Long, mseed: Long)
+
+  private[multimodal] def member(mediaId: Long, families: Int): Member = {
     val family = java.lang.Math.floorMod(mediaId, families.toLong)
     val fseed = mix(family * 0x100000001b3L + 17L)
     val mseed = mix(mediaId * 0xc2b2ae3d27d4eb4fL + 71L)
@@ -229,6 +248,11 @@ object ImageCodec {
       java.lang.Math.floorMod(mix(mseed + 6), 8L).toInt * 8
     val h = bandBases(java.lang.Math.floorMod(mix(fseed + 7), 8L).toInt) +
       java.lang.Math.floorMod(mix(mseed + 8), 8L).toInt * 8
-    encodePng(grayImage(w, h, (x, y) => pattern((y * 8 / h) * 8 + (x * 8 / w))))
+    Member(pattern, w, h, lo, hi, fseed, mseed)
+  }
+
+  def synthesize(mediaId: Long, families: Int = 97): Array[Byte] = {
+    val m = member(mediaId, families)
+    encodePng(grayImage(m.w, m.h, (x, y) => m.pattern((y * 8 / m.h) * 8 + (x * 8 / m.w))))
   }
 }

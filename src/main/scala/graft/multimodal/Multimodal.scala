@@ -6,14 +6,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
-  * with typed metadata. The image path is REAL end to end: payloads are
-  * actual PNG bytes, and [[ImageCodec.decode]] (javax.imageio — in the JDK,
-  * no external dependency) recovers exact dimensions, the BT.601 mean luma
-  * and a 64-bit average hash from the decoded raster. Audio/video FRAME
-  * decode would need ffmpeg-class native libraries absent here — those rows
-  * still carry real PNG payloads, their frame count derives from payload
-  * size, and the per-frame payload rewrite ([[frameStub]]) is the one
-  * remaining clearly-marked stub.
+  * with typed metadata. The VISUAL path is REAL end to end: image payloads
+  * are actual PNG bytes, video payloads are actual animated GIFs, and
+  * [[ImageCodec]]/[[GifCodec]] (javax.imageio — in the JDK, no external
+  * dependency) recover exact dimensions, BT.601 luma, 64-bit average
+  * hashes, and per-frame COMPOSITED rasters. The former size-derived frame
+  * stub is gone: frame counts come from the container's real block
+  * structure and sampled frame payloads are the real displayed frames,
+  * PNG-re-encoded. The `audio` modality remains metadata-plus-poster (its
+  * payload is a decodable still — a real audio demuxer/ffmpeg class
+  * dependency does not exist in the JDK; this is the one documented
+  * modality boundary).
   *
   * Scale posture: media bytes never pass through a shuffle — all transforms
   * are `mapPartitions` (narrow); metadata extraction projects away the blob
@@ -36,24 +39,19 @@ object Multimodal {
       sizeBytes: Long,
       width: Int,              // REAL decoded dimensions
       height: Int,
-      nFrames: Int,            // 1 for images; size-derived for audio/video
+      nFrames: Int,            // REAL container frame count (GIF blocks; 1 for stills)
       meanLuma: Double,        // REAL BT.601 mean over every decoded pixel
       aHash: Long,             // REAL 64-bit average hash of the luma plane
       featureVec: Array[Float] // 8 row-means of the pooled luma plane, /255
   )
 
-  /** Frame count: one per image; for audio/video a deterministic function
-    * of payload size stands in for the container's frame index (a real
-    * demuxer is unavailable here). Portable: any SQL engine reproduces it
-    * from `octet_length(bytes)`.
-    */
-  def frameCount(kind: String, sizeBytes: Long): Int =
-    if (kind == "image") 1 else (1L + sizeBytes % 64L).toInt
-
   /** Feature extraction as a partition-preserving typed transform — the shape
     * a Pandas-UDF/`mapInPandas` stage takes in PySpark, expressed with
     * `mapPartitions` on the JVM: batch-in/batch-out, no driver involvement.
-    * Every field but `nFrames` comes from real decoded pixels.
+    * EVERY field comes from the real payload: stills decode their raster,
+    * videos additionally report the container's true frame count
+    * ([[GifCodec.frameCount]] — the former size-derived pseudo-count is
+    * gone), and an animated payload's raster features are its first frame.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -66,27 +64,32 @@ object Multimodal {
         (s / (8.0 * 255.0)).toFloat
       }
       MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, d.width, d.height,
-        frameCount(m.kind, m.bytes.length.toLong), d.meanLuma, d.aHash, vec)
+        GifCodec.frameCount(m.bytes), d.meanLuma, d.aHash, vec)
     })
   }
 
-  /** STUB frame payload: deterministic rewrite standing in for a demuxed
-    * frame (a real video container decode needs ffmpeg-class libraries).
-    * Output bytes derive from (input bytes, target dims); the byte count
-    * scales with the target area the way a re-encoded frame's would.
+  final case class FrameFeatures(
+      mediaId: Long,
+      frameIdx: Int,
+      width: Int,              // logical-screen (composited canvas) dims
+      height: Int,
+      meanLuma: Double,        // BT.601 mean of the COMPOSITED frame
+      aHash: Long              // 64-bit average hash of the composited frame
+  )
+
+  /** Per-frame features over real decoded frames: a video explodes to one
+    * row per composited GIF frame ([[GifCodec.decodeFrames]] — offsets and
+    * disposal applied, so each row describes the frame a viewer displays),
+    * a still is its own single frame. Narrow 1→N flatMap; payload bytes
+    * never cross a shuffle, only the 8-byte hash and scalars do.
     */
-  def frameStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(16, (w.toLong * h / 64).toInt)
-    val out = new Array[Byte](n)
-    var hsh = 0x9e3779b97f4a7c15L ^ (w.toLong << 32 | h.toLong)
-    var i = 0
-    while (i < n) {
-      // an empty payload must hash as constant input, not crash on mod-zero
-      hsh = (hsh ^ (if (bytes.isEmpty) 0L else bytes(i % bytes.length))) * 0x100000001b3L
-      out(i) = (hsh >>> 56).toByte
-      i += 1
-    }
-    out
+  def frameFeatures(media: Dataset[MediaRow]): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      GifCodec.decodeFrames(m.bytes).zipWithIndex.map { case (d, i) =>
+        FrameFeatures(m.mediaId, i, d.width, d.height, d.meanLuma, d.aHash)
+      }
+    })
   }
 
   /** REAL resize: decode → nearest-neighbor resample → lossless re-encode
@@ -101,15 +104,17 @@ object Multimodal {
   final case class Frame(mediaId: Long, frameIdx: Int, bytes: Array[Byte])
 
   /** Frame sampling: one output row per sampled frame (every `stride`-th of
-    * the frame count) — the 1→N explode shape of video pipelines, expressed
-    * as a flatMap over partitions so payload access stays local to the
-    * executor holding it. Frame payloads are the [[frameStub]] rewrite.
+    * the REAL frame count) — the 1→N explode shape of video pipelines,
+    * expressed as a flatMap over partitions so payload access stays local
+    * to the executor holding it. Each payload is the actual COMPOSITED
+    * frame, losslessly PNG-re-encoded ([[GifCodec.sampleFramePayloads]]);
+    * a still samples as its own frame 0.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
-      val n = frameCount(m.kind, m.bytes.length.toLong)
-      (0 until n by stride).map(i => Frame(m.mediaId, i, frameStub(m.bytes, 8 + i, 8)))
+      GifCodec.sampleFramePayloads(m.bytes, stride)
+        .map { case (i, png) => Frame(m.mediaId, i, png) }
     })
   }
 
@@ -151,13 +156,15 @@ object Multimodal {
       octet_length(col("bytes")).as("sizeBytes"),
       sha2(col("bytes"), 256).as("contentHash"))
 
-  /** Synthesize a deterministic REAL-image media corpus keyed by the source
-    * table's ids: every payload is actual PNG bytes from
-    * [[ImageCodec.synthesize]], with `mediaId % families` family patterns so
-    * genuine near-duplicates exist for the dedup operators (same pattern,
-    * 0–3 flipped cells, in-band resolution jitter). The modality label
-    * cycles image/audio/video as metadata; every payload is a decodable
-    * image (frame decode for the other modalities is out of scope here).
+  /** Synthesize a deterministic REAL-media corpus keyed by the source
+    * table's ids: image and audio rows carry actual PNG bytes from
+    * [[ImageCodec.synthesize]] (audio's payload is its poster still — the
+    * documented modality boundary), VIDEO rows carry actual multi-frame
+    * animated GIFs ([[GifCodec.synthesizeAnimation]]: frame 0 equals the
+    * member pattern, later frames mutate one cell each). `mediaId %
+    * families` family patterns put genuine near-duplicates in the corpus
+    * for the dedup operators (same pattern, 0–3 flipped cells, in-band
+    * resolution jitter) — at the STILL level and at the FRAME level.
     */
   def synthesize(docs: DataFrame, families: Int = 97): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
@@ -167,9 +174,11 @@ object Multimodal {
     val par = docs.sparkSession.sparkContext.defaultParallelism * 2
     docs.select(col("doc_id").cast("long")).as[Long]
       .repartition(par).mapPartitions(_.map { id =>
-      MediaRow(id, kinds(java.lang.Math.floorMod(id, 3L).toInt),
-        ImageCodec.synthesize(id, families), "image/png",
-        Timestamp.valueOf("2026-01-01 00:00:00"))
+      val kind = kinds(java.lang.Math.floorMod(id, 3L).toInt)
+      val (bytes, mime) =
+        if (kind == "video") (GifCodec.synthesizeAnimation(id, families), "image/gif")
+        else (ImageCodec.synthesize(id, families), "image/png")
+      MediaRow(id, kind, bytes, mime, Timestamp.valueOf("2026-01-01 00:00:00"))
     })
   }
 }

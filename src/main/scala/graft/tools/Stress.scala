@@ -309,6 +309,7 @@ object Stress {
     }
 
     embeddingStress(spark, sfDir)
+    mediaStress(spark, sfDir)
     appendStress(spark, sfDir)
     streamStateStress(spark, sfDir)
     streamDedupStress(spark, sfDir)
@@ -566,6 +567,87 @@ object Stress {
     * then grow ~linearly. v6's encode is a narrow per-row map against a
     * FIXED model — linear by construction, measured to confirm.
     */
+  /** The media frame/audio cost shapes at ×k corpus: (1) real GIF/PNG/WAV
+    * decode is a NARROW per-row pass — wall time must grow ~linearly with
+    * rows, no shuffle in the timed region; (2) the m8/au2 banded pairing
+    * must stay cap-bounded: families are fixed at 97, so a ×k corpus puts
+    * ~×k members in each band block, the 2..256 cap drops saturated blocks
+    * whole, and the quadratic interior never materializes (out_rows must
+    * grow FAR slower than k² — dropping blocks can even shrink it).
+    */
+  private def mediaStress(spark: SparkSession, sfDir: String): Unit = {
+    import graft.multimodal.{AudioCodec, Multimodal}
+    import spark.implicits._
+    val ids0 = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val idStride = ids0.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+
+    Seq(1, 4, 16).foreach { k =>
+      val ids = ids0.crossJoin(spark.range(k.toLong).select(col("id").as("copy")))
+        .select((col("doc_id") + col("copy") * idStride).as("doc_id"))
+      val n = k.toLong * ids0.count()
+
+      // m3 shape: synthesize + REAL multi-frame decode, end to end narrow
+      val t0 = System.nanoTime()
+      val frames = Multimodal.frameFeatures(Multimodal.synthesize(ids)).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nFrames = frames.count()
+      val tDec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"op":"m3_frame_decode","scale":$k,"n_media":$n,"sec":${num(tDec)},"out_rows":$nFrames}""")
+
+      // m8 shape: banded frame pairing under the 2..256 block cap
+      val t1 = System.nanoTime()
+      val fr = frames.filter(col("mediaId") % 3 === 2)
+        .select(col("mediaId"),
+          floor(col("width") / 256).cast("long").as("w_band"),
+          floor(col("height") / 256).cast("long").as("h_band"),
+          floor(col("meanLuma") / 64).cast("long").as("luma_band"),
+          col("aHash"))
+      val keys = Seq("w_band", "h_band", "luma_band")
+      val blocks = fr.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("nb")).filter(col("nb").between(2, 256)).drop("nb")
+      val inBlock = fr.join(blocks, keys, "left_semi")
+      val nPairs = inBlock.as("x").join(inBlock.as("y"),
+          keys.map(kk => col(s"x.$kk") === col(s"y.$kk")).reduce(_ && _) &&
+            col("x.mediaId") < col("y.mediaId"))
+        .filter(bit_count(col("x.aHash").bitwiseXOR(col("y.aHash"))) <= 6)
+        .count()
+      val tPair = (System.nanoTime() - t1) / 1e9
+      println(s"""{"op":"m8_frame_pairs","scale":$k,"n_media":$n,"sec":${num(tPair)},"out_rows":$nPairs}""")
+      frames.unpersist()
+
+      // au1/au2 shape: real WAV synthesize + decode, then the banded
+      // fingerprint pairing under the same cap
+      val t2 = System.nanoTime()
+      val audio = ids.as[Long].mapPartitions(_.map { id =>
+        val a = AudioCodec.decode(AudioCodec.synthesizeClip(id))
+        (id, a.sampleRate, a.nSamples, a.fingerprint)
+      }).toDF("mediaId", "sampleRate", "nSamples", "fingerprint")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nAudio = audio.count()
+      val tAu = (System.nanoTime() - t2) / 1e9
+      println(s"""{"op":"au1_audio_decode","scale":$k,"n_media":$nAudio,"sec":${num(tAu)},"out_rows":$nAudio}""")
+
+      val t3 = System.nanoTime()
+      val af = audio.select(col("mediaId"), col("sampleRate"),
+        floor(col("nSamples") / 2048).cast("long").as("dur_band"), col("fingerprint"))
+      val akeys = Seq("sampleRate", "dur_band")
+      val ablocks = af.groupBy(akeys.map(col): _*)
+        .agg(count(lit(1)).as("nb")).filter(col("nb").between(2, 256)).drop("nb")
+      val aIn = af.join(ablocks, akeys, "left_semi")
+      val nAPairs = aIn.as("x").join(aIn.as("y"),
+          akeys.map(kk => col(s"x.$kk") === col(s"y.$kk")).reduce(_ && _) &&
+            col("x.mediaId") < col("y.mediaId"))
+        .filter(bit_count(col("x.fingerprint").bitwiseXOR(col("y.fingerprint"))) <= 6)
+        .count()
+      val tAPair = (System.nanoTime() - t3) / 1e9
+      println(s"""{"op":"au2_audio_pairs","scale":$k,"n_media":$nAudio,"sec":${num(tAPair)},"out_rows":$nAPairs}""")
+      audio.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
   private def embeddingStress(spark: SparkSession, sfDir: String): Unit = {
     import graft.sim.{Ivf, Pq}
     val emb0 = graft.Tables(spark, sfDir, "embeddings")

@@ -360,7 +360,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!d18Plan.contains("graft_bloom_contains("),
       s"no driver-held sketch may appear in the sharded plan:\n$d18Plan")
 
-    val x3 = SparkEntry.queries("x3_decontamination_flagship")(spark, dir)
+    // audit the PRE-seal pipeline: the query lambda itself returns a
+    // sealed local relation (cache-free contract), which carries no plan
+    val (x3, x3Persisted) = SparkEntry.x3Unsealed(spark, dir)
     x3.collect()
     // every broadcast build side must be bench-derived (the 1/17 split or
     // its shingle set) — the corpus must never broadcast
@@ -380,6 +382,7 @@ class PlanAuditSpec extends SparkSpec {
         .map(_.dataFilters.mkString(",")))
     assert(buildFilters.nonEmpty && buildFilters.forall(_.contains("% 17) = 0")),
       s"every parquet-backed broadcast build side must be the bench split:\n$buildFilters")
+    x3Persisted.foreach(_.unpersist())
   }
 
   test("k9: the bucketed co-located join has ZERO Exchange below the merge join") {
