@@ -2,7 +2,7 @@ package graft.store
 
 import java.sql.{Connection, DriverManager}
 
-import org.apache.spark.sql.{functions, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Relational (JDBC) store backend — the engine's answer to the reference's
   * native external stores: the ClickHouse grid sink's column batch inserts
@@ -106,19 +106,6 @@ object JdbcStore {
     require(keys.nonEmpty, "merge needs at least one key column")
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
-    // One-row-per-key is a PRECONDITION, as it is for the Postgres ON
-    // CONFLICT statements this mirrors (Postgres errors with "cannot
-    // affect row a second time" on intra-batch duplicates; Derby's MERGE
-    // raises a cardinality violation AFTER half-applying) — fail fast
-    // HERE, before anything touches the target, instead of surfacing a
-    // mid-merge remote error or silently inserting duplicate key rows.
-    val Array(n, nKeys) = df
-      .agg(functions.count(functions.lit(1)),
-        functions.count_distinct(functions.struct(keys.map(functions.col): _*)))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    require(n == nKeys,
-      s"merge batch has ${n - nKeys} duplicate key rows on (${keys.mkString(", ")}); " +
-        "pre-aggregate to one row per key (e.g. keep-latest) before upserting")
     // ensure the target exists with the incoming schema (empty append is a
     // no-op on data but creates the table with the declared column types)
     append(df.limit(0), conn, table)
@@ -127,6 +114,7 @@ object JdbcStore {
     val stage = table + "_stage_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     append(df, conn, stage)
+    val keyList = keys.map(q).mkString(", ")
     val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val setList = nonKeys.map(k => s"${q(k)} = s.${q(k)}").mkString(", ")
     val insertCols = cols.map(q).mkString(", ")
@@ -140,8 +128,32 @@ object JdbcStore {
       s"MERGE INTO $table t USING $stage s ON $on " + matched +
         s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
     withConnection(conn) { c =>
-      try c.createStatement().execute(sql)
-      finally c.createStatement().execute(s"DROP TABLE $stage")
+      try {
+        // One-row-per-key is a PRECONDITION, as it is for the Postgres ON
+        // CONFLICT statements this mirrors (Postgres errors with "cannot
+        // affect row a second time" on intra-batch duplicates; Derby's
+        // MERGE raises a cardinality violation AFTER half-applying) —
+        // checked SET-BASED on the staged batch BEFORE the merge runs, so
+        // no data row ever reaches the target on violation. Remote GROUP
+        // BY on the (batch-sized) staging table instead of a Spark-side
+        // distinct aggregate: one fewer full Spark job per merge (the
+        // former df.agg re-scanned the whole input frame), and the check
+        // runs adjacent to the data it guards.
+        val dupStmt = c.createStatement()
+        val hasDup =
+          try {
+            val rs = dupStmt.executeQuery(
+              s"SELECT $keyList FROM $stage GROUP BY $keyList " +
+                "HAVING COUNT(*) > 1 FETCH FIRST 1 ROWS ONLY")
+            try rs.next() finally rs.close()
+          } finally dupStmt.close() // an open ResultSet blocks DROP TABLE
+        if (hasDup)
+          throw new IllegalArgumentException(
+            s"requirement failed: merge batch has duplicate key rows on " +
+              s"(${keys.mkString(", ")}); pre-aggregate to one row per key " +
+              "(e.g. keep-latest) before upserting")
+        c.createStatement().execute(sql)
+      } finally c.createStatement().execute(s"DROP TABLE $stage")
     }
   }
 
