@@ -317,6 +317,32 @@ class PlanAuditSpec extends SparkSpec {
       s"the media screen must never scan a payload (blob) table:\n$plan")
   }
 
+  test("m8/au2: the near-dup pairings read only their blob-free artifacts") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def executedPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+    }
+    // frame-level pairing: only the 8-byte-hash frame artifact may enter
+    // the scan set — a payload scan would mean re-decoding pixels the
+    // artifact already paid for, per pair generation
+    val m8 = executedPlan("m8_frame_neardup")
+    assert(m8.contains("media/frames"),
+      s"m8 must pair over the persisted frame features:\n$m8")
+    assert(!m8.contains("payloads"),
+      s"m8 must never scan a payload (blob) table:\n$m8")
+    // audio pairing: features only, never the WAV blobs
+    val au2 = executedPlan("au2_audio_neardup")
+    assert(au2.contains("audio/features"),
+      s"au2 must pair over the persisted audio features:\n$au2")
+    assert(!au2.contains("payloads"),
+      s"au2 must never scan a payload (blob) table:\n$au2")
+  }
+
   test("v15: radius search carries no rank window; probe lists broadcast") {
     import graft.sim.Ivf
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
