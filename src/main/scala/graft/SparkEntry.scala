@@ -139,7 +139,7 @@ object SparkEntry {
   private def mediaDir = "/tmp/graft_oracle/media"
 
   private def mediaArtifact(spark: SparkSession, dir: String): Unit =
-    buildOnce(dir, "documents", mediaDir, "codec=png+gif-ahash-v3,families=97") {
+    buildOnce(dir, "documents", mediaDir, "codec=png+gif-ahash-v4,scenes,families=97") {
       import spark.implicits._
       Multimodal.synthesize(t(spark, dir, "documents")).toDF()
         .write.mode("overwrite").parquet(s"$mediaDir/payloads")
@@ -221,7 +221,7 @@ object SparkEntry {
 
   private def mediaBatchFeatures(spark: SparkSession, dir: String): DataFrame = {
     buildOnce(dir, "documents", mediaBatchDir,
-      "codec=png+gif-ahash-v3,families=97,mod=10,offset=lcm291") {
+      "codec=png+gif-ahash-v4,scenes,families=97,mod=10,offset=lcm291") {
       import spark.implicits._
       val ids = t(spark, dir, "documents").select(col("doc_id").cast("long"))
       val maxId = ids.agg(max(col("doc_id"))).collect()(0).getLong(0)
@@ -2180,6 +2180,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frame_pairs"),
           min(col("hamming")).as("min_hamming"))
         .orderBy("video_a", "video_b")
+    }),
+
+    // M-multimodal: SHOT-BOUNDARY detection over the real frame features —
+    // the video-segmentation primitive (scene cuts gate clip-level dedup
+    // and training-sample extraction): per video, compare each composited
+    // frame's aHash to its predecessor (a lag window inside the video — no
+    // cross-video state) and count jumps past the near-dup envelope
+    // (hamming > 6 ⇒ a cut; within-scene drift moves ≤ 2 bits by corpus
+    // construction). All-integer outputs; oracle replays the window + the
+    // bit-by-bit hamming from the frame artifact.
+    "m9_scene_cuts" -> ((s, d) => {
+      val fr = mediaFrames(s, d).filter(col("mediaId") % 3 === 2)
+      val w = Window.partitionBy("mediaId").orderBy("frameIdx")
+      fr.withColumn("dh",
+          bit_count(col("aHash").bitwiseXOR(lag(col("aHash"), 1).over(w))))
+        .groupBy("mediaId")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("dh") > 6, 1L).otherwise(0L)).as("n_cuts"),
+          max(col("dh")).as("max_step"),
+          sum(col("dh")).as("total_drift"))
+        .orderBy("mediaId")
     }),
 
     // AU-audio: REAL WAV decode on the executors — sample counts and rates
@@ -6241,6 +6262,28 @@ object SparkEntry {
         |JOIN read_parquet('/tmp/graft_oracle/media/payloads/*.parquet') p
         |  ON p.mediaId = f.mediaId
         |ORDER BY f.mediaId""".stripMargin,
+
+    // m9: the lag-window shot-boundary replay over the frame artifact —
+    // null first-frame hamming drops out of count/sum/max in both engines
+    "m9_scene_cuts" ->
+      """WITH f AS (
+        |  SELECT mediaId, frameIdx, aHash,
+        |         lag(aHash) OVER (PARTITION BY mediaId ORDER BY frameIdx) AS prev
+        |  FROM read_parquet('/tmp/graft_oracle/media/frames/*.parquet')
+        |  WHERE mediaId % 3 = 2
+        |), d AS (
+        |  SELECT mediaId,
+        |         CASE WHEN prev IS NULL THEN NULL
+        |              ELSE CAST(list_sum(list_transform(range(0, 64),
+        |                j -> CASE WHEN ((xor(aHash, prev) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT)
+        |         END AS dh
+        |  FROM f
+        |)
+        |SELECT mediaId, count(*) AS n_frames,
+        |       CAST(coalesce(sum(CASE WHEN dh > 6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+        |       max(dh) AS max_step,
+        |       CAST(sum(dh) AS BIGINT) AS total_drift
+        |FROM d GROUP BY mediaId ORDER BY mediaId""".stripMargin,
 
     // au1: the WAV decode (javax.sound.sampled over real PCM samples) is
     // the non-portable step, persisted once — the oracle re-derives

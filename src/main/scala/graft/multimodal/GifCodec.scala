@@ -294,22 +294,49 @@ object GifCodec {
       if (i % stride == 0) Some(i -> ImageCodec.encodePng(img)) else None)
   }
 
+  /** True when animation frame `k` (k ≥ 1) of `mediaId` opens a NEW SCENE
+    * rather than drifting one cell — one deterministic rule shared by the
+    * synthesizer, its tests, and anything replaying the corpus structure.
+    */
+  def isSceneCut(mediaId: Long, k: Int, families: Int = 97): Boolean = {
+    val m = ImageCodec.member(mediaId, families)
+    java.lang.Math.floorMod(ImageCodec.mix(m.mseed + 200 + k), 5L) == 0
+  }
+
   /** Deterministic synthetic ANIMATION: frame 0 is exactly the member
     * pattern [[ImageCodec.synthesize]] would paint (so first-frame features
-    * match the still corpus), and each later frame flips ONE further cell —
-    * consecutive frames are genuine near-duplicates (hamming ≤ 1 apart at
-    * the pattern level), and frames of same-family videos stay within the
+    * match the still corpus). Each later frame either DRIFTS — flips ONE
+    * cell, so adjacent frames are genuine near-duplicates (hamming ≤ 1 at
+    * the pattern level) — or, on the deterministic [[isSceneCut]] marks
+    * (~1 frame in 5), opens a NEW SCENE: a fresh two-level pattern at the
+    * same luma levels, a large aHash jump. That gives videos real temporal
+    * structure: within-scene frames near-dup, cross-scene frames far —
+    * exactly what shot-boundary detection (m9) exists to find, while
+    * frames of same-family videos before their first cuts stay within the
     * banded near-dup envelope the media dedup operators screen for.
     * 2..8 frames, full-size, doNotDispose.
     */
   def synthesizeAnimation(mediaId: Long, families: Int = 97): Array[Byte] = {
     val m = ImageCodec.member(mediaId, families)
     val nFrames = 2 + java.lang.Math.floorMod(ImageCodec.mix(m.mseed + 99), 7L).toInt
-    val pattern = m.pattern.clone()
+    var pattern = m.pattern.clone()
     val frames = (0 until nFrames).map { k =>
       if (k > 0) {
-        val c = java.lang.Math.floorMod(ImageCodec.mix(m.mseed + 100 + k), 64L).toInt
-        pattern(c) = if (pattern(c) == m.hi) m.lo else m.hi
+        if (isSceneCut(mediaId, k, families)) {
+          // new scene: reshuffle which cells are high (same lo/hi levels,
+          // same ≥4-cells-per-level floor as ImageCodec.member)
+          val sseed = ImageCodec.mix(m.mseed + 300 + k)
+          val nHigh = 4 + java.lang.Math.floorMod(ImageCodec.mix(sseed + 3), 57L).toInt
+          val order = (0 until 64).sortBy(c => ImageCodec.mix(sseed + 16 + c))
+          val fresh = new Array[Int](64)
+          order.zipWithIndex.foreach { case (cell, rank) =>
+            fresh(cell) = if (rank < nHigh) m.hi else m.lo
+          }
+          pattern = fresh
+        } else {
+          val c = java.lang.Math.floorMod(ImageCodec.mix(m.mseed + 100 + k), 64L).toInt
+          pattern(c) = if (pattern(c) == m.hi) m.lo else m.hi
+        }
       }
       grayIndexedImage(m.w, m.h, (x, y) => pattern((y * 8 / m.h) * 8 + (x * 8 / m.w)))
     }

@@ -191,11 +191,12 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).width === still.width && frames(0).height === still.height)
     assert(frames(0).aHash === still.aHash, "first frame != still member pattern")
     assert(frames(0).meanLuma === still.meanLuma)
-    // consecutive frames mutate ONE pattern cell: adjacent aHashes differ
-    // by exactly one bit while both luma levels stay populated
-    frames.sliding(2).foreach { case Seq(a, b) =>
+    // consecutive frames either DRIFT one pattern cell (≤ 2 hash bits) or
+    // open a new scene on the deterministic isSceneCut marks
+    frames.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
       val d = java.lang.Long.bitCount(a.aHash ^ b.aHash)
-      assert(d <= 2, s"adjacent frames drifted $d bits")
+      if (!GifCodec.isSceneCut(2L, i + 1))
+        assert(d <= 2, s"non-cut step ${i + 1} drifted $d bits")
     }
     // a non-GIF payload decodes as a single frame through the same path
     val still5 = ImageCodec.synthesize(5L)
@@ -229,6 +230,27 @@ class MultimodalSpec extends SparkSpec {
     ff(2L).sortBy(_.frameIdx).zip(direct).foreach { case (r, d) =>
       assert(r.aHash === d.aHash && r.meanLuma === d.meanLuma)
     }
+  }
+
+  test("scene structure: big hash jumps happen ONLY at the deterministic cut marks") {
+    // within-scene drift flips one two-level cell (≤ 2 hash bits: the bit
+    // itself plus at most the threshold's neighbors — provably bounded by
+    // the ≥4-cells-per-level floor), so any adjacent-frame hamming > 6
+    // must be a scene cut; and the corpus really contains cuts
+    var cuts = 0
+    var steps = 0
+    (0L until 120L).map(_ * 3 + 2).foreach { id => // video ids
+      val frames = GifCodec.decodeFrames(GifCodec.synthesizeAnimation(id))
+      frames.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        steps += 1
+        val d = java.lang.Long.bitCount(a.aHash ^ b.aHash)
+        if (d > 6) {
+          assert(GifCodec.isSceneCut(id, i + 1), s"id $id step ${i + 1}: $d-bit jump off-mark")
+          cuts += 1
+        }
+      }
+    }
+    assert(cuts > 20, s"corpus must contain real scene cuts (saw $cuts over $steps steps)")
   }
 
   test("WAV codec: encode→decode recovers exact header counts and sample stats") {
