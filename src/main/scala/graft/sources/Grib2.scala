@@ -1546,6 +1546,12 @@ object Grib2 {
             if (dx <= 0 || dy <= 0) fail(s"bad polar grid spacing ${dx}x$dy m")
             if (math.abs(la1) > 90 || math.abs(laD) > 90)
               fail(s"bad polar latitudes la1=$la1 laD=$laD")
+            // a first point at (or within a millidegree of) the projection's
+            // FAR pole maps to tan(±π/2) — absurd-but-finite radii, the
+            // same degenerate-wire class as the near-antisymmetric Lambert
+            // cone: quarantine through the malformed channel
+            if (if ((centre & 0x80) != 0) la1 > 90.0 - 1e-3 else la1 < -90.0 + 1e-3)
+              fail(s"first point la1=$la1 at the projection's far pole")
             // LaD at the opposite pole ⇒ projection constant c → 0 and the
             // inverse blows up: quarantine through the malformed channel
             if ((if (south) 1.0 - math.sin(math.toRadians(laD))
@@ -1584,6 +1590,12 @@ object Grib2 {
             if (math.abs(latin1) >= 90 || math.abs(latin2) >= 90 ||
                 math.abs(latin1 + latin2) < 1e-3)
               fail(s"unsupported lambert cone parallels $latin1/$latin2")
+            // first point at the cone's FAR pole (opposite the parallels'
+            // hemisphere): ρ = rF / tan(π/4 + φ/2)ⁿ diverges — same
+            // quarantine as the polar-stereographic far-pole case
+            if (math.abs(la1) > 90) fail(s"bad lambert first-point latitude $la1")
+            if (if (latin1 + latin2 > 0) la1 < -90.0 + 1e-3 else la1 > 90.0 - 1e-3)
+              fail(s"first point la1=$la1 at the cone's far pole")
             grid = GridSpec.lambertConformal(ni, nj, la1, lo1,
               LambertSpec(laD, loV, latin1, latin2, dx, dy,
                 yPositive = (scanL & 0x40) != 0))

@@ -656,6 +656,16 @@ class Grib2Spec extends AnyFunSuite {
     }
     val e4 = intercept[java.io.IOException](Grib2.decode(withLatins(30L, -30L)))
     assert(e4.getMessage.contains("cone parallels"))
+    // first point at the cone's far pole (northern cone, la1 = −90):
+    // ρ diverges through tanⁿ — quarantined like the polar case
+    val farPole = bytes.clone()
+    val rawLa1 = 0x80000000L | 90000000L
+    farPole(37 + 38) = (rawLa1 >>> 24).toByte
+    farPole(37 + 39) = (rawLa1 >>> 16).toByte
+    farPole(37 + 40) = (rawLa1 >>> 8).toByte
+    farPole(37 + 41) = rawLa1.toByte
+    val e4b = intercept[java.io.IOException](Grib2.decode(farPole))
+    assert(e4b.getMessage.contains("far pole"))
     // degenerate cones are also refused at construction (programming-error guard)
     intercept[IllegalArgumentException](
       LambertSpec(48.0, 355.0, latin1Deg = 30.0, latin2Deg = -30.0,
@@ -796,6 +806,22 @@ class Grib2Spec extends AnyFunSuite {
     badLaD(37 + 50) = raw.toByte
     val e4 = intercept[java.io.IOException](Grib2.decode(badLaD))
     assert(e4.getMessage.contains("LaD"))
+    // a first point at the FAR pole maps through tan(±π/2) to absurd
+    // finite radii — must quarantine, not mis-grid (la1 octets 39-42)
+    def withLa1(deg: Double): Array[Byte] = {
+      val out = bytes.clone()
+      val v = Math.round(math.abs(deg) * 1e6)
+      val raw = if (deg < 0) 0x80000000L | v else v
+      out(37 + 38) = (raw >>> 24).toByte
+      out(37 + 39) = (raw >>> 16).toByte
+      out(37 + 40) = (raw >>> 8).toByte
+      out(37 + 41) = raw.toByte
+      out
+    }
+    val e5 = intercept[java.io.IOException](Grib2.decode(withLa1(-90.0)))
+    assert(e5.getMessage.contains("far pole"))
+    val e6 = intercept[java.io.IOException](Grib2.decode(withLa1(-89.9995)))
+    assert(e6.getMessage.contains("far pole"))
     // construction-time guards (programming-error channel)
     intercept[IllegalArgumentException](
       PolarSpec(laDDeg = -90.0, loVDeg = 0.0, dxM = 1000.0, dyM = 1000.0))
