@@ -1752,6 +1752,26 @@ object SparkEntry {
         headLen = 48, pfxLen = 16, maxBlock = 256, maxLev = 16, k = 3)
         .orderBy("a", "rnk")),
 
+    // T-text: sequence packing — the concat-and-chunk step between curation
+    // and the training loader. Documents laid end-to-end by doc_id, token
+    // stream cut every 256 tokens; output is the doc→chunk placement map.
+    // Global offsets via the TWO-LEVEL prefix sum (within-shard window +
+    // broadcast shard bases), never a single-partition global window.
+    "t20_pack_sequences" -> ((s, d) =>
+      graft.text.Packing.packChunks(
+        t(s, d, "documents"), "doc_id", "text", ctxLen = 256, shardSize = 64)
+        .orderBy("chunk_id", "doc_id")),
+
+    // T-text: packing quality stats — how full and how fragmented each
+    // context window is (docs sharing it, slices carried over from a doc
+    // that started earlier). The loader-side contract: every chunk but the
+    // last holds exactly ctxLen tokens.
+    "t22_pack_stats" -> ((s, d) =>
+      graft.text.Packing.chunkStats(
+        graft.text.Packing.packChunks(
+          t(s, d, "documents"), "doc_id", "text", ctxLen = 256, shardSize = 64))
+        .orderBy("chunk_id")),
+
     // T-text: corpus vocabulary statistics (explode + distinct at scale)
     "t5_vocab_stats" -> ((s, d) => {
       val toks = t(s, d, "documents")
@@ -5041,6 +5061,71 @@ object SparkEntry {
         |)
         |SELECT a, b, lev, rnk, n_cands FROM r WHERE rnk <= 3
         |ORDER BY a, rnk""".stripMargin,
+
+    // t20: the concat-and-chunk placement map replayed with ONE global
+    // running sum (the oracle can afford the single-partition window the
+    // engine's two-level prefix sum exists to avoid); integer floor-div
+    // throughout — offsets are non-negative so Spark's quot `div` agrees
+    "t20_pack_sequences" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id,
+        |         CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tok
+        |  FROM n
+        |), pos AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t_end
+        |  FROM tk WHERE n_tok > 0
+        |), spans AS (
+        |  SELECT doc_id, CAST(t_end - n_tok AS BIGINT) AS t_start, t_end,
+        |         CAST((t_end - n_tok) // 256 AS BIGINT) AS c0,
+        |         CAST((t_end - 1) // 256 AS BIGINT) AS c1
+        |  FROM pos
+        |)
+        |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |       CAST(greatest(t_start, chunk_id*256) AS BIGINT) AS tok_begin,
+        |       CAST(least(t_end, (chunk_id+1)*256)
+        |            - greatest(t_start, chunk_id*256) AS BIGINT) AS n_tok_in_chunk
+        |FROM (SELECT *, unnest(range(c0, c1+1)) AS chunk_id FROM spans) u
+        |ORDER BY chunk_id, doc_id""".stripMargin,
+
+    // t22: per-chunk packing stats over the t20 map; carry-in = a slice
+    // whose document already placed a slice in an earlier chunk
+    "t22_pack_stats" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id,
+        |         CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tok
+        |  FROM n
+        |), pos AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t_end
+        |  FROM tk WHERE n_tok > 0
+        |), spans AS (
+        |  SELECT doc_id, CAST(t_end - n_tok AS BIGINT) AS t_start, t_end,
+        |         CAST((t_end - n_tok) // 256 AS BIGINT) AS c0,
+        |         CAST((t_end - 1) // 256 AS BIGINT) AS c1
+        |  FROM pos
+        |), placed AS (
+        |  SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |         CAST(least(t_end, (chunk_id+1)*256)
+        |              - greatest(t_start, chunk_id*256) AS BIGINT) AS n_tok_in_chunk
+        |  FROM (SELECT *, unnest(range(c0, c1+1)) AS chunk_id FROM spans) u
+        |), heads AS (
+        |  SELECT chunk_id, doc_id, n_tok_in_chunk,
+        |         min(chunk_id) OVER (PARTITION BY doc_id) AS doc_head_chunk
+        |  FROM placed
+        |)
+        |SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok_in_chunk) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN chunk_id > doc_head_chunk THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in
+        |FROM heads GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
 
     // g1: the d4 pair pipeline, then 3 unrolled PageRank iterations — each
     // iteration sums decimal contributions and rounds to 9dp, mirroring the
