@@ -1762,6 +1762,17 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text", ctxLen = 256, shardSize = 64)
         .orderBy("chunk_id", "doc_id")),
 
+    // T-text: CCNet-style LM quality scoring — add-one-smoothed word-bigram
+    // model trained on the doc_id%10==0 reference slice, every document
+    // scored by cross-entropy (bits/bigram). Model is corpus-sublinear and
+    // broadcast; per-bigram surprisal rounds to 4dp and sums as exact
+    // DECIMAL so the totals replay bit-exactly; xent stays the RAW quotient
+    // (re-rounding an exact-decimal/int quotient is the j7 tie class).
+    "t21_lm_xent" -> ((s, d) =>
+      graft.text.LanguageModel.bigramXent(
+        t(s, d, "documents"), "doc_id", "text", refMod = 10)
+        .orderBy("doc_id")),
+
     // T-text: packing quality stats — how full and how fragmented each
     // context window is (docs sharing it, slices carried over from a doc
     // that started earlier). The loader-side contract: every chunk but the
@@ -5091,6 +5102,51 @@ object SparkEntry {
         |            - greatest(t_start, chunk_id*256) AS BIGINT) AS n_tok_in_chunk
         |FROM (SELECT *, unnest(range(c0, c1+1)) AS chunk_id FROM spans) u
         |ORDER BY chunk_id, doc_id""".stripMargin,
+
+    // t21: the bigram model replayed relationally — same smoothing, same
+    // 4dp-rounded surprisal terms summed as DECIMAL, same raw quotient
+    "t21_lm_xent" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, string_split(norm, ' ') AS ws FROM n
+        |  WHERE norm <> '' AND len(string_split(norm, ' ')) >= 2
+        |), ref AS (
+        |  SELECT * FROM tk WHERE doc_id % 10 = 0
+        |), refbi AS (
+        |  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i+1 AS INT)] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM ref)
+        |), cb AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM refbi GROUP BY 1, 2
+        |), cl AS (
+        |  SELECT w1 AS w1k, count(*) AS c1 FROM refbi GROUP BY 1
+        |), vocab AS (
+        |  SELECT DISTINCT unnest(ws) AS tok FROM ref
+        |), vn AS (
+        |  SELECT count(*) + 1 AS v FROM vocab
+        |), toks AS (
+        |  SELECT doc_id, i, CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS w
+        |  FROM (SELECT doc_id, unnest(ws) AS tok, unnest(range(1, len(ws)+1)) AS i FROM tk) t
+        |  LEFT JOIN vocab v ON t.tok = v.tok
+        |), docbi AS (
+        |  SELECT doc_id, w AS w1,
+        |         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id,
+        |         CAST(round(-log2(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+        |                          / CAST(coalesce(c1, 0) + v AS DOUBLE)), 4)
+        |              AS DECIMAL(20,4)) AS s
+        |  FROM docbi
+        |  LEFT JOIN cb USING (w1, w2)
+        |  LEFT JOIN cl ON docbi.w1 = cl.w1k
+        |  CROSS JOIN vn
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       sum(s) AS sum_surprisal,
+        |       CAST(sum(s) AS DOUBLE) / count(*) AS xent
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // t22: per-chunk packing stats over the t20 map; carry-in = a slice
     // whose document already placed a slice in an earlier chunk
