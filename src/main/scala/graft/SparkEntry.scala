@@ -510,6 +510,36 @@ object SparkEntry {
           round(max(col("lon")).cast("double"), 6).as("max_lon"))
     }),
 
+    // S1/S2 binary path, grid template 3.10 (Mercator) — the cylindrical
+    // member of the projected-grid family (3.30 conic / 3.20 polar / 3.10
+    // cylinder). Points are regular in projected metres at the standard
+    // parallel; a ROW is an isoline of latitude and a COLUMN of longitude,
+    // which the distinct-lat/lon counts pin structurally (nj and ni — a
+    // conic or polar plane would emit ni·nj of each). The strip crosses
+    // the antimeridian, exercising lon normalization (the ADR-002 class).
+    "s10_grib2_mercator" -> ((s, _) => {
+      import java.time.LocalDateTime
+      import graft.sources.{Grib, Grib2}
+      val grid = Grib2.GridSpec.mercator(ni = 25, nj = 16,
+        lat1Deg = -12.0, lon1Deg = 150.0,
+        Grib2.MercatorSpec(laDDeg = 20.0, dxM = 150000.0, dyM = 55000.0))
+      val values = Array.tabulate(grid.numPoints)(i => ((i * 31 + 7) % 2048).toDouble)
+      val bytes = Grib2.encodeCcsds(Grib2.Meteo(0, 0), grid,
+        LocalDateTime.of(2026, 1, 7, 0, 0), 6, values, nbits = 11)
+      val df = Grib.toDataFrame(s, Grib2.EcmwfGrib2Reader.openBytes(bytes).toSeq)
+      df.groupBy(col("variable"), col("unit"), col("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 3).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("lat")).as("n_distinct_lats"),
+          countDistinct(col("lon")).as("n_distinct_lons"),
+          round(min(col("lat")).cast("double"), 6).as("min_lat"),
+          round(max(col("lat")).cast("double"), 6).as("max_lat"),
+          round(min(col("lon")).cast("double"), 6).as("min_lon"),
+          round(max(col("lon")).cast("double"), 6).as("max_lon"))
+    }),
+
     // S1/S2 binary path, DRT 5.41 (PNG packing) — the one remaining
     // JDK-decodable packing after 5.0/5.2/5.3/5.42: the scaled integers
     // ride a lossless PNG raster (here 16-bit grayscale), decoded with
@@ -3824,6 +3854,31 @@ object SparkEntry {
     // latitudes (per-point inverse projection), extremes pinned as 6dp
     // float32-narrowed literals (provenance: Grib2Spec's analytic anchors
     // and round-trips)
+    // s10: Mercator 3.10 — values replay from the generating formula
+    // (E=0 CCSDS quantization is value-exact); the nj/ni distinct-lat/lon
+    // counts pin the cylindrical structure, the coordinate extremes pin
+    // the Snyder inverse (independently validated against the asinh
+    // closed form in Grib2Spec), and the negative min_lon pins the
+    // antimeridian normalization (ADR-002 class)
+    "s10_grib2_mercator" ->
+      """WITH idx AS (
+        |  SELECT unnest(range(0, 400)) AS i
+        |), f AS (
+        |  SELECT CAST((i * 31 + 7) % 2048 AS DOUBLE) AS value FROM idx
+        |)
+        |SELECT 'temperature' AS variable, 'K' AS unit,
+        |       TIMESTAMP '2026-01-07 06:00:00' AS timestamp,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       CAST(16 AS BIGINT) AS n_distinct_lats,
+        |       CAST(25 AS BIGINT) AS n_distinct_lons,
+        |       CAST(-19.590706 AS DOUBLE) AS min_lat,
+        |       CAST(-12.0 AS DOUBLE) AS max_lat,
+        |       CAST(-179.854385 AS DOUBLE) AS min_lon,
+        |       CAST(178.710114 AS DOUBLE) AS max_lon
+        |FROM f""".stripMargin,
+
     "s9_grib2_polar" ->
       """WITH idx AS (
         |  SELECT unnest(range(0, 400)) AS i

@@ -87,6 +87,23 @@ object Grib2 {
       s"unsupported LaD $laDDeg for ${if (southPole) "south" else "north"}-polar projection")
   }
 
+  /** Mercator projection parameters (GDT 3.10): spherical earth (shape 6,
+    * R = 6371229 m), grid spacing `dxM`/`dyM` in metres true at `laDDeg`
+    * (the standard parallel — scale factor cos LaD). Mercator carries no
+    * central-meridian parameter; the x origin anchors at the grid's first
+    * point. `yPositive` mirrors scanning-mode bit 2. Orientation other
+    * than equator-aligned (template octets 61-64 ≠ 0) is refused at
+    * decode — a rotated Mercator has no faithful representation here.
+    */
+  final case class MercatorSpec(laDDeg: Double, dxM: Double, dyM: Double,
+      yPositive: Boolean = false) {
+    require(dxM > 0 && dyM > 0, s"bad grid spacing ${dxM}x$dyM")
+    // cos LaD is the map scale: at the poles it vanishes and every metre
+    // of grid spacing maps to unbounded degrees
+    require(math.cos(math.toRadians(laDDeg)) >= 1e-6 && math.abs(laDDeg) <= 90,
+      s"unsupported mercator LaD $laDDeg")
+  }
+
   /** Lat/lon grid, +i (west→east) scanning. Three forms:
     *   - regular (GDT 3.0): rows at `lat1Deg − j·dLatDeg` (gaussianN = 0);
     *   - Gaussian (GDT 3.40): `gaussianN` parallels between pole and
@@ -103,20 +120,23 @@ object Grib2 {
       lat1Deg: Double, lon1Deg: Double, dLatDeg: Double, dLonDeg: Double,
       gaussianN: Int = 0, gaussianStart: Int = 0,
       lambert: Option[LambertSpec] = None,
-      polar: Option[PolarSpec] = None) {
+      polar: Option[PolarSpec] = None,
+      mercator: Option[MercatorSpec] = None) {
     require(ni > 0 && nj > 0, s"empty grid $ni x $nj")
     require(gaussianN >= 0 && gaussianStart >= 0, s"bad gaussian fields $gaussianN/$gaussianStart")
     require(gaussianN == 0 || gaussianStart + nj <= 2 * gaussianN,
       s"$nj rows from $gaussianStart overrun the ${2 * gaussianN} gaussian parallels")
-    require(Seq(gaussianN > 0, lambert.isDefined, polar.isDefined).count(identity) <= 1,
-      "a grid carries at most one of: gaussian parallels, a lambert cone, a polar plane")
+    require(Seq(gaussianN > 0, lambert.isDefined, polar.isDefined,
+        mercator.isDefined).count(identity) <= 1,
+      "a grid carries at most one of: gaussian parallels, a lambert cone, a polar plane, a mercator cylinder")
     def isGaussian: Boolean = gaussianN > 0
     def isLambert: Boolean = lambert.isDefined
     def isPolar: Boolean = polar.isDefined
+    def isMercator: Boolean = mercator.isDefined
     /** True for the grids whose points are regular in projected METRES
-      * (3.30/3.20) rather than in degrees.
+      * (3.30/3.20/3.10) rather than in degrees.
       */
-    def isProjected: Boolean = isLambert || isPolar
+    def isProjected: Boolean = isLambert || isPolar || isMercator
     def numPoints: Int = ni * nj
     /** Row latitudes north→south — the coordinate source for the lat/lon
       * forms (a projected grid has no shared row latitude; see [[Lcc]]/[[Pst]]).
@@ -153,6 +173,16 @@ object Grib2 {
     def polarStereographic(ni: Int, nj: Int, lat1Deg: Double, lon1Deg: Double,
         spec: PolarSpec): GridSpec =
       GridSpec(ni, nj, lat1Deg, lon1Deg, 0.0, 0.0, polar = Some(spec))
+
+    /** Mercator grid constructor: first point + projection. */
+    def mercator(ni: Int, nj: Int, lat1Deg: Double, lon1Deg: Double,
+        spec: MercatorSpec): GridSpec = {
+      // the first point anchors the projected walk; at (or within a
+      // millidegree of) a pole its y diverges through ln tan(π/2)
+      require(math.abs(lat1Deg) <= 90.0 - 1e-3,
+        s"mercator first-point latitude $lat1Deg at a pole")
+      GridSpec(ni, nj, lat1Deg, lon1Deg, 0.0, 0.0, mercator = Some(spec))
+    }
   }
 
   /** Lambert conformal conic on the sphere — the Snyder 1987 ("Map
@@ -254,6 +284,41 @@ object Grib2 {
           (90.0 - 2.0 * math.toDegrees(math.atan(rho / p.c)),
             if (rho == 0.0) p.lam0Rad else p.lam0Rad + math.atan2(x, -y))
       val lon = math.toDegrees(lonRad)
+      (lat, ((lon + 540.0) % 360.0) - 180.0)
+    }
+  }
+
+  /** Mercator on the sphere — Snyder 1987 (USGS PP 1395, eqs. 7-1/7-2
+    * forward and 7-4/7-5 inverse, spherical case) with scale true at the
+    * standard parallel LaD, the cylindrical member of the projected-grid
+    * family GRIB2 ships for tropical/regional models (GDT 3.10). The
+    * template names no central meridian, so the x origin anchors at the
+    * grid's first point (`lam0`). Pure arithmetic.
+    */
+  object Mrc {
+
+    /** `rPrime = R·cos LaD` (the scaled cylinder radius); x = rPrime·Δλ,
+      * y = rPrime·ln tan(π/4 + φ/2).
+      */
+    final case class Proj(rPrime: Double, lam0Rad: Double)
+
+    def proj(s: MercatorSpec, lon0Deg: Double,
+        radiusM: Double = Lcc.EarthRadiusM): Proj =
+      Proj(radiusM * math.cos(math.toRadians(s.laDDeg)), math.toRadians(lon0Deg))
+
+    /** (lat°, lon°) → projected metres relative to (equator, lam0). */
+    def forward(p: Proj, latDeg: Double, lonDeg: Double): (Double, Double) = {
+      var dLon = lonDeg - math.toDegrees(p.lam0Rad)
+      while (dLon > 180) dLon -= 360
+      while (dLon <= -180) dLon += 360
+      (p.rPrime * math.toRadians(dLon),
+        p.rPrime * math.log(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2)))
+    }
+
+    /** Projected metres → (lat°, lon° in [−180, 180)). */
+    def inverse(p: Proj, x: Double, y: Double): (Double, Double) = {
+      val lat = math.toDegrees(2.0 * math.atan(math.exp(y / p.rPrime)) - math.Pi / 2)
+      val lon = math.toDegrees(p.lam0Rad + x / p.rPrime)
       (lat, ((lon + 540.0) % 360.0) - 180.0)
     }
   }
@@ -364,8 +429,28 @@ object Grib2 {
       s3.u8(0xff); s3.u32(0xffffffffL) // minor axis: missing
       s3.u32(grid.ni); s3.u32(grid.nj)
     }
-    (grid.lambert, grid.polar) match {
-      case (Some(lc), _) =>
+    (grid.lambert, grid.polar, grid.mercator) match {
+      case (None, None, Some(ms)) =>
+        // template 3.10 — Mercator, 72 octets (note the wire order: scan
+        // mode at octet 60, BEFORE orientation/Di/Dj — unlike 3.0/3.20/3.30)
+        prelude(72, 10)
+        s3.sm32(microDeg(grid.lat1Deg)) // La1 — first point
+        s3.u32(microDeg(((grid.lon1Deg % 360.0) + 360.0) % 360.0))
+        s3.u8(0x08) // resolution flags
+        s3.sm32(microDeg(ms.laDDeg)) // LaD — where Di/Dj are true
+        // La2/Lo2 — the LAST grid point, derived through the projection
+        val mp = Mrc.proj(ms, grid.lon1Deg)
+        val (mx1, my1) = Mrc.forward(mp, grid.lat1Deg, grid.lon1Deg)
+        val mySign = if (ms.yPositive) 1.0 else -1.0
+        val (la2, lo2) = Mrc.inverse(mp, mx1 + (grid.ni - 1) * ms.dxM,
+          my1 + mySign * (grid.nj - 1) * ms.dyM)
+        s3.sm32(microDeg(la2))
+        s3.u32(microDeg(((lo2 % 360.0) + 360.0) % 360.0))
+        s3.u8(if (ms.yPositive) 0x40 else 0x00) // scanning: +i, ±j
+        s3.u32(0) // orientation: i along the equator
+        s3.u32(Math.round(ms.dxM * 1000.0)) // Di in 10^-3 m
+        s3.u32(Math.round(ms.dyM * 1000.0)) // Dj
+      case (Some(lc), _, _) =>
         // template 3.30 — Lambert conformal, 81 octets
         prelude(81, 30)
         s3.sm32(microDeg(grid.lat1Deg)) // La1 — first point
@@ -380,7 +465,7 @@ object Grib2 {
         s3.sm32(microDeg(lc.latin1Deg))
         s3.sm32(microDeg(lc.latin2Deg))
         s3.sm32(-90000000L); s3.u32(0L) // southern pole of projection
-      case (None, Some(ps)) =>
+      case (None, Some(ps), _) =>
         // template 3.20 — polar stereographic, 65 octets
         prelude(65, 20)
         s3.sm32(microDeg(grid.lat1Deg)) // La1 — first point
@@ -392,7 +477,7 @@ object Grib2 {
         s3.u32(Math.round(ps.dyM * 1000.0)) // Dy
         s3.u8(if (ps.southPole) 0x80 else 0x00) // projection centre flag
         s3.u8(if (ps.yPositive) 0x40 else 0x00) // scanning: +i, ±j
-      case (None, None) =>
+      case (None, None, None) =>
         // template 3.0 (regular lat/lon) or 3.40 (Gaussian), 72 octets
         prelude(72, if (grid.isGaussian) 40 else 0)
         s3.u32(0) // basic angle: 0 → micro-degree units
@@ -1512,20 +1597,51 @@ object Grib2 {
           val nPoints = r.u32().toInt
           r.skip(1 + 1)
           val template = r.u16()
-          if (template != 0 && template != 40 && template != 30 && template != 20)
+          if (template != 0 && template != 40 && template != 30 &&
+              template != 20 && template != 10)
             fail(s"unsupported grid template 3.$template")
           // a section LENGTH that understates its template's fixed size
           // would read the next section's header bytes as projection/grid
           // parameters — silently wrong coordinates that still pass every
           // later check, or an AIOOBE past the last message. Bound FIRST.
           val templateLen =
-            if (template == 30) 81 else if (template == 20) 65 else 72
+            if (template == 30) 81 else if (template == 20) 65 else 72 // 3.10/3.0/3.40 all 72
           if (secLen < templateLen)
             fail(s"section 3 length $secLen too short for template 3.$template ($templateLen)")
           r.skip(1 + 5 + 5 + 5) // earth shape + radius + axes
           val ni = r.u32().toInt
           val nj = r.u32().toInt
-          if (template == 20) {
+          if (template == 10) {
+            // Mercator: first point, standard parallel, derived last point,
+            // then (wire order!) scan mode, orientation, Di/Dj
+            val la1 = r.sm32() / 1e6
+            val lo1 = r.u32() / 1e6
+            r.skip(1) // resolution flags
+            val laD = r.sm32() / 1e6
+            r.skip(4 + 4) // La2/Lo2 (derived from the increments)
+            val scanM = r.u8()
+            if ((scanM & 0xb0) != 0) fail(f"unsupported scanning mode 0x$scanM%02x")
+            val orient = r.u32()
+            // a rotated Mercator (i not along the equator) has no faithful
+            // representation here — silently decoding it as equator-aligned
+            // would mis-place every point
+            if (orient != 0) fail(s"unsupported mercator orientation $orient")
+            val dx = r.u32() / 1000.0 // wire 10^-3 m → metres
+            val dy = r.u32() / 1000.0
+            if (ni.toLong * nj != nPoints) fail(s"grid $ni x $nj != $nPoints points")
+            if (dx <= 0 || dy <= 0) fail(s"bad mercator grid spacing ${dx}x$dy m")
+            // cos LaD is the cylinder scale: at a pole it vanishes and the
+            // metre spacing maps to unbounded degrees — quarantine, with
+            // the same millidegree margin as the other projected grids
+            if (math.abs(laD) > 90 || math.cos(math.toRadians(laD)) < 1e-6)
+              fail(s"unsupported mercator LaD $laD")
+            // first point at (or within a millidegree of) a pole: its
+            // projected y diverges through ln tan(π/2)
+            if (math.abs(la1) > 90.0 - 1e-3)
+              fail(s"mercator first-point latitude $la1 at a pole")
+            grid = GridSpec.mercator(ni, nj, la1, lo1,
+              MercatorSpec(laD, dx, dy, yPositive = (scanM & 0x40) != 0))
+          } else if (template == 20) {
             // polar stereographic: first point, then the projection params
             val la1 = r.sm32() / 1e6
             val lo1 = r.u32() / 1e6
@@ -1805,8 +1921,30 @@ object Grib2 {
   private def gridArrays(g: GridSpec): (Array[Double], Array[Double]) = {
     val lats = new Array[Double](g.numPoints)
     val lons = new Array[Double](g.numPoints)
-    (g.lambert, g.polar) match {
-      case (Some(lc), _) =>
+    (g.lambert, g.polar, g.mercator) match {
+      case (None, None, Some(ms)) =>
+        // Mercator: the same projected-metres walk; within a ROW the
+        // latitude is constant (the cylinder's parallel) and within a
+        // COLUMN the longitude is constant — but both still come from the
+        // per-point Snyder inverse for uniformity with 3.30/3.20
+        val p = Mrc.proj(ms, g.lon1Deg)
+        val (x1, y1) = Mrc.forward(p, g.lat1Deg, g.lon1Deg)
+        val ySign = if (ms.yPositive) 1.0 else -1.0
+        var idx = 0
+        var j = 0
+        while (j < g.nj) {
+          val y = y1 + ySign * j * ms.dyM
+          var i = 0
+          while (i < g.ni) {
+            val (la, lo) = Mrc.inverse(p, x1 + i * ms.dxM, y)
+            lats(idx) = la
+            lons(idx) = Grib.normalizeLon(lo)
+            idx += 1
+            i += 1
+          }
+          j += 1
+        }
+      case (Some(lc), _, _) =>
         // Lambert conformal: regular in PROJECTED metres, anchored at the
         // first point; every grid point inverse-projects individually
         val p = Lcc.proj(lc)
@@ -1826,7 +1964,7 @@ object Grib2 {
           }
           j += 1
         }
-      case (None, Some(ps)) =>
+      case (None, Some(ps), _) =>
         // polar stereographic: same projected-metres walk, Snyder polar
         // inverse per point
         val p = Pst.proj(ps)
@@ -1846,7 +1984,7 @@ object Grib2 {
           }
           j += 1
         }
-      case (None, None) =>
+      case (None, None, None) =>
         val rows = g.rowLats // regular arithmetic or the Gaussian table window
         var idx = 0
         var j = 0

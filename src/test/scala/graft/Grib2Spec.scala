@@ -829,6 +829,156 @@ class Grib2Spec extends AnyFunSuite {
       PolarSpec(laDDeg = 60.0, loVDeg = 0.0, dxM = 0.0, dyM = 1000.0))
   }
 
+  test("mercator: independent asinh closed form, scaled radius, inverse identity") {
+    import Grib2.{MercatorSpec, Mrc}
+    val r = Grib2.Lcc.EarthRadiusM
+    // cos 60° = 1/2 exactly: the scaled cylinder radius is R/2
+    val p60 = Mrc.proj(MercatorSpec(laDDeg = 60.0, dxM = 1.0, dyM = 1.0), 10.0)
+    assert(math.abs(p60.rPrime - r * 0.5) < 1e-6)
+    // INDEPENDENT closed form: ln tan(π/4 + φ/2) ≡ asinh(tan φ) — pins the
+    // tan-form implementation the same way the polar test pins ρ(LaD)
+    val p0 = Mrc.proj(MercatorSpec(laDDeg = 0.0, dxM = 1.0, dyM = 1.0), 0.0)
+    for (lat <- Seq(-75.0, -30.0, 0.0, 15.0, 45.0, 60.0, 82.5)) {
+      val (_, y) = Mrc.forward(p0, lat, 0.0)
+      val t = math.tan(math.toRadians(lat))
+      assert(math.abs(y - r * math.log(t + math.hypot(t, 1.0))) < 1e-6,
+        s"y(φ=$lat) must equal R*asinh(tan φ)")
+    }
+    // the equator is y = 0 and 1° of longitude is R'·π/180 of x
+    val (x1, y1) = Mrc.forward(p0, 0.0, 1.0)
+    assert(math.abs(y1) < 1e-9 && math.abs(x1 - r * math.Pi / 180) < 1e-6)
+    // inverse identity, wrap-around longitudes included
+    for (proj <- Seq(p0, p60); lat <- Seq(-80.0, -12.5, 0.0, 33.0, 71.0);
+         lon <- Seq(-170.0, 0.0, 185.0, 350.0)) {
+      val (fx, fy) = Mrc.forward(proj, lat, lon)
+      val (bla, blo) = Mrc.inverse(proj, fx, fy)
+      assert(math.abs(bla - lat) < 1e-9, s"lat $lat -> $bla")
+      val expectLon = ((lon + 540.0) % 360.0) - 180.0
+      assert(math.abs(blo - expectLon) < 1e-9, s"lon $lon -> $blo")
+    }
+  }
+
+  test("mercator grid 3.10: round-trip through all four packings, both scan orders") {
+    import Grib2.{GridSpec, MercatorSpec}
+    // a tropical strip crossing the antimeridian (the ADR-002 shape),
+    // scanning south→north
+    val tropics = GridSpec.mercator(ni = 30, nj = 20,
+      lat1Deg = -12.0, lon1Deg = 150.0,
+      MercatorSpec(laDDeg = 20.0, dxM = 55000.0, dyM = 55000.0,
+        yPositive = true))
+    // a mid-latitude strip, default north→south scan
+    val midLat = GridSpec.mercator(ni = 25, nj = 16,
+      lat1Deg = 58.0, lon1Deg = 340.0,
+      MercatorSpec(laDDeg = 45.0, dxM = 40000.0, dyM = 40000.0))
+    Seq(tropics, midLat).foreach { grid =>
+      val values = field(grid, 250.0, 40.0)
+      val simple = Grib2.decode(Grib2.encode(Meteo(0, 0), grid, refTime, 12, values)).head
+      assert(simple.grid === grid, "decoded GridSpec carries the full projection")
+      assert(simple.grid.isMercator)
+      val quantum = (values.max - values.min) / ((1 << 16) - 1)
+      values.zip(simple.values).foreach { case (v, got) =>
+        assert(math.abs(v - got) <= quantum + 1e-9)
+      }
+      val complex = Grib2.decode(Grib2.encodeComplex(Meteo(0, 0), grid, refTime, 12,
+        values, order = 1)).head
+      assert(complex.grid === grid)
+      assert(simple.values.sameElements(complex.values))
+      val ccsds = Grib2.decode(Grib2.encodeCcsds(Meteo(0, 6), grid, refTime, 6,
+        values.map(v => v.floor), nbits = 10)).head
+      assert(ccsds.grid === grid)
+      val png = Grib2.decode(Grib2.encodePngPacked(Meteo(0, 0), grid, refTime, 12,
+        values, nbits = 16)).head
+      assert(png.grid === grid)
+      assert(simple.values.sameElements(png.values))
+    }
+  }
+
+  test("mercator grid 3.10: adapters emit cylindrical per-point coordinates") {
+    import Grib2.{GridSpec, MercatorSpec, Mrc}
+    val spec = MercatorSpec(laDDeg = 20.0, dxM = 60000.0, dyM = 60000.0)
+    // crosses the antimeridian: lons must normalize to [−180, 180)
+    val grid = GridSpec.mercator(ni = 80, nj = 8,
+      lat1Deg = -12.0, lon1Deg = 150.0, spec)
+    val values = field(grid, 300.0, 10.0)
+    val m = Grib2.EcmwfGrib2Reader.openBytes(
+      Grib2.encode(Meteo(0, 0), grid, refTime, 6, values)).toSeq.head
+    assert(m.lats.length === grid.numPoints)
+    // anchor: the first grid point is (La1, Lo1) itself
+    assert(math.abs(m.lats(0) - (-12.0)) < 1e-6)
+    assert(math.abs(m.lons(0) - 150.0) < 1e-6)
+    // unlike the conic/polar planes, a Mercator ROW is an isoline of
+    // latitude and a COLUMN an isoline of longitude
+    val row0 = m.lats.take(grid.ni)
+    assert(row0.forall(la => math.abs(la - row0(0)) < 1e-9))
+    val col0 = (0 until grid.nj).map(j => m.lons(j * grid.ni))
+    assert(col0.forall(lo => math.abs(lo - col0(0)) < 1e-9))
+    // every longitude is normalized even across the antimeridian
+    assert(m.lons.forall(lo => lo >= -180.0 && lo < 180.0))
+    assert(m.lons.exists(_ < 0.0) && m.lons.exists(_ > 0.0),
+      "the strip must actually cross the antimeridian")
+    // spot-check an interior point against a direct inverse projection
+    val p = Mrc.proj(spec, 150.0)
+    val (x1, y1) = Mrc.forward(p, -12.0, 150.0)
+    val (ela, elo) = Mrc.inverse(p, x1 + 7 * spec.dxM, y1 - 5 * spec.dyM)
+    val idx = 5 * grid.ni + 7
+    assert(math.abs(m.lats(idx) - ela) < 1e-6)
+    assert(math.abs(m.lons(idx) - elo) < 1e-6)
+  }
+
+  test("mercator grid 3.10: unsupported projection variants are refused, not mis-gridded") {
+    import Grib2.{GridSpec, MercatorSpec}
+    val grid = GridSpec.mercator(ni = 10, nj = 8,
+      lat1Deg = -12.0, lon1Deg = 150.0,
+      MercatorSpec(laDDeg = 20.0, dxM = 60000.0, dyM = 60000.0))
+    val bytes = Grib2.encode(Meteo(0, 0), grid, refTime, 6, field(grid, 300.0, 10.0))
+    // section 3 starts at 16+21=37; template 3.10's 1-based octets:
+    // 39-42 = La1, 48-51 = LaD, 60 = scanning mode, 61-64 = orientation
+    def mangled(off1Based: Int, v: Int): Array[Byte] = {
+      val out = bytes.clone(); out(37 + off1Based - 1) = v.toByte; out
+    }
+    // -i scanning / transposed consecutivity: silently wrong point order
+    val e1 = intercept[java.io.IOException](Grib2.decode(mangled(60, 0x80)))
+    assert(e1.getMessage.contains("scanning"))
+    intercept[java.io.IOException](Grib2.decode(mangled(60, 0x20)))
+    // ... while the supported +j form still decodes
+    assert(Grib2.decode(mangled(60, 0x40)).head.grid.mercator.get.yPositive)
+    // a rotated Mercator (orientation ≠ 0) would mis-place every point
+    val e2 = intercept[java.io.IOException](Grib2.decode(mangled(61, 0x01)))
+    assert(e2.getMessage.contains("orientation"))
+    // a length lie reads past the 72-octet template — refuse first
+    val lying = bytes.clone()
+    lying(37 + 3) = 60.toByte
+    val e3 = intercept[java.io.IOException](Grib2.decode(lying))
+    assert(e3.getMessage.contains("too short for template"))
+    def sm32At(off1Based: Int, deg: Double): Array[Byte] = {
+      val out = bytes.clone()
+      val v = Math.round(math.abs(deg) * 1e6)
+      val raw = if (deg < 0) 0x80000000L | v else v
+      out(37 + off1Based - 1) = (raw >>> 24).toByte
+      out(37 + off1Based) = (raw >>> 16).toByte
+      out(37 + off1Based + 1) = (raw >>> 8).toByte
+      out(37 + off1Based + 2) = raw.toByte
+      out
+    }
+    // LaD at a pole: cos LaD → 0 and metres map to unbounded degrees
+    val e4 = intercept[java.io.IOException](Grib2.decode(sm32At(48, 90.0)))
+    assert(e4.getMessage.contains("LaD"))
+    intercept[java.io.IOException](Grib2.decode(sm32At(48, -89.99999)))
+    // first point at (or within a millidegree of) a pole: y diverges
+    // through ln tan(π/2)
+    val e5 = intercept[java.io.IOException](Grib2.decode(sm32At(39, 90.0)))
+    assert(e5.getMessage.contains("pole"))
+    intercept[java.io.IOException](Grib2.decode(sm32At(39, -89.9995)))
+    // construction-time guards (programming-error channel)
+    intercept[IllegalArgumentException](
+      MercatorSpec(laDDeg = 90.0, dxM = 1000.0, dyM = 1000.0))
+    intercept[IllegalArgumentException](
+      MercatorSpec(laDDeg = 20.0, dxM = 0.0, dyM = 1000.0))
+    intercept[IllegalArgumentException](
+      GridSpec.mercator(ni = 4, nj = 4, lat1Deg = 90.0, lon1Deg = 0.0,
+        MercatorSpec(laDDeg = 0.0, dxM = 1000.0, dyM = 1000.0)))
+  }
+
   test("complex 5.2/5.3: truncated and length-lying section 7 fail, never decode garbage") {
     // unpackComplex must bound every descriptor/group-array read to section
     // 7's declared end: a section-7 length that understates its own group
