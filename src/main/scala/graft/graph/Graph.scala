@@ -40,54 +40,52 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg0 = e0.select(col("a").as("id")).unionAll(e0.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // |hubs| ≤ 2|E|/maxDegree — small for any sane cap, but NOT broadcast-
     // hinted: at 10¹² edges it can still exceed driver memory, and a
     // shuffled anti-join on the node id is safe at every scale (AQE
     // broadcasts it when it is in fact small).
     val hubs = deg0.filter(col("d") > maxDegree).select("id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nHubs = hubs.count() // eager: materializes the hub cache too
     val e = e0
       .join(hubs.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
       .join(hubs.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
       .select("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the bounded edge cache, then release the upstream
-    // persists — a census call leaves only `e` cached behind (the result
-    // frame still reads it), not three dead edge lists per invocation
-    e.count()
-    e0.unpersist()
-    hubs.unpersist()
     // degrees RE-derived on the bounded subgraph, so wedges/triangles/
     // clustering describe one consistent graph
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
-    // the result is ONE row of scalars — collect them eagerly so the
-    // bounded edge cache can be fully released before returning: a
-    // long-lived session running many censuses must leave NOTHING
-    // persisted behind (localCheckpoint would itself pin the result RDD
-    // in the cache with no caller-accessible handle)
     val paths = e.select(col("a").as("pa"), col("b").as("pb")).as("p")
       .join(e.select(col("a").as("qa"), col("b").as("qb")).as("q"),
         col("pb") === col("qa"))
       .select(col("pa").as("a"), col("qb").as("b"))
-    // ONE action for all three counts (wedges + edges from the degree
+    // ONE action for all four scalars (wedges + edges from the degree
     // frame — Σd counts every edge row twice, duplicates included, so
-    // Σd div 2 ≡ e.count(); triangles from the closing-edge semi-join):
-    // a cross of two one-row aggregates collects in a single job over the
-    // cached edge frame, where separate collect()/count() actions paid
-    // the full job overhead three times for the same cache traversals
+    // Σd div 2 ≡ e.count(); triangles from the closing-edge semi-join;
+    // the hub count from the cached full-degree frame): crossing the
+    // one-row aggregates collects in a single job, with the persists
+    // filling lazily on first traversal — the r9 shape paid full job
+    // overhead three times (hub count, edge-cache force, final agg) for
+    // the same cache fills. The result is collected eagerly so every
+    // persist can be released before returning: a long-lived session
+    // running many censuses must leave NOTHING cached behind
+    // (localCheckpoint would itself pin the result RDD with no
+    // caller-accessible handle).
     val row = deg
       .agg(expr("sum(d * (d - 1) div 2)").as("n_wedges"),
         expr("coalesce(sum(d) div 2, 0)").as("n_edges"))
       .crossJoin(paths.join(e, Seq("a", "b"), "left_semi")
         .agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(hubs.agg(count(lit(1)).as("n_hubs")))
       .collect()(0)
     val nWedges: java.lang.Long = // null on an empty graph, like the SQL sum
       if (row.isNullAt(0)) null else java.lang.Long.valueOf(row.getLong(0))
     val nEdges = row.getLong(1)
     val nTris = row.getLong(2)
+    val nHubs = row.getLong(3)
     e.unpersist()
+    deg0.unpersist()
+    e0.unpersist()
     // HALF_UP to 6dp, matching Spark's round() the former plan used
     val clustering: Double =
       if (nWedges != null && nWedges.longValue > 0L)

@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * Published pipelines (CCNet, Gopher/MassiveText, RefinedWeb) all carry a
   * step of exactly this shape; the model here is the smallest honest
   * instance — an add-one-smoothed word bigram model — with the same
-  * distributed layout a KenLM-sized model would use.
+  * distributed layout a KenLM-sized model would use. Distinct from
+  * [[TextAnalysis.lmQuality]] (t9), which scores unsmoothed unigram
+  * self-information against the WHOLE corpus's own frequencies: this one
+  * holds out a reference slice, smooths, and handles out-of-vocabulary
+  * tokens — the shape that generalizes to scoring new crawls against a
+  * trusted model.
   *
   * Scale shape: the model is corpus-sublinear (vocabulary + observed
   * bigrams of the REFERENCE slice only) and ships to executors as

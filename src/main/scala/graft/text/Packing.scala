@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   * Matches the packing semantics of the standard "concatenate then split
   * every ctxLen tokens" loaders (GPT-style pretraining); the reference
   * pipeline has no packing stage — this is LLM-pipeline surface beyond it.
+  * The complementary batch-assembly form — whole documents assigned to
+  * token-budget bins, never split — is [[TextAnalysis.packSequences]] (t8);
+  * this operator produces the exact token spans a fixed-context loader
+  * consumes, including documents straddling chunk boundaries.
   *
   * Scale shape: the global token offset is a prefix sum over the whole
   * corpus. A single `Window.orderBy(id)` computes it but moves EVERY row to
