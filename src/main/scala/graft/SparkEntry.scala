@@ -3215,6 +3215,13 @@ object SparkEntry {
     // the result the oracle full-recomputes.
     "st7_stream_rollup" -> ((s, d) => StreamContract.streamRollup(s, d)),
 
+    // ST-streaming: model-gated continuous ingest — t21's bigram LM fitted
+    // once on the static reference slice, every streamed micro-batch scored
+    // against the broadcast model inside foreachBatch and stamped with the
+    // keep/reject verdict. Stateless across batches; the oracle replays the
+    // checkpointed drain end to end.
+    "st9_stream_lm_gate" -> ((s, d) => StreamContract.lmGate(s, d)),
+
     // E-events: behavioral transition matrix — per-user next-event bigrams
     // (one lead window over the user timeline, ties broken by event_id)
     // folded to Markov transition counts and row-normalized probabilities.
@@ -5202,6 +5209,56 @@ object SparkEntry {
         |       sum(s) AS sum_surprisal,
         |       CAST(sum(s) AS DOUBLE) / count(*) AS xent
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // st9: the t21 replay restricted to the streamed (non-reference) slice,
+    // plus the raw-double threshold verdict — identical IEEE quotients on
+    // both sides make the boolean engine-portable
+    "st9_stream_lm_gate" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, string_split(norm, ' ') AS ws FROM n
+        |  WHERE norm <> '' AND len(string_split(norm, ' ')) >= 2
+        |), ref AS (
+        |  SELECT * FROM tk WHERE doc_id % 10 = 0
+        |), refbi AS (
+        |  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i+1 AS INT)] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM ref)
+        |), cb AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM refbi GROUP BY 1, 2
+        |), cl AS (
+        |  SELECT w1 AS w1k, count(*) AS c1 FROM refbi GROUP BY 1
+        |), vocab AS (
+        |  SELECT DISTINCT unnest(ws) AS tok FROM ref
+        |), vn AS (
+        |  SELECT count(*) + 1 AS v FROM vocab
+        |), toks AS (
+        |  SELECT doc_id, i, CASE WHEN v.tok IS NULL THEN '<unk>' ELSE t.tok END AS w
+        |  FROM (SELECT doc_id, unnest(ws) AS tok, unnest(range(1, len(ws)+1)) AS i
+        |        FROM tk WHERE doc_id % 10 <> 0) t
+        |  LEFT JOIN vocab v ON t.tok = v.tok
+        |), docbi AS (
+        |  SELECT doc_id, w AS w1,
+        |         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |  FROM toks QUALIFY w2 IS NOT NULL
+        |), s AS (
+        |  SELECT doc_id,
+        |         CAST(round(-log2(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+        |                          / CAST(coalesce(c1, 0) + v AS DOUBLE)), 4)
+        |              AS DECIMAL(20,4)) AS s
+        |  FROM docbi
+        |  LEFT JOIN cb USING (w1, w2)
+        |  LEFT JOIN cl ON docbi.w1 = cl.w1k
+        |  CROSS JOIN vn
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         sum(s) AS sum_surprisal,
+        |         CAST(sum(s) AS DOUBLE) / count(*) AS xent
+        |  FROM s GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bigrams, sum_surprisal, xent, xent <= 5.1 AS kept
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // t22: per-chunk packing stats over the t20 map; carry-in = a slice
     // whose document already placed a slice in an earlier chunk

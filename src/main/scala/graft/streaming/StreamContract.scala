@@ -375,4 +375,58 @@ object StreamContract {
     Multimodal.screenVerdict(
       spark.read.schema(matches.schema).parquet(sink), batchIds)
   }
+
+  /** ST9 — MODEL-GATED CONTINUOUS INGEST: the add-one-smoothed bigram LM
+    * (t21's model) is fitted ONCE on the static reference slice
+    * (`doc_id % 10 == 0`), then a landing zone of incoming documents is
+    * consumed as a stream and each micro-batch is scored against the
+    * broadcast model inside `foreachBatch` — full batch-DataFrame semantics
+    * (the per-document window + aggregate a bare streaming plan would
+    * reject in append mode without a watermark), which is exactly the
+    * production pattern for model scoring in Structured Streaming. Each
+    * scored document carries its cross-entropy and the keep/reject verdict
+    * (`xent ≤ threshold`); the checkpointed sink is read back as the
+    * result, so the DuckDB oracle replays the entire drain: a
+    * lost/duplicated micro-batch or a model drift hash-mismatches.
+    *
+    * Scale: the model frames are corpus-sublinear and re-broadcast per
+    * micro-batch; no streaming state accumulates — the gate is stateless
+    * across batches by construction (each document's verdict depends only
+    * on itself and the static model).
+    */
+  def lmGate(spark: SparkSession, sfDir: String,
+      threshold: Double = 5.1): DataFrame = {
+    import graft.text.LanguageModel
+    val docs = Tables(spark, sfDir, "documents")
+    val landing = tmp("st9_landing")
+    val sink = tmp("st9_sink")
+    val ckpt = tmp("st9_ckpt")
+    val model = LanguageModel.fit(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    docs.filter(col("doc_id") % 10 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream.schema(docs.schema).parquet(landing)
+    // the verdict schema, STATED for the empty-drain read-back (the st8
+    // lesson: inference over a zero-row sink throws)
+    var verdictSchema: org.apache.spark.sql.types.StructType = null
+    withDrainParallelism(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val scored = LanguageModel.score(batch, "doc_id", "text", model)
+            .withColumn("kept", col("xent") <= threshold)
+          if (verdictSchema == null) verdictSchema = scored.schema
+          scored.write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    if (verdictSchema == null)
+      verdictSchema = LanguageModel
+        .score(docs.limit(0), "doc_id", "text", model)
+        .withColumn("kept", col("xent") <= threshold).schema
+    spark.read.schema(verdictSchema).parquet(sink).orderBy("doc_id")
+  }
 }

@@ -49,33 +49,63 @@ object LanguageModel {
   def bigramXent(df: DataFrame, idCol: String, textCol: String,
       refMod: Int = 10): DataFrame = {
     require(refMod >= 1, s"refMod must be positive: $refMod")
+    val model = fit(
+      df.filter(pmod(col(idCol).cast("long"), lit(refMod.toLong)) === 0),
+      idCol, textCol)
+    score(df, idCol, textCol, model)
+  }
+
+  /** The fitted model: observed bigram counts, left-unigram counts, the
+    * vocabulary, and the one-row smoothing denominator V. All four are
+    * corpus-sublinear frames that broadcast into scoring joins — the
+    * fit/score split is what lets a STREAM score micro-batches against a
+    * model trained once on a static reference (st9's shape).
+    */
+  final case class BigramModel(c12: DataFrame, c1: DataFrame,
+      vocab: DataFrame, vRow: DataFrame)
+
+  private def tokenArrays(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val norm = TextAnalysis.normalize(col(textCol))
-    val toks = df.select(col(idCol).cast("long").as("id"),
+    df.select(col(idCol).cast("long").as("id"),
         split(norm, " ", -1).as("ws"))
       .filter(size(col("ws")) >= 2 && element_at(col("ws"), 1) =!= "")
+  }
 
-    val ref = toks.filter(pmod(col("id"), lit(refMod.toLong)) === 0)
+  // bigrams: zip the array against itself shifted by one — a narrow map,
+  // no shuffle until the count aggregates
+  private def bigrams(d: DataFrame): DataFrame = d.select(col("id"),
+      explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))).as("bg"))
+    .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
-    // reference bigrams: zip the array against itself shifted by one —
-    // a narrow map, no shuffle until the count aggregates
-    def bigrams(d: DataFrame): DataFrame = d.select(col("id"),
-        explode(arrays_zip(
-          slice(col("ws"), lit(1), size(col("ws")) - 1).as("w1"),
-          slice(col("ws"), lit(2), size(col("ws")) - 1).as("w2"))).as("bg"))
-      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-
-    val refBi = bigrams(ref)
+  /** Train the bigram model on `ref` (every row of it — the caller picks
+    * the reference slice).
+    */
+  def fit(ref: DataFrame, idCol: String, textCol: String): BigramModel = {
+    val toks = tokenArrays(ref, idCol, textCol)
+    val refBi = bigrams(toks)
     val c12 = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = refBi.groupBy("w1").agg(count(lit(1)).as("c1"))
       .withColumnRenamed("w1", "w1k")
-    val vocab = ref.select(explode(col("ws")).as("tok")).distinct()
+    val vocab = toks.select(explode(col("ws")).as("tok")).distinct()
     // V as a one-row broadcast instead of a driver action: the whole
     // scoring plan stays a single job
     val vRow = vocab.agg((count(lit(1)) + 1L).as("v"))
+    BigramModel(c12, c1, vocab, vRow)
+  }
 
+  /** Score `df` under a fitted model — see [[bigramXent]] for the output
+    * contract. Works on a micro-batch inside foreachBatch exactly as on a
+    * static frame.
+    */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      model: BigramModel): DataFrame = {
+    val BigramModel(c12, c1, vocab, vRow) = model
     // scoring stream: explode with position, map OOV → <unk> against the
     // broadcast vocabulary, re-form bigrams with a per-document lead()
-    val mapped = toks.select(col("id"),
+    val mapped = tokenArrays(df, idCol, textCol).select(col("id"),
         posexplode(col("ws")).as(Seq("pos", "tok")))
       .join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("tok"), "left")
       .select(col("id"), col("pos"),
