@@ -72,6 +72,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"no global window allowed:\n$p")
   }
 
+  test("t20 packing: doc-stream window per shard; only the sublinear bases frame is global") {
+    val p = planOf(graft.text.Packing.packChunks(docs, "doc_id", "text",
+      ctxLen = 16, shardSize = 8))
+    // the corpus-sized running sum is partitioned by the shard key
+    assert(p.contains("hashpartitioning(shard"),
+      s"the document window must partition by shard:\n$p")
+    // exactly ONE single-partition exchange: the shard-totals prefix sum
+    // (a frame smaller than the corpus by shardSize×) — a second one would
+    // mean the document stream itself collapsed to one partition
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles == 1,
+      s"expected exactly the bases frame on a single partition, got $singles:\n$p")
+    // the per-shard base offsets join back by broadcast
+    assert(p.contains("BroadcastHashJoin"), s"bases must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the offset join must not shuffle the corpus:\n$p")
+  }
+
+  test("t21 LM scoring: the model ships to the data — every model join broadcasts") {
+    val p = planOf(graft.text.LanguageModel.bigramXent(docs, "doc_id", "text",
+      refMod = 10))
+    assert(p.contains("BroadcastHashJoin"), s"model joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token stream must never shuffle-join against the model:\n$p")
+    // the bigram re-assembly window is per-document, never global
+    assert(p.contains("hashpartitioning(id"),
+      s"the lead() window must partition by document:\n$p")
+    // exactly ONE single-partition stage: the one-row vocabulary-size
+    // aggregate (the model constant V, computed over the sublinear vocab)
+    // — a second would mean the token stream itself funneled to one task
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles == 1,
+      s"only the V constant may be single-partition, got $singles:\n$p")
+  }
+
   test("w1 top-k: the rank filter plans as WindowGroupLimit, not a full sort") {
     val p = SparkEntry.queries("w1_topk_per_group")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
