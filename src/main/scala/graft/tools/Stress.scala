@@ -87,6 +87,11 @@ object Stress {
       .cache()
     val nBatch = batch0.count()
 
+    // t21/st9 model held FIXED at the ×1 reference slice across scales —
+    // the production shape: the trusted model doesn't grow with the crawl
+    val lmModel = graft.text.LanguageModel.fit(
+      docs0.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+
     // JIT/codegen warmup so the x1 measurement isn't charged cold-start
     val w = docs0.limit(100).cache(); w.count()
     Dedup.minhashLshPairsPortable(w, "doc_id", "text",
@@ -99,6 +104,9 @@ object Stress {
     TextAnalysis.topNgrams(w, "doc_id", "text", n = 2, k = 20).count()
     curation(w).count()
     w.select(sum(length(Pii.redact(col("text"))))).collect()
+    graft.text.Packing.packChunks(w, "doc_id", "text",
+      ctxLen = 256, shardSize = 64).count()
+    graft.text.LanguageModel.score(w, "doc_id", "text", lmModel).count()
     w.unpersist()
     spark.catalog.clearCache()
 
@@ -158,6 +166,26 @@ object Stress {
       println(s"""{"op":"t12_heavyhitters","scale":$k,"n_docs":$n,"sec":${num(tHh)},"out_rows":$rowsHh}""")
       println(s"""{"op":"p3_pii_redact","scale":$k,"n_docs":$n,"sec":${num(tPii)},"out_chars":$charsPii}""")
       println(s"""{"op":"sm3_token_budget","scale":$k,"n_docs":$n,"sec":${num(tTb)},"out_rows":$rowsTb}""")
+
+      // t20: concat-and-chunk packing — cost and output must both track
+      // the token stream linearly (out_rows ≈ n_docs + n_chunks); the
+      // two-level prefix sum keeps the corpus off a single partition, so
+      // a superlinear knee here would mean the window design regressed
+      val (tPack, rowsPack) = time {
+        graft.text.Packing.packChunks(docs, "doc_id", "text",
+          ctxLen = 256, shardSize = 64).count()
+      }
+      println(s"""{"op":"t20_pack","scale":$k,"n_docs":$n,"sec":${num(tPack)},"out_rows":$rowsPack}""")
+
+      // t21: LM scoring with the model FIXED at the ×1 reference — the
+      // st9 serve shape: per-doc cost is model-lookup joins (broadcast),
+      // so time must track the corpus linearly and never the model×corpus
+      // product; multiplied copies are suffixed → almost all tokens map
+      // to <unk>, the worst case for the vocab left-join
+      val (tLm, rowsLm) = time {
+        graft.text.LanguageModel.score(docs, "doc_id", "text", lmModel).count()
+      }
+      println(s"""{"op":"t21_lm_score","scale":$k,"n_docs":$n,"sec":${num(tLm)},"out_rows":$rowsLm}""")
 
       // g1: PageRank at fixed iterations over the scale's near-dup pairs —
       // per-iteration cost is one join + one agg over the edge list, so
