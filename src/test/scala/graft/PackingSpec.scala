@@ -79,6 +79,57 @@ class PackingSpec extends SparkSpec {
     assert(shortOnes.toSeq === Seq(2L)) // only the last chunk may be short
   }
 
+  test("invariants on randomized corpora: token conservation, exact tiling") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 50 + rnd.nextInt(150)
+      val corpus = (0 until n).map { i =>
+        val len = rnd.nextInt(40) // 0 → empty docs must vanish
+        (i.toLong * 7 + 3, (0 until len).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val ctx = 1 + rnd.nextInt(64)
+      val placed = Packing.packChunks(corpus, "doc_id", "text",
+          ctxLen = ctx, shardSize = 1 + rnd.nextInt(16))
+        .collect()
+        .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("tok_begin"), r.getAs[Long]("n_tok_in_chunk")))
+      val tokCounts = corpus
+        .select(col("doc_id"), size(split(
+          graft.text.TextAnalysis.normalize(col("text")), " ", -1)).cast("long").as("nt"),
+          graft.text.TextAnalysis.normalize(col("text")).as("norm"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.getAs[String]("norm").isEmpty) 0L else r.getAs[Long]("nt"))).toMap
+      // per-doc conservation: a document's slices sum to its token count;
+      // zero-token documents emit nothing
+      val perDoc = placed.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+      tokCounts.foreach { case (id, nt) =>
+        assert(perDoc.getOrElse(id, 0L) === nt, s"doc $id ctx=$ctx")
+      }
+      val total = tokCounts.values.sum
+      if (total > 0) {
+        // chunk ids are contiguous from zero; every chunk but the last
+        // holds exactly ctxLen tokens, the last exactly the remainder
+        val byChunk = placed.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+        val maxChunk = (total - 1) / ctx
+        assert(byChunk.keySet === (0L to maxChunk).toSet)
+        (0L until maxChunk).foreach(c => assert(byChunk(c) === ctx.toLong))
+        assert(byChunk(maxChunk) === total - maxChunk * ctx)
+        // slices tile each chunk exactly: sorted by begin, contiguous,
+        // starting on the chunk boundary
+        placed.groupBy(_._1).foreach { case (c, slices) =>
+          val sorted = slices.sortBy(_._3)
+          assert(sorted.head._3 === c * ctx, s"chunk $c must start on its boundary")
+          sorted.sliding(2).foreach {
+            case Array(p, q) => assert(p._3 + p._4 === q._3,
+              s"chunk $c slices must be gap- and overlap-free")
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
+
   test("packChunks rejects degenerate parameters") {
     intercept[IllegalArgumentException](
       Packing.packChunks(docs, "doc_id", "text", ctxLen = 0))

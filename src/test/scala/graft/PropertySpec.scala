@@ -73,6 +73,80 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("projected grids (3.30/3.20/3.10, any supported params) round-trip the wire") {
+    import graft.sources.Grib2
+    val refTime = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+    val genDx = Gen.chooseNum(1000.0, 500000.0)
+    val genLambert = for {
+      latin1 <- Gen.chooseNum(-80.0, 80.0)
+      latin2 <- Gen.chooseNum(-80.0, 80.0)
+      if math.abs(latin1 + latin2) >= 0.1
+      laD <- Gen.chooseNum(-80.0, 80.0)
+      loV <- Gen.chooseNum(0.0, 359.9)
+      la1 <- Gen.chooseNum(-60.0, 70.0)
+      lon1 <- Gen.chooseNum(0.0, 359.9)
+      dx <- genDx; dy <- genDx; yPos <- Gen.oneOf(true, false)
+    } yield Grib2.GridSpec.lambertConformal(7, 5, la1, lon1,
+      Grib2.LambertSpec(laD, loV, latin1, latin2, dx, dy, yPos))
+    val genPolar = for {
+      south <- Gen.oneOf(true, false)
+      laDm <- Gen.chooseNum(30.0, 89.0)
+      loV <- Gen.chooseNum(0.0, 359.9)
+      la1m <- Gen.chooseNum(0.0, 85.0)
+      lon1 <- Gen.chooseNum(0.0, 359.9)
+      dx <- genDx; dy <- genDx; yPos <- Gen.oneOf(true, false)
+    } yield Grib2.GridSpec.polarStereographic(7, 5,
+      if (south) -la1m else la1m, lon1,
+      Grib2.PolarSpec(if (south) -laDm else laDm, loV, dx, dy, south, yPos))
+    val genMercator = for {
+      laD <- Gen.chooseNum(-85.0, 85.0)
+      la1 <- Gen.chooseNum(-85.0, 85.0)
+      lon1 <- Gen.chooseNum(0.0, 359.9)
+      dx <- genDx; dy <- genDx; yPos <- Gen.oneOf(true, false)
+    } yield Grib2.GridSpec.mercator(7, 5, la1, lon1,
+      Grib2.MercatorSpec(laD, dx, dy, yPos))
+    val genCase = for {
+      grid <- Gen.oneOf(genLambert, genPolar, genMercator)
+      seed <- Gen.choose(0, 10000)
+    } yield (grid, seed)
+    check(Prop.forAll(genCase) { case (grid, seed) =>
+      val values = Array.tabulate(grid.numPoints)(i =>
+        280.0 + 30.0 * math.sin(i * 0.7 + seed))
+      val d = Grib2.decode(
+        Grib2.encode(Grib2.Meteo(0, 0), grid, refTime, 3, values, 16)).head
+      val g = d.grid
+      // wire quantization: lat/lon to micro-degrees (≤5e-7°), dx/dy to mm
+      def degEq(a: Double, b: Double) = {
+        val an = ((a % 360.0) + 360.0) % 360.0
+        val bn = ((b % 360.0) + 360.0) % 360.0
+        math.abs(an - bn) <= 1e-6 || math.abs(math.abs(an - bn) - 360.0) <= 1e-6
+      }
+      def mEq(a: Double, b: Double) = math.abs(a - b) <= 5e-4
+      val specOk = (grid.lambert, grid.polar, grid.mercator) match {
+        case (Some(w), _, _) =>
+          val r = g.lambert.get
+          degEq(r.laDDeg, w.laDDeg) && degEq(r.loVDeg, w.loVDeg) &&
+            degEq(r.latin1Deg, w.latin1Deg) && degEq(r.latin2Deg, w.latin2Deg) &&
+            mEq(r.dxM, w.dxM) && mEq(r.dyM, w.dyM) && r.yPositive == w.yPositive
+        case (_, Some(w), _) =>
+          val r = g.polar.get
+          degEq(r.laDDeg, w.laDDeg) && degEq(r.loVDeg, w.loVDeg) &&
+            mEq(r.dxM, w.dxM) && mEq(r.dyM, w.dyM) &&
+            r.southPole == w.southPole && r.yPositive == w.yPositive
+        case (_, _, Some(w)) =>
+          val r = g.mercator.get
+          degEq(r.laDDeg, w.laDDeg) &&
+            mEq(r.dxM, w.dxM) && mEq(r.dyM, w.dyM) && r.yPositive == w.yPositive
+        case _ => false
+      }
+      val quantum = 60.0 / ((1L << 16) - 1).toDouble * 1.01 +
+        2 * math.ulp(250f).toDouble + 1e-12
+      specOk && g.ni == grid.ni && g.nj == grid.nj &&
+        degEq(g.lat1Deg, grid.lat1Deg) && degEq(g.lon1Deg, grid.lon1Deg) &&
+        values.zip(d.values).forall { case (v, got) => math.abs(v - got) <= quantum }
+    })
+  }
+
   test("complex packing (5.2/5.3, any order/groupLen/missing mask) decodes identically to simple packing") {
     import graft.sources.Grib2
     val refTime = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
