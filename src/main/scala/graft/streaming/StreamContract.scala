@@ -411,11 +411,20 @@ object StreamContract {
     var verdictSchema: org.apache.spark.sql.types.StructType = null
     withDrainParallelism(spark) {
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val scored = LanguageModel.score(batch, "doc_id", "text", model)
             .withColumn("kept", col("xent") <= threshold)
           if (verdictSchema == null) verdictSchema = scored.schema
-          scored.write.mode("append").parquet(sink)
+          // foreachBatch is AT-LEAST-ONCE (a crash between write and
+          // checkpoint commit replays the batch) — keying the sink by
+          // batchId and dynamically overwriting ONLY that partition makes
+          // the replay rewrite its own output instead of duplicating it
+          // (the st4 sink discipline)
+          scored.withColumn("batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(sink)
           ()
         }
         .option("checkpointLocation", ckpt)
@@ -427,6 +436,8 @@ object StreamContract {
       verdictSchema = LanguageModel
         .score(docs.limit(0), "doc_id", "text", model)
         .withColumn("kept", col("xent") <= threshold).schema
-    spark.read.schema(verdictSchema).parquet(sink).orderBy("doc_id")
+    // the batch-id partition column is synthetic — drop it on read-back
+    spark.read.schema(verdictSchema.add("batch", "long")).parquet(sink)
+      .drop("batch").orderBy("doc_id")
   }
 }
