@@ -510,6 +510,33 @@ object SparkEntry {
           round(max(col("lon")).cast("double"), 6).as("max_lon"))
     }),
 
+    // S1/S2 binary path, product template 4.8 (interval statistic) — the
+    // template real precipitation/radiation products ship: a 6-hour
+    // accumulation starting at lead 12 h, stamped with the interval END
+    // (ref + 12 + 6 — the archive convention for accumulated fields). The
+    // oracle pins the end stamp and the adapter's name/unit mapping;
+    // integer quantization replays the value field exactly.
+    "s11_grib2_statistical" -> ((s, _) => {
+      import java.time.LocalDateTime
+      import graft.sources.{Grib, Grib2}
+      val grid = Grib2.GridSpec(ni = 20, nj = 10, lat1Deg = 62.0,
+        lon1Deg = 355.0, dLatDeg = 0.5, dLonDeg = 0.5)
+      val values = Array.tabulate(grid.numPoints)(i => ((i * 37 + 11) % 500).toDouble)
+      val bytes = Grib2.encode(
+        Grib2.Statistical(category = 1, number = 8, process = 1, rangeHours = 6),
+        grid, LocalDateTime.of(2026, 1, 8, 0, 0), 12, values, nbits = 16)
+      val df = Grib.toDataFrame(s, Grib2.EcmwfGrib2Reader.openBytes(bytes).toSeq)
+      df.groupBy(col("variable"), col("unit"), col("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value"), 3).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          min(col("lat")).cast("double").as("min_lat"),
+          max(col("lat")).cast("double").as("max_lat"),
+          min(col("lon")).cast("double").as("min_lon"),
+          max(col("lon")).cast("double").as("max_lon"))
+    }),
+
     // S1/S2 binary path, grid template 3.10 (Mercator) — the cylindrical
     // member of the projected-grid family (3.30 conic / 3.20 polar / 3.10
     // cylinder). Points are regular in projected metres at the standard
@@ -3861,6 +3888,29 @@ object SparkEntry {
     // latitudes (per-point inverse projection), extremes pinned as 6dp
     // float32-narrowed literals (provenance: Grib2Spec's analytic anchors
     // and round-trips)
+    // s11: interval statistic 4.8 — value field replays from the
+    // generating formula (16-bit E=0 quantization is exact); the regular
+    // grid's coordinates replay arithmetically; the timestamp literal pins
+    // the END-of-interval stamp (ref 00:00 + lead 12 h + range 6 h) and
+    // the column literals pin the adapter's accumulated-field mapping
+    "s11_grib2_statistical" ->
+      """WITH idx AS (
+        |  SELECT unnest(range(0, 200)) AS i
+        |), f AS (
+        |  SELECT CAST((i * 37 + 11) % 500 AS DOUBLE) AS value,
+        |         CAST(62.0 - (i // 20) * 0.5 AS DOUBLE) AS lat,
+        |         CAST(((355.0 + (i % 20) * 0.5 + 180.0) % 360.0) - 180.0 AS DOUBLE) AS lon
+        |  FROM idx
+        |)
+        |SELECT 'total_precipitation' AS variable, 'kg m-2' AS unit,
+        |       TIMESTAMP '2026-01-08 18:00:00' AS timestamp,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       min(lat) AS min_lat, max(lat) AS max_lat,
+        |       min(lon) AS min_lon, max(lon) AS max_lon
+        |FROM f""".stripMargin,
+
     // s10: Mercator 3.10 — values replay from the generating formula
     // (E=0 CCSDS quantization is value-exact); the nj/ni distinct-lat/lon
     // counts pin the cylindrical structure, the coordinate extremes pin

@@ -370,6 +370,18 @@ object Grib2 {
   final case class Meteo(category: Int, number: Int) extends Product
   /** PDT 4.40 — CAMS chemical constituent (40008 = pm10, 40009 = pm2p5). */
   final case class Chemical(constituentType: Int) extends Product
+  /** PDT 4.8 — a statistic over a time interval (WMO table 4.10 `process`:
+    * 0 average, 1 accumulation, 2 maximum, 3 minimum), the template real
+    * precipitation/radiation products ship. The interval STARTS at
+    * `refTime + forecastHours` and runs `rangeHours`; one continuous time
+    * range (the overwhelmingly common wire shape — multi-range messages
+    * are refused, not mis-summed).
+    */
+  final case class Statistical(category: Int, number: Int,
+      process: Int, rangeHours: Int) extends Product {
+    require(process >= 0 && process <= 3, s"unsupported statistical process $process")
+    require(rangeHours >= 1, s"empty statistical range $rangeHours h")
+  }
 
   final case class Decoded(
       discipline: Int,
@@ -378,8 +390,17 @@ object Grib2 {
       forecastHours: Int,
       grid: GridSpec,
       values: Array[Double]) {
-    def validTime: Timestamp =
-      Timestamp.from(refTime.plusHours(forecastHours.toLong).toInstant(ZoneOffset.UTC))
+    /** Instantaneous fields stamp `ref + leadtime`; interval statistics
+      * stamp the END of their interval — the convention every archive
+      * (and the reference's hourly pipeline) uses for accumulations.
+      */
+    def validTime: Timestamp = product match {
+      case Statistical(_, _, _, rangeH) => Timestamp.from(
+        refTime.plusHours(forecastHours.toLong + rangeH.toLong)
+          .toInstant(ZoneOffset.UTC))
+      case _ =>
+        Timestamp.from(refTime.plusHours(forecastHours.toLong).toInstant(ZoneOffset.UTC))
+    }
   }
 
   /** Missing grid points (section-6 bitmap zeros) decode as NaN; encoders
@@ -496,6 +517,49 @@ object Grib2 {
     s3
   }
 
+  /** Section 4 — product definition: template 4.0 (instantaneous meteo),
+    * 4.40 (chemical constituent), or 4.8 (interval statistic: 4.0's 34
+    * octets, then end-of-overall-interval time and ONE continuous time
+    * range — 58 octets total). Shared by every packing encoder.
+    */
+  private def productSection(product: Product, refTime: LocalDateTime,
+      forecastHours: Int): Writer = {
+    val s4 = new Writer
+    val (templateNo, cat, num, constituent, stat) = product match {
+      case Meteo(c, n)   => (0, c, n, None, None)
+      case Chemical(ct)  => (40, 20, 0, Some(ct), None) // category 20: chemical constituents, number 0: mass density
+      case s @ Statistical(c, n, _, _) => (8, c, n, None, Some(s))
+    }
+    val secLen =
+      if (stat.isDefined) 58 else if (constituent.isEmpty) 34 else 36
+    s4.u32(secLen); s4.u8(4)
+    s4.u16(0) // no coordinate values
+    s4.u16(templateNo)
+    s4.u8(cat); s4.u8(num)
+    constituent.foreach(s4.u16)
+    s4.u8(2) // generating process: forecast
+    s4.u8(255); s4.u8(255) // background/process id: missing
+    s4.u16(0); s4.u8(0) // data cutoff
+    s4.u8(1) // time unit: hour
+    s4.u32(forecastHours) // 4.8: the START of the interval
+    s4.u8(103); s4.u8(0); s4.u32(2) // first surface: 2 m above ground
+    s4.u8(255); s4.u8(0xff); s4.u32(0xffffffffL) // second surface: missing
+    stat.foreach { s =>
+      val end = refTime.plusHours(forecastHours.toLong + s.rangeHours.toLong)
+      s4.u16(end.getYear); s4.u8(end.getMonthValue); s4.u8(end.getDayOfMonth)
+      s4.u8(end.getHour); s4.u8(end.getMinute); s4.u8(end.getSecond)
+      s4.u8(1)  // one time range
+      s4.u32(0) // no values missing from the statistic
+      s4.u8(s.process) // table 4.10
+      s4.u8(2)  // increment type: same start, forecast time incremented
+      s4.u8(1)  // range length unit: hour
+      s4.u32(s.rangeHours.toLong)
+      s4.u8(255) // increment unit: missing —
+      s4.u32(0)  // increment 0: a continuous process
+    }
+    s4
+  }
+
   /** Simple-packing parameters chosen for `nbits`: binary scale E is the
     * smallest integer with `(max−min)/2^E ≤ 2^nbits − 1` (negative E =
     * sub-unit precision), reference value R is the minimum as float32 (the
@@ -570,24 +634,8 @@ object Grib2 {
     // Section 3 — grid definition, template 3.0 or 3.40 (shared writer)
     val s3 = gridSection(grid)
 
-    // Section 4 — product definition, template 4.0 or 4.40
-    val s4 = new Writer
-    val (templateNo, cat, num, constituent) = product match {
-      case Meteo(c, n)   => (0, c, n, None)
-      case Chemical(ct)  => (40, 20, 0, Some(ct)) // category 20: chemical constituents, number 0: mass density
-    }
-    s4.u32(if (constituent.isEmpty) 34 else 36); s4.u8(4)
-    s4.u16(0) // no coordinate values
-    s4.u16(templateNo)
-    s4.u8(cat); s4.u8(num)
-    constituent.foreach(s4.u16)
-    s4.u8(2) // generating process: forecast
-    s4.u8(255); s4.u8(255) // background/process id: missing
-    s4.u16(0); s4.u8(0) // data cutoff
-    s4.u8(1) // time unit: hour
-    s4.u32(forecastHours)
-    s4.u8(103); s4.u8(0); s4.u32(2) // first surface: 2 m above ground
-    s4.u8(255); s4.u8(0xff); s4.u32(0xffffffffL) // second surface: missing
+    // Section 4 — product definition (templates 4.0 / 4.40 / 4.8)
+    val s4 = productSection(product, refTime, forecastHours)
 
     // Section 5 — data representation, template 5.0 (simple packing);
     // counts and packing parameters cover PRESENT points only
@@ -700,21 +748,8 @@ object Grib2 {
     // Section 3 — grid definition (shared writer, all grid templates)
     val s3 = gridSection(grid)
 
-    // Section 4 — product definition (identical to encode)
-    val s4 = new Writer
-    val (templateNo, cat, num, constituent) = product match {
-      case Meteo(c, nn)  => (0, c, nn, None)
-      case Chemical(ct)  => (40, 20, 0, Some(ct))
-    }
-    s4.u32(if (constituent.isEmpty) 34 else 36); s4.u8(4)
-    s4.u16(0); s4.u16(templateNo)
-    s4.u8(cat); s4.u8(num)
-    constituent.foreach(s4.u16)
-    s4.u8(2); s4.u8(255); s4.u8(255)
-    s4.u16(0); s4.u8(0); s4.u8(1)
-    s4.u32(forecastHours)
-    s4.u8(103); s4.u8(0); s4.u32(2)
-    s4.u8(255); s4.u8(0xff); s4.u32(0xffffffffL)
+    // Section 4 — product definition (shared writer, templates 4.0/4.40/4.8)
+    val s4 = productSection(product, refTime, forecastHours)
 
     // Section 5 — DRT 5.41 (21 octets: R, E, D, image depth, field type)
     val s5 = new Writer
@@ -861,21 +896,8 @@ object Grib2 {
     // Section 3 — grid definition, template 3.0 or 3.40 (shared writer)
     val s3 = gridSection(grid)
 
-    // Section 4 — product definition (identical to encode)
-    val s4 = new Writer
-    val (templateNo, cat, num, constituent) = product match {
-      case Meteo(c, nn)  => (0, c, nn, None)
-      case Chemical(ct)  => (40, 20, 0, Some(ct))
-    }
-    s4.u32(if (constituent.isEmpty) 34 else 36); s4.u8(4)
-    s4.u16(0); s4.u16(templateNo)
-    s4.u8(cat); s4.u8(num)
-    constituent.foreach(s4.u16)
-    s4.u8(2); s4.u8(255); s4.u8(255)
-    s4.u16(0); s4.u8(0); s4.u8(1)
-    s4.u32(forecastHours)
-    s4.u8(103); s4.u8(0); s4.u32(2)
-    s4.u8(255); s4.u8(0xff); s4.u32(0xffffffffL)
+    // Section 4 — product definition (shared writer, templates 4.0/4.40/4.8)
+    val s4 = productSection(product, refTime, forecastHours)
 
     // Section 5 — DRT 5.2 (47 octets) / 5.3 (49 octets)
     val extraOctets = 4 // sign-magnitude width of ival/gmin descriptors
@@ -1125,21 +1147,8 @@ object Grib2 {
     // Section 3 — grid definition, template 3.0 or 3.40 (shared writer)
     val s3 = gridSection(grid)
 
-    // Section 4 — product definition (identical to encode)
-    val s4 = new Writer
-    val (templateNo, cat, num, constituent) = product match {
-      case Meteo(c, nn)  => (0, c, nn, None)
-      case Chemical(ct)  => (40, 20, 0, Some(ct))
-    }
-    s4.u32(if (constituent.isEmpty) 34 else 36); s4.u8(4)
-    s4.u16(0); s4.u16(templateNo)
-    s4.u8(cat); s4.u8(num)
-    constituent.foreach(s4.u16)
-    s4.u8(2); s4.u8(255); s4.u8(255)
-    s4.u16(0); s4.u8(0); s4.u8(1)
-    s4.u32(forecastHours)
-    s4.u8(103); s4.u8(0); s4.u32(2)
-    s4.u8(255); s4.u8(0xff); s4.u32(0xffffffffL)
+    // Section 4 — product definition (shared writer, templates 4.0/4.40/4.8)
+    val s4 = productSection(product, refTime, forecastHours)
 
     // Section 5 — DRT 5.42 (25 octets)
     val s5 = new Writer
@@ -1764,21 +1773,55 @@ object Grib2 {
           product = template match {
             case 0 => Meteo(cat, num)
             case 40 => Chemical(r.u16())
+            case 8 => Meteo(cat, num) // placeholder until the interval block parses
             case t => fail(s"unsupported product template 4.$t")
           }
           r.skip(1 + 1 + 1 + 2 + 1) // process ids + cutoff
           val timeUnit = r.u8()
           val ft = r.u32().toInt
-          forecastHours = timeUnit match {
+          // integer division would silently truncate a sub-hour value
+          // (90 min -> 1 h) and shift validTime — fail like every other
+          // unsupported case instead of mis-stamping the field
+          def toHours(unit: Int, len: Int, what: String): Int = unit match {
             case 0 =>
-              // integer division would silently truncate a sub-hour step
-              // (90 min -> 1 h) and shift validTime — fail like every other
-              // unsupported case instead of mis-stamping the field
-              if (ft % 60 != 0) fail(s"sub-hour forecast step ($ft min) not supported")
-              ft / 60
-            case 1 => ft // hours
-            case 2 => ft * 24 // days
-            case u => fail(s"unsupported time unit $u")
+              if (len % 60 != 0) fail(s"sub-hour $what ($len min) not supported")
+              len / 60
+            case 1 => len // hours
+            case 2 => len * 24 // days
+            case u => fail(s"unsupported time unit $u in $what")
+          }
+          forecastHours = toHours(timeUnit, ft, "forecast step")
+          if (template == 8) {
+            // PDT 4.8: the two fixed surfaces close the 4.0-shaped prefix,
+            // then end-of-overall-interval time and the time-range block
+            if (secLen < 58)
+              fail(s"section 4 length $secLen too short for template 4.8 (58)")
+            r.skip(6 + 6) // first + second fixed surface (octets 23-34)
+            val ey = r.u16(); val emo = r.u8(); val ed = r.u8()
+            val eh = r.u8(); val emi = r.u8(); val es = r.u8()
+            val nRanges = r.u8()
+            // a multi-range statistic (nested accumulations) mis-read as a
+            // single range would mis-stamp the field — refuse
+            if (nRanges != 1) fail(s"unsupported $nRanges statistical time ranges")
+            r.skip(4) // values missing from the statistic
+            val proc = r.u8()
+            // table 4.10: only avg/accum/max/min decode; difference &c.
+            // have no faithful downstream semantic here
+            if (proc > 3) fail(s"unsupported statistical process $proc")
+            r.skip(1) // increment type
+            val rangeHours = toHours(r.u8(), r.u32().toInt, "statistical range")
+            if (rangeHours < 1) fail(s"empty statistical range $rangeHours h")
+            // the wire's declared interval end must equal start + range —
+            // a mismatch means the octets were produced (or parsed) wrong,
+            // and trusting either side silently would mis-stamp validTime
+            val end =
+              try LocalDateTime.of(ey, emo, ed, eh, emi, es)
+              catch { case _: java.time.DateTimeException =>
+                fail(s"bad statistical interval end $ey-$emo-$ed $eh:$emi:$es") }
+            val expect = refTime.plusHours(forecastHours.toLong + rangeHours.toLong)
+            if (end != expect)
+              fail(s"statistical interval end $end != start+range $expect")
+            product = Statistical(cat, num, proc, rangeHours)
           }
         case 5 =>
           numValues = r.u32().toInt
@@ -2053,16 +2096,25 @@ object Grib2 {
   object EcmwfGrib2Reader extends GribReader with Serializable {
     val VariableNames: Map[(Int, Int), String] =
       Map((0, 0) -> "temperature", (0, 6) -> "dewpoint") // 2t, 2d
+    /** Interval-statistic parameters (PDT 4.8): (category, number) →
+      * (name, unit). Total precipitation is the canonical accumulated
+      * field (ECMWF `tp`, kg m⁻² ≡ mm of water).
+      */
+    val StatVariableNames: Map[(Int, Int), (String, String)] =
+      Map((1, 8) -> ("total_precipitation", "kg m-2")) // WMO 4.2 disc 0 cat 1 num 8
 
     def openBytes(bytes: Array[Byte]): Iterator[GribMessage] =
       decode(bytes).iterator.map { d =>
-        val key = d.product match {
-          case Meteo(c, n) => (c, n)
+        val (name, unit) = d.product match {
+          case Meteo(c, n) =>
+            (VariableNames.getOrElse((c, n), fail(s"unknown parameter ${(c, n)}")), "K")
+          case Statistical(c, n, _, _) =>
+            StatVariableNames.getOrElse((c, n), fail(s"unknown statistical parameter ${(c, n)}"))
           case p => fail(s"ECMWF reader expects meteo products, got $p")
         }
-        val name = VariableNames.getOrElse(key, fail(s"unknown parameter $key"))
         val (values, lats, lons) = presentArrays(d)
-        DecodedMessage(name, "K", d.validTime, values, lats, lons)
+        // validTime is the interval END for 4.8 — the archive convention
+        DecodedMessage(name, unit, d.validTime, values, lats, lons)
       }
 
     override def open(path: String): Iterator[GribMessage] =

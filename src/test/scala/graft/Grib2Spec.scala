@@ -829,6 +829,74 @@ class Grib2Spec extends AnyFunSuite {
       PolarSpec(laDDeg = 60.0, loVDeg = 0.0, dxM = 0.0, dyM = 1000.0))
   }
 
+  test("statistical 4.8: accumulation round-trips every packing, validTime is the interval END") {
+    import Grib2.{GridSpec, Statistical}
+    val grid = GridSpec(ni = 12, nj = 8, lat1Deg = 60.0, lon1Deg = 350.0,
+      dLatDeg = 0.5, dLonDeg = 0.5)
+    // 6-hour precipitation accumulation starting at lead 12 h
+    val tp = Statistical(category = 1, number = 8, process = 1, rangeHours = 6)
+    val values = field(grid, 3.0, 2.5).map(v => math.max(v, 0.0))
+    val simple = Grib2.decode(Grib2.encode(tp, grid, refTime, 12, values)).head
+    assert(simple.product === tp, "the full statistical spec survives the wire")
+    assert(simple.forecastHours === 12)
+    // the stamp is the END of the interval: ref + 12 + 6
+    assert(simple.validTime.toInstant ===
+      refTime.plusHours(18).toInstant(java.time.ZoneOffset.UTC))
+    val complex = Grib2.decode(Grib2.encodeComplex(tp, grid, refTime, 12,
+      values, order = 1)).head
+    assert(complex.product === tp)
+    assert(simple.values.sameElements(complex.values))
+    val ccsds = Grib2.decode(Grib2.encodeCcsds(tp, grid, refTime, 12,
+      values.map(_.floor), nbits = 8)).head
+    assert(ccsds.product === tp)
+    val png = Grib2.decode(Grib2.encodePngPacked(tp, grid, refTime, 12,
+      values, nbits = 16)).head
+    assert(png.product === tp)
+    assert(simple.values.sameElements(png.values))
+    // the adapter names the accumulated field and keeps the end stamp
+    val m = Grib2.EcmwfGrib2Reader.openBytes(
+      Grib2.encode(tp, grid, refTime, 12, values)).toSeq.head
+    assert(m.variableName === "total_precipitation")
+    assert(m.unit === "kg m-2")
+    assert(m.timestamp === simple.validTime)
+  }
+
+  test("statistical 4.8: malformed interval blocks are refused, not mis-stamped") {
+    import Grib2.{GridSpec, Statistical}
+    val grid = GridSpec(ni = 10, nj = 6, lat1Deg = 60.0, lon1Deg = 350.0,
+      dLatDeg = 0.5, dLonDeg = 0.5)
+    val tp = Statistical(1, 8, process = 1, rangeHours = 6)
+    val bytes = Grib2.encode(tp, grid, refTime, 12, field(grid, 3.0, 2.0))
+    // section 4 starts at 16+21+72 = 109; 1-based octets within it:
+    // 42 = number of time ranges, 47 = statistical process,
+    // 49/50-53 = range unit/length, 41 = interval-end seconds
+    def mangled(off1Based: Int, v: Int): Array[Byte] = {
+      val out = bytes.clone(); out(109 + off1Based - 1) = v.toByte; out
+    }
+    val e1 = intercept[java.io.IOException](Grib2.decode(mangled(42, 2)))
+    assert(e1.getMessage.contains("time ranges"))
+    // process 4 (difference) has no faithful downstream semantic
+    val e2 = intercept[java.io.IOException](Grib2.decode(mangled(47, 4)))
+    assert(e2.getMessage.contains("statistical process"))
+    // a range in minutes that is not whole hours must not truncate
+    val subHour = bytes.clone()
+    subHour(109 + 48) = 0.toByte // unit: minutes
+    subHour(109 + 52) = 90.toByte // length 90 (octet 53, low byte)
+    val e3 = intercept[java.io.IOException](Grib2.decode(subHour))
+    assert(e3.getMessage.contains("sub-hour"))
+    // the declared interval end must equal start + range exactly
+    val e4 = intercept[java.io.IOException](Grib2.decode(mangled(41, 1)))
+    assert(e4.getMessage.contains("interval end"))
+    // a section-4 length lie reads surface octets as interval fields
+    val lying = bytes.clone()
+    lying(109 + 3) = 50.toByte
+    val e5 = intercept[java.io.IOException](Grib2.decode(lying))
+    assert(e5.getMessage.contains("too short for template 4.8"))
+    // construction-time guards (programming-error channel)
+    intercept[IllegalArgumentException](Statistical(1, 8, process = 7, rangeHours = 6))
+    intercept[IllegalArgumentException](Statistical(1, 8, process = 1, rangeHours = 0))
+  }
+
   test("mercator: independent asinh closed form, scaled radius, inverse identity") {
     import Grib2.{MercatorSpec, Mrc}
     val r = Grib2.Lcc.EarthRadiusM
