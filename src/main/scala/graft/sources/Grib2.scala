@@ -1320,7 +1320,8 @@ object Grib2 {
     * channel like every other corrupt section.
     */
   private def unpackPng(bytes: Array[Byte], dataPos: Int, dataEnd: Int,
-      numValues: Int, rRef: Float, eScale: Int, dScale: Int): Array[Double] = {
+      numValues: Int, rRef: Float, eScale: Int, dScale: Int,
+      nbits: Int): Array[Double] = {
     if (dataEnd > bytes.length || dataPos > dataEnd) fail("section 7 overruns the message")
     val slice = java.util.Arrays.copyOfRange(bytes, dataPos, dataEnd)
     javax.imageio.ImageIO.setUseCache(false) // no executor-local temp spill
@@ -1338,6 +1339,18 @@ object Grib2 {
       fail(s"unsupported PNG-packed band count $bands")
     if (bands == 1 && img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel])
       fail("palette-indexed PNG is not a 5.41 packing shape")
+    // cross-check the raster's ACTUAL depth against the depth octet 20
+    // declares (the [[encodePng]] mapping: ≤8 → 8-bit gray, ≤16 → 16-bit
+    // gray, ≤24 → 8-bit RGB) — a mismatched payload would otherwise decode
+    // silently wrong (16-bit gray declared as 8 scales every value ~257×;
+    // 48-bit RGB masked &0xff truncates the high bits) instead of failing
+    // through the malformed-wire channel, like the pixel-count check above
+    val (wantBands, wantSample) =
+      if (nbits <= 8) (1, 8) else if (nbits <= 16) (1, 16) else (3, 8)
+    val sampleBits = raster.getSampleModel.getSampleSize(0)
+    if (bands != wantBands || sampleBits != wantSample)
+      fail(s"PNG raster depth mismatch: declared $nbits bits/value wants " +
+        s"$wantBands band(s) x $wantSample-bit, decoded $bands x $sampleBits-bit")
     val mul = math.pow(2.0, eScale)
     val div = math.pow(10.0, dScale)
     val out = new Array[Double](numValues)
@@ -1903,7 +1916,7 @@ object Grib2 {
           } else if (nbits == 0) {
             values = Array.fill(numValues)(rRef.toDouble / math.pow(10.0, dScale))
           } else if (drTemplate == 41) {
-            values = unpackPng(bytes, r.pos, dataEnd, numValues, rRef, eScale, dScale)
+            values = unpackPng(bytes, r.pos, dataEnd, numValues, rRef, eScale, dScale, nbits)
           } else {
             if (numValues.toLong * nbits > (secLen - 5).toLong * 8)
               fail(s"section 7 too short: $numValues x $nbits-bit values in ${secLen - 5} octets")

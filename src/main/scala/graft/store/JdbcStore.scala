@@ -106,11 +106,11 @@ object JdbcStore {
     require(keys.nonEmpty, "merge needs at least one key column")
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
-    // ensure the target exists with the incoming schema (empty append is a
-    // no-op on data but creates the table with the declared column types)
-    append(df.limit(0), conn, table)
     // unique per-merge staging name: a fixed suffix would clobber a real
-    // table of that name and race concurrent merges into the same target
+    // table of that name and race concurrent merges into the same target.
+    // The batch stages (and is validated) BEFORE the target is touched, so
+    // a rejected batch leaves no side effect on the target — not even the
+    // schema-only CREATE of the empty append below
     val stage = table + "_stage_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     append(df, conn, stage)
@@ -152,6 +152,10 @@ object JdbcStore {
             s"requirement failed: merge batch has duplicate key rows on " +
               s"(${keys.mkString(", ")}); pre-aggregate to one row per key " +
               "(e.g. keep-latest) before upserting")
+        // batch validated — NOW ensure the target exists with the incoming
+        // schema (empty append is a no-op on data but creates the table
+        // with the declared column types)
+        append(df.limit(0), conn, table)
         c.createStatement().execute(sql)
       } finally c.createStatement().execute(s"DROP TABLE $stage")
     }

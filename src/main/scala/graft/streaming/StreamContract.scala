@@ -401,20 +401,30 @@ object StreamContract {
     val landing = tmp("st9_landing")
     val sink = tmp("st9_sink")
     val ckpt = tmp("st9_ckpt")
+    // fit once on the static reference slice, then PERSIST the fitted
+    // surprisal table and score every micro-batch from the disk copy —
+    // the oracle joins the same files, so the xent (and therefore the
+    // near-threshold kept verdict) cannot diverge on a log2 ulp (the
+    // t21 artifact discipline)
     val model = LanguageModel.fit(
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    LanguageModel.saveSurprisal(model, "/tmp/graft_oracle/st9_lm")
+    val art = LanguageModel.loadSurprisal(spark, "/tmp/graft_oracle/st9_lm")
     docs.filter(col("doc_id") % 10 =!= 0).coalesce(1)
       .write.mode("overwrite").parquet(landing)
     val stream = spark.readStream.schema(docs.schema).parquet(landing)
-    // the verdict schema, STATED for the empty-drain read-back (the st8
-    // lesson: inference over a zero-row sink throws)
-    var verdictSchema: org.apache.spark.sql.types.StructType = null
+    // the verdict schema, STATED up front for the empty-drain read-back
+    // (the st8 lesson: inference over a zero-row sink throws) — computed
+    // once on the driver thread, not captured mutably from inside the
+    // stream-execution thread's closure
+    val verdictSchema = LanguageModel
+      .scoreArtifact(docs.limit(0), "doc_id", "text", art)
+      .withColumn("kept", col("xent") <= threshold).schema
     withDrainParallelism(spark) {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val scored = LanguageModel.score(batch, "doc_id", "text", model)
+          val scored = LanguageModel.scoreArtifact(batch, "doc_id", "text", art)
             .withColumn("kept", col("xent") <= threshold)
-          if (verdictSchema == null) verdictSchema = scored.schema
           // foreachBatch is AT-LEAST-ONCE (a crash between write and
           // checkpoint commit replays the batch) — keying the sink by
           // batchId and dynamically overwriting ONLY that partition makes
@@ -432,10 +442,6 @@ object StreamContract {
         .start()
       q.awaitTermination()
     }
-    if (verdictSchema == null)
-      verdictSchema = LanguageModel
-        .score(docs.limit(0), "doc_id", "text", model)
-        .withColumn("kept", col("xent") <= threshold).schema
     // the batch-id partition column is synthetic — drop it on read-back
     spark.read.schema(verdictSchema.add("batch", "long")).parquet(sink)
       .drop("batch").orderBy("doc_id")

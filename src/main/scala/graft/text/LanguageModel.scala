@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,13 +24,19 @@ import org.apache.spark.sql.functions._
   * the token stream is never collected. Per-document state is bounded: the
   * bigram re-assembly is a lead() window partitioned by document.
   *
-  * Determinism for the oracle: each bigram's surprisal is rounded to 4dp
-  * (libm log2 may differ in the last ulp across engines; at 4dp the
-  * boundary-tie probability is negligible) and summed as an exact
-  * DECIMAL — the per-doc totals replay bit-exactly in any engine. The
-  * xent column is the RAW IEEE quotient of that exact sum by the exact
+  * Determinism for the oracle: the FIT is the non-portable step — the
+  * per-bigram surprisal involves a log2 whose last ulp differs between
+  * the JVM's StrictMath and DuckDB's libm, and with ~10⁵ scored terms at
+  * 4dp at least one term lands on a rounding boundary and flips sides
+  * (the r10 hash failure). So, exactly like the KMeans-centroid and
+  * media-decode disciplines, the fitted surprisal table is PERSISTED
+  * once as a parquet artifact ([[SurprisalArtifact]]) and BOTH the
+  * engine and the oracle score by joining that artifact: only string
+  * equi-joins and exact-DECIMAL sums remain cross-engine. The xent
+  * column is the RAW IEEE quotient of the exact decimal sum by the exact
   * count (never re-rounded: quotients of exact decimals land on rounding
-  * ties, the j7 class).
+  * ties, the j7 class; the quotient of identical operands is identical
+  * in any IEEE-754 engine).
   */
 object LanguageModel {
 
@@ -47,12 +53,21 @@ object LanguageModel {
     * `xent` (bits/bigram, raw double).
     */
   def bigramXent(df: DataFrame, idCol: String, textCol: String,
-      refMod: Int = 10): DataFrame = {
+      refMod: Int = 10, artifactPath: Option[String] = None): DataFrame = {
     require(refMod >= 1, s"refMod must be positive: $refMod")
     val model = fit(
       df.filter(pmod(col(idCol).cast("long"), lit(refMod.toLong)) === 0),
       idCol, textCol)
-    score(df, idCol, textCol, model)
+    val art = artifactPath match {
+      case Some(p) =>
+        // oracle mode: persist the fitted surprisal table and score from
+        // the DISK copy — the oracle joins the same files, so the two
+        // sides cannot diverge on a single log2 ulp
+        saveSurprisal(model, p)
+        loadSurprisal(df.sparkSession, p)
+      case None => surprisal(model)
+    }
+    scoreArtifact(df, idCol, textCol, art)
   }
 
   /** The fitted model: observed bigram counts, left-unigram counts, the
@@ -96,18 +111,83 @@ object LanguageModel {
     BigramModel(c12, c1, vocab, vRow)
   }
 
+  /** The fitted surprisal table — the model REIFIED as data, the form
+    * that persists and replays engine-portably:
+    *  - `bigram` (w1, w2, s): s = round(−log2((c12+1)/(c1+V)), 4) as
+    *    DECIMAL(20,4) for every bigram OBSERVED in the reference;
+    *  - `left` (w1, s): the unseen-pair fallback for a w1 the reference
+    *    saw as a left unigram — round(−log2(1/(c1+V)), 4);
+    *  - `base` (s): the one-row fallback for a never-seen w1 (including
+    *    `<unk>` when the reference never produced it) — round(−log2(1/V), 4);
+    *  - `vocab` (tok): the reference vocabulary, for the OOV → `<unk>`
+    *    mapping on the scoring side.
+    * All four are corpus-sublinear; scoring is coalesce(bigram, left,
+    * base) over string equi-joins — no float math left to diverge.
+    */
+  final case class SurprisalArtifact(bigram: DataFrame, left: DataFrame,
+      base: DataFrame, vocab: DataFrame)
+
+  /** Fold the counts into the surprisal table (the only place log2 runs —
+    * once, at fit time, on whichever engine fits).
+    */
+  def surprisal(model: BigramModel): SurprisalArtifact = {
+    val BigramModel(c12, c1, vocab, vRow) = model
+    val bigram = c12
+      .join(c1, c12("w1") === c1("w1k"))
+      .crossJoin(vRow)
+      .select(col("w1"), col("w2"),
+        round(-log2((col("c12") + 1L).cast("double") /
+          (col("c1") + col("v")).cast("double")), 4)
+          .cast("decimal(20,4)").as("s"))
+    val left = c1.crossJoin(vRow)
+      .select(col("w1k").as("w1"),
+        round(-log2(lit(1.0) / (col("c1") + col("v")).cast("double")), 4)
+          .cast("decimal(20,4)").as("s"))
+    val base = vRow.select(
+      round(-log2(lit(1.0) / col("v").cast("double")), 4)
+        .cast("decimal(20,4)").as("s"))
+    SurprisalArtifact(bigram, left, base, vocab)
+  }
+
+  /** Persist the fitted surprisal table (the KMeans-centroid discipline:
+    * the fit is the one non-portable step, so its OUTPUT is the shared
+    * ground truth both engines join).
+    */
+  def saveSurprisal(model: BigramModel, path: String): Unit = {
+    val art = surprisal(model)
+    art.bigram.write.mode("overwrite").parquet(s"$path/bigram")
+    art.left.write.mode("overwrite").parquet(s"$path/left")
+    art.base.write.mode("overwrite").parquet(s"$path/base")
+    art.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  def loadSurprisal(spark: SparkSession, path: String): SurprisalArtifact =
+    SurprisalArtifact(
+      spark.read.parquet(s"$path/bigram"),
+      spark.read.parquet(s"$path/left"),
+      spark.read.parquet(s"$path/base"),
+      spark.read.parquet(s"$path/vocab"))
+
   /** Score `df` under a fitted model — see [[bigramXent]] for the output
     * contract. Works on a micro-batch inside foreachBatch exactly as on a
-    * static frame.
+    * static frame. Routes through the surprisal table so the in-memory
+    * and persisted-artifact paths are the same code.
     */
   def score(df: DataFrame, idCol: String, textCol: String,
-      model: BigramModel): DataFrame = {
-    val BigramModel(c12, c1, vocab, vRow) = model
-    // scoring stream: explode with position, map OOV → <unk> against the
-    // broadcast vocabulary, re-form bigrams with a per-document lead()
+      model: BigramModel): DataFrame =
+    scoreArtifact(df, idCol, textCol, surprisal(model))
+
+  /** Score against a (possibly persisted) surprisal table: map OOV →
+    * `<unk>` against the broadcast vocabulary, re-form bigrams with a
+    * per-document lead(), then one coalesce over two broadcast lookups
+    * and the one-row base fallback. The sum is exact DECIMAL; xent is the
+    * raw quotient.
+    */
+  def scoreArtifact(df: DataFrame, idCol: String, textCol: String,
+      art: SurprisalArtifact): DataFrame = {
     val mapped = tokenArrays(df, idCol, textCol).select(col("id"),
         posexplode(col("ws")).as(Seq("pos", "tok")))
-      .join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("tok"), "left")
+      .join(broadcast(art.vocab.withColumn("in_v", lit(1))), Seq("tok"), "left")
       .select(col("id"), col("pos"),
         when(col("in_v").isNull, lit("<unk>")).otherwise(col("tok")).as("w"))
     val byDoc = Window.partitionBy("id").orderBy("pos")
@@ -117,14 +197,13 @@ object LanguageModel {
       .select(col("id"), col("w").as("w1"), col("w2"))
 
     docBi
-      .join(broadcast(c12), Seq("w1", "w2"), "left")
-      .join(broadcast(c1), col("w1") === col("w1k"), "left")
-      .crossJoin(broadcast(vRow))
+      .join(broadcast(art.bigram.withColumnRenamed("s", "s_bi")),
+        Seq("w1", "w2"), "left")
+      .join(broadcast(art.left.select(col("w1").as("w1k"), col("s").as("s_left"))),
+        col("w1") === col("w1k"), "left")
+      .crossJoin(broadcast(art.base.select(col("s").as("s_base"))))
       .select(col("id"),
-        round(-log2(
-          (coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
-            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 4)
-          .cast("decimal(20,4)").as("s"))
+        coalesce(col("s_bi"), col("s_left"), col("s_base")).as("s"))
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum("s").as("sum_surprisal"))
       .withColumn("xent",

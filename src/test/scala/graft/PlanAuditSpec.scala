@@ -99,12 +99,31 @@ class PlanAuditSpec extends SparkSpec {
     // the bigram re-assembly window is per-document, never global
     assert(p.contains("hashpartitioning(id"),
       s"the lead() window must partition by document:\n$p")
-    // exactly ONE single-partition stage: the one-row vocabulary-size
-    // aggregate (the model constant V, computed over the sublinear vocab)
-    // — a second would mean the token stream itself funneled to one task
+    // single-partition stages: ONLY the one-row vocabulary-size aggregate
+    // (the model constant V, computed over the sublinear reference vocab),
+    // which the surprisal-table construction instantiates once per
+    // artifact branch (bigram / left-fallback / base) in the in-memory
+    // path — exactly three, every one sublinear; a fourth would mean the
+    // token stream itself funneled to one task. (The persisted-artifact
+    // path the t21/st9 queries run has ZERO: the model frames are plain
+    // parquet scans.)
     val singles = "Exchange SinglePartition".r.findAllIn(p).size
-    assert(singles == 1,
-      s"only the V constant may be single-partition, got $singles:\n$p")
+    assert(singles == 3,
+      s"only the V-constant aggregates may be single-partition, got $singles:\n$p")
+  }
+
+  test("t21 artifact scoring: the persisted-model path has no single-partition stage at all") {
+    val model = graft.text.LanguageModel.fit(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t21audit").toString
+    graft.text.LanguageModel.saveSurprisal(model, dir)
+    val art = graft.text.LanguageModel.loadSurprisal(spark, dir)
+    val p = planOf(graft.text.LanguageModel.scoreArtifact(docs, "doc_id", "text", art))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"artifact scoring must have zero single-partition stages:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"model joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token stream must never shuffle-join against the model:\n$p")
   }
 
   test("w1 top-k: the rank filter plans as WindowGroupLimit, not a full sort") {
