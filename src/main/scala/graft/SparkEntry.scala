@@ -238,6 +238,47 @@ object SparkEntry {
     spark.read.parquet(s"$mediaBatchDir/features")
   }
 
+  /** The MP4 CONTAINER-METADATA artifact: one ISO-BMFF sidecar per video,
+    * synthesized FROM the real corpus payload (frame count read from the
+    * GIF's actual block structure, dims from the real decode — the numbers
+    * a faithful transcode's container would carry) and then strictly
+    * parsed back ([[graft.multimodal.Mp4Codec]]: ftyp/moov/mvhd/trak/mdhd/
+    * stts walked as bounded big-endian reads, every malformed shape an
+    * IOException). The parse runs on executors inside `mapPartitions` and
+    * only the flat integer/string meta row is persisted — the container
+    * blob never crosses a shuffle. Real scraped-video corpora hit this
+    * path first: frame PIXELS for MP4-codec'd video have no JDK decoder
+    * (the documented boundary), but duration/timescale/frame-count budget
+    * decisions come from exactly these boxes.
+    */
+  private def mp4Dir = "/tmp/graft_oracle/mp4"
+
+  private def mp4Meta(spark: SparkSession, dir: String): DataFrame = {
+    mediaArtifact(spark, dir)
+    // media codec version is part of the fingerprint: a payload-bytes bump
+    // there must rebuild the sidecars too (the stale-artifact trap)
+    buildOnce(dir, "documents", mp4Dir, "src=png+gif-ahash-v4,mp4=moov-v1") {
+      import spark.implicits._
+      spark.read.parquet(s"$mediaDir/payloads")
+        .filter(col("kind") === "video")
+        .select(col("mediaId"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, gif) =>
+          val d = graft.multimodal.ImageCodec.decode(gif)
+          val n = graft.multimodal.GifCodec.frameCount(gif)
+          val m = graft.multimodal.Mp4Codec.parse(
+            graft.multimodal.Mp4Codec.synthesize(id, n, d.width, d.height))
+          (id, m.majorBrand, m.mvhdVersion, m.movieTimescale,
+            m.movieDurationTicks, m.nTracks, m.videoFrames, m.videoTimescale,
+            m.videoDurationTicks, m.width, m.height, m.sampleBytes, m.mdatBytes)
+        })
+        .toDF("mediaId", "majorBrand", "mvhdVersion", "movieTimescale",
+          "movieDurationTicks", "nTracks", "videoFrames", "videoTimescale",
+          "videoDurationTicks", "width", "height", "sampleBytes", "mdatBytes")
+        .write.mode("overwrite").parquet(s"$mp4Dir/meta")
+    }
+    spark.read.parquet(s"$mp4Dir/meta")
+  }
+
   /** The media-banding projection — dimension and luma bands over any REAL
     * decoded feature frame (history or an incremental batch). ONE
     * definition so the dedup blocking key (m4's bucket, m5/m6/x4's pair
@@ -2293,6 +2334,35 @@ object SparkEntry {
           max(col("dh")).as("max_step"),
           sum(col("dh")).as("total_drift"))
         .orderBy("mediaId")
+    }),
+
+    // M-multimodal: MP4 container metadata vs pixel-level decode — the
+    // ISO-BMFF sidecar's moov/mvhd/stts boxes (parsed as strict bounded
+    // binary, the Grib2 discipline) against the frame count and dims the
+    // REAL decode produced. frames_match/dims_match pin container-vs-
+    // content agreement per video (a transcode-integrity audit at corpus
+    // scale: one broadcast-sized metadata join, no pixels touched);
+    // duration_s is a quotient of identical exact integers on both sides.
+    "m10_mp4_metadata" -> ((s, d) => {
+      val mp4 = mp4Meta(s, d)
+      val dec = mediaFeatures(s, d).filter(col("kind") === "video")
+        .select(col("mediaId"), col("nFrames").cast("long").as("decoded_frames"),
+          col("width").as("decoded_w"), col("height").as("decoded_h"))
+      mp4.join(dec, Seq("mediaId"))
+        .select(col("mediaId").as("media_id"),
+          col("majorBrand").as("major_brand"),
+          col("mvhdVersion").as("mvhd_version"),
+          col("movieTimescale").as("movie_timescale"),
+          col("nTracks").as("n_tracks"),
+          col("videoTimescale").as("video_timescale"),
+          col("videoDurationTicks").as("video_duration_ticks"),
+          col("videoFrames").as("container_frames"),
+          col("decoded_frames"),
+          (col("videoFrames") === col("decoded_frames")).as("frames_match"),
+          (col("width") === col("decoded_w") &&
+            col("height") === col("decoded_h")).as("dims_match"),
+          (col("videoDurationTicks") / col("videoTimescale")).as("duration_s"))
+        .orderBy("media_id")
     }),
 
     // AU-audio: REAL WAV decode on the executors — sample counts and rates
@@ -6573,6 +6643,26 @@ object SparkEntry {
         |       max(dh) AS max_step,
         |       CAST(sum(dh) AS BIGINT) AS total_drift
         |FROM d GROUP BY mediaId ORDER BY mediaId""".stripMargin,
+
+    // m10: the container-vs-decode audit replayed from the two persisted
+    // artifacts (the parse, like the decode, is the one non-portable step
+    // — both engines join its PERSISTED output). duration_s is BIGINT /
+    // BIGINT, which DuckDB evaluates as double division over the identical
+    // exact integers Spark divides — bit-equal quotients.
+    "m10_mp4_metadata" ->
+      """SELECT m.mediaId AS media_id, m.majorBrand AS major_brand,
+        |       m.mvhdVersion AS mvhd_version, m.movieTimescale AS movie_timescale,
+        |       m.nTracks AS n_tracks, m.videoTimescale AS video_timescale,
+        |       m.videoDurationTicks AS video_duration_ticks,
+        |       m.videoFrames AS container_frames,
+        |       CAST(f.nFrames AS BIGINT) AS decoded_frames,
+        |       m.videoFrames = f.nFrames AS frames_match,
+        |       m.width = f.width AND m.height = f.height AS dims_match,
+        |       m.videoDurationTicks / m.videoTimescale AS duration_s
+        |FROM read_parquet('/tmp/graft_oracle/mp4/meta/*.parquet') m
+        |JOIN read_parquet('/tmp/graft_oracle/media/features/*.parquet') f USING (mediaId)
+        |WHERE f.kind = 'video'
+        |ORDER BY media_id""".stripMargin,
 
     // au1: the WAV decode (javax.sound.sampled over real PCM samples) is
     // the non-portable step, persisted once — the oracle re-derives
