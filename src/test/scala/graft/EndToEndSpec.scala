@@ -123,4 +123,108 @@ class EndToEndSpec extends SparkSpec {
     // T=Td oracle: dewpoint==temperature would give 100%; here Td<T so RH<100
     assert(r.getAs[Float]("value") < 100.0f)
   }
+
+  test("§3.1 full stack: HTTP in, deadline armed, lineage joined — response.go contract") {
+    // the a2j3 serving flagship THROUGH HttpFront over the REAL store:
+    // DailyJob-ingested GridStore (T2/T3), FINAL dedup view, staleness
+    // horizon + query budget armed (T7), one set-oriented plan answering
+    // every variable with broadcast lineage (T6/J1/J4), and the exact
+    // snake_case JSON contract of the reference's response.go:15-42.
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import graft.serve.{HttpFront, Service}
+    import java.net.{HttpURLConnection, URI}
+    import java.nio.charset.StandardCharsets
+
+    val base = tempDir("e2e_http")
+    val grids = new GridStore(spark, s"$base/grid")
+    val rawFiles = new CatalogStore(spark, s"$base/raw_files", "id")
+    val curated = new CatalogStore(spark, s"$base/curated", "id")
+    val job = new DailyJob(spark, grids, rawFiles, curated)
+    val reader = new GribReader {
+      def open(path: String): Iterator[GribMessage] = messages.iterator
+    }
+    job.run("ecmwf", "ifs-weather-forecast", Date.valueOf("2026-01-01"), reader,
+      "unused", Transforms.ecmwf, Timestamp.valueOf("2026-01-01 08:00:00"))
+
+    def serviceWith(budget: java.time.Duration) = new Service(
+      grids.finalView(), curated.read(), rawFiles.read(),
+      maxStaleness = Some(java.time.Duration.ofHours(6)),
+      queryBudget = Some(budget))
+
+    def get(port: Int, pathAndQuery: String): (Int, String) = {
+      val conn = URI.create(s"http://127.0.0.1:$port$pathAndQuery").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("GET")
+      val status = conn.getResponseCode
+      val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body = if (is == null) "" else {
+        try new String(is.readAllBytes(), StandardCharsets.UTF_8) finally is.close()
+      }
+      (status, body)
+    }
+
+    val front = new HttpFront(serviceWith(java.time.Duration.ofSeconds(30)))
+    val port = front.start()
+    try {
+      val (status, body) = get(port,
+        "/v1/environmental?lat=52.52&lon=13.40" +
+          "&timestamp=2026-01-01T15:30:00Z&variables=humidity,temperature")
+      assert(status === 200, s"body: $body")
+      val root = new ObjectMapper().readTree(body)
+      // top-level contract: exactly the response.go:15-20 field set
+      val topKeys = {
+        val it = root.fieldNames(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next(); b.result().toSet
+      }
+      assert(topKeys === Set("lat", "lon", "requested_timestamp", "variables"))
+      assert(root.get("lat").floatValue() === 52.52f)
+      assert(root.get("lon").floatValue() === 13.4f)
+      assert(root.get("requested_timestamp").asText() === "2026-01-01T15:30:00Z")
+      val vars = root.get("variables")
+      assert(vars.size() === 2, "both variables answered, request order kept")
+      assert(vars.get(0).get("name").asText() === "humidity")
+      assert(vars.get(1).get("name").asText() === "temperature")
+      // per-variable contract: response.go:23-30 + nested lineage :32-36
+      val hum = vars.get(0)
+      val varKeys = {
+        val it = hum.fieldNames(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next(); b.result().toSet
+      }
+      assert(varKeys === Set("name", "value", "unit", "ref_timestamp",
+        "actual_lat", "actual_lon", "lineage"))
+      assert(math.abs(hum.get("value").doubleValue() - 73.0) < 0.5,
+        "Magnus RH at T=20°C, Td=15°C")
+      assert(hum.get("unit").asText() === "%")
+      // +30 min snap back to the 15:00 forecast, within the 6 h horizon
+      assert(hum.get("ref_timestamp").asText() === "2026-01-01T15:00:00Z")
+      assert(hum.get("actual_lat").floatValue() === 52.5f)
+      val lin = hum.get("lineage")
+      assert(lin.get("source").asText() === "ecmwf")
+      assert(lin.get("dataset").asText() === "ifs-weather-forecast")
+      assert(lin.get("raw_file_id").asText().nonEmpty)
+      assert(vars.get(1).get("unit").asText() === "°C")
+      assert(math.abs(vars.get(1).get("value").doubleValue() - 20.0) < 1e-3)
+
+      // 404 through the same full stack: one unknown variable fails the
+      // whole request (no partial responses), error body is JSON
+      val (s404, b404) = get(port,
+        "/v1/environmental?lat=52.52&lon=13.40" +
+          "&timestamp=2026-01-01T15:30:00Z&variables=humidity,ozone")
+      assert(s404 === 404)
+      assert(new ObjectMapper().readTree(b404).get("error").asText().contains("ozone"))
+    } finally front.stop()
+
+    // T7 over the same real store: an impossible budget answers 504 — the
+    // deadline cancels the job group, the request does not hang
+    val tight = new HttpFront(serviceWith(java.time.Duration.ofMillis(1)))
+    val tightPort = tight.start()
+    try {
+      val (s504, b504) = get(tightPort,
+        "/v1/environmental?lat=52.52&lon=13.40" +
+          "&timestamp=2026-01-01T15:30:00Z&variables=humidity")
+      assert(s504 === 504, s"body: $b504")
+      assert(new ObjectMapper().readTree(b504).get("error").asText()
+        .contains("timed out"))
+    } finally tight.stop()
+  }
 }
