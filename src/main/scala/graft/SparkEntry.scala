@@ -279,6 +279,38 @@ object SparkEntry {
     spark.read.parquet(s"$mp4Dir/meta")
   }
 
+  /** The WebM CONTAINER-METADATA artifact — the [[mp4Meta]] discipline for
+    * the EBML container family ([[graft.multimodal.WebmCodec]]): sidecar
+    * synthesized from the real payload's frame count/dims, strictly parsed
+    * back (VINT tree walk, SimpleBlock accounting per declared track),
+    * flat meta row persisted, blob never shuffled.
+    */
+  private def webmDir = "/tmp/graft_oracle/webm"
+
+  private def webmMeta(spark: SparkSession, dir: String): DataFrame = {
+    mediaArtifact(spark, dir)
+    buildOnce(dir, "documents", webmDir, "src=png+gif-ahash-v4,webm=ebml-v1") {
+      import spark.implicits._
+      spark.read.parquet(s"$mediaDir/payloads")
+        .filter(col("kind") === "video")
+        .select(col("mediaId"), col("bytes")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, gif) =>
+          val d = graft.multimodal.ImageCodec.decode(gif)
+          val n = graft.multimodal.GifCodec.frameCount(gif)
+          val m = graft.multimodal.WebmCodec.parse(
+            graft.multimodal.WebmCodec.synthesize(id, n, d.width, d.height))
+          (id, m.docType, m.docTypeVersion, m.timestampScaleNs, m.durationTicks,
+            m.nTracks, m.videoTrackNumber, m.codecId, m.pixelWidth, m.pixelHeight,
+            m.videoBlocks, m.keyframeBlocks, m.nClusters)
+        })
+        .toDF("mediaId", "docType", "docTypeVersion", "timestampScaleNs",
+          "durationTicks", "nTracks", "videoTrackNumber", "codecId",
+          "pixelWidth", "pixelHeight", "videoBlocks", "keyframeBlocks", "nClusters")
+        .write.mode("overwrite").parquet(s"$webmDir/meta")
+    }
+    spark.read.parquet(s"$webmDir/meta")
+  }
+
   /** The media-banding projection — dimension and luma bands over any REAL
     * decoded feature frame (history or an incremental batch). ONE
     * definition so the dedup blocking key (m4's bucket, m5/m6/x4's pair
@@ -2363,6 +2395,28 @@ object SparkEntry {
             col("height") === col("decoded_h")).as("dims_match"),
           (col("videoDurationTicks") / col("videoTimescale")).as("duration_s"))
         .orderBy("media_id")
+    }),
+
+    // M-multimodal: WebM (EBML) container metadata vs decode — the m10
+    // audit for the Matroska family: SimpleBlock accounting per declared
+    // track against the real decoded frame count, plus the per-codec
+    // keyframe-density profile a loader's seek budget reads. Two bounded
+    // aggregations over a blob-free metadata artifact.
+    "m11_webm_metadata" -> ((s, d) => {
+      val webm = webmMeta(s, d)
+      val dec = mediaFeatures(s, d).filter(col("kind") === "video")
+        .select(col("mediaId"), col("nFrames").cast("long").as("decoded_frames"))
+      webm.join(dec, Seq("mediaId"))
+        .groupBy(col("codecId").as("codec_id"))
+        .agg(count(lit(1)).as("n_videos"),
+          sum(col("videoBlocks")).as("total_blocks"),
+          sum(when(col("videoBlocks") === col("decoded_frames"), 1L)
+            .otherwise(0L)).as("n_frames_match"),
+          sum(col("keyframeBlocks")).as("total_keyframes"),
+          sum(col("durationTicks")).as("total_duration_ms"),
+          max(col("nClusters")).as("max_clusters"),
+          sum(col("nTracks")).as("total_tracks"))
+        .orderBy("codec_id")
     }),
 
     // AU-audio: REAL WAV decode on the executors — sample counts and rates
@@ -6663,6 +6717,24 @@ object SparkEntry {
         |JOIN read_parquet('/tmp/graft_oracle/media/features/*.parquet') f USING (mediaId)
         |WHERE f.kind = 'video'
         |ORDER BY media_id""".stripMargin,
+
+    // m11: the per-codec WebM audit replayed from the persisted parse
+    // artifact — integer sums and counts only
+    "m11_webm_metadata" ->
+      """SELECT m.codecId AS codec_id,
+        |       count(*) AS n_videos,
+        |       CAST(sum(m.videoBlocks) AS BIGINT) AS total_blocks,
+        |       CAST(sum(CASE WHEN m.videoBlocks = f.nFrames THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_frames_match,
+        |       CAST(sum(m.keyframeBlocks) AS BIGINT) AS total_keyframes,
+        |       CAST(sum(m.durationTicks) AS BIGINT) AS total_duration_ms,
+        |       max(m.nClusters) AS max_clusters,
+        |       CAST(sum(m.nTracks) AS BIGINT) AS total_tracks
+        |FROM read_parquet('/tmp/graft_oracle/webm/meta/*.parquet') m
+        |JOIN read_parquet('/tmp/graft_oracle/media/features/*.parquet') f USING (mediaId)
+        |WHERE f.kind = 'video'
+        |GROUP BY m.codecId
+        |ORDER BY codec_id""".stripMargin,
 
     // au1: the WAV decode (javax.sound.sampled over real PCM samples) is
     // the non-portable step, persisted once — the oracle re-derives

@@ -675,12 +675,50 @@ object Dedup {
     * `bk` so a screen prunes to the buckets its batch touches.
     */
   def saveIndex(idx: DedupIndex, path: String): Unit = {
-    idx.docs.write.mode("overwrite").parquet(s"$path/docs")
-    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+    writeSized(idx.docs, s"$path/docs")
+    writeSized(idx.bands, s"$path/bands")
     val spark = idx.docs.sparkSession
     import spark.implicits._
     idx.params.foreach(p =>
       Seq(p).toDF().write.mode("overwrite").parquet(s"$path/params"))
+  }
+
+  /** Artifact write with SIZE-derived file count: parquet written straight
+    * off a shuffle inherits the shuffle's task count, so a megabyte-scale
+    * index lands as 32 tiny files and every later screen pays 32 footer
+    * reads + 32 scheduled tasks per table per query (the measured d15s
+    * serve-path tax). Write staged, measure actual bytes, and compact to
+    * ceil(bytes / 128 MB) files only when over-fragmented (> 2× target) —
+    * a corpus-scale index keeps its parallel layout untouched, a small one
+    * becomes the handful of files its size warrants. Swap follows the
+    * rename discipline: stage aside, boolean-checked renames.
+    */
+  private val targetFileBytes = 128L * 1024 * 1024
+
+  private def writeSized(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import org.apache.hadoop.fs.Path
+    val stage = new Path(path + "_stage")
+    val live = new Path(path)
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(stage.toString)
+    val total = fs.getContentSummary(stage).getLength
+    val target = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+    val files = fs.listStatus(stage).count(_.getPath.getName.endsWith(".parquet"))
+    if (files > target * 2) {
+      df.sparkSession.read.parquet(stage.toString).coalesce(target)
+        .write.mode("overwrite").parquet(path)
+      if (!fs.delete(stage, true))
+        throw new java.io.IOException(s"failed to delete stage $stage")
+    } else {
+      val aside = new Path(path + "_old")
+      fs.delete(aside, true)
+      if (fs.exists(live) && !fs.rename(live, aside))
+        throw new java.io.IOException(s"failed to move $live aside")
+      if (!fs.rename(stage, live))
+        throw new java.io.IOException(s"failed to swap $stage into $live")
+      fs.delete(aside, true)
+    }
   }
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {

@@ -41,10 +41,24 @@ def main():
         latest_ts = max(latest_ts, s.get("timestamp") or "")
     head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=root,
                           capture_output=True, text=True).stdout.strip()
+    # the r10 process defect: git_head must be the commit the reports were
+    # actually produced at — refuse to stamp if any tracked source is newer
+    # than the newest report (tests were not re-run after a code change)
+    newest_report = max(x.stat().st_mtime for x in reports)
+    stale = [str(p.relative_to(root)) for p in
+             list((root / "src").rglob("*.scala"))
+             if p.stat().st_mtime > newest_report]
+    if stale:
+        sys.exit(f"reports are STALE: {len(stale)} source files changed after "
+                 f"the last `sbt test` (e.g. {stale[0]}) — re-run `sbt test` "
+                 "at this HEAD before stamping")
+    dirty = subprocess.run(["git", "status", "--porcelain", "src"], cwd=root,
+                           capture_output=True, text=True).stdout.strip()
     out = {
         "round": rnd,
         "run_ts": latest_ts,
         "git_head": head,
+        "worktree_dirty": bool(dirty),
         "n_suites": len(suites),
         **totals,
         "suites": suites,
