@@ -1917,6 +1917,17 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", ctxLen = 256, shardSize = 64))
         .orderBy("chunk_id")),
 
+    // T-text: per-document ENCODE under the t17-fitted tokenizer — the
+    // loader-side token accounting a pipeline budgets by (in-vocab word →
+    // its post-merge symbol count, OOV alpha word → characters, else 1).
+    // The merge rounds run once over the vocab; the fitted word→count map
+    // (corpus-sublinear) broadcasts back to ONE exploded corpus scan.
+    // chars_per_token is a raw exact-integer quotient — unrounded by the
+    // j7 tie discipline.
+    "t23_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncode(t(s, d, "documents"), "doc_id", "text", rounds = 3)
+        .orderBy("doc_id")),
+
     // T-text: corpus vocabulary statistics (explode + distinct at scale)
     "t5_vocab_stats" -> ((s, d) => {
       val toks = t(s, d, "documents")
@@ -2064,6 +2075,24 @@ object SparkEntry {
         .filter(col("cosine") >= 0.3)
         .select(col("probe_id"), col("neighbor_id"), col("cosine"))
         .orderBy("probe_id", "neighbor_id")
+    }),
+
+    // V-similarity: metadata-FILTERED top-k — "nearest neighbors whose
+    // label ≡ 1 (mod 4)", the constrained-retrieval form curation issues.
+    // The allowed-id set (a metadata dim key set, corpus-sublinear)
+    // broadcasts into the list-pruned candidate join BEFORE the rank
+    // window, so all k survivors satisfy the predicate (post-filtering a
+    // plain top-k under-returns when the unfiltered neighborhood is
+    // dominated by excluded ids).
+    "v17_filtered_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 16)
+      Ivf.saveCentroids(idx, "/tmp/graft_oracle/v17_filtered")
+      Ivf.searchFiltered(idx, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", allowed = emb.filter(col("label") % 4 === 1).select("vec_id"),
+        nProbe = 4, k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("probe_id", "rank")
     }),
 
     "v9_pq_rerank" -> ((s, d) => {
@@ -2655,6 +2684,17 @@ object SparkEntry {
             .as("rate"))
         .orderBy("source")
     }),
+
+    // SM-sampling: deterministic MULTI-EPOCH shuffle — every (epoch, doc)
+    // gets a shard and an in-shard position derived only from the portable
+    // md5 of 'epoch:key', so a training run's data order reproduces on any
+    // engine/cluster/partitioning and each epoch is an independent
+    // permutation. The shard is the loader's read unit: nShards grows with
+    // the corpus, bounding the window partition by the SHARDING POLICY.
+    "sm10_epoch_shuffle" -> ((s, d) =>
+      graft.functions.Sampling.epochShuffle(t(s, d, "documents"), "doc_id",
+        epochs = 2, nShards = 8)
+        .orderBy("epoch", "shard", "pos")),
 
     // P-profiling: declarative data-quality GATES (the Deequ-style
     // pre-training contract) — null-fraction, regex-match fraction,
@@ -5455,6 +5495,46 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN chunk_id > doc_head_chunk THEN 1 ELSE 0 END) AS BIGINT) AS n_carry_in
         |FROM heads GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
 
+    // t23: the t17 merge rounds re-fit in CTEs, the fitted merges applied
+    // per WORD (each vocab row is independent, so word-wise double-pass
+    // replaces in rounds order ≡ the engine's sequential vocab rewrite),
+    // then the per-document token rollup. chars_per_token is the raw
+    // exact-integer quotient — unrounded on both sides
+    "t23_bpe_encode" -> (BpeRoundsCte +
+      """, vocab AS (
+        |  SELECT w.word, len(string_split(trim(
+        |    replace(replace(replace(replace(replace(replace(
+        |      ' ' || trim(regexp_replace(w.word, '(.)', '\1 ', 'g')) || ' ',
+        |      ' '||m1.pair||' ', ' '||replace(m1.pair,' ','')||' '),
+        |      ' '||m1.pair||' ', ' '||replace(m1.pair,' ','')||' '),
+        |      ' '||m2.pair||' ', ' '||replace(m2.pair,' ','')||' '),
+        |      ' '||m2.pair||' ', ' '||replace(m2.pair,' ','')||' '),
+        |      ' '||m3.pair||' ', ' '||replace(m3.pair,' ','')||' '),
+        |      ' '||m3.pair||' ', ' '||replace(m3.pair,' ','')||' ')
+        |  ), ' ')) AS n_sym
+        |  FROM w, m1, m2, m3
+        |), toks AS (
+        |  SELECT doc_id, word,
+        |    (regexp_matches(word, '^[a-z]+$') AND length(word) >= 2) AS alpha
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents)
+        |), agg AS (
+        |  SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(CASE WHEN t.alpha THEN coalesce(v.n_sym, length(t.word))
+        |                  ELSE 1 END) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN t.alpha THEN coalesce(v.n_sym, length(t.word))
+        |                  ELSE 0 END) AS BIGINT) AS n_alpha_tokens,
+        |    CAST(sum(CASE WHEN t.alpha THEN length(t.word) ELSE 0 END) AS BIGINT)
+        |      AS alpha_chars
+        |  FROM toks t LEFT JOIN vocab v ON v.word = t.word
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, n_words, n_tokens, n_alpha_tokens, alpha_chars,
+        |  CASE WHEN n_alpha_tokens > 0
+        |       THEN CAST(alpha_chars AS DOUBLE) / n_alpha_tokens END AS chars_per_token
+        |FROM agg ORDER BY doc_id""".stripMargin),
+
     // g1: the d4 pair pipeline, then 3 unrolled PageRank iterations — each
     // iteration sums decimal contributions and rounds to 9dp, mirroring the
     // engine's per-round grid exactly
@@ -6030,6 +6110,47 @@ object SparkEntry {
         |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 100.0, 4) AS recall_at_10
         |FROM sweep s LEFT JOIN h ON h.np = s.np
         |ORDER BY n_probe""".stripMargin,
+
+    // v17: the v5 probe replay with the allowed-id predicate applied at
+    // the candidate stage (label ≡ 1 mod 4), before the rank window —
+    // every returned row must satisfy the predicate AND the top-k is taken
+    // among the survivors only
+    "v17_filtered_ann" ->
+      """WITH cents AS (
+        |  SELECT listId, cent FROM read_parquet('/tmp/graft_oracle/v17_filtered/centroids/*.parquet')
+        |), e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |), en AS (
+        |  SELECT vec_id, emb,
+        |         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+        |  FROM e
+        |), dist AS (
+        |  SELECT en.vec_id, en.emb, en.nrm, c.listId,
+        |         list_aggregate(list_transform(range(1, len(en.emb) + 1),
+        |           i -> (en.emb[i] - c.cent[i]) * (en.emb[i] - c.cent[i])), 'sum') AS d2
+        |  FROM en, cents c
+        |), asg AS (
+        |  SELECT vec_id, emb, nrm, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), pl AS (
+        |  SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm, listId FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, listId ASC) AS lr
+        |    FROM dist WHERE vec_id < 5) WHERE lr <= 4
+        |), cand AS (
+        |  SELECT pl.probe_id, a.vec_id AS id,
+        |         list_aggregate(list_transform(range(1, len(a.emb) + 1),
+        |           i -> a.emb[i] * pl.p_emb[i]), 'sum') / (a.nrm * pl.p_nrm) AS cos_raw
+        |  FROM pl JOIN asg a USING (listId)
+        |  JOIN embeddings mm ON mm.vec_id = a.vec_id AND mm.label % 4 = 1
+        |  WHERE a.vec_id <> pl.probe_id
+        |), r AS (
+        |  SELECT probe_id, id, cos_raw,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, id ASC) AS rank
+        |  FROM cand
+        |)
+        |SELECT probe_id, id AS neighbor_id, round(cos_raw, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "v5_ivf_topk" ->
       """WITH cents AS (
@@ -7109,6 +7230,23 @@ object SparkEntry {
         |  round(smoothed / sum_sm, 9) AS q_temp,
         |  round(least(1.0, (smoothed / sum_sm) * CAST(total AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 9) AS rate
         |FROM sm, z ORDER BY source""".stripMargin,
+
+    // sm10: the portable 60-bit md5 hash seeded by 'epoch:key', shard =
+    // h mod nShards (h is non-negative, so % ≡ pmod), position =
+    // row_number within (epoch, shard) ordered by (h, key)
+    "sm10_epoch_shuffle" ->
+      """WITH ex AS (
+        |  SELECT doc_id, e.epoch FROM documents,
+        |       (SELECT unnest(range(0, 2)) AS epoch) e
+        |), h AS (
+        |  SELECT doc_id, epoch,
+        |    ('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' ||
+        |                        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM ex
+        |)
+        |SELECT doc_id, CAST(epoch AS INT) AS epoch, CAST(h % 8 AS INT) AS shard,
+        |       row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY epoch, shard, pos""".stripMargin,
 
     // p10: every metric a quotient of exact integer counts; the FK gate
     // replayed as NOT IN (keys are non-null integers, so NOT IN is safe)

@@ -100,4 +100,39 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
+
+  /** Deterministic MULTI-EPOCH shuffle assignment — the loader-side data
+    * order a reproducible training run needs: for each epoch, every row
+    * gets a shard and a position within that shard, derived ONLY from
+    * `(epoch, key)` through the portable md5 idiom. Same data + same epoch
+    * count ⇒ the same order on any engine, any cluster size, any partition
+    * layout — and each epoch is an independent permutation (the hash seed
+    * is the epoch), so no two epochs present the data in the same order.
+    *
+    * Scale: the shard is the loader's read unit, so `nShards` grows with
+    * the corpus (a production export picks shards of ~256 MB; position-
+    * within-shard state is bounded by the SHARDING POLICY, not the corpus).
+    * One explode (×epochs), one hash projection, one window partitioned by
+    * (epoch, shard) — no global sort, no single-partition stage. Pair with
+    * [[graft.functions.Sharding.writeShards]] to materialize the files.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epochs: Int,
+      nShards: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 1000, s"epochs out of [1,1000]: $epochs")
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    // 60-bit md5 prefix (15 hex chars — BIGINT-safe in every engine),
+    // seeded by the epoch through the same 'epoch:key' string both sides
+    // of the oracle build
+    val h = conv(substring(md5(
+      concat_ws(":", col("epoch"), col(keyCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("h").asc, col(keyCol).asc)
+    df.select(col(keyCol))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(keyCol), col("epoch"), col("shard"), col("pos"))
+  }
 }

@@ -184,6 +184,34 @@ object Ivf {
       .select(col("probe_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** FILTERED top-k: exact cosine top-k per probe among candidates whose id
+    * survives the `allowed` set — metadata-constrained ANN ("nearest
+    * neighbors WITH label = X"), the retrieval form curation and RAG-style
+    * selection actually issue. The filter applies at the CANDIDATE stage,
+    * before the rank window, so the k survivors all satisfy the predicate
+    * (post-filtering a plain top-k silently under-returns whenever the
+    * unfiltered neighborhood is dominated by excluded ids).
+    *
+    * `allowed` is a one-column frame of permitted neighbor ids — a
+    * metadata dimension's key set, corpus-sublinear, broadcast into the
+    * list-pruned join. At archive scale with a FIXED, hot predicate you
+    * would instead carry the attribute on the list rows at [[build]] time
+    * and let the parquet scan prune on it; the broadcast-dim form here is
+    * the general case (any predicate over any metadata table, decided at
+    * query time).
+    */
+  def searchFiltered(index: Index, probes: DataFrame, idCol: String,
+      embCol: String, allowed: DataFrame, nProbe: Int = 4,
+      k: Int = 10): DataFrame = {
+    val keep = allowed.select(col(allowed.columns.head).as("id")).distinct()
+    val cand = listCandidates(index, probes, idCol, embCol, nProbe)
+      .join(broadcast(keep), Seq("id"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** The shared candidate stage of [[search]] and [[radiusSearch]]: probes
     * ranked against the broadcast centroid table, kept to their `nProbe`
     * nearest lists, joined to the inverted lists with the exact cosine —

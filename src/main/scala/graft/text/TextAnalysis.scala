@@ -455,9 +455,49 @@ object TextAnalysis {
       .select(col("round").cast("int").as("round"), col("total_symbols"))
   }
 
+  /** Per-document ENCODE under the tokenizer [[bpeMerges]] fits — the
+    * loader-side token accounting a training pipeline budgets by. The
+    * merge rounds run once (vocab-sized, exactly [[bpeMerges]]); the final
+    * word→symbol-count vocab — corpus-sublinear by construction — then
+    * BROADCASTS back to one exploded corpus scan, so the per-document cost
+    * is a codegen'd split + a broadcast hash join + one partial-aggregated
+    * groupBy: no corpus-sized shuffle beyond the per-doc rollup, the same
+    * shape at 100 TB (the fitted vocab is the only state that moves).
+    *
+    * Token rule: an in-vocab word costs its post-merge symbol count; an
+    * out-of-vocab alphabetic word falls back to characters (the byte-level
+    * BPE convention); anything non-alphabetic counts 1. `chars_per_token`
+    * is the raw quotient of two exact integers — bit-identical in any
+    * engine, so it ships unrounded (the j7 tie discipline).
+    */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val vocabF = bpeCore(df, textCol, rounds, wantCurve = false)._3
+      .select(col("word"), size(split(trim(col("sym")), " ", -1)).as("n_sym"))
+    val alpha = col("word").rlike("^[a-z]+$") && length(col("word")) >= 2
+    df.select(col(idCol), explode(split(lower(col(textCol)), " ", -1)).as("word"))
+      .join(broadcast(vocabF), Seq("word"), "left")
+      .select(col(idCol),
+        when(alpha, coalesce(col("n_sym"), length(col("word"))))
+          .otherwise(lit(1)).cast("long").as("tok"),
+        when(alpha, coalesce(col("n_sym"), length(col("word"))))
+          .otherwise(lit(0)).cast("long").as("alpha_tok"),
+        when(alpha, length(col("word"))).otherwise(lit(0))
+          .cast("long").as("alpha_chars"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("tok")).as("n_tokens"),
+        sum(col("alpha_tok")).as("n_alpha_tokens"),
+        sum(col("alpha_chars")).as("alpha_chars"))
+      .withColumn("chars_per_token",
+        when(col("n_alpha_tokens") > 0,
+          col("alpha_chars").cast("double") / col("n_alpha_tokens")))
+  }
+
   private def bpeCore(df: org.apache.spark.sql.DataFrame, textCol: String,
       rounds: Int, wantCurve: Boolean)
-      : (Seq[(Int, String, String, Long)], Seq[(Int, Long)]) = {
+      : (Seq[(Int, String, String, Long)], Seq[(Int, Long)],
+         org.apache.spark.sql.DataFrame) = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
     val vocab0 = df
       .select(explode(split(lower(col(textCol)), " ", -1)).as("word"))
@@ -469,7 +509,10 @@ object TextAnalysis {
         concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" ")))
       .cache()
     vocab0.count()
-    var vocab = vocab0.select(col("freq"), col("sym"))
+    // `word` rides through every merge round untouched so the final frame
+    // doubles as the fitted word→symbols vocabulary ([[bpeEncode]]'s input);
+    // the loop itself only rewrites `sym`
+    var vocab = vocab0.select(col("word"), col("freq"), col("sym"))
     def totalSymbols(v: org.apache.spark.sql.DataFrame): Long =
       v.select(sum(col("freq") * size(split(trim(col("sym")), " ", -1))))
         .head().getLong(0)
@@ -513,6 +556,10 @@ object TextAnalysis {
         }
       }
     } finally vocab0.unpersist()
-    (merges.result(), curve.result())
+    // the returned vocab frame's lineage recomputes the (unpersisted)
+    // word-count scan at action time — the merges are already RESOLVED
+    // string literals in its plan, so the recompute is deterministic and
+    // collects nothing further
+    (merges.result(), curve.result(), vocab)
   }
 }

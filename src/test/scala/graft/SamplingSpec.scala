@@ -99,4 +99,32 @@ class SamplingSpec extends SparkSpec {
     assert(zeros.count() === 5L)
     assert(zeros.collect().forall(_.getLong(1) === 1L))
   }
+
+  test("epoch shuffle: per-epoch permutation, contiguous shard positions, " +
+      "epochs independent, deterministic") {
+    val docs = spark.range(0, 300).select(col("id").as("doc_id"))
+    val out = Sampling.epochShuffle(docs, "doc_id", epochs = 2, nShards = 8)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getInt(2), r.getInt(3)))
+    // each epoch is a full permutation: every key exactly once
+    (0 to 1).foreach { e =>
+      val keys = rows.filter(_._2 == e).map(_._1)
+      assert(keys.length === 300 && keys.toSet.size === 300,
+        s"epoch $e must cover every key once")
+    }
+    // positions are contiguous 1..n within every (epoch, shard)
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((e, sh), g) =>
+      val pos = g.map(_._4).sorted
+      assert(pos.toSeq === (1 to g.length).toSeq,
+        s"epoch $e shard $sh positions not contiguous")
+    }
+    // the two epochs present the data in different orders
+    def order(e: Int) = rows.filter(_._2 == e)
+      .sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    assert(order(0) !== order(1), "epochs must be independent permutations")
+    // and the whole assignment is deterministic across invocations
+    val again = Sampling.epochShuffle(docs, "doc_id", epochs = 2, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows.sortBy(identity).toSeq === again.sortBy(identity).toSeq)
+  }
 }

@@ -123,6 +123,33 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("V17: filtered search == brute-force over the allowed corpus; " +
+      "post-filtering a plain top-k under-returns") {
+    val df = clustered
+    val idx = Ivf.build(df, "vec_id", "embedding", nLists = 4)
+    val probes = df.filter($"vec_id".isin(0L, 15L, 27L, 39L))
+    val allowed = df.filter($"vec_id" % 2 === 0).select("vec_id")
+    // nProbe == nLists → the filtered search is EXACT over the allowed set
+    val filt = Ivf.searchFiltered(idx, probes, "vec_id", "embedding",
+      allowed, nProbe = 4, k = 3)
+    val got = filt.collect().map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+    val brute = Similarity.knnJoin(probes, df.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(got === brute)
+    // every survivor satisfies the predicate
+    assert(got.values.forall(_ % 2 == 0))
+    // the naive alternative — filter AFTER a plain top-k — keeps only the
+    // even ids that happened to land in the unfiltered top 3: strictly
+    // fewer than k whenever odd neighbors crowd the top (under-return)
+    val post = Ivf.search(idx, probes, "vec_id", "embedding", nProbe = 4, k = 3)
+      .filter($"neighbor_id" % 2 === 0)
+    assert(post.count() < got.size,
+      "expected the post-filtered plain top-k to under-return")
+  }
+
   test("zero-norm embeddings rank last and never pass a radius threshold") {
     // regression: 0/0 cosine is NaN, which Spark orders ABOVE every double
     // and passes through every >= filter — one all-zero embedding ranked #1

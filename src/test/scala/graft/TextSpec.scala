@@ -265,4 +265,25 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(c.toSeq === Seq((0, 12L), (1, 8L), (2, 6L), (3, 4L)))
   }
+
+  test("bpeEncode: per-doc token accounting under the fitted merges") {
+    // fit corpus vocab: the(4), cat(1), hat(1) — 'a' (len<2) and 'b2'
+    // (non-alpha) are filtered from the vocab. Merges land he → the → at,
+    // so 'the'=1 symbol, 'cat'='c at'=2, 'hat'='h at'=2.
+    val docs = Seq(
+      (1L, "The the cat"),
+      (2L, "the hat"),
+      (3L, "a b2 the")
+    ).toDF("doc_id", "text")
+    val e = TextAnalysis.bpeEncode(docs, "doc_id", "text", rounds = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // doc1: [the,the,cat] → tokens 1+1+2, alpha chars 9, 9/4 chars/token
+    assert(e(0) === ((1L, 3L, 4L, 4L, 9L, 2.25)))
+    // doc2: [the,hat] → 1+2 tokens, 6 alpha chars
+    assert(e(1) === ((2L, 2L, 3L, 3L, 6L, 2.0)))
+    // doc3: 'a' and 'b2' cost 1 each outside the vocab; only 'the' is alpha
+    assert(e(2) === ((3L, 3L, 3L, 1L, 3L, 3.0)))
+  }
 }
