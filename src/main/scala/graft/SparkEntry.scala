@@ -1656,6 +1656,35 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // X-flagship: the TRAINING-EXPORT composition — the end of the curation
+    // funnel the other flagships feed: exact-dedup keepers pass a length
+    // gate, the BPE tokenizer is fitted ON the kept subset (the corpus you
+    // export is the corpus you fit on) and its per-doc token counts join
+    // the deterministic epoch/shard assignment into the export MANIFEST a
+    // loader consumes: per (epoch, shard) doc and token totals, with
+    // max_pos == n_docs doubling as the contiguity self-check. Every stage
+    // is the already-audited scale shape (fingerprint groupBy, broadcast
+    // vocab, (epoch, shard)-partitioned window, one bounded rollup).
+    "x5_export_flagship" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keepers = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("n_chars") >= 50)
+        .select("doc_id", "text")
+      val enc = TextAnalysis.bpeEncode(kept, "doc_id", "text", rounds = 3)
+        .select("doc_id", "n_tokens", "alpha_chars")
+      graft.functions.Sampling.epochShuffle(kept, "doc_id",
+          epochs = 2, nShards = 8)
+        .join(enc, Seq("doc_id"))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("alpha_chars")).as("alpha_chars"),
+          max(col("pos")).as("max_pos"))
+        .orderBy("epoch", "shard")
+    }),
+
     "x2_curation_flagship" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val keepers = Dedup.exactGroups(docs, "doc_id", "text")
@@ -3708,14 +3737,19 @@ object SparkEntry {
     * argmax with lexicographic ties, literal left-to-right non-overlapping
     * merge. Ends at CTE `m3`; each consumer appends its own tail.
     */
-  private val BpeRoundsCte: String =
-    """WITH w AS (
+  /** The t17/t18/t23 merge-round CTE chain parameterized by the source
+    * relation (x5 re-fits the tokenizer on its deduplicated KEPT subset —
+    * the corpus you export is the corpus you fit on). Returns the chain
+    * without the leading WITH so callers can prepend their own CTEs.
+    */
+  private def bpeRoundsBody(src: String): String =
+    s"""w AS (
       |  SELECT word, count(*) AS freq FROM (
-      |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-      |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+      |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM $src)
+      |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2
       |  GROUP BY word
       |), s0 AS (
-      |  SELECT freq, ' ' || trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' ' AS sym FROM w
+      |  SELECT freq, ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS sym FROM w
       |), p1 AS (
       |  SELECT pair, sum(freq) AS cnt FROM (
       |    SELECT freq, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair
@@ -3746,6 +3780,45 @@ object SparkEntry {
       |    FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM s2))
       |  GROUP BY pair
       |), m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair ASC LIMIT 1)""".stripMargin
+
+  private val BpeRoundsCte: String = "WITH " + bpeRoundsBody("documents")
+
+  /** The t23 ENCODE tail parameterized the same way: the fitted merges
+    * applied word-wise (each vocab row is independent, so double-pass
+    * replaces in rounds order ≡ the engine's sequential vocab rewrite),
+    * then the per-document token rollup over `src`. Appends after a rounds
+    * chain produced by [[bpeRoundsBody]].
+    */
+  private def bpeEncodeBody(src: String): String =
+    s""", vocab AS (
+      |  SELECT w.word, len(string_split(trim(
+      |    replace(replace(replace(replace(replace(replace(
+      |      ' ' || trim(regexp_replace(w.word, '(.)', '\\1 ', 'g')) || ' ',
+      |      ' '||m1.pair||' ', ' '||replace(m1.pair,' ','')||' '),
+      |      ' '||m1.pair||' ', ' '||replace(m1.pair,' ','')||' '),
+      |      ' '||m2.pair||' ', ' '||replace(m2.pair,' ','')||' '),
+      |      ' '||m2.pair||' ', ' '||replace(m2.pair,' ','')||' '),
+      |      ' '||m3.pair||' ', ' '||replace(m3.pair,' ','')||' '),
+      |      ' '||m3.pair||' ', ' '||replace(m3.pair,' ','')||' ')
+      |  ), ' ')) AS n_sym
+      |  FROM w, m1, m2, m3
+      |), toks AS (
+      |  SELECT doc_id, word,
+      |    (regexp_matches(word, '^[a-z]+$$') AND length(word) >= 2) AS alpha
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |        FROM $src)
+      |), agg AS (
+      |  SELECT t.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(CASE WHEN t.alpha THEN coalesce(v.n_sym, length(t.word))
+      |                  ELSE 1 END) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN t.alpha THEN coalesce(v.n_sym, length(t.word))
+      |                  ELSE 0 END) AS BIGINT) AS n_alpha_tokens,
+      |    CAST(sum(CASE WHEN t.alpha THEN length(t.word) ELSE 0 END) AS BIGINT)
+      |      AS alpha_chars
+      |  FROM toks t LEFT JOIN vocab v ON v.word = t.word
+      |  GROUP BY t.doc_id
+      |)""".stripMargin
 
   /** Shared by a2j3 (plain) and x1 (Deadline-budgeted) — byte-identical
     * result contract.
@@ -4563,6 +4636,35 @@ object SparkEntry {
         |       (SELECT count(*) FROM surv) AS n_surviving,
         |       (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM surv)
         |         AS tokens_surviving""".stripMargin,
+
+    // x5: exact keepers (the x2 k/dd idiom) + length gate, the t17/t23
+    // rounds+encode chains re-fitted FROM the kept subset, the sm10 hash
+    // sharding, one grouped manifest — integer sums only
+    "x5_export_flagship" -> ("""WITH k AS (
+        |  SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, md5(lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fp
+        |    FROM documents) GROUP BY fp
+        |), kept AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN k USING (doc_id)
+        |  WHERE d.n_chars >= 50
+        |), """.stripMargin +
+      bpeRoundsBody("kept") + bpeEncodeBody("kept") +
+      """, sh AS (
+        |  SELECT kp.doc_id, e.epoch,
+        |    ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+        |                        CAST(kp.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM kept kp, (SELECT unnest(range(0, 2)) AS epoch) e
+        |), pos AS (
+        |  SELECT doc_id, CAST(epoch AS INT) AS epoch, CAST(h % 8 AS INT) AS shard,
+        |         row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS pos
+        |  FROM sh
+        |)
+        |SELECT p.epoch, p.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(sum(a.alpha_chars) AS BIGINT) AS alpha_chars,
+        |       max(p.pos) AS max_pos
+        |FROM pos p JOIN agg a USING (doc_id)
+        |GROUP BY p.epoch, p.shard ORDER BY epoch, shard""".stripMargin),
 
     "x2_curation_flagship" ->
       """WITH k AS (
@@ -5500,36 +5602,8 @@ object SparkEntry {
     // replaces in rounds order ≡ the engine's sequential vocab rewrite),
     // then the per-document token rollup. chars_per_token is the raw
     // exact-integer quotient — unrounded on both sides
-    "t23_bpe_encode" -> (BpeRoundsCte +
-      """, vocab AS (
-        |  SELECT w.word, len(string_split(trim(
-        |    replace(replace(replace(replace(replace(replace(
-        |      ' ' || trim(regexp_replace(w.word, '(.)', '\1 ', 'g')) || ' ',
-        |      ' '||m1.pair||' ', ' '||replace(m1.pair,' ','')||' '),
-        |      ' '||m1.pair||' ', ' '||replace(m1.pair,' ','')||' '),
-        |      ' '||m2.pair||' ', ' '||replace(m2.pair,' ','')||' '),
-        |      ' '||m2.pair||' ', ' '||replace(m2.pair,' ','')||' '),
-        |      ' '||m3.pair||' ', ' '||replace(m3.pair,' ','')||' '),
-        |      ' '||m3.pair||' ', ' '||replace(m3.pair,' ','')||' ')
-        |  ), ' ')) AS n_sym
-        |  FROM w, m1, m2, m3
-        |), toks AS (
-        |  SELECT doc_id, word,
-        |    (regexp_matches(word, '^[a-z]+$') AND length(word) >= 2) AS alpha
-        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
-        |        FROM documents)
-        |), agg AS (
-        |  SELECT t.doc_id,
-        |    CAST(count(*) AS BIGINT) AS n_words,
-        |    CAST(sum(CASE WHEN t.alpha THEN coalesce(v.n_sym, length(t.word))
-        |                  ELSE 1 END) AS BIGINT) AS n_tokens,
-        |    CAST(sum(CASE WHEN t.alpha THEN coalesce(v.n_sym, length(t.word))
-        |                  ELSE 0 END) AS BIGINT) AS n_alpha_tokens,
-        |    CAST(sum(CASE WHEN t.alpha THEN length(t.word) ELSE 0 END) AS BIGINT)
-        |      AS alpha_chars
-        |  FROM toks t LEFT JOIN vocab v ON v.word = t.word
-        |  GROUP BY t.doc_id
-        |)
+    "t23_bpe_encode" -> (BpeRoundsCte + bpeEncodeBody("documents") +
+      """
         |SELECT doc_id, n_words, n_tokens, n_alpha_tokens, alpha_chars,
         |  CASE WHEN n_alpha_tokens > 0
         |       THEN CAST(alpha_chars AS DOUBLE) / n_alpha_tokens END AS chars_per_token

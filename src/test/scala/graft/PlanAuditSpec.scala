@@ -126,6 +126,41 @@ class PlanAuditSpec extends SparkSpec {
       s"the token stream must never shuffle-join against the model:\n$p")
   }
 
+  test("t23 encode: the fitted vocab broadcasts back to the corpus scan") {
+    val p = planOf(TextAnalysis.bpeEncode(docs, "doc_id", "text", rounds = 2))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the word->symbols vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the exploded corpus must never shuffle for the vocab join:\n$p")
+  }
+
+  test("sm10 epoch shuffle: the position window is (epoch, shard)-partitioned," +
+      " never a single partition") {
+    val p = planOf(graft.functions.Sampling.epochShuffle(
+      docs, "doc_id", epochs = 2, nShards = 8))
+    assert(!p.contains("SinglePartition"),
+      s"epoch shuffle must not plan a corpus-wide single-partition stage:\n$p")
+    assert(p.contains("Window"), s"expected the position window:\n$p")
+  }
+
+  test("v17 filtered ANN: probes and the allowed-id set broadcast; " +
+      "the inverted lists never shuffle for a join") {
+    import graft.sim.Ivf
+    val emb = (0L until 40L).map(i =>
+      (i, (i % 4).toInt, Seq.tabulate(8)(j => if (j == (i % 4).toInt * 2) 1.0f
+        else 0.01f * ((i + j) % 5))))
+      .toDF("vec_id", "label", "embedding")
+    val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 4)
+    val q = Ivf.searchFiltered(idx, emb.filter(col("vec_id") < 3), "vec_id",
+      "embedding", allowed = emb.filter(col("label") === 1).select("vec_id"),
+      nProbe = 2, k = 3)
+    val p = planOf(q)
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe lists and allowed ids must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the inverted lists must never shuffle for a join:\n$p")
+  }
+
   test("w1 top-k: the rank filter plans as WindowGroupLimit, not a full sort") {
     val p = SparkEntry.queries("w1_topk_per_group")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
