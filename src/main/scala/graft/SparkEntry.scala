@@ -3446,6 +3446,16 @@ object SparkEntry {
     // checkpointed drain end to end.
     "st9_stream_lm_gate" -> ((s, d) => StreamContract.lmGate(s, d)),
 
+    // ST-streaming: token-budget ADMISSION at ingest — sm3's budget rule
+    // as a checkpointed stream. Docs arrive in three mtime-pinned waves;
+    // each is admitted while its source's SCANNED-token prefix still fits
+    // the budget (monotone: consumed budget stays consumed, so a late tiny
+    // doc can't sneak behind a rejection). Cross-batch state is the
+    // per-source totals DERIVED from the sink's earlier batch partitions —
+    // replay-safe by the st4/st9 dynamic-overwrite discipline; the oracle
+    // is one running-sum window in (wave, doc_id) order.
+    "st10_stream_budget" -> ((s, d) => StreamContract.budgetAdmission(s, d)),
+
     // E-events: behavioral transition matrix — per-user next-event bigrams
     // (one lead window over the user timeline, ties broken by event_id)
     // folded to Markov transition counts and row-normalized probabilities.
@@ -5526,6 +5536,23 @@ object SparkEntry {
     // to the streamed (non-reference) slice, plus the threshold verdict —
     // xent is a quotient of IDENTICAL operands on both sides (artifact
     // decimals / integer count), so the near-threshold boolean cannot flip
+    // st10: the scanned-prefix budget rule is ONE running-sum window in
+    // (wave, doc_id) arrival order — exact integers only
+    "st10_stream_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         doc_id % 3 AS wave
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY wave, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tokens, cum <= 600 AS admitted
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "st9_stream_lm_gate" ->
       """WITH n AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm

@@ -446,4 +446,107 @@ object StreamContract {
     spark.read.schema(verdictSchema.add("batch", "long")).parquet(sink)
       .drop("batch").orderBy("doc_id")
   }
+
+  /** Streaming token-budget ADMISSION — the ingest-time form of sm3's
+    * budget sampling: documents arrive in waves and each is admitted while
+    * its source's SCANNED-token prefix (every earlier doc in arrival
+    * order, admitted or not) still fits the budget. The prefix rule is
+    * what makes the verdict replayable and monotone — once a source's
+    * budget is consumed it stays consumed; a later tiny doc cannot sneak
+    * in behind a rejection (and the oracle is ONE running-sum window).
+    *
+    * Cross-batch state is the per-source scanned totals — source-count
+    * sized, never doc-sized — and it is DERIVED, not stored: each batch
+    * re-aggregates the sink's earlier-batch partitions (`batch <
+    * batchId`), so a replayed batch (foreachBatch is at-least-once) sees
+    * exactly the same prior totals and rewrites exactly its own partition
+    * (the st4/st9 dynamic-overwrite discipline makes the whole pipeline
+    * idempotent, state included). At scale the re-aggregate is a partition-
+    * pruned scan of verdict rows; a long-running job would roll the totals
+    * into a compacted summary partition, same contract.
+    *
+    * Wave order is pinned by the FILE SOURCE's oldest-first mtime order:
+    * each wave lands as one renamed file with an explicitly set, strictly
+    * increasing modification time — arrival order is part of the contract,
+    * so the test fixture makes it deterministic rather than trusting write
+    * timing.
+    */
+  def budgetAdmission(spark: SparkSession, sfDir: String,
+      budget: Long = 600L): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+    val landing = tmp("st10_landing")
+    val sink = tmp("st10_sink")
+    val ckpt = tmp("st10_ckpt")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(landing).getFileSystem(hconf)
+    (0 until 3).foreach { wave =>
+      val stage = tmp(s"st10_stage$wave")
+      docs.filter(pmod(col("doc_id"), lit(3)) === wave)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"st10: wave $wave produced no parquet part"))
+      val dst = new org.apache.hadoop.fs.Path(landing, f"wave$wave%02d.parquet")
+      if (!fs.rename(part, dst))
+        sys.error(s"st10: failed to move wave $wave into the landing zone")
+      // strictly increasing mtimes: the file source drains oldest-first,
+      // so this IS the arrival order
+      fs.setTimes(dst, 1000000L * (wave + 1), -1L)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("admitted",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
+    withDrainParallelism(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val priorSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("prior_tokens",
+              org.apache.spark.sql.types.LongType)))
+          val prior =
+            if (batchId == 0L) spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], priorSchema)
+            else spark.read.schema(verdictSchema).parquet(sink)
+              .filter(col("batch") < batchId)
+              .groupBy("source")
+              .agg(sum(col("n_tokens")).as("prior_tokens"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("doc_id")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          batch
+            .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+            .join(prior, Seq("source"), "left")
+            .withColumn("cum",
+              coalesce(col("prior_tokens"), lit(0L)) + sum(col("n_tokens")).over(w))
+            .withColumn("admitted", col("cum") <= budget)
+            .select("doc_id", "source", "n_tokens", "admitted")
+            .withColumn("batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.schema(verdictSchema).parquet(sink)
+      .drop("batch").orderBy("doc_id")
+  }
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
+import graft.streaming.StreamContract
 
 /** Structured Streaming surface: watermarked windowed aggregation and
   * stateful sessionization, driven through MemoryStream.
@@ -275,6 +276,32 @@ class StreamingSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_sessions")).head().getLong(0)
     assert(closedPlusOpen === allSessions,
       "closed sessions + one open session per user == e2's total session count")
+  }
+
+  test("st10 budget admission: monotone per-source cutoff matching the " +
+      "batch prefix rule") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamContract.budgetAdmission(spark, dir, budget = 600L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    val docs = Tables(spark, dir, "documents")
+    assert(out.length === docs.count(), "every doc must get a verdict")
+    assert(out.exists(_._4) && out.exists(!_._4),
+      "the budget must split the corpus into admitted and rejected")
+    // the verdict equals the BATCH prefix rule in (wave, doc_id) order —
+    // the stream's cross-batch state reproduces the global running sum
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._1 % 3, r._1)).foreach { case (id, _, nt, adm) =>
+        cum += nt
+        assert(adm === (cum <= 600L),
+          s"doc $id of $src: expected admitted=${cum <= 600L} at cum=$cum")
+      }
+      // monotone: once the running admission flips false it stays false
+      val flags = rows.sortBy(r => (r._1 % 3, r._1)).map(_._4)
+      assert(!flags.dropWhile(identity).contains(true),
+        s"$src: admission must never resume after the cutoff")
+    }
   }
 
   test("batch sessionize with flushOpen emits every user's trailing session") {
