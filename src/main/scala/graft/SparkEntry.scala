@@ -2477,6 +2477,31 @@ object SparkEntry {
         .orderBy("codec_id")
     }),
 
+    // M-multimodal: the UNIFIED cross-container audit — one row per
+    // container family (GIF payload, MP4 and WebM sidecars), frame counts
+    // reconciled against the real decode. The corpus-owner view over the
+    // whole video inventory: three blob-free artifact scans, one bounded
+    // rollup. GIF is the decode itself, so its row doubles as the audit's
+    // own baseline (match count == video count by construction).
+    "m12_container_audit" -> ((s, d) => {
+      val dec = mediaFeatures(s, d).filter(col("kind") === "video")
+        .select(col("mediaId"), col("nFrames").cast("long").as("df"))
+      val mp4 = mp4Meta(s, d).select(col("mediaId"), lit("mp4").as("format"),
+        col("videoFrames").cast("long").as("cf"), col("nTracks").cast("long").as("tr"))
+      val webm = webmMeta(s, d).select(col("mediaId"), lit("webm").as("format"),
+        col("videoBlocks").cast("long").as("cf"), col("nTracks").cast("long").as("tr"))
+      val gif = dec.select(col("mediaId"), lit("gif").as("format"),
+        col("df").as("cf"), lit(1L).as("tr"))
+      mp4.unionByName(webm).unionByName(gif)
+        .join(dec, Seq("mediaId"))
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_videos"),
+          sum(col("cf")).as("container_frames"),
+          sum(when(col("cf") === col("df"), 1L).otherwise(0L)).as("n_frames_match"),
+          sum(col("tr")).as("total_tracks"))
+        .orderBy("format")
+    }),
+
     // AU-audio: REAL WAV decode on the executors — sample counts and rates
     // from the parsed RIFF header (javax.sound.sampled, in the JDK), exact
     // amplitude stats and the 64-window RMS fingerprint over every decoded
@@ -6957,6 +6982,32 @@ object SparkEntry {
         |WHERE f.kind = 'video'
         |GROUP BY m.codecId
         |ORDER BY codec_id""".stripMargin,
+
+    // m12: the unified audit replayed as a UNION over the three persisted
+    // artifact families joined to the decoded frame counts
+    "m12_container_audit" ->
+      """WITH dec AS (
+        |  SELECT mediaId, CAST(nFrames AS BIGINT) AS df
+        |  FROM read_parquet('/tmp/graft_oracle/media/features/*.parquet')
+        |  WHERE kind = 'video'
+        |), u AS (
+        |  SELECT mediaId, 'mp4' AS format, CAST(videoFrames AS BIGINT) AS cf,
+        |         CAST(nTracks AS BIGINT) AS tr
+        |  FROM read_parquet('/tmp/graft_oracle/mp4/meta/*.parquet')
+        |  UNION ALL
+        |  SELECT mediaId, 'webm', CAST(videoBlocks AS BIGINT),
+        |         CAST(nTracks AS BIGINT)
+        |  FROM read_parquet('/tmp/graft_oracle/webm/meta/*.parquet')
+        |  UNION ALL
+        |  SELECT mediaId, 'gif', df, CAST(1 AS BIGINT) FROM dec
+        |)
+        |SELECT u.format, count(*) AS n_videos,
+        |       CAST(sum(u.cf) AS BIGINT) AS container_frames,
+        |       CAST(sum(CASE WHEN u.cf = d.df THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_frames_match,
+        |       CAST(sum(u.tr) AS BIGINT) AS total_tracks
+        |FROM u JOIN dec d USING (mediaId)
+        |GROUP BY u.format ORDER BY format""".stripMargin,
 
     // au1: the WAV decode (javax.sound.sampled over real PCM samples) is
     // the non-portable step, persisted once — the oracle re-derives
