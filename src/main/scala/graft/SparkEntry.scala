@@ -11,7 +11,7 @@ import graft.operators.{AsofJoin, RangeJoin}
 import graft.serve.{Deadline, PointQuery, RequestValidation}
 import graft.sim.{Ivf, Pq, Similarity, Sq}
 import graft.sources.SyntheticGrid
-import graft.store.{GridStore, Replacing}
+import graft.store.{GridStore, Replacing, SnapshotStore}
 import graft.streaming.{EventStream, StreamContract}
 import graft.text.TextAnalysis
 import graft.transform.Transforms
@@ -1052,6 +1052,65 @@ object SparkEntry {
           sum(col("sv")).cast("double").as("sum_value"),
           min(col("mn")).as("min_v"), max(col("mx")).as("max_v"))
         .orderBy("event_type", "date")
+    }),
+
+    // K14 — snapshot time travel through the manifest-tracked store
+    // (store.SnapshotStore): three commits (event_id mod 3 buckets), then
+    // every retained version reconstructs EXACTLY from its manifest — the
+    // reproducible-training-run primitive (pin a version, get the bytes).
+    // Readers resolve one pointer + one manifest and open only listed
+    // files; no directory listing ever scales with table history.
+    "k14_time_travel" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-snap").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      (0L to 2L).foreach(b => st.commit(ev.filter(pmod(col("event_id"), lit(3L)) === b)))
+      (1L to 3L).map { v =>
+        st.readAt(v).groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+        .select("version", "event_type", "n", "sum_value")
+        .orderBy("version", "event_type")
+    }),
+
+    // K15 — manifest zone-map pruning: the commit range-partitions by
+    // event_id so per-file min/max stats are tight; a bounded probe opens
+    // only intersecting files (SnapshotSpec pins the skip rate) and the
+    // exact residual filter runs on what's left. This is file-skipping
+    // ABOVE Parquet row-group stats — at 100 TB the manifest consult
+    // replaces listing+planning ten thousand files with reading one
+    // metadata file.
+    "k15_zonemap_prune" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-zone").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      val v = st.commit(ev.repartitionByRange(16, col("event_id")))
+      st.readPruned(v, 100.0, 700.0)
+        .filter(col("event_id").between(100L, 700L))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    }),
+
+    // K16 — incremental (CDC-style) consumption between snapshot versions:
+    // manifest entries carry the version that ADDED each file, so a
+    // consumer that checkpointed version 1 reads exactly the files of
+    // commits 2..3 — no diffing, no re-scan of history. The loader-side
+    // backfill primitive at archive scale.
+    "k16_incremental_read" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-incr").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      (0L to 2L).foreach(b => st.commit(ev.filter(pmod(col("event_id"), lit(3L)) === b)))
+      st.readIncremental(1L, 3L)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
     }),
 
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
@@ -4543,6 +4602,32 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
         |       min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // k14: version v of the snapshot store holds exactly the event_id
+    // buckets 0..v-1 (commit order), so time travel must equal the
+    // cumulative modulo filter
+    "k14_time_travel" ->
+      """SELECT CAST(v.version AS BIGINT) AS version, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM events, (VALUES (1),(2),(3)) AS v(version)
+        |WHERE event_id % 3 < v.version
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // k15: zone stats only SKIP files — the residual filter makes the
+    // result exactly the bounded range, whatever the prune kept
+    "k15_zonemap_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_id BETWEEN 100 AND 700
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k16: files added by commits 2..3 hold buckets 1 and 2
+    "k16_incremental_read" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 3 IN (1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k2: the engine side PUTs each region's nations as an object and GETs
     // them back through the ObjectStore boundary; the oracle is the pure

@@ -1,0 +1,277 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.util.Locale
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated, manifest-tracked Parquet table — the minimal "table
+  * format" layer (the Iceberg/Delta idea, re-expressed with Spark + Hadoop FS
+  * primitives, no external dependency):
+  *
+  *   - every [[commit]] writes IMMUTABLE data files plus a NEW manifest
+  *     listing every live file with per-file zone stats (rows, min/max of
+  *     `statsCol`), then swaps one pointer file atomically;
+  *   - readers resolve the pointer, read ONE manifest (O(#files) metadata,
+  *     never a recursive directory listing — the operation that dies first
+  *     on an object store holding a 100 TB table), and open only the files
+  *     it lists;
+  *   - [[readAt]] gives time travel: any retained version reconstructs
+  *     exactly, because data files are never mutated — a manifest IS the
+  *     table state;
+  *   - [[readPruned]] consults the manifest's zone stats to skip whole
+  *     files before Spark ever plans the scan — manifest-level pruning
+  *     composes with (and happens above) Parquet row-group skipping;
+  *   - [[readIncremental]] reads only the files ADDED between two versions
+  *     — the CDC/backfill primitive: a downstream consumer checkpoints the
+  *     last version it processed and each run touches new data only;
+  *   - [[expire]] reclaims space by dropping files unreferenced by the
+  *     retained manifests — retention is the ONLY thing that deletes data.
+  *
+  * Crash safety (single writer, like [[GridStore]]): the commit order is
+  * data files → manifest (tmp + rename) → pointer (atomic overwrite-rename
+  * via [[FileContext]]). A crash before the pointer swap leaves the live
+  * pointer untouched — readers never see a partial commit; [[recover]]
+  * deletes the orphaned manifest/batch so the version number is reusable.
+  *
+  * The reference has no table-format layer (its ClickHouse store mutates in
+  * place); this is the beyond-reference capability a 100 TB Spark-native
+  * corpus store needs: reproducible training runs pin a snapshot version,
+  * loaders consume increments, and compaction/expiry never break a reader
+  * mid-scan.
+  *
+  * @param statsCol numeric column whose per-file min/max the manifest
+  *   records for zone-map pruning (cast to double in the manifest).
+  */
+final class SnapshotStore(spark: SparkSession, val path: String, statsCol: String) {
+
+  /** One manifest line: an immutable data file plus its zone stats.
+    * `batch` is the version whose commit added the file — the basis of
+    * [[readIncremental]].
+    */
+  final case class FileEntry(file: String, batch: Long, rows: Long,
+      minS: Double, maxS: Double)
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs = new Path(path).getFileSystem(hconf)
+  private def manifestPath(v: Long) =
+    new Path(f"$path%s/_manifests/v$v%05d.manifest")
+  private def batchDir(v: Long) = new Path(f"$path%s/data/b$v%05d")
+  private def pointerFile = new Path(s"$path/_latest")
+
+  /** The committed version the pointer names, if any. */
+  def latestVersion: Option[Long] = {
+    if (!fs.exists(pointerFile)) None
+    else {
+      val in = fs.open(pointerFile)
+      try {
+        val raw = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim
+        val v = raw.toLong
+        // A pointer naming a missing manifest (crash between manifest
+        // delete and pointer rewrite never happens in this protocol, but a
+        // hand-damaged store might) is treated as absent — recover() repairs.
+        if (fs.exists(manifestPath(v))) Some(v) else None
+      } finally in.close()
+    }
+  }
+
+  /** All complete (renamed-in) manifest versions, ascending. */
+  def versions: Seq[Long] = {
+    val dir = new Path(s"$path/_manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted
+  }
+
+  private def readManifest(v: Long): Seq[FileEntry] = {
+    val p = manifestPath(v)
+    require(fs.exists(p),
+      s"snapshot version $v is not retained at $path (expired or never committed)")
+    val in = fs.open(p)
+    val lines =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      finally in.close()
+    lines.map { l =>
+      val a = l.split("\t")
+      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toDouble)
+    }
+  }
+
+  /** Write a small driver-side metadata file via tmp + rename so its
+    * PRESENCE implies completeness. Manifests are O(#files) — the same
+    * driver-written-metadata shape as Iceberg's manifest lists.
+    */
+  private def writeAtomic(dst: Path, content: String, overwrite: Boolean): Unit = {
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    fs.mkdirs(dst.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (overwrite) {
+      // FileContext.rename with OVERWRITE is the atomic pointer swap —
+      // plain FileSystem.rename onto an existing file returns false.
+      FileContext.getFileContext(dst.toUri, hconf)
+        .rename(tmp, dst, Options.Rename.OVERWRITE)
+    } else if (!fs.rename(tmp, dst)) {
+      throw new java.io.IOException(s"snapshot metadata rename failed: $tmp -> $dst")
+    }
+  }
+
+  /** Commit `df` as the next version; returns the new version number.
+    * The data write is a normal distributed Parquet job; only the
+    * per-file stats (one bounded aggregate over the NEW batch, grouped by
+    * file — never a scan of the table) and the manifest lines touch the
+    * driver.
+    */
+  def commit(df: DataFrame): Long = doCommit(df, carryForward = true)
+
+  /** Commit whose manifest references ONLY the newly written files — the
+    * compaction/rewrite primitive: write the merged/compacted state, swap
+    * the pointer, and the superseded files stay readable through OLDER
+    * manifests until [[expire]] reclaims them. Readers mid-scan on the old
+    * version are never broken — the rewrite never touches their files.
+    */
+  def commitRewrite(df: DataFrame): Long = doCommit(df, carryForward = false)
+
+  private def doCommit(df: DataFrame, carryForward: Boolean): Long = {
+    val prev = latestVersion
+    val v = prev.getOrElse(0L) + 1L
+    // Clear debris from a commit that crashed after writing files but
+    // before the pointer swap — its version number is ours to reuse.
+    versions.filter(_ >= v).foreach(w => fs.delete(manifestPath(w), false))
+    if (fs.exists(batchDir(v))) fs.delete(batchDir(v), true)
+
+    val dir = batchDir(v)
+    df.write.parquet(dir.toString)
+    // Per-file zone stats: group the batch (and only the batch) by the
+    // physical file each row landed in.
+    val stats = spark.read.parquet(dir.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        min(col(statsCol).cast("double")).as("mn"),
+        max(col(statsCol).cast("double")).as("mx"))
+      .collect()
+      .map(r => FileEntry(r.getString(0), v, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_.file)
+    val entries =
+      (if (carryForward) prev.map(readManifest).getOrElse(Seq.empty)
+       else Seq.empty) ++ stats
+    val body = entries.map(e => String.format(Locale.ROOT,
+      "%s\t%d\t%d\t%s\t%s", e.file, java.lang.Long.valueOf(e.batch),
+      java.lang.Long.valueOf(e.rows),
+      java.lang.Double.toString(e.minS), java.lang.Double.toString(e.maxS)))
+      .mkString("\n")
+    writeAtomic(manifestPath(v), body, overwrite = false)
+    writeAtomic(pointerFile, v.toString, overwrite = true)
+    v
+  }
+
+  private def readFiles(files: Seq[String], schemaFrom: Seq[FileEntry]): DataFrame =
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      // An empty selection still needs the table schema: derive it from any
+      // file of the source manifest (metadata-only footer read).
+      require(schemaFrom.nonEmpty, s"snapshot at $path has no data files")
+      spark.read.parquet(schemaFrom.head.file).limit(0)
+    }
+
+  /** The current table state. */
+  def read(): DataFrame = readAt(latestVersion.getOrElse(
+    throw new IllegalStateException(s"no committed snapshot at $path")))
+
+  /** Time travel: the table exactly as of version `v`. */
+  def readAt(v: Long): DataFrame = {
+    val m = readManifest(v)
+    readFiles(m.map(_.file), m)
+  }
+
+  /** Manifest-level zone-map pruning: only files whose [min,max] of the
+    * stats column intersects [lo,hi] are opened. Callers still apply the
+    * exact predicate — zone stats are a file-skipping index, not a filter.
+    */
+  def readPruned(v: Long, lo: Double, hi: Double): DataFrame = {
+    val m = readManifest(v)
+    readFiles(m.filter(e => e.maxS >= lo && e.minS <= hi).map(_.file), m)
+  }
+
+  /** (files surviving the prune, total files) at version `v` — the
+    * skip-rate observability a spec pins.
+    */
+  def pruneStats(v: Long, lo: Double, hi: Double): (Int, Int) = {
+    val m = readManifest(v)
+    (m.count(e => e.maxS >= lo && e.minS <= hi), m.size)
+  }
+
+  /** Files added by commits in `(fromV, toV]` — incremental consumption.
+    * `fromV = 0` reads everything up to `toV`.
+    */
+  def readIncremental(fromV: Long, toV: Long): DataFrame = {
+    val m = readManifest(toV)
+    readFiles(m.filter(e => e.batch > fromV).map(_.file), m)
+  }
+
+  /** Retention: keep the newest `keepLast` manifests (never fewer than the
+    * live one), delete every data file no retained manifest references and
+    * every older manifest. Returns the number of data files deleted.
+    * Expiry is the only mutation in the format — and it only ever touches
+    * versions no retained reader can name.
+    */
+  def expire(keepLast: Int): Int = {
+    require(keepLast >= 1, "must retain at least the live snapshot")
+    val vs = versions
+    val keep = vs.takeRight(keepLast).toSet
+    val live: Set[String] =
+      keep.flatMap(v => readManifest(v).map(_.file))
+    val all: Set[String] =
+      vs.flatMap(v => readManifest(v).map(_.file)).toSet
+    val dead = (all -- live).toSeq.sorted
+    dead.foreach(f => fs.delete(new Path(f), false))
+    vs.filterNot(keep).foreach(v => fs.delete(manifestPath(v), false))
+    // Drop batch dirs left empty by the deletes.
+    val dataRoot = new Path(s"$path/data")
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).foreach { st =>
+        if (st.isDirectory && fs.listStatus(st.getPath).forall(
+          _.getPath.getName.startsWith("_"))) fs.delete(st.getPath, true)
+      }
+    dead.size
+  }
+
+  /** Startup repair (the [[GridStore.recover]] discipline): re-point to the
+    * newest complete manifest if the pointer is missing or stale, and clear
+    * any manifest/batch newer than the pointer (a commit that died before
+    * its pointer swap — never acknowledged, so its data must not resurrect).
+    * Idempotent; no-op on a healthy store.
+    */
+  def recover(): Unit = {
+    val vs = versions
+    if (vs.isEmpty) { fs.delete(pointerFile, false); () }
+    else {
+      val ptr = latestVersion
+      val target = ptr.getOrElse(vs.max)
+      if (ptr.isEmpty) writeAtomic(pointerFile, target.toString, overwrite = true)
+      vs.filter(_ > target).foreach { w =>
+        fs.delete(manifestPath(w), false)
+        fs.delete(batchDir(w), true)
+      }
+    }
+    // Batch dirs beyond every manifest (data written, manifest never
+    // renamed in) are unreachable debris.
+    val dataRoot = new Path(s"$path/data")
+    val known = versions.toSet
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+          !known.contains(n.drop(1).toLong) &&
+          latestVersion.forall(n.drop(1).toLong > _))
+          fs.delete(st.getPath, true)
+      }
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.SnapshotStore
+
+/** The manifest-tracked snapshot store (store.Snapshots): commit/pointer
+  * protocol, time travel, zone-map pruning, incremental reads, retention,
+  * and crash recovery. The k14/k15/k16 driver queries prove data
+  * correctness against DuckDB; these tests pin the METADATA behavior the
+  * oracle cannot see — file-skip counts, pointer atomicity windows, expiry.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(name: String): SnapshotStore =
+    new SnapshotStore(spark, tempDir(name) + "/snap", "id")
+
+  private def batch(lo: Long, hi: Long) =
+    spark.range(lo, hi + 1).select(
+      col("id"), (col("id") % 7).cast("string").as("k"),
+      (col("id") * 2).cast("double").as("v"))
+
+  test("commit/read round-trip and version numbering") {
+    val st = freshStore("snap-rt")
+    assert(st.latestVersion.isEmpty)
+    assert(st.commit(batch(0, 99)) === 1L)
+    assert(st.commit(batch(100, 149)) === 2L)
+    assert(st.latestVersion === Some(2L))
+    assert(st.versions === Seq(1L, 2L))
+    assert(st.read().count() === 150L)
+  }
+
+  test("time travel reconstructs every retained version exactly") {
+    val st = freshStore("snap-tt")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 29))
+    st.commit(batch(30, 34))
+    assert(st.readAt(1).count() === 10L)
+    assert(st.readAt(2).count() === 30L)
+    assert(st.readAt(3).count() === 35L)
+    // version 2 must not contain version 3's rows
+    assert(st.readAt(2).agg(max("id")).head.getLong(0) === 29L)
+  }
+
+  test("zone-map prune skips files and loses no rows") {
+    val st = freshStore("snap-zm")
+    // range-partitioned commit → tight per-file min/max on id
+    val v = st.commit(batch(0, 999).repartitionByRange(10, col("id")))
+    val (kept, total) = st.pruneStats(v, 100.0, 199.0)
+    assert(total === 10, s"expected 10 files, saw $total")
+    assert(kept < total, "prune must skip at least one file")
+    assert(kept <= 3, s"a 1/10th range should keep ~1-2 files, kept $kept")
+    val exact = st.readPruned(v, 100.0, 199.0).filter($"id".between(100, 199))
+    assert(exact.count() === 100L)
+    // prune+residual == full scan+filter
+    val full = st.readAt(v).filter($"id".between(100, 199))
+    assert(exact.agg(sum("id")).head.getLong(0) === full.agg(sum("id")).head.getLong(0))
+  }
+
+  test("prune to an empty selection still yields the table schema") {
+    val st = freshStore("snap-empty")
+    val v = st.commit(batch(0, 99).repartitionByRange(4, col("id")))
+    val none = st.readPruned(v, 5000.0, 6000.0)
+    assert(none.columns.toSeq === Seq("id", "k", "v"))
+    assert(none.count() === 0L)
+  }
+
+  test("incremental read returns exactly the files added in (from, to]") {
+    val st = freshStore("snap-incr")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19))
+    st.commit(batch(20, 29))
+    val inc = st.readIncremental(1L, 3L)
+    assert(inc.count() === 20L)
+    assert(inc.agg(min("id")).head.getLong(0) === 10L)
+    assert(st.readIncremental(0L, 2L).count() === 20L)
+    assert(st.readIncremental(2L, 3L).count() === 10L)
+  }
+
+  test("expire keeps the retained versions readable and frees the rest") {
+    val st = freshStore("snap-exp")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19))
+    st.commit(batch(20, 29))
+    // all three manifests share v1/v2's files, so only expiring BELOW the
+    // shared window deletes nothing; keepLast=2 drops manifest v1 only
+    // (its files are still referenced by v2 and v3)
+    assert(st.expire(keepLast = 2) === 0)
+    assert(st.versions === Seq(2L, 3L))
+    intercept[IllegalArgumentException](st.readAt(1))
+    assert(st.readAt(2).count() === 20L)
+    assert(st.read().count() === 30L)
+  }
+
+  test("rewrite commit supersedes without breaking old-version readers") {
+    val st = freshStore("snap-exp2")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19))
+    // compaction analog: rewrite the whole state as one range-sorted commit
+    val v3 = st.commitRewrite(st.read().repartitionByRange(2, col("id")))
+    assert(v3 === 3L)
+    assert(st.read().count() === 20L)
+    // old versions still reconstruct — their files were not touched
+    assert(st.readAt(1).count() === 10L)
+    // retention now has real work: v1/v2's files are unreferenced by v3
+    val deleted = st.expire(keepLast = 1)
+    assert(deleted > 0, "rewrite must strand the pre-compaction files for expiry")
+    assert(st.versions === Seq(3L))
+    assert(st.read().count() === 20L)
+    assert(st.read().agg(sum("id")).head.getLong(0) === (0L to 19L).sum)
+    intercept[IllegalArgumentException](st.readAt(1))
+  }
+
+  test("recover: a lost pointer is restored from the newest manifest") {
+    val st = freshStore("snap-rec1")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(st.path + "/_latest"), false)
+    assert(st.latestVersion.isEmpty)
+    st.recover()
+    assert(st.latestVersion === Some(2L))
+    assert(st.read().count() === 20L)
+  }
+
+  test("recover: a commit that died before its pointer swap is rolled back") {
+    val st = freshStore("snap-rec2")
+    st.commit(batch(0, 9))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // forge the crash window: version-2 data + manifest exist, pointer
+    // still names version 1
+    batch(10, 19).write.parquet(st.path + "/data/b00002")
+    val m2 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00002.manifest")
+    val out = fs.create(m2, true)
+    out.write("bogus\t2\t1\t0.0\t1.0\n".getBytes("UTF-8")); out.close()
+    st.recover()
+    assert(st.versions === Seq(1L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(st.path + "/data/b00002")),
+      "unacknowledged batch data must not survive recovery")
+    // and the store keeps working: the next commit reuses version 2
+    assert(st.commit(batch(10, 19)) === 2L)
+    assert(st.read().count() === 20L)
+  }
+
+  test("a new commit clears debris of a crashed predecessor by itself") {
+    val st = freshStore("snap-rec3")
+    st.commit(batch(0, 9))
+    // crashed version-2 attempt: batch dir only, no manifest, no pointer
+    batch(10, 19).write.parquet(st.path + "/data/b00002")
+    assert(st.commit(batch(20, 29)) === 2L)
+    assert(st.read().count() === 20L)
+    assert(st.read().agg(max("id")).head.getLong(0) === 29L,
+      "the crashed batch's rows must not leak into the new commit")
+  }
+}
