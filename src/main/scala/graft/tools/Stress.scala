@@ -110,7 +110,9 @@ object Stress {
     w.unpersist()
     spark.catalog.clearCache()
 
-    Seq(1, 4, 16).foreach { k =>
+    // no args = every section; args name sections ("text" is this inline
+    // dedup/curation block, the rest dispatch below)
+    if (args.isEmpty || args.contains("text")) Seq(1, 4, 16).foreach { k =>
       val docs = multiplied(k).cache()
       val n = docs.count() // materialize outside the timed region
 
@@ -336,12 +338,18 @@ object Stress {
       spark.catalog.clearCache()
     }
 
-    embeddingStress(spark, sfDir)
-    mediaStress(spark, sfDir)
-    appendStress(spark, sfDir)
-    streamStateStress(spark, sfDir)
-    streamDedupStress(spark, sfDir)
-    streamRollupStress(spark, sfDir)
+    val sections: Seq[(String, () => Unit)] = Seq(
+      "embedding" -> (() => embeddingStress(spark, sfDir)),
+      "media" -> (() => mediaStress(spark, sfDir)),
+      "append" -> (() => appendStress(spark, sfDir)),
+      "streamState" -> (() => streamStateStress(spark, sfDir)),
+      "streamDedup" -> (() => streamDedupStress(spark, sfDir)),
+      "streamRollup" -> (() => streamRollupStress(spark, sfDir)),
+      "snapshot" -> (() => snapshotStress(spark, sfDir)))
+    val wanted = args.toSet
+    sections.foreach { case (name, run) =>
+      if (wanted.isEmpty || wanted(name)) run()
+    }
     spark.stop()
   }
 
@@ -460,6 +468,61 @@ object Stress {
     * grows with k, the append is secretly touching the corpus and the
     * incremental-ingest story is false.
     */
+  /** The snapshot store's scale posture measured: history grows ×k while
+    * the working set stays constant. `sec_delta_commit` must stay ~flat
+    * (a commit writes its own files and copies the previous manifest —
+    * O(#files) metadata, never a data rescan); `sec_incr` reads ONLY the
+    * delta's files whatever the history size; `sec_prune` opens the O(1)
+    * files whose zone range intersects a fixed narrow probe, so it must
+    * stay ~flat while `files_total` grows ×k; `manifest_files` documents
+    * that the metadata the driver holds is file-count-, not row-count-,
+    * sized.
+    */
+  private def snapshotStress(spark: SparkSession, sfDir: String): Unit = {
+    import graft.store.SnapshotStore
+    val ev0 = graft.Tables(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    val idStride = ev0.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+
+    val delta = graft.functions.Sampling.hashSample(ev0, "event_id", 0.05)
+      .select((col("event_id") + lit(idStride * 1000L)).as("event_id"),
+        col("event_type"), col("value"))
+      .cache()
+    val nDelta = delta.count()
+
+    Seq(1, 4, 16).foreach { k =>
+      val copies = spark.range(k.toLong).select(col("id").as("copy"))
+      val hist = ev0.crossJoin(copies)
+        .select((col("event_id") + col("copy") * idStride).as("event_id"),
+          col("event_type"), col("value"))
+      val dir = java.nio.file.Files.createTempDirectory(s"stress_snap_x$k").toString
+      val st = new SnapshotStore(spark, s"$dir/snap", "event_id")
+      // files-per-commit ∝ scale so per-file size (the memory-bound knob)
+      // stays constant — the d11/v8s operating rule applied to commits
+      val v1 = st.commit(hist.repartitionByRange(8 * k, col("event_id")))
+      val nHist = st.readAt(v1).count()
+
+      val t0 = System.nanoTime()
+      val v2 = st.commit(delta.repartitionByRange(2, col("event_id")))
+      val tCommit = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nIncr = st.readIncremental(v1, v2).count()
+      val tIncr = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nPruned = st.readPruned(v2, 100.0, 700.0)
+        .filter(col("event_id").between(100L, 700L)).count()
+      val tPrune = (System.nanoTime() - t2) / 1e9
+      val (kept, total) = st.pruneStats(v2, 100.0, 700.0)
+      println(s"""{"op":"snapshot_store","scale":$k,"n_hist":$nHist,"n_delta":$nDelta,""" +
+        s""""sec_delta_commit":${num(tCommit)},"sec_incr":${num(tIncr)},"n_incr":$nIncr,""" +
+        s""""sec_prune":${num(tPrune)},"n_pruned":$nPruned,"files_kept":$kept,"files_total":$total,"manifest_files":$total}""")
+      spark.catalog.clearCache()
+    }
+    delta.unpersist()
+    ()
+  }
+
   private def appendStress(spark: SparkSession, sfDir: String): Unit = {
     import graft.sim.{Ivf, Pq}
     val emb0 = graft.Tables(spark, sfDir, "embeddings")
