@@ -249,7 +249,8 @@ object SparkEntry {
 
   private def snapshotEvents(spark: SparkSession, dir: String): SnapshotStore = {
     val st = new SnapshotStore(spark, s"$snapDir/snap", "event_id")
-    buildOnce(dir, "events", snapDir, "snap=mod3-v1") {
+    // v2: manifest lines carry the file-bytes column (compactSmall)
+    buildOnce(dir, "events", snapDir, "snap=mod3-v2") {
       val fs = new org.apache.hadoop.fs.Path(snapDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$snapDir/snap"), true)

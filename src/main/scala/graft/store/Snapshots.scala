@@ -49,10 +49,11 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
 
   /** One manifest line: an immutable data file plus its zone stats.
     * `batch` is the version whose commit added the file — the basis of
-    * [[readIncremental]].
+    * [[readIncremental]]; `bytes` is the physical size [[compactSmall]]
+    * bin-packs on.
     */
   final case class FileEntry(file: String, batch: Long, rows: Long,
-      minS: Double, maxS: Double)
+      minS: Double, maxS: Double, bytes: Long)
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs = new Path(path).getFileSystem(hconf)
@@ -100,7 +101,8 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
       finally in.close()
     lines.map { l =>
       val a = l.split("\t")
-      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toDouble)
+      FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toDouble,
+        a(5).toLong)
     }
   }
 
@@ -129,7 +131,8 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
     * file — never a scan of the table) and the manifest lines touch the
     * driver.
     */
-  def commit(df: DataFrame): Long = doCommit(df, carryForward = true)
+  def commit(df: DataFrame): Long =
+    doCommit(df, () => latestVersion.map(readManifest).getOrElse(Seq.empty))
 
   /** Commit whose manifest references ONLY the newly written files — the
     * compaction/rewrite primitive: write the merged/compacted state, swap
@@ -137,9 +140,36 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
     * manifests until [[expire]] reclaims them. Readers mid-scan on the old
     * version are never broken — the rewrite never touches their files.
     */
-  def commitRewrite(df: DataFrame): Long = doCommit(df, carryForward = false)
+  def commitRewrite(df: DataFrame): Long = doCommit(df, () => Seq.empty)
 
-  private def doCommit(df: DataFrame, carryForward: Boolean): Long = {
+  /** Bin-packing small-file compaction (the OPTIMIZE analog a long-lived
+    * append stream needs — thousands of trickle commits otherwise leave a
+    * file census that swamps scan planning): every current file smaller
+    * than `smallBytes` is rewritten into `targetFiles` range-sorted files;
+    * files already at weight carry forward UNTOUCHED, so the rewrite cost
+    * is proportional to the small residue, never the table. Old versions
+    * stay readable until [[expire]]. Returns the new version, or None when
+    * fewer than two files qualify (nothing to pack).
+    *
+    * Incremental-read caveat (shared with every table format): rewritten
+    * rows carry the compaction's version as their `batch`, so an
+    * incremental consumer positioned before it sees them again — schedule
+    * compaction behind consumer checkpoints or dedup downstream.
+    */
+  def compactSmall(smallBytes: Long, targetFiles: Int = 1): Option[Long] =
+    latestVersion.flatMap { prev =>
+      val m = readManifest(prev)
+      val small = m.filter(_.bytes < smallBytes)
+      if (small.size < 2) None
+      else {
+        val packed = spark.read.option("mergeSchema", "true")
+          .parquet(small.map(_.file): _*)
+          .repartitionByRange(math.max(targetFiles, 1), col(statsCol))
+        Some(doCommit(packed, () => m.filterNot(e => small.contains(e))))
+      }
+    }
+
+  private def doCommit(df: DataFrame, base: () => Seq[FileEntry]): Long = {
     val prev = latestVersion
     val v = prev.getOrElse(0L) + 1L
     // Clear debris from a commit that crashed after writing files but
@@ -157,23 +187,31 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
         min(col(statsCol).cast("double")).as("mn"),
         max(col(statsCol).cast("double")).as("mx"))
       .collect()
-      .map(r => FileEntry(r.getString(0), v, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .map { r =>
+        val f = r.getString(0)
+        FileEntry(f, v, r.getLong(1), r.getDouble(2), r.getDouble(3),
+          fs.getFileStatus(new Path(f)).getLen)
+      }
       .sortBy(_.file)
-    val entries =
-      (if (carryForward) prev.map(readManifest).getOrElse(Seq.empty)
-       else Seq.empty) ++ stats
-    val body = entries.map(e => String.format(Locale.ROOT,
-      "%s\t%d\t%d\t%s\t%s", e.file, java.lang.Long.valueOf(e.batch),
-      java.lang.Long.valueOf(e.rows),
-      java.lang.Double.toString(e.minS), java.lang.Double.toString(e.maxS)))
-      .mkString("\n")
-    writeAtomic(manifestPath(v), body, overwrite = false)
+    val entries = base() ++ stats
+    writeAtomic(manifestPath(v), manifestBody(entries), overwrite = false)
     writeAtomic(pointerFile, v.toString, overwrite = true)
     v
   }
 
+  private def manifestBody(entries: Seq[FileEntry]): String =
+    entries.map(e => String.format(Locale.ROOT,
+      "%s\t%d\t%d\t%s\t%s\t%d", e.file, java.lang.Long.valueOf(e.batch),
+      java.lang.Long.valueOf(e.rows),
+      java.lang.Double.toString(e.minS), java.lang.Double.toString(e.maxS),
+      java.lang.Long.valueOf(e.bytes)))
+      .mkString("\n")
+
   private def readFiles(files: Seq[String], schemaFrom: Seq[FileEntry]): DataFrame =
-    if (files.nonEmpty) spark.read.parquet(files: _*)
+    // mergeSchema: commits may evolve the schema (the GridStore.raw lesson —
+    // which footer Spark samples must not decide whether an evolved column
+    // exists); manifests bound the file set, so the footer merge is O(#files)
+    if (files.nonEmpty) spark.read.option("mergeSchema", "true").parquet(files: _*)
     else {
       // An empty selection still needs the table schema: derive it from any
       // file of the source manifest (metadata-only footer read).
@@ -199,6 +237,9 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
     val m = readManifest(v)
     readFiles(m.filter(e => e.maxS >= lo && e.minS <= hi).map(_.file), m)
   }
+
+  /** Current file census — the quantity [[compactSmall]] exists to bound. */
+  def fileCount: Int = latestVersion.map(readManifest(_).size).getOrElse(0)
 
   /** (files surviving the prune, total files) at version `v` — the
     * skip-rate observability a spec pins.

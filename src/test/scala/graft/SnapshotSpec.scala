@@ -112,6 +112,36 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](st.readAt(1))
   }
 
+  test("compactSmall bin-packs trickle files, carries heavy files untouched") {
+    val st = freshStore("snap-pack")
+    // one heavy commit (single file), then five trickle commits
+    st.commit(batch(0, 4999).coalesce(1))
+    (0 until 5).foreach(i => st.commit(batch(5000 + i * 10, 5009 + i * 10)))
+    val before = st.fileCount
+    assert(before >= 6)
+    // pack everything smaller than the heavy file
+    val heavyBytes = 1L << 20
+    val v = st.compactSmall(smallBytes = heavyBytes, targetFiles = 1)
+    assert(v.nonEmpty)
+    val after = st.fileCount
+    assert(after < before, s"packing must shrink the census ($before -> $after)")
+    assert(st.read().count() === 5050L)
+    assert(st.read().agg(sum("id")).head.getLong(0) ===
+      (0L to 4999L).sum + (0 until 5).map(i => (5000L + i * 10 to 5009L + i * 10).sum).sum)
+    // nothing to pack → no-op, no new version
+    assert(st.compactSmall(smallBytes = 10L).isEmpty)
+  }
+
+  test("schema-evolved commits read merged (old files surface NULL)") {
+    val st = freshStore("snap-evolve")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19).withColumn("quality", col("id").cast("double") / 10.0))
+    val r = st.read()
+    assert(r.columns.contains("quality"))
+    assert(r.filter($"quality".isNull).count() === 10L)
+    assert(r.filter($"quality".isNotNull).count() === 10L)
+  }
+
   test("recover: a lost pointer is restored from the newest manifest") {
     val st = freshStore("snap-rec1")
     st.commit(batch(0, 9))
@@ -135,7 +165,7 @@ class SnapshotSpec extends SparkSpec {
     batch(10, 19).write.parquet(st.path + "/data/b00002")
     val m2 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00002.manifest")
     val out = fs.create(m2, true)
-    out.write("bogus\t2\t1\t0.0\t1.0\n".getBytes("UTF-8")); out.close()
+    out.write("bogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8")); out.close()
     st.recover()
     assert(st.versions === Seq(1L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(st.path + "/data/b00002")),
