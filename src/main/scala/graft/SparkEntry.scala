@@ -3557,6 +3557,15 @@ object SparkEntry {
     // is one running-sum window in (wave, doc_id) order.
     "st10_stream_budget" -> ((s, d) => StreamContract.budgetAdmission(s, d)),
 
+    // ST-streaming: micro-batches committed EXACTLY-ONCE into the snapshot
+    // table format — each foreachBatch invocation is one tagged commit
+    // (tag = batchId in the manifest header), so an at-least-once replay
+    // resolves to the acknowledged version and writes nothing. The query
+    // itself force-replays an acknowledged tag with the whole corpus after
+    // the drain: a broken tag lookup would double every row and the oracle
+    // hash catches it.
+    "st11_snapshot_sink" -> ((s, d) => StreamContract.snapshotSink(s, d)),
+
     // E-events: behavioral transition matrix — per-user next-event bigrams
     // (one lead window over the user timeline, ties broken by event_id)
     // folded to Markov transition counts and row-normalized probabilities.
@@ -5679,6 +5688,14 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tokens, cum <= 600 AS admitted
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // st11: exactly-once tagged commits — the drained snapshot table must
+    // equal the plain corpus aggregate (a replayed/duplicated batch, or a
+    // broken tag lookup on the query's own forced replay, doubles rows)
+    "st11_snapshot_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st9_stream_lm_gate" ->
       """WITH n AS (

@@ -99,11 +99,31 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
       finally in.close()
-    lines.map { l =>
+    lines.filterNot(_.startsWith("#")).map { l =>
       val a = l.split("\t")
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toDouble,
         a(5).toLong)
     }
+  }
+
+  /** The writer tag a version's manifest was committed under, if any. */
+  private def readTagOf(v: Long): Option[String] = {
+    val p = manifestPath(v)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val first =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).split("\n").headOption.getOrElse("")
+        finally in.close()
+      if (first.startsWith("#tag=")) Some(first.stripPrefix("#tag=")) else None
+    }
+  }
+
+  /** The acknowledged version committed under `tag`, if one exists. */
+  def taggedVersion(tag: String): Option[Long] = {
+    val ceiling = latestVersion.getOrElse(return None)
+    versions.filter(_ <= ceiling).find(readTagOf(_).contains(tag))
   }
 
   /** Write a small driver-side metadata file via tmp + rename so its
@@ -133,6 +153,25 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
     */
   def commit(df: DataFrame): Long =
     doCommit(df, () => latestVersion.map(readManifest).getOrElse(Seq.empty))
+
+  /** Idempotent tagged append — the exactly-once handshake for
+    * AT-LEAST-ONCE writers (foreachBatch replays, retried jobs): the tag
+    * (e.g. "batch-7") is recorded in the manifest header at commit time,
+    * and a replay carrying an already-acknowledged tag returns that
+    * version WITHOUT writing anything. The crash windows resolve
+    * correctly by construction: died before the pointer swap → the
+    * orphaned manifest is invisible to [[taggedVersion]] (which only
+    * consults acknowledged versions) and [[recover]]/the next commit
+    * clears it, so the replay commits fresh; died after → the tag is
+    * found and the replay no-ops. The Delta/Iceberg `txnAppId/version`
+    * idea on one pointer file.
+    */
+  def commitTagged(df: DataFrame, tag: String): Long = {
+    require(!tag.contains("\n") && !tag.contains("\t"), s"malformed tag: $tag")
+    taggedVersion(tag).getOrElse(
+      doCommit(df, () => latestVersion.map(readManifest).getOrElse(Seq.empty),
+        tag = Some(tag)))
+  }
 
   /** Commit whose manifest references ONLY the newly written files — the
     * compaction/rewrite primitive: write the merged/compacted state, swap
@@ -169,7 +208,8 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
       }
     }
 
-  private def doCommit(df: DataFrame, base: () => Seq[FileEntry]): Long = {
+  private def doCommit(df: DataFrame, base: () => Seq[FileEntry],
+      tag: Option[String] = None): Long = {
     val prev = latestVersion
     val v = prev.getOrElse(0L) + 1L
     // Clear debris from a commit that crashed after writing files but
@@ -194,12 +234,13 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
       }
       .sortBy(_.file)
     val entries = base() ++ stats
-    writeAtomic(manifestPath(v), manifestBody(entries), overwrite = false)
+    writeAtomic(manifestPath(v), manifestBody(entries, tag), overwrite = false)
     writeAtomic(pointerFile, v.toString, overwrite = true)
     v
   }
 
-  private def manifestBody(entries: Seq[FileEntry]): String =
+  private def manifestBody(entries: Seq[FileEntry], tag: Option[String]): String =
+    tag.map(t => s"#tag=$t\n").getOrElse("") +
     entries.map(e => String.format(Locale.ROOT,
       "%s\t%d\t%d\t%s\t%s\t%d", e.file, java.lang.Long.valueOf(e.batch),
       java.lang.Long.valueOf(e.rows),

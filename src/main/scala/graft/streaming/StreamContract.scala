@@ -549,4 +549,53 @@ object StreamContract {
     spark.read.schema(verdictSchema).parquet(sink)
       .drop("batch").orderBy("doc_id")
   }
+
+  /** Streaming micro-batches committed to the snapshot table format
+    * EXACTLY-ONCE: each `foreachBatch` invocation lands as one
+    * `commitTagged(batch, "batch-<id>")` — the tag rides in the manifest
+    * header, so an at-least-once REPLAY of an acknowledged batch resolves
+    * to the existing version and writes nothing (the Delta/Iceberg
+    * txn-version handshake; the st4/st9 dynamic-partition-overwrite
+    * discipline expressed at the table-format layer instead of the sink
+    * layout). The drain leaves a real versioned table behind: every
+    * micro-batch is a time-travelable snapshot and downstream loaders
+    * consume `readIncremental` from their checkpointed version.
+    *
+    * The query itself REPLAYS a tagged commit after the drain (the whole
+    * corpus under the first batch's tag): if tag resolution ever broke,
+    * the corpus would double and the oracle hash would catch it — the
+    * idempotence claim is inside the gated result, not just the spec.
+    */
+  def snapshotSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.SnapshotStore
+    val ev = Tables(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    val landing = tmp("st11_landing")
+    val storeDir = tmp("st11_store")
+    val ckpt = tmp("st11_ckpt")
+    // four range-disjoint landing files; maxFilesPerTrigger=1 makes each
+    // its own micro-batch/commit
+    ev.repartitionByRange(4, col("event_id"))
+      .write.mode("overwrite").parquet(landing)
+    val st = new SnapshotStore(spark, s"$storeDir/snap", "event_id")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    withDrainParallelism(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          st.commitTagged(batch, s"batch-$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // forced replay of an acknowledged tag: must resolve, not re-commit
+    st.commitTagged(ev, "batch-0")
+    st.read().groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
 }

@@ -142,6 +142,38 @@ class SnapshotSpec extends SparkSpec {
     assert(r.filter($"quality".isNotNull).count() === 10L)
   }
 
+  test("commitTagged: an acknowledged tag replays as a no-op") {
+    val st = freshStore("snap-tag")
+    val v1 = st.commitTagged(batch(0, 9), "batch-0")
+    assert(v1 === 1L)
+    // replay with DIFFERENT data under the same tag: must resolve, not write
+    val v1b = st.commitTagged(batch(100, 199), "batch-0")
+    assert(v1b === v1)
+    assert(st.read().count() === 10L)
+    assert(st.commitTagged(batch(10, 19), "batch-1") === 2L)
+    assert(st.read().count() === 20L)
+    assert(st.taggedVersion("batch-0") === Some(1L))
+    assert(st.taggedVersion("batch-9").isEmpty)
+  }
+
+  test("commitTagged: a commit that died before its pointer swap is retried fresh") {
+    val st = freshStore("snap-tag2")
+    st.commitTagged(batch(0, 9), "batch-0")
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // forge the crash window: v2 manifest carries the tag but the pointer
+    // still names v1 — the tag is NOT acknowledged
+    val m2 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00002.manifest")
+    val out = fs.create(m2, true)
+    out.write("#tag=batch-1\nbogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8")); out.close()
+    assert(st.taggedVersion("batch-1").isEmpty,
+      "an unacknowledged manifest's tag must be invisible")
+    // the retry clears the orphan and commits for real
+    assert(st.commitTagged(batch(10, 19), "batch-1") === 2L)
+    assert(st.read().count() === 20L)
+    assert(st.taggedVersion("batch-1") === Some(2L))
+  }
+
   test("recover: a lost pointer is restored from the newest manifest") {
     val st = freshStore("snap-rec1")
     st.commit(batch(0, 9))
