@@ -1130,6 +1130,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K17 — bin-packing compaction under the oracle: five trickle commits
+    // (event_id mod 5) then compactSmall rewrites the small-file residue
+    // into range-sorted packed files; the packed table must equal the
+    // plain corpus aggregate exactly (a dropped or doubled row in the
+    // pack fails the hash), and SnapshotSpec pins the census shrink.
+    "k17_compact_files" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-pack").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      (0L to 4L).foreach(b =>
+        st.commit(ev.filter(pmod(col("event_id"), lit(5L)) === b)))
+      st.compactSmall(smallBytes = 1L << 30, targetFiles = 4)
+      st.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -4654,6 +4673,14 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id % 3 IN (1, 2)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k17: compaction preserves content exactly — pack then aggregate
+    // equals the plain corpus aggregate
+    "k17_compact_files" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k2: the engine side PUTs each region's nations as an object and GETs
     // them back through the ObjectStore boundary; the oracle is the pure
