@@ -1780,6 +1780,32 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    // X-flagship: REPRODUCIBLE LOADER ORDER — the property a training run
+    // actually depends on: filter (curation gate), deterministic epoch
+    // shuffle, then sequence packing IN SHUFFLED ORDER, all derived from
+    // portable md5 + exact integer math, so the (chunk → doc, token span)
+    // placement map is bit-identical on any engine, cluster, or partition
+    // count. The shuffle's (shard, pos) is folded into one 64-bit order
+    // key (shard·2³² + pos) that becomes the packing id; the two-level
+    // prefix sum then assigns global token offsets without a corpus-wide
+    // single-partition window. The oracle recomputes the ENTIRE chain in
+    // SQL — a one-position drift anywhere reorders a chunk boundary and
+    // fails the hash.
+    "x6_loader_order_flagship" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("n_chars") >= 100)
+      val sh = graft.functions.Sampling.epochShuffle(docs, "doc_id",
+        epochs = 1, nShards = 8)
+      val ordered = docs.join(sh, "doc_id")
+        .withColumn("ord", col("shard").cast("long") * (1L << 32) + col("pos"))
+      val packed = graft.text.Packing.packChunks(
+          ordered.select(col("ord"), col("text")), "ord", "text",
+          ctxLen = 256, shardSize = 4096)
+        .withColumnRenamed("doc_id", "ord")
+      packed.join(ordered.select("ord", "doc_id"), "ord")
+        .select("chunk_id", "doc_id", "tok_begin", "n_tok_in_chunk")
+        .orderBy("chunk_id", "doc_id")
+    }),
+
     "x2_curation_flagship" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val keepers = Dedup.exactGroups(docs, "doc_id", "text")
@@ -4838,6 +4864,47 @@ object SparkEntry {
         |       max(p.pos) AS max_pos
         |FROM pos p JOIN agg a USING (doc_id)
         |GROUP BY p.epoch, p.shard ORDER BY epoch, shard""".stripMargin),
+
+    // x6: the whole chain — gate, epoch-0 md5 shuffle folded to one order
+    // key, running token sum in that order, chunk math — replayed in SQL;
+    // 4294967296 = 2^32, the same fold as the engine's shard·2³²+pos
+    "x6_loader_order_flagship" ->
+      """WITH sel AS (
+        |  SELECT doc_id, text FROM documents WHERE n_chars >= 100
+        |), h AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM sel
+        |), ordm AS (
+        |  SELECT doc_id, text,
+        |    (h % 8) * 4294967296 +
+        |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS ord
+        |  FROM h
+        |), n AS (
+        |  SELECT doc_id, ord,
+        |         lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS norm
+        |  FROM ordm
+        |), tk AS (
+        |  SELECT doc_id, ord,
+        |         CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tok
+        |  FROM n
+        |), pos AS (
+        |  SELECT doc_id, ord, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY ord
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t_end
+        |  FROM tk WHERE n_tok > 0
+        |), spans AS (
+        |  SELECT doc_id, CAST(t_end - n_tok AS BIGINT) AS t_start, t_end,
+        |         CAST((t_end - n_tok) // 256 AS BIGINT) AS c0,
+        |         CAST((t_end - 1) // 256 AS BIGINT) AS c1
+        |  FROM pos
+        |)
+        |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+        |       CAST(greatest(t_start, chunk_id*256) AS BIGINT) AS tok_begin,
+        |       CAST(least(t_end, (chunk_id+1)*256)
+        |            - greatest(t_start, chunk_id*256) AS BIGINT) AS n_tok_in_chunk
+        |FROM (SELECT *, unnest(range(c0, c1+1)) AS chunk_id FROM spans) u
+        |ORDER BY chunk_id, doc_id""".stripMargin,
 
     "x2_curation_flagship" ->
       """WITH k AS (
