@@ -1149,6 +1149,28 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K18 — copy-on-write DELETE through the table format: the takedown
+    // primitive. Three range-disjoint commits, then deleteWhere(type =
+    // 'click') rewrites ONLY files containing clicks (filtered
+    // complements); clean files carry forward untouched and the delete is
+    // itself a versioned commit (SnapshotSpec pins that the PRE-delete
+    // version still holds the rows — the audit trail — and that untouched
+    // files are not rewritten). Result must equal the corpus minus clicks
+    // exactly.
+    "k18_delete_where" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-del").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      (0L to 2L).foreach(b =>
+        st.commit(ev.filter(pmod(col("event_id"), lit(3L)) === b)
+          .repartitionByRange(4, col("event_id"))))
+      st.deleteWhere(col("event_type") === "click")
+      st.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -4707,6 +4729,13 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k18: copy-on-write delete must equal the corpus minus the predicate
+    "k18_delete_where" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k2: the engine side PUTs each region's nations as an object and GETs
     // them back through the ObjectStore boundary; the oracle is the pure

@@ -208,6 +208,42 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
       }
     }
 
+  /** Copy-on-write row deletion — the takedown/right-to-be-forgotten
+    * primitive a training-corpus store cannot ship without: only the files
+    * that CONTAIN matching rows are rewritten (filtered complements);
+    * every clean file carries forward untouched, so the delete cost is
+    * proportional to the blast radius, not the table. Retained older
+    * versions still hold the rows until [[expire]] — a takedown is
+    * finalized by `deleteWhere` + `expire`, which is exactly the audit
+    * trail a compliance pipeline wants (the delete is itself a versioned,
+    * time-travelable commit).
+    *
+    * Hit detection is one predicate scan projecting only the file name;
+    * when the predicate bounds `statsCol`, callers should pre-narrow with
+    * [[readPruned]] semantics — at production scale the scan composes
+    * with the manifest zone stats and Parquet row-group skipping, so a
+    * key-targeted delete touches only intersecting files' footers.
+    * Returns the new version, or None when nothing matches.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Option[Long] =
+    latestVersion.flatMap { prev =>
+      val m = readManifest(prev)
+      val hit = spark.read.option("mergeSchema", "true")
+        .parquet(m.map(_.file): _*)
+        .filter(cond)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).toSet // O(#touched files), driver-safe
+      if (hit.isEmpty) None
+      else {
+        val survivors =
+          spark.read.option("mergeSchema", "true").parquet(hit.toSeq: _*)
+            // NOT-with-null semantics: a null predicate row is NOT a match
+            // (filter(cond) above kept only TRUE rows), so keep null rows
+            .filter(!coalesce(cond, lit(false)))
+        Some(doCommit(survivors, () => m.filterNot(e => hit(e.file))))
+      }
+    }
+
   private def doCommit(df: DataFrame, base: () => Seq[FileEntry],
       tag: Option[String] = None): Long = {
     val prev = latestVersion
@@ -221,7 +257,11 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
     df.write.parquet(dir.toString)
     // Per-file zone stats: group the batch (and only the batch) by the
     // physical file each row landed in.
-    val stats = spark.read.parquet(dir.toString)
+    // an all-rows-deleted rewrite may write ZERO part files — a manifest of
+    // just the carried-forward entries is then the correct table state
+    val stats = if (!fs.listStatus(dir)
+        .exists(_.getPath.getName.startsWith("part-"))) Array.empty[FileEntry]
+    else spark.read.parquet(dir.toString)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"),
         min(col(statsCol).cast("double")).as("mn"),

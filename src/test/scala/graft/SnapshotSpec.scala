@@ -142,6 +142,40 @@ class SnapshotSpec extends SparkSpec {
     assert(r.filter($"quality".isNotNull).count() === 10L)
   }
 
+  test("deleteWhere rewrites only touched files; old version keeps the rows") {
+    val st = freshStore("snap-del")
+    // two range-disjoint files per commit: ids 0..499 in file A, 500..999 in B
+    val v1 = st.commit(batch(0, 999).repartitionByRange(2, col("id")))
+    val filesBefore = st.fileCount
+    // matches live ONLY in the low file
+    val v2 = st.deleteWhere($"id" < 100)
+    assert(v2 === Some(2L))
+    assert(st.read().count() === 900L)
+    assert(st.read().agg(min("id")).head.getLong(0) === 100L)
+    // the untouched high file carried forward VERBATIM (same path)
+    val m1Files = st.readAt(v1).select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val m2Files = st.read().select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(m1Files.intersect(m2Files).size === filesBefore - 1,
+      "every clean file must carry forward by reference, not rewrite")
+    // audit trail: the pre-delete version still holds every row
+    assert(st.readAt(v1).count() === 1000L)
+    // no matches → no-op, no version churn
+    assert(st.deleteWhere($"id" < 0).isEmpty)
+    assert(st.latestVersion === Some(2L))
+  }
+
+  test("deleteWhere that empties every touched file leaves a consistent table") {
+    val st = freshStore("snap-del2")
+    st.commit(batch(0, 99).repartitionByRange(2, col("id")))
+    st.commit(batch(100, 199))
+    val v = st.deleteWhere($"id" >= 100)
+    assert(v.nonEmpty)
+    assert(st.read().count() === 100L)
+    assert(st.read().agg(max("id")).head.getLong(0) === 99L)
+  }
+
   test("commitTagged: an acknowledged tag replays as a no-op") {
     val st = freshStore("snap-tag")
     val v1 = st.commitTagged(batch(0, 9), "batch-0")
