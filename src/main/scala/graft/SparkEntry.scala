@@ -1171,6 +1171,35 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K19 — the MEDALLION sync: a derived (silver) snapshot table
+    // maintained from a source (bronze) one by consuming EXACTLY the new
+    // increment after each source commit — the consumer's checkpoint IS
+    // the tagged version ("src-v<N>"), so a replayed sync run (the
+    // at-least-once scheduler case, forced here after the loop) resolves
+    // to the acknowledged commit and writes nothing. Per-sync cost is the
+    // increment, never the source table; both stores stay independently
+    // time-travelable.
+    "k19_medallion_sync" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-med").toString
+      val bronze = new SnapshotStore(s, s"$out/bronze", "event_id")
+      val silver = new SnapshotStore(s, s"$out/silver", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      (0L to 2L).foreach { b =>
+        val v = bronze.commit(ev.filter(pmod(col("event_id"), lit(3L)) === b))
+        val inc = bronze.readIncremental(v - 1, v)
+          .filter(col("event_type") =!= "view")
+          .withColumn("value_x2", col("value") * 2.0)
+        silver.commitTagged(inc, s"src-v$v")
+      }
+      // forced replay of the last sync: must resolve, not duplicate
+      silver.commitTagged(ev.withColumn("value_x2", col("value")), "src-v3")
+      silver.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"),
+        sum(col("value_x2").cast("decimal(30,3)")).cast("double").as("sum_x2"))
+        .orderBy("event_type")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -4735,6 +4764,15 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k19: the synced derived table must equal the transform of the whole
+    // source (x*2 is exact in binary, so the decimal casts agree)
+    "k19_medallion_sync" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(CAST(value * 2 AS DECIMAL(30,3))) AS DOUBLE) AS sum_x2
+        |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k2: the engine side PUTs each region's nations as an object and GETs
