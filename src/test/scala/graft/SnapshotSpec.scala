@@ -208,6 +208,61 @@ class SnapshotSpec extends SparkSpec {
     assert(st.taggedVersion("batch-1") === Some(2L))
   }
 
+  test("model check: random commit/delete/compact/expire sequences preserve content") {
+    // Seeded model-based check — the storage-layer test shape: replay a
+    // random op sequence against BOTH the store and a trivial in-memory
+    // model, assert the visible state (live read + every retained
+    // time-travel version) matches after every op. Two seeds keep the
+    // wall cost bounded; the seed prints on failure for replay.
+    for (seed <- Seq(11L, 47L)) {
+      val rnd = new scala.util.Random(seed)
+      val st = freshStore(s"snap-model-$seed")
+      var nextId = 0L
+      var live = Vector.empty[Long] // ids currently in the table
+      var history = Map.empty[Long, Vector[Long]] // version -> ids
+      def ids(df: org.apache.spark.sql.DataFrame): Vector[Long] =
+        df.select("id").collect().map(_.getLong(0)).toVector.sorted
+      def record(v: Long): Unit = history += (v -> live)
+
+      (1 to 12).foreach { step =>
+        val clue = s"seed=$seed step=$step"
+        rnd.nextInt(5) match {
+          case 0 | 1 => // commit a fresh disjoint batch
+            val nRows = 5 + rnd.nextInt(46)
+            val b = batch(nextId, nextId + nRows - 1)
+            live = live ++ (nextId until nextId + nRows)
+            nextId += nRows
+            record(st.commit(b))
+          case 2 if live.nonEmpty => // delete a random id range
+            val a = live(rnd.nextInt(live.size))
+            val b = a + rnd.nextInt(30)
+            val v = st.deleteWhere(col("id").between(a, b))
+            val expected = live.filterNot(id => id >= a && id <= b)
+            assert(v.isEmpty === (expected == live), clue)
+            live = expected
+            v.foreach(record)
+          case 3 => // pack everything (content-neutral)
+            st.compactSmall(smallBytes = 1L << 30, targetFiles = 2)
+              .foreach(record)
+          case _ => // retention on a random window, then recover (no-op)
+            if (st.versions.nonEmpty) {
+              val keep = 1 + rnd.nextInt(3)
+              st.expire(keepLast = keep)
+              history = history.filter { case (v, _) => st.versions.contains(v) }
+            }
+            st.recover()
+        }
+        if (st.latestVersion.nonEmpty) {
+          assert(ids(st.read()) === live.sorted, s"$clue: live state diverged")
+          history.foreach { case (v, want) =>
+            assert(ids(st.readAt(v)) === want.sorted,
+              s"$clue: time travel to v$v diverged")
+          }
+        }
+      }
+    }
+  }
+
   test("recover: a lost pointer is restored from the newest manifest") {
     val st = freshStore("snap-rec1")
     st.commit(batch(0, 9))
