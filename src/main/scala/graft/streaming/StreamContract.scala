@@ -395,21 +395,19 @@ object StreamContract {
     * on itself and the static model).
     */
   def lmGate(spark: SparkSession, sfDir: String,
-      threshold: Double = 5.1): DataFrame = {
+      threshold: Double = 5.1,
+      artifactDir: String = "/tmp/graft_oracle/st9_lm"): DataFrame = {
     import graft.text.LanguageModel
     val docs = Tables(spark, sfDir, "documents")
     val landing = tmp("st9_landing")
     val sink = tmp("st9_sink")
     val ckpt = tmp("st9_ckpt")
-    // fit once on the static reference slice, then PERSIST the fitted
-    // surprisal table and score every micro-batch from the disk copy —
+    // score from the PERSISTED surprisal artifact (fitted+saved by the
+    // caller once per source fingerprint — SparkEntry.lmSurprisalOnce);
     // the oracle joins the same files, so the xent (and therefore the
     // near-threshold kept verdict) cannot diverge on a log2 ulp (the
     // t21 artifact discipline)
-    val model = LanguageModel.fit(
-      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
-    LanguageModel.saveSurprisal(model, "/tmp/graft_oracle/st9_lm")
-    val art = LanguageModel.loadSurprisal(spark, "/tmp/graft_oracle/st9_lm")
+    val art = LanguageModel.loadSurprisal(spark, artifactDir)
     docs.filter(col("doc_id") % 10 =!= 0).coalesce(1)
       .write.mode("overwrite").parquet(landing)
     val stream = spark.readStream.schema(docs.schema).parquet(landing)
