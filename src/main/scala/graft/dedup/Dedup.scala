@@ -687,39 +687,16 @@ object Dedup {
     * off a shuffle inherits the shuffle's task count, so a megabyte-scale
     * index lands as 32 tiny files and every later screen pays 32 footer
     * reads + 32 scheduled tasks per table per query (the measured d15s
-    * serve-path tax). Write staged, measure actual bytes, and compact to
-    * ceil(bytes / 128 MB) files only when over-fragmented (> 2× target) —
-    * a corpus-scale index keeps its parallel layout untouched, a small one
-    * becomes the handful of files its size warrants. Swap follows the
-    * rename discipline: stage aside, boolean-checked renames.
+    * serve-path tax). The REBALANCE hint makes AQE size the write's output
+    * partitions to its advisory byte target in the SAME pass — a tiny
+    * index becomes one file, a corpus-scale one keeps its parallel layout
+    * — replacing the r11-interim stage-measure-compact double write (whose
+    * 4 extra jobs per save were the measured st4 build-side tax). Callers
+    * are all batch contexts; without AQE the hint degrades to a plain
+    * shuffle write — correct, just unconsolidated.
     */
-  private val targetFileBytes = 128L * 1024 * 1024
-
-  private def writeSized(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
-    import org.apache.hadoop.fs.Path
-    val stage = new Path(path + "_stage")
-    val live = new Path(path)
-    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.write.mode("overwrite").parquet(stage.toString)
-    val total = fs.getContentSummary(stage).getLength
-    val target = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
-    val files = fs.listStatus(stage).count(_.getPath.getName.endsWith(".parquet"))
-    if (files > target * 2) {
-      df.sparkSession.read.parquet(stage.toString).coalesce(target)
-        .write.mode("overwrite").parquet(path)
-      if (!fs.delete(stage, true))
-        throw new java.io.IOException(s"failed to delete stage $stage")
-    } else {
-      val aside = new Path(path + "_old")
-      fs.delete(aside, true)
-      if (fs.exists(live) && !fs.rename(live, aside))
-        throw new java.io.IOException(s"failed to move $live aside")
-      if (!fs.rename(stage, live))
-        throw new java.io.IOException(s"failed to swap $stage into $live")
-      fs.delete(aside, true)
-    }
-  }
+  private def writeSized(df: DataFrame, path: String): Unit =
+    df.hint("rebalance").write.mode("overwrite").parquet(path)
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DedupIndex = {
     // params written by every current saveIndex; tolerate only its ABSENCE
