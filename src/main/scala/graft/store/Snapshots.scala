@@ -247,6 +247,18 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
   private def doCommit(df: DataFrame, base: () => Seq[FileEntry],
       tag: Option[String] = None): Long = {
     val prev = latestVersion
+    // Damaged-store guard: with no acknowledged version, the only manifest
+    // the commit protocol itself can have left behind is a crashed FIRST
+    // commit's v1 (a crash at commit N implies a pointer at N-1). Anything
+    // else — a pointer file naming a missing manifest, or a lost pointer
+    // over real history — is hand-damage; treating it as a fresh store
+    // would make the debris-clear below delete the surviving history.
+    // Refuse and route to recover(), which re-points to the newest
+    // complete manifest.
+    require(prev.nonEmpty ||
+      (!fs.exists(pointerFile) && versions.forall(_ == 1L)),
+      s"snapshot store at $path has manifests but no valid pointer — " +
+        "run recover() before committing")
     val v = prev.getOrElse(0L) + 1L
     // Clear debris from a commit that crashed after writing files but
     // before the pointer swap — its version number is ours to reuse.

@@ -271,9 +271,15 @@ class SnapshotSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(st.path + "/_latest"), false)
     assert(st.latestVersion.isEmpty)
+    // a commit on the damaged store must REFUSE, not treat the surviving
+    // history as debris of a crashed first commit
+    intercept[IllegalArgumentException](st.commit(batch(20, 29)))
     st.recover()
     assert(st.latestVersion === Some(2L))
     assert(st.read().count() === 20L)
+    // and after repair the store commits normally again
+    assert(st.commit(batch(20, 29)) === 3L)
+    assert(st.read().count() === 30L)
   }
 
   test("recover: a commit that died before its pointer swap is rolled back") {
