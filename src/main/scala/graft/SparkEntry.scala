@@ -1217,6 +1217,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K20 — schema evolution THROUGH the table format (k11's contract on
+    // the snapshot store): the second commit carries a column the first
+    // never had; the manifest-bounded merged read surfaces NULL for
+    // pre-evolution files and the values for evolved ones — no history
+    // rewrite, and time travel to v1 still reads the pre-evolution schema.
+    "k20_snapshot_evolution" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      st.commit(ev.filter(col("event_id") % 2 === 1))
+      st.commit(ev.filter(col("event_id") % 2 === 0)
+        .withColumn("qc_flag", col("event_id") % 3 === 0))
+      st.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        count(col("qc_flag")).as("n_evolved"),
+        coalesce(sum(col("qc_flag").cast("long")), lit(0L)).as("n_flagged"))
+        .orderBy("event_type")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -4796,6 +4815,16 @@ object SparkEntry {
         |       CAST(sum(CAST(value * 2 AS DECIMAL(30,3))) AS DOUBLE) AS sum_x2
         |FROM events WHERE event_type <> 'view'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k20: evolved rows are the even event_ids (commit 2), flagged where
+    // divisible by 3; pre-evolution rows count toward n only (k11's oracle
+    // shape, replayed through the snapshot store)
+    "k20_snapshot_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+        |       CAST(sum(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k2: the engine side PUTs each region's nations as an object and GETs
     // them back through the ObjectStore boundary; the oracle is the pure
