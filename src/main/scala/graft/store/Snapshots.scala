@@ -99,6 +99,19 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
       finally in.close()
+    // Integrity: manifests written by this class carry a CRC32 of the
+    // entry body — a truncated or bit-flipped manifest must fail LOUDLY
+    // here, not surface as a partial table (the failure mode object
+    // stores actually produce). Absence of the header is tolerated
+    // (pre-crc manifests read unchecked).
+    lines.find(_.startsWith("#crc=")).foreach { h =>
+      val body = lines.filterNot(_.startsWith("#")).mkString("\n")
+      val crc = new java.util.zip.CRC32
+      crc.update(body.getBytes(StandardCharsets.UTF_8))
+      require(h.stripPrefix("#crc=") == java.lang.Long.toHexString(crc.getValue),
+        s"snapshot manifest v$v at $path fails its checksum — metadata corrupt; " +
+          "restore the file or expire past it")
+    }
     lines.filterNot(_.startsWith("#")).map { l =>
       val a = l.split("\t")
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toDouble,
@@ -291,14 +304,18 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
     v
   }
 
-  private def manifestBody(entries: Seq[FileEntry], tag: Option[String]): String =
-    tag.map(t => s"#tag=$t\n").getOrElse("") +
-    entries.map(e => String.format(Locale.ROOT,
+  private def manifestBody(entries: Seq[FileEntry], tag: Option[String]): String = {
+    val body = entries.map(e => String.format(Locale.ROOT,
       "%s\t%d\t%d\t%s\t%s\t%d", e.file, java.lang.Long.valueOf(e.batch),
       java.lang.Long.valueOf(e.rows),
       java.lang.Double.toString(e.minS), java.lang.Double.toString(e.maxS),
       java.lang.Long.valueOf(e.bytes)))
       .mkString("\n")
+    val crc = new java.util.zip.CRC32
+    crc.update(body.getBytes(StandardCharsets.UTF_8))
+    tag.map(t => s"#tag=$t\n").getOrElse("") +
+      s"#crc=${java.lang.Long.toHexString(crc.getValue)}\n" + body
+  }
 
   private def readFiles(files: Seq[String], schemaFrom: Seq[FileEntry]): DataFrame =
     // mergeSchema: commits may evolve the schema (the GridStore.raw lesson —

@@ -263,6 +263,24 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("a corrupted manifest fails loudly, not as a partial table") {
+    val st = freshStore("snap-crc")
+    st.commit(batch(0, 99).repartitionByRange(4, col("id")))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00001.manifest")
+    val in = fs.open(m1)
+    val text = new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"); in.close()
+    assert(text.contains("#crc="), "manifests must carry their checksum")
+    // drop one entry line but keep the header — a silent truncation
+    val truncated = text.split("\n").filterNot(_.contains("part-00003")).mkString("\n")
+    val out = fs.create(m1, true)
+    out.write(truncated.getBytes("UTF-8")); out.close()
+    val ex = intercept[IllegalArgumentException](st.read().count())
+    assert(ex.getMessage.contains("checksum"))
+  }
+
   test("recover: a lost pointer is restored from the newest manifest") {
     val st = freshStore("snap-rec1")
     st.commit(batch(0, 9))
