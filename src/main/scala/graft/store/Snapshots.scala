@@ -42,18 +42,32 @@ import org.apache.spark.sql.functions._
   * loaders consume increments, and compaction/expiry never break a reader
   * mid-scan.
   *
-  * @param statsCol numeric column whose per-file min/max the manifest
-  *   records for zone-map pruning (cast to double in the manifest).
+  * @param statsCol primary numeric column whose per-file min/max the
+  *   manifest records for zone-map pruning (cast to double in the
+  *   manifest); [[compactSmall]] range-sorts on it.
+  * @param secondaryStats further columns to record bounds for — the
+  *   Iceberg-style multi-column zone map. Pruning power on a secondary
+  *   column tracks how clustered the DATA is on it (bounds are exact
+  *   either way); prune by name via [[readPrunedOn]].
   */
-final class SnapshotStore(spark: SparkSession, val path: String, statsCol: String) {
+final class SnapshotStore(spark: SparkSession, val path: String,
+    statsCol: String, secondaryStats: Seq[String] = Nil) {
+
+  private val statsCols: Seq[String] = statsCol +: secondaryStats
 
   /** One manifest line: an immutable data file plus its zone stats.
     * `batch` is the version whose commit added the file — the basis of
     * [[readIncremental]]; `bytes` is the physical size [[compactSmall]]
-    * bin-packs on.
+    * bin-packs on; `minS`/`maxS` bound the PRIMARY stats column and
+    * `extra` holds (min, max) per secondary column, in declaration order.
     */
   final case class FileEntry(file: String, batch: Long, rows: Long,
-      minS: Double, maxS: Double, bytes: Long)
+      minS: Double, maxS: Double, bytes: Long,
+      extra: Seq[(Double, Double)] = Nil) {
+    /** Bounds of the i-th stats column (0 = primary). */
+    def bounds(i: Int): (Double, Double) =
+      if (i == 0) (minS, maxS) else extra(i - 1)
+  }
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs = new Path(path).getFileSystem(hconf)
@@ -115,8 +129,28 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
     lines.filterNot(_.startsWith("#")).map { l =>
       val a = l.split("\t")
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toDouble,
-        a(5).toLong)
+        a(5).toLong,
+        // fields beyond 6 are (min, max) pairs for the secondary stats
+        // columns named by the #stats= header
+        a.drop(6).grouped(2).collect { case Array(mn, mx) =>
+          (mn.toDouble, mx.toDouble) }.toSeq)
     }
+  }
+
+  /** Stats column names a version's manifest carries (header-declared;
+    * pre-multicolumn manifests default to the primary column alone).
+    */
+  def statsNamesOf(v: Long): Seq[String] = {
+    val p = manifestPath(v)
+    require(fs.exists(p), s"snapshot version $v is not retained at $path")
+    val in = fs.open(p)
+    val lines =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).split("\n").toSeq
+      finally in.close()
+    lines.find(_.startsWith("#stats="))
+      .map(_.stripPrefix("#stats=").split(",").toSeq)
+      .getOrElse(Seq(statsCol))
   }
 
   /** The writer tag a version's manifest was committed under, if any. */
@@ -286,35 +320,80 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
     // just the carried-forward entries is then the correct table state
     val stats = if (!fs.listStatus(dir)
         .exists(_.getPath.getName.startsWith("part-"))) Array.empty[FileEntry]
-    else spark.read.parquet(dir.toString)
-      .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("n"),
-        min(col(statsCol).cast("double")).as("mn"),
-        max(col(statsCol).cast("double")).as("mx"))
-      .collect()
-      .map { r =>
-        val f = r.getString(0)
-        FileEntry(f, v, r.getLong(1), r.getDouble(2), r.getDouble(3),
-          fs.getFileStatus(new Path(f)).getLen)
-      }
-      .sortBy(_.file)
-    val entries = base() ++ stats
-    writeAtomic(manifestPath(v), manifestBody(entries, tag), overwrite = false)
+    else {
+      // one bounded aggregate produces every stats column's bounds; stats
+      // columns must exist (and be non-null-typed numerics) in EVERY
+      // commit — they are the table's declared zone-map keys, not
+      // evolvable payload
+      val aggExprs = count(lit(1)).as("n") +:
+        statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
+          min(col(c).cast("double")).as(s"mn$i"),
+          max(col(c).cast("double")).as(s"mx$i")) }
+      spark.read.parquet(dir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .collect()
+        .map { r =>
+          val f = r.getString(0)
+          FileEntry(f, v, r.getLong(1), r.getDouble(2), r.getDouble(3),
+            fs.getFileStatus(new Path(f)).getLen,
+            statsCols.indices.drop(1).map(i =>
+              (r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i))))
+        }
+        .sortBy(_.file)
+    }
+    // The new manifest tracks the UNION of the writer's declared stats
+    // columns and every column the previous manifest already knew —
+    // per-file bounds are facts about immutable files and must survive a
+    // writer that declares fewer columns. Entries are re-expressed under
+    // the union BY NAME (the previous header says what each positional
+    // pair means); a (file, column) with no recorded bounds gets
+    // (-Inf, +Inf) — "no information", which no prune can act on. Without
+    // the name alignment, reopening the store with different stats
+    // columns would reinterpret one column's bounds as another's and
+    // prune files that DO contain matches.
+    val prevNames = prev.map(statsNamesOf).getOrElse(Seq.empty)
+    val effNames = statsCols ++ prevNames.filterNot(statsCols.contains)
+    val noInfo = (Double.NegativeInfinity, Double.PositiveInfinity)
+    def align(e: FileEntry): FileEntry = {
+      val known: Map[String, (Double, Double)] =
+        prevNames.zipWithIndex.flatMap { case (n, i) =>
+          if (i == 0) Some(n -> ((e.minS, e.maxS)))
+          else e.extra.lift(i - 1).map(n -> _)
+        }.toMap
+      def of(c: String) = known.getOrElse(c, noInfo)
+      val (mn0, mx0) = of(effNames.head)
+      e.copy(minS = mn0, maxS = mx0, extra = effNames.tail.map(of))
+    }
+    // measured bounds exist for the declared columns; legacy-only columns
+    // are untracked for the new files
+    val measured = stats.map(e =>
+      e.copy(extra = e.extra ++ effNames.drop(statsCols.size).map(_ => noInfo)))
+    val entries = base().map(align) ++ measured
+    writeAtomic(manifestPath(v), manifestBody(entries, tag, effNames),
+      overwrite = false)
     writeAtomic(pointerFile, v.toString, overwrite = true)
     v
   }
 
-  private def manifestBody(entries: Seq[FileEntry], tag: Option[String]): String = {
-    val body = entries.map(e => String.format(Locale.ROOT,
-      "%s\t%d\t%d\t%s\t%s\t%d", e.file, java.lang.Long.valueOf(e.batch),
-      java.lang.Long.valueOf(e.rows),
-      java.lang.Double.toString(e.minS), java.lang.Double.toString(e.maxS),
-      java.lang.Long.valueOf(e.bytes)))
-      .mkString("\n")
+  private def manifestBody(entries: Seq[FileEntry], tag: Option[String],
+      names: Seq[String]): String = {
+    val body = entries.map { e =>
+      val fixed = String.format(Locale.ROOT,
+        "%s\t%d\t%d\t%s\t%s\t%d", e.file, java.lang.Long.valueOf(e.batch),
+        java.lang.Long.valueOf(e.rows),
+        java.lang.Double.toString(e.minS), java.lang.Double.toString(e.maxS),
+        java.lang.Long.valueOf(e.bytes))
+      val extras = e.extra.map { case (mn, mx) =>
+        "\t" + java.lang.Double.toString(mn) + "\t" + java.lang.Double.toString(mx)
+      }.mkString
+      fixed + extras
+    }.mkString("\n")
     val crc = new java.util.zip.CRC32
     crc.update(body.getBytes(StandardCharsets.UTF_8))
     tag.map(t => s"#tag=$t\n").getOrElse("") +
-      s"#crc=${java.lang.Long.toHexString(crc.getValue)}\n" + body
+      s"#crc=${java.lang.Long.toHexString(crc.getValue)}\n" +
+      s"#stats=${names.mkString(",")}\n" + body
   }
 
   private def readFiles(files: Seq[String], schemaFrom: Seq[FileEntry]): DataFrame =
@@ -346,6 +425,37 @@ final class SnapshotStore(spark: SparkSession, val path: String, statsCol: Strin
   def readPruned(v: Long, lo: Double, hi: Double): DataFrame = {
     val m = readManifest(v)
     readFiles(m.filter(e => e.maxS >= lo && e.minS <= hi).map(_.file), m)
+  }
+
+  /** Zone-map pruning BY COLUMN NAME over the multi-column stats: files
+    * whose recorded [min,max] for `colName` misses [lo,hi] are skipped;
+    * files carried forward from a manifest written before the column was
+    * tracked have no bounds for it and are conservatively KEPT (pruning
+    * may only ever skip provably-disjoint files). Callers still apply the
+    * exact predicate.
+    */
+  def readPrunedOn(v: Long, colName: String, lo: Double, hi: Double): DataFrame = {
+    val names = statsNamesOf(v)
+    val i = names.indexOf(colName)
+    require(i >= 0,
+      s"column '$colName' is not zone-tracked at version $v (tracked: $names)")
+    val m = readManifest(v)
+    def intersects(e: FileEntry): Boolean =
+      if (i == 0) e.maxS >= lo && e.minS <= hi
+      else e.extra.lift(i - 1).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    readFiles(m.filter(intersects).map(_.file), m)
+  }
+
+  /** (kept, total) for a by-name prune — the skip-rate pin. */
+  def pruneStatsOn(v: Long, colName: String, lo: Double, hi: Double): (Int, Int) = {
+    val names = statsNamesOf(v)
+    val i = names.indexOf(colName)
+    require(i >= 0, s"column '$colName' is not zone-tracked at version $v")
+    val m = readManifest(v)
+    def intersects(e: FileEntry): Boolean =
+      if (i == 0) e.maxS >= lo && e.minS <= hi
+      else e.extra.lift(i - 1).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    (m.count(intersects), m.size)
   }
 
   /** Current file census — the quantity [[compactSmall]] exists to bound. */

@@ -263,6 +263,51 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("multi-column zone stats prune by name; untracked history is kept") {
+    val dir = tempDir("snap-multi") + "/snap"
+    // v is correlated with id (v = id*2), so range-partitioning by id also
+    // clusters v — the regime where a secondary zone map has power
+    val st = new SnapshotStore(spark, dir, "id", secondaryStats = Seq("v"))
+    val ver = st.commit(batch(0, 999).repartitionByRange(10, col("id")))
+    assert(st.statsNamesOf(ver) === Seq("id", "v"))
+    // v ∈ [200, 398] ⇔ id ∈ [100, 199]: one-ish file of ten
+    val (kept, total) = st.pruneStatsOn(ver, "v", 200.0, 398.0)
+    assert(total === 10)
+    assert(kept <= 3, s"secondary prune must skip files, kept $kept")
+    val got = st.readPrunedOn(ver, "v", 200.0, 398.0)
+      .filter($"v".between(200.0, 398.0))
+    assert(got.count() === 100L)
+    // an untracked column name refuses rather than silently full-scanning
+    intercept[IllegalArgumentException](st.readPrunedOn(ver, "k", 0, 1))
+    // a store re-opened WITHOUT the secondary still reads old manifests
+    val st2 = new SnapshotStore(spark, dir, "id")
+    assert(st2.read().count() === 1000L)
+    // history committed BEFORE a column was tracked is conservatively kept
+    val ver2 = st2.commit(batch(1000, 1099)) // manifest header: stats=id only
+    val st3 = new SnapshotStore(spark, dir, "id", secondaryStats = Seq("v"))
+    val ver3 = st3.commit(batch(1100, 1199).coalesce(1))
+    // ver3's manifest: ver1's files keep their v bounds (tracked when
+    // written, name-aligned through the ver2 carry), ver2's files were
+    // committed while v was UNTRACKED so they carry (-Inf, +Inf) and must
+    // survive any v-prune; the new file's bounds are disjoint from the
+    // probe window. So a far-away window keeps exactly ver2's files.
+    val (kept3, total3) = st3.pruneStatsOn(ver3, "v", 1e9, 2e9)
+    val ver2Files = st3.readIncremental(ver, ver2)
+      .select(input_file_name()).distinct().count().toInt
+    assert(kept3 === ver2Files,
+      s"expected exactly the untracked files kept, got $kept3 of $total3")
+    assert(st3.readPrunedOn(ver3, "v", 2200.0, 2398.0)
+      .filter($"v".between(2200.0, 2398.0)).count() === 100L)
+    // reopening with a DIFFERENT primary re-maps bounds by name: pruning
+    // on v as primary stays correct for the name-aligned history
+    val st4 = new SnapshotStore(spark, dir, "v")
+    val ver4 = st4.commit(batch(1200, 1249).coalesce(1))
+    val exact = st4.readPruned(ver4, 200.0, 398.0).filter($"v".between(200.0, 398.0))
+    assert(exact.count() === 100L, "name-aligned primary bounds must not lose rows")
+    val (kept4, total4) = st4.pruneStats(ver4, 200.0, 398.0)
+    assert(kept4 < total4, "v-primary prune must skip v-disjoint tracked files")
+  }
+
   test("a corrupted manifest fails loudly, not as a partial table") {
     val st = freshStore("snap-crc")
     st.commit(batch(0, 99).repartitionByRange(4, col("id")))
