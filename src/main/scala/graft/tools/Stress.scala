@@ -497,7 +497,10 @@ object Stress {
         .select((col("event_id") + col("copy") * idStride).as("event_id"),
           col("event_type"), col("value"))
       val dir = java.nio.file.Files.createTempDirectory(s"stress_snap_x$k").toString
-      val st = new SnapshotStore(spark, s"$dir/snap", "event_id")
+      // secondary zone column exercised below (value is uncorrelated with
+      // the range-partition key, so its skip rate documents the
+      // clustering-dependence honestly)
+      val st = new SnapshotStore(spark, s"$dir/snap", "event_id", Seq("value"))
       // files-per-commit ∝ scale so per-file size (the memory-bound knob)
       // stays constant — the d11/v8s operating rule applied to commits
       val v1 = st.commit(hist.repartitionByRange(8 * k, col("event_id")))
@@ -514,9 +517,14 @@ object Stress {
         .filter(col("event_id").between(100L, 700L)).count()
       val tPrune = (System.nanoTime() - t2) / 1e9
       val (kept, total) = st.pruneStats(v2, 100.0, 700.0)
+      // secondary-column prune: value is NOT the clustering key, so kept
+      // tracks how many files' value ranges happen to miss the window —
+      // the honest "zone maps need clustering" number
+      val (kept2, _) = st.pruneStatsOn(v2, "value", 0.0, 5.0)
       println(s"""{"op":"snapshot_store","scale":$k,"n_hist":$nHist,"n_delta":$nDelta,""" +
         s""""sec_delta_commit":${num(tCommit)},"sec_incr":${num(tIncr)},"n_incr":$nIncr,""" +
-        s""""sec_prune":${num(tPrune)},"n_pruned":$nPruned,"files_kept":$kept,"files_total":$total,"manifest_files":$total}""")
+        s""""sec_prune":${num(tPrune)},"n_pruned":$nPruned,"files_kept":$kept,"files_total":$total,""" +
+        s""""files_kept_secondary":$kept2,"manifest_files":$total}""")
       spark.catalog.clearCache()
     }
     delta.unpersist()
