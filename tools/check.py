@@ -2,11 +2,24 @@
 """Local stand-in for the driver's correctness gate: run graft.Verify output
 against the DuckDB oracle SQL and compare per query (schema, rows, values).
 
+Comparison discipline (aligned with the driver's HASH gate, round 12):
+  * floats compare by raw IEEE-754 bit pattern — NO rounding. The driver
+    hashes values; a 9-dp round here passed queries the driver failed.
+  * any DECIMAL column in either side's output is flagged as a FAILURE
+    ("DECIMAL-SMELL"): decimal aggregates widen differently per engine
+    (Spark sum(DECIMAL(20,4)) -> DECIMAL(30,4), DuckDB -> DECIMAL(38,4)),
+    so the physical representation hash-differs even when every value is
+    identical. Cast decimal aggregates to DOUBLE on both sides instead
+    (the repo's dsum discipline). This rule is what would have caught the
+    t21/st9 two-round gate failure locally.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 """
+import decimal
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -21,7 +34,12 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        # driver-faithful: exact bit pattern, no rounding
+        return struct.pack(">d", v).hex()
+    if isinstance(v, decimal.Decimal):
+        # value-normalize for the diff message; the DECIMAL-SMELL flag
+        # below is what actually fails the query
+        return str(v.normalize())
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):
@@ -36,6 +54,11 @@ def frame(rows, cols):
     return names, data
 
 
+def decimal_cols(rel):
+    return [c for c, t in zip(rel.columns, rel.types)
+            if str(t).upper().startswith("DECIMAL")]
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -48,20 +71,28 @@ def main():
     for name in names:
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            g_dec = decimal_cols(got)
             g_cols, g_rows = frame(got.fetchall(), got.columns)
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
         if name not in oracle:
-            results[name] = f"rows-only: {len(g_rows)} rows"
+            if g_dec:
+                results[name] = f"DECIMAL-SMELL spark cols {g_dec} (cast to DOUBLE)"
+            else:
+                results[name] = f"rows-only: {len(g_rows)} rows"
             continue
         try:
             want = con.sql(oracle[name])
+            w_dec = decimal_cols(want)
             w_cols, w_rows = frame(want.fetchall(), want.columns)
         except Exception as e:
             results[name] = f"ORACLE-FAIL {type(e).__name__} {e}"
             continue
-        if g_cols != w_cols:
+        if g_dec or w_dec:
+            results[name] = (f"DECIMAL-SMELL spark={g_dec} oracle={w_dec} — raw "
+                             "decimal output hash-differs cross-engine; cast to DOUBLE")
+        elif g_cols != w_cols:
             results[name] = f"SCHEMA-MISMATCH spark={g_cols} oracle={w_cols}"
         elif len(g_rows) != len(w_rows):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(g_rows)} oracle={len(w_rows)}"
