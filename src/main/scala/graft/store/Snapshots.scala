@@ -30,11 +30,27 @@ import org.apache.spark.sql.functions._
   *   - [[expire]] reclaims space by dropping files unreferenced by the
   *     retained manifests — retention is the ONLY thing that deletes data.
   *
-  * Crash safety (single writer, like [[GridStore]]): the commit order is
-  * data files → manifest (tmp + rename) → pointer (atomic overwrite-rename
-  * via [[FileContext]]). A crash before the pointer swap leaves the live
-  * pointer untouched — readers never see a partial commit; [[recover]]
-  * deletes the orphaned manifest/batch so the version number is reusable.
+  * Crash safety: the commit order is data files → manifest (tmp + rename)
+  * → pointer (atomic overwrite-rename via [[FileContext]]). A crash before
+  * the pointer swap leaves the live pointer untouched — readers never see
+  * a partial commit; [[recover]] deletes the orphaned manifest/batch so
+  * the version number is reusable.
+  *
+  * Concurrent writers (optimistic, r12): the distributed data write stages
+  * to a UNIQUE directory outside any critical section, so two pipelines
+  * committing simultaneously overlap their expensive work; only the
+  * metadata commit — re-read the pointer, allocate the next version,
+  * rename the staged batch in, claim the manifest, swap the pointer — runs
+  * serialized (per-store JVM lock; across JVMs the manifest's
+  * rename-WITHOUT-overwrite is the atomic claim on HDFS-class filesystems,
+  * and a lost race fails loudly rather than silently orphaning a commit).
+  * Append-style commits rebase automatically: the carried file set is
+  * re-read from whatever the pointer names at claim time. Rewrite-style
+  * commits ([[compactSmall]], [[deleteWhere]]) were PLANNED against a
+  * specific version, so a concurrent commit in between fails them with
+  * `ConcurrentModificationException` — re-plan and re-run, the Iceberg
+  * validation discipline. [[commitRewrite]] is documented
+  * replace-whole-table, last-writer-wins.
   *
   * The reference has no table-format layer (its ClickHouse store mutates in
   * place); this is the beyond-reference capability a 100 TB Spark-native
@@ -84,11 +100,11 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       try {
         val raw = new String(
           org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8).trim
-        val v = raw.toLong
-        // A pointer naming a missing manifest (crash between manifest
-        // delete and pointer rewrite never happens in this protocol, but a
-        // hand-damaged store might) is treated as absent — recover() repairs.
-        if (fs.exists(manifestPath(v))) Some(v) else None
+        // A damaged pointer — content that is not a long (truncated or
+        // hand-edited), or one naming a missing manifest — is treated as
+        // absent rather than thrown, so it routes through the documented
+        // damaged-store path: doCommit's guard refuses and recover() repairs.
+        raw.toLongOption.filter(v => fs.exists(manifestPath(v)))
       } finally in.close()
     }
   }
@@ -178,17 +194,39 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * driver-written-metadata shape as Iceberg's manifest lists.
     */
   private def writeAtomic(dst: Path, content: String, overwrite: Boolean): Unit = {
-    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
-    fs.mkdirs(dst.getParent)
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (overwrite) {
-      // FileContext.rename with OVERWRITE is the atomic pointer swap —
-      // plain FileSystem.rename onto an existing file returns false.
-      FileContext.getFileContext(dst.toUri, hconf)
-        .rename(tmp, dst, Options.Rename.OVERWRITE)
-    } else if (!fs.rename(tmp, dst)) {
-      throw new java.io.IOException(s"snapshot metadata rename failed: $tmp -> $dst")
+    // The pointer swap must be ATOMIC REPLACE: a reader must always see
+    // either the old or the new content, never an absent pointer. On the
+    // local filesystem Hadoop's FileContext OVERWRITE rename is
+    // delete-then-rename — a concurrent reader in that window sees no
+    // pointer and trips the damaged-store guard (the r12 race-test
+    // failure) — so local paths write RAW + NIO ATOMIC_MOVE (POSIX
+    // rename(2), atomic replace), bypassing the ChecksumFileSystem layer
+    // entirely: a crc sidecar can't be swapped atomically with its file,
+    // so any stale sidecar is dropped and the pointer reads unchecked.
+    // HDFS-class filesystems rename atomically server-side.
+    if (overwrite && fs.getUri.getScheme == "file") {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Paths.get(dst.getParent.toUri.getPath)
+      Files.createDirectories(dir)
+      val tmp = dir.resolve(dst.getName + ".tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      Files.deleteIfExists(dir.resolve("." + dst.getName + ".crc"))
+      Files.deleteIfExists(dir.resolve("." + dst.getName + ".tmp.crc"))
+      Files.move(tmp, dir.resolve(dst.getName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+      fs.mkdirs(dst.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (overwrite) {
+        FileContext.getFileContext(dst.toUri, hconf)
+          .rename(tmp, dst, Options.Rename.OVERWRITE)
+        ()
+      } else if (!fs.rename(tmp, dst)) {
+        throw new java.io.IOException(s"snapshot metadata rename failed: $tmp -> $dst")
+      }
     }
   }
 
@@ -251,7 +289,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         val packed = spark.read.option("mergeSchema", "true")
           .parquet(small.map(_.file): _*)
           .repartitionByRange(math.max(targetFiles, 1), col(statsCol))
-        Some(doCommit(packed, () => m.filterNot(e => small.contains(e))))
+        // planned against `prev`: a concurrent commit in between must fail
+        // this rewrite (ConcurrentModificationException), not be dropped
+        Some(doCommit(packed, () => m.filterNot(e => small.contains(e)),
+          expectedPrev = Some(Some(prev))))
       }
     }
 
@@ -287,38 +328,40 @@ final class SnapshotStore(spark: SparkSession, val path: String,
             // NOT-with-null semantics: a null predicate row is NOT a match
             // (filter(cond) above kept only TRUE rows), so keep null rows
             .filter(!coalesce(cond, lit(false)))
-        Some(doCommit(survivors, () => m.filterNot(e => hit(e.file))))
+        // planned against `prev`: fail on a concurrent commit, never drop it
+        Some(doCommit(survivors, () => m.filterNot(e => hit(e.file)),
+          expectedPrev = Some(Some(prev))))
       }
     }
 
   private def doCommit(df: DataFrame, base: () => Seq[FileEntry],
-      tag: Option[String] = None): Long = {
-    val prev = latestVersion
-    // Damaged-store guard: with no acknowledged version, the only manifest
+      tag: Option[String] = None,
+      expectedPrev: Option[Option[Long]] = None): Long = {
+    // Damaged-store guard: with no acknowledged version, the only debris
     // the commit protocol itself can have left behind is a crashed FIRST
     // commit's v1 (a crash at commit N implies a pointer at N-1). Anything
     // else — a pointer file naming a missing manifest, or a lost pointer
     // over real history — is hand-damage; treating it as a fresh store
     // would make the debris-clear below delete the surviving history.
     // Refuse and route to recover(), which re-points to the newest
-    // complete manifest.
-    require(prev.nonEmpty ||
+    // complete manifest. Checked BEFORE staging so a damaged store fails
+    // without a distributed write.
+    require(latestVersion.nonEmpty ||
       (!fs.exists(pointerFile) && versions.forall(_ == 1L)),
       s"snapshot store at $path has manifests but no valid pointer — " +
         "run recover() before committing")
-    val v = prev.getOrElse(0L) + 1L
-    // Clear debris from a commit that crashed after writing files but
-    // before the pointer swap — its version number is ours to reuse.
-    versions.filter(_ >= v).foreach(w => fs.delete(manifestPath(w), false))
-    if (fs.exists(batchDir(v))) fs.delete(batchDir(v), true)
 
-    val dir = batchDir(v)
-    df.write.parquet(dir.toString)
+    // 1. STAGE (outside the critical section): the expensive distributed
+    //    write goes to a unique directory, so concurrent committers
+    //    overlap their data writes and contend only on metadata.
+    val stagingName = ".staging-" + java.util.UUID.randomUUID().toString
+    val staging = new Path(s"$path/data/$stagingName")
+    df.write.parquet(staging.toString)
     // Per-file zone stats: group the batch (and only the batch) by the
     // physical file each row landed in.
     // an all-rows-deleted rewrite may write ZERO part files — a manifest of
     // just the carried-forward entries is then the correct table state
-    val stats = if (!fs.listStatus(dir)
+    val stagedStats = if (!fs.listStatus(staging)
         .exists(_.getPath.getName.startsWith("part-"))) Array.empty[FileEntry]
     else {
       // one bounded aggregate produces every stats column's bounds; stats
@@ -329,19 +372,78 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
           min(col(c).cast("double")).as(s"mn$i"),
           max(col(c).cast("double")).as(s"mx$i")) }
-      spark.read.parquet(dir.toString)
+      spark.read.parquet(staging.toString)
         .groupBy(input_file_name().as("f"))
         .agg(aggExprs.head, aggExprs.tail: _*)
         .collect()
         .map { r =>
           val f = r.getString(0)
-          FileEntry(f, v, r.getLong(1), r.getDouble(2), r.getDouble(3),
+          FileEntry(f, -1L, r.getLong(1), r.getDouble(2), r.getDouble(3),
             fs.getFileStatus(new Path(f)).getLen,
             statsCols.indices.drop(1).map(i =>
               (r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i))))
         }
         .sortBy(_.file)
     }
+
+    // 2. COMMIT (critical section): re-read the pointer, allocate the next
+    //    version, rename the staged batch in, claim the manifest, swap the
+    //    pointer. Serialized per store path within the JVM; across JVMs
+    //    the manifest rename-WITHOUT-overwrite is the atomic claim on
+    //    HDFS-class filesystems (a lost race throws rather than silently
+    //    orphaning a commit). `base` is (re-)evaluated HERE, under the
+    //    lock, so append-style commits rebase onto whatever version a
+    //    concurrent writer just acknowledged.
+    try SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
+      val prev = latestVersion
+      // Tagged replays re-check under the lock: a concurrent replay of the
+      // same tag that won the race means this attempt must no-op, not
+      // double-append.
+      tag.flatMap(taggedVersion) match {
+        case Some(acked) =>
+          fs.delete(staging, true)
+          acked
+        case None =>
+          // Rewrite-style commits (compaction, deleteWhere) were planned
+          // against a specific version; a concurrent commit since then
+          // would be silently dropped from the carried file set. Fail them
+          // loudly — the caller re-plans (the Iceberg validation
+          // discipline).
+          expectedPrev.foreach { exp =>
+            if (prev != exp)
+              throw new java.util.ConcurrentModificationException(
+                s"snapshot store at $path advanced from $exp to $prev " +
+                  "since this rewrite was planned — re-plan and retry")
+          }
+          val v = prev.getOrElse(0L) + 1L
+          // Clear debris from a commit that crashed after writing files but
+          // before the pointer swap — its version number is ours to reuse.
+          // Under the lock (and the pointer re-read above) these can only
+          // be genuine crash debris, never a live concurrent commit.
+          versions.filter(_ >= v).foreach(w => fs.delete(manifestPath(w), false))
+          if (fs.exists(batchDir(v))) fs.delete(batchDir(v), true)
+          val dir = batchDir(v)
+          if (fs.listStatus(staging).nonEmpty) {
+            if (!fs.rename(staging, dir))
+              throw new java.io.IOException(
+                s"snapshot batch rename failed: $staging -> $dir")
+          } else fs.delete(staging, true)
+          val stats = stagedStats.map(e => e.copy(
+            file = e.file.replace(stagingName, dir.getName), batch = v))
+          finishCommit(v, prev, base, tag, stats)
+      }
+    } catch {
+      case e: Throwable =>
+        // best-effort staging cleanup on any failed commit; recover() also
+        // clears crashed stagings
+        if (fs.exists(staging)) fs.delete(staging, true)
+        throw e
+    }
+  }
+
+  private def finishCommit(v: Long, prev: Option[Long],
+      base: () => Seq[FileEntry], tag: Option[String],
+      stats: Array[FileEntry]): Long = {
     // The new manifest tracks the UNION of the writer's declared stats
     // columns and every column the previous manifest already knew —
     // per-file bounds are facts about immutable files and must survive a
@@ -483,9 +585,27 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * Expiry is the only mutation in the format — and it only ever touches
     * versions no retained reader can name.
     */
-  def expire(keepLast: Int): Int = {
+  def expire(keepLast: Int): Int =
+    SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
     require(keepLast >= 1, "must retain at least the live snapshot")
+    // Retention anchors on the ACKNOWLEDGED version, never the raw
+    // manifest listing: after a commit crashed between manifest rename and
+    // pointer swap (the exact window recover() exists for), the orphaned
+    // manifest is the newest file on disk but was never acknowledged —
+    // counting it toward keepLast would let expire(1) delete the LIVE
+    // manifest and every acknowledged data file the orphan doesn't
+    // reference. Refuse on both damage shapes (no valid pointer; manifests
+    // newer than the pointer), mirroring doCommit's refuse-and-recover
+    // guard.
+    val ptr = latestVersion.getOrElse(throw new IllegalStateException(
+      s"snapshot store at $path has no acknowledged pointer — " +
+        "run recover() before expire()"))
     val vs = versions
+    val orphans = vs.filter(_ > ptr)
+    if (orphans.nonEmpty) throw new IllegalStateException(
+      s"snapshot store at $path has unacknowledged manifests newer than " +
+        s"the pointer (v$ptr): ${orphans.mkString(", ")} — run recover() " +
+        "before expire()")
     val keep = vs.takeRight(keepLast).toSet
     val live: Set[String] =
       keep.flatMap(v => readManifest(v).map(_.file))
@@ -494,12 +614,17 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val dead = (all -- live).toSeq.sorted
     dead.foreach(f => fs.delete(new Path(f), false))
     vs.filterNot(keep).foreach(v => fs.delete(manifestPath(v), false))
-    // Drop batch dirs left empty by the deletes.
+    // Drop batch dirs left empty by the deletes. NEVER touch .staging-*
+    // dirs here: a concurrent commit stages OUTSIDE the lock and its dir
+    // holds only _temporary while the distributed write runs — deleting it
+    // would corrupt the in-flight commit (recover(), a manual repair op,
+    // is the only thing that clears crashed stagings).
     val dataRoot = new Path(s"$path/data")
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>
-        if (st.isDirectory && fs.listStatus(st.getPath).forall(
-          _.getPath.getName.startsWith("_"))) fs.delete(st.getPath, true)
+        if (st.isDirectory && !st.getPath.getName.startsWith(".staging-") &&
+          fs.listStatus(st.getPath).forall(
+            _.getPath.getName.startsWith("_"))) fs.delete(st.getPath, true)
       }
     dead.size
   }
@@ -523,16 +648,28 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       }
     }
     // Batch dirs beyond every manifest (data written, manifest never
-    // renamed in) are unreachable debris.
+    // renamed in) are unreachable debris; so are staging dirs from commits
+    // that died before their metadata section.
     val dataRoot = new Path(s"$path/data")
     val known = versions.toSet
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+        if (n.startsWith(".staging-")) fs.delete(st.getPath, true)
+        else if (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
           !known.contains(n.drop(1).toLong) &&
           latestVersion.forall(n.drop(1).toLong > _))
           fs.delete(st.getPath, true)
       }
   }
+}
+
+object SnapshotStore {
+  // Per-store commit serialization within one JVM (local[n] is one JVM;
+  // on a cluster each pipeline's driver is its own JVM and the manifest
+  // rename-WITHOUT-overwrite is the cross-JVM atomic claim on HDFS-class
+  // filesystems). Keyed by the qualified store path.
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[store] def lockFor(qualifiedPath: String): Object =
+    locks.computeIfAbsent(qualifiedPath, _ => new Object)
 }

@@ -375,4 +375,114 @@ class SnapshotSpec extends SparkSpec {
     assert(st.read().agg(max("id")).head.getLong(0) === 29L,
       "the crashed batch's rows must not leak into the new commit")
   }
+
+  test("expire refuses on an unacknowledged manifest; recover() then makes it safe") {
+    // The r11 data-loss window: a commit crashed between manifest rename
+    // and pointer swap leaves an orphaned NEWEST manifest. Retention
+    // anchored on the raw listing would count the orphan toward keepLast
+    // and expire(1) would delete the LIVE manifest + acknowledged data.
+    val st = freshStore("snap-exp-orphan")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // forge the crash window: v3 manifest exists, pointer still names v2
+    val m3 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00003.manifest")
+    val out = fs.create(m3, true)
+    out.write("bogus\t3\t1\t0.0\t1.0\t10\n".getBytes("UTF-8")); out.close()
+    val ex = intercept[IllegalStateException](st.expire(keepLast = 1))
+    assert(ex.getMessage.contains("recover()"))
+    assert(st.read().count() === 20L, "refused expiry must not touch data")
+    st.recover()
+    st.expire(keepLast = 1)
+    assert(st.read().count() === 20L,
+      "post-recover expiry must retain the LIVE version's data")
+    assert(st.latestVersion === Some(2L))
+  }
+
+  test("expire with no valid pointer refuses instead of guessing") {
+    val st = freshStore("snap-exp-noptr")
+    st.commit(batch(0, 9))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(st.path + "/_latest"), false)
+    intercept[IllegalStateException](st.expire(keepLast = 1))
+    st.recover()
+    assert(st.expire(keepLast = 1) === 0)
+    assert(st.read().count() === 10L)
+  }
+
+  test("a non-numeric pointer reads as damaged, and recover() repairs it") {
+    val st = freshStore("snap-badptr")
+    st.commit(batch(0, 9))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(st.path + "/_latest")
+    val out = fs.create(ptr, true)
+    out.write("garbage ".getBytes("UTF-8")); out.close()
+    assert(st.latestVersion.isEmpty,
+      "unparseable pointer content must read as absent, not throw")
+    // the damaged-store guard routes the writer to recover(), not data loss
+    intercept[IllegalArgumentException](st.commit(batch(10, 19)))
+    st.recover()
+    assert(st.latestVersion === Some(1L))
+    assert(st.commit(batch(10, 19)) === 2L)
+    assert(st.read().count() === 20L)
+  }
+
+  test("two concurrent writers: every commit lands, no lost updates") {
+    val st = freshStore("snap-race")
+    st.commit(batch(0, 9)) // v1: both writers start from the same base
+    val perWriter = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(offset: Long): Thread = new Thread(() =>
+      try {
+        (0 until perWriter).foreach { i =>
+          val lo = offset + i * 100L
+          st.commit(batch(lo, lo + 9))
+        }
+      } catch { case t: Throwable => errs.add(t) })
+    val a = writer(1000L)
+    val b = writer(5000L)
+    a.start(); b.start(); a.join(); b.join()
+    assert(errs.isEmpty, s"concurrent commits must not fail: ${errs.peek()}")
+    // every commit acknowledged: base + 2×perWriter versions, each batch's
+    // rows present exactly once in the final table
+    assert(st.latestVersion === Some(1L + 2 * perWriter))
+    assert(st.read().count() === 10L * (1 + 2 * perWriter))
+    val ids = st.read().select("id").as[Long].collect().sorted
+    val expected = ((0L to 9L) ++
+      (0 until perWriter).flatMap(i => (1000L + i * 100) to (1000L + i * 100 + 9)) ++
+      (0 until perWriter).flatMap(i => (5000L + i * 100) to (5000L + i * 100 + 9))).sorted
+    assert(ids.toSeq === expected, "a concurrent commit was lost or duplicated")
+    // lineage is intact: every intermediate version time-travels
+    st.versions.foreach(v => assert(st.readAt(v).count() > 0))
+  }
+
+  test("concurrent append vs compaction: conflict fails loudly or composes — never drops rows") {
+    val st = freshStore("snap-race-compact")
+    // trickle of small files to give compaction something to pack
+    (0 until 4).foreach(i => st.commit(batch(i * 10L, i * 10L + 9)))
+    val cme = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() =>
+      try (0 until 3).foreach { i =>
+        st.commit(batch(1000L + i * 100, 1000L + i * 100 + 9))
+      } catch { case t: Throwable => errs.add(t) })
+    val compactor = new Thread(() =>
+      try (0 until 3).foreach { _ =>
+        try st.compactSmall(smallBytes = Long.MaxValue, targetFiles = 1)
+        catch { case _: java.util.ConcurrentModificationException =>
+          cme.incrementAndGet() } // planned-against-stale-version: re-plan
+      } catch { case t: Throwable => errs.add(t) })
+    appender.start(); compactor.start(); appender.join(); compactor.join()
+    assert(errs.isEmpty, s"unexpected failure: ${errs.peek()}")
+    // the invariant that matters: whatever interleaving happened, the final
+    // table holds every appended row exactly once
+    val ids = st.read().select("id").as[Long].collect().sorted
+    val expected = ((0L until 40L) ++
+      (0 until 3).flatMap(i => (1000L + i * 100) to (1000L + i * 100 + 9))).sorted
+    assert(ids.toSeq === expected,
+      s"rows lost/duplicated under concurrent compaction (CME count=${cme.get()})")
+  }
 }
