@@ -1,7 +1,5 @@
 package graft.sim
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,10 +25,11 @@ object Ivf {
     */
   final case class Index(centroids: Seq[Seq[Double]], lists: DataFrame)
 
-  /** The quantizer is fit on a bounded sample in few partitions (an iterative
-    * KMeans over thousands of tiny tasks is scheduling-bound; at 100 TB you
-    * fit on a sample regardless) — only the single-pass assignment runs over
-    * the full corpus.
+  /** The quantizer is fit DRIVER-LOCALLY on a bounded sample (collect ≤
+    * `maxFitRows` rows once, Lloyd in-process — [[LocalKMeans]]; at 100 TB
+    * you fit on a sample regardless, and a distributed iterative fit of a
+    * ≤51 MB sample is pure scheduling overhead) — only the single-pass
+    * assignment runs over the full corpus.
     *
     * Assignment runs through [[assign]] (portable argmin over the fitted
     * centroids) rather than `model.transform`, so given the persisted
@@ -39,23 +38,19 @@ object Ivf {
     * DuckDB hash-match.
     */
   // maxIter 6: a coarse quantizer only partitions the space — past a handful
-  // of Lloyd iterations the list assignment barely moves, while every extra
-  // iteration is one more distributed job in each (re)build demo
+  // of Lloyd iterations the list assignment barely moves
   def build(corpus: DataFrame, idCol: String, embCol: String,
       nLists: Int = 16, seed: Long = 42L, maxIter: Int = 6,
       maxFitRows: Int = 100000): Index = {
     val e = ColOps.parallelize(
       corpus.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
         Similarity.norm(col(embCol)).as("nrm")))
-    val fitSample = e.select(array_to_vector(col("emb")).as("features"))
-      .limit(maxFitRows).coalesce(4).cache()
-    // random (seeded) init, not the default k-means||: the parallel init
-    // alone costs ~5 extra distributed jobs, and a coarse quantizer does
-    // not need init quality — Lloyd iterations converge it either way
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random").fit(fitSample)
-    fitSample.unpersist()
-    val centroids = model.clusterCenters.toSeq.map(v => v.toArray.toSeq)
+    // ONE bounded collect (≤ maxFitRows rows — the only driver-side data
+    // path in the build, and it is the train sample, not the corpus)
+    val sample = e.select(col("emb")).limit(maxFitRows)
+      .collect().map(_.getSeq[Double](0).toArray).toIndexedSeq
+    val centroids: Seq[Seq[Double]] =
+      LocalKMeans.fit(sample, nLists, seed, maxIter).map(_.toSeq)
     Index(centroids, assign(e, centroids))
   }
 
@@ -112,7 +107,12 @@ object Ivf {
     * centroids as a tiny parquet alongside. Build once, serve many.
     */
   def save(index: Index, path: String): Unit = {
-    index.lists.write.mode("overwrite").partitionBy("listId").parquet(s"$path/lists")
+    // rebalance by listId first — otherwise every upstream task writes a
+    // file into every list directory it touches (tasks × lists tiny files;
+    // the measured v8 save tax). AQE sizes each list's output: one file
+    // per list when small, split to the advisory target at corpus scale.
+    index.lists.hint("rebalance", "listId")
+      .write.mode("overwrite").partitionBy("listId").parquet(s"$path/lists")
     saveCentroids(index, path)
   }
 
@@ -167,6 +167,7 @@ object Ivf {
       s"append rows must match the fitted dim $dim with no null elements; " +
         "found a null or differently-sized embedding")
     assign(e, idx.centroids)
+      .hint("rebalance", "listId") // one sized file per touched list (save's discipline)
       .write.mode("append").partitionBy("listId").parquet(s"$path/lists")
     load(spark, path)
   }

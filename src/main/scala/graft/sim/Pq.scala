@@ -1,7 +1,5 @@
 package graft.sim
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,8 +14,9 @@ import graft.functions.ColOps
   * distance computation: per probe, an m×k lookup table of sub-distances;
   * per corpus row, m table lookups and adds).
   *
-  * Pipeline shape: `fit` is m small sampled KMeans runs (driver-looped —
-  * the loop is over SUBSPACES, never data); `encode` is one narrow map
+  * Pipeline shape: `fit` is m small in-process Lloyd runs over one bounded
+  * collected sample ([[LocalKMeans]] — the loop is over SUBSPACES, never
+  * corpus data); `encode` is one narrow map
   * over the corpus (pure Column expressions, codegen'd — no UDF);
   * `search` broadcasts the probe's lookup table as a literal and plans as
   * scan + TakeOrderedAndProject. Compose with [[Ivf]] for IVF-PQ: encode
@@ -35,41 +34,30 @@ object Pq {
     * `dim` must be divisible by `m`.
     */
   // maxIter 6: same rationale as Ivf.build — subspace codebooks stabilize in
-  // a few Lloyd iterations, and the fit cost is m concurrent iterative jobs
+  // a few Lloyd iterations
   def fit(corpus: DataFrame, embCol: String, dim: Int, m: Int = 8,
       k: Int = 16, seed: Long = 42L, maxIter: Int = 6,
       maxFitRows: Int = 100000): Model = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     require(k >= 2 && k <= 256, s"k out of [2,256]: $k")
     val dsub = dim / m
+    // ONE bounded collect of the train sample (≤ maxFitRows rows), then m
+    // in-process Lloyd fits over its subspace slices ([[LocalKMeans]]) —
+    // the r11 shape ran the m fits as concurrent Spark jobs and still paid
+    // m × maxIter job-scheduling latencies for sub-megabyte per-subspace
+    // data; locally each fit is sub-millisecond and exactly reproducible.
     val sample = corpus
       .select(col(embCol).cast("array<double>").as("emb"))
-      .limit(maxFitRows).coalesce(4).cache()
-    // force the cache ONCE before fanning out — otherwise the m concurrent
-    // first-touches race to materialize it and each recomputes the sample
-    sample.count()
-    try {
-      // the m subspace fits are independent tiny iterative jobs; run them as
-      // CONCURRENT Spark jobs (scheduler interleaves fine) — sequentially,
-      // m × maxIter job-scheduling latencies dominate the fit wall-clock
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val books = Await.result(
-        Future.traverse((0 until m).toList) { j => Future {
-          val feats = sample.select(
-            array_to_vector(slice(col("emb"), j * dsub + 1, dsub)).as("features"))
-          val model = new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
-            .setInitMode("random").fit(feats)
-          val centers = model.clusterCenters.toSeq.map(_.toArray.toSeq)
-          // KMeans returns FEWER than k centers on degenerate subspaces (a
-          // constant/zero-padded dim range); pad by repeating the last center
-          // so every codebook is exactly k wide — duplicates are harmless
-          // (argmin ties break to the lowest index)
-          centers ++ Seq.fill(k - centers.length)(centers.last)
-        } }, Duration.Inf)
-      Model(m, dsub, books)
-    } finally { sample.unpersist(); () }
+      .limit(maxFitRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      val sub = sample.map(p =>
+        java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub)).toIndexedSeq
+      // LocalKMeans always returns exactly k centers (degenerate subspaces
+      // yield duplicates — harmless, argmin ties break to the lowest index)
+      LocalKMeans.fit(sub, k, seed + j, maxIter).map(_.toSeq)
+    }
+    Model(m, dsub, books)
   }
 
   /** Nearest-centroid SCORE for a slice of `emb` against a constant
@@ -161,7 +149,16 @@ object Pq {
     val spark = index.lists.sparkSession
     Ivf.saveCentroids(index, path)
     saveCodebooks(model, spark, path)
+    // REBALANCE BY listId before the partitioned write: without it every
+    // upstream task writes one file into every list directory it touches
+    // (32 tasks × 16 lists = ~500 tiny files for a 2k-row corpus — the
+    // measured 3.2 s of v8's save was mostly file/committer overhead).
+    // Rebalancing co-locates each list into AQE-sized output partitions:
+    // a small corpus lands as one file per list, a 100 TB one splits to
+    // the advisory byte target — and every later nProbe-pruned search
+    // reads bounded footers per list (the d15s/saveIndex discipline).
     encode(index.lists, "id", "emb", model, keepCols = Seq("listId"))
+      .hint("rebalance", "listId")
       .write.mode("overwrite").partitionBy("listId").parquet(s"$path/codes")
   }
 
@@ -197,6 +194,7 @@ object Pq {
         "found a null or differently-sized embedding")
     encode(Ivf.assign(e, idx.centroids), "id", "emb", idx.model,
       keepCols = Seq("listId"))
+      .hint("rebalance", "listId") // one sized file per touched list (save's discipline)
       .write.mode("append").partitionBy("listId").parquet(s"$path/codes")
     load(spark, path)
   }
