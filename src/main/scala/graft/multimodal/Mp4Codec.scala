@@ -131,7 +131,20 @@ object Mp4Codec {
     var sttsDurationTicks: Long = -1
     var stszTotal: Long = 0
     var firstChunkOffset: Long = -1
+    val sttsRuns = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // None = no stss box (ISO-BMFF: EVERY sample is a sync sample);
+    // Some(ns) = exactly the listed 1-based sample numbers are sync
+    var stssSamples: Option[Array[Long]] = None
   }
+
+  /** One video sample (frame) expanded from the sample tables: 1-based
+    * `sampleNo` (the stss numbering), decode timestamp `startTicks` (prefix
+    * sum of stts deltas, in media-timescale ticks), its `durTicks`, and
+    * whether it is a sync sample (keyframe) per stss — absent stss means
+    * all sync, the spec default.
+    */
+  final case class Mp4Frame(sampleNo: Long, startTicks: Long,
+      durTicks: Long, sync: Boolean)
 
   /** Strict parse of the full container. Structural requirements (each a
     * fail-fast, not a default): `ftyp` first; exactly one `moov` with one
@@ -139,7 +152,34 @@ object Mp4Codec {
     * `stts`; positive timescales; stts duration == mdhd duration; Σ stsz
     * == Σ mdat payload bytes; no trailing garbage after the last box.
     */
-  def parse(bytes: Array[Byte]): Mp4Meta = {
+  def parse(bytes: Array[Byte]): Mp4Meta = parseWithVid(bytes)._1
+
+  /** Expand the video track's sample tables into per-frame rows — the
+    * planning surface for frame-selection policies (m3-style stride,
+    * m9-style cut windows) on REAL containers where pixels have no JDK
+    * decoder: timestamps are exact prefix sums of stts deltas and sync
+    * flags replay stss, so a sampling plan computed from these rows names
+    * exactly the frames a real demuxer would extract.
+    */
+  def parseFrames(bytes: Array[Byte]): IndexedSeq[Mp4Frame] = {
+    val vid = parseWithVid(bytes)._2
+    val syncSet = vid.stssSamples.map(_.toSet)
+    val out = IndexedSeq.newBuilder[Mp4Frame]
+    var no = 1L
+    var t = 0L
+    vid.sttsRuns.foreach { case (cnt, delta) =>
+      var i = 0L
+      while (i < cnt) {
+        out += Mp4Frame(no, t, delta, syncSet.forall(_.contains(no)))
+        t += delta
+        no += 1
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def parseWithVid(bytes: Array[Byte]): (Mp4Meta, TrakAcc) = {
     val root = new Rd(bytes, 0, bytes.length)
 
     var majorBrand: String = null
@@ -222,9 +262,25 @@ object Mp4Codec {
                                 val cnt = s.u32(); val delta = s.u32()
                                 if (delta == 0 && cnt > 0) fail("stts sample delta 0")
                                 frames += cnt; dur += cnt * delta; i += 1
+                                acc.sttsRuns += ((cnt, delta))
                               }
                               acc.sttsFrames = frames
                               acc.sttsDurationTicks = dur
+                            case ("stss", s) =>
+                              s.skip(4)
+                              val n = s.u32()
+                              if (n * 4 > s.remaining)
+                                fail(s"stss declares $n entries but has ${s.remaining} bytes")
+                              val ns = new Array[Long](n.toInt)
+                              var i = 0
+                              while (i < n) {
+                                ns(i) = s.u32()
+                                if (ns(i) < 1) fail(s"stss sample number ${ns(i)} < 1")
+                                if (i > 0 && ns(i) <= ns(i - 1))
+                                  fail("stss sample numbers must be strictly increasing")
+                                i += 1
+                              }
+                              acc.stssSamples = Some(ns)
                             case ("stsz", s) =>
                               s.skip(4)
                               val uniform = s.u32()
@@ -266,6 +322,13 @@ object Mp4Codec {
     val vid = traks.find(_.handler == "vide").getOrElse(fail("no video (hdlr 'vide') track"))
     if (vid.mediaTimescale < 0) fail("video trak has no mdhd")
     if (vid.sttsFrames < 0) fail("video trak has no stts")
+    // stss numbering is validated against the REAL frame census, not taken
+    // on faith: a sync table naming a sample past the stts count is a
+    // malformed wire, the same channel as every other cross-check here
+    vid.stssSamples.foreach { ns =>
+      if (ns.nonEmpty && ns.last > vid.sttsFrames)
+        fail(s"stss names sample ${ns.last} but stts carries only ${vid.sttsFrames}")
+    }
     if (vid.sttsDurationTicks != vid.mediaDurationTicks)
       fail(s"stts duration ${vid.sttsDurationTicks} != mdhd duration ${vid.mediaDurationTicks}")
     if (vid.tkhdDurationTicks >= 0 && vid.tkhdDurationTicks != movieDurationTicks)
@@ -277,9 +340,9 @@ object Mp4Codec {
         vid.firstChunkOffset != mdatPayloadStart)
       fail(s"stco first chunk ${vid.firstChunkOffset} does not point at the mdat payload $mdatPayloadStart")
 
-    Mp4Meta(majorBrand, mvhdVersion, movieTimescale, movieDurationTicks,
+    (Mp4Meta(majorBrand, mvhdVersion, movieTimescale, movieDurationTicks,
       traks.length, vid.sttsFrames, vid.mediaTimescale, vid.mediaDurationTicks,
-      vid.width, vid.height, sampleTotal, mdatBytes)
+      vid.width, vid.height, sampleTotal, mdatBytes), vid)
   }
 
   // ----------------------------------------------------------- synthesize
@@ -319,7 +382,9 @@ object Mp4Codec {
     * parse of this container agrees with the pixel-level decode the way a
     * faithful transcode's metadata would. Shape varies per id to exercise
     * the parser: mvhd version 1 for id%7==0, a second (empty, `soun`)
-    * trak for even ids, two-run variable-frame-rate stts for id%5==0.
+    * trak for even ids, two-run variable-frame-rate stts for id%5==0, and
+    * an stss sync table (keyframe every GOP-th sample, GOP in 2..5) for
+    * id%3!=0 — id%3==0 omits stss, the all-sync spec default.
     */
   def synthesize(mediaId: Long, nFrames: Int, width: Int, height: Int): Array[Byte] = {
     require(nFrames >= 1, s"nFrames $nFrames")
@@ -338,6 +403,14 @@ object Mp4Codec {
     val mvhdV1 = mediaId % 7 == 0
     val withAudio = mediaId % 2 == 0
     val sampleSize = 200L + java.lang.Math.floorMod(ImageCodec.mix(mediaId + 13), 312L)
+    // sync table: keyframe every gop-th sample starting at 1 (sample 1 is
+    // always sync, as every real encoder emits); id%3==0 omits the box
+    val stssSamples: Option[Seq[Long]] =
+      if (mediaId % 3 == 0) None
+      else {
+        val gop = 2L + java.lang.Math.floorMod(ImageCodec.mix(mediaId + 31), 4L)
+        Some((1L to nFrames.toLong).filter(n => (n - 1) % gop == 0))
+      }
 
     val ftyp = box("ftyp") { b =>
       b.cc("isom").u32(0x200L).cc("isom").cc("iso2").cc("mp41")
@@ -420,6 +493,11 @@ object Mp4Codec {
         s.u32(1L).u32(nFrames.toLong).u32(1L) // one chunk holds every sample
       })
       b.raw(box("stsz") { s => fullHeader(s, 0); s.u32(sampleSize).u32(nFrames.toLong) })
+      stssSamples.foreach { ns =>
+        b.raw(box("stss") { s =>
+          fullHeader(s, 0); s.u32(ns.length.toLong); ns.foreach(s.u32)
+        })
+      }
       b.raw(box("stco") { s => fullHeader(s, 0); s.u32(1L).u32(chunkOffset) })
     }
 

@@ -120,6 +120,76 @@ class Mp4Spec extends AnyFunSuite {
       .sameElements(Mp4Codec.synthesize(12L, 6, 128, 96)))
   }
 
+  test("parseFrames: timestamps are exact stts prefix sums; count and total match the meta") {
+    for (id <- 0L to 40L) {
+      val n = 2 + (id % 7).toInt
+      val bytes = Mp4Codec.synthesize(id, n, 64, 64)
+      val m = Mp4Codec.parse(bytes)
+      val fr = Mp4Codec.parseFrames(bytes)
+      assert(fr.length === n, s"id=$id")
+      assert(fr.map(_.sampleNo) === (1L to n.toLong), s"id=$id")
+      // decode times = running sum of the durations before each sample
+      assert(fr.head.startTicks === 0L, s"id=$id")
+      fr.sliding(2).foreach { case Seq(a, b) =>
+        assert(b.startTicks === a.startTicks + a.durTicks, s"id=$id")
+      }
+      assert(fr.map(_.durTicks).sum === m.videoDurationTicks, s"id=$id")
+      // VFR shape (id%5==0, n>=3): the second half runs at twice the delta
+      if (id % 5 == 0 && n >= 3)
+        assert(fr.last.durTicks === 2 * fr.head.durTicks, s"id=$id")
+    }
+  }
+
+  test("parseFrames: stss sync flags — GOP pattern when present, all-sync when absent") {
+    for (id <- 0L to 40L) {
+      val n = 2 + (id % 7).toInt
+      val fr = Mp4Codec.parseFrames(Mp4Codec.synthesize(id, n, 64, 64))
+      if (id % 3 == 0) assert(fr.forall(_.sync), s"id=$id: absent stss = all sync")
+      else {
+        assert(fr.head.sync, s"id=$id: sample 1 must be sync")
+        val syncNos = fr.filter(_.sync).map(_.sampleNo)
+        val gaps = syncNos.sliding(2).collect { case Seq(a, b) => b - a }.toSeq
+        assert(gaps.distinct.lengthIs <= 1, s"id=$id: GOP spacing must be regular")
+        // gop >= 2, so with n >= 2 frames at least one sample is non-sync
+        assert(fr.exists(!_.sync), s"id=$id")
+      }
+    }
+    // both shapes occur across the id range (the selection policy needs both)
+    val anyNonSync = (0L to 40L).exists { id =>
+      Mp4Codec.parseFrames(Mp4Codec.synthesize(id, 8, 64, 64)).exists(!_.sync)
+    }
+    assert(anyNonSync, "no id produced a sparse sync table")
+  }
+
+  test("fail-fast: stss naming a sample past the stts count is rejected") {
+    // pick an id whose container HAS an stss box (id%3!=0)
+    val good = Mp4Codec.synthesize(1L, 4, 64, 64)
+    val stss = indexOfBox(good, "stss")
+    assert(stss > 0, "fixture must carry an stss box")
+    val n = beU32(good, stss + 8 + 4)
+    assert(n >= 1)
+    // overwrite the LAST entry with sample number 99 (> 4 frames)
+    val lastEntry = stss + 8 + 8 + (n - 1) * 4
+    val bad = good.clone()
+    bad(lastEntry) = 0; bad(lastEntry + 1) = 0; bad(lastEntry + 2) = 0
+    bad(lastEntry + 3) = 99.toByte
+    val e = expectFail(bad)
+    assert(e.getMessage.contains("stss"), e.getMessage)
+  }
+
+  test("fail-fast: non-increasing stss sample numbers are rejected") {
+    val good = Mp4Codec.synthesize(1L, 8, 64, 64)
+    val stss = indexOfBox(good, "stss")
+    val n = beU32(good, stss + 8 + 4)
+    assume(n >= 2, "need two stss entries to invert")
+    val e1 = stss + 8 + 8
+    val bad = good.clone()
+    // copy entry 1 over entry 2 → duplicate (not strictly increasing)
+    System.arraycopy(good, e1, bad, e1 + 4, 4)
+    val e = expectFail(bad)
+    assert(e.getMessage.contains("strictly increasing"), e.getMessage)
+  }
+
   private def beU32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
