@@ -49,8 +49,9 @@ object LanguageModel {
     * bigrams and emit no row.
     *
     * Output per document: `doc_id`, `n_bigrams`, `sum_surprisal`
-    * (DECIMAL(20,4), exact sum of per-bigram −log2 p rounded to 4dp),
-    * `xent` (bits/bigram, raw double).
+    * (the exact DECIMAL(20,4) sum of per-bigram −log2 p rounded to 4dp,
+    * cast once to DOUBLE for cross-engine portability), `xent`
+    * (bits/bigram, raw double).
     */
   def bigramXent(df: DataFrame, idCol: String, textCol: String,
       refMod: Int = 10, artifactPath: Option[String] = None): DataFrame = {
@@ -205,8 +206,14 @@ object LanguageModel {
       .select(col("id"),
         coalesce(col("s_bi"), col("s_left"), col("s_base")).as("s"))
       .groupBy(col("id").as("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum("s").as("sum_surprisal"))
-      .withColumn("xent",
-        col("sum_surprisal").cast("double") / col("n_bigrams"))
+      // Sum exactly in DECIMAL, then cast ONCE to double. The raw decimal
+      // must not leave this operator: Spark's sum(DECIMAL(20,4)) widens to
+      // DECIMAL(30,4) while other engines widen differently (DuckDB:
+      // DECIMAL(38,4)), so a decimal output column hash-differs cross-engine
+      // even when every value is identical. Double is the portable exact
+      // representation here (sums ≤ ~10^6 at scale 4 round identically).
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("s").cast("double").as("sum_surprisal"))
+      .withColumn("xent", col("sum_surprisal") / col("n_bigrams"))
   }
 }

@@ -19,11 +19,14 @@ class LanguageModelSpec extends SparkSpec {
     (13L, "x") // one token: no bigrams, emits no row
   ).toDF("doc_id", "text")
 
+  // sum_surprisal is the exact decimal sum cast ONCE to double — the same
+  // nearest-double a correctly-rounded parse of the decimal string yields,
+  // so literal comparison below is exact, not tolerance-based
   private def rows = LanguageModel.bigramXent(docs, "doc_id", "text")
     .orderBy("doc_id").collect()
     .map(r => r.getAs[Long]("doc_id") ->
       ((r.getAs[Long]("n_bigrams"),
-        r.getAs[java.math.BigDecimal]("sum_surprisal").toPlainString,
+        r.getAs[Double]("sum_surprisal"),
         r.getAs[Double]("xent"))))
     .toMap
 
@@ -32,7 +35,7 @@ class LanguageModelSpec extends SparkSpec {
     //         (cat,sat) → -log2(2/10) = 2.3219
     val (n, s, x) = rows(11L)
     assert(n === 2L)
-    assert(s === "4.3219")
+    assert(s === 4.3219)
     assert(math.abs(x - 4.3219 / 2) < 1e-12)
   }
 
@@ -40,15 +43,15 @@ class LanguageModelSpec extends SparkSpec {
     // doc 12: (<unk>,<unk>) → -log2((0+1)/(0+8)) = 3.0000
     val (n, s, x) = rows(12L)
     assert(n === 1L)
-    assert(s === "3.0000")
+    assert(s === 3.0)
     assert(x === 3.0)
   }
 
   test("reference docs score low under their own model") {
     // doc 10: 2.0000 + 2.3219 + 2.1699 + 2.1699 + 2.5850 = 11.2467
     // doc 20: 2.0000 + 2.3219 + 2.1699 + 2.5850 = 9.0768
-    assert(rows(10L) === ((5L, "11.2467", 11.2467 / 5)))
-    assert(rows(20L) === ((4L, "9.0768", 9.0768 / 4)))
+    assert(rows(10L) === ((5L, 11.2467, 11.2467 / 5)))
+    assert(rows(20L) === ((4L, 9.0768, 9.0768 / 4)))
     // the scoring contract the filter exists for: trusted text reads as
     // lower-entropy than gibberish
     assert(rows(10L)._3 < rows(12L)._3 && rows(20L)._3 < rows(12L)._3)
