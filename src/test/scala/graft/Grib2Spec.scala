@@ -451,6 +451,13 @@ class Grib2Spec extends AnyFunSuite {
     val depthLie = good.clone(); depthLie(143 + 19) = 13
     val e1 = intercept[java.io.IOException](Grib2.decode(depthLie))
     assert(e1.getMessage.contains("PNG image depth"))
+    // a SUPPORTED depth octet that lies about the actual raster (payload
+    // is a 16-bit PNG, header claims 8): without the decoded-depth
+    // cross-check every value would decode silently ~257× off instead of
+    // failing through the malformed-wire channel
+    val rasterLie = good.clone(); rasterLie(143 + 19) = 8
+    val e1b = intercept[java.io.IOException](Grib2.decode(rasterLie))
+    assert(e1b.getMessage.contains("depth mismatch"), e1b.getMessage)
     val countLie = good.clone(); countLie(143 + 8) = (countLie(143 + 8) - 1).toByte
     val e2 = intercept[java.io.IOException](Grib2.decode(countLie))
     assert(e2.getMessage.contains("pixels"), e2.getMessage)
