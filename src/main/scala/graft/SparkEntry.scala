@@ -297,11 +297,14 @@ object SparkEntry {
     mediaArtifact(spark, dir)
     // media codec version is part of the fingerprint: a payload-bytes bump
     // there must rebuild the sidecars too (the stale-artifact trap)
-    buildOnce(dir, "documents", mp4Dir, "src=png+gif-ahash-v4,mp4=moov-v1") {
+    // moov-v2: the synthesized container grew an stss sync table (m13) —
+    // payload bytes changed, so the fingerprint must change with them
+    buildOnce(dir, "documents", mp4Dir, "src=png+gif-ahash-v4,mp4=moov-v2") {
       import spark.implicits._
-      spark.read.parquet(s"$mediaDir/payloads")
+      val payloads = spark.read.parquet(s"$mediaDir/payloads")
         .filter(col("kind") === "video")
         .select(col("mediaId"), col("bytes")).as[(Long, Array[Byte])]
+      payloads
         .mapPartitions(_.map { case (id, gif) =>
           val d = graft.multimodal.ImageCodec.decode(gif)
           val n = graft.multimodal.GifCodec.frameCount(gif)
@@ -315,8 +318,29 @@ object SparkEntry {
           "movieDurationTicks", "nTracks", "videoFrames", "videoTimescale",
           "videoDurationTicks", "width", "height", "sampleBytes", "mdatBytes")
         .write.mode("overwrite").parquet(s"$mp4Dir/meta")
+      // the per-frame sample-table expansion (stts prefix sums + stss sync
+      // flags) — the planning surface m13 selects from; same executor-side
+      // parse, only flat integer rows persisted
+      payloads
+        .flatMap { case (id, gif) =>
+          val d = graft.multimodal.ImageCodec.decode(gif)
+          val n = graft.multimodal.GifCodec.frameCount(gif)
+          graft.multimodal.Mp4Codec.parseFrames(
+            graft.multimodal.Mp4Codec.synthesize(id, n, d.width, d.height))
+            .map(f => (id, f.sampleNo, f.startTicks, f.durTicks, f.sync))
+        }
+        .toDF("mediaId", "sampleNo", "startTicks", "durTicks", "sync")
+        .write.mode("overwrite").parquet(s"$mp4Dir/frames")
     }
     spark.read.parquet(s"$mp4Dir/meta")
+  }
+
+  /** The m13 planning table: per-frame rows from the MP4 sample tables
+    * (built by the same fingerprinted artifact pass as [[mp4Meta]]).
+    */
+  private def mp4Frames(spark: SparkSession, dir: String): DataFrame = {
+    mp4Meta(spark, dir)
+    spark.read.parquet(s"$mp4Dir/frames")
   }
 
   /** The WebM CONTAINER-METADATA artifact — the [[mp4Meta]] discipline for
@@ -2402,7 +2426,7 @@ object SparkEntry {
     // whole build→save→load→serve cycle as its demo).
     "v8s_search_amortized" -> ((s, d) => {
       val dir = "/tmp/graft_oracle/v8s_search"
-      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16,iters=6") {
+      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16,iters=6,fit=local-v1") {
         val emb = t(s, d, "embeddings")
         Pq.save(Ivf.build(emb, "vec_id", "embedding", nLists = 16),
           Pq.fit(emb, "embedding", dim = 64, m = 8, k = 16), dir)
@@ -2431,7 +2455,7 @@ object SparkEntry {
       // append is still fully hash-checked, because the oracle replays the
       // full-corpus encode from the persisted centroids/codebooks and any
       // mis-assigned or re-fit append diverges the codes parquet
-      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16,iters=6,appendQuarter=3") {
+      buildOnce(d, "embeddings", dir, "nLists=16,dim=64,m=8,k=16,iters=6,appendQuarter=3,fit=local-v1") {
         val base = emb.filter(col("vec_id") % 4 =!= 3)
         Pq.save(Ivf.build(base, "vec_id", "embedding", nLists = 16),
           Pq.fit(base, "embedding", dim = 64, m = 8, k = 16), dir)
@@ -2710,6 +2734,35 @@ object SparkEntry {
           sum(when(col("cf") === col("df"), 1L).otherwise(0L)).as("n_frames_match"),
           sum(col("tr")).as("total_tracks"))
         .orderBy("format")
+    }),
+
+    // M-multimodal: keyframe-aligned frame SELECTION planned purely from
+    // the parsed MP4 sample tables (stts prefix-sum timestamps + stss sync
+    // flags — Mp4Codec.parseFrames): every 2nd sync sample per video, the
+    // m3 stride policy restricted to seekable frames. This is how sampling
+    // is planned on real containers whose pixels have no JDK decoder: a
+    // demuxer can extract exactly the frames this plan names, because sync
+    // samples are the only independently-decodable entry points. All
+    // outputs are exact integers (ticks, counts) — no float crosses the
+    // oracle. Window partitions by mediaId — no single-partition exchange.
+    "m13_frame_selection" -> ((s, d) => {
+      val fr = mp4Frames(s, d)
+      val w = Window.partitionBy("mediaId").orderBy("sampleNo")
+      val sel = fr.filter(col("sync"))
+        .withColumn("rk", row_number().over(w))
+        .filter((col("rk") % 2) === 1)
+      val totals = fr.groupBy(col("mediaId").as("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("sync"), 1L).otherwise(0L)).as("n_sync"),
+          sum("durTicks").as("total_ticks"))
+      val selected = sel.groupBy(col("mediaId").as("media_id"))
+        .agg(count(lit(1)).as("n_selected"),
+          min("startTicks").as("first_sel_ticks"),
+          max("startTicks").as("last_sel_ticks"),
+          sum("durTicks").as("selected_ticks"))
+      // inner join: sample 1 is always sync (encoder invariant the
+      // synthesizer keeps), so every video selects at least one frame
+      totals.join(selected, Seq("media_id")).orderBy("media_id")
     }),
 
     // AU-audio: REAL WAV decode on the executors — sample counts and rates
@@ -5876,7 +5929,7 @@ object SparkEntry {
         |    ON docbi.w1 = l.w1
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       sum(s) AS sum_surprisal,
+        |       CAST(sum(s) AS DOUBLE) AS sum_surprisal,
         |       CAST(sum(s) AS DOUBLE) / count(*) AS xent
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -5938,7 +5991,7 @@ object SparkEntry {
         |    ON docbi.w1 = l.w1
         |), agg AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |         sum(s) AS sum_surprisal,
+        |         CAST(sum(s) AS DOUBLE) AS sum_surprisal,
         |         CAST(sum(s) AS DOUBLE) / count(*) AS xent
         |  FROM s GROUP BY doc_id
         |)
@@ -7339,6 +7392,38 @@ object SparkEntry {
         |       CAST(sum(u.tr) AS BIGINT) AS total_tracks
         |FROM u JOIN dec d USING (mediaId)
         |GROUP BY u.format ORDER BY format""".stripMargin,
+
+    // m13: the sample-table parse (stts expansion + stss flags) is the
+    // non-portable step, persisted as the frames artifact; the oracle
+    // replays the SELECTION policy relationally over it — exact integer
+    // ticks and counts only
+    "m13_frame_selection" ->
+      """WITH fr AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_oracle/mp4/frames/*.parquet')
+        |), sel AS (
+        |  SELECT mediaId, startTicks, durTicks
+        |  FROM (
+        |    SELECT mediaId, startTicks, durTicks,
+        |           row_number() OVER (PARTITION BY mediaId ORDER BY sampleNo) AS rk
+        |    FROM fr WHERE sync
+        |  ) WHERE rk % 2 = 1
+        |), tot AS (
+        |  SELECT mediaId AS media_id, count(*) AS n_frames,
+        |         CAST(sum(CASE WHEN sync THEN 1 ELSE 0 END) AS BIGINT) AS n_sync,
+        |         CAST(sum(durTicks) AS BIGINT) AS total_ticks
+        |  FROM fr GROUP BY 1
+        |), ss AS (
+        |  SELECT mediaId AS media_id, count(*) AS n_selected,
+        |         CAST(min(startTicks) AS BIGINT) AS first_sel_ticks,
+        |         CAST(max(startTicks) AS BIGINT) AS last_sel_ticks,
+        |         CAST(sum(durTicks) AS BIGINT) AS selected_ticks
+        |  FROM sel GROUP BY 1
+        |)
+        |SELECT t.media_id, t.n_frames, t.n_sync, t.total_ticks,
+        |       s.n_selected, s.first_sel_ticks, s.last_sel_ticks,
+        |       s.selected_ticks
+        |FROM tot t JOIN ss s USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     // au1: the WAV decode (javax.sound.sampled over real PCM samples) is
     // the non-portable step, persisted once — the oracle re-derives
