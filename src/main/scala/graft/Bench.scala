@@ -135,10 +135,12 @@ object Bench {
     // The driver's own re-execution overwrites bench_out.json (it clobbered
     // the quiet r5 artifact with a loaded 161.8 s run, leaving README's
     // number unverifiable). Keep every run under a unique name too, so a
-    // quiet measurement always survives to be cited.
+    // quiet measurement always survives to be cited — under bench_runs/
+    // so the repo root stays clean (the r11 hygiene note).
     // millisecond resolution: two runs in the same wall-clock SECOND would
     // clobber each other under a seconds-granularity name
-    Files.write(Paths.get(s"bench_out_${System.currentTimeMillis}.json"),
+    Files.createDirectories(Paths.get("bench_runs"))
+    Files.write(Paths.get(s"bench_runs/bench_out_${System.currentTimeMillis}.json"),
       body.getBytes(StandardCharsets.UTF_8))
     println(medians)
     println(detail)
