@@ -1260,6 +1260,36 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K21 — CONCURRENT writers against one snapshot table (the r12
+    // optimistic-commit protocol, driver-visible): two threads — the
+    // reference itself runs two independent cron pipelines — append six
+    // disjoint event slices simultaneously. Data writes stage in parallel;
+    // only the metadata commit serializes and rebases, so every batch
+    // lands exactly once in SOME order. The oracle pins both halves of the
+    // claim: the table equals the plain corpus aggregate (no lost/doubled
+    // batch) and the lineage is exactly six acknowledged versions.
+    "k21_concurrent_commits" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-ccw").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(slices: Seq[Long]): Thread = {
+        val th = new Thread(() =>
+          try slices.foreach { b =>
+            st.commit(ev.filter(pmod(col("event_id"), lit(6L)) === b)); ()
+          } catch { case t: Throwable => errs.add(t); () })
+        th.start(); th
+      }
+      val ws = Seq(writer(Seq(0L, 1L, 2L)), writer(Seq(3L, 4L, 5L)))
+      ws.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      st.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+        .withColumn("n_versions", lit(st.latestVersion.getOrElse(0L)))
+        .orderBy("event_type")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -4877,6 +4907,15 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
         |       CAST(sum(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k21: six concurrent batches must reassemble the exact corpus (no
+    // lost or doubled batch) across exactly six acknowledged versions —
+    // the interleaving varies, the table state may not
+    "k21_concurrent_commits" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       CAST(6 AS BIGINT) AS n_versions
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k2: the engine side PUTs each region's nations as an object and GETs

@@ -528,6 +528,39 @@ object Stress {
       spark.catalog.clearCache()
     }
     delta.unpersist()
+
+    // Concurrent-writer probe (the r12 optimistic commit protocol): W
+    // writers append disjoint slices simultaneously — data writes stage in
+    // parallel, only metadata serializes. Correctness inside the measure:
+    // exact row reassembly and W×3 acknowledged versions, or the row
+    // doesn't print.
+    Seq(2, 4).foreach { w =>
+      val dir = java.nio.file.Files.createTempDirectory(s"stress_snap_cc$w").toString
+      val st = new SnapshotStore(spark, s"$dir/snap", "event_id")
+      val batches = w * 3
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val t0 = System.nanoTime()
+      val threads = (0 until w).map { wi =>
+        val th = new Thread(() => try {
+          (0 until 3).foreach { b =>
+            val slice = (wi * 3 + b).toLong
+            st.commit(ev0.filter(pmod(col("event_id"), lit(batches.toLong)) === slice))
+            ()
+          }
+        } catch { case t: Throwable => errs.add(t); () })
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      val tWall = (System.nanoTime() - t0) / 1e9
+      require(errs.isEmpty, s"concurrent commit failed: ${errs.peek()}")
+      val n = st.read().count()
+      val total = ev0.count()
+      require(n == total, s"concurrent commits lost rows: $n of $total")
+      val vN = st.latestVersion.getOrElse(0L)
+      require(vN == batches.toLong, s"expected $batches versions, got $vN")
+      println(s"""{"op":"snapshot_concurrent","writers":$w,"batches":$batches,""" +
+        s""""sec_wall":${num(tWall)},"rows":$n,"versions":$vN}""")
+    }
     ()
   }
 
