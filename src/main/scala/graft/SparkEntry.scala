@@ -2795,6 +2795,36 @@ object SparkEntry {
       totals.join(selected, Seq("media_id")).orderBy("media_id")
     }),
 
+    // M-multimodal: the SEEK PLAN — scene cuts detected from REAL pixels
+    // (the m9 hamming rule over decoded frame hashes) mapped to the
+    // container's sync table (m13's stss parse): a demuxer reaching a cut
+    // must seek to the latest sync sample AT OR BEFORE it and decode
+    // forward, so per cut the plan names a seek target and a decode-ahead
+    // cost in frames. Composed from the repo's own primitives: the pixel
+    // artifact x the container artifact through operators.AsofJoin (the
+    // union + running-last form — no range-join explosion), all-integer
+    // output. This is the piece that makes m3/m9-style sampling policies
+    // EXECUTABLE on real containers: pixels say where to cut, sample
+    // tables say where a decoder can actually enter.
+    "m14_seek_plan" -> ((s, d) => {
+      val w = Window.partitionBy("mediaId").orderBy("frameIdx")
+      val cuts = mediaFrames(s, d).filter(col("mediaId") % 3 === 2)
+        .withColumn("dh",
+          bit_count(col("aHash").bitwiseXOR(lag(col("aHash"), 1).over(w))))
+        .filter(col("dh") > 6)
+        .select(col("mediaId"), (col("frameIdx") + 1L).cast("long").as("cutNo"))
+      val syncs = mp4Frames(s, d).filter(col("sync"))
+        .select(col("mediaId"), col("sampleNo").cast("long").as("syncNo"))
+      graft.operators.AsofJoin.asof(cuts, syncs, Seq("mediaId"),
+        "cutNo", "syncNo", Nil, prefix = "seek_")
+        .groupBy(col("mediaId").as("media_id"))
+        .agg(count(lit(1)).as("n_cuts"),
+          countDistinct(col("seek_syncNo")).as("n_seek_targets"),
+          sum(col("cutNo") - col("seek_syncNo")).as("decode_ahead_frames"),
+          max(col("cutNo") - col("seek_syncNo")).as("max_ahead"))
+        .orderBy("media_id")
+    }),
+
     // AU-audio: REAL WAV decode on the executors — sample counts and rates
     // from the parsed RIFF header (javax.sound.sampled, in the JDK), exact
     // amplitude stats and the 64-window RMS fingerprint over every decoded
@@ -7463,6 +7493,35 @@ object SparkEntry {
         |       s.selected_ticks
         |FROM tot t JOIN ss s USING (media_id)
         |ORDER BY media_id""".stripMargin,
+
+    // m14: both artifacts are persisted non-portable steps (pixel decode,
+    // container parse); the oracle replays the cut rule, the at-or-before
+    // seek resolution, and the integer plan costs relationally over them
+    "m14_seek_plan" ->
+      """WITH f AS (
+        |  SELECT mediaId, frameIdx, aHash,
+        |         lag(aHash) OVER (PARTITION BY mediaId ORDER BY frameIdx) AS prev
+        |  FROM read_parquet('/tmp/graft_oracle/media/frames/*.parquet')
+        |  WHERE mediaId % 3 = 2
+        |), cuts AS (
+        |  SELECT mediaId, CAST(frameIdx + 1 AS BIGINT) AS cutNo
+        |  FROM f WHERE prev IS NOT NULL AND
+        |    CAST(list_sum(list_transform(range(0, 64),
+        |      j -> CASE WHEN ((xor(aHash, prev) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT) > 6
+        |), syncs AS (
+        |  SELECT mediaId, CAST(sampleNo AS BIGINT) AS syncNo
+        |  FROM read_parquet('/tmp/graft_oracle/mp4/frames/*.parquet') WHERE sync
+        |), m AS (
+        |  SELECT c.mediaId, c.cutNo, max(s.syncNo) AS seek
+        |  FROM cuts c JOIN syncs s
+        |    ON s.mediaId = c.mediaId AND s.syncNo <= c.cutNo
+        |  GROUP BY c.mediaId, c.cutNo
+        |)
+        |SELECT mediaId AS media_id, count(*) AS n_cuts,
+        |       CAST(count(DISTINCT seek) AS BIGINT) AS n_seek_targets,
+        |       CAST(sum(cutNo - seek) AS BIGINT) AS decode_ahead_frames,
+        |       CAST(max(cutNo - seek) AS BIGINT) AS max_ahead
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // au1: the WAV decode (javax.sound.sampled over real PCM samples) is
     // the non-portable step, persisted once — the oracle re-derives
