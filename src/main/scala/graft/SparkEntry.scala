@@ -1290,6 +1290,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K22 — row-level CDC from the table format (SnapshotStore.changelog):
+    // commits append two event slices, a copy-on-write deleteWhere tears
+    // rows out, and the changelog across (v1, v3] derives NET inserts and
+    // deletes from the file diff alone — rewritten-but-kept rows cancel by
+    // key anti-join, an appended-then-deleted row nets to nothing. The
+    // scan touches only CHANGED files (carried files never open) — the
+    // Iceberg/Delta changelog idea, and the primitive a downstream
+    // consumer uses to maintain a derived table without reprocessing
+    // history. Oracle replays the net-change algebra over the raw events.
+    "k22_snapshot_changelog" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      val v1 = st.commit(ev.filter(col("event_id") % 3 === 0))
+      st.commit(ev.filter(col("event_id") % 3 === 1))
+      val v3 = st.deleteWhere(col("value") < 100.0 && col("event_type") === "click")
+        .getOrElse(sys.error("delete predicate matched no rows — fixture drift"))
+      st.changelog(v1, v3, Seq("event_id"))
+        .groupBy(col("event_type"), col("_change").as("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+        .orderBy("event_type", "change")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -4947,6 +4971,27 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
         |       CAST(6 AS BIGINT) AS n_versions
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k22: net changes across (v1, v3] — inserts = the v2 slice minus its
+    // rows the v3 delete removed; deletes = the v1 slice's removed rows;
+    // a v2 row deleted at v3 nets to NOTHING (both engines must agree)
+    "k22_snapshot_changelog" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |ins AS (
+        |  SELECT event_type, value FROM e
+        |  WHERE event_id % 3 = 1 AND NOT (value < 100 AND event_type = 'click')
+        |), del AS (
+        |  SELECT event_type, value FROM e
+        |  WHERE event_id % 3 = 0 AND (value < 100 AND event_type = 'click')
+        |)
+        |SELECT event_type, 'insert' AS change, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM ins GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 'delete', count(*),
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE)
+        |FROM del GROUP BY 1
+        |ORDER BY 1, 2""".stripMargin,
 
     // k2: the engine side PUTs each region's nations as an object and GETs
     // them back through the ObjectStore boundary; the oracle is the pure

@@ -579,6 +579,59 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     readFiles(m.filter(e => e.batch > fromV).map(_.file), m)
   }
 
+  /** ROW-LEVEL CDC between two versions, derived from the copy-on-write
+    * file diff (the Iceberg/Delta changelog idea): files present in `toV`
+    * but not `fromV` hold candidate inserts, files present in `fromV` but
+    * not `toV` hold candidate deletes, and rows rewritten by compaction or
+    * a partial-file delete appear on both sides — cancelled by an exact
+    * anti-join on `keyCols`, so only NET changes surface. Output is the
+    * row payload plus `_change` ('insert' | 'delete').
+    *
+    * Scale shape: the scan is bounded by the CHANGED files only (carried
+    * files never open), and the cancel join shuffles just those rows on
+    * the key. Keys must uniquely identify a row for the cancellation to
+    * be exact — the same precondition every CDC-from-COW derivation has.
+    * An updated row (same key, new payload) surfaces as delete + insert.
+    */
+  def changelog(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changelog needs key columns")
+    val from = readManifest(fromV)
+    val to = readManifest(toV)
+    val fromFiles = from.map(_.file).toSet
+    val toFiles = to.map(_.file).toSet
+    val addedF = to.filterNot(e => fromFiles(e.file)).map(_.file)
+    val removedF = from.filterNot(e => toFiles(e.file)).map(_.file)
+    val added = readFiles(addedF, to)
+    val removed = readFiles(removedF, from)
+    val keys = keyCols.map(col)
+    val inserts = added.join(removed.select(keys: _*), keyCols, "left_anti")
+      .withColumn("_change", lit("insert"))
+    val deletes = removed.join(added.select(keys: _*), keyCols, "left_anti")
+      .withColumn("_change", lit("delete"))
+    inserts.unionByName(deletes, allowMissingColumns = true)
+  }
+
+  /** The snapshots METADATA table (Iceberg's `table$snapshots` idea): one
+    * row per acknowledged version — files/rows/bytes added by that commit,
+    * files/rows carried in its full manifest, and its writer tag. Driver
+    * reads manifests only (O(versions × files) metadata, no data file
+    * opens) — the lineage surface an operator dashboards and a loader
+    * audits version pins against.
+    */
+  def snapshots(): DataFrame = {
+    val ceiling = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val rows = versions.filter(_ <= ceiling).map { v =>
+      val m = readManifest(v)
+      val own = m.filter(_.batch == v)
+      (v, readTagOf(v).orNull, own.size, own.map(_.rows).sum,
+        own.map(_.bytes).sum, m.size, m.map(_.rows).sum)
+    }
+    import spark.implicits._
+    rows.toDF("version", "tag", "added_files", "added_rows", "added_bytes",
+      "total_files", "total_rows").orderBy("version")
+  }
+
   /** Retention: keep the newest `keepLast` manifests (never fewer than the
     * live one), delete every data file no retained manifest references and
     * every older manifest. Returns the number of data files deleted.

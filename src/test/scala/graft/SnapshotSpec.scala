@@ -376,6 +376,54 @@ class SnapshotSpec extends SparkSpec {
       "the crashed batch's rows must not leak into the new commit")
   }
 
+  test("changelog: appends are inserts, COW deletes are deletes, rewrites cancel") {
+    val st = freshStore("snap-cdc")
+    val v1 = st.commit(batch(0, 9))
+    st.commit(batch(10, 19))                       // v2: pure append
+    val v3 = st.deleteWhere(col("id") < 3).get     // v3: rewrites v1's file
+    // pure append window: every v2 row an insert, nothing deleted
+    val c12 = st.changelog(v1, v1 + 1, Seq("id")).collect()
+    assert(c12.forall(_.getAs[String]("_change") == "insert"))
+    assert(c12.map(_.getAs[Long]("id")).sorted.toSeq === (10L to 19L))
+    // across the delete: v2 rows insert, the deleted v1 rows delete, and
+    // the v1 rows REWRITTEN-but-kept (3..9) must cancel out entirely
+    val c13 = st.changelog(v1, v3, Seq("id")).collect()
+    val ins = c13.filter(_.getAs[String]("_change") == "insert").map(_.getAs[Long]("id"))
+    val del = c13.filter(_.getAs[String]("_change") == "delete").map(_.getAs[Long]("id"))
+    assert(ins.sorted.toSeq === (10L to 19L))
+    assert(del.sorted.toSeq === (0L to 2L))
+    // compaction rewrites files without changing content: zero net changes
+    val v4 = st.compactSmall(Long.MaxValue).get
+    assert(st.changelog(v3, v4, Seq("id")).count() === 0L,
+      "a content-preserving rewrite must produce an empty changelog")
+  }
+
+  test("changelog: a row appended then deleted inside the window nets to nothing") {
+    val st = freshStore("snap-cdc2")
+    val v1 = st.commit(batch(0, 9))
+    st.commit(batch(100, 109))
+    val v3 = st.deleteWhere(col("id").between(100, 104)).get
+    val c = st.changelog(v1, v3, Seq("id")).collect()
+    val ins = c.filter(_.getAs[String]("_change") == "insert").map(_.getAs[Long]("id"))
+    assert(ins.sorted.toSeq === (105L to 109L),
+      "rows appended then deleted inside the window must not surface")
+    assert(!c.exists(_.getAs[String]("_change") == "delete"),
+      "no pre-window row was deleted")
+  }
+
+  test("snapshots(): one lineage row per acknowledged version with tags and censuses") {
+    val st = freshStore("snap-meta")
+    st.commit(batch(0, 9))
+    st.commitTagged(batch(10, 14), "batch-1")
+    val rows = st.snapshots().collect()
+    assert(rows.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L))
+    assert(rows(0).getAs[String]("tag") == null)
+    assert(rows(1).getAs[String]("tag") === "batch-1")
+    assert(rows(1).getAs[Long]("added_rows") === 5L)
+    assert(rows(1).getAs[Long]("total_rows") === 15L)
+    assert(rows(1).getAs[Int]("total_files") >= rows(1).getAs[Int]("added_files"))
+  }
+
   test("expire refuses on an unacknowledged manifest; recover() then makes it safe") {
     // The r11 data-loss window: a commit crashed between manifest rename
     // and pointer swap leaves an orphaned NEWEST manifest. Retention
