@@ -624,6 +624,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"funnel must not window the event stream:\n$p")
   }
 
+  test("m14 seek plan: keyed windows only, and no payload blob enters the plan") {
+    val df = SparkEntry.queries("m14_seek_plan")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(mediaId"),
+      s"cut/seek windows must partition by mediaId:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition stage in the seek plan:\n$p")
+    // the plan composes the two flat ARTIFACTS — the container/media blobs
+    // must never reach it
+    assert(!p.contains("bytes"), s"payload blob leaked into the seek plan:\n$p")
+  }
+
   test("d2 portable minhash: signature projection sits below the band Generate") {
     // the CollapseProject guard: the band explode must consume the
     // signature as a bound attribute, not recompute it per band

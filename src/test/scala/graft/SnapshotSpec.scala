@@ -398,6 +398,16 @@ class SnapshotSpec extends SparkSpec {
       "a content-preserving rewrite must produce an empty changelog")
   }
 
+  test("changelog opens only CHANGED files — carried files never scan") {
+    val st = freshStore("snap-cdc3")
+    val v1 = st.commit(batch(0, 9))
+    val v2 = st.commit(batch(10, 19))
+    val opened = st.changelog(v1, v2, Seq("id")).inputFiles
+    assert(opened.nonEmpty)
+    assert(opened.forall(_.contains("b00002")),
+      s"carried v1 files must not be scanned: ${opened.mkString(", ")}")
+  }
+
   test("changelog: a row appended then deleted inside the window nets to nothing") {
     val st = freshStore("snap-cdc2")
     val v1 = st.commit(batch(0, 9))
