@@ -353,11 +353,15 @@ object SparkEntry {
 
   private def webmMeta(spark: SparkSession, dir: String): DataFrame = {
     mediaArtifact(spark, dir)
-    buildOnce(dir, "documents", webmDir, "src=png+gif-ahash-v4,webm=ebml-v1") {
+    // ebml-v2: the artifact pass gained the per-block table (m15) —
+    // container bytes are unchanged, but the artifact DIRECTORY contents
+    // grew, so a v1 dir must not satisfy the fingerprint
+    buildOnce(dir, "documents", webmDir, "src=png+gif-ahash-v4,webm=ebml-v2") {
       import spark.implicits._
-      spark.read.parquet(s"$mediaDir/payloads")
+      val payloads = spark.read.parquet(s"$mediaDir/payloads")
         .filter(col("kind") === "video")
         .select(col("mediaId"), col("bytes")).as[(Long, Array[Byte])]
+      payloads
         .mapPartitions(_.map { case (id, gif) =>
           val d = graft.multimodal.ImageCodec.decode(gif)
           val n = graft.multimodal.GifCodec.frameCount(gif)
@@ -371,8 +375,28 @@ object SparkEntry {
           "durationTicks", "nTracks", "videoTrackNumber", "codecId",
           "pixelWidth", "pixelHeight", "videoBlocks", "keyframeBlocks", "nClusters")
         .write.mode("overwrite").parquet(s"$webmDir/meta")
+      // per-block rows (stream order, absolute ticks, keyframe flag) —
+      // the EBML analog of the mp4 frames table, same executor-side parse
+      payloads
+        .flatMap { case (id, gif) =>
+          val d = graft.multimodal.ImageCodec.decode(gif)
+          val n = graft.multimodal.GifCodec.frameCount(gif)
+          graft.multimodal.WebmCodec.parseBlocks(
+            graft.multimodal.WebmCodec.synthesize(id, n, d.width, d.height))
+            .map(b => (id, b.blockNo, b.ticks, b.keyframe))
+        }
+        .toDF("mediaId", "blockNo", "ticks", "keyframe")
+        .write.mode("overwrite").parquet(s"$webmDir/blocks")
     }
     spark.read.parquet(s"$webmDir/meta")
+  }
+
+  /** The m15 planning table: per-block rows from the WebM cluster walk
+    * (built by the same fingerprinted artifact pass as [[webmMeta]]).
+    */
+  private def webmBlocks(spark: SparkSession, dir: String): DataFrame = {
+    webmMeta(spark, dir)
+    spark.read.parquet(s"$webmDir/blocks")
   }
 
   /** The media-banding projection — dimension and luma bands over any REAL
@@ -2846,6 +2870,38 @@ object SparkEntry {
           countDistinct(col("seek_syncNo")).as("n_seek_targets"),
           sum(col("cutNo") - col("seek_syncNo")).as("decode_ahead_frames"),
           max(col("cutNo") - col("seek_syncNo")).as("max_ahead"))
+        .orderBy("media_id")
+    }),
+
+    // M-multimodal: m14 for the EBML container family — the same pixel
+    // scene cuts resolved against WebM's per-block keyframe flags
+    // (Webm Codec.parseBlocks), but costed in PRESENTATION TIME: blocks
+    // carry absolute millisecond ticks (Cluster Timestamp + s16 relative),
+    // so the plan prices each seek in decode-ahead milliseconds, not just
+    // block counts — what a latency budget actually constrains. Exact
+    // integers throughout (1 ms timestamp scale).
+    "m15_webm_seek_plan" -> ((s, d) => {
+      val w = Window.partitionBy("mediaId").orderBy("frameIdx")
+      val blocks = webmBlocks(s, d)
+      val cuts = mediaFrames(s, d).filter(col("mediaId") % 3 === 2)
+        .withColumn("dh",
+          bit_count(col("aHash").bitwiseXOR(lag(col("aHash"), 1).over(w))))
+        .filter(col("dh") > 6)
+        .select(col("mediaId"), (col("frameIdx") + 1L).cast("long").as("cutNo"))
+        // block timestamps come from the container, not assumed spacing
+        .join(blocks.select(col("mediaId"), col("blockNo").as("cutNo"),
+          col("ticks").as("cutTicks")), Seq("mediaId", "cutNo"))
+      val keys = blocks.filter(col("keyframe"))
+        .select(col("mediaId"), col("blockNo").cast("long").as("keyNo"),
+          col("ticks").as("keyTicks"))
+      graft.operators.AsofJoin.asof(cuts, keys, Seq("mediaId"),
+        "cutNo", "keyNo", Seq("keyTicks"), prefix = "seek_")
+        .groupBy(col("mediaId").as("media_id"))
+        .agg(count(lit(1)).as("n_cuts"),
+          countDistinct(col("seek_keyNo")).as("n_seek_targets"),
+          sum(col("cutNo") - col("seek_keyNo")).as("decode_ahead_blocks"),
+          sum(col("cutTicks") - col("seek_keyTicks")).as("decode_ahead_ms"),
+          max(col("cutTicks") - col("seek_keyTicks")).as("max_ahead_ms"))
         .orderBy("media_id")
     }),
 
@@ -7566,6 +7622,39 @@ object SparkEntry {
         |       CAST(count(DISTINCT seek) AS BIGINT) AS n_seek_targets,
         |       CAST(sum(cutNo - seek) AS BIGINT) AS decode_ahead_frames,
         |       CAST(max(cutNo - seek) AS BIGINT) AS max_ahead
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // m15: the m14 replay against the WebM blocks artifact, with the
+    // decode-ahead additionally costed in container-tick milliseconds
+    "m15_webm_seek_plan" ->
+      """WITH f AS (
+        |  SELECT mediaId, frameIdx, aHash,
+        |         lag(aHash) OVER (PARTITION BY mediaId ORDER BY frameIdx) AS prev
+        |  FROM read_parquet('/tmp/graft_oracle/media/frames/*.parquet')
+        |  WHERE mediaId % 3 = 2
+        |), blocks AS (
+        |  SELECT mediaId, CAST(blockNo AS BIGINT) AS blockNo,
+        |         CAST(ticks AS BIGINT) AS ticks, keyframe
+        |  FROM read_parquet('/tmp/graft_oracle/webm/blocks/*.parquet')
+        |), cuts AS (
+        |  SELECT f.mediaId, CAST(f.frameIdx + 1 AS BIGINT) AS cutNo, b.ticks AS cutTicks
+        |  FROM f JOIN blocks b
+        |    ON b.mediaId = f.mediaId AND b.blockNo = f.frameIdx + 1
+        |  WHERE f.prev IS NOT NULL AND
+        |    CAST(list_sum(list_transform(range(0, 64),
+        |      j -> CASE WHEN ((xor(f.aHash, f.prev) >> j) & 1) = 1 THEN 1 ELSE 0 END)) AS BIGINT) > 6
+        |), m AS (
+        |  SELECT c.mediaId, c.cutNo, c.cutTicks,
+        |         max(k.blockNo) AS seekNo, max_by(k.ticks, k.blockNo) AS seekTicks
+        |  FROM cuts c JOIN blocks k
+        |    ON k.mediaId = c.mediaId AND k.keyframe AND k.blockNo <= c.cutNo
+        |  GROUP BY c.mediaId, c.cutNo, c.cutTicks
+        |)
+        |SELECT mediaId AS media_id, count(*) AS n_cuts,
+        |       CAST(count(DISTINCT seekNo) AS BIGINT) AS n_seek_targets,
+        |       CAST(sum(cutNo - seekNo) AS BIGINT) AS decode_ahead_blocks,
+        |       CAST(sum(cutTicks - seekTicks) AS BIGINT) AS decode_ahead_ms,
+        |       CAST(max(cutTicks - seekTicks) AS BIGINT) AS max_ahead_ms
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // au1: the WAV decode (javax.sound.sampled over real PCM samples) is

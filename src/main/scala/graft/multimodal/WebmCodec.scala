@@ -156,8 +156,23 @@ object WebmCodec {
     var h: Int = 0
   }
 
-  def parse(bytes: Array[Byte]): WebmMeta = {
+  /** One video SimpleBlock in stream order: 1-based `blockNo`, absolute
+    * presentation time in timestamp-scale ticks (Cluster Timestamp +
+    * s16 relative), and the keyframe header flag — the WebM analog of the
+    * MP4 sample table ([[graft.multimodal.Mp4Codec.parseFrames]]), and the
+    * planning surface for seek-aligned sampling on EBML containers.
+    */
+  final case class WebmBlock(blockNo: Long, ticks: Long, keyframe: Boolean)
+
+  def parse(bytes: Array[Byte]): WebmMeta = parseWithBlocks(bytes)._1
+
+  def parseBlocks(bytes: Array[Byte]): IndexedSeq[WebmBlock] =
+    parseWithBlocks(bytes)._2
+
+  private def parseWithBlocks(bytes: Array[Byte])
+      : (WebmMeta, IndexedSeq[WebmBlock]) = {
     val root = new Rd(bytes, 0, bytes.length)
+    val blocks = IndexedSeq.newBuilder[WebmBlock]
 
     var docType: String = null
     var docTypeVersion = 1
@@ -236,6 +251,8 @@ object WebmCodec {
                     videoBlocks += 1
                     if ((flags & 0x80) != 0) keyframes += 1
                     lastBlockTicks = math.max(lastBlockTicks, clusterTs + rel)
+                    blocks += WebmBlock(videoBlocks, clusterTs + rel,
+                      (flags & 0x80) != 0)
                   }
                 case _ => ()
               }
@@ -262,9 +279,9 @@ object WebmCodec {
     if (lastBlockTicks >= durationTicks)
       fail(s"declared Duration $durationTicks does not cover the last block at $lastBlockTicks")
 
-    WebmMeta(docType, docTypeVersion, timestampScale, durationTicks,
+    (WebmMeta(docType, docTypeVersion, timestampScale, durationTicks,
       tracks.length, vid.number, vid.codecId, vid.w, vid.h,
-      videoBlocks, keyframes, nClusters)
+      videoBlocks, keyframes, nClusters), blocks.result())
   }
 
   // ----------------------------------------------------------- synthesize

@@ -123,6 +123,29 @@ class WebmSpec extends AnyFunSuite {
       .sameElements(WebmCodec.synthesize(12L, 6, 128, 96)))
   }
 
+  test("parseBlocks: stream order, exact cross-cluster ticks, flags match the census") {
+    for (id <- 0L to 30L) {
+      val n = 2 + (id % 7).toInt
+      val bytes = WebmCodec.synthesize(id, n, 64, 64)
+      val m = WebmCodec.parse(bytes)
+      val blocks = WebmCodec.parseBlocks(bytes)
+      assert(blocks.length === n, s"id=$id")
+      assert(blocks.map(_.blockNo) === (1L to n.toLong), s"id=$id")
+      // absolute ticks are uniform at the synthesizer's spacing EVEN across
+      // cluster boundaries (Cluster Timestamp + s16 relative must compose)
+      val spacing = if (n >= 2) blocks(1).ticks - blocks(0).ticks else 0L
+      assert(blocks.head.ticks === 0L, s"id=$id")
+      blocks.sliding(2).foreach { case Seq(a, b) =>
+        assert(b.ticks - a.ticks === spacing, s"id=$id: uneven block spacing")
+      }
+      assert(blocks.last.ticks < m.durationTicks, s"id=$id")
+      // per-block flags must sum to exactly the parse's keyframe census,
+      // and block 1 is always a keyframe (the seek plans rely on it)
+      assert(blocks.count(_.keyframe).toLong === m.keyframeBlocks, s"id=$id")
+      assert(blocks.head.keyframe, s"id=$id")
+    }
+  }
+
   /** First index of `pat` in `b`. */
   private def indexOf(b: Array[Byte], pat: Array[Byte]): Int = {
     var i = 0
