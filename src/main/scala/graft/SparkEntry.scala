@@ -301,36 +301,36 @@ object SparkEntry {
     // payload bytes changed, so the fingerprint must change with them
     buildOnce(dir, "documents", mp4Dir, "src=png+gif-ahash-v4,mp4=moov-v2") {
       import spark.implicits._
-      val payloads = spark.read.parquet(s"$mediaDir/payloads")
+      // ONE pixel decode + container synthesize/parse per payload feeds
+      // BOTH tables (the meta row and the per-frame sample-table expansion
+      // m13 selects from) — the parsed intermediate persists so the second
+      // write is a projection, never a re-decode
+      val parsed = spark.read.parquet(s"$mediaDir/payloads")
         .filter(col("kind") === "video")
         .select(col("mediaId"), col("bytes")).as[(Long, Array[Byte])]
-      payloads
         .mapPartitions(_.map { case (id, gif) =>
           val d = graft.multimodal.ImageCodec.decode(gif)
           val n = graft.multimodal.GifCodec.frameCount(gif)
-          val m = graft.multimodal.Mp4Codec.parse(
-            graft.multimodal.Mp4Codec.synthesize(id, n, d.width, d.height))
-          (id, m.majorBrand, m.mvhdVersion, m.movieTimescale,
+          val bytes = graft.multimodal.Mp4Codec.synthesize(id, n, d.width, d.height)
+          val m = graft.multimodal.Mp4Codec.parse(bytes)
+          val frames = graft.multimodal.Mp4Codec.parseFrames(bytes)
+            .map(f => (f.sampleNo, f.startTicks, f.durTicks, f.sync))
+          ((id, m.majorBrand, m.mvhdVersion, m.movieTimescale,
             m.movieDurationTicks, m.nTracks, m.videoFrames, m.videoTimescale,
-            m.videoDurationTicks, m.width, m.height, m.sampleBytes, m.mdatBytes)
-        })
+            m.videoDurationTicks, m.width, m.height, m.sampleBytes,
+            m.mdatBytes), frames)
+        }).persist()
+      parsed.map(_._1)
         .toDF("mediaId", "majorBrand", "mvhdVersion", "movieTimescale",
           "movieDurationTicks", "nTracks", "videoFrames", "videoTimescale",
           "videoDurationTicks", "width", "height", "sampleBytes", "mdatBytes")
         .write.mode("overwrite").parquet(s"$mp4Dir/meta")
-      // the per-frame sample-table expansion (stts prefix sums + stss sync
-      // flags) — the planning surface m13 selects from; same executor-side
-      // parse, only flat integer rows persisted
-      payloads
-        .flatMap { case (id, gif) =>
-          val d = graft.multimodal.ImageCodec.decode(gif)
-          val n = graft.multimodal.GifCodec.frameCount(gif)
-          graft.multimodal.Mp4Codec.parseFrames(
-            graft.multimodal.Mp4Codec.synthesize(id, n, d.width, d.height))
-            .map(f => (id, f.sampleNo, f.startTicks, f.durTicks, f.sync))
-        }
+      parsed.flatMap { case (meta, frames) =>
+          frames.map(f => (meta._1, f._1, f._2, f._3, f._4)) }
         .toDF("mediaId", "sampleNo", "startTicks", "durTicks", "sync")
         .write.mode("overwrite").parquet(s"$mp4Dir/frames")
+      parsed.unpersist()
+      ()
     }
     spark.read.parquet(s"$mp4Dir/meta")
   }
@@ -358,35 +358,36 @@ object SparkEntry {
     // grew, so a v1 dir must not satisfy the fingerprint
     buildOnce(dir, "documents", webmDir, "src=png+gif-ahash-v4,webm=ebml-v2") {
       import spark.implicits._
-      val payloads = spark.read.parquet(s"$mediaDir/payloads")
+      // one decode + synthesize/parse per payload feeds both tables (the
+      // mp4Meta single-pass discipline): meta row + per-block rows (stream
+      // order, absolute ticks, keyframe flag — the EBML analog of the mp4
+      // frames table)
+      val parsed = spark.read.parquet(s"$mediaDir/payloads")
         .filter(col("kind") === "video")
         .select(col("mediaId"), col("bytes")).as[(Long, Array[Byte])]
-      payloads
         .mapPartitions(_.map { case (id, gif) =>
           val d = graft.multimodal.ImageCodec.decode(gif)
           val n = graft.multimodal.GifCodec.frameCount(gif)
-          val m = graft.multimodal.WebmCodec.parse(
-            graft.multimodal.WebmCodec.synthesize(id, n, d.width, d.height))
-          (id, m.docType, m.docTypeVersion, m.timestampScaleNs, m.durationTicks,
-            m.nTracks, m.videoTrackNumber, m.codecId, m.pixelWidth, m.pixelHeight,
-            m.videoBlocks, m.keyframeBlocks, m.nClusters)
-        })
+          val bytes = graft.multimodal.WebmCodec.synthesize(id, n, d.width, d.height)
+          val m = graft.multimodal.WebmCodec.parse(bytes)
+          val blocks = graft.multimodal.WebmCodec.parseBlocks(bytes)
+            .map(b => (b.blockNo, b.ticks, b.keyframe))
+          ((id, m.docType, m.docTypeVersion, m.timestampScaleNs,
+            m.durationTicks, m.nTracks, m.videoTrackNumber, m.codecId,
+            m.pixelWidth, m.pixelHeight, m.videoBlocks, m.keyframeBlocks,
+            m.nClusters), blocks)
+        }).persist()
+      parsed.map(_._1)
         .toDF("mediaId", "docType", "docTypeVersion", "timestampScaleNs",
           "durationTicks", "nTracks", "videoTrackNumber", "codecId",
           "pixelWidth", "pixelHeight", "videoBlocks", "keyframeBlocks", "nClusters")
         .write.mode("overwrite").parquet(s"$webmDir/meta")
-      // per-block rows (stream order, absolute ticks, keyframe flag) —
-      // the EBML analog of the mp4 frames table, same executor-side parse
-      payloads
-        .flatMap { case (id, gif) =>
-          val d = graft.multimodal.ImageCodec.decode(gif)
-          val n = graft.multimodal.GifCodec.frameCount(gif)
-          graft.multimodal.WebmCodec.parseBlocks(
-            graft.multimodal.WebmCodec.synthesize(id, n, d.width, d.height))
-            .map(b => (id, b.blockNo, b.ticks, b.keyframe))
-        }
+      parsed.flatMap { case (meta, blocks) =>
+          blocks.map(b => (meta._1, b._1, b._2, b._3)) }
         .toDF("mediaId", "blockNo", "ticks", "keyframe")
         .write.mode("overwrite").parquet(s"$webmDir/blocks")
+      parsed.unpersist()
+      ()
     }
     spark.read.parquet(s"$webmDir/meta")
   }
@@ -2861,7 +2862,11 @@ object SparkEntry {
           bit_count(col("aHash").bitwiseXOR(lag(col("aHash"), 1).over(w))))
         .filter(col("dh") > 6)
         .select(col("mediaId"), (col("frameIdx") + 1L).cast("long").as("cutNo"))
-      val syncs = mp4Frames(s, d).filter(col("sync"))
+      // prune the sync side to the cut-bearing media BEFORE the asof union
+      // — without it 2/3 of the sync rows shuffle into partitions with no
+      // left rows only to be discarded after the window
+      val syncs = mp4Frames(s, d)
+        .filter(col("sync") && col("mediaId") % 3 === 2)
         .select(col("mediaId"), col("sampleNo").cast("long").as("syncNo"))
       graft.operators.AsofJoin.asof(cuts, syncs, Seq("mediaId"),
         "cutNo", "syncNo", Nil, prefix = "seek_")
@@ -2882,7 +2887,8 @@ object SparkEntry {
     // integers throughout (1 ms timestamp scale).
     "m15_webm_seek_plan" -> ((s, d) => {
       val w = Window.partitionBy("mediaId").orderBy("frameIdx")
-      val blocks = webmBlocks(s, d)
+      // same cut-slice prune as m14: only mediaId % 3 == 2 carries cuts
+      val blocks = webmBlocks(s, d).filter(col("mediaId") % 3 === 2)
       val cuts = mediaFrames(s, d).filter(col("mediaId") % 3 === 2)
         .withColumn("dh",
           bit_count(col("aHash").bitwiseXOR(lag(col("aHash"), 1).over(w))))

@@ -50,7 +50,11 @@ import org.apache.spark.sql.functions._
   * specific version, so a concurrent commit in between fails them with
   * `ConcurrentModificationException` — re-plan and re-run, the Iceberg
   * validation discipline. [[commitRewrite]] is documented
-  * replace-whole-table, last-writer-wins.
+  * replace-whole-table, last-writer-wins. Crash-debris cleanup is
+  * AGE-GATED (`DebrisGraceMs`): unacknowledged artifacts younger than the
+  * grace window are presumed to be a live cross-JVM writer mid-commit —
+  * doCommit refuses loudly and recover() skips them — so no cleanup path
+  * can ever delete a commit that is about to acknowledge.
   *
   * The reference has no table-format layer (its ClickHouse store mutates in
   * place); this is the beyond-reference capability a 100 TB Spark-native
@@ -416,11 +420,32 @@ final class SnapshotStore(spark: SparkSession, val path: String,
                   "since this rewrite was planned — re-plan and retry")
           }
           val v = prev.getOrElse(0L) + 1L
-          // Clear debris from a commit that crashed after writing files but
-          // before the pointer swap — its version number is ours to reuse.
-          // Under the lock (and the pointer re-read above) these can only
-          // be genuine crash debris, never a live concurrent commit.
-          versions.filter(_ >= v).foreach(w => fs.delete(manifestPath(w), false))
+          // Clear debris from a commit that crashed after writing files
+          // but before the pointer swap — its version number is ours to
+          // reuse. The in-JVM lock rules out same-JVM competitors, but a
+          // writer in ANOTHER JVM sits between its manifest/batch rename
+          // and its pointer swap for a brief window — deleting its files
+          // as "debris" would silently destroy an acknowledged-to-be
+          // commit (the r12 review finding). Age arbitrates: anything
+          // younger than the grace window is treated as a LIVE concurrent
+          // commit and refused loudly; genuine crash debris ages past the
+          // window and clears automatically on the next commit.
+          val now = System.currentTimeMillis()
+          def young(p: Path): Boolean = fs.exists(p) &&
+            now - fs.getFileStatus(p).getModificationTime <
+              SnapshotStore.DebrisGraceMs
+          val debrisManifests = versions.filter(_ >= v)
+          val debrisPaths = debrisManifests.map(manifestPath) ++
+            (if (fs.exists(batchDir(v))) Seq(batchDir(v)) else Seq.empty)
+          val live = debrisPaths.filter(young)
+          if (live.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"unacknowledged commit artifacts at $path look LIVE " +
+                s"(age < ${SnapshotStore.DebrisGraceMs} ms): " +
+                s"${live.mkString(", ")} — a concurrent writer may be " +
+                "mid-commit; retry shortly, or run recover() if no writer " +
+                "is live")
+          debrisManifests.foreach(w => fs.delete(manifestPath(w), false))
           if (fs.exists(batchDir(v))) fs.delete(batchDir(v), true)
           val dir = batchDir(v)
           if (fs.listStatus(staging).nonEmpty) {
@@ -690,28 +715,47 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   def recover(): Unit = {
     val vs = versions
+    val nowMs = System.currentTimeMillis()
+    def oldEnough(p: Path): Boolean = !fs.exists(p) ||
+      nowMs - fs.getFileStatus(p).getModificationTime >= SnapshotStore.DebrisGraceMs
     if (vs.isEmpty) { fs.delete(pointerFile, false); () }
     else {
       val ptr = latestVersion
       val target = ptr.getOrElse(vs.max)
       if (ptr.isEmpty) writeAtomic(pointerFile, target.toString, overwrite = true)
-      vs.filter(_ > target).foreach { w =>
-        fs.delete(manifestPath(w), false)
-        fs.delete(batchDir(w), true)
-      }
+      // Unacknowledged commits roll back only once they have AGED past the
+      // grace window: a younger one may be a live writer in another JVM
+      // between its manifest claim and pointer swap, and deleting it here
+      // would silently destroy a commit that is about to acknowledge.
+      // recover() stays idempotent — re-run after the window to finish.
+      vs.filter(_ > target)
+        .filter(w => oldEnough(manifestPath(w)))
+        .foreach { w =>
+          fs.delete(manifestPath(w), false)
+          fs.delete(batchDir(w), true)
+        }
     }
     // Batch dirs beyond every manifest (data written, manifest never
     // renamed in) are unreachable debris; so are staging dirs from commits
-    // that died before their metadata section.
+    // that died before their metadata section. Both cleanups respect the
+    // debris grace window: a dir younger than it may belong to a LIVE
+    // writer in another JVM (staging runs outside any lock; the metadata
+    // window is unsynchronized cross-JVM), so recover() skips it — the
+    // call is idempotent, a later run clears it once it has aged.
     val dataRoot = new Path(s"$path/data")
     val known = versions.toSet
+    val now = System.currentTimeMillis()
+    def aged(p: Path): Boolean =
+      now - fs.getFileStatus(p).getModificationTime >= SnapshotStore.DebrisGraceMs
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(".staging-")) fs.delete(st.getPath, true)
-        else if (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+        if (n.startsWith(".staging-")) {
+          if (aged(st.getPath)) fs.delete(st.getPath, true)
+        } else if (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
           !known.contains(n.drop(1).toLong) &&
-          latestVersion.forall(n.drop(1).toLong > _))
+          latestVersion.forall(n.drop(1).toLong > _) &&
+          aged(st.getPath))
           fs.delete(st.getPath, true)
       }
   }
@@ -725,4 +769,15 @@ object SnapshotStore {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[store] def lockFor(qualifiedPath: String): Object =
     locks.computeIfAbsent(qualifiedPath, _ => new Object)
+
+  /** Age below which unacknowledged commit artifacts (a manifest or batch
+    * dir above the pointer, a staging dir) are presumed to belong to a
+    * LIVE writer in another JVM rather than a crashed one: cleanup paths
+    * refuse (doCommit) or skip (recover) them, because the cross-JVM
+    * metadata window is unsynchronized and deleting a live competitor's
+    * claim would silently destroy its commit. A real crash ages past the
+    * window and clears on the next commit/recover. Generous relative to
+    * the metadata section's milliseconds; small next to any cron cadence.
+    */
+  private[store] val DebrisGraceMs: Long = 60000L
 }

@@ -16,6 +16,16 @@ class SnapshotSpec extends SparkSpec {
   private def freshStore(name: String): SnapshotStore =
     new SnapshotStore(spark, tempDir(name) + "/snap", "id")
 
+  /** Back-date a forged crash artifact past the debris grace window —
+    * fresh unacknowledged artifacts are presumed LIVE cross-JVM writers
+    * and refused/skipped by the cleanup paths.
+    */
+  private def age(st: SnapshotStore, rel: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(st.path + "/" + rel)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(p, System.currentTimeMillis() - 10 * 60 * 1000L, -1L)
+  }
+
   private def batch(lo: Long, hi: Long) =
     spark.range(lo, hi + 1).select(
       col("id"), (col("id") % 7).cast("string").as("k"),
@@ -200,6 +210,7 @@ class SnapshotSpec extends SparkSpec {
     val m2 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00002.manifest")
     val out = fs.create(m2, true)
     out.write("#tag=batch-1\nbogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8")); out.close()
+    age(st, "_manifests/v00002.manifest") // crashed long ago, not a live writer
     assert(st.taggedVersion("batch-1").isEmpty,
       "an unacknowledged manifest's tag must be invisible")
     // the retry clears the orphan and commits for real
@@ -356,6 +367,7 @@ class SnapshotSpec extends SparkSpec {
     val m2 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00002.manifest")
     val out = fs.create(m2, true)
     out.write("bogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8")); out.close()
+    age(st, "_manifests/v00002.manifest"); age(st, "data/b00002")
     st.recover()
     assert(st.versions === Seq(1L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(st.path + "/data/b00002")),
@@ -370,6 +382,8 @@ class SnapshotSpec extends SparkSpec {
     st.commit(batch(0, 9))
     // crashed version-2 attempt: batch dir only, no manifest, no pointer
     batch(10, 19).write.parquet(st.path + "/data/b00002")
+    age(st, "data/b00002") // crashed long ago — inside the grace window it
+                           // would refuse as a presumed live writer
     assert(st.commit(batch(20, 29)) === 2L)
     assert(st.read().count() === 20L)
     assert(st.read().agg(max("id")).head.getLong(0) === 29L,
@@ -434,6 +448,30 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(1).getAs[Int]("total_files") >= rows(1).getAs[Int]("added_files"))
   }
 
+  test("a YOUNG unacknowledged manifest refuses the next commit instead of being deleted") {
+    // the cross-JVM hazard: another pipeline may sit between its manifest
+    // claim and pointer swap — its artifacts must never be cleared as
+    // debris while fresh
+    val st = freshStore("snap-young")
+    st.commit(batch(0, 9))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m2 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00002.manifest")
+    val out = fs.create(m2, true)
+    out.write("bogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8")); out.close()
+    val ex = intercept[java.util.ConcurrentModificationException](
+      st.commit(batch(10, 19)))
+    assert(ex.getMessage.contains("LIVE"))
+    assert(fs.exists(m2), "a young claim must survive the refused commit")
+    // recover() also must NOT roll back a young claim
+    st.recover()
+    assert(fs.exists(m2), "recover() must skip young unacknowledged claims")
+    // once aged, it is crash debris and the next commit reuses the version
+    age(st, "_manifests/v00002.manifest")
+    assert(st.commit(batch(10, 19)) === 2L)
+    assert(st.read().count() === 20L)
+  }
+
   test("expire refuses on an unacknowledged manifest; recover() then makes it safe") {
     // The r11 data-loss window: a commit crashed between manifest rename
     // and pointer swap leaves an orphaned NEWEST manifest. Retention
@@ -448,6 +486,7 @@ class SnapshotSpec extends SparkSpec {
     val m3 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00003.manifest")
     val out = fs.create(m3, true)
     out.write("bogus\t3\t1\t0.0\t1.0\t10\n".getBytes("UTF-8")); out.close()
+    age(st, "_manifests/v00003.manifest")
     val ex = intercept[IllegalStateException](st.expire(keepLast = 1))
     assert(ex.getMessage.contains("recover()"))
     assert(st.read().count() === 20L, "refused expiry must not touch data")
