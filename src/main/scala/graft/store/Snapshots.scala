@@ -41,9 +41,14 @@ import org.apache.spark.sql.functions._
   * committing simultaneously overlap their expensive work; only the
   * metadata commit — re-read the pointer, allocate the next version,
   * rename the staged batch in, claim the manifest, swap the pointer — runs
-  * serialized (per-store JVM lock; across JVMs the manifest's
-  * rename-WITHOUT-overwrite is the atomic claim on HDFS-class filesystems,
-  * and a lost race fails loudly rather than silently orphaning a commit).
+  * serialized (per-store JVM lock; across JVMs the manifest claim is
+  * atomic-exclusive: rename-WITHOUT-overwrite on HDFS-class filesystems,
+  * link(2)-style create-exclusive on file:// where POSIX rename silently
+  * replaces, and a lost race fails loudly rather than silently orphaning
+  * a commit). A per-commit nonce in the manifest header is re-verified
+  * immediately before the pointer swap, so a writer stalled past the
+  * debris grace window can never acknowledge a version another writer
+  * has since re-claimed (r13; the r12 stalled-writer finding).
   * Append-style commits rebase automatically: the carried file set is
   * re-read from whatever the pointer names at claim time. Rewrite-style
   * commits ([[compactSmall]], [[deleteWhere]]) were PLANNED against a
@@ -219,6 +224,31 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       Files.move(tmp, dir.resolve(dst.getName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       ()
+    } else if (!overwrite && fs.getUri.getScheme == "file") {
+      // Rename-without-overwrite is the cross-JVM commit CLAIM, but
+      // Hadoop's RawLocalFileSystem delegates to POSIX rename(2), which
+      // silently REPLACES an existing destination — two drivers sharing a
+      // file:// (or NFS) store path could both "claim" the same version
+      // and one commit would vanish. Hard-link creation (link(2)) is
+      // atomic AND exclusive, so the loser of the race throws here as a
+      // concurrent-commit error instead of destroying the winner's
+      // manifest. The tmp name is per-attempt unique so two claimants
+      // never collide on the staging file either.
+      import java.nio.file.{Files, Paths}
+      val dir = Paths.get(dst.getParent.toUri.getPath)
+      Files.createDirectories(dir)
+      val tmp = dir.resolve(dst.getName + ".tmp-" + java.util.UUID.randomUUID())
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      // bypassing ChecksumFileSystem: drop any stale crc sidecar so later
+      // checksummed reads of this name can't mismatch
+      Files.deleteIfExists(dir.resolve("." + dst.getName + ".crc"))
+      try { Files.createLink(dir.resolve(dst.getName), tmp); () }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"commit claim lost: $dst already exists — a concurrent writer " +
+              "claimed this version first; re-run the commit")
+      } finally { Files.deleteIfExists(tmp); () }
     } else {
       val tmp = new Path(dst.getParent, dst.getName + ".tmp")
       fs.mkdirs(dst.getParent)
@@ -497,14 +527,50 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val measured = stats.map(e =>
       e.copy(extra = e.extra ++ effNames.drop(statsCols.size).map(_ => noInfo)))
     val entries = base().map(align) ++ measured
-    writeAtomic(manifestPath(v), manifestBody(entries, tag, effNames),
+    val nonce = java.util.UUID.randomUUID().toString
+    writeAtomic(manifestPath(v), manifestBody(entries, tag, effNames, nonce),
       overwrite = false)
+    acknowledge(v, nonce)
+  }
+
+  /** Final step of a commit: verify OUR manifest claim still stands, then
+    * swap the pointer. The re-verify closes the stalled-writer window: a
+    * committer that stalled past [[SnapshotStore.DebrisGraceMs]] between
+    * its manifest rename and this pointer swap may have had its manifest
+    * aged out as crash debris and the version number re-claimed by another
+    * writer — acknowledging blindly would bless the COMPETITOR's manifest
+    * (or a since-deleted one) as this commit. One metadata read (the
+    * per-commit nonce written into the `#nonce=` header) arbitrates:
+    * mismatch or absence means this commit did NOT land and must surface
+    * `ConcurrentModificationException`, never a silent mis-acknowledge.
+    */
+  private[graft] def acknowledge(v: Long, nonce: String): Long = {
+    val onDisk = readNonceOf(v)
+    if (!onDisk.contains(nonce))
+      throw new java.util.ConcurrentModificationException(
+        s"commit claim on v$v at $path was superseded while unacknowledged " +
+          s"(expected nonce $nonce, found ${onDisk.getOrElse("<absent>")}) — " +
+          "this commit did not land; re-run it")
     writeAtomic(pointerFile, v.toString, overwrite = true)
     v
   }
 
+  /** The per-commit nonce a version's manifest was claimed under, if any. */
+  private def readNonceOf(v: Long): Option[String] = {
+    val p = manifestPath(v)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).split("\n").toSeq
+        finally in.close()
+      lines.find(_.startsWith("#nonce=")).map(_.stripPrefix("#nonce="))
+    }
+  }
+
   private def manifestBody(entries: Seq[FileEntry], tag: Option[String],
-      names: Seq[String]): String = {
+      names: Seq[String], nonce: String): String = {
     val body = entries.map { e =>
       val fixed = String.format(Locale.ROOT,
         "%s\t%d\t%d\t%s\t%s\t%d", e.file, java.lang.Long.valueOf(e.batch),
@@ -520,7 +586,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     crc.update(body.getBytes(StandardCharsets.UTF_8))
     tag.map(t => s"#tag=$t\n").getOrElse("") +
       s"#crc=${java.lang.Long.toHexString(crc.getValue)}\n" +
-      s"#stats=${names.mkString(",")}\n" + body
+      s"#stats=${names.mkString(",")}\n" +
+      s"#nonce=$nonce\n" + body
   }
 
   private def readFiles(files: Seq[String], schemaFrom: Seq[FileEntry]): DataFrame =
@@ -608,31 +675,56 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * file diff (the Iceberg/Delta changelog idea): files present in `toV`
     * but not `fromV` hold candidate inserts, files present in `fromV` but
     * not `toV` hold candidate deletes, and rows rewritten by compaction or
-    * a partial-file delete appear on both sides — cancelled by an exact
-    * anti-join on `keyCols`, so only NET changes surface. Output is the
-    * row payload plus `_change` ('insert' | 'delete').
+    * a partial-file delete appear on both sides — cancelled by a null-safe
+    * anti-join on FULL-ROW equality (every column both sides share), so
+    * only NET changes surface. Cancelling on the keys alone would be
+    * wrong: a row deleted and re-appended with the same key but a NEW
+    * payload inside the window would net to nothing, and a downstream
+    * consumer would silently miss every update — full-row equality keeps
+    * rewritten-but-unchanged rows cancelling byte-identically while a
+    * same-key changed-payload row correctly surfaces as delete + insert.
+    * Output is the row payload plus `_change` ('insert' | 'delete').
     *
     * Scale shape: the scan is bounded by the CHANGED files only (carried
-    * files never open), and the cancel join shuffles just those rows on
-    * the key. Keys must uniquely identify a row for the cancellation to
-    * be exact — the same precondition every CDC-from-COW derivation has.
-    * An updated row (same key, new payload) surfaces as delete + insert.
+    * files never open), and the cancel join still hash-shuffles on
+    * equi-keys (null-safe equality extracts as join keys). Keys must
+    * uniquely identify a row for the delete/insert pairing to be exact —
+    * the same precondition every CDC-from-COW derivation has.
+    *
+    * Retention contract: BOTH endpoints must be retained versions —
+    * [[expire]] keeps only the newest `keepLast` manifests, so a CDC
+    * consumer's checkpoint must stay inside the retention window.
     */
   def changelog(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "changelog needs key columns")
+    Seq(fromV, toV).foreach { v =>
+      require(fs.exists(manifestPath(v)),
+        s"changelog endpoint v$v is not a retained version at $path — " +
+          "expire() retention must outlive every CDC consumer's window " +
+          "(checkpoint within keepLast versions, or raise keepLast)")
+    }
     val from = readManifest(fromV)
     val to = readManifest(toV)
     val fromFiles = from.map(_.file).toSet
     val toFiles = to.map(_.file).toSet
     val addedF = to.filterNot(e => fromFiles(e.file)).map(_.file)
     val removedF = from.filterNot(e => toFiles(e.file)).map(_.file)
-    val added = readFiles(addedF, to)
-    val removed = readFiles(removedF, from)
-    val keys = keyCols.map(col)
-    val inserts = added.join(removed.select(keys: _*), keyCols, "left_anti")
-      .withColumn("_change", lit("insert"))
-    val deletes = removed.join(added.select(keys: _*), keyCols, "left_anti")
-      .withColumn("_change", lit("delete"))
+    // a side whose manifest went empty (e.g. deleteWhere removed every
+    // row) borrows the OTHER side's manifest for schema derivation — the
+    // delete rows must still surface, not throw "no data files"
+    val added = readFiles(addedF, if (to.nonEmpty) to else from)
+    val removed = readFiles(removedF, if (from.nonEmpty) from else to)
+    // schema evolution may leave columns only one side has (merged reads
+    // are per-side); cancellation compares the columns BOTH sides carry
+    val shared = added.columns.filter(removed.columns.contains(_)).toSeq
+    require(keyCols.forall(shared.contains),
+      s"changelog key columns $keyCols must exist at both endpoints " +
+        s"(shared columns: $shared)")
+    def cancel(keep: DataFrame, drop: DataFrame): DataFrame =
+      keep.join(drop.select(shared.map(drop(_)): _*),
+        shared.map(c => keep(c) <=> drop(c)).reduce(_ && _), "left_anti")
+    val inserts = cancel(added, removed).withColumn("_change", lit("insert"))
+    val deletes = cancel(removed, added).withColumn("_change", lit("delete"))
     inserts.unionByName(deletes, allowMissingColumns = true)
   }
 

@@ -435,6 +435,104 @@ class SnapshotSpec extends SparkSpec {
       "no pre-window row was deleted")
   }
 
+  test("changelog: a same-key payload UPDATE surfaces as delete + insert") {
+    // the r12 advisor finding: cancelling added-vs-removed on the keys
+    // alone nets a delete+re-append-with-new-payload to NOTHING — a
+    // downstream consumer silently misses every update. Full-row
+    // cancellation must surface both rows while rewritten-but-kept rows
+    // (same key, same payload) still cancel.
+    val st = freshStore("snap-cdc-upd")
+    val v1 = st.commit(batch(0, 9))
+    st.deleteWhere(col("id") === 5)           // v2: rewrites the file, drops id 5
+    val v3 = st.commit(spark.range(5, 6).select(
+      col("id"), lit("9").as("k"), lit(999.0).as("v")))  // re-append, NEW payload
+    val c = st.changelog(v1, v3, Seq("id")).collect()
+    val touched = c.filter(_.getAs[Long]("id") == 5L)
+    assert(touched.length === 2, s"update must surface as delete + insert: ${c.mkString}")
+    val del = touched.find(_.getAs[String]("_change") == "delete").get
+    val ins = touched.find(_.getAs[String]("_change") == "insert").get
+    assert(del.getAs[Double]("v") === 10.0, "delete row carries the OLD payload")
+    assert(ins.getAs[Double]("v") === 999.0, "insert row carries the NEW payload")
+    // the other nine rows were rewritten byte-identically and must cancel
+    assert(c.length === 2, s"rewritten-but-kept rows must cancel: ${c.mkString}")
+  }
+
+  test("changelog to an all-rows-deleted version still returns the delete rows") {
+    val st = freshStore("snap-cdc-empty")
+    val v1 = st.commit(batch(0, 9))
+    val v2 = st.deleteWhere(col("id") >= 0).get  // empties the table
+    val c = st.changelog(v1, v2, Seq("id")).collect()
+    assert(c.length === 10)
+    assert(c.forall(_.getAs[String]("_change") == "delete"))
+    assert(c.map(_.getAs[Long]("id")).sorted.toSeq === (0L to 9L))
+  }
+
+  test("changelog endpoints must be retained versions — the contract is named") {
+    val st = freshStore("snap-cdc-ret")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19))
+    st.commit(batch(20, 29))
+    st.expire(keepLast = 1)
+    val ex = intercept[IllegalArgumentException](st.changelog(1L, 3L, Seq("id")))
+    assert(ex.getMessage.contains("retained"),
+      s"the error must name the retention contract: ${ex.getMessage}")
+    assert(ex.getMessage.contains("keepLast"))
+  }
+
+  test("a stalled writer whose aged-out claim was re-claimed must NOT acknowledge") {
+    // the r12 verdict's liveness-to-correctness window: writer A renames
+    // its manifest then stalls past DebrisGraceMs; writer B ages A's
+    // manifest out as debris and claims the version itself; A wakes and
+    // would have blessed B's manifest with its pointer swap. The
+    // per-commit nonce re-verify must make A throw instead, leaving B's
+    // commit as the table state.
+    val st = freshStore("snap-stall")
+    st.commit(batch(0, 9))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer A's claim on v2 (nonce recorded, pointer not yet swapped)
+    val m2 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00002.manifest")
+    val out = fs.create(m2, true)
+    out.write("#nonce=aaa-stalled\nbogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8"))
+    out.close()
+    age(st, "_manifests/v00002.manifest") // A has stalled past the grace window
+    // writer B commits: ages A's claim out and takes v2 itself
+    assert(st.commit(batch(10, 19)) === 2L)
+    // A wakes and tries to finish — must throw, never mis-acknowledge
+    val ex = intercept[java.util.ConcurrentModificationException](
+      st.acknowledge(2L, "aaa-stalled"))
+    assert(ex.getMessage.contains("superseded"))
+    // table state is B's, untouched by A's failed wake-up
+    assert(st.latestVersion === Some(2L))
+    assert(st.read().count() === 20L)
+    assert(st.read().agg(max("id")).head.getLong(0) === 19L)
+  }
+
+  test("cross-JVM manifest claim is create-exclusive on file:// stores") {
+    // POSIX rename(2) silently replaces — the claim must be link(2)-style
+    // exclusive so a lost race THROWS rather than destroying the winner's
+    // manifest. Forge the loser: pre-place a manifest at the version the
+    // next commit will claim, younger than the grace window is irrelevant
+    // here because the claim itself must fail on existence.
+    val st = freshStore("snap-claim")
+    st.commit(batch(0, 9))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m2 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00002.manifest")
+    val out = fs.create(m2, true)
+    out.write("#nonce=winner\nbogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8"))
+    out.close()
+    // young claim → the debris guard refuses first (presumed live writer)
+    intercept[java.util.ConcurrentModificationException](st.commit(batch(10, 19)))
+    val txt = {
+      val in = fs.open(m2)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    assert(txt.contains("#nonce=winner"),
+      "a refused commit must never have overwritten the standing claim")
+  }
+
   test("snapshots(): one lineage row per acknowledged version with tags and censuses") {
     val st = freshStore("snap-meta")
     st.commit(batch(0, 9))
