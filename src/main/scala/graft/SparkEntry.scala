@@ -1339,6 +1339,56 @@ object SparkEntry {
         .orderBy("event_type", "change")
     }),
 
+    // K23 — keyed MERGE (copy-on-write upsert) through the table format:
+    // the K4 semantic (`defs/resources.py:94-123`) as a versioned commit.
+    // One range-partitioned base commit, then TWO merges: an update batch
+    // on a narrow key band (zone-pruned to the intersecting files; only
+    // files CONTAINING matched keys rewrite — their unmatched rows carry
+    // into the rewrite, clean files carry by reference) and an insert
+    // batch whose keys sit above every file's bounds (zero candidates →
+    // pure append, no file ever opens). SnapshotSpec pins the verbatim
+    // carry + candidate skip rate; the oracle replays the upsert algebra
+    // over the raw corpus. n_versions pins the lineage: base + 2 merges.
+    "k23_snapshot_merge" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-mrg").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      st.commit(ev.repartitionByRange(8, col("event_id")))
+      st.merge(ev.filter(col("event_id") < 500)
+        .withColumn("value", col("value") + 1000.0), Seq("event_id"))
+      st.merge(ev.filter(col("event_type") === "click" &&
+          pmod(col("event_id"), lit(97L)) === 0L)
+        .select((col("event_id") + 10000000L).as("event_id"), col("event_type"),
+          (col("value") * 0.5).as("value")), Seq("event_id"))
+      st.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,4)")).cast("double").as("sum_value"))
+        .withColumn("n_versions", lit(st.latestVersion.getOrElse(0L)))
+        .orderBy("event_type")
+    }),
+
+    // K24 — row-level CDC ACROSS a merge (k22 composed with k23): the
+    // changelog over the upsert commit must show every updated key as a
+    // delete (old payload) + insert (new payload) PAIR, while the
+    // unmatched rows of rewritten files cancel byte-identically on
+    // full-row equality — the r12 advisor's update-visibility contract,
+    // and what a downstream consumer needs to maintain a derived table
+    // through upserts without reprocessing history. Scan cost is bounded
+    // by the changed files alone.
+    "k24_merge_changelog" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-mcdc").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      val v1 = st.commit(ev.repartitionByRange(8, col("event_id")))
+      val v2 = st.merge(ev.filter(col("event_id") < 500)
+        .withColumn("value", col("value") + 1000.0), Seq("event_id"))
+      st.changelog(v1, v2, Seq("event_id"))
+        .groupBy(col("event_type"), col("_change").as("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+        .orderBy("event_type", "change")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -5053,6 +5103,40 @@ object SparkEntry {
         |SELECT event_type, 'delete', count(*),
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE)
         |FROM del GROUP BY 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    // k23: the upsert algebra replayed over the raw corpus — matched keys
+    // (event_id < 500) take the delta payload, the insert batch appends
+    // under shifted keys; lineage is base + 2 merge commits. DECIMAL(30,4)
+    // because value*0.5 is a 4dp number (the j7 tie rule).
+    "k23_snapshot_merge" ->
+      """WITH merged AS (
+        |  SELECT event_type,
+        |         CASE WHEN event_id < 500 THEN value + 1000 ELSE value END AS value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, value * 0.5 AS value
+        |  FROM events WHERE event_type = 'click' AND event_id % 97 = 0
+        |)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value,
+        |       CAST(3 AS BIGINT) AS n_versions
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k24: every updated key is a delete(old payload) + insert(new payload)
+    // pair; nothing else may surface (survivors of the rewritten files
+    // cancel on full-row equality)
+    "k24_merge_changelog" ->
+      """WITH upd AS (
+        |  SELECT event_type, value FROM events WHERE event_id < 500
+        |)
+        |SELECT event_type, 'delete' AS change, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
+        |FROM upd GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, 'insert', count(*),
+        |       CAST(sum(CAST(value + 1000 AS DECIMAL(30,3))) AS DOUBLE)
+        |FROM upd GROUP BY 1
         |ORDER BY 1, 2""".stripMargin,
 
     // k2: the engine side PUTs each region's nations as an object and GETs

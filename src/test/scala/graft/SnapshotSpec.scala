@@ -533,6 +533,78 @@ class SnapshotSpec extends SparkSpec {
       "a refused commit must never have overwritten the standing claim")
   }
 
+  test("merge: upsert replaces matched rows, inserts the rest, carries clean files verbatim") {
+    val st = freshStore("snap-merge")
+    val v1 = st.commit(batch(0, 999).repartitionByRange(2, col("id")))
+    val before = st.read().select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    // updates (ids 0..4, new payload) + inserts (ids 2000..2004)
+    val delta = spark.range(0, 5)
+      .select(col("id"), lit("u").as("k"), lit(-1.0).as("v"))
+      .unionByName(spark.range(2000, 2005)
+        .select(col("id"), lit("i").as("k"), lit(-2.0).as("v")))
+    val v2 = st.merge(delta, Seq("id"))
+    assert(v2 === 2L)
+    assert(st.read().count() === 1005L)
+    assert(st.read().filter($"id" < 5).agg(sum("v")).head.getDouble(0) === -5.0,
+      "matched rows must carry the DELTA payload")
+    assert(st.read().filter($"id" >= 2000).count() === 5L, "unmatched delta rows insert")
+    assert(st.read().filter($"id".between(5, 9)).agg(sum("v")).head.getDouble(0)
+      === (5 to 9).map(_ * 2.0).sum,
+      "unmatched rows of a HIT file must survive with their original payload")
+    val after = st.read().select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(before.intersect(after).size === before.size - 1,
+      "exactly the key-matched file rewrites; clean files carry by reference")
+    // audit trail: the pre-merge version is untouched
+    assert(st.readAt(v1).count() === 1000L)
+    assert(st.readAt(v1).filter($"id" === 0).head.getAs[Double]("v") === 0.0)
+  }
+
+  test("merge: zone-pruned candidates skip key-disjoint files") {
+    val st = freshStore("snap-merge-zm")
+    st.commit(batch(0, 999).repartitionByRange(10, col("id")))
+    val delta = spark.range(100, 110)
+      .select(col("id"), lit("u").as("k"), lit(-1.0).as("v"))
+    val (n, cand) = st.mergeCandidates(delta, Seq("id"), st.latestVersion.get)
+    assert(n === 10L)
+    assert(cand.size <= 3, s"expected ~1 candidate file of 10, got ${cand.size}")
+    st.merge(delta, Seq("id"))
+    assert(st.read().count() === 1000L)
+    assert(st.read().filter($"v" === -1.0).count() === 10L)
+  }
+
+  test("merge: empty delta no-ops; merge into an empty store commits everything") {
+    val st = freshStore("snap-merge-empty")
+    val v1 = st.merge(batch(0, 9), Seq("id"))
+    assert(v1 === 1L, "merge into an empty store inserts everything")
+    assert(st.read().count() === 10L)
+    val v2 = st.merge(batch(0, -1), Seq("id")) // empty delta
+    assert(v2 === v1, "an empty delta must not churn a version")
+    assert(st.latestVersion === Some(v1))
+  }
+
+  test("changelog across a merge: updates surface as delete+insert, survivors cancel") {
+    val st = freshStore("snap-merge-cdc")
+    val v1 = st.commit(batch(0, 9))
+    val delta = spark.range(3, 6)
+      .select(col("id"), lit("u").as("k"), lit(-1.0).as("v"))
+      .unionByName(spark.range(100, 102)
+        .select(col("id"), lit("i").as("k"), lit(-2.0).as("v")))
+    val v2 = st.merge(delta, Seq("id"))
+    val c = st.changelog(v1, v2, Seq("id")).collect()
+    val ins = c.filter(_.getAs[String]("_change") == "insert")
+    val del = c.filter(_.getAs[String]("_change") == "delete")
+    assert(ins.map(_.getAs[Long]("id")).sorted.toSeq === Seq(3L, 4L, 5L, 100L, 101L),
+      "updated keys re-insert with the new payload; fresh keys insert")
+    assert(del.map(_.getAs[Long]("id")).sorted.toSeq === Seq(3L, 4L, 5L),
+      "updated keys surface their OLD row as a delete; survivors cancel")
+    assert(del.forall(r => r.getAs[Double]("v") == r.getAs[Long]("id") * 2.0),
+      "delete rows carry the pre-merge payload")
+    assert(ins.filter(_.getAs[Long]("id") < 100).forall(_.getAs[Double]("v") == -1.0),
+      "insert rows carry the delta payload")
+  }
+
   test("snapshots(): one lineage row per acknowledged version with tags and censuses") {
     val st = freshStore("snap-meta")
     st.commit(batch(0, 9))
