@@ -1389,6 +1389,122 @@ object SparkEntry {
         .orderBy("event_type", "change")
     }),
 
+    // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
+    // d15 persisted dedup index): documents live in a snapshot table; the
+    // LSH index is built once at v1; an append (v2) and a takedown
+    // deleteWhere (v3) then maintain the index FROM THE CHANGELOG ALONE —
+    // delete index rows for '_change = delete' keys, shingle+sign only the
+    // insert rows (whose payload the changelog itself carries). A row
+    // appended then taken down inside the window nets to nothing and never
+    // enters the index. This is the compliance contract a training-data
+    // pipeline is audited on: a takedown MUST propagate to derived
+    // artifacts without a full rebuild. The query certifies equivalence in
+    // BOTH engines' terms: diff_docs/diff_bands count the symmetric
+    // difference against a from-scratch rebuild at v3 (must be 0), and
+    // n_docs/docs_ck replay the surviving membership via portable md5 in
+    // the oracle. maxBucket is uncapped here because the bucket-size skew
+    // guard is a global property an incremental maintainer cannot see —
+    // production would re-cap at compaction.
+    "k25_cdc_index_sync" -> ((s, d) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-cdcidx").toString
+      val st = new SnapshotStore(s, s"$out/snap", "doc_id")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val cap = 1000000
+      val v1 = st.commit(docs.filter(col("doc_id") % 4 =!= 0))
+      val idx1 = Dedup.buildIndex(st.readAt(v1), "doc_id", "text",
+        shingleN = 3, bands = 12, rowsPerBand = 4, maxBucket = cap)
+      st.commit(docs.filter(col("doc_id") % 4 === 0))
+      val v3 = st.deleteWhere(col("doc_id") % 10 === 3)
+        .getOrElse(sys.error("takedown matched no rows — fixture drift"))
+      val cdc = st.changelog(v1, v3, Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val delKeys = cdc.filter(col("_change") === "delete")
+        .select(col("doc_id").as("id"))
+      val mini = Dedup.buildIndex(
+        cdc.filter(col("_change") === "insert").select("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
+        maxBucket = cap)
+      val incDocs = idx1.docs.join(delKeys, Seq("id"), "left_anti")
+        .unionByName(mini.docs)
+      val incBands = idx1.bands.join(delKeys, Seq("id"), "left_anti")
+        .unionByName(mini.bands)
+      val reb = Dedup.buildIndex(st.read(), "doc_id", "text",
+        shingleN = 3, bands = 12, rowsPerBand = 4, maxBucket = cap)
+      // exceptAll is POSITIONAL and using-joins reorder key columns first —
+      // normalize both sides to one column order or the diff coerces bk to
+      // BIGINT and explodes
+      def sym(a: DataFrame, b: DataFrame): Long = {
+        val cols = a.columns.sorted.toSeq.map(col)
+        val (an, bn) = (a.select(cols: _*), b.select(cols: _*))
+        an.exceptAll(bn).count() + bn.exceptAll(an).count()
+      }
+      val diffDocs = sym(incDocs, reb.docs)
+      val diffBands = sym(incBands, reb.bands)
+      // portable membership checksum over the MAINTAINED index (the oracle
+      // replays it from the raw table + takedown predicate)
+      val row = incDocs.agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2147483647L).as("docs_ck")).head
+      Seq(idx1.docs, mini.docs, reb.docs, cdc).foreach(_.unpersist())
+      Seq((row.getLong(0), row.getLong(1), diffDocs, diffBands))
+        .toDF("n_docs", "docs_ck", "diff_docs", "diff_bands")
+    }),
+
+    // K26 — CDC-driven maintenance of the VECTOR index (k25's contract for
+    // the IVF-PQ serving artifact): embeddings live in a snapshot table,
+    // the quantizer fits ONCE at v1 and its centroids/codebooks stay
+    // pinned; an append commit and a takedown deleteWhere then maintain
+    // the codes parquet from the changelog alone — Pq.append encodes the
+    // insert rows against the pinned artifacts (m bytes per new row, no
+    // re-fit, touching only the listId partitions hit), delete keys
+    // anti-join out of the serve view. Equivalence is certified against a
+    // full re-encode of the v3 table under the SAME artifacts (re-fitting
+    // would be a different index by design — quantizer drift is refit
+    // policy, measured separately by v14's inertia): diff_codes must be 0,
+    // membership replays in the oracle.
+    "k26_cdc_ann_sync" -> ((s, d) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-cdcann").toString
+      val st = new SnapshotStore(s, s"$out/snap", "vec_id")
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val v1 = st.commit(emb.filter(col("vec_id") % 4 =!= 3))
+      val base = st.readAt(v1)
+      Pq.save(Ivf.build(base, "vec_id", "embedding", nLists = 16),
+        Pq.fit(base, "embedding", dim = 64, m = 8, k = 16), s"$out/idx")
+      st.commit(emb.filter(col("vec_id") % 4 === 3))
+      val v3 = st.deleteWhere(col("vec_id") % 10 === 7)
+        .getOrElse(sys.error("takedown matched no rows — fixture drift"))
+      val cdc = st.changelog(v1, v3, Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Pq.append(s, s"$out/idx",
+        cdc.filter(col("_change") === "insert").select("vec_id", "embedding"),
+        "vec_id", "embedding")
+      val delKeys = cdc.filter(col("_change") === "delete")
+        .select(col("vec_id").as("id"))
+      val idx = Pq.load(s, s"$out/idx")
+      val inc = idx.codes.join(delKeys, Seq("id"), "left_anti")
+      // honest rebuild: assign + encode the v3 table against the pinned
+      // artifacts (deterministic per row, so inc must match bit-for-bit)
+      val e = st.read().select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      val reb = Pq.encode(Ivf.assign(e, idx.centroids), "id", "emb",
+        idx.model, keepCols = Seq("listId"))
+      def sym(a: DataFrame, b: DataFrame): Long = {
+        val cols = a.columns.sorted.toSeq.map(col)
+        val (an, bn) = (a.select(cols: _*), b.select(cols: _*))
+        an.exceptAll(bn).count() + bn.exceptAll(an).count()
+      }
+      val diffCodes = sym(inc, reb)
+      val row = inc.agg(count(lit(1)).as("n_vecs"),
+        sum(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2147483647L).as("vecs_ck")).head
+      cdc.unpersist()
+      Seq((row.getLong(0), row.getLong(1), diffCodes))
+        .toDF("n_vecs", "vecs_ck", "diff_codes")
+    }),
+
     // K2/S3 — object-store PUT→GET round-trip through the REAL store
     // boundary (sources.ObjectStore): each region's nations serialize into
     // one object uploaded via uploadRaw, every key is fetched back via
@@ -5138,6 +5254,28 @@ object SparkEntry {
         |       CAST(sum(CAST(value + 1000 AS DECIMAL(30,3))) AS DOUBLE)
         |FROM upd GROUP BY 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // k25: the maintained index's membership must be exactly the corpus
+    // minus the takedown (replayed via portable md5 checksum), and the
+    // symmetric difference against a from-scratch rebuild must be zero on
+    // both index tables
+    "k25_cdc_index_sync" ->
+      """SELECT count(*) AS n_docs,
+        |       sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 2147483647) AS docs_ck,
+        |       CAST(0 AS BIGINT) AS diff_docs,
+        |       CAST(0 AS BIGINT) AS diff_bands
+        |FROM documents WHERE doc_id % 10 <> 3""".stripMargin,
+
+    // k26: the maintained codes parquet's membership must be exactly the
+    // embeddings corpus minus the takedown, and a full re-encode under the
+    // pinned artifacts must agree code-for-code (diff_codes = 0)
+    "k26_cdc_ann_sync" ->
+      """SELECT count(*) AS n_vecs,
+        |       sum(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 2147483647) AS vecs_ck,
+        |       CAST(0 AS BIGINT) AS diff_codes
+        |FROM embeddings WHERE vec_id % 10 <> 7""".stripMargin,
 
     // k2: the engine side PUTs each region's nations as an object and GETs
     // them back through the ObjectStore boundary; the oracle is the pure
