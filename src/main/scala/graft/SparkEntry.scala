@@ -3735,6 +3735,91 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey"))
     }),
 
+    // H-OLAP: small-quantity revenue (TPC-H Q17 shape) — the CORRELATED
+    // SCALAR subquery class: each lineitem row compares against an
+    // aggregate of its own part's lineitems (0.2 × avg quantity).
+    // Spark-first decorrelation: the part dim filters FIRST and broadcasts,
+    // the per-part threshold table is computed over only the selected
+    // parts' lineitems and broadcasts back (it is |selected parts| rows) —
+    // lineitem is never a build side and never shuffles on the fact side.
+    // Quantities are whole-number doubles, so avg is order-independent and
+    // the threshold compare is cross-engine deterministic.
+    "h11_small_qty_revenue" -> ((s, d) => {
+      val parts = broadcast(t(s, d, "part")
+        .filter(col("p_brand") === "Brand#4" && col("p_size") < 10)
+        .select("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val selected = li.join(parts, col("l_partkey") === col("p_partkey"))
+      val thr = broadcast(selected.groupBy("l_partkey")
+        .agg((avg("l_quantity") * 0.2).as("qty_thr"))
+        .withColumnRenamed("l_partkey", "t_partkey"))
+      selected.join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg((sum(col("l_extendedprice").cast("decimal(30,4)")).cast("double")
+          / 7.0).as("avg_yearly"))
+    }),
+
+    // H-OLAP: suppliers who alone spoiled multi-supplier orders (TPC-H Q21
+    // shape) — the EXISTS / NOT EXISTS chain. Spark-first decorrelation
+    // with NO self-join at all: one (order, supplier) rollup, then an
+    // order-partitioned window derives both existence tests — n_supp > 1
+    // ⇔ EXISTS(another supplier), n_bad_supp = 1 ⇔ NOT EXISTS(another
+    // supplier at fault) given this supplier is at fault ('R' lines stand
+    // in for the reference schema's receipt-past-commit lines). The oracle
+    // runs the literal correlated EXISTS form — DuckDB's decorrelator vs
+    // this plan, row-for-row. Lineitem appears in no broadcast; only the
+    // supplier dim ships.
+    "h12_waiting_suppliers" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_bad_rows"))
+      val w = Window.partitionBy("l_orderkey")
+      perSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_bad_supp",
+          sum((col("n_bad_rows") > 0).cast("long")).over(w))
+        .filter(col("n_bad_rows") > 0 && col("n_supp") > 1 &&
+          col("n_bad_supp") === 1)
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(sum(col("n_bad_rows")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // H-OLAP: high-balance dormant customers (TPC-H Q22 shape) — scalar
+    // aggregate subquery + anti-join. The positive-balance average is ONE
+    // bounded aggregate broadcast back as a cross join (exactly what a
+    // decorrelated scalar subquery is); the compare multiplies through by
+    // the count (c_acctbal · n > Σ) so both engines compare identical
+    // doubles instead of an order-sensitive float average. Dormancy = no
+    // order since 2000-01-01, a LEFT ANTI against the orders fact — the
+    // anti-join never broadcasts the fact side.
+    "h13_dormant_customers" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .withColumn("cntrycode", pmod(col("c_nationkey"), lit(10)))
+        .filter(col("cntrycode").isin(1, 3, 5, 7))
+      val pos = cust.filter(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(col("c_acctbal").cast("decimal(30,2)")).cast("double").as("s_pos"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("c_acctbal") * col("n_pos") > col("s_pos"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(30,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // J-joins: POINT-IN-TIME join — each event joins the SCD-2 status
     // interval covering its timestamp ("what was the user's status when
     // the event happened"), the temporal-correctness join every
@@ -5313,6 +5398,57 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY month ORDER BY month""".stripMargin,
+
+    // h11: the LITERAL correlated scalar subquery — DuckDB decorrelates it
+    // itself; quantities are whole numbers so the 0.2·avg threshold is
+    // bit-identical across engines
+    "h11_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / 7.0
+        |         AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4' AND p_size < 10
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // h12: the LITERAL EXISTS / NOT EXISTS chain (Q21's shape on this
+    // schema: 'R' lines are the fault marker) — counts qualifying l1 ROWS
+    // per supplier, finalized orders only
+    "h12_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // h13: scalar avg subquery (multiplied through by the count for exact
+    // float compare) + NOT EXISTS dormancy anti-join since 2000-01-01
+    "h13_dormant_customers" ->
+      """WITH sel AS (
+        |  SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cntrycode
+        |  FROM customer WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+        |), pos AS (
+        |  SELECT count(*) AS n_pos,
+        |         CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS s_pos
+        |  FROM sel WHERE c_acctbal > 0.0
+        |)
+        |SELECT cntrycode, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+        |FROM sel, pos
+        |WHERE c_acctbal * n_pos > s_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = sel.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     // h8: integer-exact quantity sums (quantities are whole numbers), raw
     // o_totalprice ordering with o_orderkey ties

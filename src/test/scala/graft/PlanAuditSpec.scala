@@ -282,6 +282,70 @@ class PlanAuditSpec extends SparkSpec {
       s"ship-date filter must be pushed to the lineitem scan:\n$planStr")
   }
 
+  /** Every broadcast subtree that reaches a scan of `table` must also
+    * contain an aggregate: what ships is a dim-bounded REDUCTION of the
+    * fact (a per-part threshold, a per-order rollup), never fact rows.
+    */
+  private def factBroadcastsAreAggShielded(df: org.apache.spark.sql.DataFrame,
+      table: String): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    flatten(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastExchangeExec => b }
+      .foreach { b =>
+        val sub = flatten(b)
+        val hasFact = sub.exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.mkString.contains(table)
+          case _ => false
+        }
+        val hasAgg = sub.exists {
+          case _: HashAggregateExec | _: ObjectHashAggregateExec |
+               _: SortAggregateExec => true
+          case _ => false
+        }
+        assert(!hasFact || hasAgg,
+          s"a broadcast ships raw $table rows (no aggregate above the scan):\n$b")
+      }
+  }
+
+  test("h11 Q17 shape: thresholds broadcast as a dim-bounded aggregate, never raw lineitem") {
+    val df = SparkEntry.queries("h11_small_qty_revenue")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val planStr = planOf(df)
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"the filtered part dim and the per-part threshold table must broadcast:\n$planStr")
+    factBroadcastsAreAggShielded(df, "lineitem")
+    // the brand/size predicate reaches the part scan
+    val partScan = planStr.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("part.parquet")).toSeq
+    assert(partScan.nonEmpty && partScan.forall(_.contains("p_brand")),
+      s"the part filter must push to the scan:\n$planStr")
+  }
+
+  test("h12 Q21 shape: order-partitioned window, no self-join, lineitem never ships raw") {
+    val df = SparkEntry.queries("h12_waiting_suppliers")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val planStr = planOf(df)
+    assert(planStr.contains("hashpartitioning(l_orderkey"),
+      s"the existence tests must run as an order-partitioned window:\n$planStr")
+    assert(!planStr.contains("SinglePartition"),
+      s"no global window allowed:\n$planStr")
+    factBroadcastsAreAggShielded(df, "lineitem")
+  }
+
+  test("h13 Q22 shape: the scalar aggregate broadcasts; customer never ships raw") {
+    val df = SparkEntry.queries("h13_dormant_customers")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val planStr = planOf(df)
+    // the decorrelated scalar subquery is exactly a broadcast nested loop
+    // of a one-row aggregate
+    assert(planStr.contains("BroadcastNestedLoopJoin"),
+      s"the positive-balance scalar must join as a broadcast cross:\n$planStr")
+    factBroadcastsAreAggShielded(df, "customer")
+  }
+
   test("j13 PIT join: interval predicate rides the user_id equi-join, never a nested loop") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("j13_pit_join")(spark, "/root/testdata/sf0.001")
