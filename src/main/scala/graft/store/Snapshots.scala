@@ -129,29 +129,51 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       .sorted
   }
 
-  private def readManifest(v: Long): Seq[FileEntry] = {
-    val p = manifestPath(v)
-    require(fs.exists(p),
-      s"snapshot version $v is not retained at $path (expired or never committed)")
+  /** TWO-LEVEL MANIFESTS (r13; Iceberg's manifest-list idea): a version's
+    * manifest is a LIST of `@group` references to immutable GROUP files,
+    * each holding the entry TSV for the files one commit (or one rewrite
+    * residue) produced. An append carries every previous group BY
+    * REFERENCE and writes one new group — commit metadata cost is
+    * O(changed files + #groups), never O(table files). A partial rewrite
+    * (deleteWhere / merge / compaction) rewrites only the groups it
+    * touched. Legacy single-level manifests (inline entry lines) still
+    * read; a commit on top of one migrates the inline entries into a
+    * group file once.
+    */
+  private final case class Group(ref: Option[String], names: Seq[String],
+    entries: Seq[FileEntry])
+
+  private def groupPath(name: String) = new Path(s"$path/_manifests/$name")
+
+  // group files are immutable and uuid-named, so a per-store cache is safe;
+  // stores are short-lived objects, the cache dies with them
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Seq[FileEntry])]()
+
+  private def readLines(p: Path): Seq[String] = {
     val in = fs.open(p)
-    val lines =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
-      finally in.close()
-    // Integrity: manifests written by this class carry a CRC32 of the
-    // entry body — a truncated or bit-flipped manifest must fail LOUDLY
-    // here, not surface as a partial table (the failure mode object
-    // stores actually produce). Absence of the header is tolerated
-    // (pre-crc manifests read unchecked).
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Integrity: metadata files carry a CRC32 of the non-header body — a
+    * truncated or bit-flipped manifest/group must fail LOUDLY, not surface
+    * as a partial table (the failure mode object stores actually produce).
+    * Absence of the header is tolerated (pre-crc files read unchecked).
+    */
+  private def checkCrc(lines: Seq[String], what: String): Unit =
     lines.find(_.startsWith("#crc=")).foreach { h =>
       val body = lines.filterNot(_.startsWith("#")).mkString("\n")
       val crc = new java.util.zip.CRC32
       crc.update(body.getBytes(StandardCharsets.UTF_8))
       require(h.stripPrefix("#crc=") == java.lang.Long.toHexString(crc.getValue),
-        s"snapshot manifest v$v at $path fails its checksum — metadata corrupt; " +
+        s"snapshot $what at $path fails its checksum — metadata corrupt; " +
           "restore the file or expire past it")
     }
-    lines.filterNot(_.startsWith("#")).map { l =>
+
+  private def parseEntries(bodyLines: Seq[String]): Seq[FileEntry] =
+    bodyLines.map { l =>
       val a = l.split("\t")
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toDouble,
         a(5).toLong,
@@ -160,6 +182,81 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         a.drop(6).grouped(2).collect { case Array(mn, mx) =>
           (mn.toDouble, mx.toDouble) }.toSeq)
     }
+
+  private def statsHeaderOf(lines: Seq[String]): Seq[String] =
+    lines.find(_.startsWith("#stats="))
+      .map(_.stripPrefix("#stats=").split(",").toSeq)
+      .getOrElse(Seq(statsCol))
+
+  private def readGroupFile(name: String): (Seq[String], Seq[FileEntry]) =
+    groupCache.computeIfAbsent(name, _ => {
+      val p = groupPath(name)
+      require(fs.exists(p),
+        s"manifest group $name is missing at $path — metadata corrupt or " +
+          "a referenced group was expired; restore the file or expire past " +
+          "the versions referencing it")
+      val lines = readLines(p)
+      checkCrc(lines, s"group $name")
+      (statsHeaderOf(lines), parseEntries(lines.filterNot(_.startsWith("#"))))
+    })
+
+  /** A version's manifest parsed to the REF level — no group file is
+    * opened. Legacy inline entries surface as one ref-less group.
+    */
+  private def refListOf(v: Long): (Seq[String], Option[Group]) = {
+    val p = manifestPath(v)
+    require(fs.exists(p),
+      s"snapshot version $v is not retained at $path (expired or never committed)")
+    val lines = readLines(p)
+    checkCrc(lines, s"manifest v$v")
+    val names = statsHeaderOf(lines)
+    val body = lines.filterNot(_.startsWith("#"))
+    val (refLines, inline) = body.partition(_.startsWith("@"))
+    (refLines.map(_.stripPrefix("@")),
+      if (inline.nonEmpty) Some(Group(None, names, parseEntries(inline)))
+      else None)
+  }
+
+  /** A version's groups, raw (each with its OWN stats names — alignment to
+    * the version's effective names happens in [[readManifest]]).
+    */
+  private def readGroupsOf(v: Long): Seq[Group] = {
+    val (refs, inline) = refListOf(v)
+    refs.map { n =>
+      val (gNames, es) = readGroupFile(n)
+      Group(Some(n), gNames, es)
+    } ++ inline
+  }
+
+  /** Re-express entry bounds recorded under `from` names in `to` names —
+    * per-file bounds are facts about immutable files and must survive a
+    * writer that declares different columns. A (file, column) with no
+    * recorded bounds gets (-Inf, +Inf) — "no information", which no prune
+    * can act on. Without name alignment, reopening the store with
+    * different stats columns would reinterpret one column's bounds as
+    * another's and prune files that DO contain matches.
+    */
+  private def alignEntries(from: Seq[String], to: Seq[String],
+      es: Seq[FileEntry]): Seq[FileEntry] = {
+    if (from == to) es
+    else {
+      val noInfo = (Double.NegativeInfinity, Double.PositiveInfinity)
+      es.map { e =>
+        val known: Map[String, (Double, Double)] =
+          from.zipWithIndex.flatMap { case (n, i) =>
+            if (i == 0) Some(n -> ((e.minS, e.maxS)))
+            else e.extra.lift(i - 1).map(n -> _)
+          }.toMap
+        def of(c: String) = known.getOrElse(c, noInfo)
+        val (mn0, mx0) = of(to.head)
+        e.copy(minS = mn0, maxS = mx0, extra = to.tail.map(of))
+      }
+    }
+  }
+
+  private def readManifest(v: Long): Seq[FileEntry] = {
+    val eff = statsNamesOf(v)
+    readGroupsOf(v).flatMap(g => alignEntries(g.names, eff, g.entries))
   }
 
   /** Stats column names a version's manifest carries (header-declared;
@@ -168,14 +265,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   def statsNamesOf(v: Long): Seq[String] = {
     val p = manifestPath(v)
     require(fs.exists(p), s"snapshot version $v is not retained at $path")
-    val in = fs.open(p)
-    val lines =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8).split("\n").toSeq
-      finally in.close()
-    lines.find(_.startsWith("#stats="))
-      .map(_.stripPrefix("#stats=").split(",").toSeq)
-      .getOrElse(Seq(statsCol))
+    statsHeaderOf(readLines(p))
   }
 
   /** The writer tag a version's manifest was committed under, if any. */
@@ -271,7 +361,21 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * driver.
     */
   def commit(df: DataFrame): Long =
-    doCommit(df, () => latestVersion.map(readManifest).getOrElse(Seq.empty))
+    doCommit(df, () => carriedGroups(_ => true))
+
+  /** The current groups filtered by an entry predicate: untouched groups
+    * carry BY REFERENCE, a group losing some (but not all) entries is
+    * re-expressed as a fresh group of its survivors, an emptied group
+    * drops. Evaluated under the commit lock, so append-style commits
+    * rebase onto whatever version a concurrent writer just acknowledged.
+    */
+  private def carriedGroups(keep: FileEntry => Boolean): Seq[Group] =
+    latestVersion.map(readGroupsOf(_).flatMap { g =>
+      val kept = g.entries.filter(keep)
+      if (kept.isEmpty) None
+      else if (kept.size == g.entries.size) Some(g)
+      else Some(Group(None, g.names, kept))
+    }).getOrElse(Seq.empty)
 
   /** Idempotent tagged append — the exactly-once handshake for
     * AT-LEAST-ONCE writers (foreachBatch replays, retried jobs): the tag
@@ -288,8 +392,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   def commitTagged(df: DataFrame, tag: String): Long = {
     require(!tag.contains("\n") && !tag.contains("\t"), s"malformed tag: $tag")
     taggedVersion(tag).getOrElse(
-      doCommit(df, () => latestVersion.map(readManifest).getOrElse(Seq.empty),
-        tag = Some(tag)))
+      doCommit(df, () => carriedGroups(_ => true), tag = Some(tag)))
   }
 
   /** Commit whose manifest references ONLY the newly written files — the
@@ -323,9 +426,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         val packed = spark.read.option("mergeSchema", "true")
           .parquet(small.map(_.file): _*)
           .repartitionByRange(math.max(targetFiles, 1), col(statsCol))
+        val smallFiles = small.map(_.file).toSet
         // planned against `prev`: a concurrent commit in between must fail
         // this rewrite (ConcurrentModificationException), not be dropped
-        Some(doCommit(packed, () => m.filterNot(e => small.contains(e)),
+        Some(doCommit(packed, () => carriedGroups(e => !smallFiles(e.file)),
           expectedPrev = Some(Some(prev))))
       }
     }
@@ -363,7 +467,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
             // (filter(cond) above kept only TRUE rows), so keep null rows
             .filter(!coalesce(cond, lit(false)))
         // planned against `prev`: fail on a concurrent commit, never drop it
-        Some(doCommit(survivors, () => m.filterNot(e => hit(e.file)),
+        Some(doCommit(survivors, () => carriedGroups(e => !hit(e.file)),
           expectedPrev = Some(Some(prev))))
       }
     }
@@ -423,7 +527,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
               .parquet(hit.toSeq: _*)
               .join(dKeys, keyCols, "left_anti") // keep only unmatched rows
               .unionByName(delta, allowMissingColumns = true)
-          doCommit(newData, () => m.filterNot(e => hit(e.file)),
+          doCommit(newData, () => carriedGroups(e => !hit(e.file)),
             expectedPrev = Some(Some(prev)))
         }
     }
@@ -459,7 +563,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     (nDelta, kept)
   }
 
-  private def doCommit(df: DataFrame, base: () => Seq[FileEntry],
+  private def doCommit(df: DataFrame, base: () => Seq[Group],
       tag: Option[String] = None,
       expectedPrev: Option[Option[Long]] = None): Long = {
     // Damaged-store guard: with no acknowledged version, the only debris
@@ -588,38 +692,32 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   }
 
   private def finishCommit(v: Long, prev: Option[Long],
-      base: () => Seq[FileEntry], tag: Option[String],
+      base: () => Seq[Group], tag: Option[String],
       stats: Array[FileEntry]): Long = {
-    // The new manifest tracks the UNION of the writer's declared stats
-    // columns and every column the previous manifest already knew —
-    // per-file bounds are facts about immutable files and must survive a
-    // writer that declares fewer columns. Entries are re-expressed under
-    // the union BY NAME (the previous header says what each positional
-    // pair means); a (file, column) with no recorded bounds gets
-    // (-Inf, +Inf) — "no information", which no prune can act on. Without
-    // the name alignment, reopening the store with different stats
-    // columns would reinterpret one column's bounds as another's and
-    // prune files that DO contain matches.
-    val prevNames = prev.map(statsNamesOf).getOrElse(Seq.empty)
-    val effNames = statsCols ++ prevNames.filterNot(statsCols.contains)
-    val noInfo = (Double.NegativeInfinity, Double.PositiveInfinity)
-    def align(e: FileEntry): FileEntry = {
-      val known: Map[String, (Double, Double)] =
-        prevNames.zipWithIndex.flatMap { case (n, i) =>
-          if (i == 0) Some(n -> ((e.minS, e.maxS)))
-          else e.extra.lift(i - 1).map(n -> _)
-        }.toMap
-      def of(c: String) = known.getOrElse(c, noInfo)
-      val (mn0, mx0) = of(effNames.head)
-      e.copy(minS = mn0, maxS = mx0, extra = effNames.tail.map(of))
+    // Carried groups ride BY REFERENCE; only the groups this commit
+    // actually changed (partial survivors of a rewrite) and the new batch
+    // become group writes — the O(changed) commit cost two-level
+    // manifests exist for. Stats-name alignment happens at READ time, by
+    // name, so shared immutable groups stay valid across writers
+    // declaring different columns; the manifest's #stats header declares
+    // the version's effective name list (writer's columns first, then
+    // every column the carried groups still track).
+    val carried = base()
+    val effNames = statsCols ++
+      carried.flatMap(_.names).distinct.filterNot(statsCols.contains)
+    val groups = carried ++
+      (if (stats.nonEmpty) Seq(Group(None, statsCols, stats.toSeq))
+       else Seq.empty)
+    val refs = groups.map {
+      case Group(Some(r), _, _) => r
+      case Group(None, names, entries) =>
+        val name = s"g-${java.util.UUID.randomUUID()}.group"
+        writeAtomic(groupPath(name), groupBody(entries, names),
+          overwrite = false)
+        name
     }
-    // measured bounds exist for the declared columns; legacy-only columns
-    // are untracked for the new files
-    val measured = stats.map(e =>
-      e.copy(extra = e.extra ++ effNames.drop(statsCols.size).map(_ => noInfo)))
-    val entries = base().map(align) ++ measured
     val nonce = java.util.UUID.randomUUID().toString
-    writeAtomic(manifestPath(v), manifestBody(entries, tag, effNames, nonce),
+    writeAtomic(manifestPath(v), listBody(refs, tag, effNames, nonce),
       overwrite = false)
     acknowledge(v, nonce)
   }
@@ -660,8 +758,14 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     }
   }
 
-  private def manifestBody(entries: Seq[FileEntry], tag: Option[String],
-      names: Seq[String], nonce: String): String = {
+  private def crcOf(body: String): String = {
+    val crc = new java.util.zip.CRC32
+    crc.update(body.getBytes(StandardCharsets.UTF_8))
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
+  /** An immutable group file: entry TSV under its own #stats header. */
+  private def groupBody(entries: Seq[FileEntry], names: Seq[String]): String = {
     val body = entries.map { e =>
       val fixed = String.format(Locale.ROOT,
         "%s\t%d\t%d\t%s\t%s\t%d", e.file, java.lang.Long.valueOf(e.batch),
@@ -673,10 +777,15 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       }.mkString
       fixed + extras
     }.mkString("\n")
-    val crc = new java.util.zip.CRC32
-    crc.update(body.getBytes(StandardCharsets.UTF_8))
+    s"#crc=${crcOf(body)}\n#stats=${names.mkString(",")}\n" + body
+  }
+
+  /** The per-version manifest: a LIST of @group references. */
+  private def listBody(refs: Seq[String], tag: Option[String],
+      names: Seq[String], nonce: String): String = {
+    val body = refs.map("@" + _).mkString("\n")
     tag.map(t => s"#tag=$t\n").getOrElse("") +
-      s"#crc=${java.lang.Long.toHexString(crc.getValue)}\n" +
+      s"#crc=${crcOf(body)}\n" +
       s"#stats=${names.mkString(",")}\n" +
       s"#nonce=$nonce\n" + body
   }
@@ -794,17 +903,34 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           "expire() retention must outlive every CDC consumer's window " +
           "(checkpoint within keepLast versions, or raise keepLast)")
     }
-    val from = readManifest(fromV)
-    val to = readManifest(toV)
-    val fromFiles = from.map(_.file).toSet
-    val toFiles = to.map(_.file).toSet
-    val addedF = to.filterNot(e => fromFiles(e.file)).map(_.file)
-    val removedF = from.filterNot(e => toFiles(e.file)).map(_.file)
-    // a side whose manifest went empty (e.g. deleteWhere removed every
-    // row) borrows the OTHER side's manifest for schema derivation — the
-    // delete rows must still surface, not throw "no data files"
-    val added = readFiles(addedF, if (to.nonEmpty) to else from)
-    val removed = readFiles(removedF, if (from.nonEmpty) from else to)
+    // Group-level short-circuit: refs SHARED by both manifests are the
+    // same immutable group — their files are carried on both sides, no
+    // net change can hide there, and the group file is never even opened.
+    // Metadata cost is O(changed groups), not O(table files).
+    val (fromRefs, fromInline) = refListOf(fromV)
+    val (toRefs, toInline) = refListOf(toV)
+    val sharedRefs = fromRefs.toSet.intersect(toRefs.toSet)
+    def changedEntries(refs: Seq[String], inline: Option[Group]): Seq[FileEntry] =
+      refs.filterNot(sharedRefs.contains).flatMap(n => readGroupFile(n)._2) ++
+        inline.toSeq.flatMap(_.entries)
+    val fromCh = changedEntries(fromRefs, fromInline)
+    val toCh = changedEntries(toRefs, toInline)
+    val fromFiles = fromCh.map(_.file).toSet
+    val toFiles = toCh.map(_.file).toSet
+    val addedF = toCh.map(_.file).filterNot(fromFiles)
+    val removedF = fromCh.map(_.file).filterNot(toFiles)
+    // a side selecting no files still needs the table schema: borrow any
+    // live entry — own changed groups first, then a shared group, then
+    // the other side (e.g. deleteWhere removed every row) — the delete
+    // rows must still surface, not throw "no data files"
+    lazy val sharedEntries = sharedRefs.toSeq.sorted.headOption
+      .map(n => readGroupFile(n)._2).getOrElse(Seq.empty)
+    def schemaFrom(own: Seq[FileEntry], other: Seq[FileEntry]): Seq[FileEntry] =
+      if (own.nonEmpty) own
+      else if (sharedEntries.nonEmpty) sharedEntries
+      else other
+    val added = readFiles(addedF, schemaFrom(toCh, fromCh))
+    val removed = readFiles(removedF, schemaFrom(fromCh, toCh))
     // schema evolution may leave columns only one side has (merged reads
     // are per-side); cancellation compares the columns BOTH sides carry
     val shared = added.columns.filter(removed.columns.contains(_)).toSeq
@@ -875,6 +1001,20 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val dead = (all -- live).toSeq.sorted
     dead.foreach(f => fs.delete(new Path(f), false))
     vs.filterNot(keep).foreach(v => fs.delete(manifestPath(v), false))
+    // group files unreferenced by every RETAINED manifest are metadata
+    // debris (expired versions, crashed commits). Age-gated like every
+    // cleanup: a live concurrent writer's freshly written groups are not
+    // referenced by ANY manifest yet and must survive.
+    val liveRefs: Set[String] = keep.flatMap(v => refListOf(v)._1)
+    val mdir = new Path(s"$path/_manifests")
+    val nowG = System.currentTimeMillis()
+    if (fs.exists(mdir))
+      fs.listStatus(mdir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("g-") && n.endsWith(".group") && !liveRefs(n) &&
+          nowG - st.getModificationTime >= SnapshotStore.DebrisGraceMs)
+          fs.delete(st.getPath, false)
+      }
     // Drop batch dirs left empty by the deletes. NEVER touch .staging-*
     // dirs here: a concurrent commit stages OUTSIDE the lock and its dir
     // holds only _temporary while the distributed write runs — deleting it
@@ -941,6 +1081,18 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           aged(st.getPath))
           fs.delete(st.getPath, true)
       }
+    // group files referenced by no surviving manifest (a commit that died
+    // between its group writes and the manifest claim, or a rolled-back
+    // manifest above) — same age gate as every cleanup
+    val mdir = new Path(s"$path/_manifests")
+    if (fs.exists(mdir)) {
+      val refs: Set[String] = versions.toSet.flatMap((v: Long) => refListOf(v)._1)
+      fs.listStatus(mdir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("g-") && n.endsWith(".group") && !refs(n) &&
+          aged(st.getPath)) fs.delete(st.getPath, false)
+      }
+    }
   }
 }
 

@@ -561,6 +561,48 @@ object Stress {
       println(s"""{"op":"snapshot_concurrent","writers":$w,"batches":$batches,""" +
         s""""sec_wall":${num(tWall)},"rows":$n,"versions":$vN}""")
     }
+
+    // Manifest scaling (r13 two-level lists): T trickle commits; the
+    // metadata bytes the LAST commit writes must track its own files plus
+    // the O(#groups) ref list — never the full file census, which is what
+    // a single-level manifest rewrites per commit (at 10^6 files that is
+    // a ~100 MB text rewrite per commit). `list_bytes` is the whole
+    // manifest of v_T; `last_commit_meta_bytes` is that list plus the one
+    // group file v_T added; `census_entry_bytes` is the counterfactual
+    // single-level cost (every live entry re-serialized).
+    Seq(8, 32).foreach { t =>
+      val dir = java.nio.file.Files.createTempDirectory(s"stress_snap_m$t").toString
+      val st = new SnapshotStore(spark, s"$dir/snap", "event_id")
+      (0 until t).foreach { i =>
+        st.commit(graft.functions.Sampling.hashSample(ev0, "event_id", 0.02)
+          .select((col("event_id") + lit(idStride * (1000L + i))).as("event_id"),
+            col("event_type"), col("value"))
+          .repartitionByRange(4, col("event_id")))
+      }
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def sz(p: String): Long = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(p)).getLen
+      def refs(v: Long): Seq[String] = {
+        val p = new org.apache.hadoop.fs.Path(
+          f"$dir%s/snap/_manifests/v$v%05d.manifest")
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        txt.split("\n").filter(_.startsWith("@")).map(_.stripPrefix("@")).toSeq
+      }
+      val lastRefs = refs(t.toLong)
+      val newGroups = lastRefs.diff(refs(t - 1L))
+      val listBytes = sz(f"$dir%s/snap/_manifests/v$t%05d.manifest")
+      val lastMeta = listBytes +
+        newGroups.map(g => sz(s"$dir/snap/_manifests/$g")).sum
+      val censusBytes = lastRefs.map(g => sz(s"$dir/snap/_manifests/$g")).sum
+      val filesTotal = st.fileCount
+      println(s"""{"op":"snapshot_manifest","commits":$t,"files_total":$filesTotal,""" +
+        s""""groups":${lastRefs.length},"list_bytes":$listBytes,""" +
+        s""""last_commit_meta_bytes":$lastMeta,"census_entry_bytes":$censusBytes}""")
+    }
     ()
   }
 

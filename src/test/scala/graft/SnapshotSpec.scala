@@ -319,22 +319,104 @@ class SnapshotSpec extends SparkSpec {
     assert(kept4 < total4, "v-primary prune must skip v-disjoint tracked files")
   }
 
-  test("a corrupted manifest fails loudly, not as a partial table") {
+  test("a corrupted manifest or group fails loudly, not as a partial table") {
     val st = freshStore("snap-crc")
     st.commit(batch(0, 99).repartitionByRange(4, col("id")))
+    st.commit(batch(100, 199).repartitionByRange(4, col("id")))
     val fs = new org.apache.hadoop.fs.Path(st.path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m1 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00001.manifest")
-    val in = fs.open(m1)
-    val text = new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"); in.close()
-    assert(text.contains("#crc="), "manifests must carry their checksum")
-    // drop one entry line but keep the header — a silent truncation
-    val truncated = text.split("\n").filterNot(_.contains("part-00003")).mkString("\n")
-    val out = fs.create(m1, true)
-    out.write(truncated.getBytes("UTF-8")); out.close()
+    def readText(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    // level 1: drop a @group ref line from the manifest LIST — the list's
+    // own checksum must catch the truncation
+    val m2 = new org.apache.hadoop.fs.Path(st.path + "/_manifests/v00002.manifest")
+    val listText = readText(m2)
+    assert(listText.contains("#crc="), "manifests must carry their checksum")
+    val refs = listText.split("\n").filter(_.startsWith("@"))
+    assert(refs.length === 2, "an append must carry the old group + add one")
+    val truncatedList = listText.split("\n")
+      .filterNot(_ == refs.last).mkString("\n")
+    val out = fs.create(m2, true)
+    out.write(truncatedList.getBytes("UTF-8")); out.close()
     val ex = intercept[IllegalArgumentException](st.read().count())
     assert(ex.getMessage.contains("checksum"))
+    // restore the list, then corrupt level 2: drop one entry line from a
+    // GROUP file — the group's own checksum must catch it
+    val out2 = fs.create(m2, true)
+    out2.write(listText.getBytes("UTF-8")); out2.close()
+    val g = new org.apache.hadoop.fs.Path(
+      st.path + "/_manifests/" + refs.head.stripPrefix("@"))
+    val gText = readText(g)
+    assert(gText.contains("#crc="), "groups must carry their checksum")
+    val truncatedG = gText.split("\n").filterNot(_.contains("part-00003"))
+      .mkString("\n")
+    assert(truncatedG != gText, "the group must contain the entry to drop")
+    val out3 = fs.create(g, true)
+    out3.write(truncatedG.getBytes("UTF-8")); out3.close()
+    // fresh store instance: the group cache must not mask the corruption
+    val st2 = new SnapshotStore(spark, st.path, "id")
+    val ex2 = intercept[IllegalArgumentException](st2.read().count())
+    assert(ex2.getMessage.contains("checksum"))
+  }
+
+  /** The @group refs a version's manifest carries. */
+  private def refsOf(st: SnapshotStore, v: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      st.path + f"/_manifests/v$v%05d.manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    text.split("\n").filter(_.startsWith("@")).map(_.stripPrefix("@")).toSeq
+  }
+
+  test("two-level manifests: appends carry previous groups BY REFERENCE") {
+    val st = freshStore("snap-2lvl")
+    val n = 8
+    (0 until n).foreach(i =>
+      st.commit(batch(i * 100L, i * 100L + 99).repartitionByRange(4, col("id"))))
+    // every version's manifest is a LIST of one ref per commit — O(groups),
+    // never O(table files): v8 lists 8 refs over 32 data files
+    (1 to n).foreach(v => assert(refsOf(st, v).length === v,
+      s"v$v must reference exactly $v groups"))
+    // each append reuses every previous group file verbatim
+    val rn = refsOf(st, n)
+    assert(refsOf(st, n - 1).forall(rn.contains),
+      "an append must not rewrite any carried group")
+    assert(st.read().count() === 100L * n)
+  }
+
+  test("two-level manifests: a partial rewrite touches only the groups it hit") {
+    val st = freshStore("snap-2lvl-rw")
+    (0 until 4).foreach(i =>
+      st.commit(batch(i * 100L, i * 100L + 99).repartitionByRange(2, col("id"))))
+    val before = refsOf(st, 4L)
+    // the delete hits only commit 2's id range → only its group rewrites
+    val v5 = st.deleteWhere(col("id").between(110, 120)).get
+    val after = refsOf(st, v5)
+    // commit 2's group loses its hit file (partial survivor group) and the
+    // rewritten rows land as a new batch group; the other three groups
+    // carry by reference untouched
+    assert(after.length === 5,
+      s"3 carried + 1 partial-survivor + 1 rewrite batch: after=$after")
+    assert(before.intersect(after).size === 3,
+      s"exactly one group may rewrite: before=$before after=$after")
+    assert(st.read().count() === 389L)
+    // expire past the old versions reclaims the superseded group file
+    // (age-gated — too young here, so it must SURVIVE the first expire)
+    st.expire(keepLast = 1)
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = before.diff(after).head
+    val gp = new org.apache.hadoop.fs.Path(st.path + "/_manifests/" + stale)
+    assert(fs.exists(gp), "a young unreferenced group must survive expire")
+    age(st, "_manifests/" + stale)
+    st.expire(keepLast = 1)
+    assert(!fs.exists(gp), "an aged unreferenced group must be reclaimed")
+    assert(st.read().count() === 389L)
   }
 
   test("recover: a lost pointer is restored from the newest manifest") {

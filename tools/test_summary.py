@@ -9,6 +9,7 @@ instead of an untracked directory's mtimes.
 Usage: python3 tools/test_summary.py <round-number>  (run right after `sbt test`)
 """
 import json
+import re
 import subprocess
 import sys
 import xml.etree.ElementTree as ET
@@ -54,6 +55,21 @@ def main():
                  "at this HEAD before stamping")
     dirty = subprocess.run(["git", "status", "--porcelain", "src"], cwd=root,
                            capture_output=True, text=True).stdout.strip()
+    # the r12 verdict's README-drift rule: the README's headline counts must
+    # match reality at stamp time, or the stamp refuses (same discipline as
+    # the stale-reports guard above)
+    readme = (root / "README.md").read_text()
+    m = re.search(r"Current state: (\d+) contract queries", readme)
+    n_queries = len(re.findall(r'^\s*"[a-z0-9_]+" -> \(\(', (
+        root / "src/main/scala/graft/SparkEntry.scala").read_text(), re.M))
+    if m and int(m.group(1)) != n_queries:
+        sys.exit(f"README drift: 'Current state: {m.group(1)} contract queries' "
+                 f"but SparkEntry registers {n_queries} — restamp README.md")
+    m = re.search(r"sbt test\s+# (\d+) tests / (\d+) suites", readme)
+    if m and (int(m.group(1)) != totals["tests"] or int(m.group(2)) != len(suites)):
+        sys.exit(f"README drift: 'sbt test # {m.group(1)} tests / {m.group(2)} "
+                 f"suites' but this run has {totals['tests']} tests / "
+                 f"{len(suites)} suites — restamp README.md")
     out = {
         "round": rnd,
         "run_ts": latest_ts,
