@@ -3841,6 +3841,33 @@ object SparkEntry {
         .orderBy("cntrycode")
     }),
 
+    // H-OLAP: top supplier by quarter revenue (TPC-H Q15 shape) — the
+    // scalar-of-an-aggregated-VIEW class: the revenue view aggregates
+    // lineitem, then the query filters the view against its OWN max. The
+    // view persists once and feeds both the scalar and the filter; the
+    // one-row max broadcasts back as a cross join — never a global window
+    // (the Window-without-partitionBy single-partition killer). Revenue is
+    // an exact DECIMAL(30,4) sum, so the equality against the max is
+    // cross-engine deterministic.
+    "h14_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,4)")).as("rev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top = rev.agg(max(col("rev")).as("max_rev"))
+      sealResult(
+        rev.crossJoin(broadcast(top))
+          .filter(col("rev") === col("max_rev"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey"))(rev)
+    }),
+
     // J-joins: POINT-IN-TIME join — each event joins the SCD-2 status
     // interval covering its timestamp ("what was the user's status when
     // the event happened"), the temporal-correctness join every
@@ -5470,6 +5497,22 @@ object SparkEntry {
         |                  WHERE o_custkey = sel.c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+
+    // h14: the view-scalar correlation run literally — revenue view, max
+    // over the view, equality filter (exact decimals on both sides)
+    "h14_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev = (SELECT max(rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
 
     // h8: integer-exact quantity sums (quantities are whole numbers), raw
     // o_totalprice ordering with o_orderkey ties

@@ -140,8 +140,14 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * read; a commit on top of one migrates the inline entries into a
     * group file once.
     */
+  /** A manifest group at commit time. Ref-only carries (the pure-append
+    * fast path) have `entries` EMPTY and carry the previous list's
+    * summary/file count instead — the group file is never opened; groups
+    * being (re)written carry their entries and summarize from them.
+    */
   private final case class Group(ref: Option[String], names: Seq[String],
-    entries: Seq[FileEntry])
+    entries: Seq[FileEntry], files: Int = -1,
+    summary: Option[Seq[(Double, Double)]] = None)
 
   private def groupPath(name: String) = new Path(s"$path/_manifests/$name")
 
@@ -200,10 +206,22 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       (statsHeaderOf(lines), parseEntries(lines.filterNot(_.startsWith("#"))))
     })
 
-  /** A version's manifest parsed to the REF level — no group file is
-    * opened. Legacy inline entries surface as one ref-less group.
+  /** One `@` line of a manifest list: the group file name plus its
+    * GROUP-LEVEL summary — file count and whole-group (min, max) per list
+    * stats column. The summary is what lets [[readPruned]] skip a group
+    * without opening its file and a pure append carry every previous
+    * group without reading any of them. Legacy lists carry bare `@name`
+    * lines (files = -1, no summary) — readers treat them conservatively
+    * and the next non-append commit heals them.
     */
-  private def refListOf(v: Long): (Seq[String], Option[Group]) = {
+  private final case class RefLine(name: String, files: Int,
+    summary: Option[Seq[(Double, Double)]])
+
+  private final case class ListInfo(names: Seq[String], refs: Seq[RefLine],
+    inline: Option[Group])
+
+  /** A version's manifest parsed to the REF level — no group file opened. */
+  private def listInfoOf(v: Long): ListInfo = {
     val p = manifestPath(v)
     require(fs.exists(p),
       s"snapshot version $v is not retained at $path (expired or never committed)")
@@ -212,7 +230,14 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val names = statsHeaderOf(lines)
     val body = lines.filterNot(_.startsWith("#"))
     val (refLines, inline) = body.partition(_.startsWith("@"))
-    (refLines.map(_.stripPrefix("@")),
+    val refs = refLines.map { l =>
+      val a = l.stripPrefix("@").split("\t")
+      if (a.length < 2) RefLine(a(0), -1, None)
+      else RefLine(a(0), a(1).toInt,
+        Some(a.drop(2).grouped(2).collect { case Array(mn, mx) =>
+          (mn.toDouble, mx.toDouble) }.toSeq))
+    }
+    ListInfo(names, refs,
       if (inline.nonEmpty) Some(Group(None, names, parseEntries(inline)))
       else None)
   }
@@ -221,11 +246,11 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * the version's effective names happens in [[readManifest]]).
     */
   private def readGroupsOf(v: Long): Seq[Group] = {
-    val (refs, inline) = refListOf(v)
-    refs.map { n =>
-      val (gNames, es) = readGroupFile(n)
-      Group(Some(n), gNames, es)
-    } ++ inline
+    val info = listInfoOf(v)
+    info.refs.map { r =>
+      val (gNames, es) = readGroupFile(r.name)
+      Group(Some(r.name), gNames, es)
+    } ++ info.inline
   }
 
   /** Re-express entry bounds recorded under `from` names in `to` names —
@@ -361,13 +386,33 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * driver.
     */
   def commit(df: DataFrame): Long =
-    doCommit(df, () => carriedGroups(_ => true))
+    doCommit(df, () => carryAllGroups())
+
+  /** The pure-append carry: every previous group rides by reference with
+    * the summary the previous LIST already holds — NO group file is
+    * opened, so append commit metadata cost is O(new files + #groups).
+    * A legacy ref with no recorded summary loads its entries once (the
+    * one-time heal); evaluated under the commit lock, so appends rebase
+    * onto whatever version a concurrent writer just acknowledged.
+    */
+  private def carryAllGroups(): Seq[Group] =
+    latestVersion.map { v =>
+      val info = listInfoOf(v)
+      info.refs.map { r =>
+        r.summary match {
+          case Some(b) if r.files >= 0 =>
+            Group(Some(r.name), info.names, Seq.empty, r.files, Some(b))
+          case _ =>
+            val (gNames, es) = readGroupFile(r.name)
+            Group(Some(r.name), gNames, es)
+        }
+      } ++ info.inline
+    }.getOrElse(Seq.empty)
 
   /** The current groups filtered by an entry predicate: untouched groups
     * carry BY REFERENCE, a group losing some (but not all) entries is
     * re-expressed as a fresh group of its survivors, an emptied group
-    * drops. Evaluated under the commit lock, so append-style commits
-    * rebase onto whatever version a concurrent writer just acknowledged.
+    * drops. Evaluated under the commit lock like [[carryAllGroups]].
     */
   private def carriedGroups(keep: FileEntry => Boolean): Seq[Group] =
     latestVersion.map(readGroupsOf(_).flatMap { g =>
@@ -392,7 +437,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   def commitTagged(df: DataFrame, tag: String): Long = {
     require(!tag.contains("\n") && !tag.contains("\t"), s"malformed tag: $tag")
     taggedVersion(tag).getOrElse(
-      doCommit(df, () => carriedGroups(_ => true), tag = Some(tag)))
+      doCommit(df, () => carryAllGroups(), tag = Some(tag)))
   }
 
   /** Commit whose manifest references ONLY the newly written files — the
@@ -708,13 +753,34 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val groups = carried ++
       (if (stats.nonEmpty) Seq(Group(None, statsCols, stats.toSeq))
        else Seq.empty)
-    val refs = groups.map {
-      case Group(Some(r), _, _) => r
-      case Group(None, names, entries) =>
-        val name = s"g-${java.util.UUID.randomUUID()}.group"
-        writeAtomic(groupPath(name), groupBody(entries, names),
+    val noInfo = (Double.NegativeInfinity, Double.PositiveInfinity)
+    // group-level summary (file count + whole-group bounds per effective
+    // stats column), written onto the ref line so pruned reads and pure
+    // appends never open the group file
+    def summarize(g: Group): (Int, Seq[(Double, Double)]) =
+      if (g.entries.nonEmpty) {
+        val aligned = alignEntries(g.names, effNames, g.entries)
+        val bounds = effNames.indices.map { i =>
+          val bs = aligned.map(e =>
+            if (i == 0) (e.minS, e.maxS)
+            else e.extra.lift(i - 1).getOrElse(noInfo))
+          (bs.map(_._1).min, bs.map(_._2).max)
+        }
+        (g.entries.size, bounds)
+      } else {
+        // ref-only carry: re-key the previous list's summary by name
+        val m = g.names.zip(g.summary.getOrElse(Seq.empty)).toMap
+        (g.files, effNames.map(n => m.getOrElse(n, noInfo)))
+      }
+    val refs = groups.map { g =>
+      val name = g.ref.getOrElse {
+        val n = s"g-${java.util.UUID.randomUUID()}.group"
+        writeAtomic(groupPath(n), groupBody(g.entries, g.names),
           overwrite = false)
-        name
+        n
+      }
+      val (files, bounds) = summarize(g)
+      RefLine(name, files, Some(bounds))
     }
     val nonce = java.util.UUID.randomUUID().toString
     writeAtomic(manifestPath(v), listBody(refs, tag, effNames, nonce),
@@ -780,10 +846,18 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     s"#crc=${crcOf(body)}\n#stats=${names.mkString(",")}\n" + body
   }
 
-  /** The per-version manifest: a LIST of @group references. */
-  private def listBody(refs: Seq[String], tag: Option[String],
+  /** The per-version manifest: a LIST of @group references, each with its
+    * file count and whole-group (min, max) per stats column — the
+    * group-level zone map pruned reads skip on.
+    */
+  private def listBody(refs: Seq[RefLine], tag: Option[String],
       names: Seq[String], nonce: String): String = {
-    val body = refs.map("@" + _).mkString("\n")
+    val body = refs.map { r =>
+      val bounds = r.summary.getOrElse(Seq.empty).map { case (mn, mx) =>
+        "\t" + java.lang.Double.toString(mn) + "\t" + java.lang.Double.toString(mx)
+      }.mkString
+      s"@${r.name}\t${r.files}$bounds"
+    }.mkString("\n")
     tag.map(t => s"#tag=$t\n").getOrElse("") +
       s"#crc=${crcOf(body)}\n" +
       s"#stats=${names.mkString(",")}\n" +
@@ -812,13 +886,54 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     readFiles(m.map(_.file), m)
   }
 
+  /** Two-level pruning on `colName` ∈ [lo, hi]: groups whose LIST summary
+    * is provably disjoint are skipped WITHOUT opening their group file —
+    * the metadata read is O(intersecting groups), not O(table files) —
+    * then the surviving groups' entries filter at file level. Absent
+    * bounds (legacy refs, untracked columns) are conservatively kept.
+    * Returns (kept entries, schema-source entries, total file count).
+    */
+  private def pruneGroups(v: Long, colName: Option[String], lo: Double,
+      hi: Double): (Seq[FileEntry], Seq[FileEntry], Int) = {
+    val info = listInfoOf(v)
+    val eff = info.names
+    val name = colName.getOrElse(eff.head)
+    val i = eff.indexOf(name)
+    require(i >= 0,
+      s"column '$name' is not zone-tracked at version $v (tracked: $eff)")
+    def refIntersects(r: RefLine): Boolean =
+      r.summary.flatMap(_.lift(i)).forall { case (mn, mx) =>
+        mx >= lo && mn <= hi }
+    val (cands, skipped) = info.refs.partition(refIntersects)
+    val candGroups = cands.map { r =>
+      val (gNames, es) = readGroupFile(r.name)
+      Group(Some(r.name), gNames, es)
+    } ++ info.inline
+    val aligned = candGroups.flatMap(g => alignEntries(g.names, eff, g.entries))
+    def entryIntersects(e: FileEntry): Boolean = {
+      val b = if (i == 0) Some((e.minS, e.maxS)) else e.extra.lift(i - 1)
+      b.forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val kept = aligned.filter(entryIntersects)
+    // skipped refs always carry a recorded file count (a summary implies
+    // the v2 line format); legacy bare refs have no summary and land in
+    // the candidate set above
+    val total = aligned.size + skipped.map(_.files).sum
+    val schemaSrc =
+      if (aligned.nonEmpty) aligned
+      else skipped.headOption.map(r => readGroupFile(r.name)._2)
+        .getOrElse(Seq.empty)
+    (kept, schemaSrc, total)
+  }
+
   /** Manifest-level zone-map pruning: only files whose [min,max] of the
-    * stats column intersects [lo,hi] are opened. Callers still apply the
-    * exact predicate — zone stats are a file-skipping index, not a filter.
+    * stats column intersects [lo,hi] are opened — and only GROUPS whose
+    * list summary intersects are even read. Callers still apply the exact
+    * predicate — zone stats are a file-skipping index, not a filter.
     */
   def readPruned(v: Long, lo: Double, hi: Double): DataFrame = {
-    val m = readManifest(v)
-    readFiles(m.filter(e => e.maxS >= lo && e.minS <= hi).map(_.file), m)
+    val (kept, schemaSrc, _) = pruneGroups(v, None, lo, hi)
+    readFiles(kept.map(_.file), schemaSrc)
   }
 
   /** Zone-map pruning BY COLUMN NAME over the multi-column stats: files
@@ -829,38 +944,33 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * exact predicate.
     */
   def readPrunedOn(v: Long, colName: String, lo: Double, hi: Double): DataFrame = {
-    val names = statsNamesOf(v)
-    val i = names.indexOf(colName)
-    require(i >= 0,
-      s"column '$colName' is not zone-tracked at version $v (tracked: $names)")
-    val m = readManifest(v)
-    def intersects(e: FileEntry): Boolean =
-      if (i == 0) e.maxS >= lo && e.minS <= hi
-      else e.extra.lift(i - 1).forall { case (mn, mx) => mx >= lo && mn <= hi }
-    readFiles(m.filter(intersects).map(_.file), m)
+    val (kept, schemaSrc, _) = pruneGroups(v, Some(colName), lo, hi)
+    readFiles(kept.map(_.file), schemaSrc)
   }
 
   /** (kept, total) for a by-name prune — the skip-rate pin. */
   def pruneStatsOn(v: Long, colName: String, lo: Double, hi: Double): (Int, Int) = {
-    val names = statsNamesOf(v)
-    val i = names.indexOf(colName)
-    require(i >= 0, s"column '$colName' is not zone-tracked at version $v")
-    val m = readManifest(v)
-    def intersects(e: FileEntry): Boolean =
-      if (i == 0) e.maxS >= lo && e.minS <= hi
-      else e.extra.lift(i - 1).forall { case (mn, mx) => mx >= lo && mn <= hi }
-    (m.count(intersects), m.size)
+    val (kept, _, total) = pruneGroups(v, Some(colName), lo, hi)
+    (kept.size, total)
   }
 
-  /** Current file census — the quantity [[compactSmall]] exists to bound. */
-  def fileCount: Int = latestVersion.map(readManifest(_).size).getOrElse(0)
+  /** Current file census — the quantity [[compactSmall]] exists to bound.
+    * Read from the list's recorded per-group counts when available (no
+    * group file opens); legacy refs without counts load once.
+    */
+  def fileCount: Int = latestVersion.map { v =>
+    val info = listInfoOf(v)
+    info.refs.map(r =>
+      if (r.files >= 0) r.files else readGroupFile(r.name)._2.size).sum +
+      info.inline.map(_.entries.size).getOrElse(0)
+  }.getOrElse(0)
 
   /** (files surviving the prune, total files) at version `v` — the
     * skip-rate observability a spec pins.
     */
   def pruneStats(v: Long, lo: Double, hi: Double): (Int, Int) = {
-    val m = readManifest(v)
-    (m.count(e => e.maxS >= lo && e.minS <= hi), m.size)
+    val (kept, _, total) = pruneGroups(v, None, lo, hi)
+    (kept.size, total)
   }
 
   /** Files added by commits in `(fromV, toV]` — incremental consumption.
@@ -907,14 +1017,16 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // same immutable group — their files are carried on both sides, no
     // net change can hide there, and the group file is never even opened.
     // Metadata cost is O(changed groups), not O(table files).
-    val (fromRefs, fromInline) = refListOf(fromV)
-    val (toRefs, toInline) = refListOf(toV)
-    val sharedRefs = fromRefs.toSet.intersect(toRefs.toSet)
-    def changedEntries(refs: Seq[String], inline: Option[Group]): Seq[FileEntry] =
-      refs.filterNot(sharedRefs.contains).flatMap(n => readGroupFile(n)._2) ++
-        inline.toSeq.flatMap(_.entries)
-    val fromCh = changedEntries(fromRefs, fromInline)
-    val toCh = changedEntries(toRefs, toInline)
+    val fromInfo = listInfoOf(fromV)
+    val toInfo = listInfoOf(toV)
+    val sharedRefs = fromInfo.refs.map(_.name).toSet
+      .intersect(toInfo.refs.map(_.name).toSet)
+    def changedEntries(info: ListInfo): Seq[FileEntry] =
+      info.refs.map(_.name).filterNot(sharedRefs.contains)
+        .flatMap(n => readGroupFile(n)._2) ++
+        info.inline.toSeq.flatMap(_.entries)
+    val fromCh = changedEntries(fromInfo)
+    val toCh = changedEntries(toInfo)
     val fromFiles = fromCh.map(_.file).toSet
     val toFiles = toCh.map(_.file).toSet
     val addedF = toCh.map(_.file).filterNot(fromFiles)
@@ -1005,7 +1117,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // debris (expired versions, crashed commits). Age-gated like every
     // cleanup: a live concurrent writer's freshly written groups are not
     // referenced by ANY manifest yet and must survive.
-    val liveRefs: Set[String] = keep.flatMap(v => refListOf(v)._1)
+    val liveRefs: Set[String] = keep.flatMap(v => listInfoOf(v).refs.map(_.name))
     val mdir = new Path(s"$path/_manifests")
     val nowG = System.currentTimeMillis()
     if (fs.exists(mdir))
@@ -1086,7 +1198,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // manifest above) — same age gate as every cleanup
     val mdir = new Path(s"$path/_manifests")
     if (fs.exists(mdir)) {
-      val refs: Set[String] = versions.toSet.flatMap((v: Long) => refListOf(v)._1)
+      val refs: Set[String] =
+        versions.toSet.flatMap((v: Long) => listInfoOf(v).refs.map(_.name))
       fs.listStatus(mdir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("g-") && n.endsWith(".group") && !refs(n) &&

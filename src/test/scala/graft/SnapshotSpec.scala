@@ -336,9 +336,10 @@ class SnapshotSpec extends SparkSpec {
     val listText = readText(m2)
     assert(listText.contains("#crc="), "manifests must carry their checksum")
     val refs = listText.split("\n").filter(_.startsWith("@"))
+      .map(_.stripPrefix("@").split("\t")(0))
     assert(refs.length === 2, "an append must carry the old group + add one")
     val truncatedList = listText.split("\n")
-      .filterNot(_ == refs.last).mkString("\n")
+      .filterNot(_.startsWith("@" + refs.last)).mkString("\n")
     val out = fs.create(m2, true)
     out.write(truncatedList.getBytes("UTF-8")); out.close()
     val ex = intercept[IllegalArgumentException](st.read().count())
@@ -370,7 +371,8 @@ class SnapshotSpec extends SparkSpec {
     val in = fs.open(p)
     val text = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
-    text.split("\n").filter(_.startsWith("@")).map(_.stripPrefix("@")).toSeq
+    text.split("\n").filter(_.startsWith("@"))
+      .map(_.stripPrefix("@").split("\t")(0)).toSeq
   }
 
   test("two-level manifests: appends carry previous groups BY REFERENCE") {
@@ -417,6 +419,48 @@ class SnapshotSpec extends SparkSpec {
     st.expire(keepLast = 1)
     assert(!fs.exists(gp), "an aged unreferenced group must be reclaimed")
     assert(st.read().count() === 389L)
+  }
+
+  test("a pure append never opens carried group files (ref + summary carry)") {
+    // pin by corruption: wreck the carried group on disk — the append must
+    // still succeed (it carries the ref and the list's recorded summary),
+    // while an actual READ must fail the group checksum loudly
+    val st = freshStore("snap-fastappend")
+    st.commit(batch(0, 99))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g1 = refsOf(st, 1L).head
+    val gp = new org.apache.hadoop.fs.Path(st.path + "/_manifests/" + g1)
+    val out = fs.create(gp, true)
+    out.write("#crc=0\nbogus\t1\t1\t0.0\t1.0\t10\n".getBytes("UTF-8")); out.close()
+    val st2 = new SnapshotStore(spark, st.path, "id") // fresh group cache
+    assert(st2.commit(batch(100, 199)) === 2L,
+      "an append must not read carried group files")
+    assert(refsOf(st2, 2L).contains(g1), "the wrecked group still carries by ref")
+    val ex = intercept[IllegalArgumentException](st2.read().count())
+    assert(ex.getMessage.contains("checksum"))
+  }
+
+  test("pruned reads skip summary-disjoint groups without opening them") {
+    val st = freshStore("snap-groupskip")
+    st.commit(batch(0, 99))
+    st.commit(batch(1000, 1099))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // wreck the HIGH-range group; a prune over the low range must succeed
+    // because the group-level summary proves it disjoint (never opened)
+    val g2 = refsOf(st, 2L).diff(refsOf(st, 1L)).head
+    val gp = new org.apache.hadoop.fs.Path(st.path + "/_manifests/" + g2)
+    val out = fs.create(gp, true)
+    out.write("#crc=0\nbogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8")); out.close()
+    val st2 = new SnapshotStore(spark, st.path, "id")
+    val low = st2.readPruned(2L, 0.0, 50.0).filter($"id" <= 50)
+    assert(low.count() === 51L,
+      "a prune over the low range must not open the disjoint high group")
+    val (kept, total) = st2.pruneStats(2L, 0.0, 50.0)
+    assert(total > kept, "the high group's files count toward total via the list")
+    // the full read DOES open it and must fail loudly
+    intercept[IllegalArgumentException](st2.read().count())
   }
 
   test("recover: a lost pointer is restored from the newest manifest") {
