@@ -297,14 +297,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private def readTagOf(v: Long): Option[String] = {
     val p = manifestPath(v)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val first =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          StandardCharsets.UTF_8).split("\n").headOption.getOrElse("")
-        finally in.close()
-      if (first.startsWith("#tag=")) Some(first.stripPrefix("#tag=")) else None
-    }
+    else readLines(p).headOption.filter(_.startsWith("#tag="))
+      .map(_.stripPrefix("#tag="))
   }
 
   /** The acknowledged version committed under `tag`, if one exists. */
@@ -551,7 +545,6 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         val (nDelta, candidates) = mergeCandidates(delta, keyCols, prev)
         if (nDelta == 0L) prev
         else {
-          val m = readManifest(prev)
           val dKeys = delta.select(keyCols.map(col): _*)
           // which zone-intersecting files actually contain matched keys:
           // one semi-join projecting only the file name, O(#touched files)
@@ -593,6 +586,19 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       min(col(n).cast("double")), max(col(n).cast("double"))) }
     val row = delta.agg(aggExprs.head, aggExprs.tail: _*).head
     val nDelta = row.getLong(0)
+    // delta key bounds per tracked column; None = NO INFORMATION (an
+    // all-null key column aggregates to SQL NULL, a NaN poisons every
+    // comparison) — pruning may only ever act on sound bounds, anything
+    // else conservatively keeps (a NaN here once pruned EVERY candidate
+    // and turned matched keys into silent duplicates — the r13 review)
+    val dBounds: Seq[Option[(Double, Double)]] = tracked.indices.map { ti =>
+      if (row.isNullAt(1 + 2 * ti) || row.isNullAt(2 + 2 * ti)) None
+      else {
+        val lo = row.getDouble(1 + 2 * ti)
+        val hi = row.getDouble(2 + 2 * ti)
+        if (lo.isNaN || hi.isNaN) None else Some((lo, hi))
+      }
+    }
     val kept =
       if (nDelta == 0L) Seq.empty[String]
       else if (tracked.isEmpty) m.map(_.file)
@@ -601,8 +607,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           // a file whose manifest predates tracking of this column has no
           // bounds recorded — conservatively kept (lift returns None)
           val b = if (si == 0) Some((e.minS, e.maxS)) else e.extra.lift(si - 1)
-          b.forall { case (mn, mx) =>
-            mx >= row.getDouble(1 + 2 * ti) && mn <= row.getDouble(2 + 2 * ti) }
+          dBounds(ti).forall { case (dLo, dHi) =>
+            b.forall { case (mn, mx) =>
+              // NaN file bounds carry no information — keep the file
+              mn.isNaN || mx.isNaN || (mx >= dLo && mn <= dHi) } }
         }
       }.map(_.file)
     (nDelta, kept)
@@ -718,14 +726,36 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           debrisManifests.foreach(w => fs.delete(manifestPath(w), false))
           if (fs.exists(batchDir(v))) fs.delete(batchDir(v), true)
           val dir = batchDir(v)
-          if (fs.listStatus(staging).nonEmpty) {
-            if (!fs.rename(staging, dir))
-              throw new java.io.IOException(
-                s"snapshot batch rename failed: $staging -> $dir")
-          } else fs.delete(staging, true)
           val stats = stagedStats.map(e => e.copy(
             file = e.file.replace(stagingName, dir.getName), batch = v))
-          finishCommit(v, prev, base, tag, stats)
+          // CLAIM BEFORE the batch rename: the exclusive manifest claim is
+          // the ONLY cross-JVM arbitration for version v, so the
+          // version-numbered batch dir may be touched exclusively by the
+          // claim winner. Renaming first (the old order) let two writers
+          // race the unsynchronized exists-check/rename window — on
+          // rename-into-existing filesystems the loser's staging NESTED
+          // inside the winner's batch dir, and if the nester then won the
+          // claim, an acknowledged manifest referenced paths that were
+          // never created (the r13 self-review finding). A crash between
+          // claim and rename leaves a young unacknowledged manifest — the
+          // standard debris shape, refused while young and reclaimed aged.
+          val nonce = writeManifestFor(v, base, tag, stats)
+          try {
+            if (fs.listStatus(staging).nonEmpty) {
+              if (!fs.rename(staging, dir))
+                throw new java.io.IOException(
+                  s"snapshot batch rename failed: $staging -> $dir")
+            } else fs.delete(staging, true)
+            acknowledge(v, nonce)
+          } catch {
+            case e: Throwable =>
+              // release OUR unacknowledged claim (verified by nonce, so a
+              // competitor's re-claim is never touched) so an immediate
+              // retry isn't refused behind the debris grace window
+              if (readNonceOf(v).contains(nonce))
+                fs.delete(manifestPath(v), false)
+              throw e
+          }
       }
     } catch {
       case e: Throwable =>
@@ -736,9 +766,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     }
   }
 
-  private def finishCommit(v: Long, prev: Option[Long],
-      base: () => Seq[Group], tag: Option[String],
-      stats: Array[FileEntry]): Long = {
+  /** Write the group files and CLAIM version `v`'s manifest (the exclusive
+    * cross-JVM arbitration); returns the commit nonce the caller passes to
+    * [[acknowledge]] AFTER moving the data batch into place.
+    */
+  private def writeManifestFor(v: Long, base: () => Seq[Group],
+      tag: Option[String], stats: Array[FileEntry]): String = {
     // Carried groups ride BY REFERENCE; only the groups this commit
     // actually changed (partial survivors of a rewrite) and the new batch
     // become group writes — the O(changed) commit cost two-level
@@ -785,7 +818,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val nonce = java.util.UUID.randomUUID().toString
     writeAtomic(manifestPath(v), listBody(refs, tag, effNames, nonce),
       overwrite = false)
-    acknowledge(v, nonce)
+    nonce
   }
 
   /** Final step of a commit: verify OUR manifest claim still stands, then
@@ -814,14 +847,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private def readNonceOf(v: Long): Option[String] = {
     val p = manifestPath(v)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val lines =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          StandardCharsets.UTF_8).split("\n").toSeq
-        finally in.close()
-      lines.find(_.startsWith("#nonce=")).map(_.stripPrefix("#nonce="))
-    }
+    else readLines(p).find(_.startsWith("#nonce=")).map(_.stripPrefix("#nonce="))
   }
 
   private def crcOf(body: String): String = {
@@ -901,9 +927,11 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val i = eff.indexOf(name)
     require(i >= 0,
       s"column '$name' is not zone-tracked at version $v (tracked: $eff)")
+    // NaN bounds (a NaN in the stats column poisons min/max) carry no
+    // information — pruning may only skip on SOUND bounds
     def refIntersects(r: RefLine): Boolean =
       r.summary.flatMap(_.lift(i)).forall { case (mn, mx) =>
-        mx >= lo && mn <= hi }
+        mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) }
     val (cands, skipped) = info.refs.partition(refIntersects)
     val candGroups = cands.map { r =>
       val (gNames, es) = readGroupFile(r.name)
@@ -912,7 +940,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val aligned = candGroups.flatMap(g => alignEntries(g.names, eff, g.entries))
     def entryIntersects(e: FileEntry): Boolean = {
       val b = if (i == 0) Some((e.minS, e.maxS)) else e.extra.lift(i - 1)
-      b.forall { case (mn, mx) => mx >= lo && mn <= hi }
+      b.forall { case (mn, mx) =>
+        mn.isNaN || mx.isNaN || (mx >= lo && mn <= hi) }
     }
     val kept = aligned.filter(entryIntersects)
     // skipped refs always carry a recorded file count (a summary implies
@@ -1044,16 +1073,28 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val added = readFiles(addedF, schemaFrom(toCh, fromCh))
     val removed = readFiles(removedF, schemaFrom(fromCh, toCh))
     // schema evolution may leave columns only one side has (merged reads
-    // are per-side); cancellation compares the columns BOTH sides carry
-    val shared = added.columns.filter(removed.columns.contains(_)).toSeq
-    require(keyCols.forall(shared.contains),
+    // are per-side); cancellation compares over the UNION of columns with
+    // the missing side padded NULL (null-safe equality), so a rewrite
+    // whose only change is a newly added column's VALUES still surfaces
+    // as delete + insert, while evolution-padded identical rows (null on
+    // both sides) cancel — comparing only the shared columns silently
+    // swallowed every such update (the r13 review finding)
+    require(keyCols.forall(c =>
+        added.columns.contains(c) && removed.columns.contains(c)),
       s"changelog key columns $keyCols must exist at both endpoints " +
-        s"(shared columns: $shared)")
+        s"(added: ${added.columns.toSeq}, removed: ${removed.columns.toSeq})")
+    val allCols = (added.columns ++
+      removed.columns.filterNot(added.columns.contains)).toSeq
+    def pad(df: DataFrame, other: DataFrame): DataFrame =
+      allCols.filterNot(df.columns.contains).foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(null).cast(other.schema(c).dataType)))
+    val a = pad(added, removed)
+    val r = pad(removed, added)
     def cancel(keep: DataFrame, drop: DataFrame): DataFrame =
-      keep.join(drop.select(shared.map(drop(_)): _*),
-        shared.map(c => keep(c) <=> drop(c)).reduce(_ && _), "left_anti")
-    val inserts = cancel(added, removed).withColumn("_change", lit("insert"))
-    val deletes = cancel(removed, added).withColumn("_change", lit("delete"))
+      keep.join(drop.select(allCols.map(drop(_)): _*),
+        allCols.map(c => keep(c) <=> drop(c)).reduce(_ && _), "left_anti")
+    val inserts = cancel(a, r).withColumn("_change", lit("insert"))
+    val deletes = cancel(r, a).withColumn("_change", lit("delete"))
     inserts.unionByName(deletes, allowMissingColumns = true)
   }
 
@@ -1182,6 +1223,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val now = System.currentTimeMillis()
     def aged(p: Path): Boolean =
       now - fs.getFileStatus(p).getModificationTime >= SnapshotStore.DebrisGraceMs
+    val ackd = latestVersion // one pointer read, not one per directory entry
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>
         val n = st.getPath.getName
@@ -1189,21 +1231,25 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           if (aged(st.getPath)) fs.delete(st.getPath, true)
         } else if (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
           !known.contains(n.drop(1).toLong) &&
-          latestVersion.forall(n.drop(1).toLong > _) &&
+          ackd.forall(n.drop(1).toLong > _) &&
           aged(st.getPath))
           fs.delete(st.getPath, true)
       }
-    // group files referenced by no surviving manifest (a commit that died
-    // between its group writes and the manifest claim, or a rolled-back
-    // manifest above) — same age gate as every cleanup
+    // metadata debris in _manifests: group files referenced by no
+    // surviving manifest (a commit that died between its group writes and
+    // the manifest claim, or a rolled-back manifest above) and orphaned
+    // `.tmp-*` staging files from a file:// claim that died before its
+    // createLink — same age gate as every cleanup
     val mdir = new Path(s"$path/_manifests")
     if (fs.exists(mdir)) {
       val refs: Set[String] =
         versions.toSet.flatMap((v: Long) => listInfoOf(v).refs.map(_.name))
       fs.listStatus(mdir).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("g-") && n.endsWith(".group") && !refs(n) &&
-          aged(st.getPath)) fs.delete(st.getPath, false)
+        val orphanGroup = n.startsWith("g-") && n.endsWith(".group") && !refs(n)
+        val claimTmp = n.contains(".tmp-")
+        if ((orphanGroup || claimTmp) && aged(st.getPath))
+          fs.delete(st.getPath, false)
       }
     }
   }

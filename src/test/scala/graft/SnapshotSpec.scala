@@ -731,6 +731,62 @@ class SnapshotSpec extends SparkSpec {
       "insert rows carry the delta payload")
   }
 
+  test("merge: a NaN key bound prunes nothing — conservative, never corrupting") {
+    // NaN poisons every >=/<= comparison: before the r13 review fix a NaN
+    // delta key emptied the candidate set, skipped hit detection, and
+    // silently DUPLICATED matched keys. Bounds with no sound information
+    // must keep every candidate instead.
+    val dir = tempDir("snap-merge-nan") + "/snap"
+    val st = new SnapshotStore(spark, dir, "id", secondaryStats = Seq("v"))
+    st.commit(batch(0, 99).repartitionByRange(2, col("id")))
+    val delta = spark.range(0, 5).select(col("id"), lit("u").as("k"),
+      lit(Double.NaN).as("v"))
+    val (n, cand) = st.mergeCandidates(delta, Seq("id", "v"), st.latestVersion.get)
+    assert(n === 5L)
+    assert(cand.size === 1,
+      s"the id bounds still prune (1 of 2 files); NaN v bounds prune nothing: $cand")
+    // keyed on id alone the NaN rows REPLACE; the merge must stay exact
+    val v2 = st.merge(spark.range(0, 5).select(col("id"), lit("u").as("k"),
+      lit(-1.0).as("v")), Seq("id"))
+    assert(st.readAt(v2).count() === 100L)
+    assert(st.read().filter($"v" === -1.0).count() === 5L)
+  }
+
+  test("changelog: an update confined to a newly ADDED column still surfaces") {
+    val st = freshStore("snap-cdc-evo")
+    val v1 = st.commit(batch(0, 9))
+    // the medallion-silver shape: same rows rewritten WITH a computed column
+    val v2 = st.commitRewrite(st.read().withColumn("x2", col("v") * 2.0))
+    val c = st.changelog(v1, v2, Seq("id")).collect()
+    assert(c.count(_.getAs[String]("_change") == "insert") === 10,
+      s"every row gained x2 and must re-insert: ${c.mkString}")
+    assert(c.count(_.getAs[String]("_change") == "delete") === 10)
+    assert(c.filter(_.getAs[String]("_change") == "insert")
+      .forall(r => !r.isNullAt(r.fieldIndex("x2"))))
+    // an added column that is ALL NULL is not a material change: cancels
+    val v3 = st.commitRewrite(st.readAt(v2)
+      .withColumn("x3", lit(null).cast("double")))
+    assert(st.changelog(v2, v3, Seq("id")).count() === 0L,
+      "null-padded identical rows must cancel")
+  }
+
+  test("recover clears aged claim-tmp debris in _manifests") {
+    val st = freshStore("snap-tmpdebris")
+    st.commit(batch(0, 9))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      st.path + "/_manifests/v00002.manifest.tmp-deadbeef")
+    val out = fs.create(tmp, true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    st.recover()
+    assert(fs.exists(tmp), "a young claim tmp may belong to a live writer")
+    age(st, "_manifests/v00002.manifest.tmp-deadbeef")
+    st.recover()
+    assert(!fs.exists(tmp), "an aged claim tmp is uncollectible debris")
+    assert(st.read().count() === 10L)
+  }
+
   test("snapshots(): one lineage row per acknowledged version with tags and censuses") {
     val st = freshStore("snap-meta")
     st.commit(batch(0, 9))
