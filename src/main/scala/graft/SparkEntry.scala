@@ -1389,6 +1389,29 @@ object SparkEntry {
         .orderBy("event_type", "change")
     }),
 
+    // K27 — ROLLBACK through the table format (Iceberg's verb, the "undo
+    // the bad commit" op): a poisoned second commit is rolled back —
+    // pointer re-acknowledges v1, the abandoned manifest and batch reclaim
+    // immediately — and the correction commits straight away, REUSING the
+    // version number with no debris-grace wait. The oracle pins both the
+    // final content (the bad batch's negated values must not leak) and
+    // the clean two-version lineage.
+    "k27_snapshot_rollback" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-rb").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      st.commit(ev.filter(col("event_id") % 3 === 0))
+      st.commit(ev.filter(col("event_id") % 3 =!= 0)
+        .withColumn("value", col("value") * -1.0)) // the bad commit
+      st.rollbackTo(1L)
+      st.commit(ev.filter(col("event_id") % 3 === 1)) // correction, reuses v2
+      st.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+        .withColumn("n_versions", lit(st.latestVersion.getOrElse(0L)))
+        .orderBy("event_type")
+    }),
+
     // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
     // d15 persisted dedup index): documents live in a snapshot table; the
     // LSH index is built once at v1; an append (v2) and a takedown
@@ -5387,6 +5410,15 @@ object SparkEntry {
         |       CAST(sum(CAST(value + 1000 AS DECIMAL(30,3))) AS DOUBLE)
         |FROM upd GROUP BY 1
         |ORDER BY 1, 2""".stripMargin,
+
+    // k27: rollback abandons the bad commit entirely — final state is the
+    // v1 slice plus the correction, original values, two-version lineage
+    "k27_snapshot_rollback" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       CAST(2 AS BIGINT) AS n_versions
+        |FROM events WHERE event_id % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k25: the maintained index's membership must be exactly the corpus
     // minus the takedown (replayed via portable md5 checksum), and the

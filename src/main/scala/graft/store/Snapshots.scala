@@ -1119,6 +1119,32 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       "total_files", "total_rows").orderBy("version")
   }
 
+  /** ROLL BACK the table to retained version `v` (Iceberg's rollback —
+    * the "undo the bad commit" verb): the pointer re-acknowledges `v` and
+    * every version ABOVE it is abandoned — manifests and their batch dirs
+    * are reclaimed immediately (they are referenced by nothing ≤ v:
+    * version w's batch files appear only in manifests ≥ w, and shared
+    * group files survive for the retained manifests that reference them;
+    * orphaned groups age out via expire/recover). Destructive for the
+    * abandoned suffix BY DESIGN — time travel above `v` is gone; use
+    * [[readAt]] first if the bad data needs forensics. Serialized with
+    * commits; a concurrent writer's in-flight claim above `v` fails its
+    * nonce re-verify after the rollback deletes it.
+    */
+  def rollbackTo(v: Long): Unit =
+    SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
+      val cur = latestVersion.getOrElse(throw new IllegalStateException(
+        s"no committed snapshot at $path — nothing to roll back"))
+      require(fs.exists(manifestPath(v)),
+        s"cannot roll back to v$v at $path — not a retained version")
+      require(v <= cur, s"cannot roll back FORWARD to v$v (current is v$cur)")
+      versions.filter(_ > v).foreach { w =>
+        fs.delete(manifestPath(w), false)
+        fs.delete(batchDir(w), true)
+      }
+      writeAtomic(pointerFile, v.toString, overwrite = true)
+    }
+
   /** Retention: keep the newest `keepLast` manifests (never fewer than the
     * live one), delete every data file no retained manifest references and
     * every older manifest. Returns the number of data files deleted.

@@ -219,40 +219,60 @@ class SnapshotSpec extends SparkSpec {
     assert(st.taggedVersion("batch-1") === Some(2L))
   }
 
-  test("model check: random commit/delete/compact/expire sequences preserve content") {
+  test("model check: random commit/delete/merge/compact/expire sequences preserve content") {
     // Seeded model-based check — the storage-layer test shape: replay a
     // random op sequence against BOTH the store and a trivial in-memory
-    // model, assert the visible state (live read + every retained
-    // time-travel version) matches after every op. Two seeds keep the
-    // wall cost bounded; the seed prints on failure for replay.
+    // model (id -> payload, so keyed MERGE upserts are observable), assert
+    // the visible state (live read + every retained time-travel version)
+    // matches after every op. Two seeds keep the wall cost bounded; the
+    // seed prints on failure for replay.
     for (seed <- Seq(11L, 47L)) {
       val rnd = new scala.util.Random(seed)
       val st = freshStore(s"snap-model-$seed")
       var nextId = 0L
-      var live = Vector.empty[Long] // ids currently in the table
-      var history = Map.empty[Long, Vector[Long]] // version -> ids
-      def ids(df: org.apache.spark.sql.DataFrame): Vector[Long] =
-        df.select("id").collect().map(_.getLong(0)).toVector.sorted
+      var live = Map.empty[Long, Double] // id -> v currently in the table
+      var history = Map.empty[Long, Map[Long, Double]] // version -> state
+      def state(df: org.apache.spark.sql.DataFrame): Vector[(Long, Double)] =
+        df.select("id", "v").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toVector.sorted
       def record(v: Long): Unit = history += (v -> live)
 
-      (1 to 12).foreach { step =>
+      (1 to 14).foreach { step =>
         val clue = s"seed=$seed step=$step"
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 | 1 => // commit a fresh disjoint batch
             val nRows = 5 + rnd.nextInt(46)
             val b = batch(nextId, nextId + nRows - 1)
-            live = live ++ (nextId until nextId + nRows)
+            live = live ++ (nextId until nextId + nRows).map(i => i -> i * 2.0)
             nextId += nRows
             record(st.commit(b))
           case 2 if live.nonEmpty => // delete a random id range
-            val a = live(rnd.nextInt(live.size))
+            val a = live.keys.toVector(rnd.nextInt(live.size))
             val b = a + rnd.nextInt(30)
             val v = st.deleteWhere(col("id").between(a, b))
-            val expected = live.filterNot(id => id >= a && id <= b)
+            val expected = live.filter { case (id, _) => id < a || id > b }
             assert(v.isEmpty === (expected == live), clue)
             live = expected
             v.foreach(record)
-          case 3 => // pack everything (content-neutral)
+          case 3 if live.nonEmpty => // keyed MERGE: updates + fresh inserts
+            val a = live.keys.toVector(rnd.nextInt(live.size))
+            // keys must be unique WITHIN the delta (merge's documented
+            // precondition): the update range must not reach the ids the
+            // fresh-insert half is about to use
+            val hi = math.min(a + rnd.nextInt(20), nextId - 1)
+            val nIns = rnd.nextInt(6)
+            val payload = -(step.toDouble) // distinguishable from id*2
+            val delta = spark.range(a, hi + 1)
+              .unionByName(spark.range(nextId, nextId + nIns))
+              .select(col("id"), lit("m").as("k"), lit(payload).as("v"))
+            // upsert semantics: EVERY delta key ends at the delta payload
+            // (matched keys replace, unmatched — including ids inside
+            // [a, hi] that an earlier delete removed — insert)
+            live = live ++ (a to hi).map(_ -> payload) ++
+              (nextId until nextId + nIns).map(_ -> payload)
+            nextId += nIns
+            record(st.merge(delta, Seq("id")))
+          case 4 => // pack everything (content-neutral)
             st.compactSmall(smallBytes = 1L << 30, targetFiles = 2)
               .foreach(record)
           case _ => // retention on a random window, then recover (no-op)
@@ -264,9 +284,10 @@ class SnapshotSpec extends SparkSpec {
             st.recover()
         }
         if (st.latestVersion.nonEmpty) {
-          assert(ids(st.read()) === live.sorted, s"$clue: live state diverged")
+          assert(state(st.read()) === live.toVector.sorted,
+            s"$clue: live state diverged")
           history.foreach { case (v, want) =>
-            assert(ids(st.readAt(v)) === want.sorted,
+            assert(state(st.readAt(v)) === want.toVector.sorted,
               s"$clue: time travel to v$v diverged")
           }
         }
@@ -785,6 +806,26 @@ class SnapshotSpec extends SparkSpec {
     st.recover()
     assert(!fs.exists(tmp), "an aged claim tmp is uncollectible debris")
     assert(st.read().count() === 10L)
+  }
+
+  test("rollbackTo: the pointer re-acknowledges v, the abandoned suffix reclaims") {
+    val st = freshStore("snap-rollback")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19))
+    st.commit(batch(20, 29)) // the "bad" commits to undo
+    st.rollbackTo(1L)
+    assert(st.latestVersion === Some(1L))
+    assert(st.read().count() === 10L)
+    assert(st.read().agg(max("id")).head.getLong(0) === 9L)
+    // version numbers above v are immediately reusable (no debris window)
+    assert(st.commit(batch(100, 109)) === 2L)
+    assert(st.read().count() === 20L)
+    assert(st.read().agg(max("id")).head.getLong(0) === 109L,
+      "the abandoned batches must not leak into the recommit")
+    // guards: forward rollback and unretained targets refuse
+    intercept[IllegalArgumentException](st.rollbackTo(9L))
+    st.expire(keepLast = 1)
+    intercept[IllegalArgumentException](st.rollbackTo(1L))
   }
 
   test("snapshots(): one lineage row per acknowledged version with tags and censuses") {
