@@ -521,10 +521,18 @@ object Stress {
       // tracks how many files' value ranges happen to miss the window —
       // the honest "zone maps need clustering" number
       val (kept2, _) = st.pruneStatsOn(v2, "value", 0.0, 5.0)
+      // keyed-MERGE posture: a constant-size narrow-band upsert into ×k
+      // history — zone pruning bounds the candidate scan to the band's
+      // files, so the merge cost tracks the key blast radius, not the table
+      val t3 = System.nanoTime()
+      st.merge(ev0.filter(col("event_id").between(100L, 700L))
+        .select(col("event_id"), col("event_type"),
+          (col("value") + 1.0).as("value")), Seq("event_id"))
+      val tMerge = (System.nanoTime() - t3) / 1e9
       println(s"""{"op":"snapshot_store","scale":$k,"n_hist":$nHist,"n_delta":$nDelta,""" +
         s""""sec_delta_commit":${num(tCommit)},"sec_incr":${num(tIncr)},"n_incr":$nIncr,""" +
         s""""sec_prune":${num(tPrune)},"n_pruned":$nPruned,"files_kept":$kept,"files_total":$total,""" +
-        s""""files_kept_secondary":$kept2,"manifest_files":$total}""")
+        s""""files_kept_secondary":$kept2,"manifest_files":$total,"sec_merge":${num(tMerge)}}""")
       spark.catalog.clearCache()
     }
     delta.unpersist()
