@@ -731,6 +731,45 @@ class SnapshotSpec extends SparkSpec {
     assert(st.latestVersion === Some(v1))
   }
 
+  test("merge planned against a stale version fails loudly; the retry lands") {
+    // the Iceberg validation discipline, pinned for the new primitive: a
+    // commit landing between merge planning and its metadata section must
+    // fail the merge with ConcurrentModificationException — silently
+    // dropping the concurrent append from the carried set would lose it
+    val st = freshStore("snap-merge-race")
+    st.commit(batch(0, 99))
+    // the compactSmall race shape: interleave small merges with appends;
+    // the invariant is that NO interleaving loses or duplicates rows and
+    // a stale-planned merge surfaces CME (the caller re-plans), never
+    // silently drops the concurrent append from its carried set
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val cme = new java.util.concurrent.atomic.AtomicInteger(0)
+    val merger = new Thread(() =>
+      try (0 until 3).foreach { i =>
+        val d = spark.range(i * 2L, i * 2L + 5)
+          .select(col("id"), lit("u").as("k"), lit(-(i + 1.0)).as("v"))
+        try { st.merge(d, Seq("id")); () }
+        catch { case _: java.util.ConcurrentModificationException =>
+          cme.incrementAndGet(); () } // re-plan is the caller's contract
+      } catch { case t: Throwable => errs.add(t); () })
+    val appender = new Thread(() =>
+      try (0 until 3).foreach { i =>
+        st.commit(batch(1000L + i * 100, 1000L + i * 100 + 9)); ()
+      } catch { case t: Throwable => errs.add(t); () })
+    merger.start(); appender.start(); merger.join(); appender.join()
+    assert(errs.isEmpty, s"unexpected failure: ${errs.peek()}")
+    // whatever interleaving happened: every appended row present exactly
+    // once, and every id the SUCCESSFUL merges touched carries a negative
+    // payload (a lost-but-silent merge would leave id*2 behind)
+    val appended = st.read().filter($"id" >= 1000)
+      .select("id").as[Long].collect().sorted
+    assert(appended.toSeq ===
+      (0 until 3).flatMap(i => (1000L + i * 100) to (1000L + i * 100 + 9)).sorted,
+      s"concurrent appends lost rows (CME count=${cme.get()})")
+    assert(st.read().count() === 100L + 30L,
+      "merges must never duplicate keys under concurrency")
+  }
+
   test("changelog across a merge: updates surface as delete+insert, survivors cancel") {
     val st = freshStore("snap-merge-cdc")
     val v1 = st.commit(batch(0, 9))
