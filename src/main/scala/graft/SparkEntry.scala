@@ -5426,8 +5426,8 @@ object SparkEntry {
     // both index tables
     "k25_cdc_index_sync" ->
       """SELECT count(*) AS n_docs,
-        |       sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |           % 2147483647) AS docs_ck,
+        |       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 2147483647) AS BIGINT) AS docs_ck,
         |       CAST(0 AS BIGINT) AS diff_docs,
         |       CAST(0 AS BIGINT) AS diff_bands
         |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4""".stripMargin,
@@ -5437,8 +5437,8 @@ object SparkEntry {
     // pinned artifacts must agree code-for-code (diff_codes = 0)
     "k26_cdc_ann_sync" ->
       """SELECT count(*) AS n_vecs,
-        |       sum(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-        |           % 2147483647) AS vecs_ck,
+        |       CAST(sum(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 2147483647) AS BIGINT) AS vecs_ck,
         |       CAST(0 AS BIGINT) AS diff_codes
         |FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 <> 6""".stripMargin,
 

@@ -5,13 +5,17 @@ against the DuckDB oracle SQL and compare per query (schema, rows, values).
 Comparison discipline (aligned with the driver's HASH gate, round 12):
   * floats compare by raw IEEE-754 bit pattern — NO rounding. The driver
     hashes values; a 9-dp round here passed queries the driver failed.
-  * any DECIMAL column in either side's output is flagged as a FAILURE
-    ("DECIMAL-SMELL"): decimal aggregates widen differently per engine
-    (Spark sum(DECIMAL(20,4)) -> DECIMAL(30,4), DuckDB -> DECIMAL(38,4)),
-    so the physical representation hash-differs even when every value is
-    identical. Cast decimal aggregates to DOUBLE on both sides instead
-    (the repo's dsum discipline). This rule is what would have caught the
-    t21/st9 two-round gate failure locally.
+  * any output column (either side) whose type falls outside the
+    driver-safe whitelist {BIGINT, INTEGER, DOUBLE, VARCHAR, BOOLEAN,
+    TIMESTAMP, DATE} is flagged as a FAILURE ("TYPE-SMELL"). Two engines
+    can agree on every value yet hash-differ on physical representation:
+      - DECIMAL: aggregates widen differently (Spark sum(DECIMAL(20,4))
+        -> DECIMAL(30,4), DuckDB -> DECIMAL(38,4)) — the r12 t21/st9 bug.
+      - HUGEINT: DuckDB sum(BIGINT) returns INT128, which arrow surfaces
+        as decimal128 while Spark emits int64 — the r13 k25/k26 bug.
+    Cast decimal/hugeint aggregates to DOUBLE or BIGINT on both sides.
+    The whitelist is exactly the set of types observed across all 221
+    driver-green outputs (r13 sweep); anything new must be justified.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
@@ -54,9 +58,14 @@ def frame(rows, cols):
     return names, data
 
 
-def decimal_cols(rel):
-    return [c for c, t in zip(rel.columns, rel.types)
-            if str(t).upper().startswith("DECIMAL")]
+SAFE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+              "TIMESTAMP", "DATE"}
+
+
+def smell_cols(rel):
+    """Output columns whose physical type can hash-differ cross-engine."""
+    return [(c, str(t).upper()) for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() not in SAFE_TYPES]
 
 
 def main():
@@ -71,27 +80,28 @@ def main():
     for name in names:
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            g_dec = decimal_cols(got)
+            g_dec = smell_cols(got)
             g_cols, g_rows = frame(got.fetchall(), got.columns)
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
         if name not in oracle:
             if g_dec:
-                results[name] = f"DECIMAL-SMELL spark cols {g_dec} (cast to DOUBLE)"
+                results[name] = f"TYPE-SMELL spark cols {g_dec} (cast to a whitelist type)"
             else:
                 results[name] = f"rows-only: {len(g_rows)} rows"
             continue
         try:
             want = con.sql(oracle[name])
-            w_dec = decimal_cols(want)
+            w_dec = smell_cols(want)
             w_cols, w_rows = frame(want.fetchall(), want.columns)
         except Exception as e:
             results[name] = f"ORACLE-FAIL {type(e).__name__} {e}"
             continue
         if g_dec or w_dec:
-            results[name] = (f"DECIMAL-SMELL spark={g_dec} oracle={w_dec} — raw "
-                             "decimal output hash-differs cross-engine; cast to DOUBLE")
+            results[name] = (f"TYPE-SMELL spark={g_dec} oracle={w_dec} — physical "
+                             "representation hash-differs cross-engine even when values "
+                             "agree; cast to a whitelist type on both sides")
         elif g_cols != w_cols:
             results[name] = f"SCHEMA-MISMATCH spark={g_cols} oracle={w_cols}"
         elif len(g_rows) != len(w_rows):
