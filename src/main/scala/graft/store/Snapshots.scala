@@ -44,8 +44,9 @@ import org.apache.spark.sql.functions._
   * serialized (per-store JVM lock; across JVMs the manifest claim is
   * atomic-exclusive: rename-WITHOUT-overwrite on HDFS-class filesystems,
   * link(2)-style create-exclusive on file:// where POSIX rename silently
-  * replaces, and a lost race fails loudly rather than silently orphaning
-  * a commit). A per-commit nonce in the manifest header is re-verified
+  * replaces, or an injected [[SnapshotStore.ClaimArbiter]] — conditional
+  * PUT / lease / catalog row — on S3-class stores that have neither; a
+  * lost race fails loudly rather than silently orphaning a commit). A per-commit nonce in the manifest header is re-verified
   * immediately before the pointer swap, so a writer stalled past the
   * debris grace window can never acknowledge a version another writer
   * has since re-claimed (r13; the r12 stalled-writer finding).
@@ -76,7 +77,8 @@ import org.apache.spark.sql.functions._
   *   either way); prune by name via [[readPrunedOn]].
   */
 final class SnapshotStore(spark: SparkSession, val path: String,
-    statsCol: String, secondaryStats: Seq[String] = Nil) {
+    statsCol: String, secondaryStats: Seq[String] = Nil,
+    arbiter: Option[SnapshotStore.ClaimArbiter] = None) {
 
   private val statsCols: Seq[String] = statsCol +: secondaryStats
 
@@ -333,6 +335,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       Files.move(tmp, dir.resolve(dst.getName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       ()
+    } else if (!overwrite && arbiter.nonEmpty) {
+      // Injected claim primitive (docs/OBJECT-STORES.md CAS upgrade path):
+      // on S3-class stores neither rename nor link exists, so the
+      // atomic-exclusive create is delegated — conditional PUT
+      // (If-None-Match: *), a lock-service lease, or a catalog row. The
+      // arbiter owns ONLY exclusivity; content bytes are what we hand it.
+      arbiter.get.claim(dst, content.getBytes(StandardCharsets.UTF_8))
     } else if (!overwrite && fs.getUri.getScheme == "file") {
       // Rename-without-overwrite is the cross-JVM commit CLAIM, but
       // Hadoop's RawLocalFileSystem delegates to POSIX rename(2), which
@@ -833,15 +842,52 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * `ConcurrentModificationException`, never a silent mis-acknowledge.
     */
   private[graft] def acknowledge(v: Long, nonce: String): Long = {
-    val onDisk = readNonceOf(v)
+    val p = manifestPath(v)
+    val lines = if (fs.exists(p)) readLines(p) else Seq.empty
+    val onDisk = lines.find(_.startsWith("#nonce=")).map(_.stripPrefix("#nonce="))
     if (!onDisk.contains(nonce))
       throw new java.util.ConcurrentModificationException(
         s"commit claim on v$v at $path was superseded while unacknowledged " +
           s"(expected nonce $nonce, found ${onDisk.getOrElse("<absent>")}) — " +
           "this commit did not land; re-run it")
+    // The nonce protects the manifest, not its GROUP files: a writer
+    // stalled past DebrisGraceMs between its group writes and the manifest
+    // claim can have those (then-unreferenced) groups reclaimed by a
+    // concurrent recover()/expire() in another JVM — acknowledging then
+    // would publish a pointer naming a manifest with dangling @group refs,
+    // an unreadable live table. Sweep every ref before the swap; cost is
+    // O(#groups) existence probes, bounded by compaction.
+    val missing = lines.filter(_.startsWith("@"))
+      .map(_.split("\t")(0).stripPrefix("@"))
+      .filterNot(n => fs.exists(groupPath(n)))
+    if (missing.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"commit v$v at $path names group files reclaimed while this " +
+          s"writer was stalled: ${missing.mkString(", ")} — this commit " +
+          "did not land; re-run it")
+    // RESIDUAL WINDOW (known, not closable with rename-based primitives):
+    // the nonce/group reads above and the pointer swap below are
+    // check-then-act, not one atomic step. A writer that stalls AGAIN
+    // right here — after verifying, before swapping — for longer than the
+    // grace window can still bless a competitor's re-claimed v. The nonce
+    // narrows the window from the whole data-rename span to these few
+    // metadata calls; genuinely closing it needs a compare-and-swap
+    // pointer (conditional PUT / catalog row — the docs/OBJECT-STORES.md
+    // upgrade path, the same seam as [[SnapshotStore.ClaimArbiter]]).
     writeAtomic(pointerFile, v.toString, overwrite = true)
     v
   }
+
+  /** The globally unique id of the COMMIT currently holding version `v`
+    * (the per-commit claim nonce, exposed). Version NUMBERS can be reused
+    * — [[rollbackTo]] abandons a suffix and the next commit re-allocates
+    * those numbers — but commit ids never repeat, so a reproducibility pin
+    * is the PAIR (version, commitId): record it at pin time and re-check
+    * before trusting [[readAt]], and an incremental consumer that
+    * checkpoints (version, commitId) detects a rollback (id mismatch)
+    * instead of silently reading different data under a familiar number.
+    */
+  def commitIdOf(v: Long): Option[String] = readNonceOf(v)
 
   /** The per-commit nonce a version's manifest was claimed under, if any. */
   private def readNonceOf(v: Long): Option[String] = {
@@ -1004,6 +1050,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
 
   /** Files added by commits in `(fromV, toV]` — incremental consumption.
     * `fromV = 0` reads everything up to `toV`.
+    *
+    * ROLLBACK HAZARD: version (and therefore batch) numbers are reused
+    * after [[rollbackTo]] — a consumer checkpointed above a rolled-back
+    * version would silently skip the re-committed rows, because the new
+    * commits carry batch numbers the checkpoint already claims to have
+    * seen. Checkpoint the PAIR (version, [[commitIdOf]]) and on mismatch
+    * reprocess from the rollback target, never the bare number.
     */
   def readIncremental(fromV: Long, toV: Long): DataFrame = {
     val m = readManifest(toV)
@@ -1036,11 +1089,20 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   def changelog(fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "changelog needs key columns")
+    // ACKNOWLEDGED ceiling, not bare existence: an unacknowledged orphan
+    // manifest above the pointer (a commit crashed inside the debris grace
+    // window) exists on disk but was never committed — accepting it as an
+    // endpoint would hand a CDC consumer never-committed rows as inserts.
+    // Mirrors taggedVersion/snapshots(), which also consult only versions
+    // at or below the pointer.
+    val ceiling = latestVersion.getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $path"))
     Seq(fromV, toV).foreach { v =>
-      require(fs.exists(manifestPath(v)),
-        s"changelog endpoint v$v is not a retained version at $path — " +
-          "expire() retention must outlive every CDC consumer's window " +
-          "(checkpoint within keepLast versions, or raise keepLast)")
+      require(v <= ceiling && fs.exists(manifestPath(v)),
+        s"changelog endpoint v$v is not an acknowledged retained version " +
+          s"at $path (ceiling v$ceiling) — expire() retention must outlive " +
+          "every CDC consumer's window (checkpoint within keepLast " +
+          "versions, or raise keepLast)")
     }
     // Group-level short-circuit: refs SHARED by both manifests are the
     // same immutable group — their files are carried on both sides, no
@@ -1130,6 +1192,15 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * [[readAt]] first if the bad data needs forensics. Serialized with
     * commits; a concurrent writer's in-flight claim above `v` fails its
     * nonce re-verify after the rollback deletes it.
+    *
+    * NUMBER-REUSE HAZARD (differs from Iceberg, which never reuses
+    * snapshot ids): the next commit after a rollback re-allocates the
+    * abandoned version and batch numbers, so a reader pinned to a bare
+    * pre-rollback version number silently gets DIFFERENT data from
+    * [[readAt]], and a [[readIncremental]] consumer checkpointed above the
+    * recommitted version silently misses rows. Pins and checkpoints must
+    * carry (version, [[commitIdOf]]) — the commit id never repeats, so the
+    * mismatch is detectable.
     */
   def rollbackTo(v: Long): Unit =
     SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
@@ -1282,6 +1353,25 @@ final class SnapshotStore(spark: SparkSession, val path: String,
 }
 
 object SnapshotStore {
+  /** The atomic-exclusive metadata-claim primitive — the ONE
+    * filesystem-specific operation in the commit protocol
+    * (docs/OBJECT-STORES.md). `claim(dst, bytes)` must materialize `dst`
+    * with exactly `bytes` iff nothing exists at `dst`, such that of N
+    * simultaneous claimants exactly one succeeds and every loser throws
+    * `ConcurrentModificationException` — the semantics of S3 conditional
+    * PUT (`If-None-Match: *`), a ZooKeeper/etcd lease, or a catalog row's
+    * transactional insert. When no arbiter is injected the store uses the
+    * filesystem's own primitive (HDFS rename-without-overwrite; link(2)
+    * create-exclusive on file://). Claimed objects are immutable: the
+    * store never re-claims or mutates an existing name through this seam
+    * (releases of a FAILED own claim go through plain delete, which every
+    * store has). Readers read claimed objects through the ordinary
+    * FileSystem, so an arbiter must write THROUGH to the same storage.
+    */
+  trait ClaimArbiter {
+    def claim(dst: Path, content: Array[Byte]): Unit
+  }
+
   // Per-store commit serialization within one JVM (local[n] is one JVM;
   // on a cluster each pipeline's driver is its own JVM and the manifest
   // rename-WITHOUT-overwrite is the cross-JVM atomic claim on HDFS-class

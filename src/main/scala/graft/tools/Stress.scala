@@ -345,7 +345,10 @@ object Stress {
       "streamState" -> (() => streamStateStress(spark, sfDir)),
       "streamDedup" -> (() => streamDedupStress(spark, sfDir)),
       "streamRollup" -> (() => streamRollupStress(spark, sfDir)),
-      "snapshot" -> (() => snapshotStress(spark, sfDir)))
+      "snapshot" -> (() => snapshotStress(spark, sfDir)),
+      "manifestScale" -> (() => manifestScaleStress(spark)),
+      "claim" -> (() => claimStress(spark)),
+      "cdcSync" -> (() => cdcSyncStress(spark, sfDir)))
     val wanted = args.toSet
     sections.foreach { case (name, run) =>
       if (wanted.isEmpty || wanted(name)) run()
@@ -612,6 +615,170 @@ object Stress {
         s""""last_commit_meta_bytes":$lastMeta,"census_entry_bytes":$censusBytes}""")
     }
     ()
+  }
+
+  /** r14: the two-level manifest's O(changed)-commit claim PROVEN at ~10^5
+    * files. One table grows through three doublings to ~102k data files
+    * (200 commits x ~512 one-row files, disjoint id ranges per commit);
+    * at each doubling the row records a timed probe commit, a timed
+    * narrow-band readPruned (one commit's id band), and the metadata
+    * bytes the last commit wrote (list + its own group) against the
+    * counterfactual single-level census (every live entry re-serialized
+    * per commit — what Iceberg v1 avoided with manifest lists). Flat
+    * sec_commit/sec_prune across the doublings while census_bytes grows
+    * linearly is the 100-TB posture: commit metadata tracks the CHANGE,
+    * never the table.
+    */
+  private def manifestScaleStress(spark: SparkSession): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val filesPerCommit = 512
+    val dir = java.nio.file.Files.createTempDirectory("stress_snap_1e5").toString
+    val st = new SnapshotStore(spark, s"$dir/snap", "id")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitBatch(i: Int): Long = {
+      val lo = i.toLong * filesPerCommit
+      st.commit(spark.range(lo, lo + filesPerCommit)
+        .select(col("id"), (col("id") % 97).cast("double").as("v"))
+        .repartitionByRange(filesPerCommit, col("id")))
+    }
+    def sz(p: String): Long =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
+    var committed = 0
+    Seq(25, 50, 100, 200).foreach { commitsAt =>
+      while (committed < commitsAt - 1) { commitBatch(committed); committed += 1 }
+      // the timed probe is an ordinary append at this table size
+      val t0 = System.nanoTime()
+      val v = commitBatch(committed); committed += 1
+      val tCommit = (System.nanoTime() - t0) / 1e9
+      // narrow-band pruned read over the FIRST commit's id range — the
+      // matched file set is constant, so this must stay flat as the
+      // table grows or pruning is reading O(table) metadata
+      val t1 = System.nanoTime()
+      val nPruned = st.readPruned(v, 0.0, filesPerCommit - 1.0).count()
+      val tPrune = (System.nanoTime() - t1) / 1e9
+      val (kept, total) = st.pruneStats(v, 0.0, filesPerCommit - 1.0)
+      val manifest = f"$dir%s/snap/_manifests/v$v%05d.manifest"
+      val listBytes = sz(manifest)
+      val in = fs.open(new org.apache.hadoop.fs.Path(manifest))
+      val refs = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").filter(_.startsWith("@"))
+        .map(_.split("\t")(0).stripPrefix("@")).toSeq finally in.close()
+      val groupBytes = refs.map(g => sz(s"$dir/snap/_manifests/$g"))
+      // last commit's metadata = the list it wrote + the ONE group it added
+      val lastMeta = listBytes + groupBytes.last
+      println(s"""{"op":"manifest_scale","commits":$committed,""" +
+        s""""files_total":${st.fileCount},"groups":${refs.length},""" +
+        s""""sec_commit":${num(tCommit)},"sec_prune":${num(tPrune)},""" +
+        s""""rows_pruned":$nPruned,"files_kept":$kept,"files_listed":$total,""" +
+        s""""list_bytes":$listBytes,"last_commit_meta_bytes":$lastMeta,""" +
+        s""""census_entry_bytes":${groupBytes.sum}}""")
+    }
+  }
+
+  /** r14: FULL-corpus certification of the k25/k26 CDC-maintenance
+    * contract (maintain == rebuild, every key). The bench-facing contract
+    * queries certify a 1/10 md5-key stratum per rep (key-local
+    * equivalence — see store.CdcSync); this row re-runs the complete
+    * symmetric difference once per round and REFUSES to print unless both
+    * diffs are exactly zero, so the global property stays pinned without
+    * charging the bench suite three full index builds per rep.
+    */
+  private def cdcSyncStress(spark: SparkSession, sfDir: String): Unit = {
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r1 = graft.store.CdcSync.indexSync(spark, docs, certifyEvery = 1).head()
+    val tIdx = (System.nanoTime() - t0) / 1e9
+    require(r1.getLong(2) == 0L && r1.getLong(3) == 0L,
+      s"FULL cdc index certification failed: diff_docs=${r1.getLong(2)} " +
+        s"diff_bands=${r1.getLong(3)}")
+    println(s"""{"op":"cdc_index_sync_full","n_docs":${r1.getLong(0)},""" +
+      s""""diff_docs":0,"diff_bands":0,"sec":${num(tIdx)}}""")
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    val t1 = System.nanoTime()
+    val r2 = graft.store.CdcSync.annSync(spark, emb, certifyEvery = 1).head()
+    val tAnn = (System.nanoTime() - t1) / 1e9
+    require(r2.getLong(2) == 0L,
+      s"FULL cdc ann certification failed: diff_codes=${r2.getLong(2)}")
+    println(s"""{"op":"cdc_ann_sync_full","n_vecs":${r2.getLong(0)},""" +
+      s""""diff_codes":0,"sec":${num(tAnn)}}""")
+  }
+
+  /** r14: the injectable claim arbiter (docs/OBJECT-STORES.md CAS path)
+    * under real contention. A conditional-PUT double (server-side-atomic
+    * create-iff-absent — S3 `If-None-Match: *` semantics) takes 32
+    * simultaneous claimants per name over 256 contested names: the row
+    * prints only if every name saw exactly ONE winner and 31 loud losers
+    * (the invariant the commit protocol rides on). The second row runs
+    * real table commits through the injected arbiter to price the seam
+    * itself (it is one metadata PUT per manifest/group — noise).
+    */
+  private def claimStress(spark: SparkSession): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val dir = java.nio.file.Files.createTempDirectory("stress_claim").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    final class ConditionalPut extends SnapshotStore.ClaimArbiter {
+      private val lock = new Object
+      def claim(dst: org.apache.hadoop.fs.Path, content: Array[Byte]): Unit =
+        lock.synchronized {
+          if (fs.exists(dst))
+            throw new java.util.ConcurrentModificationException(
+              s"conditional PUT failed: $dst already exists")
+          val out = fs.create(dst, false)
+          try out.write(content) finally out.close()
+          ()
+        }
+    }
+    val arb = new ConditionalPut
+    val claimants = 32
+    val names = 256
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(claimants)
+    val t0 = System.nanoTime()
+    (0 until names).foreach { n =>
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(claimants)
+      (0 until claimants).foreach { c =>
+        pool.execute { () =>
+          gate.await()
+          try { arb.claim(new org.apache.hadoop.fs.Path(f"$dir%s/c$n%04d.manifest"),
+                  s"claimant-$c".getBytes("UTF-8")); wins.incrementAndGet(); () }
+          catch { case _: java.util.ConcurrentModificationException =>
+            losses.incrementAndGet(); () }
+          finally done.countDown()
+        }
+      }
+      gate.countDown(); done.await()
+    }
+    pool.shutdown()
+    val tWall = (System.nanoTime() - t0) / 1e9
+    require(wins.get() == names && losses.get() == names * (claimants - 1),
+      s"claim exclusivity violated: wins=${wins.get()} losses=${losses.get()}")
+    println(s"""{"op":"claim_arbiter","claimants":$claimants,"names":$names,""" +
+      s""""wins":${wins.get()},"losses":${losses.get()},"sec_wall":${num(tWall)}}""")
+    // real commits THROUGH the injected arbiter: the seam prices at one
+    // conditional PUT per manifest + one per new group
+    val st = new SnapshotStore(spark, s"$dir/snap", "id",
+      arbiter = Some(new ConditionalPut))
+    val t1 = System.nanoTime()
+    (0 until 16).foreach { i =>
+      val lo = i.toLong * 1000
+      st.commit(spark.range(lo, lo + 1000)
+        .select(col("id"), (col("id") % 7).cast("double").as("v"))
+        .repartitionByRange(2, col("id")))
+    }
+    val tCommits = (System.nanoTime() - t1) / 1e9
+    require(st.read().count() == 16000L, "arbiter-backed commits lost rows")
+    println(s"""{"op":"claim_commit","commits":16,"rows":16000,""" +
+      s""""sec_wall":${num(tCommits)}}""")
   }
 
   private def appendStress(spark: SparkSession, sfDir: String): Unit = {

@@ -847,6 +847,44 @@ class SnapshotSpec extends SparkSpec {
     assert(st.read().count() === 10L)
   }
 
+  test("a group file written but never referenced (crash before claim) is debris-swept") {
+    // the crash window BELOW the manifest claim: writeManifestFor PUTs the
+    // batch's group file first, then claims the manifest — a crash between
+    // the two leaves a g-*.group referenced by NO manifest, ever. Both
+    // cleanup verbs must reclaim it once aged, and neither may touch it
+    // young (a live writer's freshly PUT groups look exactly like this).
+    val st = freshStore("snap-orphan-group")
+    st.commit(batch(0, 9))
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(
+      st.path + "/_manifests/g-crashed-before-claim.group")
+    val out = fs.create(orphan, false)
+    out.write("#crc=0\n#stats=id\nbogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8"))
+    out.close()
+    st.recover()
+    assert(fs.exists(orphan),
+      "recover() must skip a young unreferenced group (may be a live writer's)")
+    st.expire(keepLast = 5)
+    assert(fs.exists(orphan),
+      "expire() must skip a young unreferenced group (may be a live writer's)")
+    age(st, "_manifests/g-crashed-before-claim.group")
+    st.recover()
+    assert(!fs.exists(orphan),
+      "an aged never-referenced group is crash debris and must be reclaimed")
+    // expire() reclaims the same shape independently (either verb suffices)
+    val orphan2 = new org.apache.hadoop.fs.Path(
+      st.path + "/_manifests/g-crashed-before-claim-2.group")
+    val out2 = fs.create(orphan2, false)
+    out2.write("#crc=0\n#stats=id\nbogus\t2\t1\t0.0\t1.0\t10\n".getBytes("UTF-8"))
+    out2.close()
+    age(st, "_manifests/g-crashed-before-claim-2.group")
+    st.expire(keepLast = 5)
+    assert(!fs.exists(orphan2),
+      "expire() must also reclaim aged never-referenced groups")
+    assert(st.read().count() === 10L, "debris sweeps must never touch live data")
+  }
+
   test("rollbackTo: the pointer re-acknowledges v, the abandoned suffix reclaims") {
     val st = freshStore("snap-rollback")
     st.commit(batch(0, 9))
