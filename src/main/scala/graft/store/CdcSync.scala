@@ -136,8 +136,12 @@ object CdcSync {
       cdc.filter(col("_change") === "insert").select("doc_id", "text"),
       "doc_id", "text", shingleN = 3, bands = 12, rowsPerBand = 4,
       maxBucket = Uncapped)
+    // the maintained docs feed BOTH the diff and the membership actions —
+    // unpersisted, the anti-join + union + artifact read would re-run per
+    // action (the d9/d10 N-consumer rule)
     val incDocs = idx1.docs.join(delKeys, Seq("id"), "left_anti")
       .unionByName(mini.docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incBands = idx1.bands.join(delKeys, Seq("id"), "left_anti")
       .unionByName(mini.bands)
     // certification rebuild: only the stratum's docs re-index
@@ -171,7 +175,7 @@ object CdcSync {
     val row = phased("idx.membership")(incDocs.agg(count(lit(1)).as("n_docs"),
       sum(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 2147483647L).as("docs_ck")).head)
-    Seq(mini.docs, reb.docs, cdc).foreach(_.unpersist())
+    Seq(mini.docs, reb.docs, cdc, incDocs).foreach(_.unpersist())
     Seq((row.getLong(0), row.getLong(1), diffDocs, diffBands))
       .toDF("n_docs", "docs_ck", "diff_docs", "diff_bands")
   }
@@ -230,8 +234,10 @@ object CdcSync {
       Ivf.assign(prep(cdc.filter(col("_change") === "insert"),
         "vec_id", "embedding"), idx.centroids),
       "id", "emb", idx.model, keepCols = Seq("listId"))
+    // feeds both the diff and the membership actions (the d9/d10 rule)
     val inc = idx.codes.unionByName(insCodes)
       .join(delKeys, Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // honest rebuild of the certification stratum: assign + encode against
     // the pinned artifacts (deterministic per row, so inc must match
     // bit-for-bit on the stratum)
@@ -253,7 +259,7 @@ object CdcSync {
     val row = phased("ann.membership")(inc.agg(count(lit(1)).as("n_vecs"),
       sum(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 2147483647L).as("vecs_ck")).head)
-    cdc.unpersist()
+    cdc.unpersist(); inc.unpersist()
     Seq((row.getLong(0), row.getLong(1), diffCodes))
       .toDF("n_vecs", "vecs_ck", "diff_codes")
   }

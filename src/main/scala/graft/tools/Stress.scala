@@ -601,7 +601,12 @@ object Stress {
         val txt = try new String(
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
           finally in.close()
-        txt.split("\n").filter(_.startsWith("@")).map(_.stripPrefix("@")).toSeq
+        // ref lines are "@name\tfiles\tbounds…" since the r13 group
+        // summaries — the bare stripPrefix kept the whole line and the
+        // getFileStatus below threw, silently killing every section after
+        // this one (why stress_r13.jsonl has no snapshot_manifest rows)
+        txt.split("\n").filter(_.startsWith("@"))
+          .map(_.split("\t")(0).stripPrefix("@")).toSeq
       }
       val lastRefs = refs(t.toLong)
       val newGroups = lastRefs.diff(refs(t - 1L))
