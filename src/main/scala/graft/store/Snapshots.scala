@@ -1173,12 +1173,14 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val rows = versions.filter(_ <= ceiling).map { v =>
       val m = readManifest(v)
       val own = m.filter(_.batch == v)
-      (v, readTagOf(v).orNull, own.size, own.map(_.rows).sum,
-        own.map(_.bytes).sum, m.size, m.map(_.rows).sum)
+      // commit_id: the never-reused claim nonce — what distinguishes a
+      // recommit under a rollback-reused version number (see commitIdOf)
+      (v, readNonceOf(v).orNull, readTagOf(v).orNull, own.size,
+        own.map(_.rows).sum, own.map(_.bytes).sum, m.size, m.map(_.rows).sum)
     }
     import spark.implicits._
-    rows.toDF("version", "tag", "added_files", "added_rows", "added_bytes",
-      "total_files", "total_rows").orderBy("version")
+    rows.toDF("version", "commit_id", "tag", "added_files", "added_rows",
+      "added_bytes", "total_files", "total_rows").orderBy("version")
   }
 
   /** ROLL BACK the table to retained version `v` (Iceberg's rollback —

@@ -916,6 +916,12 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("added_rows") === 5L)
     assert(rows(1).getAs[Long]("total_rows") === 15L)
     assert(rows(1).getAs[Int]("total_files") >= rows(1).getAs[Int]("added_files"))
+    // commit_id: present, unique per commit, equal to commitIdOf — the
+    // identity a pinned reader re-checks against rollback number reuse
+    val ids = rows.map(_.getAs[String]("commit_id"))
+    assert(ids.forall(_ != null) && ids.distinct.length === ids.length)
+    assert(st.commitIdOf(1L).contains(ids(0)))
+    assert(st.commitIdOf(2L).contains(ids(1)))
   }
 
   test("a YOUNG unacknowledged manifest refuses the next commit instead of being deleted") {
