@@ -1412,6 +1412,43 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K28 — NAMED REFS through the table format (Iceberg's tag/ref idea):
+    // a training-run pin records (version, commitId), so the full hazard
+    // lifecycle is exercised in one query — a ref pinned to a bad commit
+    // turns loudly STALE when rollback reuses its version number (never
+    // silently serving the recommit), a fresh pin on the recommitted
+    // version reads it exactly, and expire(keepLast=1) RETAINS the pinned
+    // version (the Iceberg refs-protect-snapshots rule) while aging the
+    // unpinned history out. The oracle replays the pinned read's content
+    // (%3 in (0,2)) and pins the audit censuses: exactly one stale ref,
+    // whose verified read fails, and one valid ref.
+    "k28_snapshot_refs" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-refs").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      st.commit(ev.filter(col("event_id") % 3 === 0))
+      st.commit(ev.filter(col("event_id") % 3 === 1)
+        .withColumn("value", col("value") * -1.0)) // the bad commit
+      st.createRef("run-a", 2L) // pins the commit about to be rolled back
+      st.rollbackTo(1L)
+      st.commit(ev.filter(col("event_id") % 3 === 2)) // reuses version 2
+      st.createRef("run-b", 2L)
+      st.commit(ev.filter(col("event_id") % 3 === 1)) // corrected batch, v3
+      st.expire(keepLast = 1) // run-b's pin must protect v2 from retention
+      val staleRefs = st.refs().filter(!col("valid")).count()
+      val validRefs = st.refs().filter(col("valid")).count()
+      val staleReadFails =
+        try { st.readRef("run-a"); 0L }
+        catch { case _: IllegalStateException => 1L }
+      st.readRef("run-b").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+        .withColumn("stale_refs", lit(staleRefs))
+        .withColumn("stale_read_fails", lit(staleReadFails))
+        .withColumn("valid_refs", lit(validRefs))
+        .orderBy("event_type")
+    }),
+
     // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
     // d15 persisted dedup index); lifecycle + certification live in
     // store.CdcSync. The fixture (snapshot history v1..v3 + the v1-built
@@ -5319,6 +5356,18 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
         |       CAST(2 AS BIGINT) AS n_versions
         |FROM events WHERE event_id % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k28: the pinned ref reads v2-recommitted exactly (the v1 slice plus
+    // the %3==2 recommit — NEVER the rolled-back negated batch), with one
+    // stale ref (loud on read), one valid ref
+    "k28_snapshot_refs" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       CAST(1 AS BIGINT) AS stale_refs,
+        |       CAST(1 AS BIGINT) AS stale_read_fails,
+        |       CAST(1 AS BIGINT) AS valid_refs
+        |FROM events WHERE event_id % 3 IN (0, 2)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k25: the maintained index's membership must be exactly the corpus

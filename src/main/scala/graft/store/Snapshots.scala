@@ -1056,7 +1056,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * version would silently skip the re-committed rows, because the new
     * commits carry batch numbers the checkpoint already claims to have
     * seen. Checkpoint the PAIR (version, [[commitIdOf]]) and on mismatch
-    * reprocess from the rollback target, never the bare number.
+    * reprocess from the rollback target, never the bare number — the
+    * ready-made form is a named ref ([[updateRef]] after each drain):
+    * it records the pair, [[expire]] then cannot outrun the consumer,
+    * and a rollback turns the checkpoint detectably stale.
     */
   def readIncremental(fromV: Long, toV: Long): DataFrame = {
     val m = readManifest(toV)
@@ -1202,7 +1205,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * [[readAt]], and a [[readIncremental]] consumer checkpointed above the
     * recommitted version silently misses rows. Pins and checkpoints must
     * carry (version, [[commitIdOf]]) — the commit id never repeats, so the
-    * mismatch is detectable.
+    * mismatch is detectable. Named refs ([[createRef]]) record exactly
+    * that pair: refs above `v` turn STALE after a rollback and
+    * [[readRef]] fails loudly instead of reading the recommit.
     */
   def rollbackTo(v: Long): Unit =
     SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
@@ -1218,11 +1223,126 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       writeAtomic(pointerFile, v.toString, overwrite = true)
     }
 
+  // ─── Named refs (the Iceberg tag/branch-head idea on one file per ref):
+  // a human-stable name pinned to a (version, commitId) PAIR, because bare
+  // version numbers are reusable after rollbackTo while commit ids never
+  // repeat — the pair is the reproducibility identity. Two idioms:
+  // training-run pins (createRef once, readRef forever) and consumer
+  // checkpoints (updateRef after each readIncremental/changelog drain).
+  // Valid refs PROTECT their version from expire(); stale refs (the
+  // recorded commit id no longer holds the version — a rollback reused
+  // the number, or retention outran an unpinned consumer) stay on disk as
+  // the audit trail, fail readRef loudly, and protect nothing.
+
+  private def refPath(name: String) = new Path(s"$path/_refs/$name")
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}") &&
+        !name.contains(".."),
+      s"malformed ref name: '$name' (alnum start, [A-Za-z0-9._-], <=64 chars)")
+
+  private def refEntries(): Seq[(String, Long, String)] = {
+    val dir = new Path(s"$path/_refs")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filterNot(_.getPath.getName.endsWith(".tmp"))
+      .filterNot(_.getPath.getName.contains(".tmp-"))
+      .flatMap { st =>
+        readLines(st.getPath).headOption.map(_.split("\t")).collect {
+          case Array(v, id) if v.toLongOption.nonEmpty =>
+            (st.getPath.getName, v.toLong, id)
+        }
+      }.sortBy(_._1)
+  }
+
+  /** A ref's validity: the recorded commit id still holds the version. */
+  private def refValid(v: Long, id: String): Boolean =
+    latestVersion.exists(v <= _) && readNonceOf(v).contains(id)
+
+  /** Pin `name` to acknowledged version `v` — create-EXCLUSIVE (the claim
+    * seam arbitrates racing creators; the loser throws). Records
+    * (v, commitId) so the pin survives [[rollbackTo]]'s version-number
+    * reuse DETECTABLY rather than silently reading different data.
+    */
+  def createRef(name: String, v: Long): Unit = {
+    requireRefName(name)
+    val id = refTargetId(name, v)
+    writeAtomic(refPath(name), s"$v\t$id", overwrite = false)
+  }
+
+  /** Move `name` to acknowledged version `v` (atomic replace) — the
+    * consumer-checkpoint verb: one owner per ref by convention,
+    * last-writer-wins like every checkpoint file.
+    */
+  def updateRef(name: String, v: Long): Unit = {
+    requireRefName(name)
+    val id = refTargetId(name, v)
+    writeAtomic(refPath(name), s"$v\t$id", overwrite = true)
+  }
+
+  private def refTargetId(name: String, v: Long): String = {
+    val ceiling = latestVersion.getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $path — nothing to pin '$name' to"))
+    require(v <= ceiling && fs.exists(manifestPath(v)),
+      s"cannot pin ref '$name' to v$v at $path — not an acknowledged " +
+        s"retained version (ceiling v$ceiling)")
+    readNonceOf(v).getOrElse(throw new IllegalStateException(
+      s"v$v at $path has no commit id (pre-nonce manifest) — re-commit " +
+        "before pinning refs"))
+  }
+
+  /** The recorded (version, commitId) of `name`, unvalidated; None if the
+    * ref does not exist. Use [[readRef]] for the verified read.
+    */
+  def resolveRef(name: String): Option[(Long, String)] = {
+    requireRefName(name)
+    val p = refPath(name)
+    if (!fs.exists(p)) None
+    else readLines(p).headOption.map(_.split("\t")).collect {
+      case Array(v, id) if v.toLongOption.nonEmpty => (v.toLong, id)
+    }
+  }
+
+  /** [[readAt]] through a VERIFIED ref: throws if the ref is missing or
+    * STALE (the recorded commit id no longer holds the version — a
+    * rollback reused the number, or the version expired). A pinned
+    * training run either reads exactly the bytes it pinned or fails
+    * loudly; it never silently reads a recommit.
+    */
+  def readRef(name: String): DataFrame = {
+    val (v, id) = resolveRef(name).getOrElse(throw new IllegalStateException(
+      s"no ref '$name' at $path"))
+    if (!refValid(v, id)) throw new IllegalStateException(
+      s"ref '$name' at $path is STALE: it pinned v$v under commit $id but " +
+        s"that commit no longer holds the version " +
+        s"(now: ${readNonceOf(v).getOrElse("<expired>")}) — the version " +
+        "was rolled back and reused, or retention outran the pin")
+    readAt(v)
+  }
+
+  /** Drop a ref. Idempotent. */
+  def dropRef(name: String): Unit = {
+    requireRefName(name)
+    fs.delete(refPath(name), false)
+    ()
+  }
+
+  /** The refs METADATA table: (ref, version, commit_id, valid) — valid
+    * means the recorded commit id still holds the version, i.e. readRef
+    * would succeed and expire() protects it.
+    */
+  def refs(): DataFrame = {
+    import spark.implicits._
+    refEntries().map { case (n, v, id) => (n, v, id, refValid(v, id)) }
+      .toDF("ref", "version", "commit_id", "valid")
+  }
+
   /** Retention: keep the newest `keepLast` manifests (never fewer than the
-    * live one), delete every data file no retained manifest references and
-    * every older manifest. Returns the number of data files deleted.
-    * Expiry is the only mutation in the format — and it only ever touches
-    * versions no retained reader can name.
+    * live one) PLUS every version a VALID ref pins — the Iceberg rule that
+    * named refs protect their snapshots — delete every data file no
+    * retained manifest references and every older manifest. Returns the
+    * number of data files deleted. Expiry is the only mutation in the
+    * format — and it only ever touches versions no retained reader can
+    * name. Stale refs protect nothing (their version's identity is
+    * already gone); dropRef is how an operator releases a pin.
     */
   def expire(keepLast: Int): Int =
     SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
@@ -1245,7 +1365,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       s"snapshot store at $path has unacknowledged manifests newer than " +
         s"the pointer (v$ptr): ${orphans.mkString(", ")} — run recover() " +
         "before expire()")
-    val keep = vs.takeRight(keepLast).toSet
+    val pinned = refEntries().collect {
+      case (_, v, id) if vs.contains(v) && readNonceOf(v).contains(id) => v
+    }.toSet
+    val keep = vs.takeRight(keepLast).toSet ++ pinned
     val live: Set[String] =
       keep.flatMap(v => readManifest(v).map(_.file))
     val all: Set[String] =

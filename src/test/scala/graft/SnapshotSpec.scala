@@ -847,6 +847,70 @@ class SnapshotSpec extends SparkSpec {
     assert(st.read().count() === 10L)
   }
 
+  test("named refs: pin, verified read, and checkpoint update") {
+    val st = freshStore("snap-refs")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 29))
+    st.createRef("train-pin", 1L)
+    assert(st.readRef("train-pin").count() === 10L)
+    assert(st.resolveRef("train-pin").map(_._1) === Some(1L))
+    assert(st.resolveRef("train-pin").map(_._2) === st.commitIdOf(1L))
+    // checkpoint idiom: updateRef moves, createRef on an existing name is
+    // a lost claim (create-exclusive)
+    st.updateRef("train-pin", 2L)
+    assert(st.readRef("train-pin").count() === 30L)
+    intercept[java.util.ConcurrentModificationException](
+      st.createRef("train-pin", 1L))
+    // guards: unacknowledged/absent targets and malformed names refuse
+    intercept[IllegalArgumentException](st.createRef("nope", 9L))
+    intercept[IllegalArgumentException](st.createRef("../escape", 1L))
+    intercept[IllegalStateException](st.readRef("absent"))
+    st.dropRef("train-pin")
+    assert(st.resolveRef("train-pin").isEmpty)
+  }
+
+  test("named refs: a rollback's version-number reuse turns the pin STALE, never silent") {
+    val st = freshStore("snap-refs-stale")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19)) // the bad commit a pin might name
+    st.createRef("run-a", 2L)
+    st.rollbackTo(1L)
+    st.commit(batch(100, 119)) // recommit REUSES version number 2
+    assert(st.latestVersion === Some(2L))
+    // the bare number would now silently serve different data; the ref
+    // carries (version, commitId) and fails loudly instead
+    val ex = intercept[IllegalStateException](st.readRef("run-a"))
+    assert(ex.getMessage.contains("STALE"))
+    val r = st.refs().collect().map(x =>
+      (x.getString(0), x.getLong(1), x.getBoolean(3))).toSeq
+    assert(r === Seq(("run-a", 2L, false)))
+    // a fresh pin on the recommitted version is valid (v2' = v1's 10 rows
+    // + the 20-row recommit)
+    st.createRef("run-b", 2L)
+    assert(st.readRef("run-b").count() === 30L)
+    assert(st.refs().filter("valid").count() === 1L)
+  }
+
+  test("named refs: a valid pin PROTECTS its version from expire; stale pins protect nothing") {
+    val st = freshStore("snap-refs-expire")
+    st.commit(batch(0, 9))
+    st.commit(batch(10, 19))
+    st.commit(batch(20, 29))
+    st.createRef("pin-v2", 2L)
+    // pure appends share every file forward, so no data file dies — the
+    // retention bite here is MANIFESTS: v1's goes, v2's survives the
+    // keepLast=1 window ONLY via the pin, v3's via keepLast
+    st.expire(keepLast = 1)
+    assert(st.versions === Seq(2L, 3L))
+    assert(st.readRef("pin-v2").count() === 20L)
+    assert(st.readAt(3L).count() === 30L)
+    intercept[Exception](st.readAt(1L)) // v1 is gone
+    // dropping the pin releases the version to the next expire
+    st.dropRef("pin-v2")
+    st.expire(keepLast = 1)
+    assert(st.versions === Seq(3L))
+  }
+
   test("a group file written but never referenced (crash before claim) is debris-swept") {
     // the crash window BELOW the manifest claim: writeManifestFor PUTs the
     // batch's group file first, then claims the manifest — a crash between
