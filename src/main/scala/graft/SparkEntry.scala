@@ -1449,6 +1449,74 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K29 — WRITE-AUDIT-PUBLISH through the snapshot format (Iceberg's WAP
+    // pattern): a batch is staged with ZERO reader visibility, audited
+    // against the would-be table, discarded when the audit fails, and
+    // published exactly-once — a replayed publish returns the same version
+    // instead of double-appending (the commit-tag handshake). Publish
+    // itself is O(metadata): the staged files are already final, only the
+    // manifest claim and pointer swap happen. The oracle replays the final
+    // table's content; the lifecycle booleans ride as literal columns.
+    "k29_wap_publish" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-wap").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      st.commit(ev.filter(col("event_id") % 3 === 0))
+      val baseRows = st.read().count()
+      // a poisoned candidate (negated values): staged, audited, rejected
+      st.stageWap(ev.filter(col("event_id") % 3 === 1)
+        .withColumn("value", col("value") * -1.0), "nightly")
+      val hiddenOk = if (st.read().count() == baseRows) 1L else 0L
+      val poisonSeen = st.readWap("nightly").filter(col("value") < 0).count()
+      st.discardWap("nightly") // the audit failed — never became visible
+      val rejectedOk =
+        if (st.read().filter(col("value") < 0).count() == 0) 1L else 0L
+      // the corrected candidate passes its audit and publishes
+      st.stageWap(ev.filter(col("event_id") % 3 === 1), "nightly")
+      val v1 = st.publishWap("nightly")
+      val v2 = st.publishWap("nightly") // replay: exactly-once
+      st.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+        .withColumn("hidden_during_stage", lit(hiddenOk))
+        .withColumn("poison_caught", lit(if (poisonSeen > 0) 1L else 0L))
+        .withColumn("poison_rejected", lit(rejectedOk))
+        .withColumn("replay_idempotent", lit(if (v1 == v2) 1L else 0L))
+        .orderBy("event_type")
+    }),
+
+    // K30 — Z-ORDER CLUSTERING (Delta's OPTIMIZE ZORDER BY, as one
+    // rewrite commit): the table re-laid along the Morton curve of
+    // (event_id, value) so manifest zone pruning skips files on BOTH
+    // dimensions at once — a single-column sort buys exactly one. Content
+    // is bit-identical (oracle replay); the file-skip census rides as
+    // booleans plus one data-dependent pruned-read count the oracle
+    // replays as a scalar subquery.
+    "k30_zorder_cluster" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id",
+        secondaryStats = Seq("value"))
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      // committed sorted by event_id alone: id-zones tight, value-zones
+      // useless (every file spans the whole value range)
+      val v1 = st.commit(ev.repartitionByRange(16, col("event_id")))
+      val (keptV0, _) = st.pruneStatsOn(v1, "value", 10.0, 20.0)
+      val v2 = st.clusterZOrder(Seq("event_id", "value"), targetFiles = 16).get
+      val (keptV1, total1) = st.pruneStatsOn(v2, "value", 10.0, 20.0)
+      val (keptE1, _) = st.pruneStatsOn(v2, "event_id", 0.0, 999.0)
+      val prunedRows = st.readPrunedOn(v2, "value", 10.0, 20.0)
+        .filter(col("value").between(10.0, 20.0)).count()
+      st.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"),
+        sum(col("event_id")).as("sum_id"))
+        .withColumn("value_prune_improved",
+          lit(if (keptV1 < keptV0 && keptV1 < total1) 1L else 0L))
+        .withColumn("id_prune_kept", lit(if (keptE1 < total1) 1L else 0L))
+        .withColumn("pruned_rows", lit(prunedRows))
+        .orderBy("event_type")
+    }),
+
     // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
     // d15 persisted dedup index); lifecycle + certification live in
     // store.CdcSync. The fixture (snapshot history v1..v3 + the v1-built
@@ -5368,6 +5436,31 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS stale_read_fails,
         |       CAST(1 AS BIGINT) AS valid_refs
         |FROM events WHERE event_id % 3 IN (0, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k29: after one rejected and one published candidate, the table is
+    // base + the clean batch; every lifecycle check must have passed
+    "k29_wap_publish" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       CAST(1 AS BIGINT) AS hidden_during_stage,
+        |       CAST(1 AS BIGINT) AS poison_caught,
+        |       CAST(1 AS BIGINT) AS poison_rejected,
+        |       CAST(1 AS BIGINT) AS replay_idempotent
+        |FROM events WHERE event_id % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k30: clustering is a pure layout change — content replays exactly;
+    // the pruned read must return precisely the rows a full scan would
+    "k30_zorder_cluster" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |       CAST(1 AS BIGINT) AS value_prune_improved,
+        |       CAST(1 AS BIGINT) AS id_prune_kept,
+        |       (SELECT count(*) FROM events
+        |          WHERE value BETWEEN 10 AND 20) AS pruned_rows
+        |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k25: the maintained index's membership must be exactly the corpus

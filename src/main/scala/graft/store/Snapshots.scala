@@ -482,6 +482,29 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       }
     }
 
+  /** Z-ORDER the whole table (Delta's OPTIMIZE ZORDER BY): rewrite the
+    * current state laid out along the Morton curve of `cols` — every
+    * clustered column gets tight per-file zones at once, so [[readPrunedOn]]
+    * skips files on ANY of them (a single-column sort buys exactly one).
+    * `cols` must be zone-tracked (⊆ the declared stats columns): clustering
+    * an untracked column would improve nothing a reader can act on.
+    * A full rewrite by design — the one-time layout cost the amortized
+    * multi-dimensional skipping pays for; planned against the current
+    * version, so a concurrent commit fails it loudly
+    * (ConcurrentModificationException) rather than being dropped.
+    * Returns the new version, or None on an empty store.
+    */
+  def clusterZOrder(cols: Seq[String], targetFiles: Int): Option[Long] = {
+    val untracked = cols.filterNot(statsCols.contains)
+    require(untracked.isEmpty,
+      s"z-order columns must be zone-tracked stats columns " +
+        s"(tracked: ${statsCols.mkString(",")}; untracked: ${untracked.mkString(",")})")
+    latestVersion.map { prev =>
+      doCommit(ZOrder.cluster(readAt(prev), cols, targetFiles),
+        () => Seq.empty, expectedPrev = Some(Some(prev)))
+    }
+  }
+
   /** Copy-on-write row deletion — the takedown/right-to-be-forgotten
     * primitive a training-corpus store cannot ship without: only the files
     * that CONTAIN matching rows are rewritten (filtered complements);
@@ -625,45 +648,23 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     (nDelta, kept)
   }
 
-  private def doCommit(df: DataFrame, base: () => Seq[Group],
-      tag: Option[String] = None,
-      expectedPrev: Option[Option[Long]] = None): Long = {
-    // Damaged-store guard: with no acknowledged version, the only debris
-    // the commit protocol itself can have left behind is a crashed FIRST
-    // commit's v1 (a crash at commit N implies a pointer at N-1). Anything
-    // else — a pointer file naming a missing manifest, or a lost pointer
-    // over real history — is hand-damage; treating it as a fresh store
-    // would make the debris-clear below delete the surviving history.
-    // Refuse and route to recover(), which re-points to the newest
-    // complete manifest. Checked BEFORE staging so a damaged store fails
-    // without a distributed write.
-    require(latestVersion.nonEmpty ||
-      (!fs.exists(pointerFile) && versions.forall(_ == 1L)),
-      s"snapshot store at $path has manifests but no valid pointer — " +
-        "run recover() before committing")
-
-    // 1. STAGE (outside the critical section): the expensive distributed
-    //    write goes to a unique directory, so concurrent committers
-    //    overlap their data writes and contend only on metadata.
-    val stagingName = ".staging-" + java.util.UUID.randomUUID().toString
-    val staging = new Path(s"$path/data/$stagingName")
-    df.write.parquet(staging.toString)
-    // Per-file zone stats: group the batch (and only the batch) by the
-    // physical file each row landed in.
-    // an all-rows-deleted rewrite may write ZERO part files — a manifest of
-    // just the carried-forward entries is then the correct table state
-    val stagedStats = if (!fs.listStatus(staging)
-        .exists(_.getPath.getName.startsWith("part-"))) Array.empty[FileEntry]
+  /** Per-file zone stats of a freshly written parquet directory: one
+    * bounded aggregate over the batch (and only the batch), grouped by the
+    * physical file each row landed in. An all-rows-deleted rewrite may
+    * write ZERO part files — a manifest of just the carried-forward
+    * entries is then the correct table state. Stats columns must exist
+    * (and be non-null-typed numerics) in EVERY commit — they are the
+    * table's declared zone-map keys, not evolvable payload.
+    */
+  private def statsForDir(dir: Path): Array[FileEntry] =
+    if (!fs.listStatus(dir).exists(_.getPath.getName.startsWith("part-")))
+      Array.empty[FileEntry]
     else {
-      // one bounded aggregate produces every stats column's bounds; stats
-      // columns must exist (and be non-null-typed numerics) in EVERY
-      // commit — they are the table's declared zone-map keys, not
-      // evolvable payload
       val aggExprs = count(lit(1)).as("n") +:
         statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
           min(col(c).cast("double")).as(s"mn$i"),
           max(col(c).cast("double")).as(s"mx$i")) }
-      spark.read.parquet(staging.toString)
+      spark.read.parquet(dir.toString)
         .groupBy(input_file_name().as("f"))
         .agg(aggExprs.head, aggExprs.tail: _*)
         .collect()
@@ -677,22 +678,72 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         .sortBy(_.file)
     }
 
-    // 2. COMMIT (critical section): re-read the pointer, allocate the next
-    //    version, rename the staged batch in, claim the manifest, swap the
-    //    pointer. Serialized per store path within the JVM; across JVMs
-    //    the manifest rename-WITHOUT-overwrite is the atomic claim on
-    //    HDFS-class filesystems (a lost race throws rather than silently
-    //    orphaning a commit). `base` is (re-)evaluated HERE, under the
-    //    lock, so append-style commits rebase onto whatever version a
-    //    concurrent writer just acknowledged.
-    try SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
+  /** Damaged-store guard: with no acknowledged version, the only debris
+    * the commit protocol itself can have left behind is a crashed FIRST
+    * commit's v1 (a crash at commit N implies a pointer at N-1). Anything
+    * else — a pointer file naming a missing manifest, or a lost pointer
+    * over real history — is hand-damage; treating it as a fresh store
+    * would make the commit-time debris-clear delete the surviving history.
+    * Refuse and route to recover(), which re-points to the newest complete
+    * manifest. Checked BEFORE staging so a damaged store fails without a
+    * distributed write.
+    */
+  private def commitGuard(): Unit =
+    require(latestVersion.nonEmpty ||
+      (!fs.exists(pointerFile) && versions.forall(_ == 1L)),
+      s"snapshot store at $path has manifests but no valid pointer — " +
+        "run recover() before committing")
+
+  private def doCommit(df: DataFrame, base: () => Seq[Group],
+      tag: Option[String] = None,
+      expectedPrev: Option[Option[Long]] = None): Long = {
+    commitGuard()
+
+    // 1. STAGE (outside the critical section): the expensive distributed
+    //    write goes to a unique directory, so concurrent committers
+    //    overlap their data writes and contend only on metadata.
+    val stagingName = ".staging-" + java.util.UUID.randomUUID().toString
+    val staging = new Path(s"$path/data/$stagingName")
+    df.write.parquet(staging.toString)
+    val stagedStats = statsForDir(staging)
+
+    // 2. COMMIT (critical section) — shared with [[publishWap]], which
+    //    enters it with pre-placed files instead of a staging rename.
+    try commitMeta(base, tag, expectedPrev, stagedStats,
+      moveFrom = Some((staging, stagingName)))
+    catch {
+      case e: Throwable =>
+        // best-effort staging cleanup on any failed commit; recover() also
+        // clears crashed stagings
+        if (fs.exists(staging)) fs.delete(staging, true)
+        throw e
+    }
+  }
+
+  /** The commit CRITICAL SECTION: re-read the pointer, allocate the next
+    * version, move the staged batch in, claim the manifest, swap the
+    * pointer. Serialized per store path within the JVM; across JVMs the
+    * manifest rename-WITHOUT-overwrite is the atomic claim on HDFS-class
+    * filesystems (a lost race throws rather than silently orphaning a
+    * commit). `base` is (re-)evaluated HERE, under the lock, so
+    * append-style commits rebase onto whatever version a concurrent writer
+    * just acknowledged. `moveFrom = Some((stagingDir, stagingName))` is
+    * the normal commit shape (rename the staged batch to the version's
+    * batch dir); `None` is the WAP-publish shape — the entries' files
+    * already sit at their final immutable location (`data/wap-*`) and only
+    * metadata moves.
+    */
+  private def commitMeta(base: () => Seq[Group], tag: Option[String],
+      expectedPrev: Option[Option[Long]], stagedStats: Array[FileEntry],
+      moveFrom: Option[(Path, String)]): Long =
+    SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
       val prev = latestVersion
       // Tagged replays re-check under the lock: a concurrent replay of the
       // same tag that won the race means this attempt must no-op, not
       // double-append.
       tag.flatMap(taggedVersion) match {
         case Some(acked) =>
-          fs.delete(staging, true)
+          moveFrom.foreach { case (staging, _) => fs.delete(staging, true) }
           acked
         case None =>
           // Rewrite-style commits (compaction, deleteWhere) were planned
@@ -735,8 +786,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           debrisManifests.foreach(w => fs.delete(manifestPath(w), false))
           if (fs.exists(batchDir(v))) fs.delete(batchDir(v), true)
           val dir = batchDir(v)
-          val stats = stagedStats.map(e => e.copy(
-            file = e.file.replace(stagingName, dir.getName), batch = v))
+          val stats = moveFrom match {
+            case Some((_, stagingName)) => stagedStats.map(e => e.copy(
+              file = e.file.replace(stagingName, dir.getName), batch = v))
+            // WAP publish: files are already final; only the batch number
+            // (the readIncremental/CDC basis) is allocated here
+            case None => stagedStats.map(_.copy(batch = v))
+          }
           // CLAIM BEFORE the batch rename: the exclusive manifest claim is
           // the ONLY cross-JVM arbitration for version v, so the
           // version-numbered batch dir may be touched exclusively by the
@@ -750,11 +806,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           // standard debris shape, refused while young and reclaimed aged.
           val nonce = writeManifestFor(v, base, tag, stats)
           try {
-            if (fs.listStatus(staging).nonEmpty) {
-              if (!fs.rename(staging, dir))
-                throw new java.io.IOException(
-                  s"snapshot batch rename failed: $staging -> $dir")
-            } else fs.delete(staging, true)
+            moveFrom.foreach { case (staging, _) =>
+              if (fs.listStatus(staging).nonEmpty) {
+                if (!fs.rename(staging, dir))
+                  throw new java.io.IOException(
+                    s"snapshot batch rename failed: $staging -> $dir")
+              } else fs.delete(staging, true)
+            }
             acknowledge(v, nonce)
           } catch {
             case e: Throwable =>
@@ -766,14 +824,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
               throw e
           }
       }
-    } catch {
-      case e: Throwable =>
-        // best-effort staging cleanup on any failed commit; recover() also
-        // clears crashed stagings
-        if (fs.exists(staging)) fs.delete(staging, true)
-        throw e
     }
-  }
 
   /** Write the group files and CLAIM version `v`'s manifest (the exclusive
     * cross-JVM arbitration); returns the commit nonce the caller passes to
@@ -1335,6 +1386,189 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       .toDF("ref", "version", "commit_id", "valid")
   }
 
+  // ---- WRITE-AUDIT-PUBLISH --------------------------------------------
+  // Iceberg's WAP pattern on one pointer file: a producer STAGES a batch
+  // as an un-published candidate (full distributed write, zero visibility
+  // to readers), an auditor READS the would-be table and runs its quality
+  // gates, and only then the batch is PUBLISHED — an O(metadata) append
+  // onto whatever head exists by then (cherry-pick semantics: the audit
+  // certifies the BATCH; publish rebases it like any append) — or
+  // DISCARDED without ever having been visible. Publish is exactly-once
+  // through the commit-tag mechanism: a replay of `publishWap` after any
+  // crash returns the already-acknowledged version instead of
+  // double-appending. Staged batches are invisible to read()/expire() and
+  // protected from every debris sweep by their staged list; an abandoned
+  // stage is released explicitly by [[discardWap]] (a crashed one — data
+  // written, list never — ages out via [[recover]]).
+
+  /** Every stage writes its OWN uuid-suffixed directory, even for the same
+    * wap id: the staged-list claim (create-exclusive) arbitrates racing
+    * stages, and unique dirs mean the loser's files can never interleave
+    * with the winner's — its orphan dir just ages out via [[recover]].
+    */
+  private def newWapDir(id: String) =
+    new Path(s"$path/data/wap-$id-${java.util.UUID.randomUUID()}")
+  private def wapListPath(id: String) = new Path(s"$path/_staged/s-$id.list")
+  private def wapPublishedPath(id: String) =
+    new Path(s"$path/_staged/s-$id.published")
+  private def wapTag(id: String) = s"wap:$id"
+
+  /** The data directories a staged/published wap's entries live in —
+    * derived from recorded file paths (the list) or the tombstone body.
+    */
+  private def wapDirsOf(id: String): Seq[Path] =
+    if (fs.exists(wapListPath(id)))
+      wapEntries(id).map(e => new Path(e.file).getParent).distinct
+    else if (fs.exists(wapPublishedPath(id)))
+      readLines(wapPublishedPath(id)).filter(_.nonEmpty)
+        .map(n => new Path(s"$path/data/$n"))
+    else Seq.empty
+
+  private def requireWapId(id: String): Unit =
+    require(id.nonEmpty && id.length <= 64 && id.head.isLetterOrDigit &&
+      id.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-') &&
+        !id.contains(".."),
+      s"malformed wap id: '$id' (alnum start, [A-Za-z0-9._-], <=64 chars)")
+
+  /** Stage `df` as un-published candidate batch `wapId`: a normal
+    * distributed parquet write to the batch's own final directory plus a
+    * staged list (the batch's zone-stats entries, crc-guarded) — no
+    * version is allocated and no reader sees a row until [[publishWap]].
+    * Ids are single-use: a crashed stage of the same id must be
+    * [[discardWap]]-ed (or aged out by [[recover]]) first, never silently
+    * overwritten.
+    */
+  def stageWap(df: DataFrame, wapId: String): Unit = {
+    requireWapId(wapId)
+    require(!fs.exists(wapListPath(wapId)) && !fs.exists(wapPublishedPath(wapId)),
+      s"wap '$wapId' at $path is already staged or published — " +
+        "discard it or pick a fresh id")
+    val dir = newWapDir(wapId)
+    try {
+      df.write.parquet(dir.toString)
+      val entries = statsForDir(dir)
+      // the CLAIM: create-exclusive, so of two racing stages of the same
+      // id exactly one list lands; the loser throws here and its own
+      // (unique, unreferenced) dir is cleaned below
+      writeAtomic(wapListPath(wapId), groupBody(entries.toSeq, statsCols),
+        overwrite = false)
+    } catch {
+      case e: Throwable =>
+        if (fs.exists(dir)) fs.delete(dir, true)
+        throw e
+    }
+  }
+
+  private def wapEntries(id: String): Seq[FileEntry] = {
+    val p = wapListPath(id)
+    require(fs.exists(p), s"no staged wap '$id' at $path")
+    val lines = readLines(p)
+    checkCrc(lines, s"staged wap $id")
+    parseEntries(lines.filterNot(_.startsWith("#")))
+  }
+
+  /** The staged batch alone — what a batch-scoped audit reads. */
+  def readWapBatch(wapId: String): DataFrame = {
+    requireWapId(wapId)
+    val staged = wapEntries(wapId)
+    readFiles(staged.map(_.file), staged)
+  }
+
+  /** The WOULD-BE table: current head plus the staged batch — what a
+    * table-scoped audit (row counts, invariants, dedup against history)
+    * reads. A plain read; nothing becomes visible to other readers.
+    */
+  def readWap(wapId: String): DataFrame = {
+    requireWapId(wapId)
+    val staged = wapEntries(wapId)
+    val head = latestVersion.map(readManifest).getOrElse(Seq.empty)
+    readFiles((head ++ staged).map(_.file), head ++ staged)
+  }
+
+  /** Publish staged batch `wapId` as the next version — an O(metadata)
+    * append: the batch's files are already at their final location, so
+    * only the manifest claim and pointer swap happen here, under the
+    * commit lock, rebased onto the current head. EXACTLY-ONCE: the commit
+    * carries tag `wap:<id>`, so a replay after any crash (including one
+    * between the pointer swap and the staged-list retirement) finds the
+    * acknowledged tag and returns that version without writing anything.
+    */
+  def publishWap(wapId: String): Long = {
+    requireWapId(wapId)
+    commitGuard()
+    taggedVersion(wapTag(wapId)) match {
+      case Some(v) => finishWapPublish(wapId); v
+      case None =>
+        val staged = wapEntries(wapId)
+        val missing = staged.filterNot(e => fs.exists(new Path(e.file)))
+        require(missing.isEmpty,
+          s"staged wap '$wapId' at $path references missing data files " +
+            s"(${missing.map(_.file).mkString(", ")}) — the stage was " +
+            "damaged; discard and re-stage")
+        val v = commitMeta(() => carryAllGroups(), Some(wapTag(wapId)),
+          expectedPrev = None, staged.toArray, moveFrom = None)
+        finishWapPublish(wapId)
+        v
+    }
+  }
+
+  /** Retire the staged list into a `.published` tombstone naming the
+    * batch's data dirs — the marker that lets [[recover]] tell a published
+    * wap data dir (table data, keep) from crashed-stage debris (age out).
+    * Tombstone first, then the list delete: a crash between the two leaves
+    * both, which re-finishes here idempotently.
+    */
+  private def finishWapPublish(id: String): Unit =
+    if (fs.exists(wapListPath(id))) {
+      if (!fs.exists(wapPublishedPath(id)))
+        writeAtomic(wapPublishedPath(id),
+          wapDirsOf(id).map(_.getName).mkString("\n"), overwrite = true)
+      fs.delete(wapListPath(id), false)
+      ()
+    }
+
+  /** Drop an unpublished staged batch: data dirs first, then the list — a
+    * crashed half-discard leaves a list whose missing files make a later
+    * publish fail LOUDLY (never a partial batch), and a discard retry
+    * completes it. Refuses on a published id — those files are live table
+    * data (retire them through deleteWhere/rollbackTo/expire like any
+    * committed rows). Discard and publish of the same id must not race:
+    * a wap id has one producer by convention (like a ref's owner).
+    */
+  def discardWap(wapId: String): Unit = {
+    requireWapId(wapId)
+    require(!fs.exists(wapPublishedPath(wapId)) &&
+      taggedVersion(wapTag(wapId)).isEmpty,
+      s"wap '$wapId' at $path is published — its files are table data; " +
+        "this handle cannot retire them")
+    wapDirsOf(wapId).foreach(d => fs.delete(d, true))
+    fs.delete(wapListPath(wapId), false)
+    ()
+  }
+
+  /** The staged-batches METADATA table: (wap_id, files, rows, published).
+    * Published ids report the recorded version's batch through the tag;
+    * file/row counts are the staged list's (−1 once the list has retired).
+    */
+  def waps(): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(s"$path/_staged")
+    val names = if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val listed = names.collect {
+      case n if n.startsWith("s-") && n.endsWith(".list") =>
+        n.stripPrefix("s-").stripSuffix(".list") }.toSet
+    val tombed = names.collect {
+      case n if n.startsWith("s-") && n.endsWith(".published") =>
+        n.stripPrefix("s-").stripSuffix(".published") }.toSet
+    (listed ++ tombed).toSeq.sorted.map { id =>
+      val (files, rows) =
+        if (listed(id)) { val es = wapEntries(id); (es.size.toLong, es.map(_.rows).sum) }
+        else (-1L, -1L)
+      (id, files, rows, tombed(id) || taggedVersion(wapTag(id)).isDefined)
+    }.toDF("wap_id", "files", "rows", "published")
+  }
+
   /** Retention: keep the newest `keepLast` manifests (never fewer than the
     * live one) PLUS every version a VALID ref pins — the Iceberg rule that
     * named refs protect their snapshots — delete every data file no
@@ -1394,14 +1628,33 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // dirs here: a concurrent commit stages OUTSIDE the lock and its dir
     // holds only _temporary while the distributed write runs — deleting it
     // would corrupt the in-flight commit (recover(), a manual repair op,
-    // is the only thing that clears crashed stagings).
+    // is the only thing that clears crashed stagings). The same hazard
+    // shape guards wap-* dirs: an in-flight stageWap also holds only
+    // _temporary, so a wap dir is only swept once PUBLISHED (its tombstone
+    // names it; no write can be in flight after publish) and emptied by
+    // the deletes above — a tombstone whose every dir is gone retires too.
+    val sdir = new Path(s"$path/_staged")
+    val published: Seq[(String, Seq[String])] =
+      if (!fs.exists(sdir)) Seq.empty
+      else fs.listStatus(sdir).toSeq.map(_.getPath.getName).collect {
+        case n if n.startsWith("s-") && n.endsWith(".published") =>
+          val id = n.stripPrefix("s-").stripSuffix(".published")
+          (id, readLines(wapPublishedPath(id)).filter(_.nonEmpty))
+      }
+    val publishedDirs: Set[String] = published.flatMap(_._2).toSet
     val dataRoot = new Path(s"$path/data")
     if (fs.exists(dataRoot))
       fs.listStatus(dataRoot).foreach { st =>
-        if (st.isDirectory && !st.getPath.getName.startsWith(".staging-") &&
+        val n = st.getPath.getName
+        val wapOk = !n.startsWith("wap-") || publishedDirs(n)
+        if (st.isDirectory && !n.startsWith(".staging-") && wapOk &&
           fs.listStatus(st.getPath).forall(
             _.getPath.getName.startsWith("_"))) fs.delete(st.getPath, true)
       }
+    published.foreach { case (id, dirs) =>
+      if (dirs.forall(d => !fs.exists(new Path(s"$path/data/$d"))))
+        fs.delete(wapPublishedPath(id), false)
+    }
     dead.size
   }
 
@@ -1474,6 +1727,37 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           fs.delete(st.getPath, false)
       }
     }
+    // WAP hygiene: (a) finish a publish that crashed between its pointer
+    // swap and the staged-list retirement (the tag proves acknowledgement);
+    // (b) drop tombstones whose data dirs are all gone (expired); (c) age
+    // out wap data dirs no staged list and no tombstone names — a stage
+    // that died before its list write, or the loser of a racing duplicate
+    // stage. A staged list protects its dirs INDEFINITELY: an audit may
+    // take arbitrarily long, and [[discardWap]] is the explicit release.
+    val sdir = new Path(s"$path/_staged")
+    val stagedIds: Seq[String] =
+      if (!fs.exists(sdir)) Seq.empty
+      else fs.listStatus(sdir).toSeq.map(_.getPath.getName).collect {
+        case n if n.startsWith("s-") && n.endsWith(".list") =>
+          n.stripPrefix("s-").stripSuffix(".list")
+        case n if n.startsWith("s-") && n.endsWith(".published") =>
+          n.stripPrefix("s-").stripSuffix(".published")
+      }.distinct
+    stagedIds.foreach { id =>
+      if (fs.exists(wapListPath(id)) && taggedVersion(wapTag(id)).nonEmpty)
+        finishWapPublish(id)
+      if (!fs.exists(wapListPath(id)) && fs.exists(wapPublishedPath(id)) &&
+        wapDirsOf(id).forall(!fs.exists(_)))
+        fs.delete(wapPublishedPath(id), false)
+    }
+    val wapProtected: Set[String] =
+      stagedIds.flatMap(id => wapDirsOf(id).map(_.getName)).toSet
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("wap-") && !wapProtected(n) && aged(st.getPath))
+          fs.delete(st.getPath, true)
+      }
   }
 }
 

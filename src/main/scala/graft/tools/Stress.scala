@@ -347,6 +347,8 @@ object Stress {
       "streamRollup" -> (() => streamRollupStress(spark, sfDir)),
       "snapshot" -> (() => snapshotStress(spark, sfDir)),
       "manifestScale" -> (() => manifestScaleStress(spark)),
+      "zorder" -> (() => zorderStress(spark)),
+      "wap" -> (() => wapStress(spark)),
       "claim" -> (() => claimStress(spark)),
       "cdcSync" -> (() => cdcSyncStress(spark, sfDir)))
     val wanted = args.toSet
@@ -680,6 +682,76 @@ object Stress {
         s""""rows_pruned":$nPruned,"files_kept":$kept,"files_listed":$total,""" +
         s""""list_bytes":$listBytes,"last_commit_meta_bytes":$lastMeta,""" +
         s""""census_entry_bytes":${groupBytes.sum}}""")
+    }
+  }
+
+  /** r14: z-order cost/benefit vs scale. The rewrite must price ~linearly
+    * in rows (one range shuffle + write), and the SKIP RATE on the
+    * non-primary dimension must hold as the table grows — the whole point
+    * of the curve layout is that a narrow band on EITHER dimension keeps
+    * O(band) files at any table size, where a single-column sort keeps
+    * O(table) on the second dimension forever.
+    */
+  private def zorderStress(spark: SparkSession): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    Seq(1, 2, 4).foreach { k =>
+      val n = 200000L * k
+      val side = math.sqrt(n.toDouble).toLong // a side×side grid
+      val dir = java.nio.file.Files.createTempDirectory(s"stress_z$k").toString
+      val st = new SnapshotStore(spark, s"$dir/snap", "x",
+        secondaryStats = Seq("y"))
+      val grid = spark.range(0, n).select(
+        (col("id") % side).as("x"), floor(col("id") / side).as("y"))
+      st.commit(grid.repartitionByRange(32, col("x")))
+      val t0 = System.nanoTime()
+      val v = st.clusterZOrder(Seq("x", "y"), targetFiles = 32).get
+      val tCluster = (System.nanoTime() - t0) / 1e9
+      // a ~6%-wide band on the SECOND dimension (useless pre-cluster)
+      val lo = side * 0.10
+      val hi = side * 0.16
+      val (keptY, total) = st.pruneStatsOn(v, "y", lo, hi)
+      val (keptX, _) = st.pruneStatsOn(v, "x", lo, hi)
+      val t1 = System.nanoTime()
+      val got = st.readPrunedOn(v, "y", lo, hi)
+        .filter(col("y").between(lo, hi)).count()
+      val tPrune = (System.nanoTime() - t1) / 1e9
+      println(s"""{"op":"zorder_cluster","rows":$n,""" +
+        s""""sec_cluster":${num(tCluster)},"sec_prune":${num(tPrune)},""" +
+        s""""kept_y":$keptY,"kept_x":$keptX,"files":$total,""" +
+        s""""rows_pruned":$got}""")
+    }
+  }
+
+  /** r14: WAP publish is O(metadata) — the staged files never move, so
+    * publish cost must stay FLAT while the staged batch grows ×4 (and
+    * while the table underneath grows); only the stage (the real
+    * distributed write) prices in rows. A publish that priced in batch
+    * size would mean data is being copied at the commit point.
+    */
+  private def wapStress(spark: SparkSession): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val dir = java.nio.file.Files.createTempDirectory("stress_wap").toString
+    val st = new SnapshotStore(spark, s"$dir/snap", "id")
+    st.commit(spark.range(0, 200000).select(col("id"),
+      (col("id") % 97).cast("double").as("v")))
+    var next = 200000L
+    Seq(1, 2, 4).foreach { k =>
+      val rows = 50000L * k
+      val id = s"b$k"
+      val t0 = System.nanoTime()
+      st.stageWap(spark.range(next, next + rows).select(col("id"),
+        (col("id") % 97).cast("double").as("v"))
+        .repartition(16), id)
+      val tStage = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      st.publishWap(id)
+      val tPublish = (System.nanoTime() - t1) / 1e9
+      next += rows
+      println(s"""{"op":"wap_publish","rows_staged":$rows,""" +
+        s""""sec_stage":${num(tStage)},"sec_publish":${num(tPublish)},""" +
+        s""""table_rows":${st.read().count()}}""")
     }
   }
 
