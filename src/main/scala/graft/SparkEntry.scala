@@ -1517,6 +1517,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K31 — FILE-LEVEL BLOOM SKIPPING (Parquet/Iceberg's bloom filter
+    // idea at the manifest layer): an exact-key lookup on a
+    // HASH-DISTRIBUTED key keeps every file under zone maps — ranges
+    // can't skip what doesn't correlate with layout. Per-file bloom
+    // sidecars (one xxhash64 aggregate at commit, union bloom per group
+    // for two-level skipping) drop the files that provably cannot hold
+    // the probed keys; no false negatives, so the pruned read is an exact
+    // superset and the equality filter lands the oracle's rows.
+    "k31_bloom_skip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id",
+        bloomCols = Seq("event_id"))
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      // hash-scattered layout: zones on event_id are useless by design
+      val v = st.commit(ev.repartition(16, col("event_id")))
+      val probes: Seq[Any] = Seq(42L, 2042L, 4242L, 7777L, 9999L)
+      val (kept, total) = st.pruneStatsEq(v, "event_id", probes)
+      st.readPrunedEq(v, "event_id", probes)
+        .filter(col("event_id").isin(probes.map(_.asInstanceOf[Long]): _*))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("bloom_skipped", lit(if (kept < total) 1L else 0L))
+        .orderBy("event_id")
+    }),
+
     // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
     // d15 persisted dedup index); lifecycle + certification live in
     // store.CdcSync. The fixture (snapshot history v1..v3 + the v1-built
@@ -5462,6 +5486,13 @@ object SparkEntry {
         |          WHERE value BETWEEN 10 AND 20) AS pruned_rows
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k31: the bloom-pruned point lookup is exactly the plain lookup
+    "k31_bloom_skip" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(1 AS BIGINT) AS bloom_skipped
+        |FROM events WHERE event_id IN (42, 2042, 4242, 7777, 9999)
+        |ORDER BY event_id""".stripMargin,
 
     // k25: the maintained index's membership must be exactly the corpus
     // minus the takedown (replayed via portable md5 checksum), and the

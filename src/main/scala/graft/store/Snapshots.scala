@@ -78,7 +78,8 @@ import org.apache.spark.sql.functions._
   */
 final class SnapshotStore(spark: SparkSession, val path: String,
     statsCol: String, secondaryStats: Seq[String] = Nil,
-    arbiter: Option[SnapshotStore.ClaimArbiter] = None) {
+    arbiter: Option[SnapshotStore.ClaimArbiter] = None,
+    bloomCols: Seq[String] = Nil) {
 
   private val statsCols: Seq[String] = statsCol +: secondaryStats
 
@@ -678,6 +679,181 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         .sortBy(_.file)
     }
 
+  // ---- FILE-LEVEL BLOOM FILTERS (point-lookup data skipping) -----------
+  // Zone maps prune RANGES and only bite when the layout correlates with
+  // the column; an exact-key lookup on a hash-distributed high-cardinality
+  // key (doc id, user id) keeps every file under zones alone. Per-file
+  // bloom filters close that gap: at commit time one aggregate pass folds
+  // xxhash64(key) bitsets per (file, declared bloom column), written as an
+  // immutable SIDECAR next to the batch's group file (`<group>.bloom`) —
+  // a manifest-metadata artifact, never opened by reads that don't probe.
+  // The sidecar's first line is the UNION bloom of its files, so a probe
+  // skips a whole group without opening anything (the two-level
+  // discipline). No false negatives: a pruned-eq read is always a superset
+  // of the exact matches; files/groups without a sidecar (rewrite
+  // survivors, pre-bloom history, WAP batches from a bloom-less writer)
+  // are conservatively kept.
+  //
+  // SIZING (driver-held, like every manifest artifact): bits per file are
+  // 10× the batch's mean rows/file, clamped to [2^10, 2^20] — 128 KiB/file
+  // at the cap, i.e. ~1% FPP up to ~100k keys/file, degrading (never
+  // wrong) beyond. Keep compaction targets near that band or raise the
+  // cap knowingly; the collect is #files × bits/8 per column.
+
+  private def bloomSidecarPath(groupName: String) =
+    new Path(s"$path/_manifests/$groupName.bloom")
+
+  /** Per-file bloom bitsets of a freshly written parquet dir, keyed by
+    * file BASENAME (stable across the staging→batch rename): one
+    * aggregate, map-side partial ORs, one sketch-sized row per file.
+    */
+  private def bloomsForDir(dir: Path, totalRows: Long, nFiles: Int)
+      : Map[String, Seq[Array[Byte]]] =
+    if (bloomCols.isEmpty || nFiles == 0) Map.empty
+    else {
+      val meanRows = math.max(1L, totalRows / nFiles)
+      val bits = java.lang.Long.highestOneBit(
+        math.min(1L << 20, math.max(1L << 10, 10L * meanRows)) * 2 - 1).toInt
+      val aggs = bloomCols.map(c => graft.functions.BloomSketch.bloomAgg(
+        xxhash64(col(c)), bits, SnapshotStore.BloomHashes).as(s"bf_$c"))
+      spark.read.parquet(dir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          new Path(r.getString(0)).getName ->
+            bloomCols.indices.map(i => r.getAs[Array[Byte]](1 + i))
+        }.toMap
+    }
+
+  private def b64(a: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(a)
+
+  /** Sidecar body: `#cols=`/`#hashes=` headers, a `*` union line (the
+    * group-level skip), then one line per file basename. Crc-guarded like
+    * every metadata file.
+    */
+  private def bloomBody(names: Seq[String],
+      blooms: Seq[(String, Seq[Array[Byte]])]): String = {
+    val union = blooms.map(_._2).transpose.map { bs =>
+      val acc = bs.head.clone()
+      bs.tail.foreach { b =>
+        var i = 0
+        while (i < acc.length && i < b.length) { acc(i) = (acc(i) | b(i)).toByte; i += 1 }
+      }
+      acc
+    }
+    val body = (s"*\t${union.map(b64).mkString("\t")}" +:
+      blooms.map { case (f, bs) => s"$f\t${bs.map(b64).mkString("\t")}" })
+      .mkString("\n")
+    s"#crc=${crcOf(body)}\n#cols=${names.mkString(",")}\n" +
+      s"#hashes=${SnapshotStore.BloomHashes}\n" + body
+  }
+
+  private final case class BloomSidecar(names: Seq[String], hashes: Int,
+    union: Seq[Array[Byte]], files: Map[String, Seq[Array[Byte]]])
+
+  private def readBloomSidecar(groupName: String): Option[BloomSidecar] =
+    parseBloomFile(bloomSidecarPath(groupName), s"bloom sidecar of $groupName")
+
+  private def parseBloomFile(p: Path, what: String): Option[BloomSidecar] = {
+    if (!fs.exists(p)) None
+    else {
+      val lines = readLines(p)
+      checkCrc(lines, what)
+      val names = lines.find(_.startsWith("#cols="))
+        .map(_.stripPrefix("#cols=").split(",").toSeq).getOrElse(Seq.empty)
+      val hashes = lines.find(_.startsWith("#hashes="))
+        .map(_.stripPrefix("#hashes=").toInt)
+        .getOrElse(SnapshotStore.BloomHashes)
+      val dec = java.util.Base64.getDecoder
+      val body = lines.filterNot(_.startsWith("#")).map { l =>
+        val a = l.split("\t")
+        a(0) -> a.drop(1).toSeq.map(dec.decode)
+      }
+      val union = body.find(_._1 == "*").map(_._2).getOrElse(Seq.empty)
+      Some(BloomSidecar(names, hashes, union,
+        body.filterNot(_._1 == "*").toMap))
+    }
+  }
+
+  /** xxhash64 of each probe value, computed THROUGH Spark so the hash is
+    * byte-identical to the commit-side `xxhash64(col)` (xxhash64 is
+    * type-sensitive — a LONG probe of a STRING column would miss). Long
+    * and String keys cover the point-lookup surface.
+    */
+  private def probeHashes(values: Seq[Any]): Seq[Long] = {
+    import spark.implicits._
+    require(values.nonEmpty, "bloom probe needs at least one value")
+    val hdf = values.head match {
+      case _: Long | _: Int =>
+        values.map { case l: Long => l; case i: Int => i.toLong }
+          .toDF("v")
+      case _: String => values.map(_.asInstanceOf[String]).toDF("v")
+      case other => throw new IllegalArgumentException(
+        s"bloom probe supports Long and String keys, got ${other.getClass}")
+    }
+    hdf.select(xxhash64(col("v"))).collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Files of version `v` that MIGHT contain any of `values` in `colName`,
+    * by bloom sidecar: groups whose union bloom excludes every value are
+    * skipped WITHOUT opening their group file; surviving groups' files
+    * test individually. Anything without a sidecar (or a column the
+    * sidecar does not track) is conservatively kept — never a false
+    * negative. Returns (kept entries, schema-source entries, total files).
+    */
+  private def pruneEq(v: Long, colName: String, values: Seq[Any])
+      : (Seq[FileEntry], Seq[FileEntry], Int) = {
+    val hs = probeHashes(values)
+    val info = listInfoOf(v)
+    def hits(sc: BloomSidecar, bs: Seq[Array[Byte]]): Boolean = {
+      val i = sc.names.indexOf(colName)
+      i < 0 || bs.lift(i).forall(b => hs.exists(h =>
+        graft.functions.BloomSketch.containsBytes(b, sc.hashes, h)))
+    }
+    var total = 0
+    val keptGroups = info.refs.flatMap { r =>
+      val sc = readBloomSidecar(r.name)
+      val groupAlive = sc.forall(s => s.union.isEmpty || hits(s, s.union))
+      if (!groupAlive && r.files >= 0) { total += r.files; None }
+      else {
+        val (gNames, es) = readGroupFile(r.name)
+        total += es.size
+        val kept = sc match {
+          case None => es
+          case Some(s) => es.filter { e =>
+            val base = new Path(e.file).getName
+            s.files.get(base).forall(bs => hits(s, bs))
+          }
+        }
+        Some(Group(Some(r.name), gNames, kept))
+      }
+    } ++ info.inline.map { g => total += g.entries.size; g }
+    val eff = info.names
+    val aligned = keptGroups.flatMap(g => alignEntries(g.names, eff, g.entries))
+    val schemaSrc =
+      if (aligned.nonEmpty) aligned
+      else info.refs.headOption.map(r => readGroupFile(r.name)._2)
+        .getOrElse(Seq.empty)
+    (aligned, schemaSrc, total)
+  }
+
+  /** Point-lookup read: only files whose bloom might contain one of
+    * `values` in `colName` are scanned. Exact superset of the matching
+    * rows — follow with the equality filter as usual.
+    */
+  def readPrunedEq(v: Long, colName: String, values: Seq[Any]): DataFrame = {
+    val (kept, schemaSrc, _) = pruneEq(v, colName, values)
+    readFiles(kept.map(_.file), schemaSrc)
+  }
+
+  /** (files kept, total files) for a bloom point-lookup prune. */
+  def pruneStatsEq(v: Long, colName: String, values: Seq[Any]): (Int, Int) = {
+    val (kept, _, total) = pruneEq(v, colName, values)
+    (kept.size, total)
+  }
+
   /** Damaged-store guard: with no acknowledged version, the only debris
     * the commit protocol itself can have left behind is a crashed FIRST
     * commit's v1 (a crash at commit N implies a pointer at N-1). Anything
@@ -706,11 +882,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val staging = new Path(s"$path/data/$stagingName")
     df.write.parquet(staging.toString)
     val stagedStats = statsForDir(staging)
+    val blooms = bloomsForDir(staging, stagedStats.map(_.rows).sum,
+      stagedStats.length)
 
     // 2. COMMIT (critical section) — shared with [[publishWap]], which
     //    enters it with pre-placed files instead of a staging rename.
     try commitMeta(base, tag, expectedPrev, stagedStats,
-      moveFrom = Some((staging, stagingName)))
+      moveFrom = Some((staging, stagingName)), blooms = blooms)
     catch {
       case e: Throwable =>
         // best-effort staging cleanup on any failed commit; recover() also
@@ -735,7 +913,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private def commitMeta(base: () => Seq[Group], tag: Option[String],
       expectedPrev: Option[Option[Long]], stagedStats: Array[FileEntry],
-      moveFrom: Option[(Path, String)]): Long =
+      moveFrom: Option[(Path, String)],
+      blooms: Map[String, Seq[Array[Byte]]] = Map.empty): Long =
     SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
       val prev = latestVersion
       // Tagged replays re-check under the lock: a concurrent replay of the
@@ -804,7 +983,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           // never created (the r13 self-review finding). A crash between
           // claim and rename leaves a young unacknowledged manifest — the
           // standard debris shape, refused while young and reclaimed aged.
-          val nonce = writeManifestFor(v, base, tag, stats)
+          val nonce = writeManifestFor(v, base, tag, stats, blooms)
           try {
             moveFrom.foreach { case (staging, _) =>
               if (fs.listStatus(staging).nonEmpty) {
@@ -831,7 +1010,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * [[acknowledge]] AFTER moving the data batch into place.
     */
   private def writeManifestFor(v: Long, base: () => Seq[Group],
-      tag: Option[String], stats: Array[FileEntry]): String = {
+      tag: Option[String], stats: Array[FileEntry],
+      blooms: Map[String, Seq[Array[Byte]]] = Map.empty): String = {
     // Carried groups ride BY REFERENCE; only the groups this commit
     // actually changed (partial survivors of a rewrite) and the new batch
     // become group writes — the O(changed) commit cost two-level
@@ -870,6 +1050,18 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         val n = s"g-${java.util.UUID.randomUUID()}.group"
         writeAtomic(groupPath(n), groupBody(g.entries, g.names),
           overwrite = false)
+        // bloom sidecar for the files this batch computed sketches for
+        // (the fresh batch group; rewrite survivors stay sidecar-less and
+        // are conservatively kept by pruneEq). Written BEFORE the manifest
+        // claim like the group itself; unreferenced on a crash → same
+        // aged-debris sweep as its group.
+        val withBlooms = g.entries.flatMap { e =>
+          val bn = new Path(e.file).getName
+          blooms.get(bn).map(bn -> _)
+        }
+        if (withBlooms.nonEmpty)
+          writeAtomic(bloomSidecarPath(n),
+            bloomBody(bloomCols, withBlooms), overwrite = false)
         n
       }
       val (files, bounds) = summarize(g)
@@ -1411,6 +1603,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private def wapListPath(id: String) = new Path(s"$path/_staged/s-$id.list")
   private def wapPublishedPath(id: String) =
     new Path(s"$path/_staged/s-$id.published")
+  private def wapBloomPath(id: String) = new Path(s"$path/_staged/s-$id.bloom")
   private def wapTag(id: String) = s"wap:$id"
 
   /** The data directories a staged/published wap's entries live in —
@@ -1447,11 +1640,24 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     try {
       df.write.parquet(dir.toString)
       val entries = statsForDir(dir)
+      val blooms = bloomsForDir(dir, entries.map(_.rows).sum, entries.length)
       // the CLAIM: create-exclusive, so of two racing stages of the same
       // id exactly one list lands; the loser throws here and its own
       // (unique, unreferenced) dir is cleaned below
       writeAtomic(wapListPath(wapId), groupBody(entries.toSeq, statsCols),
         overwrite = false)
+      // bloom sketches ride a staged sidecar AFTER the claim (only the
+      // winner writes it); publish hands them to the manifest's sidecar.
+      // A crash in between just loses the sketches — conservative reads,
+      // never wrong ones.
+      if (blooms.nonEmpty) {
+        val named = entries.toSeq.flatMap { e =>
+          val bn = new Path(e.file).getName
+          blooms.get(bn).map(bn -> _)
+        }
+        writeAtomic(wapBloomPath(wapId), bloomBody(bloomCols, named),
+          overwrite = false)
+      }
     } catch {
       case e: Throwable =>
         if (fs.exists(dir)) fs.delete(dir, true)
@@ -1505,8 +1711,15 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           s"staged wap '$wapId' at $path references missing data files " +
             s"(${missing.map(_.file).mkString(", ")}) — the stage was " +
             "damaged; discard and re-stage")
+        // staged bloom sketches carry into the published group's sidecar —
+        // only when the stager's column list matches this writer's
+        // (mismatched sketches would probe wrong; conservative drop)
+        val blooms = parseBloomFile(wapBloomPath(wapId),
+          s"staged blooms of wap $wapId")
+          .filter(_.names == bloomCols).map(_.files).getOrElse(Map.empty)
         val v = commitMeta(() => carryAllGroups(), Some(wapTag(wapId)),
-          expectedPrev = None, staged.toArray, moveFrom = None)
+          expectedPrev = None, staged.toArray, moveFrom = None,
+          blooms = blooms)
         finishWapPublish(wapId)
         v
     }
@@ -1524,6 +1737,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         writeAtomic(wapPublishedPath(id),
           wapDirsOf(id).map(_.getName).mkString("\n"), overwrite = true)
       fs.delete(wapListPath(id), false)
+      fs.delete(wapBloomPath(id), false)
       ()
     }
 
@@ -1543,6 +1757,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         "this handle cannot retire them")
     wapDirsOf(wapId).foreach(d => fs.delete(d, true))
     fs.delete(wapListPath(wapId), false)
+    fs.delete(wapBloomPath(wapId), false)
     ()
   }
 
@@ -1620,7 +1835,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     if (fs.exists(mdir))
       fs.listStatus(mdir).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("g-") && n.endsWith(".group") && !liveRefs(n) &&
+        // a bloom sidecar lives and dies with its group
+        val base = if (n.endsWith(".group.bloom")) n.stripSuffix(".bloom") else n
+        if (n.startsWith("g-") && base.endsWith(".group") && !liveRefs(base) &&
           nowG - st.getModificationTime >= SnapshotStore.DebrisGraceMs)
           fs.delete(st.getPath, false)
       }
@@ -1721,7 +1938,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         versions.toSet.flatMap((v: Long) => listInfoOf(v).refs.map(_.name))
       fs.listStatus(mdir).foreach { st =>
         val n = st.getPath.getName
-        val orphanGroup = n.startsWith("g-") && n.endsWith(".group") && !refs(n)
+        // bloom sidecars are keyed to their group's fate
+        val base = if (n.endsWith(".group.bloom")) n.stripSuffix(".bloom") else n
+        val orphanGroup = n.startsWith("g-") && base.endsWith(".group") &&
+          !refs(base)
         val claimTmp = n.contains(".tmp-")
         if ((orphanGroup || claimTmp) && aged(st.getPath))
           fs.delete(st.getPath, false)
@@ -1750,6 +1970,17 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         wapDirsOf(id).forall(!fs.exists(_)))
         fs.delete(wapPublishedPath(id), false)
     }
+    // staged bloom sidecars orphaned by a crashed finish/discard (their
+    // list is gone) age out like every metadata debris
+    if (fs.exists(sdir))
+      fs.listStatus(sdir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("s-") && n.endsWith(".bloom")) {
+          val id = n.stripPrefix("s-").stripSuffix(".bloom")
+          if (!fs.exists(wapListPath(id)) && aged(st.getPath))
+            fs.delete(st.getPath, false)
+        }
+      }
     val wapProtected: Set[String] =
       stagedIds.flatMap(id => wapDirsOf(id).map(_.getName)).toSet
     if (fs.exists(dataRoot))
@@ -1762,6 +1993,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
 }
 
 object SnapshotStore {
+  /** Hash count for the per-file bloom sidecars — 7 probes ≈ the optimum
+    * at 10 bits/key; recorded in each sidecar's `#hashes=` header so a
+    * future change cannot mis-probe old sketches.
+    */
+  val BloomHashes = 7
+
   /** The atomic-exclusive metadata-claim primitive — the ONE
     * filesystem-specific operation in the commit protocol
     * (docs/OBJECT-STORES.md). `claim(dst, bytes)` must materialize `dst`

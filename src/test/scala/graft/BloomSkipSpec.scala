@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.SnapshotStore
+
+/** File-level bloom sidecars on the snapshot store: point lookups skip
+  * files zones cannot (hash-distributed keys), results are always a
+  * SUPERSET of the exact matches (no false negatives), everything without
+  * a sidecar is conservatively kept, and sidecars live and die with their
+  * group. The k31 driver query proves lookup results against DuckDB;
+  * these pin the skip census and the sidecar lifecycle.
+  */
+class BloomSkipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(st: SnapshotStore) = new org.apache.hadoop.fs.Path(st.path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def age(st: SnapshotStore, rel: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(st.path + "/" + rel)
+    fsOf(st).setTimes(p, System.currentTimeMillis() - 10 * 60 * 1000L, -1L)
+  }
+
+  private def sidecars(st: SnapshotStore): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(st.path + "/_manifests")
+    fsOf(st).listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".group.bloom"))
+  }
+
+  // ids hash-scattered over 16 files: zone maps on id are useless, the
+  // exact layout where only a bloom can skip
+  private def scattered(lo: Long, hi: Long) =
+    spark.range(lo, hi + 1).select(
+      col("id"), concat(lit("k"), col("id")).as("k"),
+      (col("id") % 13).cast("double").as("v"))
+      .repartition(16, col("id"))
+
+  test("point lookup skips most files and misses no rows") {
+    val st = new SnapshotStore(spark, tempDir("bloom-skip") + "/snap", "id",
+      bloomCols = Seq("id"))
+    val v = st.commit(scattered(0, 9999))
+    val probes = Seq(42L, 4242L, 7777L)
+    val (kept, total) = st.pruneStatsEq(v, "id", probes)
+    assert(total === 16)
+    assert(kept < total, s"bloom must skip files ($kept/$total kept)")
+    val got = st.readPrunedEq(v, "id", probes)
+      .filter(col("id").isin(probes: _*)).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === probes.sorted, "pruned read must contain every match")
+    // an absent key: whatever files survive, the filtered result is empty
+    assert(st.readPrunedEq(v, "id", Seq(123456789L))
+      .filter(col("id") === 123456789L).count() === 0L)
+  }
+
+  test("string keys probe type-faithfully") {
+    val st = new SnapshotStore(spark, tempDir("bloom-str") + "/snap", "id",
+      bloomCols = Seq("k"))
+    val v = st.commit(scattered(0, 4999))
+    val (kept, total) = st.pruneStatsEq(v, "k", Seq("k1234", "k77"))
+    assert(kept < total)
+    assert(st.readPrunedEq(v, "k", Seq("k1234", "k77"))
+      .filter(col("k").isin("k1234", "k77")).count() === 2L)
+  }
+
+  test("a bloom-less store keeps everything (conservative, still correct)") {
+    val st = new SnapshotStore(spark, tempDir("bloom-none") + "/snap", "id")
+    val v = st.commit(scattered(0, 999))
+    val (kept, total) = st.pruneStatsEq(v, "id", Seq(5L))
+    assert(kept === total, "no sidecar → nothing may be skipped")
+    assert(st.readPrunedEq(v, "id", Seq(5L))
+      .filter(col("id") === 5L).count() === 1L)
+  }
+
+  test("untracked column keeps everything") {
+    val st = new SnapshotStore(spark, tempDir("bloom-untracked") + "/snap",
+      "id", bloomCols = Seq("id"))
+    val v = st.commit(scattered(0, 999))
+    val (kept, total) = st.pruneStatsEq(v, "k", Seq("k5"))
+    assert(kept === total, "a column the sidecar does not track cannot skip")
+  }
+
+  test("appends keep earlier sidecars effective; probes cross batches") {
+    val st = new SnapshotStore(spark, tempDir("bloom-append") + "/snap", "id",
+      bloomCols = Seq("id"))
+    st.commit(scattered(0, 4999))
+    val v2 = st.commit(scattered(5000, 9999))
+    // one probe per batch: both must surface through the carried sidecars
+    val probes = Seq(77L, 7077L)
+    val (kept, total) = st.pruneStatsEq(v2, "id", probes)
+    assert(total === 32)
+    assert(kept < total)
+    assert(st.readPrunedEq(v2, "id", probes)
+      .filter(col("id").isin(probes: _*)).count() === 2L)
+  }
+
+  test("rewrite survivors without sidecars are conservatively kept") {
+    val st = new SnapshotStore(spark, tempDir("bloom-rewrite") + "/snap", "id",
+      bloomCols = Seq("id"))
+    st.commit(scattered(0, 999))
+    st.deleteWhere(col("id") === 500L) // rewrites the hit file sidecar-less
+    val v = st.latestVersion.get
+    assert(st.readPrunedEq(v, "id", Seq(501L))
+      .filter(col("id") === 501L).count() === 1L,
+      "a survivor of the rewrite lost its sketch but must still be found")
+    assert(st.readPrunedEq(v, "id", Seq(500L))
+      .filter(col("id") === 500L).count() === 0L)
+  }
+
+  test("expire retires sidecars with their groups") {
+    val st = new SnapshotStore(spark, tempDir("bloom-expire") + "/snap", "id",
+      bloomCols = Seq("id"))
+    st.commit(scattered(0, 999))
+    val before = sidecars(st)
+    assert(before.nonEmpty)
+    st.commitRewrite(scattered(0, 999)) // supersedes the first group
+    sidecars(st).foreach(s => age(st, s"_manifests/$s"))
+    val fresh = sidecars(st).filterNot(before.contains)
+    st.expire(keepLast = 1)
+    assert(sidecars(st).toSet === fresh.toSet,
+      "the dead group's sidecar must retire with it; the live one stays")
+  }
+
+  test("WAP-staged blooms carry into the published sidecar") {
+    val st = new SnapshotStore(spark, tempDir("bloom-wap") + "/snap", "id",
+      bloomCols = Seq("id"))
+    st.commit(scattered(0, 999))
+    st.stageWap(scattered(1000, 1999), "b1")
+    val v = st.publishWap("b1")
+    val (kept, total) = st.pruneStatsEq(v, "id", Seq(1500L))
+    assert(kept < total, "the published batch's files must be bloom-skippable")
+    assert(st.readPrunedEq(v, "id", Seq(1500L))
+      .filter(col("id") === 1500L).count() === 1L)
+    assert(!fsOf(st).exists(new org.apache.hadoop.fs.Path(
+      st.path + "/_staged/s-b1.bloom")), "the staged sidecar retires at publish")
+  }
+
+  test("multi-column blooms probe independently") {
+    val st = new SnapshotStore(spark, tempDir("bloom-multi") + "/snap", "id",
+      bloomCols = Seq("id", "k"))
+    val v = st.commit(scattered(0, 4999))
+    val (keptId, total) = st.pruneStatsEq(v, "id", Seq(123L))
+    val (keptK, _) = st.pruneStatsEq(v, "k", Seq("k456"))
+    assert(keptId < total && keptK < total)
+    assert(st.readPrunedEq(v, "k", Seq("k456"))
+      .filter(col("k") === "k456").count() === 1L)
+  }
+}
