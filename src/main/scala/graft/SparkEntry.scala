@@ -1541,6 +1541,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // K32 — PREDICATE-PUSHDOWN SCAN PLANNING (the Delta/Iceberg scan
+    // planner at the store API): ONE Column predicate drives every
+    // pruning layer — range conjuncts through the two-level zone maps of
+    // a z-ordered layout, IN/equality through the bloom sidecars, OR as
+    // the union of branches — then applies as an ordinary filter, so
+    // readWhere == read().filter(cond) exactly (the oracle replays the
+    // WHERE clause verbatim). The skip census rides as a boolean.
+    "k32_pushdown_scan" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-push").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id",
+        secondaryStats = Seq("value"), bloomCols = Seq("event_id"))
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      st.commit(ev.repartitionByRange(16, col("event_id")))
+      val v = st.clusterZOrder(Seq("event_id", "value"), targetFiles = 16).get
+      val cond = (col("value").between(10.0, 20.0) &&
+        col("event_id").between(0L, 4999L)) || col("event_id").isin(9999L)
+      val (kept, total) = st.planStatsWhere(v, cond)
+      st.readWhere(v, cond)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("files_pruned", lit(if (kept < total) 1L else 0L))
+        .orderBy("event_id")
+    }),
+
     // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
     // d15 persisted dedup index); lifecycle + certification live in
     // store.CdcSync. The fixture (snapshot history v1..v3 + the v1-built
@@ -5492,6 +5515,15 @@ object SparkEntry {
       """SELECT event_id, event_type, value,
         |       CAST(1 AS BIGINT) AS bloom_skipped
         |FROM events WHERE event_id IN (42, 2042, 4242, 7777, 9999)
+        |ORDER BY event_id""".stripMargin,
+
+    // k32: the pushdown-planned scan is exactly the WHERE clause
+    "k32_pushdown_scan" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(1 AS BIGINT) AS files_pruned
+        |FROM events
+        |WHERE (value BETWEEN 10 AND 20 AND event_id BETWEEN 0 AND 4999)
+        |   OR event_id IN (9999)
         |ORDER BY event_id""".stripMargin,
 
     // k25: the maintained index's membership must be exactly the corpus

@@ -854,6 +854,250 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     (kept.size, total)
   }
 
+  // ---- PREDICATE-PUSHDOWN SCAN PLANNING --------------------------------
+  // One Column predicate drives EVERY pruning layer the manifest offers —
+  // the Delta/Iceberg scan-planning discipline at the store API. Range
+  // conjuncts on zone-tracked columns prune via the two-level zone maps
+  // (group summaries first, entries second); equality/IN conjuncts on
+  // bloom-tracked columns probe the sidecars (union bloom first). The
+  // full predicate then applies as an ordinary filter, so readWhere ==
+  // read().filter(cond) EXACTLY — pruning may only skip candidates that
+  // provably contain no satisfying row; any shape the planner does not
+  // understand (casts, functions, column-to-column compares, NOT)
+  // contributes no pruning and is conservatively kept.
+
+  /** What one candidate (a file, or a whole group via its summary) can
+    * answer: sound numeric bounds per column, and bloom might-contain.
+    * None / true = no information = keep.
+    */
+  private trait PruneCtx {
+    def bounds(colName: String): Option[(Double, Double)]
+    def mightContain(colName: String, value: Any): Boolean
+  }
+
+  // Spark 4 Columns carry their structure as a private[sql] ColumnNode
+  // tree (UnresolvedFunction("<=", …) over UnresolvedAttribute/Literal),
+  // not as catalyst expressions — the graftshim Bridge re-expresses it as
+  // the public PNode ADT the planner walks here.
+  private type CNode = org.apache.spark.sql.graftshim.Bridge.PNode
+
+  private def fnOf(e: CNode): Option[(String, Seq[CNode])] = e match {
+    case org.apache.spark.sql.graftshim.Bridge.PFunc(name, args) =>
+      Some((name, args))
+    case _ => None
+  }
+
+  private def attrNameOf(e: CNode): Option[String] = e match {
+    case org.apache.spark.sql.graftshim.Bridge.PAttr(name) => Some(name)
+    case _ => None
+  }
+
+  private def litValueOf(e: CNode): Option[Any] = e match {
+    case org.apache.spark.sql.graftshim.Bridge.PLit(value) =>
+      Option(value).map {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case v => v
+      }
+    case _ => None
+  }
+
+  private def asDouble(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case l: Long => Some(l.toDouble)
+    case i: Int => Some(i.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case d: java.math.BigDecimal => Some(d.doubleValue)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** Sound keep-decision for `cond` against one candidate: false ONLY when
+    * no row in the candidate can satisfy the predicate.
+    */
+  private def keeps(e: CNode, ctx: PruneCtx): Boolean = {
+    def num(x: CNode) = litValueOf(x).flatMap(asDouble)
+    // range test against sound bounds; NaN bounds carry no information
+    def rk(a: CNode, l: CNode)(
+        t: (Double, Double, Double) => Boolean): Boolean =
+      (for { n <- attrNameOf(a); v <- num(l); b <- ctx.bounds(n) }
+        yield b._1.isNaN || b._2.isNaN || t(b._1, b._2, v)).getOrElse(true)
+    def eqKeep(a: CNode, l: CNode): Boolean =
+      (attrNameOf(a), litValueOf(l)) match {
+        case (Some(n), Some(v)) =>
+          val zone = asDouble(v).map(d => ctx.bounds(n).forall { case (mn, mx) =>
+            mn.isNaN || mx.isNaN || (mn <= d && d <= mx) }).getOrElse(true)
+          zone && ctx.mightContain(n, v)
+        case _ => true
+      }
+    def isAttr(x: CNode) = attrNameOf(x).nonEmpty
+    fnOf(e) match {
+      case Some(("and", Seq(l, r))) => keeps(l, ctx) && keeps(r, ctx)
+      case Some(("or", Seq(l, r))) => keeps(l, ctx) || keeps(r, ctx)
+      case Some((">", Seq(a, l))) if isAttr(a) => rk(a, l)((_, mx, v) => mx > v)
+      case Some((">", Seq(l, a))) if isAttr(a) => rk(a, l)((mn, _, v) => mn < v)
+      case Some((">=", Seq(a, l))) if isAttr(a) => rk(a, l)((_, mx, v) => mx >= v)
+      case Some((">=", Seq(l, a))) if isAttr(a) => rk(a, l)((mn, _, v) => mn <= v)
+      case Some(("<", Seq(a, l))) if isAttr(a) => rk(a, l)((mn, _, v) => mn < v)
+      case Some(("<", Seq(l, a))) if isAttr(a) => rk(a, l)((_, mx, v) => mx > v)
+      case Some(("<=", Seq(a, l))) if isAttr(a) => rk(a, l)((mn, _, v) => mn <= v)
+      case Some(("<=", Seq(l, a))) if isAttr(a) => rk(a, l)((_, mx, v) => mx >= v)
+      case Some(("=" | "==" | "<=>", Seq(a, l))) if isAttr(a) => eqKeep(a, l)
+      case Some(("=" | "==" | "<=>", Seq(l, a))) if isAttr(a) => eqKeep(a, l)
+      case Some(("in", a +: list)) if isAttr(a) &&
+        list.forall(litValueOf(_).nonEmpty) =>
+        list.exists(l => eqKeep(a, l))
+      case _ => true // unsupported shape: no pruning from this subtree
+    }
+  }
+
+  /** Equality probes per attribute appearing in `cond` — what the bloom
+    * layer may be asked about.
+    */
+  private def collectEqProbes(e: CNode): Seq[(String, Any)] =
+    fnOf(e) match {
+      case Some(("and" | "or", Seq(l, r))) =>
+        collectEqProbes(l) ++ collectEqProbes(r)
+      case Some(("=" | "==" | "<=>", Seq(a, b))) =>
+        (for { n <- attrNameOf(a); v <- litValueOf(b) } yield (n, v)).toSeq ++
+        (for { n <- attrNameOf(b); v <- litValueOf(a) } yield (n, v)).toSeq
+      case Some(("in", a +: list)) =>
+        for { n <- attrNameOf(a).toSeq; l <- list; v <- litValueOf(l) }
+          yield (n, v)
+      case _ => Seq.empty
+    }
+
+  /** xxhash64 of probe literals UNDER THE TABLE'S PHYSICAL COLUMN TYPE
+    * (xxhash64 is type-sensitive; commit-side sketches hashed the native
+    * column) — one tiny Spark job for the whole probe set. Columns absent
+    * from the schema or of un-probed types get no hash → conservative.
+    */
+  private def probeHashMap(probes: Seq[(String, Any)],
+      schema: org.apache.spark.sql.types.StructType): Map[(String, Any), Long] = {
+    import org.apache.spark.sql.types._
+    val typed = probes.distinct.flatMap { case (n, v) =>
+      schema.find(_.name == n).map(_.dataType).collect {
+        case t @ (LongType | IntegerType | ShortType | ByteType | StringType) =>
+          (n, v, t)
+      }
+    }
+    if (typed.isEmpty) Map.empty
+    else {
+      // literals travel as strings and re-type through cast, so "42"
+      // probed against an int column hashes as int, not long; one local
+      // row computes every hash in a single tiny job
+      val exprs = typed.zipWithIndex.map { case ((_, v, t), i) =>
+        xxhash64(lit(v.toString).cast(t)).as(s"h$i") }
+      val row = spark.range(1).select(exprs: _*).head
+      typed.zipWithIndex.map { case ((n, v, _), i) =>
+        (n, v) -> row.getLong(i) }.toMap
+    }
+  }
+
+  /** Plan `cond` against version `v`'s metadata: group summaries + union
+    * blooms first (skipped groups never open), then per-file zones +
+    * blooms. Returns (kept, schema-source, total files).
+    */
+  private def pruneWhere(v: Long, cond: org.apache.spark.sql.Column)
+      : (Seq[FileEntry], Seq[FileEntry], Int) = {
+    val e = org.apache.spark.sql.graftshim.Bridge.predicateTree(cond)
+    val info = listInfoOf(v)
+    val eff = info.names
+    val probes = collectEqProbes(e)
+    val schema: org.apache.spark.sql.types.StructType =
+      if (probes.isEmpty) new org.apache.spark.sql.types.StructType()
+      else {
+        val sample = info.refs.headOption
+          .map(r => readGroupFile(r.name)._2).getOrElse(Seq.empty) ++
+          info.inline.map(_.entries).getOrElse(Seq.empty)
+        sample.headOption.map(f => spark.read.parquet(f.file).schema)
+          .getOrElse(new org.apache.spark.sql.types.StructType())
+      }
+    val hashes = probeHashMap(probes, schema)
+    def bloomHit(sc: Option[BloomSidecar], bs: Option[Seq[Array[Byte]]])(
+        n: String, value: Any): Boolean =
+      (for { s <- sc; i = s.names.indexOf(n); if i >= 0
+             bytes <- bs.flatMap(_.lift(i))
+             h <- hashes.get((n, value)) }
+        yield graft.functions.BloomSketch.containsBytes(bytes, s.hashes, h))
+        .getOrElse(true)
+    var total = 0
+    val keptGroups = info.refs.flatMap { r =>
+      val sc = readBloomSidecar(r.name)
+      val gCtx = new PruneCtx {
+        def bounds(n: String) = {
+          val i = eff.indexOf(n)
+          if (i < 0) None else r.summary.flatMap(_.lift(i))
+        }
+        def mightContain(n: String, value: Any) =
+          bloomHit(sc, sc.map(_.union))(n, value)
+      }
+      if (!keeps(e, gCtx) && r.files >= 0) { total += r.files; None }
+      else {
+        val (gNames, es) = readGroupFile(r.name)
+        total += es.size
+        val aligned = alignEntries(gNames, eff, es)
+        val kept = aligned.filter { fe =>
+          val fCtx = new PruneCtx {
+            def bounds(n: String) = {
+              val i = eff.indexOf(n)
+              if (i < 0) None
+              else if (i == 0) Some((fe.minS, fe.maxS))
+              else fe.extra.lift(i - 1)
+            }
+            def mightContain(n: String, value: Any) = bloomHit(sc,
+              sc.flatMap(_.files.get(new Path(fe.file).getName)))(n, value)
+          }
+          keeps(e, fCtx)
+        }
+        Some(Group(Some(r.name), eff, kept))
+      }
+    } ++ info.inline.map { g =>
+      total += g.entries.size
+      val aligned = alignEntries(g.names, eff, g.entries)
+      Group(None, eff, aligned.filter { fe =>
+        val fCtx = new PruneCtx {
+          def bounds(n: String) = {
+            val i = eff.indexOf(n)
+            if (i < 0) None
+            else if (i == 0) Some((fe.minS, fe.maxS))
+            else fe.extra.lift(i - 1)
+          }
+          def mightContain(n: String, value: Any) = true
+        }
+        keeps(e, fCtx)
+      })
+    }
+    val kept = keptGroups.flatMap(_.entries)
+    val schemaSrc =
+      if (kept.nonEmpty) kept
+      else info.refs.headOption.map(r => readGroupFile(r.name)._2)
+        .getOrElse(info.inline.map(_.entries).getOrElse(Seq.empty))
+    (kept, schemaSrc, total)
+  }
+
+  /** PUSHDOWN READ: `readWhere(cond)` == `read().filter(cond)` exactly,
+    * with every candidate the metadata can disprove skipped before Spark
+    * plans the scan — range conjuncts through the two-level zone maps,
+    * equality/IN conjuncts through the bloom sidecars, arbitrary residual
+    * shapes kept and filtered normally.
+    */
+  def readWhere(v: Long, cond: org.apache.spark.sql.Column): DataFrame = {
+    val (kept, schemaSrc, _) = pruneWhere(v, cond)
+    readFiles(kept.map(_.file), schemaSrc).filter(cond)
+  }
+
+  def readWhere(cond: org.apache.spark.sql.Column): DataFrame =
+    readWhere(latestVersion.getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $path")), cond)
+
+  /** (files kept, total files) for a pushdown plan — the skip census. */
+  def planStatsWhere(v: Long, cond: org.apache.spark.sql.Column): (Int, Int) = {
+    val (kept, _, total) = pruneWhere(v, cond)
+    (kept.size, total)
+  }
+
   /** Damaged-store guard: with no acknowledged version, the only debris
     * the commit protocol itself can have left behind is a crashed FIRST
     * commit's v1 (a crash at commit N implies a pointer at N-1). Anything

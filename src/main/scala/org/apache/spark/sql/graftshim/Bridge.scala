@@ -11,4 +11,30 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The un-analyzed structure behind a Column, re-expressed as a tiny
+    * public ADT a metadata-level predicate planner can walk. Spark 4
+    * Columns carry `private[sql]` ColumnNode trees (UnresolvedFunction /
+    * UnresolvedAttribute / Literal) rather than catalyst expressions;
+    * anything beyond those three shapes surfaces as [[POpaque]] so a
+    * planner degrades to conservative keeps.
+    */
+  sealed trait PNode
+  final case class PFunc(name: String, args: Seq[PNode]) extends PNode
+  final case class PAttr(name: String) extends PNode
+  final case class PLit(value: Any) extends PNode
+  case object POpaque extends PNode
+
+  def predicateTree(c: Column): PNode = toP(c.node)
+
+  private def toP(n: org.apache.spark.sql.internal.ColumnNode): PNode =
+    n match {
+      case f: org.apache.spark.sql.internal.UnresolvedFunction =>
+        PFunc(f.functionName, f.arguments.map(toP))
+      case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
+        PAttr(a.nameParts.mkString("."))
+      case l: org.apache.spark.sql.internal.Literal =>
+        PLit(l.value)
+      case _ => POpaque
+    }
 }
