@@ -777,69 +777,20 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     }
   }
 
-  /** xxhash64 of each probe value, computed THROUGH Spark so the hash is
-    * byte-identical to the commit-side `xxhash64(col)` (xxhash64 is
-    * type-sensitive — a LONG probe of a STRING column would miss). Long
-    * and String keys cover the point-lookup surface.
-    */
-  private def probeHashes(values: Seq[Any]): Seq[Long] = {
-    import spark.implicits._
-    require(values.nonEmpty, "bloom probe needs at least one value")
-    val hdf = values.head match {
-      case _: Long | _: Int =>
-        values.map { case l: Long => l; case i: Int => i.toLong }
-          .toDF("v")
-      case _: String => values.map(_.asInstanceOf[String]).toDF("v")
-      case other => throw new IllegalArgumentException(
-        s"bloom probe supports Long and String keys, got ${other.getClass}")
-    }
-    hdf.select(xxhash64(col("v"))).collect().map(_.getLong(0)).toSeq
-  }
-
-  /** Files of version `v` that MIGHT contain any of `values` in `colName`,
-    * by bloom sidecar: groups whose union bloom excludes every value are
-    * skipped WITHOUT opening their group file; surviving groups' files
-    * test individually. Anything without a sidecar (or a column the
-    * sidecar does not track) is conservatively kept — never a false
-    * negative. Returns (kept entries, schema-source entries, total files).
+  /** Point-lookup planning delegates to the pushdown planner: an IN
+    * predicate gets zone AND bloom pruning in one pass, with probe
+    * literals re-hashed under the table's PHYSICAL column type (xxhash64
+    * is type-sensitive — an int column probed with a long literal would
+    * otherwise miss), and conservative keeps for anything the metadata
+    * cannot answer. One planner, one soundness argument.
     */
   private def pruneEq(v: Long, colName: String, values: Seq[Any])
       : (Seq[FileEntry], Seq[FileEntry], Int) = {
-    val hs = probeHashes(values)
-    val info = listInfoOf(v)
-    def hits(sc: BloomSidecar, bs: Seq[Array[Byte]]): Boolean = {
-      val i = sc.names.indexOf(colName)
-      i < 0 || bs.lift(i).forall(b => hs.exists(h =>
-        graft.functions.BloomSketch.containsBytes(b, sc.hashes, h)))
-    }
-    var total = 0
-    val keptGroups = info.refs.flatMap { r =>
-      val sc = readBloomSidecar(r.name)
-      val groupAlive = sc.forall(s => s.union.isEmpty || hits(s, s.union))
-      if (!groupAlive && r.files >= 0) { total += r.files; None }
-      else {
-        val (gNames, es) = readGroupFile(r.name)
-        total += es.size
-        val kept = sc match {
-          case None => es
-          case Some(s) => es.filter { e =>
-            val base = new Path(e.file).getName
-            s.files.get(base).forall(bs => hits(s, bs))
-          }
-        }
-        Some(Group(Some(r.name), gNames, kept))
-      }
-    } ++ info.inline.map { g => total += g.entries.size; g }
-    val eff = info.names
-    val aligned = keptGroups.flatMap(g => alignEntries(g.names, eff, g.entries))
-    val schemaSrc =
-      if (aligned.nonEmpty) aligned
-      else info.refs.headOption.map(r => readGroupFile(r.name)._2)
-        .getOrElse(Seq.empty)
-    (aligned, schemaSrc, total)
+    require(values.nonEmpty, "bloom probe needs at least one value")
+    pruneWhere(v, col(colName).isin(values: _*))
   }
 
-  /** Point-lookup read: only files whose bloom might contain one of
+  /** Point-lookup read: only files whose zones/bloom might contain one of
     * `values` in `colName` are scanned. Exact superset of the matching
     * rows — follow with the equality filter as usual.
     */
@@ -848,7 +799,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     readFiles(kept.map(_.file), schemaSrc)
   }
 
-  /** (files kept, total files) for a bloom point-lookup prune. */
+  /** (files kept, total files) for a point-lookup prune. */
   def pruneStatsEq(v: Long, colName: String, values: Seq[Any]): (Int, Int) = {
     val (kept, _, total) = pruneEq(v, colName, values)
     (kept.size, total)

@@ -62,13 +62,19 @@ class BloomSkipSpec extends SparkSpec {
       .filter(col("k").isin("k1234", "k77")).count() === 2L)
   }
 
-  test("a bloom-less store keeps everything (conservative, still correct)") {
+  test("a bloom-less store still prunes via zones, and stays correct") {
     val st = new SnapshotStore(spark, tempDir("bloom-none") + "/snap", "id")
     val v = st.commit(scattered(0, 999))
-    val (kept, total) = st.pruneStatsEq(v, "id", Seq(5L))
-    assert(kept === total, "no sidecar → nothing may be skipped")
+    // pruneEq delegates to the pushdown planner: id is the zone-tracked
+    // stats column, so even without a sidecar its min/max can skip
     assert(st.readPrunedEq(v, "id", Seq(5L))
       .filter(col("id") === 5L).count() === 1L)
+    // a column with NO metadata at all (neither zones nor bloom) must
+    // keep every file
+    val (kept, total) = st.pruneStatsEq(v, "k", Seq("k5"))
+    assert(kept === total, "no zones, no sidecar → nothing may be skipped")
+    assert(st.readPrunedEq(v, "k", Seq("k5"))
+      .filter(col("k") === "k5").count() === 1L)
   }
 
   test("untracked column keeps everything") {
@@ -132,6 +138,23 @@ class BloomSkipSpec extends SparkSpec {
       .filter(col("id") === 1500L).count() === 1L)
     assert(!fsOf(st).exists(new org.apache.hadoop.fs.Path(
       st.path + "/_staged/s-b1.bloom")), "the staged sidecar retires at publish")
+  }
+
+  test("int-typed key columns probe type-faithfully through readPrunedEq") {
+    // pruneEq delegates to the pushdown planner, which re-hashes probe
+    // literals under the table's physical type — a long-typed probe of an
+    // INT column must not false-negative
+    val st = new SnapshotStore(spark, tempDir("bloom-int") + "/snap", "x",
+      bloomCols = Seq("n"))
+    val v = st.commit(spark.range(0, 2000).select(
+      (col("id") % 10).cast("double").as("x"), col("id").cast("int").as("n"))
+      .repartition(8, col("n")))
+    assert(st.readPrunedEq(v, "n", Seq(1234L))
+      .filter(col("n") === 1234).count() === 1L)
+    assert(st.readPrunedEq(v, "n", Seq(1234))
+      .filter(col("n") === 1234).count() === 1L)
+    val (kept, total) = st.pruneStatsEq(v, "n", Seq(1234))
+    assert(kept < total)
   }
 
   test("multi-column blooms probe independently") {
