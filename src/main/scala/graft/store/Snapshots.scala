@@ -575,7 +575,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     latestVersion match {
       case None => commit(delta) // empty table: everything inserts
       case Some(prev) =>
-        val (nDelta, candidates) = mergeCandidates(delta, keyCols, prev)
+        val (nDelta, zoneCands) = mergeCandidates(delta, keyCols, prev)
+        val candidates = mergeScanCandidates(delta, keyCols, prev,
+          nDelta, zoneCands)
         if (nDelta == 0L) prev
         else {
           val dKeys = delta.select(keyCols.map(col): _*)
@@ -603,6 +605,37 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         }
     }
   }
+
+  /** Bloom-narrow the merge's hit-detection scan: zones bound RANGES, so
+    * a hash-distributed key leaves every file a candidate and the
+    * semi-join scans the table. When the merge key is a single
+    * bloom-tracked column and the delta is small enough to collect its
+    * keys ([[SnapshotStore.MergeProbeCap]]), probe the sidecars and scan
+    * only files that might contain a delta key — the rewrite set was
+    * always exact (the semi-join decides it); this bounds what the
+    * semi-join has to READ. Conservative whenever the preconditions fail:
+    * the zone candidates pass through unchanged. Envelope: the probe is
+    * O(candidate files × delta keys) driver-side bit tests — the cap
+    * bounds one factor; at extreme manifest scale rely on zones or raise
+    * the cap knowingly.
+    */
+  private[graft] def mergeScanCandidates(delta: DataFrame,
+      keyCols: Seq[String], v: Long, nDelta: Long,
+      zoneCands: Seq[String]): Seq[String] =
+    if (keyCols.size != 1 || !bloomCols.contains(keyCols.head) ||
+      nDelta == 0L || nDelta > SnapshotStore.MergeProbeCap ||
+      zoneCands.isEmpty) zoneCands
+    else {
+      val keys = delta.select(col(keyCols.head)).distinct()
+        .collect().flatMap(r => Option(r.get(0))).toSeq
+      if (keys.isEmpty) zoneCands
+      else {
+        val (bloomKept, _, _) =
+          pruneWhere(v, col(keyCols.head).isin(keys: _*))
+        val might = bloomKept.map(_.file).toSet
+        zoneCands.filter(might)
+      }
+    }
 
   /** Zone-pruned merge candidates at version `v`: (delta row count, files
     * whose tracked key bounds intersect the delta's). Key columns the
@@ -936,13 +969,19 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     if (typed.isEmpty) Map.empty
     else {
       // literals travel as strings and re-type through cast, so "42"
-      // probed against an int column hashes as int, not long; one local
-      // row computes every hash in a single tiny job
-      val exprs = typed.zipWithIndex.map { case ((_, v, t), i) =>
-        xxhash64(lit(v.toString).cast(t)).as(s"h$i") }
-      val row = spark.range(1).select(exprs: _*).head
-      typed.zipWithIndex.map { case ((n, v, _), i) =>
-        (n, v) -> row.getLong(i) }.toMap
+      // probed against an int column hashes as int, not long. One narrow
+      // local-relation job per (column, type) group — NOT one wide row of
+      // N expressions, which stops codegen-scaling around a few thousand
+      // probes (the merge path sends up to MergeProbeCap keys through
+      // here).
+      import spark.implicits._
+      typed.groupBy { case (n, _, t) => (n, t) }.toSeq.flatMap {
+        case ((n, t), group) =>
+          val vals = group.map { case (_, v, _) => v }
+          vals.map(_.toString).toDF("v")
+            .select(xxhash64(col("v").cast(t))).collect()
+            .zip(vals).map { case (r, v) => (n, v) -> r.getLong(0) }.toSeq
+      }.toMap
     }
   }
 
@@ -2193,6 +2232,13 @@ object SnapshotStore {
     * future change cannot mis-probe old sketches.
     */
   val BloomHashes = 7
+
+  /** Largest delta (rows) whose keys a [[SnapshotStore.merge]] will
+    * collect for bloom-narrowing its hit-detection scan — a bounded
+    * driver artifact (ids, not rows), the IVF-centroid discipline.
+    * Bigger deltas fall back to zone candidates alone.
+    */
+  val MergeProbeCap = 10000L
 
   /** The atomic-exclusive metadata-claim primitive — the ONE
     * filesystem-specific operation in the commit protocol

@@ -140,6 +140,28 @@ class BloomSkipSpec extends SparkSpec {
       st.path + "/_staged/s-b1.bloom")), "the staged sidecar retires at publish")
   }
 
+  test("merge's hit-detection scan bloom-narrows on a hash-distributed key") {
+    val st = new SnapshotStore(spark, tempDir("bloom-merge") + "/snap", "id",
+      bloomCols = Seq("id"))
+    val v1 = st.commit(scattered(0, 9999))
+    val delta = Seq((42L, "UPDATED", 1.0), (10042L, "NEW", 2.0))
+      .toDF("id", "k", "v")
+    // zones are useless here (the delta's [42, 10042] intersects every
+    // scattered file); the bloom probe narrows the scan to ~the files
+    // that actually hold the keys
+    val (n, zone) = st.mergeCandidates(delta, Seq("id"), v1)
+    val narrowed = st.mergeScanCandidates(delta, Seq("id"), v1, n, zone)
+    assert(zone.size === 16)
+    assert(narrowed.size < zone.size,
+      s"bloom must narrow the merge scan (${narrowed.size}/${zone.size})")
+    // and the merge itself is exact: one update in place, one insert
+    st.merge(delta, Seq("id"))
+    assert(st.read().count() === 10001L)
+    assert(st.read().filter(col("id") === 42L).select("k").head.getString(0)
+      === "UPDATED")
+    assert(st.read().filter(col("id") === 10042L).count() === 1L)
+  }
+
   test("int-typed key columns probe type-faithfully through readPrunedEq") {
     // pruneEq delegates to the pushdown planner, which re-hashes probe
     // literals under the table's physical type — a long-typed probe of an
