@@ -739,6 +739,15 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   /** Per-file bloom bitsets of a freshly written parquet dir, keyed by
     * file BASENAME (stable across the staging→batch rename): one
     * aggregate, map-side partial ORs, one sketch-sized row per file.
+    *
+    * This is deliberately a SECOND pass over the batch (after
+    * [[statsForDir]]): exact bit sizing needs the batch's row census,
+    * which only the stats pass produces — a bytes-per-file heuristic
+    * under-sizes narrow tables (delta-encoded keys compress below
+    * 10 B/row) into useless FPP, and aggregating at the cap then folding
+    * down multiplies the agg/collect bytes 8×. The re-read hits the
+    * page-cached just-written files; the distributed WRITE dominates
+    * commit wall-clock.
     */
   private def bloomsForDir(dir: Path, totalRows: Long, nFiles: Int)
       : Map[String, Seq[Array[Byte]]] =
@@ -786,8 +795,16 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private final case class BloomSidecar(names: Seq[String], hashes: Int,
     union: Seq[Array[Byte]], files: Map[String, Seq[Array[Byte]]])
 
+  // sidecars are immutable and written before their group becomes
+  // reachable, so a per-store cache is safe — including a cached None
+  // (a group without a sidecar never grows one)
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[BloomSidecar]]()
+
   private def readBloomSidecar(groupName: String): Option[BloomSidecar] =
-    parseBloomFile(bloomSidecarPath(groupName), s"bloom sidecar of $groupName")
+    bloomCache.computeIfAbsent(groupName, _ =>
+      parseBloomFile(bloomSidecarPath(groupName),
+        s"bloom sidecar of $groupName"))
 
   private def parseBloomFile(p: Path, what: String): Option[BloomSidecar] = {
     if (!fs.exists(p)) None
@@ -973,14 +990,23 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       // local-relation job per (column, type) group — NOT one wide row of
       // N expressions, which stops codegen-scaling around a few thousand
       // probes (the merge path sends up to MergeProbeCap keys through
-      // here).
+      // here). A literal whose string form CANNOT cast to the physical
+      // type ("42.0" → BIGINT is null under non-ANSI cast) gets NO hash —
+      // xxhash64(null) is the seed, a wrong-but-present value that would
+      // prune files the coerced predicate actually matches; absence makes
+      // bloomHit fall back to the conservative keep.
       import spark.implicits._
       typed.groupBy { case (n, _, t) => (n, t) }.toSeq.flatMap {
         case ((n, t), group) =>
           val vals = group.map { case (_, v, _) => v }
+          // try_cast, not cast: under ANSI a malformed literal must yield
+          // the conservative no-hash, not a runtime error at plan time
+          val c = expr(s"try_cast(v AS ${t.sql})")
           vals.map(_.toString).toDF("v")
-            .select(xxhash64(col("v").cast(t))).collect()
-            .zip(vals).map { case (r, v) => (n, v) -> r.getLong(0) }.toSeq
+            .select(c.as("c"), xxhash64(c))
+            .collect()
+            .zip(vals).collect { case (r, v) if !r.isNullAt(0) =>
+              (n, v) -> r.getLong(1) }.toSeq
       }.toMap
     }
   }
@@ -1014,7 +1040,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         .getOrElse(true)
     var total = 0
     val keptGroups = info.refs.flatMap { r =>
-      val sc = readBloomSidecar(r.name)
+      // sidecars only matter to equality probes — a range-only predicate
+      // must not pay a sidecar read (or decode) per group per query
+      val sc = if (hashes.isEmpty) None else readBloomSidecar(r.name)
       val gCtx = new PruneCtx {
         def bounds(n: String) = {
           val i = eff.indexOf(n)
@@ -1845,7 +1873,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private def wapDirsOf(id: String): Seq[Path] =
     if (fs.exists(wapListPath(id)))
-      wapEntries(id).map(e => new Path(e.file).getParent).distinct
+      wapEntries(id)._2.map(e => new Path(e.file).getParent).distinct
     else if (fs.exists(wapPublishedPath(id)))
       readLines(wapPublishedPath(id)).filter(_.nonEmpty)
         .map(n => new Path(s"$path/data/$n"))
@@ -1870,7 +1898,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     require(!fs.exists(wapListPath(wapId)) && !fs.exists(wapPublishedPath(wapId)),
       s"wap '$wapId' at $path is already staged or published — " +
         "discard it or pick a fresh id")
+    // a bloom sidecar with no list is always debris (a discard crashed
+    // between its list and bloom deletes) — clear it now or the claimed
+    // list below would wedge against the orphan at the sidecar write
+    if (!fs.exists(wapListPath(wapId)))
+      fs.delete(wapBloomPath(wapId), false)
     val dir = newWapDir(wapId)
+    var claimedList = false
     try {
       df.write.parquet(dir.toString)
       val entries = statsForDir(dir)
@@ -1880,6 +1914,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       // (unique, unreferenced) dir is cleaned below
       writeAtomic(wapListPath(wapId), groupBody(entries.toSeq, statsCols),
         overwrite = false)
+      claimedList = true
       // bloom sketches ride a staged sidecar AFTER the claim (only the
       // winner writes it); publish hands them to the manifest's sidecar.
       // A crash in between just loses the sketches — conservative reads,
@@ -1894,23 +1929,35 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       }
     } catch {
       case e: Throwable =>
+        // release everything THIS call created — leaving a claimed list
+        // that names deleted files would wedge the id (every later stage
+        // refused as "already staged", every publish failing on missing
+        // files) until a manual discard
+        if (claimedList) {
+          fs.delete(wapBloomPath(wapId), false)
+          fs.delete(wapListPath(wapId), false)
+        }
         if (fs.exists(dir)) fs.delete(dir, true)
         throw e
     }
   }
 
-  private def wapEntries(id: String): Seq[FileEntry] = {
+  /** The staged list's (#stats header names, entries) — bounds are facts
+    * recorded under the STAGER's column list and must be re-aligned by
+    * name before any other writer re-labels them (the alignEntries rule).
+    */
+  private def wapEntries(id: String): (Seq[String], Seq[FileEntry]) = {
     val p = wapListPath(id)
     require(fs.exists(p), s"no staged wap '$id' at $path")
     val lines = readLines(p)
     checkCrc(lines, s"staged wap $id")
-    parseEntries(lines.filterNot(_.startsWith("#")))
+    (statsHeaderOf(lines), parseEntries(lines.filterNot(_.startsWith("#"))))
   }
 
   /** The staged batch alone — what a batch-scoped audit reads. */
   def readWapBatch(wapId: String): DataFrame = {
     requireWapId(wapId)
-    val staged = wapEntries(wapId)
+    val staged = wapEntries(wapId)._2
     readFiles(staged.map(_.file), staged)
   }
 
@@ -1920,7 +1967,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   def readWap(wapId: String): DataFrame = {
     requireWapId(wapId)
-    val staged = wapEntries(wapId)
+    val staged = wapEntries(wapId)._2
     val head = latestVersion.map(readManifest).getOrElse(Seq.empty)
     readFiles((head ++ staged).map(_.file), head ++ staged)
   }
@@ -1939,7 +1986,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     taggedVersion(wapTag(wapId)) match {
       case Some(v) => finishWapPublish(wapId); v
       case None =>
-        val staged = wapEntries(wapId)
+        val (stagedNames, rawStaged) = wapEntries(wapId)
+        // the manifest will record these bounds under THIS writer's
+        // statsCols (writeManifestFor's Group carries statsCols) — align
+        // by name first, or a publisher declaring different columns would
+        // silently re-label the stager's min/max as another column's and
+        // later zone prunes would skip files that DO contain matches
+        val staged = alignEntries(stagedNames, statsCols, rawStaged)
         val missing = staged.filterNot(e => fs.exists(new Path(e.file)))
         require(missing.isEmpty,
           s"staged wap '$wapId' at $path references missing data files " +
@@ -1989,9 +2042,14 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       taggedVersion(wapTag(wapId)).isEmpty,
       s"wap '$wapId' at $path is published — its files are table data; " +
         "this handle cannot retire them")
+    // dirs, then bloom, then list LAST: a crash mid-discard leaves the
+    // list, so a retry completes it and a publish fails loudly on the
+    // missing files — never a half-deleted batch publishing, and never an
+    // orphan bloom outliving its list (which would wedge a later re-stage
+    // of the id at its sidecar claim)
     wapDirsOf(wapId).foreach(d => fs.delete(d, true))
-    fs.delete(wapListPath(wapId), false)
     fs.delete(wapBloomPath(wapId), false)
+    fs.delete(wapListPath(wapId), false)
     ()
   }
 
@@ -2012,7 +2070,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         n.stripPrefix("s-").stripSuffix(".published") }.toSet
     (listed ++ tombed).toSeq.sorted.map { id =>
       val (files, rows) =
-        if (listed(id)) { val es = wapEntries(id); (es.size.toLong, es.map(_.rows).sum) }
+        if (listed(id)) { val es = wapEntries(id)._2; (es.size.toLong, es.map(_.rows).sum) }
         else (-1L, -1L)
       (id, files, rows, tombed(id) || taggedVersion(wapTag(id)).isDefined)
     }.toDF("wap_id", "files", "rows", "published")

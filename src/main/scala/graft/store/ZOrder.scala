@@ -43,18 +43,29 @@ object ZOrder {
     round(safe).cast("long")
   }
 
+  /** Bits of each dimension that fit a SIGNED long without touching the
+    * sign bit: 4 × 16 would place dim 3's top bit at position 63, turning
+    * the curve's upper half NEGATIVE and wrapping the sort order — the
+    * partition straddling the wrap would join the curve's two ends into
+    * one file spanning the whole space. 63/n keeps every term in the
+    * non-negative domain (full 16 bits up to 3 dims, the top 15 at 4).
+    */
+  def usableBits(n: Int): Int = math.min(BitsPerDim, 63 / n)
+
   /** Morton-interleave `dims` pre-scaled 16-bit values into one long:
-    * bit b of dimension i lands at position b * n + i. Built as a
-    * balanced OR tree of shift/mask terms — 16 terms per dimension, all
-    * whole-stage-codegen'd integer ops (no UDF).
+    * bit b of dimension i lands at position b * n + i, using each
+    * dimension's TOP [[usableBits]] bits. Built as a balanced OR tree of
+    * shift/mask terms, all whole-stage-codegen'd integer ops (no UDF).
     */
   def interleave(dims: Seq[Column]): Column = {
     val n = dims.size
     require(n >= 1 && n <= 4, s"z-order supports 1-4 dimensions, got $n")
+    val usable = usableBits(n)
     val terms = for {
       (d, i) <- dims.zipWithIndex
-      b <- 0 until BitsPerDim
-    } yield shiftleft(shiftright(d, b).bitwiseAND(lit(1L)), b * n + i)
+      b <- 0 until usable
+    } yield shiftleft(
+      shiftright(d, b + (BitsPerDim - usable)).bitwiseAND(lit(1L)), b * n + i)
     terms.reduce(_.bitwiseOR(_))
   }
 

@@ -94,6 +94,22 @@ class PushdownSpec extends SparkSpec {
     assert(kept < total)
   }
 
+  test("a probe literal that cannot cast to the column type keeps, not prunes") {
+    // "42.0" cast to BIGINT is null under non-ANSI cast; xxhash64(null)
+    // is the seed — a wrong-but-present hash would prune files the
+    // coerced predicate actually matches. The planner must DROP the probe
+    // (conservative keep) instead.
+    val st = new SnapshotStore(spark, tempDir("push-nullcast") + "/snap", "x",
+      bloomCols = Seq("id"))
+    val v = st.commit(spark.range(0, 2000).select(
+      (col("id") % 7).cast("double").as("x"), col("id"))
+      .repartition(8, col("id")))
+    assert(st.readWhere(v, col("id") === 42.0).count() === 1L,
+      "a double literal against a long column must coerce, never lose the row")
+    val (kept, total) = st.planStatsWhere(v, col("id") === 42.0)
+    assert(kept === total, "an uncastable probe contributes no pruning")
+  }
+
   test("z-ordered store: one predicate prunes on both dimensions at once") {
     val st = new SnapshotStore(spark, tempDir("push-z") + "/snap", "x",
       secondaryStats = Seq("y"))

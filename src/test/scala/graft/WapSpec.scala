@@ -204,6 +204,40 @@ class WapSpec extends SparkSpec {
     assert(st.read().count() === 30L)
   }
 
+  test("publish through a writer with different stats columns aligns bounds by name") {
+    val dir = tempDir("wap-align") + "/snap"
+    val stager = new SnapshotStore(spark, dir, "id", secondaryStats = Seq("v"))
+    val data = spark.range(0, 1000).select(
+      col("id"), (col("id") * 2).cast("double").as("v"))
+    stager.commit(data.filter(col("id") < 500)
+      .repartitionByRange(4, col("id")))
+    stager.stageWap(data.filter(col("id") >= 500)
+      .repartitionByRange(4, col("id")), "b")
+    // a publisher declaring the stats columns in a DIFFERENT order must
+    // not re-label the stager's id-bounds as v-bounds
+    val publisher = new SnapshotStore(spark, dir, "v", secondaryStats = Seq("id"))
+    val v = publisher.publishWap("b")
+    // id ∈ [600, 650]: a v-labeled id-bound would prune files that DO
+    // contain these rows (v of those rows is 1200..1300)
+    assert(publisher.readPrunedOn(v, "id", 600.0, 650.0)
+      .filter(col("id").between(600, 650)).count() === 51L)
+    assert(publisher.readPrunedOn(v, "v", 1200.0, 1300.0)
+      .filter(col("v").between(1200.0, 1300.0)).count() === 51L)
+  }
+
+  test("a crashed discard's orphan bloom sidecar cannot wedge a re-stage") {
+    val st = new SnapshotStore(spark, tempDir("wap-orphanbloom") + "/snap",
+      "id", bloomCols = Seq("id"))
+    st.commit(batch(0, 9))
+    // forge the crash window: a bloom sidecar with no staged list
+    val out = fsOf(st).create(new org.apache.hadoop.fs.Path(
+      st.path + "/_staged/s-w.bloom"), false)
+    out.write("#crc=0\n".getBytes); out.close()
+    st.stageWap(batch(10, 19), "w") // must clear the orphan and claim
+    st.publishWap("w")
+    assert(st.read().count() === 20L)
+  }
+
   test("waps() reports staged and published ids") {
     val st = freshStore("wap-meta")
     st.commit(batch(0, 9))

@@ -13,12 +13,15 @@ import graft.store.{SnapshotStore, ZOrder}
 class ZOrderSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Scalar reference: bit b of dim i → position b*n+i. */
+  /** Scalar reference: the TOP usableBits(n) bits of dim i, bit b at
+    * position b*n+i — mirrors the sign-bit-safe interleave.
+    */
   private def mortonRef(xs: Seq[Long]): Long = {
     val n = xs.size
+    val usable = ZOrder.usableBits(n)
     var z = 0L
-    for (b <- 0 until ZOrder.BitsPerDim; i <- 0 until n)
-      z |= ((xs(i) >> b) & 1L) << (b * n + i)
+    for (b <- 0 until usable; i <- 0 until n)
+      z |= ((xs(i) >> (b + ZOrder.BitsPerDim - usable)) & 1L) << (b * n + i)
     z
   }
 
@@ -39,6 +42,8 @@ class ZOrderSpec extends SparkSpec {
     z4.collect().foreach { r =>
       assert(r.getLong(4) === mortonRef(
         Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      assert(r.getLong(4) >= 0L,
+        "4-dim z-values must stay non-negative — a sign flip wraps the curve")
     }
   }
 
