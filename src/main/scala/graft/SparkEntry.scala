@@ -4277,6 +4277,14 @@ object SparkEntry {
     // hash catches it.
     "st11_snapshot_sink" -> ((s, d) => StreamContract.snapshotSink(s, d)),
 
+    // ST12 — WAP QUARANTINE SINK: every micro-batch stages invisibly,
+    // a per-batch audit gates the publish (exactly-once behind the wap
+    // tag), and the one poisoned epoch stays quarantined — staged,
+    // forensically intact, never visible. The replay pass re-judges every
+    // epoch and the visible table cannot move. See
+    // StreamContract.wapQuarantineSink.
+    "st12_wap_quarantine" -> ((s, d) => StreamContract.wapQuarantineSink(s, d)),
+
     // E-events: behavioral transition matrix — per-user next-event bigrams
     // (one lead window over the user timeline, ties broken by event_id)
     // folded to Markov transition counts and row-normalized probabilities.
@@ -6697,6 +6705,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // st12: the visible table is exactly the three clean epochs; the
+    // poisoned quarter never landed, nothing leaked, replays moved nothing
+    "st12_wap_quarantine" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       CAST(1 AS BIGINT) AS quarantined,
+        |       CAST(0 AS BIGINT) AS poison_leaked,
+        |       CAST(1 AS BIGINT) AS replay_stable
+        |FROM events WHERE event_id % 4 <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st9_stream_lm_gate" ->
       """WITH n AS (

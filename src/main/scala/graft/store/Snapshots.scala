@@ -2028,6 +2028,20 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       ()
     }
 
+  /** Whether `wapId` has been published (its commit tag is acknowledged) —
+    * the replay check an at-least-once producer makes before re-staging.
+    */
+  def wapPublished(wapId: String): Boolean = {
+    requireWapId(wapId)
+    taggedVersion(wapTag(wapId)).nonEmpty
+  }
+
+  /** Whether `wapId` currently has a staged (un-retired) list. */
+  def wapStaged(wapId: String): Boolean = {
+    requireWapId(wapId)
+    fs.exists(wapListPath(wapId))
+  }
+
   /** Drop an unpublished staged batch: data dirs first, then the list — a
     * crashed half-discard leaves a list whose missing files make a later
     * publish fail LOUDLY (never a partial batch), and a discard retry

@@ -596,4 +596,79 @@ object StreamContract {
       sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
       .orderBy("event_type")
   }
+
+  /** st12: the WAP QUARANTINE SINK — every micro-batch STAGES with zero
+    * reader visibility, a per-batch audit gates the publish, and a batch
+    * that fails its audit stays staged (quarantined, forensically intact)
+    * without one row ever having been visible. st9 (partition overwrite)
+    * and st11 (commitTagged) solve at-least-once replay for appends that
+    * are ALWAYS wanted; the quarantine sink adds the audit gate a
+    * training-data ingest needs — a poisoned epoch must neither land nor
+    * vanish. Replay-safe at every crash point: a published epoch's tag
+    * no-ops (exactly-once), an un-judged staged epoch is discarded and
+    * deterministically re-staged, a quarantined epoch is re-judged.
+    */
+  def wapQuarantineSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.SnapshotStore
+    val ev = Tables(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    // one epoch in four arrives poisoned (negated values) — the audit
+    // must catch and quarantine exactly that one
+    val poisoned = ev.withColumn("value",
+      when(col("event_id") % 4 === 2, col("value") * -1.0)
+        .otherwise(col("value")))
+    val landing = tmp("st12_landing")
+    val storeDir = tmp("st12_store")
+    val ckpt = tmp("st12_ckpt")
+    (0 until 4).foreach { i =>
+      poisoned.filter(col("event_id") % 4 === i).coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(landing)
+    }
+    val st = new SnapshotStore(spark, s"$storeDir/snap", "event_id")
+    def processEpoch(batch: DataFrame, wid: String): Unit =
+      if (!st.wapPublished(wid)) {
+        // a staged leftover means a prior attempt crashed before its
+        // audit verdict — epochs are deterministic, so rebuild
+        if (st.wapStaged(wid)) st.discardWap(wid)
+        st.stageWap(batch, wid)
+        val bad = st.readWapBatch(wid)
+          .filter(col("value") < 0).limit(1).count() > 0
+        if (!bad) { st.publishWap(wid); () }
+      }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    withDrainParallelism(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processEpoch(batch, s"epoch-$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // forced at-least-once replay of every epoch: published ones must
+    // no-op behind their tag, the quarantined one must re-judge to the
+    // same verdict — the visible table cannot move
+    val before = st.read().count()
+    (0L until 4L).foreach { i =>
+      val wid = s"epoch-$i"
+      if (st.wapPublished(wid)) st.publishWap(wid)
+      else if (st.wapStaged(wid)) {
+        val bad = st.readWapBatch(wid)
+          .filter(col("value") < 0).limit(1).count() > 0
+        if (!bad) { st.publishWap(wid); () }
+      }
+    }
+    val replayStable = if (st.read().count() == before) 1L else 0L
+    val quarantined = st.waps().filter(!col("published")).count()
+    val leaked = st.read().filter(col("value") < 0).count()
+    st.read().groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+      .withColumn("quarantined", lit(quarantined))
+      .withColumn("poison_leaked", lit(leaked))
+      .withColumn("replay_stable", lit(replayStable))
+      .orderBy("event_type")
+  }
 }
