@@ -665,6 +665,14 @@ object Stress {
       val t1 = System.nanoTime()
       val nPruned = st.readPruned(v, 0.0, filesPerCommit - 1.0).count()
       val tPrune = (System.nanoTime() - t1) / 1e9
+      // the r14 pushdown planner over the same band: its per-query
+      // metadata cost must stay flat too (group summaries skip untouched
+      // groups; no sidecar reads without equality probes)
+      val t2 = System.nanoTime()
+      val nWhere = st.readWhere(v,
+        col("id").between(0L, filesPerCommit - 1L)).count()
+      val tWhere = (System.nanoTime() - t2) / 1e9
+      require(nWhere == nPruned, s"planner/prune row divergence: $nWhere vs $nPruned")
       val (kept, total) = st.pruneStats(v, 0.0, filesPerCommit - 1.0)
       val manifest = f"$dir%s/snap/_manifests/v$v%05d.manifest"
       val listBytes = sz(manifest)
@@ -679,6 +687,7 @@ object Stress {
       println(s"""{"op":"manifest_scale","commits":$committed,""" +
         s""""files_total":${st.fileCount},"groups":${refs.length},""" +
         s""""sec_commit":${num(tCommit)},"sec_prune":${num(tPrune)},""" +
+        s""""sec_readwhere":${num(tWhere)},""" +
         s""""rows_pruned":$nPruned,"files_kept":$kept,"files_listed":$total,""" +
         s""""list_bytes":$listBytes,"last_commit_meta_bytes":$lastMeta,""" +
         s""""census_entry_bytes":${groupBytes.sum}}""")
