@@ -3944,6 +3944,44 @@ object SparkEntry {
           .orderBy("s_suppkey"))(rev)
     }),
 
+    // H15 — the TPC-H Q20 correlation shape (per-group scalar-aggregate
+    // threshold, the deepest nesting level after Q17/Q21/Q22): suppliers
+    // who shipped MORE THAN HALF of a part's windowed quantity, for a
+    // part-name class and nation class. Decorrelated Spark-first as two
+    // aggregates joined on the group key — the correlated per-part total
+    // is just the second-level rollup of the first aggregate, so the fact
+    // scans once; parts, per-part totals, and suppliers all broadcast
+    // (the fact is never a build side). Dominance compares 2×DECIMAL sums
+    // exactly — l_quantity is a double, and a float half-threshold would
+    // tie-break differently per engine.
+    "h15_dominant_suppliers" -> ((s, d) => {
+      val window = (col("l_shipdate") >= lit("1996-01-01").cast("timestamp")) &&
+        (col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val redParts = t(s, d, "part")
+        .filter(col("p_name").startsWith("red")).select("p_partkey")
+      val liRed = t(s, d, "lineitem").filter(window)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      // bySupp feeds BOTH the dominance join and its own per-part rollup —
+      // unpersisted, the fact scan + aggregate would run once per consumer
+      // (the d9/d10 N-consumer rule)
+      val bySupp = liRed.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("decimal(30,2)")).as("q_supp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val byPart = bySupp.groupBy("l_partkey")
+        .agg(sum(col("q_supp")).as("q_total"))
+      sealResult(
+        bySupp.join(broadcast(byPart), "l_partkey")
+          .filter(col("q_supp") * 2 > col("q_total"))
+          .join(broadcast(t(s, d, "supplier")
+            .filter(pmod(col("s_nationkey"), lit(5)) === 2)
+            .select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("n_dominant"))
+          .orderBy("s_suppkey"))(bySupp)
+    }),
+
     // J-joins: POINT-IN-TIME join — each event joins the SCD-2 status
     // interval covering its timestamp ("what was the user's status when
     // the event happened"), the temporal-correctness join every
@@ -5659,6 +5697,29 @@ object SparkEntry {
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE rev = (SELECT max(rev) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+
+    // h15: the literal Q20-shape correlation — a per-group HAVING against
+    // a correlated scalar aggregate; exact DECIMAL sums on both sides of
+    // the dominance threshold (2*sum > total, no float halves)
+    "h15_dominant_suppliers" ->
+      """WITH dominant AS (
+        |  SELECT l1.l_partkey, l1.l_suppkey
+        |  FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l1.l_partkey, l1.l_suppkey
+        |  HAVING 2 * sum(CAST(l1.l_quantity AS DECIMAL(30,2))) >
+        |    (SELECT sum(CAST(l2.l_quantity AS DECIMAL(30,2)))
+        |     FROM lineitem l2
+        |     WHERE l2.l_partkey = l1.l_partkey
+        |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        |       AND l2.l_shipdate < TIMESTAMP '1997-01-01')
+        |)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominant
+        |FROM dominant JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE s_nationkey % 5 = 2
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // h8: integer-exact quantity sums (quantities are whole numbers), raw
     // o_totalprice ordering with o_orderkey ties

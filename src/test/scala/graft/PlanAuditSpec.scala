@@ -324,6 +324,38 @@ class PlanAuditSpec extends SparkSpec {
       s"the part filter must push to the scan:\n$planStr")
   }
 
+  test("h15 Q20 shape: parts/totals/suppliers broadcast, fact cached once, never raw") {
+    // the contract query seals its caches (sealResult), so the audit
+    // drives the same decorrelation shape directly: per-(part,supplier)
+    // aggregate persisted, its own rollup as the correlated total
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val window = (col("l_shipdate") >= lit("1996-01-01").cast("timestamp")) &&
+      (col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val redParts = Tables(spark, d, "part")
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    val bySupp = Tables(spark, d, "lineitem").filter(window)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(30,2)")).as("q_supp"))
+      .persist()
+    val byPart = bySupp.groupBy("l_partkey").agg(sum("q_supp").as("q_total"))
+    val df = bySupp.join(broadcast(byPart), "l_partkey")
+      .filter(col("q_supp") * 2 > col("q_total"))
+    df.collect()
+    val planStr = planOf(df)
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"the per-part totals must broadcast:\n$planStr")
+    // both consumers read the CACHED aggregate — the fact scans once
+    assert(planStr.contains("InMemoryTableScan"),
+      s"bySupp's consumers must read the cache, not re-scan lineitem:\n$planStr")
+    val scans = broadcastScanPaths(df)
+    assert(!scans.exists(_.contains("lineitem")),
+      s"lineitem must not be a broadcast build side:\n$planStr")
+    bySupp.unpersist()
+  }
+
   test("h12 Q21 shape: order-partitioned window, no self-join, lineitem never ships raw") {
     val df = SparkEntry.queries("h12_waiting_suppliers")(spark, "/root/testdata/sf0.001")
     df.collect()
