@@ -1683,12 +1683,42 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       val own = m.filter(_.batch == v)
       // commit_id: the never-reused claim nonce — what distinguishes a
       // recommit under a rollback-reused version number (see commitIdOf)
-      (v, readNonceOf(v).orNull, readTagOf(v).orNull, own.size,
+      (v, readNonceOf(v).orNull, commitTimeOf(v), readTagOf(v).orNull, own.size,
         own.map(_.rows).sum, own.map(_.bytes).sum, m.size, m.map(_.rows).sum)
     }
     import spark.implicits._
-    rows.toDF("version", "commit_id", "tag", "added_files", "added_rows",
-      "added_bytes", "total_files", "total_rows").orderBy("version")
+    rows.toDF("version", "commit_id", "commit_ts", "tag", "added_files",
+      "added_rows", "added_bytes", "total_files", "total_rows")
+      .orderBy("version")
+  }
+
+  /** Commit wall-clock of retained version `v` (epoch millis): the
+    * manifest file's modification time — the claim instant on every
+    * supported filesystem (object stores stamp server-side). An
+    * OPERATIONAL timestamp, not a data watermark: a rollback re-claim
+    * restamps it (consistent with the version number being reused — the
+    * never-reused identity is [[commitIdOf]]), and cross-writer clock
+    * skew applies exactly as the debris arbitration already assumes.
+    */
+  def commitTimeOf(v: Long): Long = {
+    val p = manifestPath(v)
+    require(fs.exists(p), s"snapshot version $v is not retained at $path")
+    fs.getFileStatus(p).getModificationTime
+  }
+
+  /** Time travel BY TIMESTAMP (Iceberg's as-of-timestamp): the newest
+    * acknowledged retained version whose commit instant is at or before
+    * `tsMillis`. Throws when the table's history starts later — "before
+    * the table existed" must be loud, not an empty frame.
+    */
+  def readAsOf(tsMillis: Long): DataFrame = {
+    val ceiling = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $path"))
+    val vs = versions.filter(v => v <= ceiling && commitTimeOf(v) <= tsMillis)
+    require(vs.nonEmpty,
+      s"no snapshot at $path committed at or before epoch-millis $tsMillis " +
+        s"(history starts at ${commitTimeOf(versions.min)})")
+    readAt(vs.max)
   }
 
   /** ROLL BACK the table to retained version `v` (Iceberg's rollback —

@@ -988,6 +988,25 @@ class SnapshotSpec extends SparkSpec {
     assert(st.commitIdOf(2L).contains(ids(1)))
   }
 
+  test("readAsOf: timestamp time travel resolves the newest commit at-or-before") {
+    val st = freshStore("snap-asof")
+    st.commit(batch(0, 9))
+    // back-date v1 so the two commit instants are distinct and ordered
+    age(st, "_manifests/v00001.manifest")
+    st.commit(batch(10, 19))
+    val t1 = st.commitTimeOf(1L)
+    val t2 = st.commitTimeOf(2L)
+    assert(t1 < t2)
+    assert(st.readAsOf(t1).count() === 10L, "at v1's instant: v1 exactly")
+    assert(st.readAsOf((t1 + t2) / 2).count() === 10L, "between commits: v1")
+    assert(st.readAsOf(t2).count() === 20L)
+    assert(st.readAsOf(System.currentTimeMillis() + 60000L).count() === 20L)
+    intercept[IllegalArgumentException] { st.readAsOf(t1 - 60000L) }
+    // snapshots() carries the instants
+    val ts = st.snapshots().collect().map(_.getAs[Long]("commit_ts"))
+    assert(ts.toSeq === Seq(t1, t2))
+  }
+
   test("a YOUNG unacknowledged manifest refuses the next commit instead of being deleted") {
     // the cross-JVM hazard: another pipeline may sit between its manifest
     // claim and pointer swap — its artifacts must never be cleared as
