@@ -797,14 +797,21 @@ final class SnapshotStore(spark: SparkSession, val path: String,
 
   // sidecars are immutable and written before their group becomes
   // reachable, so a per-store cache is safe — including a cached None
-  // (a group without a sidecar never grows one)
+  // (a group without a sidecar never grows one). BOUNDED: unlike the
+  // line-sized group cache, sidecars are the store's largest metadata
+  // artifact, and a long-lived instance (a streaming sink) that keeps
+  // committing and expiring would otherwise pin bitsets of groups that
+  // can never be referenced again; a full clear past the cap is coarse
+  // but the re-read cost is one small file per live group.
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[BloomSidecar]]()
 
-  private def readBloomSidecar(groupName: String): Option[BloomSidecar] =
+  private def readBloomSidecar(groupName: String): Option[BloomSidecar] = {
+    if (bloomCache.size > 256) bloomCache.clear()
     bloomCache.computeIfAbsent(groupName, _ =>
       parseBloomFile(bloomSidecarPath(groupName),
         s"bloom sidecar of $groupName"))
+  }
 
   private def parseBloomFile(p: Path, what: String): Option[BloomSidecar] = {
     if (!fs.exists(p)) None
@@ -1708,17 +1715,30 @@ final class SnapshotStore(spark: SparkSession, val path: String,
 
   /** Time travel BY TIMESTAMP (Iceberg's as-of-timestamp): the newest
     * acknowledged retained version whose commit instant is at or before
-    * `tsMillis`. Throws when the table's history starts later — "before
-    * the table existed" must be loud, not an empty frame.
+    * `tsMillis`. Loud on BOTH failure shapes: "before the table existed",
+    * and an instant that falls in EXPIRED history — retention can leave
+    * gaps (a ref-pinned old version survives `expire` while its
+    * successors don't), and resolving across a gap would silently serve
+    * a state older than the table actually held at that instant. The
+    * descending probe stops at the first hit, so the common
+    * recent-instant call costs one metadata read, not one per version.
     */
   def readAsOf(tsMillis: Long): DataFrame = {
     val ceiling = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
-    val vs = versions.filter(v => v <= ceiling && commitTimeOf(v) <= tsMillis)
-    require(vs.nonEmpty,
-      s"no snapshot at $path committed at or before epoch-millis $tsMillis " +
-        s"(history starts at ${commitTimeOf(versions.min)})")
-    readAt(vs.max)
+    val retained = versions.filter(_ <= ceiling)
+    val resolved = retained.reverseIterator
+      .find(v => commitTimeOf(v) <= tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at $path committed at or before epoch-millis " +
+          s"$tsMillis (history starts at ${commitTimeOf(retained.head)})"))
+    require(resolved == ceiling || retained.contains(resolved + 1),
+      s"the table state at epoch-millis $tsMillis at $path fell in EXPIRED " +
+        s"history (the versions after v$resolved up to the next retained " +
+        "one are gone) — serving v" + resolved + " would be silently stale; " +
+        "pin versions with createRef before expiring when historical " +
+        "instants must stay resolvable")
+    readAt(resolved)
   }
 
   /** ROLL BACK the table to retained version `v` (Iceberg's rollback —
@@ -1929,10 +1949,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       s"wap '$wapId' at $path is already staged or published — " +
         "discard it or pick a fresh id")
     // a bloom sidecar with no list is always debris (a discard crashed
-    // between its list and bloom deletes) — clear it now or the claimed
-    // list below would wedge against the orphan at the sidecar write
-    if (!fs.exists(wapListPath(wapId)))
-      fs.delete(wapBloomPath(wapId), false)
+    // between its list and bloom deletes; the require above proved the
+    // list absent) — clear it now or the claimed list below would wedge
+    // against the orphan at the sidecar write
+    fs.delete(wapBloomPath(wapId), false)
     val dir = newWapDir(wapId)
     var claimedList = false
     try {

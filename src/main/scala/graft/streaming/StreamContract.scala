@@ -625,15 +625,21 @@ object StreamContract {
         .write.mode(if (i == 0) "overwrite" else "append").parquet(landing)
     }
     val st = new SnapshotStore(spark, s"$storeDir/snap", "event_id")
+    // ONE audit-and-publish verdict shared by the original pass and the
+    // replay re-judge — the replay-stability property st12 pins depends
+    // on both passes running the IDENTICAL rule
+    def judgeStaged(wid: String): Unit = {
+      val bad = st.readWapBatch(wid)
+        .filter(col("value") < 0).limit(1).count() > 0
+      if (!bad) { st.publishWap(wid); () }
+    }
     def processEpoch(batch: DataFrame, wid: String): Unit =
       if (!st.wapPublished(wid)) {
         // a staged leftover means a prior attempt crashed before its
         // audit verdict — epochs are deterministic, so rebuild
         if (st.wapStaged(wid)) st.discardWap(wid)
         st.stageWap(batch, wid)
-        val bad = st.readWapBatch(wid)
-          .filter(col("value") < 0).limit(1).count() > 0
-        if (!bad) { st.publishWap(wid); () }
+        judgeStaged(wid)
       }
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
@@ -654,11 +660,7 @@ object StreamContract {
     (0L until 4L).foreach { i =>
       val wid = s"epoch-$i"
       if (st.wapPublished(wid)) st.publishWap(wid)
-      else if (st.wapStaged(wid)) {
-        val bad = st.readWapBatch(wid)
-          .filter(col("value") < 0).limit(1).count() > 0
-        if (!bad) { st.publishWap(wid); () }
-      }
+      else if (st.wapStaged(wid)) judgeStaged(wid)
     }
     val replayStable = if (st.read().count() == before) 1L else 0L
     val quarantined = st.waps().filter(!col("published")).count()

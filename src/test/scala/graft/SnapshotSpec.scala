@@ -1007,6 +1007,31 @@ class SnapshotSpec extends SparkSpec {
     assert(ts.toSeq === Seq(t1, t2))
   }
 
+  test("readAsOf refuses to resolve across an expiry gap") {
+    val st = freshStore("snap-asof-gap")
+    st.commit(batch(0, 9))
+    age(st, "_manifests/v00001.manifest")
+    st.commit(batch(10, 19))
+    st.commit(batch(20, 29))
+    st.createRef("pin-v1", 1L)
+    st.expire(keepLast = 1) // retained: {1 (pinned), 3} — v2 is GONE
+    val t1 = st.commitTimeOf(1L)
+    val t3 = st.commitTimeOf(3L)
+    // an instant between v1 and v3 may have been v2's state — refusing is
+    // the only honest answer (resolving to v1 would be silently stale)
+    val ex = intercept[IllegalArgumentException] {
+      st.readAsOf((t1 + t3) / 2)
+    }
+    assert(ex.getMessage.contains("EXPIRED"))
+    // ANY instant resolving to the pinned v1 must refuse — v2's commit
+    // time is unknowable once expired, so even t1 itself is ambiguous
+    intercept[IllegalArgumentException] { st.readAsOf(t1) }
+    // at or after the contiguous tail, resolution is exact again
+    assert(st.readAsOf(t3).count() === 30L)
+    // the pinned version stays reachable through its OWN verbs
+    assert(st.readRef("pin-v1").count() === 10L)
+  }
+
   test("a YOUNG unacknowledged manifest refuses the next commit instead of being deleted") {
     // the cross-JVM hazard: another pipeline may sit between its manifest
     // claim and pointer swap — its artifacts must never be cleared as
