@@ -79,7 +79,8 @@ import org.apache.spark.sql.functions._
 final class SnapshotStore(spark: SparkSession, val path: String,
     statsCol: String, secondaryStats: Seq[String] = Nil,
     arbiter: Option[SnapshotStore.ClaimArbiter] = None,
-    bloomCols: Seq[String] = Nil) {
+    bloomCols: Seq[String] = Nil,
+    bloomCacheCap: Int = SnapshotStore.BloomCacheCap) {
 
   private val statsCols: Seq[String] = statsCol +: secondaryStats
 
@@ -88,13 +89,22 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * [[readIncremental]]; `bytes` is the physical size [[compactSmall]]
     * bin-packs on; `minS`/`maxS` bound the PRIMARY stats column and
     * `extra` holds (min, max) per secondary column, in declaration order.
+    * `dv` names the DELETE-VECTOR sidecars (under `_dv/`) whose masked
+    * row positions readers anti-apply to this file — merge-on-read
+    * deletion (r15; the Iceberg v2 / Delta DV idea): `rows` stays the
+    * PHYSICAL row count, `dvRows` how many of them the vectors mask.
+    * Zone/bloom stats remain sound over a masked file (deletion only
+    * removes rows — pruning stays a superset).
     */
   final case class FileEntry(file: String, batch: Long, rows: Long,
       minS: Double, maxS: Double, bytes: Long,
-      extra: Seq[(Double, Double)] = Nil) {
+      extra: Seq[(Double, Double)] = Nil,
+      dv: Seq[String] = Nil, dvRows: Long = 0L) {
     /** Bounds of the i-th stats column (0 = primary). */
     def bounds(i: Int): (Double, Double) =
       if (i == 0) (minS, maxS) else extra(i - 1)
+    /** Rows a reader actually sees: physical minus DV-masked. */
+    def visibleRows: Long = rows - dvRows
   }
 
   private val hconf = spark.sparkContext.hadoopConfiguration
@@ -159,6 +169,11 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private val groupCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Seq[FileEntry])]()
 
+  // data files are immutable too: one footer-schema read per probe-typing
+  // sample file, driver-local (Bridge.parquetSchema), cached forever
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def readLines(p: Path): Seq[String] = {
     val in = fs.open(p)
     try new String(org.apache.commons.io.IOUtils.toByteArray(in),
@@ -184,12 +199,21 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private def parseEntries(bodyLines: Seq[String]): Seq[FileEntry] =
     bodyLines.map { l =>
       val a = l.split("\t")
+      // fields beyond 6 are (min, max) pairs for the secondary stats
+      // columns named by the #stats= header, plus an optional trailing
+      // `dv=<name>+<name>:<maskedRows>` delete-vector field (r15) —
+      // distinguishable unambiguously: stats fields are doubles
+      val (dvF, statF) = a.drop(6).partition(_.startsWith("dv="))
+      val (dvNames, dvRows) = dvF.headOption.map { f =>
+        val body = f.stripPrefix("dv=")
+        val i = body.lastIndexOf(':')
+        (body.take(i).split("\\+").toSeq, body.drop(i + 1).toLong)
+      }.getOrElse((Seq.empty[String], 0L))
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toDouble,
         a(5).toLong,
-        // fields beyond 6 are (min, max) pairs for the secondary stats
-        // columns named by the #stats= header
-        a.drop(6).grouped(2).collect { case Array(mn, mx) =>
-          (mn.toDouble, mx.toDouble) }.toSeq)
+        statF.grouped(2).collect { case Array(mn, mx) =>
+          (mn.toDouble, mx.toDouble) }.toSeq,
+        dvNames, dvRows)
     }
 
   private def statsHeaderOf(lines: Seq[String]): Seq[String] =
@@ -797,21 +821,38 @@ final class SnapshotStore(spark: SparkSession, val path: String,
 
   // sidecars are immutable and written before their group becomes
   // reachable, so a per-store cache is safe — including a cached None
-  // (a group without a sidecar never grows one). BOUNDED: unlike the
+  // (a group without a sidecar never grows one). BOUNDED LRU: unlike the
   // line-sized group cache, sidecars are the store's largest metadata
-  // artifact, and a long-lived instance (a streaming sink) that keeps
-  // committing and expiring would otherwise pin bitsets of groups that
-  // can never be referenced again; a full clear past the cap is coarse
-  // but the re-read cost is one small file per live group.
+  // artifact, and a long-lived instance (a streaming sink, a serving
+  // process) that keeps committing and expiring would otherwise pin
+  // bitsets of groups that can never be referenced again. Access-ordered
+  // eviction (r15; was a coarse clear-everything past the cap) keeps the
+  // hot working set resident — a server probing the same live groups
+  // never re-reads a sidecar just because dead groups churned past.
   private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[BloomSidecar]]()
+    new java.util.LinkedHashMap[String, Option[BloomSidecar]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[BloomSidecar]]): Boolean =
+        size() > bloomCacheCap
+    }
 
-  private def readBloomSidecar(groupName: String): Option[BloomSidecar] = {
-    if (bloomCache.size > 256) bloomCache.clear()
-    bloomCache.computeIfAbsent(groupName, _ =>
-      parseBloomFile(bloomSidecarPath(groupName),
-        s"bloom sidecar of $groupName"))
-  }
+  private def readBloomSidecar(groupName: String): Option[BloomSidecar] =
+    bloomCache.synchronized {
+      val hit = bloomCache.get(groupName)
+      if (hit != null) hit
+      else {
+        val parsed = parseBloomFile(bloomSidecarPath(groupName),
+          s"bloom sidecar of $groupName")
+        bloomCache.put(groupName, parsed)
+        parsed
+      }
+    }
+
+  /** (cache size, whether `groupName` is resident) — eviction pin for
+    * BloomSkipSpec; never exposes the bitsets.
+    */
+  private[graft] def bloomCacheStats(groupName: String): (Int, Boolean) =
+    bloomCache.synchronized((bloomCache.size(), bloomCache.containsKey(groupName)))
 
   private def parseBloomFile(p: Path, what: String): Option[BloomSidecar] = {
     if (!fs.exists(p)) None
@@ -918,6 +959,14 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     case b: Byte => Some(b.toDouble)
     case d: java.math.BigDecimal => Some(d.doubleValue)
     case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    // a timestamp literal on the same scale statsForDir records zone
+    // bounds for timestamp columns: cast(ts AS double) = micros / 1e6
+    case t: java.sql.Timestamp => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(t).toDouble / 1e6)
+    case i: java.time.Instant => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(i).toDouble / 1e6)
     case _ => None
   }
 
@@ -978,45 +1027,20 @@ final class SnapshotStore(spark: SparkSession, val path: String,
 
   /** xxhash64 of probe literals UNDER THE TABLE'S PHYSICAL COLUMN TYPE
     * (xxhash64 is type-sensitive; commit-side sketches hashed the native
-    * column) — one tiny Spark job for the whole probe set. Columns absent
-    * from the schema or of un-probed types get no hash → conservative.
+    * column) — computed DRIVER-LOCALLY via [[SnapshotStore.probeHash]], so
+    * scan planning runs ZERO Spark jobs (the r14 probeHashMap spun one
+    * tiny local-relation job per (column, type) group at plan time).
+    * Columns absent from the schema, un-probed types, and literals that
+    * do not convert soundly to the physical type get no hash →
+    * conservative keep.
     */
   private def probeHashMap(probes: Seq[(String, Any)],
-      schema: org.apache.spark.sql.types.StructType): Map[(String, Any), Long] = {
-    import org.apache.spark.sql.types._
-    val typed = probes.distinct.flatMap { case (n, v) =>
-      schema.find(_.name == n).map(_.dataType).collect {
-        case t @ (LongType | IntegerType | ShortType | ByteType | StringType) =>
-          (n, v, t)
-      }
-    }
-    if (typed.isEmpty) Map.empty
-    else {
-      // literals travel as strings and re-type through cast, so "42"
-      // probed against an int column hashes as int, not long. One narrow
-      // local-relation job per (column, type) group — NOT one wide row of
-      // N expressions, which stops codegen-scaling around a few thousand
-      // probes (the merge path sends up to MergeProbeCap keys through
-      // here). A literal whose string form CANNOT cast to the physical
-      // type ("42.0" → BIGINT is null under non-ANSI cast) gets NO hash —
-      // xxhash64(null) is the seed, a wrong-but-present value that would
-      // prune files the coerced predicate actually matches; absence makes
-      // bloomHit fall back to the conservative keep.
-      import spark.implicits._
-      typed.groupBy { case (n, _, t) => (n, t) }.toSeq.flatMap {
-        case ((n, t), group) =>
-          val vals = group.map { case (_, v, _) => v }
-          // try_cast, not cast: under ANSI a malformed literal must yield
-          // the conservative no-hash, not a runtime error at plan time
-          val c = expr(s"try_cast(v AS ${t.sql})")
-          vals.map(_.toString).toDF("v")
-            .select(c.as("c"), xxhash64(c))
-            .collect()
-            .zip(vals).collect { case (r, v) if !r.isNullAt(0) =>
-              (n, v) -> r.getLong(1) }.toSeq
-      }.toMap
-    }
-  }
+      schema: org.apache.spark.sql.types.StructType): Map[(String, Any), Long] =
+    probes.distinct.flatMap { case (n, v) =>
+      schema.find(_.name == n).map(_.dataType)
+        .flatMap(t => SnapshotStore.probeHash(v, t))
+        .map(h => (n, v) -> h)
+    }.toMap
 
   /** Plan `cond` against version `v`'s metadata: group summaries + union
     * blooms first (skipped groups never open), then per-file zones +
@@ -1034,7 +1058,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         val sample = info.refs.headOption
           .map(r => readGroupFile(r.name)._2).getOrElse(Seq.empty) ++
           info.inline.map(_.entries).getOrElse(Seq.empty)
-        sample.headOption.map(f => spark.read.parquet(f.file).schema)
+        // driver-local footer read (cached per immutable file) — scan
+        // planning must run ZERO Spark jobs, and spark.read fires one
+        sample.headOption.map(f => schemaCache.computeIfAbsent(f.file,
+          p => org.apache.spark.sql.graftshim.Bridge.parquetSchema(spark, p)))
           .getOrElse(new org.apache.spark.sql.types.StructType())
       }
     val hashes = probeHashMap(probes, schema)
@@ -1425,7 +1452,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       val extras = e.extra.map { case (mn, mx) =>
         "\t" + java.lang.Double.toString(mn) + "\t" + java.lang.Double.toString(mx)
       }.mkString
-      fixed + extras
+      val dvF = if (e.dv.isEmpty) ""
+        else s"\tdv=${e.dv.mkString("+")}:${e.dvRows}"
+      fixed + extras + dvF
     }.mkString("\n")
     s"#crc=${crcOf(body)}\n#stats=${names.mkString(",")}\n" + body
   }
@@ -1460,6 +1489,80 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       spark.read.parquet(schemaFrom.head.file).limit(0)
     }
 
+  // ---- DELETE VECTORS (merge-on-read deletion, r15) --------------------
+  // A delete vector is an immutable parquet directory under `_dv/` holding
+  // (f: data-file basename, pos: physical row position) for rows a delete
+  // MASKED without rewriting their file — the Iceberg v2 / Delta DV idea.
+  // Entries reference their vectors by name; readers anti-join the masked
+  // positions out (row positions come from the parquet reader's
+  // `_metadata.row_index`, stable because data files are immutable).
+  // A scattered takedown (the k25/k26 compliance story) is then O(hits)
+  // metadata + O(hits) vector rows instead of rewriting ~every file that
+  // contains one matching row; compaction folds vectors into real rewrites.
+
+  private def dvDirPath(name: String) = new Path(s"$path/_dv/$name")
+
+  private val FileCol = "__graft_file"
+  private val PosCol = "__graft_pos"
+
+  private def basenameOf(file: String): String = new Path(file).getName
+
+  /** Scan `files` with (basename, row-position) helper columns — the
+    * physical-position view DV writes and DV-aware reads are built from.
+    */
+  private def scanWithPositions(files: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .withColumn(FileCol,
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(PosCol, col("_metadata.row_index"))
+
+  /** Anti-apply every delete vector `entries` reference to a positioned
+    * scan of (a subset of) their files. Vector rows for files outside the
+    * scan are inert (anti-join misses them) — pruned reads stay exact.
+    */
+  private def antiDv(scan: DataFrame, entries: Seq[FileEntry]): DataFrame = {
+    val names = entries.flatMap(_.dv).distinct
+    if (names.isEmpty) scan
+    else {
+      val dv = spark.read.parquet(names.map(n => dvDirPath(n).toString): _*)
+      scan.join(dv.select(col("f").as("__dv_f"), col("pos").as("__dv_p")),
+        scan(FileCol) === col("__dv_f") && scan(PosCol) === col("__dv_p"),
+        "left_anti")
+    }
+  }
+
+  /** Visible rows of `entries` WITH the positional helper columns — what
+    * mutation planning (deleteWhere, merge hit detection) scans: existing
+    * vectors are applied first, so already-masked rows can never re-match.
+    */
+  private def visibleWithPositions(entries: Seq[FileEntry]): DataFrame =
+    antiDv(scanWithPositions(entries.map(_.file)), entries)
+
+  /** DV-aware entry read — THE read path: files without vectors read
+    * plain (zero overhead); masked files scan with positions, anti-join
+    * their vectors, and drop the helpers. readFiles stays the raw
+    * physical read for vector-less call sites.
+    */
+  private def readEntriesDf(entries: Seq[FileEntry],
+      schemaFrom: Seq[FileEntry]): DataFrame = {
+    val (dved, plain) = entries.partition(_.dv.nonEmpty)
+    if (dved.isEmpty) readFiles(entries.map(_.file), schemaFrom)
+    else {
+      val masked = visibleWithPositions(dved).drop(FileCol, PosCol)
+      if (plain.isEmpty) masked
+      else readFiles(plain.map(_.file), schemaFrom)
+        .unionByName(masked, allowMissingColumns = true)
+    }
+  }
+
+  /** (files carrying delete vectors, total masked rows) at version `v` —
+    * the merge-on-read observability k33 and the dv stress row pin.
+    */
+  def dvStats(v: Long): (Int, Long) = {
+    val m = readManifest(v)
+    (m.count(_.dv.nonEmpty), m.map(_.dvRows).sum)
+  }
+
   /** The current table state. */
   def read(): DataFrame = readAt(latestVersion.getOrElse(
     throw new IllegalStateException(s"no committed snapshot at $path")))
@@ -1467,7 +1570,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   /** Time travel: the table exactly as of version `v`. */
   def readAt(v: Long): DataFrame = {
     val m = readManifest(v)
-    readFiles(m.map(_.file), m)
+    readEntriesDf(m, m)
   }
 
   /** Two-level pruning on `colName` ∈ [lo, hi]: groups whose LIST summary
@@ -1719,16 +1822,20 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * and an instant that falls in EXPIRED history — retention can leave
     * gaps (a ref-pinned old version survives `expire` while its
     * successors don't), and resolving across a gap would silently serve
-    * a state older than the table actually held at that instant. The
-    * descending probe stops at the first hit, so the common
-    * recent-instant call costs one metadata read, not one per version.
+    * a state older than the table actually held at that instant.
+    * Resolution scans ALL retained versions and takes max(v where
+    * commit time <= ts) — a first-hit descending probe would assume
+    * commit mtimes are monotone in version order, which cross-writer
+    * clock skew or an mtime restamp (store copied/restored, object-store
+    * migration) silently breaks (the r14 advice finding); the scan is one
+    * getFileStatus per retained version, bounded by expire() retention.
     */
   def readAsOf(tsMillis: Long): DataFrame = {
     val ceiling = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
     val retained = versions.filter(_ <= ceiling)
-    val resolved = retained.reverseIterator
-      .find(v => commitTimeOf(v) <= tsMillis)
+    val resolved = retained.filter(v => commitTimeOf(v) <= tsMillis)
+      .maxOption
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot at $path committed at or before epoch-millis " +
           s"$tsMillis (history starts at ${commitTimeOf(retained.head)})"))
@@ -1948,11 +2055,6 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     require(!fs.exists(wapListPath(wapId)) && !fs.exists(wapPublishedPath(wapId)),
       s"wap '$wapId' at $path is already staged or published — " +
         "discard it or pick a fresh id")
-    // a bloom sidecar with no list is always debris (a discard crashed
-    // between its list and bloom deletes; the require above proved the
-    // list absent) — clear it now or the claimed list below would wedge
-    // against the orphan at the sidecar write
-    fs.delete(wapBloomPath(wapId), false)
     val dir = newWapDir(wapId)
     var claimedList = false
     try {
@@ -1965,6 +2067,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       writeAtomic(wapListPath(wapId), groupBody(entries.toSeq, statsCols),
         overwrite = false)
       claimedList = true
+      // an orphan sidecar with no list is debris (a discard crashed
+      // between its list and bloom deletes) — cleared only HERE, after
+      // winning the list claim, where this stage provably owns the id:
+      // clearing before the claim raced a concurrent winning stage and
+      // could delete the WINNER's freshly written sketches (the r14
+      // advice finding — degraded skipping, never wrong results)
+      fs.delete(wapBloomPath(wapId), false)
       // bloom sketches ride a staged sidecar AFTER the claim (only the
       // winner writes it); publish hands them to the manifest's sidecar.
       // A crash in between just loses the sketches — conservative reads,
@@ -2133,8 +2242,14 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       case n if n.startsWith("s-") && n.endsWith(".published") =>
         n.stripPrefix("s-").stripSuffix(".published") }.toSet
     (listed ++ tombed).toSeq.sorted.map { id =>
+      // TOCTOU guard (r14 advice): a concurrent publishWap/discardWap can
+      // retire the .list between the directory listing above and this
+      // read — fall back to the retired (-1, -1) shape instead of failing
+      // the whole metadata-table read on a transient race
       val (files, rows) =
-        if (listed(id)) { val es = wapEntries(id)._2; (es.size.toLong, es.map(_.rows).sum) }
+        if (listed(id))
+          scala.util.Try { val es = wapEntries(id)._2
+            (es.size.toLong, es.map(_.rows).sum) }.getOrElse((-1L, -1L))
         else (-1L, -1L)
       (id, files, rows, tombed(id) || taggedVersion(wapTag(id)).isDefined)
     }.toDF("wap_id", "files", "rows", "published")
@@ -2354,6 +2469,124 @@ object SnapshotStore {
     * future change cannot mis-probe old sketches.
     */
   val BloomHashes = 7
+
+  // xxhash64()'s default seed (the XxHash64 expression's); commit-side
+  // sketches fold xxhash64(col), so probes must hash under the same seed
+  private val HashSeed = 42L
+
+  /** xxhash64 of one probe literal under the column's PHYSICAL type,
+    * computed driver-locally through Spark's own
+    * `catalyst.expressions.XXH64` — the class whole-stage codegen emits
+    * calls to, so it is public bytecode and bit-identical to the
+    * `xxhash64()` column function the commit-side sketches used (pinned
+    * per type in PushdownSpec). None whenever the literal does not
+    * convert SOUNDLY to the column type — the caller's conservative keep.
+    *
+    * Soundness rule: a hash may only be produced when every row the
+    * COERCED predicate (Spark compares mixed types numerically) could
+    * match carries exactly this native value. Integrals convert
+    * range-checked; a fractional or out-of-unique-range literal against
+    * an integral column yields None; a numeric literal against a STRING
+    * column yields None (string-vs-numeric comparisons coerce numerically,
+    * so "042" matches 42 but hashes differently — the r14 advice finding);
+    * timestamps/dates hash only from typed literals (string forms are
+    * session-zone-dependent).
+    */
+  private[graft] def probeHash(v: Any, t: org.apache.spark.sql.types.DataType)
+      : Option[Long] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    t match {
+      case LongType => asLongExact(v).map(XXH64.hashLong(_, HashSeed))
+      case IntegerType => asLongExact(v)
+        .filter(l => l >= Int.MinValue && l <= Int.MaxValue)
+        .map(l => XXH64.hashInt(l.toInt, HashSeed))
+      case ShortType => asLongExact(v)
+        .filter(l => l >= Short.MinValue && l <= Short.MaxValue)
+        .map(l => XXH64.hashInt(l.toInt, HashSeed))
+      case ByteType => asLongExact(v)
+        .filter(l => l >= Byte.MinValue && l <= Byte.MaxValue)
+        .map(l => XXH64.hashInt(l.toInt, HashSeed))
+      case StringType => v match {
+        case s: String => Some(XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), HashSeed))
+        case _ => None
+      }
+      case DoubleType => asDoubleExact(v).map { d0 =>
+        // the hash expression normalizes -0.0 to 0.0 (they compare equal)
+        val d = if (d0 == 0.0d) 0.0d else d0
+        XXH64.hashLong(java.lang.Double.doubleToLongBits(d), HashSeed)
+      }
+      case FloatType => asDoubleExact(v).flatMap { d =>
+        val f0 = d.toFloat
+        // only when the literal is exactly a float value: the coerced
+        // (double-widened) predicate then matches exactly rows == f0
+        if (f0.toDouble == d && !f0.isNaN) {
+          val f = if (f0 == 0.0f) 0.0f else f0
+          Some(XXH64.hashInt(java.lang.Float.floatToIntBits(f), HashSeed))
+        } else None
+      }
+      case TimestampType => (v match {
+        case ts: java.sql.Timestamp => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts))
+        case i: java.time.Instant => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+        case _ => None
+      }).map(XXH64.hashLong(_, HashSeed))
+      case DateType => (v match {
+        case d: java.sql.Date => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+        case d: java.time.LocalDate => Some(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d))
+        case _ => None
+      }).map(XXH64.hashInt(_, HashSeed))
+      case _ => None
+    }
+  }
+
+  /** The literal as the UNIQUE long every coerced-match row must carry:
+    * integral types pass through; an integral-valued float/double inside
+    * the ±2^53 band (where long→double is injective over the match set)
+    * converts; fractional or oversized numerics yield None; strings parse
+    * STRICTLY integral (ANSI try_cast discipline — "42.0" must not hash,
+    * the coerced predicate matches rows a lossy parse would skip).
+    */
+  private def asLongExact(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case d: Double =>
+      if (d == math.rint(d) && math.abs(d) < 9007199254740992.0d) {
+        val l = d.toLong
+        if (l.toDouble == d) Some(l) else None
+      } else None
+    case f: Float => asLongExact(f.toDouble)
+    case s: String => s.trim.toLongOption
+    case _ => None
+  }
+
+  /** The literal as the double the coerced predicate compares against —
+    * double-vs-anything comparisons widen BOTH sides to double, so a
+    * lossy long→double round is exactly what the predicate itself does.
+    */
+  private def asDoubleExact(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case l: Long => Some(l.toDouble)
+    case i: Int => Some(i.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case s: String => s.trim.toDoubleOption
+    case _ => None
+  }
+
+  /** Resident sidecar cap for the per-store bloom LRU — at the 128 KiB
+    * per-file ceiling and compaction-bounded group sizes this is a few
+    * hundred MB worst-case, and the access-ordered eviction keeps the
+    * serving working set below it in practice.
+    */
+  private[store] val BloomCacheCap = 256
 
   /** Largest delta (rows) whose keys a [[SnapshotStore.merge]] will
     * collect for bloom-narrowing its hit-detection scan — a bounded

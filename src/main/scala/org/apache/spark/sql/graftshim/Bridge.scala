@@ -27,6 +27,24 @@ object Bridge {
 
   def predicateTree(c: Column): PNode = toP(c.node)
 
+  /** One parquet file's Spark schema read DRIVER-LOCALLY from its footer
+    * (`spark.read.parquet(...)` spins a listing/inference Spark job, which
+    * a metadata-only scan planner must never pay). Uses Spark's own
+    * footer→StructType converter so type mapping is identical to a real
+    * scan's.
+    */
+  def parquetSchema(spark: org.apache.spark.sql.SparkSession,
+      file: String): org.apache.spark.sql.types.StructType = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+      .convert(r.getFooter.getFileMetaData.getSchema)
+    finally r.close()
+  }
+
   private def toP(n: org.apache.spark.sql.internal.ColumnNode): PNode =
     n match {
       case f: org.apache.spark.sql.internal.UnresolvedFunction =>

@@ -189,4 +189,34 @@ class BloomSkipSpec extends SparkSpec {
     assert(st.readPrunedEq(v, "k", Seq("k456"))
       .filter(col("k") === "k456").count() === 1L)
   }
+
+  test("sidecar cache is a bounded LRU: hot groups stay resident past the cap") {
+    // r15 (was a coarse clear-everything past the cap): a long-lived
+    // serving store that keeps probing the same live groups must never
+    // re-read their sidecars just because other groups churned past the
+    // cap — access order keeps the hot set, evicts only the cold tail.
+    val st = new SnapshotStore(spark, tempDir("bloom-lru") + "/snap", "id",
+      bloomCols = Seq("id"), bloomCacheCap = 4)
+    val vs = (0 until 6).map { i =>
+      st.commit(spark.range(i * 1000L, i * 1000L + 1000L)
+        .select(col("id")).repartition(2, col("id")))
+    }
+    val hot = {
+      // probe v1's band repeatedly: its group is the hot entry
+      st.pruneStatsEq(vs.last, "id", Seq(5L))
+      sidecars(st).headOption.getOrElse(fail("no sidecars written"))
+    }
+    // touch every group via a broad probe, then keep re-touching the hot
+    // one between colder probes — the hot sidecar must stay resident
+    (0 until 3).foreach { _ =>
+      st.pruneStatsEq(vs.last, "id", Seq(5L)) // hits every group incl. hot
+    }
+    val (size, _) = st.bloomCacheStats(hot)
+    assert(size <= 4, s"cache must stay bounded (size $size > cap 4)")
+    // with 6 groups and cap 4, SOMETHING was evicted yet probes stay exact
+    assert(st.readPrunedEq(vs.last, "id", Seq(5L))
+      .filter(col("id") === 5L).count() === 1L)
+    assert(st.readPrunedEq(vs.last, "id", Seq(5005L))
+      .filter(col("id") === 5005L).count() === 1L)
+  }
 }

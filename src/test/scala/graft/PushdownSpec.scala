@@ -94,20 +94,128 @@ class PushdownSpec extends SparkSpec {
     assert(kept < total)
   }
 
-  test("a probe literal that cannot cast to the column type keeps, not prunes") {
-    // "42.0" cast to BIGINT is null under non-ANSI cast; xxhash64(null)
-    // is the seed — a wrong-but-present hash would prune files the
-    // coerced predicate actually matches. The planner must DROP the probe
-    // (conservative keep) instead.
+  test("numeric literals convert soundly: exact ones prune, inexact ones keep") {
     val st = new SnapshotStore(spark, tempDir("push-nullcast") + "/snap", "x",
       bloomCols = Seq("id"))
     val v = st.commit(spark.range(0, 2000).select(
       (col("id") % 7).cast("double").as("x"), col("id"))
       .repartition(8, col("id")))
+    // 42.0 is exactly the long 42, and the coerced (double-widened)
+    // predicate matches exactly rows id == 42 — the probe hashes the
+    // native long and prunes (r15; the r14 try_cast discipline kept)
     assert(st.readWhere(v, col("id") === 42.0).count() === 1L,
       "a double literal against a long column must coerce, never lose the row")
     val (kept, total) = st.planStatsWhere(v, col("id") === 42.0)
-    assert(kept === total, "an uncastable probe contributes no pruning")
+    assert(kept < total, s"an exact-valued double probe must prune ($kept/$total)")
+    // 42.5 can match no long at all and a >2^53 double maps to MANY longs
+    // — neither may produce a wrong-but-present hash; fractional ones may
+    // skip everything (sound: no satisfying row exists), oversized ones
+    // must conservatively keep
+    assert(st.readWhere(v, col("id") === 42.5).count() === 0L)
+    val (keptBig, totalBig) = st.planStatsWhere(v, col("id") === 1.0e17)
+    assert(keptBig === totalBig,
+      "a beyond-2^53 double maps to many longs — no probe, conservative keep")
+  }
+
+  test("driver-local probe hashes are bit-identical to xxhash64() per type") {
+    import org.apache.spark.sql.types._
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")
+    val dt = java.sql.Date.valueOf("2024-03-01")
+    val cases: Seq[(Any, DataType, org.apache.spark.sql.Column)] = Seq(
+      (42L, LongType, lit(42L)),
+      (-7L, LongType, lit(-7L)),
+      (42, IntegerType, lit(42)),
+      (7.toShort, ShortType, lit(7.toShort)),
+      (3.toByte, ByteType, lit(3.toByte)),
+      ("k9999", StringType, lit("k9999")),
+      ("", StringType, lit("")),
+      ("héllo→", StringType, lit("héllo→")),
+      (4.5d, DoubleType, lit(4.5d)),
+      (-0.0d, DoubleType, lit(-0.0d)),
+      (0.0d, DoubleType, lit(0.0d)),
+      (4.5f, FloatType, lit(4.5f)),
+      (-0.0f, FloatType, lit(-0.0f)),
+      (ts, TimestampType, lit(ts)),
+      (dt, DateType, lit(dt)))
+    cases.foreach { case (v, t, c) =>
+      val expected = spark.range(1).select(xxhash64(c)).head.getLong(0)
+      val got = SnapshotStore.probeHash(v, t)
+      assert(got === Some(expected), s"probeHash($v, $t)")
+    }
+    // the sound-conversion refusals: fractional vs integral, numeric vs
+    // string (coerces numerically — "042" matches 42 but hashes apart)
+    assert(SnapshotStore.probeHash(42.5d, LongType).isEmpty)
+    assert(SnapshotStore.probeHash(1.0e17, LongType).isEmpty)
+    assert(SnapshotStore.probeHash(42, StringType).isEmpty)
+    assert(SnapshotStore.probeHash("42.0", LongType).isEmpty)
+    assert(SnapshotStore.probeHash(100000, ShortType).isEmpty)
+  }
+
+  test("scan planning runs zero Spark jobs") {
+    val (st, v) = rangeStore("push-nojobs")
+    st.planStatsWhere(v, col("x").between(0, 10)) // warm footers/sidecars
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (kept, total) = st.planStatsWhere(v,
+        col("x").between(100, 800) && col("k").isin("k150", "k9999"))
+      assert(kept < total)
+      // listener delivery is async; give the bus a moment to drain
+      Thread.sleep(1000)
+      assert(jobs.get() === 0,
+        "probe hashing must be driver-local — no plan-time Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("double, timestamp and int-probed-long columns bloom-skip files") {
+    import spark.implicits._
+    // doubles and timestamps hash-distributed across files: zones keep
+    // everything, only the (r15) typed bloom probes can skip
+    val st = new SnapshotStore(spark, tempDir("push-dblts") + "/snap", "x",
+      bloomCols = Seq("d", "t"))
+    val base = spark.range(0, 8000).select(
+      (col("id") % 13).cast("double").as("x"),
+      (col("id") * 1.5).as("d"),
+      timestamp_micros(col("id") * 1000000L + lit(1700000000000000L)).as("t"))
+    val v = st.commit(base.repartition(16, col("id")))
+    val (kd, total) = st.planStatsWhere(v, col("d") === 4242.0 * 1.5)
+    assert(kd < total, s"double bloom probe must skip ($kd/$total)")
+    assert(st.readWhere(v, col("d") === 4242.0 * 1.5).count() === 1L)
+    val probe = new java.sql.Timestamp((1700000000000000L + 4242L * 1000000L) / 1000L)
+    val (kt, _) = st.planStatsWhere(v, col("t") === probe)
+    assert(kt < total, s"timestamp bloom probe must skip ($kt/$total)")
+    assert(st.readWhere(v, col("t") === probe).count() === 1L)
+  }
+
+  test("string column probed with a numeric literal keeps, never skips (r14 advice)") {
+    import spark.implicits._
+    // rows whose string forms all numerically equal 42: Spark coerces
+    // string-vs-numeric comparisons numerically (ANSI: cast the string
+    // side), so col === 42 matches every one of them — but their stored
+    // hashes are hash("042") etc., so ANY probe hash would bloom-skip
+    // satisfying rows. The planner must drop non-string probes against
+    // string columns entirely.
+    val st = new SnapshotStore(spark, tempDir("push-strnum") + "/snap", "x",
+      bloomCols = Seq("s"))
+    val df = Seq(("042", 1L), ("0042", 2L), (" 42", 3L), ("42", 4L), ("7", 5L))
+      .toDF("s", "x")
+    val v = st.commit(df.repartition(4, col("x")))
+    val cond = col("s") === 42
+    assert(st.readWhere(v, cond).collect().map(_.getLong(1)).sorted
+      === st.readAt(v).filter(cond).collect().map(_.getLong(1)).sorted,
+      "readWhere must equal read().filter under numeric coercion")
+    val (kept, total) = st.planStatsWhere(v, cond)
+    assert(kept === total, "a numeric probe against a string column keeps all")
+    // a STRING probe still prunes exactly
+    val (ks, _) = st.planStatsWhere(v, col("s") === "42")
+    assert(ks <= total)
+    assert(st.readWhere(v, col("s") === "42").count() === 1L)
   }
 
   test("z-ordered store: one predicate prunes on both dimensions at once") {
