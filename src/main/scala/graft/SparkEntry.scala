@@ -1564,6 +1564,82 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // K33 — DELETE VECTORS (merge-on-read deletion; Iceberg v2 / Delta DV,
+    // re-expressed as `_dv/` position sidecars + manifest refs): a
+    // SCATTERED takedown (one key stride hitting ~every file — the
+    // compliance shape the r14 verdict flagged as the COW format's
+    // write-amplification hole) masks row positions in O(hits) metadata
+    // instead of rewriting every touched file. The query pins all three
+    // claims at once: not one data file was written or dropped
+    // (dv_metadata_only), the masked-row census equals the predicate's
+    // count (dv_rows, oracle-replayed), and the DV-read equals the COW
+    // semantics row-for-row (the aggregate hash IS that proof — the
+    // oracle replays the delete as a plain WHERE). SnapshotSpec pins
+    // DV==COW store-vs-store and the vector lifecycle (fold, expire).
+    "k33_delete_vectors" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-dv").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      (0L to 2L).foreach(b =>
+        st.commit(ev.filter(pmod(col("event_id"), lit(3L)) === b)
+          .repartitionByRange(4, col("event_id"))))
+      val before = st.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+      val v = st.deleteWhere(col("event_id") % 97 === 0).get
+      val after = st.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+      val (dvFiles, dvRows) = st.dvStats(v)
+      val metadataOnly = after == before && dvFiles > 0
+      st.read().groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+        .withColumn("dv_rows", lit(dvRows))
+        .withColumn("dv_metadata_only", lit(if (metadataOnly) 1L else 0L))
+        .orderBy("event_type")
+    }),
+
+    // K34 — PARTITION EVOLUTION / HIDDEN PARTITIONING (Iceberg's
+    // transform-as-metadata idea over zone maps; replaces the reference's
+    // PARTITION BY toYYYYMMDD baked into paths, init.sql:24): the store
+    // declares a layout TRANSFORM, commits cluster rows on it so the zone
+    // maps of its source columns turn tight, and CHANGING the transform
+    // rewrites no history — two layout epochs coexist, the day-clustered
+    // epoch pruning time predicates, the value-clustered epoch pruning
+    // value predicates, readers addressing only columns (never partition
+    // paths). The oracle replays the cross-epoch WHERE verbatim; the
+    // epoch audit (manifest-recorded layouts) and the per-epoch skip
+    // census ride as pinned flags.
+    "k34_partition_evolution" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-pevo").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id",
+        secondaryStats = Seq("ts", "value"))
+      val ev = t(s, d, "events").select("event_id", "ts", "event_type", "value")
+      // epoch 1: cluster by day — odd ids
+      st.setLayout("date_trunc('day', ts)", 8)
+      st.commit(ev.filter(col("event_id") % 2 === 1))
+      // epoch 2: cluster by value band — even ids, NO rewrite of epoch 1
+      st.setLayout("cast(floor(value / 25.0) as int)", 8)
+      val v2 = st.commit(ev.filter(col("event_id") % 2 === 0))
+      val epochs = (1L to v2).flatMap(st.layoutOf).distinct
+      // explicit-UTC instants (the session tz): a TYPED timestamp literal
+      // keeps the predicate plannable (expr("TIMESTAMP '...'") parses to
+      // an opaque node the zone planner must conservatively keep), and
+      // Timestamp.valueOf would shift under a non-UTC JVM default zone
+      def utc(sIso: String) = java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(sIso).toInstant(java.time.ZoneOffset.UTC))
+      val tsLo = utc("2024-01-10T00:00:00")
+      val tsHi = utc("2024-01-12T00:00:00")
+      val cond = (col("ts") >= tsLo && col("ts") < tsHi) ||
+        col("value").between(10.0, 20.0)
+      val (kept, total) = st.planStatsWhere(v2, cond)
+      st.readWhere(v2, cond)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"),
+          sum(col("event_id")).as("sum_id"))
+        .withColumn("n_epochs", lit(epochs.size.toLong))
+        .withColumn("files_pruned", lit(if (kept < total) 1L else 0L))
+        .orderBy("event_type")
+    }),
+
     // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
     // d15 persisted dedup index); lifecycle + certification live in
     // store.CdcSync. The fixture (snapshot history v1..v3 + the v1-built
@@ -1578,7 +1654,7 @@ object SparkEntry {
     "k25_cdc_index_sync" -> ((s, d) => {
       val fx = "/tmp/graft_oracle/cdcidx"
       // the even half of the corpus (the structural-contract scoping rule)
-      buildOnce(d, "documents", fx, "cdcidx=lsh12x4-uncapped,snap-v1") {
+      buildOnce(d, "documents", fx, "cdcidx=lsh12x4-uncapped,snap-v2dv") {
         graft.store.CdcSync.prepareIndexFixture(s,
           t(s, d, "documents").filter(col("doc_id") % 2 === 0)
             .select("doc_id", "text"), fx)
@@ -1594,7 +1670,7 @@ object SparkEntry {
     // row; the persisted-append form of the same maintenance is v12).
     "k26_cdc_ann_sync" -> ((s, d) => {
       val fx = "/tmp/graft_oracle/cdcann"
-      buildOnce(d, "embeddings", fx, "cdcann=ivf16-pq8x16,snap-v1") {
+      buildOnce(d, "embeddings", fx, "cdcann=ivf16-pq8x16,snap-v2dv") {
         graft.store.CdcSync.prepareAnnFixture(s,
           t(s, d, "embeddings").filter(col("vec_id") % 2 === 0)
             .select("vec_id", "embedding"), fx)
@@ -5571,6 +5647,33 @@ object SparkEntry {
         |WHERE (value BETWEEN 10 AND 20 AND event_id BETWEEN 0 AND 4999)
         |   OR event_id IN (9999)
         |ORDER BY event_id""".stripMargin,
+
+    // k33: a merge-on-read delete must equal the corpus minus the
+    // predicate EXACTLY (the aggregate hash is the DV==COW proof); the
+    // masked-row census replays as the predicate's count and the
+    // metadata-only flag is pinned engine-side
+    "k33_delete_vectors" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       (SELECT count(*) FROM events WHERE event_id % 97 = 0) AS dv_rows,
+        |       CAST(1 AS BIGINT) AS dv_metadata_only
+        |FROM events WHERE event_id % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // k34: two layout epochs must read as ONE table — the cross-epoch
+    // WHERE replays verbatim over the raw corpus; epoch count and the
+    // skip census are engine-side pins
+    "k34_partition_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |       CAST(2 AS BIGINT) AS n_epochs,
+        |       CAST(1 AS BIGINT) AS files_pruned
+        |FROM events
+        |WHERE (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |       AND ts < TIMESTAMP '2024-01-12 00:00:00')
+        |   OR value BETWEEN 10 AND 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k25: the maintained index's membership must be exactly the corpus
     // minus the takedown (replayed via portable md5 checksum), and the

@@ -160,7 +160,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private final case class Group(ref: Option[String], names: Seq[String],
     entries: Seq[FileEntry], files: Int = -1,
-    summary: Option[Seq[(Double, Double)]] = None)
+    summary: Option[Seq[(Double, Double)]] = None, rows: Long = -1L)
 
   private def groupPath(name: String) = new Path(s"$path/_manifests/$name")
 
@@ -234,20 +234,27 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     })
 
   /** One `@` line of a manifest list: the group file name plus its
-    * GROUP-LEVEL summary — file count and whole-group (min, max) per list
+    * GROUP-LEVEL summary — file count, net (DV-masked rows excluded) row
+    * count (list format v2, r15), and whole-group (min, max) per list
     * stats column. The summary is what lets [[readPruned]] skip a group
-    * without opening its file and a pure append carry every previous
-    * group without reading any of them. Legacy lists carry bare `@name`
-    * lines (files = -1, no summary) — readers treat them conservatively
-    * and the next non-append commit heals them.
+    * without opening its file, a pure append carry every previous group
+    * without reading any of them, and [[snapshots]] census a version from
+    * headers alone. Legacy lists carry bare `@name` lines (files = -1,
+    * no summary) or v1 lines (no row count, rows = -1) — readers treat
+    * them conservatively and the next non-append commit heals them.
     */
-  private final case class RefLine(name: String, files: Int,
+  private final case class RefLine(name: String, files: Int, rows: Long,
     summary: Option[Seq[(Double, Double)]])
 
   private final case class ListInfo(names: Seq[String], refs: Seq[RefLine],
     inline: Option[Group])
 
-  /** A version's manifest parsed to the REF level — no group file opened. */
+  /** A version's manifest parsed to the REF level — no group file opened.
+    * Line format is header-versioned: `#v=2` lists carry
+    * `@name files rows bounds…` (rows was indistinguishable from bounds
+    * by field count alone: v1 with k stats columns and v2 with k-1 both
+    * have 2+2k fields).
+    */
   private def listInfoOf(v: Long): ListInfo = {
     val p = manifestPath(v)
     require(fs.exists(p),
@@ -255,14 +262,18 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     val lines = readLines(p)
     checkCrc(lines, s"manifest v$v")
     val names = statsHeaderOf(lines)
+    val v2 = lines.contains("#v=2")
     val body = lines.filterNot(_.startsWith("#"))
     val (refLines, inline) = body.partition(_.startsWith("@"))
     val refs = refLines.map { l =>
       val a = l.stripPrefix("@").split("\t")
-      if (a.length < 2) RefLine(a(0), -1, None)
-      else RefLine(a(0), a(1).toInt,
-        Some(a.drop(2).grouped(2).collect { case Array(mn, mx) =>
-          (mn.toDouble, mx.toDouble) }.toSeq))
+      if (a.length < 2) RefLine(a(0), -1, -1L, None)
+      else {
+        val (rows, boundsFrom) = if (v2) (a(2).toLong, 3) else (-1L, 2)
+        RefLine(a(0), a(1).toInt, rows,
+          Some(a.drop(boundsFrom).grouped(2).collect { case Array(mn, mx) =>
+            (mn.toDouble, mx.toDouble) }.toSeq))
+      }
     }
     ListInfo(names, refs,
       if (inline.nonEmpty) Some(Group(None, names, parseEntries(inline)))
@@ -407,6 +418,64 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     }
   }
 
+  // ---- HIDDEN PARTITIONING / PARTITION EVOLUTION (r15; the Iceberg
+  // idea, re-expressed over zone maps): the store can declare a LAYOUT —
+  // a Spark SQL transform expression plus a target file count — and every
+  // subsequent commit clusters its rows on the transform before writing,
+  // so each file covers few transform values and the zone maps on the
+  // transform's SOURCE columns turn tight. Readers never address
+  // partitions (they prune by zones/blooms), so changing the layout
+  // rewrites NO history: files from different layout epochs coexist in
+  // one table, each pruning under the stats its own layout produced.
+  // The per-commit layout is recorded in the manifest header (`#layout=`)
+  // as the audit trail; paths never encode partition values — the
+  // GridStore's date-in-path scheme is exactly what this replaces.
+
+  private def layoutPath = new Path(s"$path/_layout")
+
+  /** Declare the layout for FUTURE commits: `exprSql` is any Spark SQL
+    * expression over the table's columns (e.g. `date_trunc('day', ts)`,
+    * `event_id % 16`), `files` the per-commit target file count.
+    * Atomic replace; affects no existing file.
+    */
+  def setLayout(exprSql: String, files: Int): Unit = {
+    require(files > 0, "layout file count must be positive")
+    require(!exprSql.contains("\n") && !exprSql.contains("|"),
+      s"malformed layout expression: $exprSql")
+    writeAtomic(layoutPath, s"$files|$exprSql", overwrite = true)
+  }
+
+  /** Drop the declared layout — commits write whatever partitioning the
+    * caller's DataFrame has, as before. Idempotent.
+    */
+  def clearLayout(): Unit = { fs.delete(layoutPath, false); () }
+
+  /** The currently declared layout, if any: (transform SQL, file count). */
+  def layout: Option[(String, Int)] =
+    if (!fs.exists(layoutPath)) None
+    else readLines(layoutPath).headOption.map { l =>
+      val i = l.indexOf('|')
+      (l.drop(i + 1), l.take(i).toInt)
+    }
+
+  /** The layout a retained version's commit was clustered under, if any —
+    * the epoch audit k34 reads.
+    */
+  def layoutOf(v: Long): Option[String] = {
+    val p = manifestPath(v)
+    if (!fs.exists(p)) None
+    else readLines(p).find(_.startsWith("#layout="))
+      .map(_.stripPrefix("#layout="))
+  }
+
+  /** Cluster `df` under the declared layout (hash-distribute on the
+    * transform), or pass it through unchanged when none is declared.
+    */
+  private def applyLayout(df: DataFrame): DataFrame =
+    layout.map { case (sql, files) =>
+      df.repartition(files, expr(sql))
+    }.getOrElse(df)
+
   /** Commit `df` as the next version; returns the new version number.
     * The data write is a normal distributed Parquet job; only the
     * per-file stats (one bounded aggregate over the NEW batch, grouped by
@@ -414,7 +483,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * driver.
     */
   def commit(df: DataFrame): Long =
-    doCommit(df, () => carryAllGroups())
+    doCommit(applyLayout(df), () => carryAllGroups(),
+      layoutTag = layout.map(_._1))
 
   /** The pure-append carry: every previous group rides by reference with
     * the summary the previous LIST already holds — NO group file is
@@ -428,9 +498,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       val info = listInfoOf(v)
       info.refs.map { r =>
         r.summary match {
-          case Some(b) if r.files >= 0 =>
-            Group(Some(r.name), info.names, Seq.empty, r.files, Some(b))
-          case _ =>
+          case Some(b) if r.files >= 0 && r.rows >= 0 =>
+            Group(Some(r.name), info.names, Seq.empty, r.files, Some(b), r.rows)
+          case _ => // legacy (pre-v2) ref: one-time heal loads its entries
             val (gNames, es) = readGroupFile(r.name)
             Group(Some(r.name), gNames, es)
         }
@@ -443,11 +513,20 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * drops. Evaluated under the commit lock like [[carryAllGroups]].
     */
   private def carriedGroups(keep: FileEntry => Boolean): Seq[Group] =
+    carriedGroupsMapped(e => if (keep(e)) Some(e) else None)
+
+  /** The general carry: entries transform through `m` — None drops (a COW
+    * rewrite superseded the file), an UNCHANGED result carries its group
+    * by reference, any changed entry (a delete-vector attach) re-expresses
+    * the group as a fresh one of the mapped survivors. Evaluated under
+    * the commit lock like [[carryAllGroups]].
+    */
+  private def carriedGroupsMapped(m: FileEntry => Option[FileEntry]): Seq[Group] =
     latestVersion.map(readGroupsOf(_).flatMap { g =>
-      val kept = g.entries.filter(keep)
-      if (kept.isEmpty) None
-      else if (kept.size == g.entries.size) Some(g)
-      else Some(Group(None, g.names, kept))
+      val mapped = g.entries.flatMap(m(_))
+      if (mapped.isEmpty) None
+      else if (mapped == g.entries) Some(g)
+      else Some(Group(None, g.names, mapped))
     }).getOrElse(Seq.empty)
 
   /** Idempotent tagged append — the exactly-once handshake for
@@ -465,7 +544,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   def commitTagged(df: DataFrame, tag: String): Long = {
     require(!tag.contains("\n") && !tag.contains("\t"), s"malformed tag: $tag")
     taggedVersion(tag).getOrElse(
-      doCommit(df, () => carryAllGroups(), tag = Some(tag)))
+      doCommit(applyLayout(df), () => carryAllGroups(), tag = Some(tag),
+        layoutTag = layout.map(_._1)))
   }
 
   /** Commit whose manifest references ONLY the newly written files — the
@@ -493,11 +573,18 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   def compactSmall(smallBytes: Long, targetFiles: Int = 1): Option[Long] =
     latestVersion.flatMap { prev =>
       val m = readManifest(prev)
-      val small = m.filter(_.bytes < smallBytes)
-      if (small.size < 2) None
+      // DV folding (r15): a file more than half masked by delete vectors
+      // is effectively small — fold it into the pack so its vectors
+      // retire; the rewrite reads DV-aware, so the packed files are
+      // vector-free and the read-side anti-join cost stays bounded
+      // between compactions.
+      val small = m.filter(e => e.bytes < smallBytes ||
+        (e.rows > 0 && e.dvRows * 2 >= e.rows))
+      // a SINGLE half-masked file still folds (retiring its vectors is
+      // the point); a single small vector-less file has nothing to gain
+      if (small.size < 2 && !small.exists(_.dv.nonEmpty)) None
       else {
-        val packed = spark.read.option("mergeSchema", "true")
-          .parquet(small.map(_.file): _*)
+        val packed = readEntriesDf(small, m)
           .repartitionByRange(math.max(targetFiles, 1), col(statsCol))
         val smallFiles = small.map(_.file).toSet
         // planned against `prev`: a concurrent commit in between must fail
@@ -530,41 +617,106 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     }
   }
 
-  /** Copy-on-write row deletion — the takedown/right-to-be-forgotten
-    * primitive a training-corpus store cannot ship without: only the files
-    * that CONTAIN matching rows are rewritten (filtered complements);
-    * every clean file carries forward untouched, so the delete cost is
-    * proportional to the blast radius, not the table. Retained older
-    * versions still hold the rows until [[expire]] — a takedown is
-    * finalized by `deleteWhere` + `expire`, which is exactly the audit
-    * trail a compliance pipeline wants (the delete is itself a versioned,
-    * time-travelable commit).
+  /** Row deletion — the takedown/right-to-be-forgotten primitive a
+    * training-corpus store cannot ship without. PER-FILE mode choice
+    * (r15; Iceberg v2 / Delta's MoR-vs-COW decision):
     *
-    * Hit detection is one predicate scan projecting only the file name;
-    * when the predicate bounds `statsCol`, callers should pre-narrow with
-    * [[readPruned]] semantics — at production scale the scan composes
-    * with the manifest zone stats and Parquet row-group skipping, so a
-    * key-targeted delete touches only intersecting files' footers.
-    * Returns the new version, or None when nothing matches.
+    *   - a file whose VISIBLE hit fraction exceeds `dvMaxFraction`
+    *     rewrites copy-on-write (its filtered complement lands as new
+    *     files) — the heavily-hit case, where masking most of a file
+    *     just defers an inevitable rewrite onto every reader;
+    *   - a file at or below the threshold gets a DELETE VECTOR: the hit
+    *     row positions land in an immutable `_dv/` sidecar and the entry
+    *     re-commits with the vector attached — O(hits) metadata, no data
+    *     rewrite. A SCATTERED takedown (one row in each of 10^5 files —
+    *     the compliance shape) is then a metadata commit, not a
+    *     table rewrite;
+    *   - a file whose every visible row matches DROPS from the manifest
+    *     outright (no rewrite, no vector).
+    *
+    * Every clean file carries forward untouched either way. Retained
+    * older versions still hold the rows until [[expire]] — the audit
+    * trail: the delete is itself a versioned, time-travelable commit.
+    * [[compactSmall]] folds vectors into real rewrites later.
+    *
+    * Hit detection is one predicate scan (existing vectors applied first,
+    * so masked rows never re-match) projecting file + position; at
+    * production scale it composes with manifest zone stats and Parquet
+    * row-group skipping. Returns the new version, or None when nothing
+    * matches.
     */
   def deleteWhere(cond: org.apache.spark.sql.Column): Option[Long] =
+    deleteWhere(cond, SnapshotStore.DvAutoFraction)
+
+  def deleteWhere(cond: org.apache.spark.sql.Column,
+      dvMaxFraction: Double): Option[Long] =
     latestVersion.flatMap { prev =>
       val m = readManifest(prev)
-      val hit = spark.read.option("mergeSchema", "true")
-        .parquet(m.map(_.file): _*)
-        .filter(cond)
-        .select(input_file_name().as("f")).distinct()
-        .collect().map(_.getString(0)).toSet // O(#touched files), driver-safe
-      if (hit.isEmpty) None
+      val byName: Map[String, FileEntry] =
+        m.map(e => basenameOf(e.file) -> e).toMap
+      // hit detection PLANS through the pushdown pruner first (r15):
+      // zones + blooms drop every file that provably contains no match,
+      // so a keyed takedown scans O(candidate files), never the table —
+      // pruned files carry forward untouched by construction
+      val (cands, _, _) = pruneWhere(prev, cond)
+      if (cands.isEmpty) None // metadata disproves every file: no-op
       else {
-        val survivors =
-          spark.read.option("mergeSchema", "true").parquet(hit.toSeq: _*)
-            // NOT-with-null semantics: a null predicate row is NOT a match
-            // (filter(cond) above kept only TRUE rows), so keep null rows
-            .filter(!coalesce(cond, lit(false)))
-        // planned against `prev`: fail on a concurrent commit, never drop it
-        Some(doCommit(survivors, () => carriedGroups(e => !hit(e.file)),
-          expectedPrev = Some(Some(prev))))
+      val hits = visibleWithPositions(cands).filter(cond)
+        .select(col(FileCol).as("f"), col(PosCol).as("pos")).persist()
+      try {
+        val perFile = hits.groupBy("f").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap // O(#touched files)
+        if (perFile.isEmpty) None
+        else {
+          val full = perFile.keySet.filter(f => perFile(f) >= byName(f).visibleRows)
+          val dvSet = (perFile.keySet -- full).filter(f =>
+            perFile(f).toDouble / byName(f).visibleRows <= dvMaxFraction)
+          val cowSet = perFile.keySet -- full -- dvSet
+          val dvName = s"dv-${java.util.UUID.randomUUID()}"
+          if (dvSet.nonEmpty) {
+            import spark.implicits._
+            // one vector sidecar per delete commit, shared by its files;
+            // a semi-join (not isin) — a takedown can touch 10^5 files
+            hits.join(dvSet.toSeq.toDF("f2"), col("f") === col("f2"),
+                "left_semi")
+              .select("f", "pos")
+              .coalesce(math.max(1, dvSet.size / 4096 + 1))
+              .write.parquet(dvDirPath(dvName).toString)
+          }
+          def mapEntry(e: FileEntry): Option[FileEntry] = {
+            val bn = basenameOf(e.file)
+            if (cowSet(bn) || full(bn)) None
+            else if (dvSet(bn)) Some(e.copy(dv = e.dv :+ dvName,
+              dvRows = e.dvRows + perFile(bn)))
+            else Some(e)
+          }
+          val base = () => carriedGroupsMapped(mapEntry)
+          try {
+            if (cowSet.isEmpty)
+              // pure-MoR (or pure-drop) delete: METADATA-ONLY commit — no
+              // distributed write at all, the O(hits) takedown shape
+              Some(commitMeta(base, tag = None,
+                expectedPrev = Some(Some(prev)),
+                stagedStats = Array.empty, moveFrom = None))
+            else {
+              val cowEntries = m.filter(e => cowSet(basenameOf(e.file)))
+              val survivors = readEntriesDf(cowEntries, m)
+                // NOT-with-null semantics: a null predicate row is NOT a
+                // match (the hit scan kept only TRUE rows) — keep null rows
+                .filter(!coalesce(cond, lit(false)))
+              // planned against `prev`: fail on a concurrent commit
+              Some(doCommit(survivors, base, expectedPrev = Some(Some(prev))))
+            }
+          } catch {
+            case e: Throwable =>
+              // release this call's unreferenced vector so a retry isn't
+              // blocked and the sidecar doesn't linger as debris
+              if (dvSet.nonEmpty && fs.exists(dvDirPath(dvName)))
+                fs.delete(dvDirPath(dvName), true)
+              throw e
+          }
+        }
+      } finally { hits.unpersist(); () }
       }
     }
 
@@ -594,38 +746,85 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * read at entry: a concurrent commit fails this merge with
     * `ConcurrentModificationException` — re-plan and retry.
     */
-  def merge(delta: DataFrame, keyCols: Seq[String]): Long = {
+  def merge(delta: DataFrame, keyCols: Seq[String]): Long =
+    merge(delta, keyCols, SnapshotStore.DvAutoFraction)
+
+  /** As [[merge]], with the per-file merge-on-read threshold explicit:
+    * a candidate file whose matched visible-row fraction is at or below
+    * `dvMaxFraction` keeps its unmatched rows IN PLACE — the matched old
+    * rows mask behind a delete vector and every delta row inserts as the
+    * new batch — while heavier-hit files rewrite copy-on-write as before.
+    * A key-scattered upsert batch then costs O(matched rows) metadata
+    * plus the delta write, never a rewrite of every touched file.
+    */
+  def merge(delta: DataFrame, keyCols: Seq[String],
+      dvMaxFraction: Double): Long = {
     require(keyCols.nonEmpty, "merge needs key columns")
     latestVersion match {
       case None => commit(delta) // empty table: everything inserts
       case Some(prev) =>
+        val m = readManifest(prev)
+        val byName: Map[String, FileEntry] =
+          m.map(e => basenameOf(e.file) -> e).toMap
         val (nDelta, zoneCands) = mergeCandidates(delta, keyCols, prev)
         val candidates = mergeScanCandidates(delta, keyCols, prev,
           nDelta, zoneCands)
         if (nDelta == 0L) prev
         else {
           val dKeys = delta.select(keyCols.map(col): _*)
-          // which zone-intersecting files actually contain matched keys:
-          // one semi-join projecting only the file name, O(#touched files)
-          // on the driver (the deleteWhere discipline)
-          val hit: Set[String] =
-            if (candidates.isEmpty) Set.empty[String]
-            else spark.read.option("mergeSchema", "true")
-              .parquet(candidates: _*)
-              // file name projected ON the scan side — after the join the
-              // plan has two file sources and input_file_name is ambiguous
-              .select(input_file_name().as("__graft_file") +: keyCols.map(col): _*)
+          val candSet = candidates.toSet
+          val candEntries = m.filter(e => candSet(e.file))
+          // matched VISIBLE rows (existing vectors applied — a masked row
+          // must not re-match) with file + position: one semi-join,
+          // per-file census O(#touched files) on the driver
+          val hitRows =
+            if (candEntries.isEmpty) None
+            else Some(visibleWithPositions(candEntries)
+              .select(col(FileCol).as("f") +: col(PosCol).as("pos") +:
+                keyCols.map(col): _*)
               .join(dKeys, keyCols, "left_semi")
-              .select("__graft_file").distinct()
-              .collect().map(_.getString(0)).toSet
-          val newData =
-            if (hit.isEmpty) delta
-            else spark.read.option("mergeSchema", "true")
-              .parquet(hit.toSeq: _*)
-              .join(dKeys, keyCols, "left_anti") // keep only unmatched rows
-              .unionByName(delta, allowMissingColumns = true)
-          doCommit(newData, () => carriedGroups(e => !hit(e.file)),
-            expectedPrev = Some(Some(prev)))
+              .select("f", "pos").persist())
+          try {
+            val perFile: Map[String, Long] = hitRows.map(
+              _.groupBy("f").agg(count(lit(1)).as("n")).collect()
+                .map(r => r.getString(0) -> r.getLong(1)).toMap)
+              .getOrElse(Map.empty)
+            val full = perFile.keySet.filter(f =>
+              perFile(f) >= byName(f).visibleRows)
+            val dvSet = (perFile.keySet -- full).filter(f =>
+              perFile(f).toDouble / byName(f).visibleRows <= dvMaxFraction)
+            val cowSet = perFile.keySet -- full -- dvSet
+            val dvName = s"dv-${java.util.UUID.randomUUID()}"
+            if (dvSet.nonEmpty) {
+              import spark.implicits._
+              hitRows.get.join(dvSet.toSeq.toDF("f2"),
+                  col("f") === col("f2"), "left_semi")
+                .select("f", "pos")
+                .coalesce(math.max(1, dvSet.size / 4096 + 1))
+                .write.parquet(dvDirPath(dvName).toString)
+            }
+            def mapEntry(e: FileEntry): Option[FileEntry] = {
+              val bn = basenameOf(e.file)
+              if (cowSet(bn) || full(bn)) None
+              else if (dvSet(bn)) Some(e.copy(dv = e.dv :+ dvName,
+                dvRows = e.dvRows + perFile(bn)))
+              else Some(e)
+            }
+            val cowEntries = m.filter(e => cowSet(basenameOf(e.file)))
+            val newData =
+              if (cowEntries.isEmpty) delta
+              else readEntriesDf(cowEntries, m)
+                .join(dKeys, keyCols, "left_anti") // unmatched rows only
+                .unionByName(delta, allowMissingColumns = true)
+            try doCommit(newData, () => carriedGroupsMapped(mapEntry),
+              expectedPrev = Some(Some(prev)))
+            catch {
+              case e: Throwable =>
+                if (dvSet.nonEmpty && fs.exists(dvDirPath(dvName)))
+                  fs.delete(dvDirPath(dvName), true)
+                throw e
+            }
+          } finally { hitRows.foreach(_.unpersist()); () }
         }
     }
   }
@@ -894,7 +1093,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   def readPrunedEq(v: Long, colName: String, values: Seq[Any]): DataFrame = {
     val (kept, schemaSrc, _) = pruneEq(v, colName, values)
-    readFiles(kept.map(_.file), schemaSrc)
+    readEntriesDf(kept, schemaSrc)
   }
 
   /** (files kept, total files) for a point-lookup prune. */
@@ -1137,7 +1336,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   def readWhere(v: Long, cond: org.apache.spark.sql.Column): DataFrame = {
     val (kept, schemaSrc, _) = pruneWhere(v, cond)
-    readFiles(kept.map(_.file), schemaSrc).filter(cond)
+    readEntriesDf(kept, schemaSrc).filter(cond)
   }
 
   def readWhere(cond: org.apache.spark.sql.Column): DataFrame =
@@ -1168,7 +1367,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
 
   private def doCommit(df: DataFrame, base: () => Seq[Group],
       tag: Option[String] = None,
-      expectedPrev: Option[Option[Long]] = None): Long = {
+      expectedPrev: Option[Option[Long]] = None,
+      layoutTag: Option[String] = None): Long = {
     commitGuard()
 
     // 1. STAGE (outside the critical section): the expensive distributed
@@ -1184,7 +1384,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // 2. COMMIT (critical section) — shared with [[publishWap]], which
     //    enters it with pre-placed files instead of a staging rename.
     try commitMeta(base, tag, expectedPrev, stagedStats,
-      moveFrom = Some((staging, stagingName)), blooms = blooms)
+      moveFrom = Some((staging, stagingName)), blooms = blooms,
+      layoutTag = layoutTag)
     catch {
       case e: Throwable =>
         // best-effort staging cleanup on any failed commit; recover() also
@@ -1210,7 +1411,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private def commitMeta(base: () => Seq[Group], tag: Option[String],
       expectedPrev: Option[Option[Long]], stagedStats: Array[FileEntry],
       moveFrom: Option[(Path, String)],
-      blooms: Map[String, Seq[Array[Byte]]] = Map.empty): Long =
+      blooms: Map[String, Seq[Array[Byte]]] = Map.empty,
+      layoutTag: Option[String] = None): Long =
     SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
       val prev = latestVersion
       // Tagged replays re-check under the lock: a concurrent replay of the
@@ -1279,7 +1481,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           // never created (the r13 self-review finding). A crash between
           // claim and rename leaves a young unacknowledged manifest — the
           // standard debris shape, refused while young and reclaimed aged.
-          val nonce = writeManifestFor(v, base, tag, stats, blooms)
+          val nonce = writeManifestFor(v, base, tag, stats, blooms, layoutTag)
           try {
             moveFrom.foreach { case (staging, _) =>
               if (fs.listStatus(staging).nonEmpty) {
@@ -1307,7 +1509,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private def writeManifestFor(v: Long, base: () => Seq[Group],
       tag: Option[String], stats: Array[FileEntry],
-      blooms: Map[String, Seq[Array[Byte]]] = Map.empty): String = {
+      blooms: Map[String, Seq[Array[Byte]]] = Map.empty,
+      layoutTag: Option[String] = None): String = {
     // Carried groups ride BY REFERENCE; only the groups this commit
     // actually changed (partial survivors of a rewrite) and the new batch
     // become group writes — the O(changed) commit cost two-level
@@ -1326,7 +1529,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // group-level summary (file count + whole-group bounds per effective
     // stats column), written onto the ref line so pruned reads and pure
     // appends never open the group file
-    def summarize(g: Group): (Int, Seq[(Double, Double)]) =
+    def summarize(g: Group): (Int, Long, Seq[(Double, Double)]) =
       if (g.entries.nonEmpty) {
         val aligned = alignEntries(g.names, effNames, g.entries)
         val bounds = effNames.indices.map { i =>
@@ -1335,11 +1538,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
             else e.extra.lift(i - 1).getOrElse(noInfo))
           (bs.map(_._1).min, bs.map(_._2).max)
         }
-        (g.entries.size, bounds)
+        // net rows: what a reader sees (DV-masked rows excluded) — the
+        // v2 list field snapshots() censuses from without opening groups
+        (g.entries.size, g.entries.map(_.visibleRows).sum, bounds)
       } else {
         // ref-only carry: re-key the previous list's summary by name
         val m = g.names.zip(g.summary.getOrElse(Seq.empty)).toMap
-        (g.files, effNames.map(n => m.getOrElse(n, noInfo)))
+        (g.files, g.rows, effNames.map(n => m.getOrElse(n, noInfo)))
       }
     val refs = groups.map { g =>
       val name = g.ref.getOrElse {
@@ -1360,12 +1565,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
             bloomBody(bloomCols, withBlooms), overwrite = false)
         n
       }
-      val (files, bounds) = summarize(g)
-      RefLine(name, files, Some(bounds))
+      val (files, rows, bounds) = summarize(g)
+      RefLine(name, files, rows, Some(bounds))
     }
     val nonce = java.util.UUID.randomUUID().toString
-    writeAtomic(manifestPath(v), listBody(refs, tag, effNames, nonce),
-      overwrite = false)
+    writeAtomic(manifestPath(v),
+      listBody(refs, tag, effNames, nonce, layoutTag), overwrite = false)
     nonce
   }
 
@@ -1464,14 +1669,17 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * group-level zone map pruned reads skip on.
     */
   private def listBody(refs: Seq[RefLine], tag: Option[String],
-      names: Seq[String], nonce: String): String = {
+      names: Seq[String], nonce: String,
+      layoutTag: Option[String] = None): String = {
     val body = refs.map { r =>
       val bounds = r.summary.getOrElse(Seq.empty).map { case (mn, mx) =>
         "\t" + java.lang.Double.toString(mn) + "\t" + java.lang.Double.toString(mx)
       }.mkString
-      s"@${r.name}\t${r.files}$bounds"
+      s"@${r.name}\t${r.files}\t${r.rows}$bounds"
     }.mkString("\n")
     tag.map(t => s"#tag=$t\n").getOrElse("") +
+      layoutTag.map(l => s"#layout=$l\n").getOrElse("") +
+      "#v=2\n" +
       s"#crc=${crcOf(body)}\n" +
       s"#stats=${names.mkString(",")}\n" +
       s"#nonce=$nonce\n" + body
@@ -1623,7 +1831,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   def readPruned(v: Long, lo: Double, hi: Double): DataFrame = {
     val (kept, schemaSrc, _) = pruneGroups(v, None, lo, hi)
-    readFiles(kept.map(_.file), schemaSrc)
+    readEntriesDf(kept, schemaSrc)
   }
 
   /** Zone-map pruning BY COLUMN NAME over the multi-column stats: files
@@ -1635,7 +1843,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   def readPrunedOn(v: Long, colName: String, lo: Double, hi: Double): DataFrame = {
     val (kept, schemaSrc, _) = pruneGroups(v, Some(colName), lo, hi)
-    readFiles(kept.map(_.file), schemaSrc)
+    readEntriesDf(kept, schemaSrc)
   }
 
   /** (kept, total) for a by-name prune — the skip-rate pin. */
@@ -1678,7 +1886,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   def readIncremental(fromV: Long, toV: Long): DataFrame = {
     val m = readManifest(toV)
-    readFiles(m.filter(e => e.batch > fromV).map(_.file), m)
+    // DV caveat (shared with every MoR format): a file's vectors apply as
+    // of toV, and a DV-only delete ADDS no files — incremental consumers
+    // see inserts only; deletes surface through [[changelog]].
+    readEntriesDf(m.filter(e => e.batch > fromV), m)
   }
 
   /** ROW-LEVEL CDC between two versions, derived from the copy-on-write
@@ -1736,10 +1947,16 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         info.inline.toSeq.flatMap(_.entries)
     val fromCh = changedEntries(fromInfo)
     val toCh = changedEntries(toInfo)
-    val fromFiles = fromCh.map(_.file).toSet
-    val toFiles = toCh.map(_.file).toSet
-    val addedF = toCh.map(_.file).filterNot(fromFiles)
-    val removedF = fromCh.map(_.file).filterNot(toFiles)
+    // entry IDENTITY is (file, delete-vector set): a DV-only delete keeps
+    // the file path but changes what a reader SEES — the old state must
+    // land on the removed side and the masked state on the added side so
+    // the full-row cancel nets exactly the newly-masked rows as deletes
+    // (r15; by file path alone a MoR delete produced an EMPTY changelog)
+    def dvKey(e: FileEntry): (String, Seq[String]) = (e.file, e.dv)
+    val fromKeys = fromCh.map(dvKey).toSet
+    val toKeys = toCh.map(dvKey).toSet
+    val addedE = toCh.filterNot(e => fromKeys(dvKey(e)))
+    val removedE = fromCh.filterNot(e => toKeys(dvKey(e)))
     // a side selecting no files still needs the table schema: borrow any
     // live entry — own changed groups first, then a shared group, then
     // the other side (e.g. deleteWhere removed every row) — the delete
@@ -1750,8 +1967,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       if (own.nonEmpty) own
       else if (sharedEntries.nonEmpty) sharedEntries
       else other
-    val added = readFiles(addedF, schemaFrom(toCh, fromCh))
-    val removed = readFiles(removedF, schemaFrom(fromCh, toCh))
+    // each side reads with ITS OWN DV state applied
+    val added = readEntriesDf(addedE, schemaFrom(toCh, fromCh))
+    val removed = readEntriesDf(removedE, schemaFrom(fromCh, toCh))
     // schema evolution may leave columns only one side has (merged reads
     // are per-side); cancellation compares over the UNION of columns with
     // the missing side padded NULL (null-safe equality), so a rewrite
@@ -1780,21 +1998,44 @@ final class SnapshotStore(spark: SparkSession, val path: String,
 
   /** The snapshots METADATA table (Iceberg's `table$snapshots` idea): one
     * row per acknowledged version — files/rows/bytes added by that commit,
-    * files/rows carried in its full manifest, and its writer tag. Driver
-    * reads manifests only (O(versions × files) metadata, no data file
-    * opens) — the lineage surface an operator dashboards and a loader
-    * audits version pins against.
+    * files/rows carried in its full manifest, and its writer tag.
+    *
+    * O(groups) per version (r15; was O(table files) — the r14 verdict's
+    * linear census_entry_bytes curve): totals aggregate from the v2 ref
+    * lines' recorded file/net-row counts WITHOUT opening group files, and
+    * `added_*` opens ONLY the groups this version (re)wrote — the ref-name
+    * diff against the previous retained version — filtering their entries
+    * by batch for exact attribution. Legacy (pre-v2) refs heal by loading
+    * once, through the shared group cache. total_rows is what a reader
+    * SEES (DV-masked rows net out).
     */
   def snapshots(): DataFrame = {
     val ceiling = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $path"))
-    val rows = versions.filter(_ <= ceiling).map { v =>
-      val m = readManifest(v)
-      val own = m.filter(_.batch == v)
+    val vs = versions.filter(_ <= ceiling)
+    val infos: Map[Long, ListInfo] = vs.map(v => v -> listInfoOf(v)).toMap
+    def filesOf(r: RefLine): Int =
+      if (r.files >= 0) r.files else readGroupFile(r.name)._2.size
+    def rowsOf(r: RefLine): Long =
+      if (r.rows >= 0) r.rows
+      else readGroupFile(r.name)._2.map(_.visibleRows).sum
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      val info = infos(v)
+      val prevRefs: Set[String] =
+        if (i == 0) Set.empty else infos(vs(i - 1)).refs.map(_.name).toSet
+      val ownEntries = info.refs.filterNot(r => prevRefs(r.name))
+        .flatMap(r => readGroupFile(r.name)._2) ++
+        info.inline.toSeq.flatMap(_.entries)
+      val own = ownEntries.filter(_.batch == v)
+      val totalFiles = info.refs.map(filesOf).sum +
+        info.inline.map(_.entries.size).getOrElse(0)
+      val totalRows = info.refs.map(rowsOf).sum +
+        info.inline.map(_.entries.map(_.visibleRows).sum).getOrElse(0L)
       // commit_id: the never-reused claim nonce — what distinguishes a
       // recommit under a rollback-reused version number (see commitIdOf)
-      (v, readNonceOf(v).orNull, commitTimeOf(v), readTagOf(v).orNull, own.size,
-        own.map(_.rows).sum, own.map(_.bytes).sum, m.size, m.map(_.rows).sum)
+      (v, readNonceOf(v).orNull, commitTimeOf(v), readTagOf(v).orNull,
+        own.size, own.map(_.rows).sum, own.map(_.bytes).sum,
+        totalFiles, totalRows)
     }
     import spark.implicits._
     rows.toDF("version", "commit_id", "commit_ts", "tag", "added_files",
@@ -2128,7 +2369,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     requireWapId(wapId)
     val staged = wapEntries(wapId)._2
     val head = latestVersion.map(readManifest).getOrElse(Seq.empty)
-    readFiles((head ++ staged).map(_.file), head ++ staged)
+    readEntriesDf(head ++ staged, head ++ staged)
   }
 
   /** Publish staged batch `wapId` as the next version — an O(metadata)
@@ -2312,6 +2553,18 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           nowG - st.getModificationTime >= SnapshotStore.DebrisGraceMs)
           fs.delete(st.getPath, false)
       }
+    // delete vectors referenced by no retained manifest are debris
+    // (expired MoR history, crashed delete commits) — age-gated like every
+    // cleanup: a live writer's freshly written vector is referenced by
+    // nothing until its commit acknowledges
+    val liveDv: Set[String] = keep.flatMap(v => readManifest(v).flatMap(_.dv))
+    val dvRoot = new Path(s"$path/_dv")
+    if (fs.exists(dvRoot))
+      fs.listStatus(dvRoot).foreach { st =>
+        if (!liveDv(st.getPath.getName) &&
+          nowG - st.getModificationTime >= SnapshotStore.DebrisGraceMs)
+          fs.delete(st.getPath, true)
+      }
     // Drop batch dirs left empty by the deletes. NEVER touch .staging-*
     // dirs here: a concurrent commit stages OUTSIDE the lock and its dir
     // holds only _temporary while the distributed write runs — deleting it
@@ -2416,6 +2669,18 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         val claimTmp = n.contains(".tmp-")
         if ((orphanGroup || claimTmp) && aged(st.getPath))
           fs.delete(st.getPath, false)
+      }
+    }
+    // delete vectors no surviving manifest references (a delete commit
+    // that died between its vector write and the manifest claim) age out
+    // like every metadata debris
+    val dvRoot = new Path(s"$path/_dv")
+    if (fs.exists(dvRoot)) {
+      val liveDv: Set[String] =
+        versions.toSet.flatMap((v: Long) => readManifest(v).flatMap(_.dv))
+      fs.listStatus(dvRoot).foreach { st =>
+        if (!liveDv(st.getPath.getName) && aged(st.getPath))
+          fs.delete(st.getPath, true)
       }
     }
     // WAP hygiene: (a) finish a publish that crashed between its pointer
@@ -2580,6 +2845,16 @@ object SnapshotStore {
     case s: String => s.trim.toDoubleOption
     case _ => None
   }
+
+  /** Default per-file visible-hit fraction at or below which
+    * [[SnapshotStore.deleteWhere]]/[[SnapshotStore.merge]] MASK rows with
+    * a delete vector instead of rewriting the file. 0.0 forces
+    * copy-on-write everywhere; 1.0 forces merge-on-read. The default
+    * trades read-side anti-join work (bounded: ≤20% masked rows per
+    * file between compactions) against write amplification (a scattered
+    * one-row-per-file takedown stops rewriting the table).
+    */
+  val DvAutoFraction = 0.2
 
   /** Resident sidecar cap for the per-store bloom LRU — at the 128 KiB
     * per-file ceiling and compaction-bounded group sizes this is a few

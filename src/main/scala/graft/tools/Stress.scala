@@ -347,6 +347,7 @@ object Stress {
       "streamRollup" -> (() => streamRollupStress(spark, sfDir)),
       "snapshot" -> (() => snapshotStress(spark, sfDir)),
       "manifestScale" -> (() => manifestScaleStress(spark)),
+      "dvScale" -> (() => dvScaleStress(spark)),
       "zorder" -> (() => zorderStress(spark)),
       "wap" -> (() => wapStress(spark)),
       "claim" -> (() => claimStress(spark)),
@@ -684,13 +685,87 @@ object Stress {
       val groupBytes = refs.map(g => sz(s"$dir/snap/_manifests/$g"))
       // last commit's metadata = the list it wrote + the ONE group it added
       val lastMeta = listBytes + groupBytes.last
+      // the r15 O(groups) census: one row per version from ref-line
+      // headers + ONLY each version's own group — per-version cost must
+      // stay flat as the table grows (the r14 curve was linear, 2 MB →
+      // 16 MB of driver metadata per census entry)
+      val t3 = System.nanoTime()
+      val nCensus = st.snapshots().collect().length
+      val tCensus = (System.nanoTime() - t3) / 1e9
       println(s"""{"op":"manifest_scale","commits":$committed,""" +
         s""""files_total":${st.fileCount},"groups":${refs.length},""" +
         s""""sec_commit":${num(tCommit)},"sec_prune":${num(tPrune)},""" +
         s""""sec_readwhere":${num(tWhere)},""" +
         s""""rows_pruned":$nPruned,"files_kept":$kept,"files_listed":$total,""" +
         s""""list_bytes":$listBytes,"last_commit_meta_bytes":$lastMeta,""" +
-        s""""census_entry_bytes":${groupBytes.sum}}""")
+        s""""census_versions":$nCensus,"sec_census":${num(tCensus)},""" +
+        s""""sec_census_per_version":${num(tCensus / math.max(1, nCensus))},""" +
+        s""""census_entry_bytes":${listBytes + groupBytes.last},""" +
+        s""""single_level_counterfactual_bytes":${groupBytes.sum}}""")
+    }
+  }
+
+  /** r15: merge-on-read deletes PROVEN flat. A fixed-size scattered keyed
+    * takedown (64 keys, ~one row in each of ~64 files) runs against a
+    * table growing through doublings; per doubling the row records the
+    * timed delete, the metadata bytes the delete commit wrote (manifest
+    * list + re-expressed groups + the `_dv/` vector itself), and the
+    * counterfactual copy-on-write bytes (the data files a rewrite would
+    * have re-written). Flat sec_delete/meta_bytes while cow_bytes holds
+    * ~constant-per-hit and files_total doubles is the 100-TB takedown
+    * posture the r14 verdict demanded: O(hits), never O(table).
+    */
+  private def dvScaleStress(spark: SparkSession): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val rowsPerCommit = 4096L
+    val filesPerCommit = 64
+    val dir = java.nio.file.Files.createTempDirectory("stress_dv").toString
+    val st = new SnapshotStore(spark, s"$dir/snap", "id", bloomCols = Seq("id"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def du(rel: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/snap/$rel")
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    def commitBatch(i: Int): Long = {
+      val lo = i.toLong * rowsPerCommit
+      st.commit(spark.range(lo, lo + rowsPerCommit)
+        .select(col("id"), (col("id") % 97).cast("double").as("v"))
+        .repartitionByRange(filesPerCommit, col("id")))
+    }
+    // meta_bytes is O(hit groups × group size): 64 keys touch at most 64
+    // groups, so it grows until the table holds 64 groups and PLATEAUS
+    // thereafter — the doublings past 64 commits are the flat half of
+    // the curve (a COW delete's write bytes keep doubling instead)
+    var committed = 0
+    Seq(8, 16, 32, 64, 128, 256).foreach { at =>
+      while (committed < at) { commitBatch(committed); committed += 1 }
+      val total = committed.toLong * rowsPerCommit
+      // 64 fresh keys evenly strided over the whole id space (the offset
+      // keeps doublings from re-probing already-masked rows)
+      val keys: Seq[Any] = (0 until 64)
+        .map(k => (total / 64) * k + (at.toLong * 131 + 7) % (total / 64))
+        .distinct.filter(_ < total).map(Long.box)
+      val metaBefore = du("_manifests") + du("_dv")
+      val t0 = System.nanoTime()
+      val v = st.deleteWhere(col("id").isin(keys: _*)).get
+      val secDelete = (System.nanoTime() - t0) / 1e9
+      val metaBytes = du("_manifests") + du("_dv") - metaBefore
+      val (dvFiles, dvRows) = st.dvStats(v)
+      val filesTotal = st.fileCount
+      // counterfactual COW write: a rewrite re-writes every hit file
+      val cowBytes = if (filesTotal == 0) 0L
+        else du("data") / filesTotal * dvFiles
+      val t1 = System.nanoTime()
+      val nBand = st.readWhere(v, col("id").between(0L, 127L)).count()
+      val secRead = (System.nanoTime() - t1) / 1e9
+      println(s"""{"op":"dv_scale","commits":$committed,""" +
+        s""""files_total":$filesTotal,"rows_total":$total,""" +
+        s""""dv_files":$dvFiles,"dv_rows_commit":${keys.size},""" +
+        s""""dv_rows_cum":$dvRows,"sec_delete":${num(secDelete)},""" +
+        s""""meta_bytes":$metaBytes,"cow_bytes_counterfactual":$cowBytes,""" +
+        s""""sec_read_band":${num(secRead)},"rows_band":$nBand}""")
     }
   }
 

@@ -103,7 +103,9 @@ class BloomSkipSpec extends SparkSpec {
     val st = new SnapshotStore(spark, tempDir("bloom-rewrite") + "/snap", "id",
       bloomCols = Seq("id"))
     st.commit(scattered(0, 999))
-    st.deleteWhere(col("id") === 500L) // rewrites the hit file sidecar-less
+    // forced COW (the auto default would mask one row as a delete vector):
+    // this test pins the sidecar-LESS survivor keep
+    st.deleteWhere(col("id") === 500L, dvMaxFraction = 0.0)
     val v = st.latestVersion.get
     assert(st.readPrunedEq(v, "id", Seq(501L))
       .filter(col("id") === 501L).count() === 1L,

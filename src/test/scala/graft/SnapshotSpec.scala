@@ -157,8 +157,9 @@ class SnapshotSpec extends SparkSpec {
     // two range-disjoint files per commit: ids 0..499 in file A, 500..999 in B
     val v1 = st.commit(batch(0, 999).repartitionByRange(2, col("id")))
     val filesBefore = st.fileCount
-    // matches live ONLY in the low file
-    val v2 = st.deleteWhere($"id" < 100)
+    // matches live ONLY in the low file; dvMaxFraction=0.0 pins the
+    // copy-on-write path (the auto default would mask 100/500 as a DV)
+    val v2 = st.deleteWhere($"id" < 100, dvMaxFraction = 0.0)
     assert(v2 === Some(2L))
     assert(st.read().count() === 900L)
     assert(st.read().agg(min("id")).head.getLong(0) === 100L)
@@ -685,12 +686,14 @@ class SnapshotSpec extends SparkSpec {
     val v1 = st.commit(batch(0, 999).repartitionByRange(2, col("id")))
     val before = st.read().select(input_file_name()).distinct()
       .collect().map(_.getString(0)).toSet
-    // updates (ids 0..4, new payload) + inserts (ids 2000..2004)
+    // updates (ids 0..4, new payload) + inserts (ids 2000..2004);
+    // dvMaxFraction=0.0 pins the copy-on-write rewrite path (the auto
+    // default would mask 5/500 matched rows as a delete vector)
     val delta = spark.range(0, 5)
       .select(col("id"), lit("u").as("k"), lit(-1.0).as("v"))
       .unionByName(spark.range(2000, 2005)
         .select(col("id"), lit("i").as("k"), lit(-2.0).as("v")))
-    val v2 = st.merge(delta, Seq("id"))
+    val v2 = st.merge(delta, Seq("id"), dvMaxFraction = 0.0)
     assert(v2 === 2L)
     assert(st.read().count() === 1005L)
     assert(st.read().filter($"id" < 5).agg(sum("v")).head.getDouble(0) === -5.0,
@@ -1165,5 +1168,152 @@ class SnapshotSpec extends SparkSpec {
       (0 until 3).flatMap(i => (1000L + i * 100) to (1000L + i * 100 + 9))).sorted
     assert(ids.toSeq === expected,
       s"rows lost/duplicated under concurrent compaction (CME count=${cme.get()})")
+  }
+
+  // ─── Delete vectors (merge-on-read deletion, r15) ──────────────────────
+
+  /** Data files under the current manifest — DV commits must not add any
+    * (the read plan also scans `_dv/` vector parquet; exclude it).
+    */
+  private def dataFilesOf(st: SnapshotStore): Set[String] =
+    st.read().inputFiles.filterNot(_.contains("/_dv/")).toSet
+
+  test("DV delete: a scattered takedown is metadata-only and reads exactly") {
+    val st = freshStore("snap-dv")
+    // 4 range files of 250 rows; id % 97 == 0 hits ~2-3 rows in EVERY file
+    val v1 = st.commit(batch(0, 999).repartitionByRange(4, col("id")))
+    val before = dataFilesOf(st)
+    val v2 = st.deleteWhere(col("id") % 97 === 0).get
+    assert(dataFilesOf(st) === before,
+      "a sub-threshold scattered delete must not write or drop data files")
+    val (dvFiles, dvRows) = st.dvStats(v2)
+    assert(dvFiles >= 1 && dvRows === 11, s"dv census ($dvFiles, $dvRows)")
+    // the read is exact: every surviving row, no masked row
+    val got = st.read().select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L to 999L).filterNot(_ % 97 == 0))
+    // audit trail: the pre-delete version still holds everything
+    assert(st.readAt(v1).count() === 1000L)
+    // pruned/pushdown reads anti-apply the vectors too
+    assert(st.readPruned(v2, 0.0, 200.0).filter(col("id") % 97 === 0)
+      .count() === 0L)
+    assert(st.readWhere(v2, col("id") === 97L).count() === 0L)
+    assert(st.readWhere(v2, col("id") === 98L).count() === 1L)
+    assert(st.readIncremental(v1, v2).count() === 0L,
+      "a DV-only delete adds no files — incremental sees nothing")
+  }
+
+  test("DV delete equals COW delete row-for-row on the same predicate") {
+    val stDv = freshStore("snap-dv-eq-a")
+    val stCow = freshStore("snap-dv-eq-b")
+    Seq(stDv, stCow).foreach(st =>
+      st.commit(batch(0, 999).repartitionByRange(4, col("id"))))
+    stDv.deleteWhere(col("id") % 101 === 3, dvMaxFraction = 1.0)
+    stCow.deleteWhere(col("id") % 101 === 3, dvMaxFraction = 0.0)
+    val a = stDv.read().orderBy("id").collect()
+    val b = stCow.read().orderBy("id").collect()
+    assert(a.toSeq === b.toSeq, "MoR and COW must read identically")
+    assert(stDv.dvStats(stDv.latestVersion.get)._1 > 0)
+    assert(stCow.dvStats(stCow.latestVersion.get)._1 === 0)
+  }
+
+  test("DV deletes accumulate: a second vector on the same file composes") {
+    val st = freshStore("snap-dv-acc")
+    st.commit(batch(0, 999).repartitionByRange(2, col("id")))
+    st.deleteWhere(col("id") % 97 === 0)
+    val v3 = st.deleteWhere(col("id") % 89 === 1).get
+    val (_, dvRows) = st.dvStats(v3)
+    val expected = (0L to 999L).filter(i => i % 97 == 0 || i % 89 == 1)
+    assert(dvRows === expected.size.toLong)
+    val got = st.read().select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L to 999L).filterNot(i => i % 97 == 0 || i % 89 == 1))
+    // a masked row never re-matches: deleting the same band again no-ops
+    assert(st.deleteWhere(col("id") % 97 === 0).isEmpty)
+  }
+
+  test("a delete that empties a file's visible rows drops the entry without rewrite") {
+    val st = freshStore("snap-dv-full")
+    st.commit(batch(0, 99).repartitionByRange(2, col("id")))
+    val before = dataFilesOf(st)
+    // ids 0..49 live in the low file alone: full-file hit → metadata drop
+    val v = st.deleteWhere(col("id") < 50).get
+    assert(st.read().count() === 50L)
+    assert(st.dvStats(v) === ((0, 0L)), "a full-file delete needs no vector")
+    assert(dataFilesOf(st).subsetOf(before), "no rewrite may happen")
+  }
+
+  test("changelog across a DV delete surfaces exactly the masked rows") {
+    val st = freshStore("snap-dv-cdc")
+    val v1 = st.commit(batch(0, 999).repartitionByRange(4, col("id")))
+    val v2 = st.deleteWhere(col("id") % 97 === 0).get
+    val c = st.changelog(v1, v2, Seq("id")).collect()
+    assert(c.forall(_.getAs[String]("_change") == "delete"))
+    assert(c.map(_.getAs[Long]("id")).sorted.toSeq
+      === (0L to 999L).filter(_ % 97 == 0))
+  }
+
+  test("compactSmall folds delete vectors into the rewrite") {
+    val st = freshStore("snap-dv-fold")
+    st.commit(batch(0, 999).repartitionByRange(4, col("id")))
+    // mask MOST of the low file (dvMaxFraction=1.0 forces MoR), so the
+    // >=half-masked fold rule picks it up although its bytes are "large";
+    // smallBytes=1 proves the DV fold alone justifies the pack
+    st.deleteWhere(col("id") < 150, dvMaxFraction = 1.0)
+    val (dvFiles, _) = st.dvStats(st.latestVersion.get)
+    assert(dvFiles === 1)
+    val v = st.compactSmall(smallBytes = 1L, targetFiles = 1).get
+    assert(st.dvStats(v) === ((0, 0L)),
+      "the fold must retire the vectors (packed files are vector-free)")
+    assert(st.read().select("id").as[Long].collect().sorted.toSeq
+      === (150L to 999L))
+    // content-preserving fold: zero net changes in the changelog
+    assert(st.changelog(v - 1, v, Seq("id")).count() === 0L)
+  }
+
+  test("merge-on-read MERGE: scattered key updates mask instead of rewriting") {
+    val st = freshStore("snap-dv-merge")
+    st.commit(batch(0, 999).repartitionByRange(4, col("id")))
+    val before = dataFilesOf(st)
+    // 8 scattered key updates + 2 inserts, far below every file's threshold
+    val delta = spark.range(0, 10).select(
+      (col("id") * 119).as("id"), lit("up").as("k"), lit(-1.0).as("v"))
+    val v = st.merge(delta, Seq("id"))
+    val deltaKeys = (0L until 10L).map(_ * 119) // 9 in range, 1071 inserts
+    val got = st.read().filter(col("k") === "up")
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === deltaKeys.sorted)
+    assert(st.read().count() === 1001L, "9 in-place updates + 1 insert")
+    assert(st.dvStats(v)._2 === 9L, "matched old rows mask, not rewrite")
+    assert(before.subsetOf(dataFilesOf(st)),
+      "every original file carries forward; only the delta batch is new")
+    // and the same merge COW-forced agrees row-for-row
+    val stC = freshStore("snap-dv-merge-cow")
+    stC.commit(batch(0, 999).repartitionByRange(4, col("id")))
+    stC.merge(delta, Seq("id"), dvMaxFraction = 0.0)
+    assert(st.read().orderBy("id", "k").collect().toSeq
+      === stC.read().orderBy("id", "k").collect().toSeq)
+  }
+
+  test("expire reclaims vectors of expired versions; live ones survive") {
+    val st = freshStore("snap-dv-exp")
+    st.commit(batch(0, 999).repartitionByRange(4, col("id")))
+    st.deleteWhere(col("id") % 97 === 0)
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dvDirs: Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(st.path + "/_dv")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+    }
+    assert(dvDirs.size === 1)
+    // still referenced by the live manifest: expire must keep it
+    dvDirs.foreach(d => age(st, s"_dv/$d"))
+    st.expire(keepLast = 1)
+    assert(dvDirs.size === 1, "a live vector must survive expire")
+    assert(st.read().filter(col("id") % 97 === 0).count() === 0L)
+    // fold it away, expire again: the vector is unreferenced debris
+    st.compactSmall(smallBytes = Long.MaxValue, targetFiles = 2)
+    dvDirs.foreach(d => age(st, s"_dv/$d"))
+    st.expire(keepLast = 1)
+    assert(dvDirs.isEmpty, "an unreferenced vector must age out")
   }
 }
