@@ -1645,7 +1645,7 @@ object SparkEntry {
     // store.CdcSync. The fixture (snapshot history v1..v3 + the v1-built
     // LSH index) builds ONCE per corpus fingerprint — production's shape:
     // history and artifacts persist, each audit pays O(changed). Per rep:
-    // changelog, maintain, certify a 1/10 md5-key stratum (maintain ==
+    // changelog, maintain, certify a 1/20 md5-key stratum (maintain ==
     // rebuild is key-local with the bucket cap off; see CdcSync). The
     // FULL lifecycle + FULL certification re-runs per round as the
     // `cdcSync` stress row. Membership (n_docs/docs_ck) is always the
@@ -1659,14 +1659,14 @@ object SparkEntry {
           t(s, d, "documents").filter(col("doc_id") % 2 === 0)
             .select("doc_id", "text"), fx)
       }
-      graft.store.CdcSync.indexSyncServe(s, fx, certifyEvery = 10)
+      graft.store.CdcSync.indexSyncServe(s, fx, certifyEvery = 20)
     }),
 
     // K26 — CDC-driven maintenance of the VECTOR index (k25's contract for
     // the IVF-PQ serving artifact), store.CdcSync: quantizer fits ONCE at
     // v1 and stays pinned (fixture, buildOnce); per rep the changelog's
     // inserts encode against the pinned artifacts and deletes anti-join
-    // out, certified vs a 1/10-stratum re-encode (full: `cdcSync` stress
+    // out, certified vs a 1/20-stratum re-encode (full: `cdcSync` stress
     // row; the persisted-append form of the same maintenance is v12).
     "k26_cdc_ann_sync" -> ((s, d) => {
       val fx = "/tmp/graft_oracle/cdcann"
@@ -1675,7 +1675,7 @@ object SparkEntry {
           t(s, d, "embeddings").filter(col("vec_id") % 2 === 0)
             .select("vec_id", "embedding"), fx)
       }
-      graft.store.CdcSync.annSyncServe(s, fx, certifyEvery = 10)
+      graft.store.CdcSync.annSyncServe(s, fx, certifyEvery = 20)
     }),
 
     // K2/S3 — object-store PUT→GET round-trip through the REAL store

@@ -1169,6 +1169,32 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     case _ => None
   }
 
+  /** Structural negation for the planner (r15): NOT pushes through
+    * AND/OR by De Morgan and flips range comparisons, so `!(x < 100)`
+    * prunes like `x >= 100`. SOUND under SQL null semantics: a null
+    * operand makes both the original and the flipped comparison
+    * non-TRUE, so the negated form's keep-set is a superset of the
+    * rows NOT(child) actually keeps. Shapes without a sound negation
+    * (equality — its negation prunes nothing zone-wise; IN; opaque)
+    * return None → the caller keeps conservatively.
+    */
+  private def negated(e: CNode): Option[CNode] = {
+    import org.apache.spark.sql.graftshim.Bridge.PFunc
+    fnOf(e) match {
+      case Some(("and", Seq(l, r))) =>
+        for { nl <- negated(l); nr <- negated(r) } yield PFunc("or", Seq(nl, nr))
+      case Some(("or", Seq(l, r))) =>
+        for { nl <- negated(l); nr <- negated(r) } yield PFunc("and", Seq(nl, nr))
+      case Some((">", args)) => Some(PFunc("<=", args))
+      case Some((">=", args)) => Some(PFunc("<", args))
+      case Some(("<", args)) => Some(PFunc(">=", args))
+      case Some(("<=", args)) => Some(PFunc(">", args))
+      case Some(("not" | "!", Seq(c))) => Some(c) // double negation
+      case Some(("!=" | "<>", args)) => Some(PFunc("=", args))
+      case _ => None
+    }
+  }
+
   /** Sound keep-decision for `cond` against one candidate: false ONLY when
     * no row in the candidate can satisfy the predicate.
     */
@@ -1204,6 +1230,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       case Some(("in", a +: list)) if isAttr(a) &&
         list.forall(litValueOf(_).nonEmpty) =>
         list.exists(l => eqKeep(a, l))
+      case Some(("not" | "!", Seq(c))) =>
+        negated(c).map(keeps(_, ctx)).getOrElse(true)
       case _ => true // unsupported shape: no pruning from this subtree
     }
   }
@@ -1221,6 +1249,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       case Some(("in", a +: list)) =>
         for { n <- attrNameOf(a).toSeq; l <- list; v <- litValueOf(l) }
           yield (n, v)
+      case Some(("not" | "!", Seq(c))) =>
+        negated(c).map(collectEqProbes).getOrElse(Seq.empty)
       case _ => Seq.empty
     }
 
@@ -2041,6 +2071,22 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     rows.toDF("version", "commit_id", "commit_ts", "tag", "added_files",
       "added_rows", "added_bytes", "total_files", "total_rows")
       .orderBy("version")
+  }
+
+  /** The per-FILE detail metadata table at version `v` (Iceberg's
+    * `table$files`): one row per live data file — batch, physical and
+    * DV-masked row counts, bytes, primary-stats bounds, and the
+    * delete-vector refs. This is the explicit O(table files) drill-down
+    * the O(groups) [[snapshots]] census defers to; driver cost is the
+    * manifest read, no data file opens.
+    */
+  def files(v: Long): DataFrame = {
+    import spark.implicits._
+    readManifest(v).map(e => (e.file, e.batch, e.rows, e.dvRows, e.bytes,
+      e.minS, e.maxS, e.dv.mkString("+")))
+      .toDF("file", "batch", "rows", "dv_rows", "bytes", "min_stats",
+        "max_stats", "dv")
+      .orderBy("file")
   }
 
   /** Commit wall-clock of retained version `v` (epoch millis): the

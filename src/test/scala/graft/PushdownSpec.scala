@@ -73,10 +73,28 @@ class PushdownSpec extends SparkSpec {
     val (kept, total) = st.planStatsWhere(v, abs(col("x") - 5000) < 10)
     assert(kept === total, "an opaque shape must keep everything")
     assert(st.readWhere(v, abs(col("x") - 5000) < 10).count() === 19L)
-    // NOT is conservatively kept even over a plannable child
-    val (keptNot, _) = st.planStatsWhere(v, !(col("x") < 100))
-    assert(keptNot === total)
-    assert(st.readWhere(v, !(col("x") < 100)).count() === 9900L)
+    // NOT over an opaque child still keeps everything
+    val (keptNotOpaque, _) = st.planStatsWhere(v, !(abs(col("x")) < 100))
+    assert(keptNotOpaque === total)
+    assert(st.readWhere(v, !(abs(col("x")) < 100)).count() === 9900L)
+  }
+
+  test("NOT pushes through ranges and boolean structure (De Morgan)") {
+    val (st, v) = rangeStore("push-not")
+    // !(x < 9900) ≡ x >= 9900: must prune like the flipped comparison
+    val (kept, total) = st.planStatsWhere(v, !(col("x") < 9900))
+    assert(kept < total, s"negated range must prune ($kept/$total)")
+    assert(st.readWhere(v, !(col("x") < 9900)).count() === 100L)
+    // De Morgan over OR: !(x < 100 || x >= 200) ≡ x >= 100 && x < 200
+    val cond = !(col("x") < 100 || col("x") >= 200)
+    val (k2, _) = st.planStatsWhere(v, cond)
+    assert(k2 < total)
+    assert(st.readWhere(v, cond).count() === 100L)
+    // !(k != lit) ≡ k = lit: the double negation reaches the bloom layer
+    val neq = !(col("k") =!= "k9999")
+    assert(st.readWhere(v, neq).count() === 1L)
+    // a bare != prunes nothing but stays exact
+    assert(st.readWhere(v, col("k") =!= "k9999").count() === 9999L)
   }
 
   test("probe literals hash under the table's physical type") {

@@ -1200,6 +1200,11 @@ class SnapshotSpec extends SparkSpec {
     assert(st.readWhere(v2, col("id") === 98L).count() === 1L)
     assert(st.readIncremental(v1, v2).count() === 0L,
       "a DV-only delete adds no files — incremental sees nothing")
+    // the per-file detail table exposes the vector refs and masked counts
+    val detail = st.files(v2)
+    assert(detail.filter(col("dv") =!= "").count() === dvFiles.toLong)
+    assert(detail.agg(sum("dv_rows")).head.getLong(0) === dvRows)
+    assert(detail.agg(sum("rows") - sum("dv_rows")).head.getLong(0) === 989L)
   }
 
   test("DV delete equals COW delete row-for-row on the same predicate") {
@@ -1291,6 +1296,37 @@ class SnapshotSpec extends SparkSpec {
     stC.merge(delta, Seq("id"), dvMaxFraction = 0.0)
     assert(st.read().orderBy("id", "k").collect().toSeq
       === stC.read().orderBy("id", "k").collect().toSeq)
+  }
+
+  test("hidden partitioning: layout epochs coexist, audit, and prune independently") {
+    val st = new SnapshotStore(spark, tempDir("snap-layout") + "/snap", "id",
+      secondaryStats = Seq("v"))
+    st.setLayout("cast(id / 125 as int)", 8)
+    st.commit(spark.range(0, 1000).select(
+      col("id"), (col("id") % 10).cast("double").as("v")))
+    st.setLayout("cast(v as int)", 8)
+    val v2 = st.commit(spark.range(1000, 2000).select(
+      col("id"), (col("id") % 10).cast("double").as("v")))
+    // the audit: each commit records the layout it clustered under
+    assert(st.layoutOf(1L).contains("cast(id / 125 as int)"))
+    assert(st.layoutOf(2L).contains("cast(v as int)"))
+    // id predicate: epoch-1 resolves to ONE id-bucket file, epoch-2 files
+    // are all id >= 1000 and zone-skip entirely
+    val (k1, total) = st.planStatsWhere(v2, col("id") < 125)
+    assert(k1 === 1, s"epoch-aware id prune kept $k1 of $total")
+    assert(st.readWhere(v2, col("id") < 125).count() === 125L)
+    // v predicate over epoch 2: v-clustered files prune to the few files
+    // whose v-range covers 3 (hash clustering can co-locate buckets, so
+    // zones are ranges, not single values — still a hard skip of the
+    // epoch-1 half and most of epoch 2)
+    val (k2, _) = st.planStatsWhere(v2, col("v") === 3.0 && col("id") >= 1000L)
+    assert(k2 < total / 2, s"epoch-aware v prune kept $k2 of $total")
+    assert(st.readWhere(v2, col("v") === 3.0 && col("id") >= 1000L)
+      .count() === 100L)
+    // layout is metadata: clearing it affects only FUTURE commits
+    st.clearLayout()
+    assert(st.layout.isEmpty)
+    assert(st.read().count() === 2000L)
   }
 
   test("expire reclaims vectors of expired versions; live ones survive") {
