@@ -1654,7 +1654,7 @@ object SparkEntry {
     "k25_cdc_index_sync" -> ((s, d) => {
       val fx = "/tmp/graft_oracle/cdcidx"
       // the even half of the corpus (the structural-contract scoping rule)
-      buildOnce(d, "documents", fx, "cdcidx=lsh12x4-uncapped,snap-v2dv") {
+      buildOnce(d, "documents", fx, "cdcidx=lsh12x4-uncapped,snap-v3dvcert") {
         graft.store.CdcSync.prepareIndexFixture(s,
           t(s, d, "documents").filter(col("doc_id") % 2 === 0)
             .select("doc_id", "text"), fx)
@@ -1670,7 +1670,7 @@ object SparkEntry {
     // row; the persisted-append form of the same maintenance is v12).
     "k26_cdc_ann_sync" -> ((s, d) => {
       val fx = "/tmp/graft_oracle/cdcann"
-      buildOnce(d, "embeddings", fx, "cdcann=ivf16-pq8x16,snap-v2dv") {
+      buildOnce(d, "embeddings", fx, "cdcann=ivf16-pq8x16,snap-v3dvcert") {
         graft.store.CdcSync.prepareAnnFixture(s,
           t(s, d, "embeddings").filter(col("vec_id") % 2 === 0)
             .select("vec_id", "embedding"), fx)
