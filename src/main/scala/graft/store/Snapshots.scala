@@ -780,10 +780,11 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           val hitRows =
             if (candEntries.isEmpty) None
             else Some(visibleWithPositions(candEntries)
-              .select(col(FileCol).as("f") +: col(PosCol).as("pos") +:
-                keyCols.map(col): _*)
+              // keep the prefixed helper names through the semi-join: a
+              // user key column named "f"/"pos" must not collide
+              .select(col(FileCol) +: col(PosCol) +: keyCols.map(col): _*)
               .join(dKeys, keyCols, "left_semi")
-              .select("f", "pos").persist())
+              .select(col(FileCol).as("f"), col(PosCol).as("pos")).persist())
           try {
             val perFile: Map[String, Long] = hitRows.map(
               _.groupBy("f").agg(count(lit(1)).as("n")).collect()
