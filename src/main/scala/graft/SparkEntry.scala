@@ -1640,6 +1640,33 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // K35 — FLOAT-KEY BLOOM SKIPPING (k31's contract for non-integral
+    // key types; the r14 advice closed the typed-probe gap, this pins it
+    // under the oracle): grid/feature tables key point-lookups on DOUBLE
+    // values (lat/lon, derived scores) that hash-distribute across files,
+    // where zones keep everything. Commit-side sketches hash the native
+    // double; the r15 driver-local probe hashes the literal under the
+    // column's physical type (exact-conversion rules, -0.0 normalized),
+    // so the lookup skips files with zero false negatives. dvalue =
+    // event_id * 0.5 is exact in binary on both engines, so the oracle
+    // replays the IN list verbatim.
+    "k35_float_bloom_skip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-fbloom").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id",
+        bloomCols = Seq("dvalue"))
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        (col("event_id").cast("double") * 0.5).as("dvalue"))
+      // hash-scattered layout: zones on dvalue are useless by design
+      val v = st.commit(ev.repartition(16, col("event_id")))
+      val probes: Seq[Any] = Seq(21.0, 1021.0, 2121.0, 3888.5)
+      val (kept, total) = st.pruneStatsEq(v, "dvalue", probes)
+      st.readPrunedEq(v, "dvalue", probes)
+        .filter(col("dvalue").isin(probes: _*))
+        .select(col("event_id"), col("event_type"), col("dvalue"))
+        .withColumn("bloom_skipped", lit(if (kept < total) 1L else 0L))
+        .orderBy("event_id")
+    }),
+
     // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
     // d15 persisted dedup index); lifecycle + certification live in
     // store.CdcSync. The fixture (snapshot history v1..v3 + the v1-built
@@ -4391,6 +4418,16 @@ object SparkEntry {
     // hash catches it.
     "st11_snapshot_sink" -> ((s, d) => StreamContract.snapshotSink(s, d)),
 
+    // ST13 — STREAMING TAKEDOWN SINK: a compliance key stream drains into
+    // keyed merge-on-read deletes — each epoch one METADATA-ONLY delete
+    // commit (scattered hits mask behind delete vectors; zones + blooms
+    // bound the hit scan), naturally idempotent on replay (masked rows
+    // never re-match, so the forced replay of epoch 0 freezes version and
+    // state). The masked-row census and the metadata-only/replay flags
+    // ride in the gated result; the oracle replays the union of the three
+    // key strides as a plain NOT-IN.
+    "st13_takedown_sink" -> ((s, d) => StreamContract.takedownSink(s, d)),
+
     // ST12 — WAP QUARANTINE SINK: every micro-batch stages invisibly,
     // a per-batch audit gates the publish (exactly-once behind the wap
     // tag), and the one poisoned epoch stays quarantined — staged,
@@ -5675,6 +5712,16 @@ object SparkEntry {
         |   OR value BETWEEN 10 AND 20
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // k35: the float-key bloom-pruned point lookup is exactly the plain
+    // lookup (event_id * 0.5 is exact in binary on both engines)
+    "k35_float_bloom_skip" ->
+      """SELECT event_id, event_type,
+        |       CAST(event_id AS DOUBLE) * 0.5 AS dvalue,
+        |       CAST(1 AS BIGINT) AS bloom_skipped
+        |FROM events
+        |WHERE CAST(event_id AS DOUBLE) * 0.5 IN (21.0, 1021.0, 2121.0, 3888.5)
+        |ORDER BY event_id""".stripMargin,
+
     // k25: the maintained index's membership must be exactly the corpus
     // minus the takedown (replayed via portable md5 checksum), and the
     // symmetric difference against a from-scratch rebuild must be zero on
@@ -6879,6 +6926,22 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS poison_leaked,
         |       CAST(1 AS BIGINT) AS replay_stable
         |FROM events WHERE event_id % 4 <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // st13: the visible table is exactly the corpus minus the streamed
+    // takedown keys; the masked census equals the key-set size; every
+    // epoch was metadata-only and the forced replay moved nothing
+    "st13_takedown_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_value,
+        |       (SELECT count(*) FROM events
+        |          WHERE event_id % 997 = 0 OR event_id % 991 = 1
+        |             OR event_id % 983 = 2) AS masked_rows,
+        |       CAST(1 AS BIGINT) AS metadata_only,
+        |       CAST(1 AS BIGINT) AS replay_stable
+        |FROM events
+        |WHERE NOT (event_id % 997 = 0 OR event_id % 991 = 1
+        |           OR event_id % 983 = 2)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st9_stream_lm_gate" ->

@@ -673,4 +673,75 @@ object StreamContract {
       .withColumn("replay_stable", lit(replayStable))
       .orderBy("event_type")
   }
+
+  /** st13: the STREAMING TAKEDOWN SINK — a compliance key stream applied
+    * to a snapshot table through merge-on-read deletes. Each micro-batch
+    * is a set of takedown keys; `foreachBatch` collects them (takedown
+    * batches are small by nature — ids, never rows) and issues one keyed
+    * `deleteWhere`, which plans through zones + blooms and MASKS the
+    * scattered hits behind delete vectors: a METADATA-ONLY commit per
+    * epoch, zero data files written or dropped (pinned by the
+    * metadata_only flag). Replay-safe WITHOUT tags: a replayed epoch's
+    * keys are already masked, so its visible scan matches nothing and
+    * deleteWhere no-ops — the query forces a replay of the first epoch
+    * and pins the version/state freeze. The audit trail a takedown
+    * pipeline is graded on rides in the result: the cumulative masked-row
+    * census (dvStats) must equal the key-set size the oracle replays.
+    */
+  def takedownSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.store.SnapshotStore
+    val ev = Tables(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    val landing = tmp("st13_landing")
+    val storeDir = tmp("st13_store")
+    val ckpt = tmp("st13_ckpt")
+    val st = new SnapshotStore(spark, s"$storeDir/snap", "event_id",
+      bloomCols = Seq("event_id"))
+    (0L to 2L).foreach(b =>
+      st.commit(ev.filter(pmod(col("event_id"), lit(3L)) === b)
+        .repartitionByRange(4, col("event_id"))))
+    // three takedown epochs, each a scattered key stride (~0.1% of rows,
+    // ~one hit per file — the shape delete vectors exist for)
+    val strides = Seq(("a", col("event_id") % 997 === 0),
+      ("b", col("event_id") % 991 === 1), ("c", col("event_id") % 983 === 2))
+    strides.zipWithIndex.foreach { case ((_, cond), i) =>
+      ev.filter(cond).select("event_id").coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(landing)
+    }
+    val dataFilesBefore = st.read().inputFiles
+      .filterNot(_.contains("/_dv/")).toSet
+    def applyTakedown(batch: DataFrame): Unit = {
+      val keys = batch.select("event_id").collect().map(_.getLong(0)).toSeq
+      if (keys.nonEmpty) { st.deleteWhere(col("event_id").isin(keys: _*)); () }
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    withDrainParallelism(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => applyTakedown(batch) }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // forced at-least-once replay of the FIRST epoch: every key is
+    // already masked, the visible scan matches nothing, the table and
+    // version must freeze
+    val vBefore = st.latestVersion.get
+    applyTakedown(ev.filter(strides.head._2).select("event_id"))
+    val replayStable = if (st.latestVersion.get == vBefore) 1L else 0L
+    val metadataOnly = if (st.read().inputFiles
+      .filterNot(_.contains("/_dv/")).toSet == dataFilesBefore) 1L else 0L
+    val (_, maskedRows) = st.dvStats(st.latestVersion.get)
+    st.read().groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(30,3)")).cast("double").as("sum_value"))
+      .withColumn("masked_rows", lit(maskedRows))
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("replay_stable", lit(replayStable))
+      .orderBy("event_type")
+  }
 }
