@@ -1329,6 +1329,19 @@ class SnapshotSpec extends SparkSpec {
     assert(st.read().count() === 2000L)
   }
 
+  test("DV reads anti-join the vectors BROADCAST — the data side never shuffles") {
+    val st = freshStore("snap-dv-plan")
+    st.commit(batch(0, 999).repartitionByRange(4, col("id")))
+    st.deleteWhere(col("id") % 97 === 0)
+    val df = st.read()
+    assert(df.count() === 989L) // run first: AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the vector anti-join must broadcast the (tiny) vector side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge anti-join would shuffle the whole data side per read")
+  }
+
   test("expire reclaims vectors of expired versions; live ones survive") {
     val st = freshStore("snap-dv-exp")
     st.commit(batch(0, 999).repartitionByRange(4, col("id")))
