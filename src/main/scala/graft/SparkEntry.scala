@@ -1667,6 +1667,57 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // K36 — TABLE SORT ORDER (r16; Iceberg's write.sort-order, replacing
+    // the reference's engine-baked `ORDER BY (variable, timestamp, lat,
+    // lon)` primary key, migrations/clickhouse/init.sql:25, with table-
+    // format METADATA): the declared order is recorded per commit
+    // (`#sortorder=` — the audit rides as a pinned flag), compaction
+    // re-establishes it on the files it rewrites, and the order-
+    // exploiting top-k read scans only the zone-bounded file prefix that
+    // can contain the answer (files_pruned pins the skip), planning as a
+    // bounded TakeOrderedAndProject — no global sort, no table shuffle.
+    // The oracle replays ORDER BY ... LIMIT verbatim (event_id is unique,
+    // so the boundary is deterministic on both engines).
+    "k36_sort_order" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-sort").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id")
+      st.setSortOrder(Seq("event_id"))
+      val ev = t(s, d, "events").select("event_id", "event_type", "value")
+      (0L to 2L).foreach(b =>
+        st.commit(ev.filter(pmod(col("event_id"), lit(3L)) === b)
+          .repartitionByRange(4, col("event_id"))))
+      val vc = st.compactSmall(smallBytes = 1L << 30, targetFiles = 12).get
+      val (kept, total) = st.topKStats(vc, "event_id", 100)
+      val recorded = st.sortOrderOf(vc).contains(Seq("event_id"))
+      st.readTopK(vc, "event_id", 100)
+        .withColumn("files_pruned", lit(if (kept < total) 1L else 0L))
+        .withColumn("order_recorded", lit(if (recorded) 1L else 0L))
+        .orderBy("event_id")
+    }),
+
+    // K37 — NULL-COUNT ZONE STATS (r16): the manifest records per-file
+    // physical null counts alongside min/max, so IS [NOT] NULL shapes
+    // prune instead of conservatively keeping — the missing stats slot
+    // every real table format carries (Parquet/Iceberg null_value_counts).
+    // v2 nulls cluster under the range layout, the IS NOT NULL read skips
+    // the all-null files (files_pruned pins it), and the result replays
+    // as the plain derivation filter in the oracle.
+    "k37_null_pruning" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+      val st = new SnapshotStore(s, s"$out/snap", "event_id",
+        secondaryStats = Seq("v2"))
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        when(col("value") >= 50.0, col("value")).as("v2"))
+      st.commit(ev.repartitionByRange(8, col("v2")))
+      val (kept, total) = st.planStatsWhere(1L, col("v2").isNotNull)
+      st.readWhere(1L, col("v2").isNotNull)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("v2").cast("decimal(30,3)")).cast("double").as("sum_v2"))
+        .withColumn("files_pruned", lit(if (kept < total) 1L else 0L))
+        .orderBy("event_type")
+    }),
+
     // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
     // d15 persisted dedup index); lifecycle + certification live in
     // store.CdcSync. The fixture (snapshot history v1..v3 + the v1-built
@@ -5721,6 +5772,23 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(event_id AS DOUBLE) * 0.5 IN (21.0, 1021.0, 2121.0, 3888.5)
         |ORDER BY event_id""".stripMargin,
+
+    // k36: the order-exploiting top-k is exactly ORDER BY ... LIMIT
+    // (event_id unique -> deterministic boundary); skip + audit pinned
+    "k36_sort_order" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(1 AS BIGINT) AS files_pruned,
+        |       CAST(1 AS BIGINT) AS order_recorded
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+
+    // k37: IS NOT NULL over the derived column replays as the derivation
+    // filter; the all-null-file skip is an engine-side pin
+    "k37_null_pruning" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,3))) AS DOUBLE) AS sum_v2,
+        |       CAST(1 AS BIGINT) AS files_pruned
+        |FROM events WHERE value >= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // k25: the maintained index's membership must be exactly the corpus
     // minus the takedown (replayed via portable md5 checksum), and the

@@ -159,9 +159,14 @@ object CdcSync {
     // certification rebuild: the persisted fixture baseline when one was
     // prepared for this stratum (deterministic, see prepareIndexFixture);
     // a live stratum re-index otherwise (the certifyEvery = 1 stress path)
+    // probe via the Hadoop FS of the fixture path's scheme (r15 advice):
+    // java.nio Files.exists is LOCAL-only — on an hdfs:/s3a: fixture dir
+    // it would silently never find the persisted baseline and every audit
+    // would fall back to the slow live-stratum rebuild
+    val certPath = new org.apache.hadoop.fs.Path(s"$dir/cert$certifyEvery")
     val reb =
-      if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(dir, s"cert$certifyEvery")))
+      if (certPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .exists(certPath))
         Dedup.loadIndex(s, s"$dir/cert$certifyEvery")
       else Dedup.buildIndex(
         st.read().filter(stratum("doc_id", certifyEvery)), "doc_id", "text",

@@ -99,7 +99,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   final case class FileEntry(file: String, batch: Long, rows: Long,
       minS: Double, maxS: Double, bytes: Long,
       extra: Seq[(Double, Double)] = Nil,
-      dv: Seq[String] = Nil, dvRows: Long = 0L) {
+      dv: Seq[String] = Nil, dvRows: Long = 0L,
+      nulls: Seq[Long] = Nil) {
     /** Bounds of the i-th stats column (0 = primary). */
     def bounds(i: Int): (Double, Double) =
       if (i == 0) (minS, maxS) else extra(i - 1)
@@ -160,7 +161,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private final case class Group(ref: Option[String], names: Seq[String],
     entries: Seq[FileEntry], files: Int = -1,
-    summary: Option[Seq[(Double, Double)]] = None, rows: Long = -1L)
+    summary: Option[Seq[(Double, Double)]] = None, rows: Long = -1L,
+    origin: Option[String] = None)
 
   private def groupPath(name: String) = new Path(s"$path/_manifests/$name")
 
@@ -203,17 +205,24 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       // columns named by the #stats= header, plus an optional trailing
       // `dv=<name>+<name>:<maskedRows>` delete-vector field (r15) —
       // distinguishable unambiguously: stats fields are doubles
-      val (dvF, statF) = a.drop(6).partition(_.startsWith("dv="))
+      val (tagged, statF) = a.drop(6).partition(f =>
+        f.startsWith("dv=") || f.startsWith("nc="))
+      val dvF = tagged.filter(_.startsWith("dv="))
       val (dvNames, dvRows) = dvF.headOption.map { f =>
         val body = f.stripPrefix("dv=")
         val i = body.lastIndexOf(':')
         (body.take(i).split("\\+").toSeq, body.drop(i + 1).toLong)
       }.getOrElse((Seq.empty[String], 0L))
+      // per-stats-column PHYSICAL null counts (r16), -1 = unknown;
+      // absent field = legacy entry, no null information at all
+      val nulls = tagged.find(_.startsWith("nc=")).map(
+        _.stripPrefix("nc=").split(",").toSeq.map(_.toLong))
+        .getOrElse(Seq.empty[Long])
       FileEntry(a(0), a(1).toLong, a(2).toLong, a(3).toDouble, a(4).toDouble,
         a(5).toLong,
         statF.grouped(2).collect { case Array(mn, mx) =>
           (mn.toDouble, mx.toDouble) }.toSeq,
-        dvNames, dvRows)
+        dvNames, dvRows, nulls)
     }
 
   private def statsHeaderOf(lines: Seq[String]): Seq[String] =
@@ -312,7 +321,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           }.toMap
         def of(c: String) = known.getOrElse(c, noInfo)
         val (mn0, mx0) = of(to.head)
-        e.copy(minS = mn0, maxS = mx0, extra = to.tail.map(of))
+        // null counts re-key by name like bounds; -1 = no information
+        val knownNc: Map[String, Long] =
+          from.zipWithIndex.flatMap { case (n, i) =>
+            e.nulls.lift(i).map(n -> _) }.toMap
+        e.copy(minS = mn0, maxS = mx0, extra = to.tail.map(of),
+          nulls = if (e.nulls.isEmpty) Nil
+            else to.map(c => knownNc.getOrElse(c, -1L)))
       }
     }
   }
@@ -476,6 +491,88 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       df.repartition(files, expr(sql))
     }.getOrElse(df)
 
+  private def sortOrderPath = new Path(s"$path/_sortorder")
+
+  /** Declare the table's SORT ORDER (r16; Iceberg's write.sort-order —
+    * the reference's `ORDER BY (variable, timestamp, lat, lon)` primary
+    * key, `migrations/clickhouse/init.sql:25`, as table-format METADATA
+    * instead of an engine property): commits sort rows within each
+    * written file on `cols` and RECORD the order in the manifest header
+    * (`#sortorder=`), [[compactSmall]]/[[foldDv]] re-establish it on the
+    * files they rewrite, and order-exploiting reads ([[readTopK]]) lean
+    * on the resulting zone clustering. Columns must be zone-tracked —
+    * an order readers can't see through the stats buys nothing.
+    */
+  def setSortOrder(cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "sort order needs at least one column")
+    val untracked = cols.filterNot(statsCols.contains)
+    require(untracked.isEmpty,
+      s"sort-order columns must be zone-tracked stats columns " +
+        s"(tracked: ${statsCols.mkString(",")}; untracked: ${untracked.mkString(",")})")
+    writeAtomic(sortOrderPath, cols.mkString(","), overwrite = true)
+  }
+
+  /** Drop the declared sort order — future commits write unsorted. */
+  def clearSortOrder(): Unit = { fs.delete(sortOrderPath, false); () }
+
+  /** The currently declared sort order, if any. */
+  def sortOrder: Option[Seq[String]] =
+    if (!fs.exists(sortOrderPath)) None
+    else readLines(sortOrderPath).headOption.map(_.split(",").toSeq)
+
+  /** The sort order a retained version's commit wrote its files under,
+    * if any — the per-commit audit, like [[layoutOf]].
+    */
+  def sortOrderOf(v: Long): Option[Seq[String]] = {
+    val p = manifestPath(v)
+    if (!fs.exists(p)) None
+    else readLines(p).find(_.startsWith("#sortorder="))
+      .map(_.stripPrefix("#sortorder=").split(",").toSeq)
+  }
+
+  /** Sort `df` within its (already layout-clustered) partitions under the
+    * declared order, or pass through unchanged.
+    */
+  private def applySortOrder(df: DataFrame): DataFrame =
+    sortOrder.map(cs => df.sortWithinPartitions(cs.map(col): _*)).getOrElse(df)
+
+  /** Range-pack `df` into `files` files under the declared sort order
+    * when one exists (repartitionByRange + sortWithinPartitions = a
+    * global order across the pack), else on the primary stats column —
+    * the shared rewrite shape of [[compactSmall]] and [[foldDv]], so
+    * maintenance PRESERVES the declared order instead of eroding it.
+    */
+  private def packUnderOrder(df: DataFrame, files: Int): DataFrame =
+    sortOrder match {
+      case Some(cs) =>
+        df.repartitionByRange(math.max(files, 1), cs.map(col): _*)
+          .sortWithinPartitions(cs.map(col): _*)
+      case None => df.repartitionByRange(math.max(files, 1), col(statsCol))
+    }
+
+  /** The rewrite shape maintenance uses (r16): files being rewritten
+    * anyway re-cluster under the CURRENT layout when one is declared —
+    * layout-epoch CONVERGENCE for free (tables trend toward one epoch
+    * across compactions, no dedicated rewrite) — else range-pack under
+    * the sort order / primary stats column as before.
+    */
+  private def rewriteShape(df: DataFrame, files: Int): DataFrame =
+    if (layout.nonEmpty) applySortOrder(applyLayout(df))
+    else packUnderOrder(df, files)
+
+  /** Live-file census by the layout epoch each file was written under
+    * (its commit's recorded `#layout=`; None = pre-layout commits or
+    * expired provenance) — the convergence audit: maintenance rewrites
+    * under the current layout, so this trends toward one epoch.
+    */
+  def layoutCensus(v: Long): Map[Option[String], Int] = {
+    val cache = scala.collection.mutable.Map.empty[Long, Option[String]]
+    readManifest(v).groupBy(e => cache.getOrElseUpdate(e.batch,
+      if (e.batch > 0 && fs.exists(manifestPath(e.batch))) layoutOf(e.batch)
+      else None))
+      .map { case (k, es) => k -> es.size }
+  }
+
   /** Commit `df` as the next version; returns the new version number.
     * The data write is a normal distributed Parquet job; only the
     * per-file stats (one bounded aggregate over the NEW batch, grouped by
@@ -483,8 +580,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * driver.
     */
   def commit(df: DataFrame): Long =
-    doCommit(applyLayout(df), () => carryAllGroups(),
-      layoutTag = layout.map(_._1))
+    doCommit(applySortOrder(applyLayout(df)), () => carryAllGroups(),
+      layoutTag = layout.map(_._1), sortTag = sortOrder)
 
   /** The pure-append carry: every previous group rides by reference with
     * the summary the previous LIST already holds — NO group file is
@@ -526,7 +623,11 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       val mapped = g.entries.flatMap(m(_))
       if (mapped.isEmpty) None
       else if (mapped == g.entries) Some(g)
-      else Some(Group(None, g.names, mapped))
+      // `origin` remembers the superseded group so the re-expressed one
+      // can carry its bloom sidecar lines forward (r16): the surviving
+      // files' CONTENTS are unchanged (a DV attach masks rows, a partial
+      // rewrite drops whole files), so their sketches stay sound
+      else Some(Group(None, g.names, mapped, origin = g.ref))
     }).getOrElse(Seq.empty)
 
   /** Idempotent tagged append — the exactly-once handshake for
@@ -544,8 +645,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   def commitTagged(df: DataFrame, tag: String): Long = {
     require(!tag.contains("\n") && !tag.contains("\t"), s"malformed tag: $tag")
     taggedVersion(tag).getOrElse(
-      doCommit(applyLayout(df), () => carryAllGroups(), tag = Some(tag),
-        layoutTag = layout.map(_._1)))
+      doCommit(applySortOrder(applyLayout(df)), () => carryAllGroups(),
+        tag = Some(tag), layoutTag = layout.map(_._1), sortTag = sortOrder))
   }
 
   /** Commit whose manifest references ONLY the newly written files — the
@@ -584,14 +685,52 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       // the point); a single small vector-less file has nothing to gain
       if (small.size < 2 && !small.exists(_.dv.nonEmpty)) None
       else {
-        val packed = readEntriesDf(small, m)
-          .repartitionByRange(math.max(targetFiles, 1), col(statsCol))
+        val packed = rewriteShape(readEntriesDf(small, m), targetFiles)
         val smallFiles = small.map(_.file).toSet
         // planned against `prev`: a concurrent commit in between must fail
         // this rewrite (ConcurrentModificationException), not be dropped
         Some(doCommit(packed, () => carriedGroups(e => !smallFiles(e.file)),
-          expectedPrev = Some(Some(prev))))
+          expectedPrev = Some(Some(prev)), layoutTag = layout.map(_._1),
+          sortTag = sortOrder))
       }
+    }
+
+  /** Fold EVERY live delete vector into a real rewrite: files carrying
+    * vectors re-land vector-free (range-packed, one output file per
+    * folded input file); clean files carry by reference, so the fold
+    * costs O(masked files), never the table. Returns the fold's version,
+    * or None when no vectors are live. The vectors themselves stay
+    * referenced by OLDER versions until [[expire]] reclaims them.
+    */
+  def foldDv(): Option[Long] = latestVersion.flatMap { prev =>
+    val m = readManifest(prev)
+    val masked = m.filter(_.dv.nonEmpty)
+    if (masked.isEmpty) None
+    else {
+      val folded = rewriteShape(readEntriesDf(masked, m), masked.size)
+      Some(doCommit(folded, () => carriedGroups(_.dv.isEmpty),
+        expectedPrev = Some(Some(prev)), layoutTag = layout.map(_._1),
+        sortTag = sortOrder))
+    }
+  }
+
+  /** DV-debt maintenance trigger (r16; the verdict's "v14-inertia idea
+    * for vectors"): ONE manifest read decides — when live vectors mask
+    * more than `maxFraction` of the table's physical rows, [[foldDv]]
+    * retires them all; below the threshold this is a metadata-only no-op.
+    * The maintenance-loop shape a delete-heavy store runs after takedown
+    * bursts: between triggers every read pays only the (broadcast,
+    * compaction-bounded) anti-join, and the fold cost amortizes over the
+    * deletes that accumulated the debt. Returns the fold version when it
+    * fired.
+    */
+  def maintainDv(maxFraction: Double = 0.1): Option[Long] =
+    latestVersion.flatMap { v =>
+      val m = readManifest(v)
+      val rows = m.map(_.rows).sum
+      val debt = m.map(_.dvRows).sum
+      if (rows == 0L || debt.toDouble / rows <= maxFraction) None
+      else foldDv()
     }
 
   /** Z-ORDER the whole table (Delta's OPTIMIZE ZORDER BY): rewrite the
@@ -654,6 +793,15 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       val m = readManifest(prev)
       val byName: Map[String, FileEntry] =
         m.map(e => basenameOf(e.file) -> e).toMap
+      // DV accounting (and antiDv's read-side anti-join) key on parquet
+      // BASENAMES — a collision across batch dirs would cross-mask rows
+      // of the wrong file. Spark's UUID-bearing part names make one
+      // practically impossible; fail loudly rather than lose rows
+      // silently if hand-placed files ever break the invariant.
+      require(byName.size == m.size,
+        s"duplicate data-file basenames in manifest v$prev at $path — " +
+          "delete-vector accounting keys on basenames; rewrite the " +
+          "colliding batch before mutating")
       // hit detection PLANS through the pushdown pruner first (r15):
       // zones + blooms drop every file that provably contains no match,
       // so a keyed takedown scans O(candidate files), never the table —
@@ -661,11 +809,19 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       val (cands, _, _) = pruneWhere(prev, cond)
       if (cands.isEmpty) None // metadata disproves every file: no-op
       else {
-      val hits = visibleWithPositions(cands).filter(cond)
-        .select(col(FileCol).as("f"), col(PosCol).as("pos")).persist()
-      try {
-        val perFile = hits.groupBy("f").agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap // O(#touched files)
+        // Phase 1 (r16; the k18 regression fix): a POSITIONS-FREE census —
+        // hit counts per file from a plain scan (no `_metadata.row_index`
+        // projection, no persist). Only files already carrying vectors pay
+        // the positioned scan here (their visible rows need the anti-join).
+        def census(df: DataFrame): Map[String, Long] =
+          df.filter(cond).groupBy(FileCol).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (dvedC, plainC) = cands.partition(_.dv.nonEmpty)
+        val perFile: Map[String, Long] =
+          (if (plainC.isEmpty) Map.empty[String, Long]
+           else census(scanWithFile(plainC.map(_.file)))) ++
+          (if (dvedC.isEmpty) Map.empty[String, Long]
+           else census(visibleWithPositions(dvedC)))
         if (perFile.isEmpty) None
         else {
           val full = perFile.keySet.filter(f => perFile(f) >= byName(f).visibleRows)
@@ -674,13 +830,17 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           val cowSet = perFile.keySet -- full -- dvSet
           val dvName = s"dv-${java.util.UUID.randomUUID()}"
           if (dvSet.nonEmpty) {
-            import spark.implicits._
-            // one vector sidecar per delete commit, shared by its files;
-            // a semi-join (not isin) — a takedown can touch 10^5 files
-            hits.join(dvSet.toSeq.toDF("f2"), col("f") === col("f2"),
-                "left_semi")
-              .select("f", "pos")
-              .coalesce(math.max(1, dvSet.size / 4096 + 1))
+            // Phase 2: row POSITIONS are scanned only for the files that
+            // actually take a vector — a pure-COW delete (every touched
+            // file above the threshold) never pays them at all
+            val dvEntries = cands.filter(e => dvSet(basenameOf(e.file)))
+            visibleWithPositions(dvEntries).filter(cond)
+              .select(col(FileCol).as("f"), col(PosCol).as("pos"))
+              // repartition, NOT coalesce: coalesce would propagate up
+              // and run the whole positions scan at vector-file width
+              // (the hit rows are O(hits) — their shuffle is free; the
+              // scan's parallelism is not)
+              .repartition(math.max(1, dvSet.size / 4096 + 1))
               .write.parquet(dvDirPath(dvName).toString)
           }
           def mapEntry(e: FileEntry): Option[FileEntry] = {
@@ -716,7 +876,6 @@ final class SnapshotStore(spark: SparkSession, val path: String,
               throw e
           }
         }
-      } finally { hits.unpersist(); () }
       }
     }
 
@@ -766,6 +925,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         val m = readManifest(prev)
         val byName: Map[String, FileEntry] =
           m.map(e => basenameOf(e.file) -> e).toMap
+        // same basename-collision guard as deleteWhere: DV accounting
+        // keys on basenames, so a collision must fail loudly here
+        require(byName.size == m.size,
+          s"duplicate data-file basenames in manifest v$prev at $path — " +
+            "delete-vector accounting keys on basenames; rewrite the " +
+            "colliding batch before mutating")
         val (nDelta, zoneCands) = mergeCandidates(delta, keyCols, prev)
         val candidates = mergeScanCandidates(delta, keyCols, prev,
           nDelta, zoneCands)
@@ -918,20 +1083,29 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     if (!fs.listStatus(dir).exists(_.getPath.getName.startsWith("part-")))
       Array.empty[FileEntry]
     else {
-      val aggExprs = count(lit(1)).as("n") +:
+      val aggExprs = (count(lit(1)).as("n") +:
         statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
           min(col(c).cast("double")).as(s"mn$i"),
-          max(col(c).cast("double")).as(s"mx$i")) }
+          max(col(c).cast("double")).as(s"mx$i")) }) ++
+        // physical null count per stats column (r16): lets IS [NOT] NULL
+        // predicates prune; costs nothing extra (same aggregate pass)
+        statsCols.zipWithIndex.map { case (c, i) =>
+          sum(col(c).isNull.cast("long")).as(s"nc$i") }
+      val ncBase = 1 + 2 * statsCols.size
       spark.read.parquet(dir.toString)
         .groupBy(input_file_name().as("f"))
         .agg(aggExprs.head, aggExprs.tail: _*)
         .collect()
         .map { r =>
           val f = r.getString(0)
-          FileEntry(f, -1L, r.getLong(1), r.getDouble(2), r.getDouble(3),
+          // an all-null column aggregates min/max to SQL NULL — record
+          // NaN ("no information"; every prune layer keeps on NaN)
+          def d(idx: Int) = if (r.isNullAt(idx)) Double.NaN else r.getDouble(idx)
+          FileEntry(f, -1L, r.getLong(1), d(2), d(3),
             fs.getFileStatus(new Path(f)).getLen,
             statsCols.indices.drop(1).map(i =>
-              (r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i))))
+              (d(2 + 2 * i), d(3 + 2 * i))),
+            nulls = statsCols.indices.map(i => r.getLong(1 + ncBase + i)))
         }
         .sortBy(_.file)
     }
@@ -1001,15 +1175,27 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private def bloomBody(names: Seq[String],
       blooms: Seq[(String, Seq[Array[Byte]])]): String = {
-    val union = blooms.map(_._2).transpose.map { bs =>
-      val acc = bs.head.clone()
-      bs.tail.foreach { b =>
-        var i = 0
-        while (i < acc.length && i < b.length) { acc(i) = (acc(i) | b(i)).toByte; i += 1 }
-      }
-      acc
-    }
-    val body = (s"*\t${union.map(b64).mkString("\t")}" +:
+    // The `*` union line (the group-level skip) is sound ONLY when every
+    // file's sketch per column has the same bit width — probe bits are
+    // positions mod the width, so OR-ing mixed widths loses bits. Mixed
+    // widths happen when carried-forward sketches (r16) predate a batch
+    // sizing change; the sidecar then omits the union — parse yields no
+    // union bitset, the group keeps conservatively, per-file sketches
+    // (each probed under its own width) still prune.
+    val cols = blooms.map(_._2).transpose
+    val unionLine =
+      if (cols.forall(bs => bs.map(_.length).distinct.size <= 1)) {
+        val union = cols.map { bs =>
+          val acc = bs.head.clone()
+          bs.tail.foreach { b =>
+            var i = 0
+            while (i < acc.length && i < b.length) { acc(i) = (acc(i) | b(i)).toByte; i += 1 }
+          }
+          acc
+        }
+        Seq(s"*\t${union.map(b64).mkString("\t")}")
+      } else Seq.empty
+    val body = (unionLine ++
       blooms.map { case (f, bs) => s"$f\t${bs.map(b64).mkString("\t")}" })
       .mkString("\n")
     s"#crc=${crcOf(body)}\n#cols=${names.mkString(",")}\n" +
@@ -1122,6 +1308,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private trait PruneCtx {
     def bounds(colName: String): Option[(Double, Double)]
     def mightContain(colName: String, value: Any): Boolean
+    /** PHYSICAL null count of the column, when recorded (r16). */
+    def nullCount(colName: String): Option[Long] = None
+    /** PHYSICAL row count of the candidate, when known. */
+    def physRows: Option[Long] = None
   }
 
   // Spark 4 Columns carry their structure as a private[sql] ColumnNode
@@ -1192,6 +1382,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       case Some(("<=", args)) => Some(PFunc(">", args))
       case Some(("not" | "!", Seq(c))) => Some(c) // double negation
       case Some(("!=" | "<>", args)) => Some(PFunc("=", args))
+      // exact complements (both sides 2-valued, never null)
+      case Some(("isnull" | "isNull", args)) => Some(PFunc("isnotnull", args))
+      case Some(("isnotnull" | "isNotNull", args)) => Some(PFunc("isnull", args))
       case _ => None
     }
   }
@@ -1231,6 +1424,17 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       case Some(("in", a +: list)) if isAttr(a) &&
         list.forall(litValueOf(_).nonEmpty) =>
         list.exists(l => eqKeep(a, l))
+      // r16 null-count pruning. Sound under delete vectors BECAUSE the
+      // counts are PHYSICAL: zero physical nulls => no visible null
+      // either (masking only removes rows); all-physical-null => every
+      // visible row is null. The opposite directions stay conservative
+      // (a non-null physical row may be masked -> keep).
+      case Some(("isnull" | "isNull", Seq(a))) =>
+        (for { n <- attrNameOf(a); nc <- ctx.nullCount(n) } yield nc > 0L)
+          .getOrElse(true)
+      case Some(("isnotnull" | "isNotNull", Seq(a))) =>
+        (for { n <- attrNameOf(a); nc <- ctx.nullCount(n); r <- ctx.physRows }
+          yield nc < r).getOrElse(true)
       case Some(("not" | "!", Seq(c))) =>
         negated(c).map(keeps(_, ctx)).getOrElse(true)
       case _ => true // unsupported shape: no pruning from this subtree
@@ -1255,6 +1459,35 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       case _ => Seq.empty
     }
 
+  /** PROBE-CAP discipline for the planner (r16; the MergeProbeCap rule
+    * applied to arbitrary predicates — the r15 verdict's takedown
+    * envelope): an `IN` whose literal list exceeds
+    * [[SnapshotStore.InProbeCap]] would cost O(candidate files × keys)
+    * driver-side zone checks and bloom bit-tests — a 10^5-key takedown
+    * against a 10^5-file table is ~10^10 driver operations at PLAN time.
+    * Above the cap the IN collapses to its numeric RANGE conjunct
+    * (min(keys) <= a <= max(keys)) — one O(keys) driver pass once, then
+    * O(1) per file — and to a keep-all when the keys aren't numeric.
+    * Sound: the range keep-set is a superset of the IN's. Exact hit
+    * detection stays with the distributed filter, where it belongs.
+    */
+  private def capWideIn(e: CNode): CNode = {
+    import org.apache.spark.sql.graftshim.Bridge.{PFunc, PLit, POpaque}
+    fnOf(e) match {
+      case Some((n @ ("and" | "or"), Seq(l, r))) =>
+        PFunc(n, Seq(capWideIn(l), capWideIn(r)))
+      case Some(("not" | "!", Seq(c))) => PFunc("not", Seq(capWideIn(c)))
+      case Some(("in", a +: list))
+          if list.size > SnapshotStore.InProbeCap =>
+        val ds = list.flatMap(litValueOf).flatMap(asDouble)
+        if (ds.size == list.size && attrNameOf(a).nonEmpty)
+          PFunc("and", Seq(PFunc(">=", Seq(a, PLit(ds.min))),
+            PFunc("<=", Seq(a, PLit(ds.max)))))
+        else POpaque
+      case _ => e
+    }
+  }
+
   /** xxhash64 of probe literals UNDER THE TABLE'S PHYSICAL COLUMN TYPE
     * (xxhash64 is type-sensitive; commit-side sketches hashed the native
     * column) — computed DRIVER-LOCALLY via [[SnapshotStore.probeHash]], so
@@ -1278,10 +1511,19 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private def pruneWhere(v: Long, cond: org.apache.spark.sql.Column)
       : (Seq[FileEntry], Seq[FileEntry], Int) = {
-    val e = org.apache.spark.sql.graftshim.Bridge.predicateTree(cond)
+    val e = capWideIn(org.apache.spark.sql.graftshim.Bridge.predicateTree(cond))
     val info = listInfoOf(v)
     val eff = info.names
     val probes = collectEqProbes(e)
+    // INVARIANT (r15 advice, documented): probe literals are typed under
+    // ONE sample file's footer schema. Sound because bloom-tracked columns
+    // may not type-evolve across batches: every read path goes through
+    // mergeSchema=true, which REJECTS conflicting physical types loudly,
+    // so a store whose bloom column diverged (int widened to long) is
+    // already unreadable before any probe could false-skip. If type
+    // widening is ever admitted, probes for the widened column must be
+    // dropped (conservative keep) for files whose physical type differs
+    // from the sample's — revisit this site and probeHash together.
     val schema: org.apache.spark.sql.types.StructType =
       if (probes.isEmpty) new org.apache.spark.sql.types.StructType()
       else {
@@ -1330,6 +1572,11 @@ final class SnapshotStore(spark: SparkSession, val path: String,
             }
             def mightContain(n: String, value: Any) = bloomHit(sc,
               sc.flatMap(_.files.get(new Path(fe.file).getName)))(n, value)
+            override def nullCount(n: String) = {
+              val i = eff.indexOf(n)
+              if (i < 0) None else fe.nulls.lift(i).filter(_ >= 0L)
+            }
+            override def physRows = Some(fe.rows)
           }
           keeps(e, fCtx)
         }
@@ -1347,6 +1594,11 @@ final class SnapshotStore(spark: SparkSession, val path: String,
             else fe.extra.lift(i - 1)
           }
           def mightContain(n: String, value: Any) = true
+          override def nullCount(n: String) = {
+            val i = eff.indexOf(n)
+            if (i < 0) None else fe.nulls.lift(i).filter(_ >= 0L)
+          }
+          override def physRows = Some(fe.rows)
         }
         keeps(e, fCtx)
       })
@@ -1380,6 +1632,69 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     (kept.size, total)
   }
 
+  /** The file set an order-exploiting top-k scan needs (r16): sort files
+    * by their zone UPPER bound (ascending k-smallest; symmetric for
+    * descending), take the shortest prefix whose visible rows provably
+    * cover `k` — its last bound is a sound threshold T (≥ k rows are ≤ T)
+    * — then keep every file whose LOWER bound reaches T. Exact bounds
+    * make this sound for ANY layout; the DECLARED sort order
+    * ([[setSortOrder]]) is what clusters files so the prefix stays tiny.
+    * Files with unknown bounds (NaN) contribute no proof and are always
+    * scanned.
+    */
+  private def topKEntries(v: Long, colName: String, k: Int, asc: Boolean)
+      : (Seq[FileEntry], Seq[FileEntry], Int) = {
+    val m = readManifest(v)
+    val names = statsNamesOf(v)
+    val i = names.indexOf(colName)
+    require(i >= 0,
+      s"column '$colName' is not zone-tracked at version $v (tracked: $names)")
+    def bnds(e: FileEntry): (Double, Double) =
+      if (i == 0) (e.minS, e.maxS)
+      else e.extra.lift(i - 1).getOrElse(
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+    val (unknown, known) =
+      m.partition(e => bnds(e)._1.isNaN || bnds(e)._2.isNaN)
+    // tight side first: upper bound for k-smallest, lower for k-largest
+    val ordered = known.sortBy(e =>
+      if (asc) bnds(e)._2 else -bnds(e)._1)
+    var acc = 0L
+    val prefix = ordered.takeWhile { e =>
+      val need = acc < k; acc += e.visibleRows; need }
+    val kept =
+      if (acc < k) m // fewer provable rows than k: scan everything
+      else {
+        val t = prefix.map(e => if (asc) bnds(e)._2 else bnds(e)._1).last
+        unknown ++ known.filter(e =>
+          if (asc) bnds(e)._1 <= t else bnds(e)._2 >= t)
+      }
+    (kept, m, m.size)
+  }
+
+  /** ORDER-EXPLOITING top-k read: `readTopK(v, c, k)` ==
+    * `readAt(v).orderBy(c).limit(k)` exactly, scanning only the zone-
+    * bounded file prefix that can contain the answer. Under a declared
+    * sort order maintained by [[compactSmall]], that prefix is O(k/rows-
+    * per-file) files regardless of table size; the plan is a bounded
+    * TakeOrderedAndProject over the pruned scan — no global sort, no
+    * shuffle of the table.
+    */
+  def readTopK(v: Long, colName: String, k: Int,
+      asc: Boolean = true): DataFrame = {
+    require(k > 0, "top-k needs k > 0")
+    val (kept, schemaSrc, _) = topKEntries(v, colName, k, asc)
+    readEntriesDf(kept, schemaSrc)
+      .orderBy(if (asc) col(colName).asc else col(colName).desc)
+      .limit(k)
+  }
+
+  /** (files kept, total files) for a top-k plan — the skip census. */
+  def topKStats(v: Long, colName: String, k: Int,
+      asc: Boolean = true): (Int, Int) = {
+    val (kept, _, total) = topKEntries(v, colName, k, asc)
+    (kept.size, total)
+  }
+
   /** Damaged-store guard: with no acknowledged version, the only debris
     * the commit protocol itself can have left behind is a crashed FIRST
     * commit's v1 (a crash at commit N implies a pointer at N-1). Anything
@@ -1399,7 +1714,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private def doCommit(df: DataFrame, base: () => Seq[Group],
       tag: Option[String] = None,
       expectedPrev: Option[Option[Long]] = None,
-      layoutTag: Option[String] = None): Long = {
+      layoutTag: Option[String] = None,
+      sortTag: Option[Seq[String]] = None): Long = {
     commitGuard()
 
     // 1. STAGE (outside the critical section): the expensive distributed
@@ -1416,7 +1732,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     //    enters it with pre-placed files instead of a staging rename.
     try commitMeta(base, tag, expectedPrev, stagedStats,
       moveFrom = Some((staging, stagingName)), blooms = blooms,
-      layoutTag = layoutTag)
+      layoutTag = layoutTag, sortTag = sortTag)
     catch {
       case e: Throwable =>
         // best-effort staging cleanup on any failed commit; recover() also
@@ -1443,7 +1759,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       expectedPrev: Option[Option[Long]], stagedStats: Array[FileEntry],
       moveFrom: Option[(Path, String)],
       blooms: Map[String, Seq[Array[Byte]]] = Map.empty,
-      layoutTag: Option[String] = None): Long =
+      layoutTag: Option[String] = None,
+      sortTag: Option[Seq[String]] = None): Long =
     SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
       val prev = latestVersion
       // Tagged replays re-check under the lock: a concurrent replay of the
@@ -1512,7 +1829,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           // never created (the r13 self-review finding). A crash between
           // claim and rename leaves a young unacknowledged manifest — the
           // standard debris shape, refused while young and reclaimed aged.
-          val nonce = writeManifestFor(v, base, tag, stats, blooms, layoutTag)
+          val nonce = writeManifestFor(v, base, tag, stats, blooms,
+            layoutTag, sortTag)
           try {
             moveFrom.foreach { case (staging, _) =>
               if (fs.listStatus(staging).nonEmpty) {
@@ -1541,7 +1859,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private def writeManifestFor(v: Long, base: () => Seq[Group],
       tag: Option[String], stats: Array[FileEntry],
       blooms: Map[String, Seq[Array[Byte]]] = Map.empty,
-      layoutTag: Option[String] = None): String = {
+      layoutTag: Option[String] = None,
+      sortTag: Option[Seq[String]] = None): String = {
     // Carried groups ride BY REFERENCE; only the groups this commit
     // actually changed (partial survivors of a rewrite) and the new batch
     // become group writes — the O(changed) commit cost two-level
@@ -1582,14 +1901,25 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         val n = s"g-${java.util.UUID.randomUUID()}.group"
         writeAtomic(groupPath(n), groupBody(g.entries, g.names),
           overwrite = false)
-        // bloom sidecar for the files this batch computed sketches for
-        // (the fresh batch group; rewrite survivors stay sidecar-less and
-        // are conservatively kept by pruneEq). Written BEFORE the manifest
-        // claim like the group itself; unreferenced on a crash → same
-        // aged-debris sweep as its group.
+        // bloom sidecar for the files this batch computed sketches for,
+        // PLUS carried-forward lines from the group this one re-expresses
+        // (r16; the r15 advice finding): a DV attach / partial-rewrite
+        // carry leaves the surviving files' contents unchanged, so their
+        // old sketches remain sound — without the carry, one scattered
+        // takedown stripped ~every group's sidecar and keyed reads
+        // silently degraded to zone-only pruning thereafter. Carried
+        // lines must match the current bloom column set and hash count;
+        // anything else stays sidecar-less (conservative keep). Written
+        // BEFORE the manifest claim like the group itself; unreferenced
+        // on a crash → same aged-debris sweep as its group.
+        val carriedBlooms: Map[String, Seq[Array[Byte]]] =
+          g.origin.flatMap(readBloomSidecar).toSeq
+            .filter(s => s.names == bloomCols &&
+              s.hashes == SnapshotStore.BloomHashes)
+            .flatMap(_.files).toMap
         val withBlooms = g.entries.flatMap { e =>
           val bn = new Path(e.file).getName
-          blooms.get(bn).map(bn -> _)
+          blooms.get(bn).orElse(carriedBlooms.get(bn)).map(bn -> _)
         }
         if (withBlooms.nonEmpty)
           writeAtomic(bloomSidecarPath(n),
@@ -1601,7 +1931,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     }
     val nonce = java.util.UUID.randomUUID().toString
     writeAtomic(manifestPath(v),
-      listBody(refs, tag, effNames, nonce, layoutTag), overwrite = false)
+      listBody(refs, tag, effNames, nonce, layoutTag, sortTag),
+      overwrite = false)
     nonce
   }
 
@@ -1690,7 +2021,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       }.mkString
       val dvF = if (e.dv.isEmpty) ""
         else s"\tdv=${e.dv.mkString("+")}:${e.dvRows}"
-      fixed + extras + dvF
+      val ncF = if (e.nulls.isEmpty) ""
+        else s"\tnc=${e.nulls.mkString(",")}"
+      fixed + extras + dvF + ncF
     }.mkString("\n")
     s"#crc=${crcOf(body)}\n#stats=${names.mkString(",")}\n" + body
   }
@@ -1701,7 +2034,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private def listBody(refs: Seq[RefLine], tag: Option[String],
       names: Seq[String], nonce: String,
-      layoutTag: Option[String] = None): String = {
+      layoutTag: Option[String] = None,
+      sortTag: Option[Seq[String]] = None): String = {
     val body = refs.map { r =>
       val bounds = r.summary.getOrElse(Seq.empty).map { case (mn, mx) =>
         "\t" + java.lang.Double.toString(mn) + "\t" + java.lang.Double.toString(mx)
@@ -1710,6 +2044,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     }.mkString("\n")
     tag.map(t => s"#tag=$t\n").getOrElse("") +
       layoutTag.map(l => s"#layout=$l\n").getOrElse("") +
+      sortTag.map(c => s"#sortorder=${c.mkString(",")}\n").getOrElse("") +
       "#v=2\n" +
       s"#crc=${crcOf(body)}\n" +
       s"#stats=${names.mkString(",")}\n" +
@@ -1755,6 +2090,16 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn(PosCol, col("_metadata.row_index"))
 
+  /** Scan `files` with ONLY the basename helper column — the census view:
+    * hit-count planning reads through this (no row-index projection),
+    * paying the positional scan only for files that actually take a
+    * vector (r16; the k18 fast path).
+    */
+  private def scanWithFile(files: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .withColumn(FileCol,
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+
   /** Anti-apply every delete vector `entries` reference to a positioned
     * scan of (a subset of) their files. Vector rows for files outside the
     * scan are inert (anti-join misses them) — pruned reads stay exact.
@@ -1764,7 +2109,14 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     if (names.isEmpty) scan
     else {
       val dv = spark.read.parquet(names.map(n => dvDirPath(n).toString): _*)
-      scan.join(dv.select(col("f").as("__dv_f"), col("pos").as("__dv_p")),
+      // EXPLICIT broadcast (r16): vector rows are bounded by compaction
+      // (compactSmall folds any file ≥ half-masked, so live vectors stay
+      // a small fraction of the table) — without the hint a store that
+      // accumulated >10 MB of vectors before folding would silently flip
+      // this anti-join to a sort-merge that SHUFFLES the whole data scan.
+      // The vector side must never decide the data side's distribution.
+      scan.join(
+        broadcast(dv.select(col("f").as("__dv_f"), col("pos").as("__dv_p"))),
         scan(FileCol) === col("__dv_f") && scan(PosCol) === col("__dv_p"),
         "left_anti")
     }
@@ -2916,6 +3268,14 @@ object SnapshotStore {
     * Bigger deltas fall back to zone candidates alone.
     */
   val MergeProbeCap = 10000L
+
+  /** Widest IN literal list the pushdown planner probes key-by-key
+    * (zones + blooms per file per key); above it the IN collapses to
+    * its range conjunct at plan time — the same bounded-driver-work
+    * discipline as [[MergeProbeCap]], applied to arbitrary predicates
+    * ([[SnapshotStore.deleteWhere]]'s takedown shape included).
+    */
+  val InProbeCap = 10000
 
   /** The atomic-exclusive metadata-claim primitive — the ONE
     * filesystem-specific operation in the commit protocol

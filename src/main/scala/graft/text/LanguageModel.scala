@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** N-gram language-model quality scoring — the CCNet-style corpus filter:
@@ -186,16 +185,23 @@ object LanguageModel {
     */
   def scoreArtifact(df: DataFrame, idCol: String, textCol: String,
       art: SurprisalArtifact): DataFrame = {
-    val mapped = tokenArrays(df, idCol, textCol).select(col("id"),
-        posexplode(col("ws")).as(Seq("pos", "tok")))
-      .join(broadcast(art.vocab.withColumn("in_v", lit(1))), Seq("tok"), "left")
-      .select(col("id"), col("pos"),
-        when(col("in_v").isNull, lit("<unk>")).otherwise(col("tok")).as("w"))
-    val byDoc = Window.partitionBy("id").orderBy("pos")
-    val docBi = mapped
-      .withColumn("w2", lead("w", 1).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .select(col("id"), col("w").as("w1"), col("w2"))
+    // Bigram formation stays ARRAY-SIDE (the same zip-against-shifted-self
+    // the fit uses): the r15-era formulation mapped OOV per TOKEN and then
+    // re-formed bigrams with a per-doc lead() window — an Exchange + Sort
+    // of the whole exploded token stream on EVERY score (the t21/st9
+    // settled cost the r15 verdict flagged). Mapping OOV on both pair
+    // sides after the zip is equivalent and keeps the plan shuffle-free
+    // until the final per-doc aggregate.
+    val pairs = bigrams(tokenArrays(df, idCol, textCol))
+      .withColumnRenamed("w1", "w1r").withColumnRenamed("w2", "w2r")
+    val docBi = pairs
+      .join(broadcast(art.vocab.select(col("tok").as("t1"),
+        lit(1).as("iv1"))), col("w1r") === col("t1"), "left")
+      .join(broadcast(art.vocab.select(col("tok").as("t2"),
+        lit(1).as("iv2"))), col("w2r") === col("t2"), "left")
+      .select(col("id"),
+        when(col("iv1").isNull, lit("<unk>")).otherwise(col("w1r")).as("w1"),
+        when(col("iv2").isNull, lit("<unk>")).otherwise(col("w2r")).as("w2"))
 
     docBi
       .join(broadcast(art.bigram.withColumnRenamed("s", "s_bi")),

@@ -348,6 +348,8 @@ object Stress {
       "snapshot" -> (() => snapshotStress(spark, sfDir)),
       "manifestScale" -> (() => manifestScaleStress(spark)),
       "dvScale" -> (() => dvScaleStress(spark)),
+      "takedown" -> (() => takedownStress(spark)),
+      "takedownLifecycle" -> (() => takedownLifecycleStress(spark)),
       "zorder" -> (() => zorderStress(spark)),
       "wap" -> (() => wapStress(spark)),
       "claim" -> (() => claimStress(spark)),
@@ -766,6 +768,110 @@ object Stress {
         s""""dv_rows_cum":$dvRows,"sec_delete":${num(secDelete)},""" +
         s""""meta_bytes":$metaBytes,"cow_bytes_counterfactual":$cowBytes,""" +
         s""""sec_read_band":${num(secRead)},"rows_band":$nBand}""")
+    }
+  }
+
+  /** r16: the WIDE-KEY single-call takedown (the probe-cap envelope the
+    * r15 verdict flagged). One deleteWhere with a 16,384-key IN — above
+    * [[graft.store.SnapshotStore.InProbeCap]], so the planner collapses
+    * the list to its range instead of running O(files × keys) driver
+    * bit-tests — against a table growing through doublings. sec_plan must
+    * stay flat (metadata-only, key count fixed); sec_delete grows with
+    * the candidate scan (distributed), never with plan-time blowup. Keys
+    * are strided so ~every file takes one hit → a pure-MoR metadata
+    * commit, the compliance shape at its widest.
+    */
+  private def takedownStress(spark: SparkSession): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val rowsPerCommit = 65536L
+    val filesPerCommit = 256
+    val dir = java.nio.file.Files.createTempDirectory("stress_takedown").toString
+    val st = new SnapshotStore(spark, s"$dir/snap", "id")
+    def commitBatch(i: Int): Long = {
+      val lo = i.toLong * rowsPerCommit
+      st.commit(spark.range(lo, lo + rowsPerCommit)
+        .select(col("id"), (col("id") % 97).cast("double").as("v"))
+        .repartitionByRange(filesPerCommit, col("id")))
+    }
+    var committed = 0
+    Seq(16, 32, 64).foreach { at => // 4096 → 16384 files
+      while (committed < at) { commitBatch(committed); committed += 1 }
+      val total = committed.toLong * rowsPerCommit
+      val nKeys = 16384
+      // fresh strided keys each epoch (offset dodges already-masked rows)
+      val keys: Seq[Any] = (0 until nKeys)
+        .map(k => (total / nKeys) * k + (at.toLong * 131 + 7) % (total / nKeys))
+        .distinct.filter(_ < total).map(Long.box)
+      val cond = col("id").isin(keys: _*)
+      val t0 = System.nanoTime()
+      val (kept, totalFiles) = st.planStatsWhere(st.latestVersion.get, cond)
+      val secPlan = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val v = st.deleteWhere(cond).get
+      val secDelete = (System.nanoTime() - t1) / 1e9
+      val (dvFiles, dvRows) = st.dvStats(v)
+      println(s"""{"op":"takedown_scale","commits":$committed,""" +
+        s""""files_total":$totalFiles,"rows_total":$total,"keys":${keys.size},""" +
+        s""""files_kept_plan":$kept,"sec_plan":${num(secPlan)},""" +
+        s""""sec_delete":${num(secDelete)},"dv_files":$dvFiles,""" +
+        s""""dv_rows_cum":$dvRows}""")
+    }
+  }
+
+  /** r16: the FULL compliance lifecycle at 16k files — delete → fold →
+    * expire → verify, repeated — the r15 verdict's ask that the takedown
+    * story hold through the whole retention cycle, not just the delete.
+    * Eight epochs of a scattered keyed takedown (bloom-pruned, O(hits))
+    * stack vectors on the same files; [[graft.store.SnapshotStore
+    * .maintainDv]] folds when the debt crosses its threshold; expire
+    * reclaims history behind a 3-version window. Per-epoch sec_delete /
+    * sec_expire / sec_read must stay flat and dv_rows_live must stay
+    * bounded (the fold resets it) — a creep in any of them means some
+    * stage is paying O(table) or O(history).
+    */
+  private def takedownLifecycleStress(spark: SparkSession): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val rowsPerCommit = 4096L
+    val filesPerCommit = 64
+    val commits = 256 // 16,384 files / ~1M rows
+    val dir = java.nio.file.Files.createTempDirectory("stress_lifecycle").toString
+    val st = new SnapshotStore(spark, s"$dir/snap", "id", bloomCols = Seq("id"))
+    (0 until commits).foreach { i =>
+      val lo = i.toLong * rowsPerCommit
+      st.commit(spark.range(lo, lo + rowsPerCommit)
+        .select(col("id"), (col("id") % 97).cast("double").as("v"))
+        .repartitionByRange(filesPerCommit, col("id")))
+    }
+    val total = commits.toLong * rowsPerCommit
+    (1 to 8).foreach { epoch =>
+      // 64 fresh scattered keys per epoch (bloom-pruned delete: O(hits))
+      val keys: Seq[Any] = (0 until 64)
+        .map(k => (total / 64) * k + (epoch.toLong * 131) % (total / 64))
+        .distinct.filter(_ < total).map(Long.box)
+      val t0 = System.nanoTime()
+      val vDel = st.deleteWhere(col("id").isin(keys: _*)).get
+      val secDelete = (System.nanoTime() - t0) / 1e9
+      // fold trigger: fires when stacked debt crosses ~0.01% of the table
+      val t1 = System.nanoTime()
+      val folded = st.maintainDv(0.0001)
+      val secMaintain = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val expired = st.expire(keepLast = 3)
+      val secExpire = (System.nanoTime() - t2) / 1e9
+      val (dvFiles, dvRows) = st.dvStats(st.latestVersion.get)
+      val t3 = System.nanoTime()
+      val nBand = st.readWhere(st.latestVersion.get,
+        col("id").between(0L, 4095L)).count()
+      val secRead = (System.nanoTime() - t3) / 1e9
+      println(s"""{"op":"takedown_lifecycle","epoch":$epoch,""" +
+        s""""files_total":${st.fileCount},"version":$vDel,""" +
+        s""""sec_delete":${num(secDelete)},"fold_fired":${folded.nonEmpty},""" +
+        s""""sec_maintain":${num(secMaintain)},"expired":$expired,""" +
+        s""""sec_expire":${num(secExpire)},"dv_files_live":$dvFiles,""" +
+        s""""dv_rows_live":$dvRows,"sec_read_band":${num(secRead)},""" +
+        s""""rows_band":$nBand}""")
     }
   }
 

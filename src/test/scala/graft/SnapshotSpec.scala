@@ -1342,6 +1342,179 @@ class SnapshotSpec extends SparkSpec {
       "a sort-merge anti-join would shuffle the whole data side per read")
   }
 
+  test("DV anti-join broadcasts UNCONDITIONALLY — even past the auto threshold") {
+    // r16: the explicit broadcast() hint, not the 10 MB auto threshold,
+    // decides the plan — a store that accumulates vector rows before
+    // compaction folds them must never flip to a sort-merge anti-join
+    // that shuffles the whole data scan. Forced here by disabling auto
+    // broadcast entirely.
+    val st = freshStore("snap-dv-forced")
+    st.commit(batch(0, 999).repartitionByRange(4, col("id")))
+    st.deleteWhere(col("id") % 97 === 0)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = st.read()
+      assert(df.count() === 989L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"the explicit hint must hold with auto-broadcast off:\n$plan")
+      assert(!plan.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("an over-cap IN collapses to its range at plan time — sound, still prunes") {
+    // r16 (the takedown probe-cap envelope): a 10^4+-key isin must not
+    // cost O(files × keys) driver work at plan time. Above InProbeCap the
+    // planner collapses the IN to [min, max] — range-clustered files
+    // outside the key span still skip, and the read stays exactly the
+    // filter semantics.
+    val st = freshStore("snap-incap")
+    st.commit(batch(0, 99999).repartitionByRange(32, col("id")))
+    val keys: Seq[Any] = (0L to SnapshotStore.InProbeCap.toLong).map(Long.box)
+    val cond = col("id").isin(keys: _*)
+    val t0 = System.nanoTime()
+    val (kept, total) = st.planStatsWhere(1L, cond)
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(kept < total,
+      s"range collapse must still zone-prune ($kept/$total kept)")
+    assert(st.readWhere(1L, cond).count() ===
+      st.read().filter(cond).count())
+    assert(planSec < 5.0, s"capped planning took ${planSec}s — not bounded")
+  }
+
+  test("layout epochs CONVERGE through compaction — no dedicated rewrite") {
+    val st = freshStore("snap-converge")
+    st.setLayout("cast(id / 250 as int)", 4)
+    st.commit(batch(0, 999))
+    st.setLayout("cast(v as int) % 4", 4)
+    st.commit(batch(1000, 1999))
+    val census0 = st.layoutCensus(st.latestVersion.get)
+    assert(census0.keys.flatten.toSet.size === 2,
+      s"two live epochs expected before compaction: $census0")
+    // compaction re-clusters the files it rewrites anyway under the
+    // CURRENT layout; everything here is small, so one pass converges
+    val vc = st.compactSmall(1L << 30, targetFiles = 4).get
+    val census1 = st.layoutCensus(vc)
+    assert(census1.keySet === Set(Option("cast(v as int) % 4")),
+      s"compaction must converge to the current epoch: $census1")
+    assert(st.layoutOf(vc).contains("cast(v as int) % 4"))
+    // rows survive the convergence exactly
+    assert(st.read().count() === 2000L)
+    assert(st.readWhere(vc, col("id") < 100L).count() === 100L)
+  }
+
+  test("null-count zone stats: IS NULL / IS NOT NULL prune files exactly") {
+    val st = new SnapshotStore(spark, tempDir("snap-nulls") + "/snap", "id",
+      secondaryStats = Seq("v2"))
+    // v2 is null for id<500 — null-clustered into 2 of 4 range files
+    st.commit(spark.range(0, 1000).select(col("id"),
+      when(col("id") >= 500, col("id").cast("double")).as("v2"))
+      .repartitionByRange(4, col("id")))
+    val (kNn, total) = st.planStatsWhere(1L, col("v2").isNotNull)
+    assert(total === 4)
+    assert(kNn === 2, s"all-null files must skip under IS NOT NULL ($kNn/$total)")
+    val (kN, _) = st.planStatsWhere(1L, col("v2").isNull)
+    assert(kN === 2, s"null-free files must skip under IS NULL ($kN/$total)")
+    // NOT pushes through (exact complements)
+    val (kNot, _) = st.planStatsWhere(1L, !col("v2").isNull)
+    assert(kNot === 2)
+    // and the reads equal the plain filters exactly
+    assert(st.readWhere(1L, col("v2").isNull).count() === 500L)
+    assert(st.readWhere(1L, col("v2").isNotNull).count() === 500L)
+    // composing with a range conjunct narrows further
+    val (kBoth, _) = st.planStatsWhere(1L,
+      col("v2").isNotNull && col("id") < 750L)
+    assert(kBoth === 1, s"conjunct must intersect the skips ($kBoth)")
+    // a column with no recorded null counts keeps conservatively
+    val st0 = freshStore("snap-nulls-legacy")
+    st0.commit(batch(0, 99))
+    val (kL, tL) = st0.planStatsWhere(1L, col("k").isNull)
+    assert(kL === tL, "untracked columns must not prune on null shapes")
+  }
+
+  test("sort order: declared, recorded, preserved by compaction, exploited by top-k") {
+    val st = freshStore("snap-sort")
+    // an order readers can't see through zone stats buys nothing: refused
+    intercept[IllegalArgumentException](st.setSortOrder(Seq("nope")))
+    st.setSortOrder(Seq("id"))
+    (0 until 4).foreach(i => st.commit(batch(i * 1000L, i * 1000L + 999L)))
+    // every commit records the order it wrote under — the epoch audit
+    assert(st.sortOrderOf(1L) === Some(Seq("id")))
+    // compaction re-establishes the order on the files it rewrites
+    val vc = st.compactSmall(1L << 30, targetFiles = 8).get
+    assert(st.sortOrderOf(vc) === Some(Seq("id")))
+    // order-exploiting top-k: a bounded file prefix, exact result
+    val (kept, total) = st.topKStats(vc, "id", 10)
+    assert(total === 8 && kept < total, s"top-k must prune ($kept/$total)")
+    val got = st.readTopK(vc, "id", 10).collect().map(_.getLong(0)).toSeq
+    assert(got === (0L to 9L))
+    val dsc = st.readTopK(vc, "id", 3, asc = false)
+      .collect().map(_.getLong(0)).toSeq
+    assert(dsc === Seq(3999L, 3998L, 3997L))
+    // the plan is a bounded heap over the pruned scan — no global sort
+    val df = st.readTopK(vc, "id", 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+    // clearing affects only future commits
+    st.clearSortOrder()
+    assert(st.sortOrder.isEmpty)
+    // and top-k stays EXACT even when nothing is sorted (zones are facts)
+    val st2 = freshStore("snap-unsorted")
+    st2.commit(batch(0, 999).repartition(8, col("k"))) // hash-scattered
+    val got2 = st2.readTopK(1L, "id", 5).collect().map(_.getLong(0)).toSeq
+    assert(got2 === (0L to 4L))
+  }
+
+  test("stacked DV epochs: maintainDv folds the debt, reads stay exact") {
+    val st = freshStore("snap-dv-stack")
+    st.commit(batch(0, 9999).repartitionByRange(8, col("id")))
+    // ten stacked scattered delete epochs over the SAME files — the
+    // compliance-burst shape; every epoch appends a vector per hit file
+    (0 until 10).foreach { i =>
+      assert(st.deleteWhere(col("id") % 503 === i.toLong).nonEmpty)
+    }
+    val v = st.latestVersion.get
+    val (dvFiles, dvRows) = st.dvStats(v)
+    assert(dvFiles > 0 && dvRows >= 190L, s"stacked debt: $dvFiles/$dvRows")
+    val expected = st.read().count()
+    assert(expected === 10000L - dvRows)
+    // debt (~2%) under a 50% threshold: metadata-only no-op
+    assert(st.maintainDv(0.5).isEmpty)
+    // forced trigger: the fold retires every vector, rows unchanged
+    val folded = st.maintainDv(0.001).get
+    assert(st.dvStats(folded) === ((0, 0L)))
+    assert(st.read().count() === expected)
+    // nothing left to fold
+    assert(st.maintainDv(0.001).isEmpty)
+    assert(st.foldDv().isEmpty)
+  }
+
+  test("a DV attach carries the group's bloom sidecar forward") {
+    // r16 (the r15 advice medium): a MoR delete re-expresses every hit
+    // group; the carried files' sketches must survive, or one scattered
+    // takedown degrades every later keyed read to zone-only pruning.
+    val st = new SnapshotStore(spark, tempDir("snap-dvbloom") + "/snap",
+      "id", bloomCols = Seq("id"))
+    // hash-scattered: zones useless on id, only blooms can skip
+    st.commit(batch(0, 9999).repartition(16, col("id")))
+    val (k0, total0) = st.pruneStatsEq(1L, "id", Seq(424242L))
+    assert(k0 === 0, s"absent key must bloom-skip everything pre-delete ($k0)")
+    // one-row-per-file-ish scattered delete: every touched file masks MoR
+    val v = st.deleteWhere(col("id") % 991 === 0).get
+    val (dvFiles, _) = st.dvStats(v)
+    assert(dvFiles > 0, "the delete must have attached vectors")
+    val (k1, total1) = st.pruneStatsEq(v, "id", Seq(424242L))
+    assert(total1 === total0)
+    assert(k1 === 0,
+      s"carried sketches must keep skipping after the DV attach ($k1/$total1)")
+    // and a live key still reads exactly (no false skip from the carry)
+    assert(st.readPrunedEq(v, "id", Seq(4242L))
+      .filter(col("id") === 4242L).count() === 1L)
+  }
+
   test("expire reclaims vectors of expired versions; live ones survive") {
     val st = freshStore("snap-dv-exp")
     st.commit(batch(0, 999).repartitionByRange(4, col("id")))
