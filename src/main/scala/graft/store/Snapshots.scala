@@ -809,39 +809,89 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       val (cands, _, _) = pruneWhere(prev, cond)
       if (cands.isEmpty) None // metadata disproves every file: no-op
       else {
-        // Phase 1 (r16; the k18 regression fix): a POSITIONS-FREE census —
-        // hit counts per file from a plain scan (no `_metadata.row_index`
-        // projection, no persist). Only files already carrying vectors pay
-        // the positioned scan here (their visible rows need the anti-join).
-        def census(df: DataFrame): Map[String, Long] =
-          df.filter(cond).groupBy(FileCol).agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val (dvedC, plainC) = cands.partition(_.dv.nonEmpty)
+        // The predicate's SHAPE picks the hit-detection plan (r16):
+        //  - KEYED deletes (equality/IN probes on a BLOOM-TRACKED column —
+        //    a lookup on the table's declared key, the scattered
+        //    compliance takedown, overwhelmingly MoR): ONE positioned
+        //    pass, the narrow (file, pos) hit set staged as a parquet dir
+        //    under `_dv/tmp-*`; the census reads the tiny staging, and a
+        //    pure-MoR outcome just RENAMES the staging into place as the
+        //    vector — one data scan, no cache pin, zero extra jobs.
+        //  - BROAD predicates (ranges, opaque shapes, equalities on
+        //    untracked low-cardinality columns — the bulk-retention
+        //    delete, overwhelmingly COW): a POSITIONS-FREE census (no
+        //    row-index projection); positions are scanned only for the
+        //    files that actually take a vector, so the common pure-COW
+        //    outcome never pays them at all.
+        // A wrong guess is never wrong — just one avoidable scan. Crashed
+        // stagings are unreferenced `_dv` debris, age-swept like vectors.
+        val keyed = collectEqProbes(capWideIn(
+          org.apache.spark.sql.graftshim.Bridge.predicateTree(cond)))
+          .exists { case (n, _) => bloomCols.contains(n) }
+        val dvName = s"dv-${java.util.UUID.randomUUID()}"
+        var tmpPath: Option[Path] = None
+        def dropTmp(): Unit = tmpPath.foreach { p =>
+          if (fs.exists(p)) { fs.delete(p, true); () } }
+        try {
         val perFile: Map[String, Long] =
-          (if (plainC.isEmpty) Map.empty[String, Long]
-           else census(scanWithFile(plainC.map(_.file)))) ++
-          (if (dvedC.isEmpty) Map.empty[String, Long]
-           else census(visibleWithPositions(dvedC)))
-        if (perFile.isEmpty) None
+          if (keyed) {
+            val p = dvDirPath(s"tmp-${java.util.UUID.randomUUID()}")
+            tmpPath = Some(p)
+            visibleWithPositions(cands).filter(cond)
+              .select(col(FileCol).as("f"), col(PosCol).as("pos"))
+              .write.parquet(p.toString)
+            spark.read.parquet(p.toString)
+              .groupBy("f").agg(count(lit(1)).as("n")).collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+          } else {
+            def census(df: DataFrame): Map[String, Long] =
+              df.filter(cond).groupBy(FileCol).agg(count(lit(1)).as("n"))
+                .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val (dvedC, plainC) = cands.partition(_.dv.nonEmpty)
+            (if (plainC.isEmpty) Map.empty[String, Long]
+             else census(spark.read.option("mergeSchema", "true")
+               .parquet(plainC.map(_.file): _*)
+               .withColumn(FileCol,
+                 element_at(split(col("_metadata.file_path"), "/"), -1)))) ++
+            (if (dvedC.isEmpty) Map.empty[String, Long]
+             else census(visibleWithPositions(dvedC)))
+          }
+        if (perFile.isEmpty) { dropTmp(); None }
         else {
           val full = perFile.keySet.filter(f => perFile(f) >= byName(f).visibleRows)
           val dvSet = (perFile.keySet -- full).filter(f =>
             perFile(f).toDouble / byName(f).visibleRows <= dvMaxFraction)
           val cowSet = perFile.keySet -- full -- dvSet
-          val dvName = s"dv-${java.util.UUID.randomUUID()}"
-          if (dvSet.nonEmpty) {
-            // Phase 2: row POSITIONS are scanned only for the files that
-            // actually take a vector — a pure-COW delete (every touched
-            // file above the threshold) never pays them at all
-            val dvEntries = cands.filter(e => dvSet(basenameOf(e.file)))
-            visibleWithPositions(dvEntries).filter(cond)
-              .select(col(FileCol).as("f"), col(PosCol).as("pos"))
-              // repartition, NOT coalesce: coalesce would propagate up
-              // and run the whole positions scan at vector-file width
-              // (the hit rows are O(hits) — their shuffle is free; the
-              // scan's parallelism is not)
-              .repartition(math.max(1, dvSet.size / 4096 + 1))
-              .write.parquet(dvDirPath(dvName).toString)
+          if (dvSet.isEmpty) dropTmp()
+          else tmpPath match {
+            case Some(p) if dvSet == perFile.keySet =>
+              // every hit row belongs to a vector-taking file: the
+              // staging IS the vector
+              if (!fs.rename(p, dvDirPath(dvName)))
+                throw new java.io.IOException(
+                  s"delete-vector rename failed: $p -> ${dvDirPath(dvName)}")
+              tmpPath = None
+            case Some(p) =>
+              // mixed outcome: compact the dvSet slice of the (tiny,
+              // hits-only) staging; COW/drop rows are discarded
+              import spark.implicits._
+              spark.read.parquet(p.toString)
+                .join(dvSet.toSeq.toDF("f2"), col("f") === col("f2"),
+                  "left_semi")
+                .repartition(math.max(1, dvSet.size / 4096 + 1))
+                .write.parquet(dvDirPath(dvName).toString)
+              dropTmp()
+            case None =>
+              // broad-predicate path: positions scanned ONLY for the
+              // files taking a vector. repartition, NOT coalesce — a
+              // coalesce would propagate up and strangle the scan to
+              // vector-file width (hit rows are O(hits); their shuffle
+              // is free, the scan's parallelism is not)
+              val dvEntries = cands.filter(e => dvSet(basenameOf(e.file)))
+              visibleWithPositions(dvEntries).filter(cond)
+                .select(col(FileCol).as("f"), col(PosCol).as("pos"))
+                .repartition(math.max(1, dvSet.size / 4096 + 1))
+                .write.parquet(dvDirPath(dvName).toString)
           }
           def mapEntry(e: FileEntry): Option[FileEntry] = {
             val bn = basenameOf(e.file)
@@ -875,6 +925,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
                 fs.delete(dvDirPath(dvName), true)
               throw e
           }
+        }
+        } catch {
+          case e: Throwable =>
+            // a failed delete must not strand its hit staging as debris
+            dropTmp()
+            throw e
         }
       }
     }
@@ -2090,15 +2146,6 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn(PosCol, col("_metadata.row_index"))
 
-  /** Scan `files` with ONLY the basename helper column — the census view:
-    * hit-count planning reads through this (no row-index projection),
-    * paying the positional scan only for files that actually take a
-    * vector (r16; the k18 fast path).
-    */
-  private def scanWithFile(files: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
-      .withColumn(FileCol,
-        element_at(split(col("_metadata.file_path"), "/"), -1))
 
   /** Anti-apply every delete vector `entries` reference to a positioned
     * scan of (a subset of) their files. Vector rows for files outside the

@@ -350,6 +350,7 @@ object Stress {
       "dvScale" -> (() => dvScaleStress(spark)),
       "takedown" -> (() => takedownStress(spark)),
       "takedownLifecycle" -> (() => takedownLifecycleStress(spark)),
+      "convergence" -> (() => convergenceStress(spark)),
       "zorder" -> (() => zorderStress(spark)),
       "wap" -> (() => wapStress(spark)),
       "claim" -> (() => claimStress(spark)),
@@ -817,6 +818,53 @@ object Stress {
         s""""sec_delete":${num(secDelete)},"dv_files":$dvFiles,""" +
         s""""dv_rows_cum":$dvRows}""")
     }
+  }
+
+  /** r16: layout-epoch CONVERGENCE through ordinary maintenance. A table
+    * half-clustered under a retired layout converges to the current one
+    * as compaction rewrites small files it would rewrite anyway — per
+    * round the row records the live-file census by write-epoch and the
+    * skip rate of a current-layout predicate. epochs_live must reach 1
+    * with no dedicated rewrite ever issued.
+    */
+  private def convergenceStress(spark: SparkSession): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val dir = java.nio.file.Files.createTempDirectory("stress_converge").toString
+    val st = new SnapshotStore(spark, s"$dir/snap", "id",
+      secondaryStats = Seq("v"))
+    val rowsPerCommit = 32768L
+    // epoch A: id-range clustered
+    st.setLayout("cast(id / 4096 as int)", 16)
+    (0 until 8).foreach { i =>
+      val lo = i.toLong * rowsPerCommit
+      st.commit(spark.range(lo, lo + rowsPerCommit)
+        .select(col("id"), (col("id") % 97).cast("double").as("v")))
+    }
+    // epoch B becomes current: value-band clustered; NO history rewrite
+    st.setLayout("cast(v as int) % 16", 16)
+    (8 until 16).foreach { i =>
+      val lo = i.toLong * rowsPerCommit
+      st.commit(spark.range(lo, lo + rowsPerCommit)
+        .select(col("id"), (col("id") % 97).cast("double").as("v")))
+    }
+    (0 until 4).foreach { round =>
+      val census = st.layoutCensus(st.latestVersion.get)
+      val epochs = census.keys.flatten.toSet.size
+      val (kept, total) = st.planStatsWhere(st.latestVersion.get,
+        col("v") === 3.0)
+      val t0 = System.nanoTime()
+      // everything is "small": each round folds the residue under the
+      // CURRENT layout — the convergence engine is compaction itself
+      val packed = st.compactSmall(1L << 30, targetFiles = 16)
+      val secPack = (System.nanoTime() - t0) / 1e9
+      println(s"""{"op":"layout_convergence","round":$round,""" +
+        s""""epochs_live":$epochs,"files_total":${st.fileCount},""" +
+        s""""files_kept_v3":$kept,"files_listed":$total,""" +
+        s""""sec_compact":${num(secPack)},"compacted":${packed.nonEmpty}}""")
+    }
+    val epochsFinal = st.layoutCensus(st.latestVersion.get).keys.flatten.toSet.size
+    require(epochsFinal == 1, s"convergence failed: $epochsFinal epochs live")
   }
 
   /** r16: the FULL compliance lifecycle at 16k files — delete → fold →

@@ -96,9 +96,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"model joins must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"the token stream must never shuffle-join against the model:\n$p")
-    // the bigram re-assembly window is per-document, never global
+    // bigram re-assembly is ARRAY-SIDE (r16): no per-doc window, so the
+    // exploded token stream never shuffles or sorts before the final agg
+    assert(!p.contains("Window"),
+      s"scoring must not window the token stream:\n$p")
+    // the only id-keyed exchange left is the per-doc aggregate itself
     assert(p.contains("hashpartitioning(id"),
-      s"the lead() window must partition by document:\n$p")
+      s"the per-doc aggregate must partition by document:\n$p")
     // single-partition stages: ONLY the one-row vocabulary-size aggregate
     // (the model constant V, computed over the sublinear reference vocab),
     // which the surprisal-table construction instantiates once per
@@ -124,6 +128,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"model joins must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"the token stream must never shuffle-join against the model:\n$p")
+    assert(!p.contains("Window"),
+      s"scoring must not window the token stream (r16 array-side zip):\n$p")
   }
 
   test("t23 encode: the fitted vocab broadcasts back to the corpus scan") {
