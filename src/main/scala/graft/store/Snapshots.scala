@@ -995,35 +995,58 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           val dKeys = delta.select(keyCols.map(col): _*)
           val candSet = candidates.toSet
           val candEntries = m.filter(e => candSet(e.file))
-          // matched VISIBLE rows (existing vectors applied — a masked row
-          // must not re-match) with file + position: one semi-join,
-          // per-file census O(#touched files) on the driver
-          val hitRows =
-            if (candEntries.isEmpty) None
-            else Some(visibleWithPositions(candEntries)
-              // keep the prefixed helper names through the semi-join: a
-              // user key column named "f"/"pos" must not collide
-              .select(col(FileCol) +: col(PosCol) +: keyCols.map(col): _*)
-              .join(dKeys, keyCols, "left_semi")
-              .select(col(FileCol).as("f"), col(PosCol).as("pos")).persist())
+          // Matched VISIBLE rows (existing vectors applied — a masked row
+          // must not re-match) with file + position: ONE semi-join pass,
+          // staged as a parquet dir under `_dv/tmp-*` (r16, the
+          // deleteWhere discipline — a merge is keyed by definition).
+          // The census reads the tiny staging; a pure-MoR outcome
+          // RENAMES the staging into place as the vector. No persist
+          // pin; a crashed staging is unreferenced `_dv` debris,
+          // age-swept like vectors.
+          val dvName = s"dv-${java.util.UUID.randomUUID()}"
+          var tmpPath: Option[Path] = None
+          def dropTmp(): Unit = tmpPath.foreach { p =>
+            if (fs.exists(p)) { fs.delete(p, true); () } }
           try {
-            val perFile: Map[String, Long] = hitRows.map(
-              _.groupBy("f").agg(count(lit(1)).as("n")).collect()
-                .map(r => r.getString(0) -> r.getLong(1)).toMap)
-              .getOrElse(Map.empty)
+            val perFile: Map[String, Long] =
+              if (candEntries.isEmpty) Map.empty
+              else {
+                val p = dvDirPath(s"tmp-${java.util.UUID.randomUUID()}")
+                tmpPath = Some(p)
+                visibleWithPositions(candEntries)
+                  // keep the prefixed helper names through the semi-join:
+                  // a user key column named "f"/"pos" must not collide
+                  .select(col(FileCol) +: col(PosCol) +: keyCols.map(col): _*)
+                  .join(dKeys, keyCols, "left_semi")
+                  .select(col(FileCol).as("f"), col(PosCol).as("pos"))
+                  .write.parquet(p.toString)
+                spark.read.parquet(p.toString)
+                  .groupBy("f").agg(count(lit(1)).as("n")).collect()
+                  .map(r => r.getString(0) -> r.getLong(1)).toMap
+              }
             val full = perFile.keySet.filter(f =>
               perFile(f) >= byName(f).visibleRows)
             val dvSet = (perFile.keySet -- full).filter(f =>
               perFile(f).toDouble / byName(f).visibleRows <= dvMaxFraction)
             val cowSet = perFile.keySet -- full -- dvSet
-            val dvName = s"dv-${java.util.UUID.randomUUID()}"
-            if (dvSet.nonEmpty) {
-              import spark.implicits._
-              hitRows.get.join(dvSet.toSeq.toDF("f2"),
-                  col("f") === col("f2"), "left_semi")
-                .select("f", "pos")
-                .coalesce(math.max(1, dvSet.size / 4096 + 1))
-                .write.parquet(dvDirPath(dvName).toString)
+            if (dvSet.isEmpty) dropTmp()
+            else tmpPath match {
+              case Some(p) if dvSet == perFile.keySet =>
+                // every matched row masks in place: the staging IS the
+                // vector — the key-scattered upsert's O(hits) shape
+                if (!fs.rename(p, dvDirPath(dvName)))
+                  throw new java.io.IOException(
+                    s"delete-vector rename failed: $p -> ${dvDirPath(dvName)}")
+                tmpPath = None
+              case Some(p) =>
+                import spark.implicits._
+                spark.read.parquet(p.toString)
+                  .join(dvSet.toSeq.toDF("f2"),
+                    col("f") === col("f2"), "left_semi")
+                  .repartition(math.max(1, dvSet.size / 4096 + 1))
+                  .write.parquet(dvDirPath(dvName).toString)
+                dropTmp()
+              case None => ()
             }
             def mapEntry(e: FileEntry): Option[FileEntry] = {
               val bn = basenameOf(e.file)
@@ -1046,7 +1069,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
                   fs.delete(dvDirPath(dvName), true)
                 throw e
             }
-          } finally { hitRows.foreach(_.unpersist()); () }
+          } catch {
+            case e: Throwable =>
+              // a failed merge must not strand its hit staging as debris
+              dropTmp()
+              throw e
+          }
         }
     }
   }
@@ -1527,16 +1555,23 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * Sound: the range keep-set is a superset of the IN's. Exact hit
     * detection stays with the distributed filter, where it belongs.
     */
-  private def capWideIn(e: CNode): CNode = {
+  private def capWideIn(e: CNode, neg: Boolean = false): CNode = {
     import org.apache.spark.sql.graftshim.Bridge.{PFunc, PLit, POpaque}
     fnOf(e) match {
       case Some((n @ ("and" | "or"), Seq(l, r))) =>
-        PFunc(n, Seq(capWideIn(l), capWideIn(r)))
-      case Some(("not" | "!", Seq(c))) => PFunc("not", Seq(capWideIn(c)))
+        PFunc(n, Seq(capWideIn(l, neg), capWideIn(r, neg)))
+      case Some(("not" | "!", Seq(c))) => PFunc("not", Seq(capWideIn(c, !neg)))
       case Some(("in", a +: list))
           if list.size > SnapshotStore.InProbeCap =>
-        val ds = list.flatMap(litValueOf).flatMap(asDouble)
-        if (ds.size == list.size && attrNameOf(a).nonEmpty)
+        // POLARITY MATTERS: the range is a SUPERSET of the IN — sound to
+        // keep-test directly, UNSOUND once negated (a NOT over a superset
+        // is a subset, and the planner would skip files whose rows sit
+        // inside the keys' range but outside the key set). Under an odd
+        // number of enclosing NOTs the wide IN contributes no pruning at
+        // all (POpaque under NOT negates to None -> conservative keep).
+        val ds = if (neg) Seq.empty
+          else list.flatMap(litValueOf).flatMap(asDouble)
+        if (!neg && ds.size == list.size && attrNameOf(a).nonEmpty)
           PFunc("and", Seq(PFunc(">=", Seq(a, PLit(ds.min))),
             PFunc("<=", Seq(a, PLit(ds.max)))))
         else POpaque

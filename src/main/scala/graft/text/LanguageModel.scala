@@ -189,19 +189,18 @@ object LanguageModel {
     // the fit uses): the r15-era formulation mapped OOV per TOKEN and then
     // re-formed bigrams with a per-doc lead() window — an Exchange + Sort
     // of the whole exploded token stream on EVERY score (the t21/st9
-    // settled cost the r15 verdict flagged). Mapping OOV on both pair
-    // sides after the zip is equivalent and keeps the plan shuffle-free
-    // until the final per-doc aggregate.
-    val pairs = bigrams(tokenArrays(df, idCol, textCol))
-      .withColumnRenamed("w1", "w1r").withColumnRenamed("w2", "w2r")
-    val docBi = pairs
-      .join(broadcast(art.vocab.select(col("tok").as("t1"),
-        lit(1).as("iv1"))), col("w1r") === col("t1"), "left")
-      .join(broadcast(art.vocab.select(col("tok").as("t2"),
-        lit(1).as("iv2"))), col("w2r") === col("t2"), "left")
-      .select(col("id"),
-        when(col("iv1").isNull, lit("<unk>")).otherwise(col("w1r")).as("w1"),
-        when(col("iv2").isNull, lit("<unk>")).otherwise(col("w2r")).as("w2"))
+    // settled cost the r15 verdict flagged).
+    //
+    // No OOV→`<unk>` mapping joins either (r16): the artifact's bigram
+    // and left tables key ONLY on reference-vocabulary words and never
+    // contain `<unk>` (the fit sees no OOV by construction), so a raw
+    // token joins them with EXACTLY the outcome its mapped form would —
+    // in-vocab keys are unchanged by mapping, and an OOV side maps to
+    // `<unk>`, which misses both tables just like the raw miss — falling
+    // through the same coalesce to the same fallback. Two broadcast
+    // joins over the full bigram stream deleted; the vocab table remains
+    // part of the persisted artifact (the oracle's replay uses it).
+    val docBi = bigrams(tokenArrays(df, idCol, textCol))
 
     docBi
       .join(broadcast(art.bigram.withColumnRenamed("s", "s_bi")),

@@ -1492,6 +1492,23 @@ class SnapshotSpec extends SparkSpec {
     assert(st.foldDv().isEmpty)
   }
 
+  test("a NEGATED over-cap IN prunes nothing — never a false skip") {
+    val st = freshStore("snap-incap-not")
+    st.commit(batch(0, 99999).repartitionByRange(32, col("id")))
+    // keys cover [0, cap+1] EXCEPT 5: NOT IN matches id=5, which sits
+    // INSIDE the keys' range — a polarity-blind range collapse would
+    // wrongly skip its file (the range is a superset of the IN, and a
+    // NOT over a superset is a subset)
+    val keys: Seq[Any] =
+      (0L to SnapshotStore.InProbeCap.toLong + 1L).filter(_ != 5L).map(Long.box)
+    val cond = !col("id").isin(keys: _*)
+    val (kept, total) = st.planStatsWhere(1L, cond)
+    assert(kept === total,
+      s"negated wide IN must keep conservatively ($kept/$total)")
+    assert(st.readWhere(1L, cond).count() ===
+      st.read().filter(cond).count())
+  }
+
   test("a DV attach carries the group's bloom sidecar forward") {
     // r16 (the r15 advice medium): a MoR delete re-expresses every hit
     // group; the carried files' sketches must survive, or one scattered
