@@ -162,7 +162,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private final case class Group(ref: Option[String], names: Seq[String],
     entries: Seq[FileEntry], files: Int = -1,
     summary: Option[Seq[(Double, Double)]] = None, rows: Long = -1L,
-    origin: Option[String] = None)
+    origin: Option[String] = None,
+    physRows: Long = -1L, nullsSum: Seq[Long] = Nil)
 
   private def groupPath(name: String) = new Path(s"$path/_manifests/$name")
 
@@ -253,7 +254,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * them conservatively and the next non-append commit heals them.
     */
   private final case class RefLine(name: String, files: Int, rows: Long,
-    summary: Option[Seq[(Double, Double)]])
+    summary: Option[Seq[(Double, Double)]],
+    physRows: Long = -1L, nulls: Seq[Long] = Nil)
 
   private final case class ListInfo(names: Seq[String], refs: Seq[RefLine],
     inline: Option[Group])
@@ -279,9 +281,20 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       if (a.length < 2) RefLine(a(0), -1, -1L, None)
       else {
         val (rows, boundsFrom) = if (v2) (a(2).toLong, 3) else (-1L, 2)
+        // r16: an optional trailing `nc=<physRows>:<n0>,<n1>,...` field —
+        // group-level PHYSICAL null counts (and the physical row sum they
+        // test against), -1 = unknown per column; absent = no information
+        val (tagged, boundF) = a.drop(boundsFrom).partition(_.startsWith("nc="))
+        val (phys, ncs) = tagged.headOption.map { t =>
+          val body = t.stripPrefix("nc=")
+          val i = body.indexOf(':')
+          (body.take(i).toLong,
+            body.drop(i + 1).split(",").toSeq.map(_.toLong))
+        }.getOrElse((-1L, Seq.empty[Long]))
         RefLine(a(0), a(1).toInt, rows,
-          Some(a.drop(boundsFrom).grouped(2).collect { case Array(mn, mx) =>
-            (mn.toDouble, mx.toDouble) }.toSeq))
+          Some(boundF.grouped(2).collect { case Array(mn, mx) =>
+            (mn.toDouble, mx.toDouble) }.toSeq),
+          phys, ncs)
       }
     }
     ListInfo(names, refs,
@@ -596,7 +609,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       info.refs.map { r =>
         r.summary match {
           case Some(b) if r.files >= 0 && r.rows >= 0 =>
-            Group(Some(r.name), info.names, Seq.empty, r.files, Some(b), r.rows)
+            Group(Some(r.name), info.names, Seq.empty, r.files, Some(b), r.rows,
+              physRows = r.physRows, nullsSum = r.nulls)
           case _ => // legacy (pre-v2) ref: one-time heal loads its entries
             val (gNames, es) = readGroupFile(r.name)
             Group(Some(r.name), gNames, es)
@@ -1647,6 +1661,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         }
         def mightContain(n: String, value: Any) =
           bloomHit(sc, sc.map(_.union))(n, value)
+        override def nullCount(n: String) = {
+          val i = eff.indexOf(n)
+          if (i < 0) None else r.nulls.lift(i).filter(_ >= 0L)
+        }
+        override def physRows =
+          if (r.physRows >= 0L) Some(r.physRows) else None
       }
       if (!keeps(e, gCtx) && r.files >= 0) { total += r.files; None }
       else {
@@ -1970,7 +1990,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // group-level summary (file count + whole-group bounds per effective
     // stats column), written onto the ref line so pruned reads and pure
     // appends never open the group file
-    def summarize(g: Group): (Int, Long, Seq[(Double, Double)]) =
+    def summarize(g: Group)
+        : (Int, Long, Seq[(Double, Double)], Long, Seq[Long]) =
       if (g.entries.nonEmpty) {
         val aligned = alignEntries(g.names, effNames, g.entries)
         val bounds = effNames.indices.map { i =>
@@ -1979,13 +2000,23 @@ final class SnapshotStore(spark: SparkSession, val path: String,
             else e.extra.lift(i - 1).getOrElse(noInfo))
           (bs.map(_._1).min, bs.map(_._2).max)
         }
+        // group-level PHYSICAL null counts (r16): the sum is sound only
+        // when EVERY entry recorded the column — one unknown poisons the
+        // whole group's slot to -1 (no information)
+        val ncs = effNames.indices.map { i =>
+          val per = aligned.map(_.nulls.lift(i).getOrElse(-1L))
+          if (per.exists(_ < 0L)) -1L else per.sum
+        }
         // net rows: what a reader sees (DV-masked rows excluded) — the
         // v2 list field snapshots() censuses from without opening groups
-        (g.entries.size, g.entries.map(_.visibleRows).sum, bounds)
+        (g.entries.size, g.entries.map(_.visibleRows).sum, bounds,
+          g.entries.map(_.rows).sum, ncs)
       } else {
         // ref-only carry: re-key the previous list's summary by name
         val m = g.names.zip(g.summary.getOrElse(Seq.empty)).toMap
-        (g.files, g.rows, effNames.map(n => m.getOrElse(n, noInfo)))
+        val mN = g.names.zip(g.nullsSum).toMap
+        (g.files, g.rows, effNames.map(n => m.getOrElse(n, noInfo)),
+          g.physRows, effNames.map(n => mN.getOrElse(n, -1L)))
       }
     val refs = groups.map { g =>
       val name = g.ref.getOrElse {
@@ -2017,8 +2048,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
             bloomBody(bloomCols, withBlooms), overwrite = false)
         n
       }
-      val (files, rows, bounds) = summarize(g)
-      RefLine(name, files, rows, Some(bounds))
+      val (files, rows, bounds, phys, ncs) = summarize(g)
+      RefLine(name, files, rows, Some(bounds), phys, ncs)
     }
     val nonce = java.util.UUID.randomUUID().toString
     writeAtomic(manifestPath(v),
@@ -2131,7 +2162,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       val bounds = r.summary.getOrElse(Seq.empty).map { case (mn, mx) =>
         "\t" + java.lang.Double.toString(mn) + "\t" + java.lang.Double.toString(mx)
       }.mkString
-      s"@${r.name}\t${r.files}\t${r.rows}$bounds"
+      // group-level null counts (r16): physical row sum + per-column
+      // physical null sums, -1 = unknown; omitted when nothing is known
+      val nc = if (r.physRows < 0L || r.nulls.isEmpty ||
+          r.nulls.forall(_ < 0L)) ""
+        else s"\tnc=${r.physRows}:${r.nulls.mkString(",")}"
+      s"@${r.name}\t${r.files}\t${r.rows}$bounds$nc"
     }.mkString("\n")
     tag.map(t => s"#tag=$t\n").getOrElse("") +
       layoutTag.map(l => s"#layout=$l\n").getOrElse("") +

@@ -1433,6 +1433,43 @@ class SnapshotSpec extends SparkSpec {
     assert(kL === tL, "untracked columns must not prune on null shapes")
   }
 
+  test("group-level null counts skip whole groups WITHOUT opening them") {
+    val dir = tempDir("snap-gnulls")
+    val st = new SnapshotStore(spark, s"$dir/snap", "id",
+      secondaryStats = Seq("v2"))
+    // group 1: v2 all-null; group 2: v2 fully set
+    st.commit(spark.range(0, 1000).select(col("id"),
+      lit(null).cast("double").as("v2")).repartition(4))
+    st.commit(spark.range(1000, 2000).select(col("id"),
+      col("id").cast("double").as("v2")).repartition(4))
+    // wreck group 1's file on disk: a planner that OPENS it now fails CRC
+    val fs = new org.apache.hadoop.fs.Path(st.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = st.path + "/_manifests/v00001.manifest"
+    val in = fs.open(new org.apache.hadoop.fs.Path(m1))
+    val g1 = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      .split("\n").find(_.startsWith("@")).get
+      .split("\t")(0).stripPrefix("@") finally in.close()
+    val gp = new org.apache.hadoop.fs.Path(st.path + "/_manifests/" + g1)
+    val out = fs.create(gp, true)
+    out.write("#crc=0\ngarbage".getBytes("UTF-8")); out.close()
+    // fresh instance (no caches): IS NOT NULL must plan from the REF LINE
+    // alone — the all-null group skips summary-level, never opened
+    val st2 = new SnapshotStore(spark, s"$dir/snap", "id",
+      secondaryStats = Seq("v2"))
+    val (kept, total) = st2.planStatsWhere(2L, col("v2").isNotNull)
+    assert(total === 8 && kept === 4,
+      s"the all-null group must skip at the ref level ($kept/$total)")
+    assert(st2.readWhere(2L, col("v2").isNotNull).count() === 1000L)
+    // control: IS NULL needs that group's rows — planning must OPEN it
+    // and fail the checksum, proving the skip above was the null counts'
+    // doing rather than general laziness
+    val e = intercept[IllegalArgumentException](
+      st2.planStatsWhere(2L, col("v2").isNull))
+    assert(e.getMessage.contains("checksum"))
+  }
+
   test("sort order: declared, recorded, preserved by compaction, exploited by top-k") {
     val st = freshStore("snap-sort")
     // an order readers can't see through zone stats buys nothing: refused
