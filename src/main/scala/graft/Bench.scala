@@ -53,6 +53,8 @@ object Bench {
 
     warmup(spark, sfDir)
 
+    val calib = calibrate(spark)
+
     // Optional comma-separated subset for local iteration, e.g.
     //   SPARK_GRAFT_ONLY=d2_minhash_lsh,v3_ann_pairs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -129,7 +131,7 @@ object Bench {
       s"""{"detail":"bench_spread","spread":$sp$errJson}"""
     val errCount = if (failed.isEmpty) "" else s""","n_errors":${failed.length}"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","tables":$tb$errCount}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","calib_sec":${num(calib)},"sf":"$sfDir","tables":$tb$errCount}"""
     val body = medians + "\n" + detail + "\n" + line + "\n"
     Files.write(Paths.get("bench_out.json"), body.getBytes(StandardCharsets.UTF_8))
     // The driver's own re-execution overwrites bench_out.json (it clobbered
@@ -147,6 +149,46 @@ object Bench {
     println(line)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Fixed CALIBRATION micro-workload (r17; mechanizes the r16 hand
+    * adjudication of ambient-load drift): a canned in-memory hash
+    * aggregate plus a small parquet write/scan, identical every round,
+    * independent of the scale factor and of any query code. The median
+    * of 5 reps is emitted as `calib_sec` in the headline JSON — two
+    * rounds' totals divide by their calib ratio to self-normalize
+    * machine drift before any regression call (a uniform per-query
+    * ratio with no query-specific mover is ambient load, not code).
+    */
+  private def calibrate(spark: SparkSession): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-calib")
+    val p = dir.resolve("t.parquet").toString
+    try {
+      spark.range(0L, 2L * 1000 * 1000)
+        .select(col("id"), (col("id") % 9973).as("k"))
+        .write.mode("overwrite").parquet(p)
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        // in-memory leg: 8M-row hash + shuffle aggregate
+        spark.range(0L, 8L * 1000 * 1000)
+          .select((col("id") % 997).as("k"), xxhash64(col("id")).as("h"))
+          .groupBy("k").agg(expr("bit_xor(h)").as("x"))
+          .agg(expr("bit_xor(x)")).collect()
+        // I/O leg: small parquet scan + aggregate
+        spark.read.parquet(p)
+          .groupBy((col("k") % 100).as("g"))
+          .agg(expr("bit_xor(xxhash64(id))").as("x"))
+          .agg(expr("bit_xor(x)")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(times.length / 2)
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** JVM/JIT + FS-cache warmup so the first measured query is not charged

@@ -177,11 +177,13 @@ object LanguageModel {
       model: BigramModel): DataFrame =
     scoreArtifact(df, idCol, textCol, surprisal(model))
 
-  /** Score against a (possibly persisted) surprisal table: map OOV →
-    * `<unk>` against the broadcast vocabulary, re-form bigrams with a
-    * per-document lead(), then one coalesce over two broadcast lookups
-    * and the one-row base fallback. The sum is exact DECIMAL; xent is the
-    * raw quotient.
+  /** Score against a (possibly persisted) surprisal table: form bigrams
+    * ARRAY-SIDE (the same zip-against-shifted-self the fit uses — no
+    * per-document window, no token-stream Exchange+Sort), then resolve
+    * each bigram with ONE coalesce over two broadcast equi-join lookups
+    * (observed bigram, then left-unigram fallback) and the one-row base
+    * fallback. No OOV→`<unk>` mapping runs here — see the invariant note
+    * in the body. The sum is exact DECIMAL; xent is the raw quotient.
     */
   def scoreArtifact(df: DataFrame, idCol: String, textCol: String,
       art: SurprisalArtifact): DataFrame = {
@@ -200,6 +202,18 @@ object LanguageModel {
     // through the same coalesce to the same fallback. Two broadcast
     // joins over the full bigram stream deleted; the vocab table remains
     // part of the persisted artifact (the oracle's replay uses it).
+    //
+    // LOAD-BEARING INVARIANT (r16 advice): "the fit sees no OOV by
+    // construction" holds because TextAnalysis.normalize strips every
+    // non-alphanumeric character, so the LITERAL token "<unk>" cannot
+    // survive normalization into the fitted vocabulary or the bigram/
+    // left key columns — that absence is exactly what makes the raw-vs-
+    // mapped join outcomes identical while the DuckDB oracle SQL still
+    // performs the mapping. Any future normalization change that lets
+    // "<" or ">" through would silently diverge engine vs oracle; the
+    // invariant is asserted by LanguageModelSpec ("vocab never contains
+    // the unk sentinel"). Revisit this site and the t21/st9 oracle SQL
+    // together if normalization ever changes.
     val docBi = bigrams(tokenArrays(df, idCol, textCol))
 
     docBi

@@ -69,4 +69,20 @@ class LanguageModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       LanguageModel.bigramXent(docs, "doc_id", "text", refMod = 0))
   }
+
+  test("vocab never contains the unk sentinel (the mapping-free scoring invariant)") {
+    // scoreArtifact drops the OOV→<unk> mapping ONLY because
+    // TextAnalysis.normalize strips non-alphanumerics, so the literal
+    // token "<unk>" can never enter the fitted vocabulary (nor, a
+    // fortiori, the bigram/left key columns). A doc that SPELLS the
+    // sentinel must still not plant it.
+    val withSentinel = docs.union(
+      Seq((30L, "the <unk> cat <unk> sat")).toDF("doc_id", "text"))
+    val model = LanguageModel.fit(withSentinel, "doc_id", "text")
+    assert(model.vocab.filter($"tok" === "<unk>").count() === 0L)
+    assert(model.c12.filter($"w1" === "<unk>" || $"w2" === "<unk>").count() === 0L)
+    // and "unk" only via real words: the sentinel's brackets are gone,
+    // its residue is the plain token "unk" — present, harmless, distinct
+    assert(model.vocab.filter($"tok" === "unk").count() === 1L)
+  }
 }
