@@ -511,8 +511,14 @@ object SparkEntry {
   /** SURVEY §3.1 — the platform's signature query, set-oriented: per
     * variable, snap-to-latest timestamp ≤ probe, then NN top-1 in the slice.
     */
-  private def servingFlagship(spark: SparkSession, dir: String): DataFrame = {
-    val grid = eventsAsGrid(spark, dir)
+  private def servingFlagship(spark: SparkSession, dir: String): DataFrame =
+    flagshipOver(eventsAsGrid(spark, dir))
+
+  /** The a2j3 serving shape over ANY grid frame (shared with k38, which
+    * serves it through the snapshot-format store): per variable, snap to
+    * the latest day ≤ the probe time, NN top-1 in the slice.
+    */
+  private def flagshipOver(grid: DataFrame): DataFrame = {
     val probes = grid.select(col("variable")).distinct()
       .select(col("variable").as("probeId"), col("variable"),
         expr("TIMESTAMP '2024-01-20 00:00:00'").as("ts"),
@@ -1695,6 +1701,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // K36B — COMPOSITE-ORDER TOP-K (r17; the r16 verdict's ask #6): the
+    // declared sort order is a COMPOSITE key — the reference's `ORDER BY
+    // (variable, timestamp, lat, lon)` — and a primary-key slice query
+    // is ORDER BY the leading columns LIMIT k. topKEntries generalizes
+    // to lexicographic word tuples: per file the order columns' zone
+    // bounds form sound lex tuple bounds, the shortest row-covering
+    // prefix yields the threshold tuple, and only files whose lower
+    // tuple reaches it scan. (ts, event_id) is unique, so the boundary
+    // is deterministic on both engines; files_pruned pins the skip.
+    "k36b_composite_topk" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-sort2").toString
+      val st = new SnapshotStore(s, s"$out/snap", "ts",
+        secondaryStats = Seq("event_id"))
+      st.setSortOrder(Seq("ts", "event_id"))
+      val ev = t(s, d, "events").select("ts", "event_id", "event_type", "value")
+      (0L to 2L).foreach(b =>
+        st.commit(ev.filter(pmod(col("event_id"), lit(3L)) === b)
+          .repartitionByRange(4, col("ts"))))
+      val vc = st.compactSmall(smallBytes = 1L << 30, targetFiles = 12).get
+      val (kept, total) = st.topKStats(vc, Seq("ts", "event_id"), 100, asc = true)
+      st.readTopK(vc, Seq("ts", "event_id"), 100, asc = true)
+        .withColumn("files_pruned", lit(if (kept < total) 1L else 0L))
+        .orderBy("ts", "event_id")
+    }),
+
     // K37 — NULL-COUNT ZONE STATS (r16): the manifest records per-file
     // physical null counts alongside min/max, so IS [NOT] NULL shapes
     // prune instead of conservatively keeping — the missing stats slot
@@ -1716,6 +1747,84 @@ object SparkEntry {
           sum(col("v2").cast("decimal(30,3)")).cast("double").as("sum_v2"))
         .withColumn("files_pruned", lit(if (kept < total) 1L else 0L))
         .orderBy("event_type")
+    }),
+
+    // K38 — THE SERVING PIPELINE THROUGH THE SNAPSHOT FORMAT (r17; the
+    // r16 verdict's composition ask): the reference's grid table is
+    // ClickHouse `PARTITION BY toYYYYMMDD(timestamp)` + `ORDER BY
+    // (variable,timestamp,lat,lon)` + takedown semantics
+    // (migrations/clickhouse/init.sql:11-25); store.GridSnapStore
+    // re-expresses all three as snapshot-format METADATA (hidden day
+    // layout, declared sort order — `variable` string-zone-tracked via
+    // the r17 prefix projection — and a merge-on-read deleteWhere).
+    // The query ingests events-as-grid in three commits, withdraws one
+    // variable's latest served day (the compliance shape: zone+bloom-
+    // planned, replayed by the oracle as an anti-filter with the same
+    // correlated derivation), then runs the EXACT a2j3 serving flagship
+    // over the store's pushdown-planned time window. Pins: the takedown
+    // plan pruned files, the serving window pruned files, the declared
+    // order/layout are stamped on every commit, and the scalar NN top-1
+    // over the pruned slice plans as a bounded TakeOrderedAndProject.
+    "k38_grid_on_snapshot" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-gridsnap").toString
+      val gs = new graft.store.GridSnapStore(s, s"$out/snap")
+      val grid = eventsAsGrid(s, d)
+        .withColumn("insertedAt", col("timestamp"))
+      (0L to 1L).foreach(b => gs.append(
+        grid.filter(pmod(col("catalogId").cast("long"), lit(2L)) === b)))
+      def utc(iso: String) = java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(iso).toInstant(java.time.ZoneOffset.UTC))
+      val probeTs = utc("2024-01-20T00:00:00")
+      // the takedown target: the lexicographically-first variable's
+      // latest day at or before the probe — derived from the STORE, the
+      // same two bounded aggregates the oracle runs over raw events
+      val r0 = gs.read().filter(col("timestamp") <= lit(probeTs))
+        .groupBy("variable").agg(max("timestamp").as("mx"))
+        .orderBy("variable").limit(1).collect()(0)
+      val tv = r0.getString(0)
+      val td = r0.getTimestamp(1)
+      val delCond = col("variable") === tv && col("timestamp") === lit(td)
+      val vPre = gs.store.latestVersion.get
+      val (delKept, delTotal) = gs.store.planStatsWhere(vPre, delCond)
+      // visible-row delta straight from manifest metadata — rows minus
+      // DV-masked per file, no data scan (the metadata-only accounting
+      // the format exists for)
+      def visRows(v: Long) = gs.store.files(v)
+        .agg(sum(col("rows") - col("dv_rows"))).collect()(0).getLong(0)
+      val nBefore = visRows(vPre)
+      val vDel = gs.takedown(delCond).get
+      val nDel = nBefore - visRows(vDel)
+      // serve through the pushdown-planned window (epoch → probe); the
+      // day-layout pruning pin uses a SINGLE-day slice plan — the open
+      // window itself prunes only when data extends past the probe,
+      // which small scale factors may not
+      val winCond = col("timestamp") <= lit(probeTs)
+      val (winKept, winTotal) =
+        gs.store.planStatsWhere(vDel, col("timestamp") === lit(td))
+      val served = gs.store.readWhere(vDel, winCond)
+      // the scalar top-1 NN over the takedown variable's FALLBACK day
+      // must plan bounded (no global sort): the finder.go:32-49 shape
+      val snap = served.filter(col("variable") === tv)
+        .agg(max("timestamp")).collect()(0).getTimestamp(0)
+      val one = served.filter(col("variable") === tv &&
+          col("timestamp") === lit(snap))
+        .withColumn("__d", graft.functions.GridFunctions.sqDist(
+          col("lat"), col("lon"), lit(50.0), lit(50.0)))
+        .orderBy(col("__d"), col("lat"), col("lon")).limit(1)
+      val bounded = one.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject")
+      val orderOk = (1L to vDel).forall(v => gs.store.sortOrderOf(v)
+        .forall(_ == gs.keyCols))
+      val layoutOk = gs.store.layoutOf(vPre)
+        .contains("date_trunc('day', timestamp)")
+      flagshipOver(served)
+        .withColumn("n_takedown", lit(nDel))
+        .withColumn("takedown_pruned", lit(if (delKept < delTotal) 1L else 0L))
+        .withColumn("window_pruned", lit(if (winKept < winTotal) 1L else 0L))
+        .withColumn("order_recorded", lit(if (orderOk) 1L else 0L))
+        .withColumn("layout_recorded", lit(if (layoutOk) 1L else 0L))
+        .withColumn("top1_bounded", lit(if (bounded) 1L else 0L))
+        .orderBy("probeId")
     }),
 
     // K25 — CDC-DRIVEN INDEX MAINTENANCE (k22's changelog composed with the
@@ -5780,6 +5889,58 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS files_pruned,
         |       CAST(1 AS BIGINT) AS order_recorded
         |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+
+    // k36b: the composite-order top-k is exactly ORDER BY ts, event_id
+    // LIMIT ((ts, event_id) unique -> deterministic boundary)
+    "k36b_composite_topk" ->
+      """SELECT ts, event_id, event_type, value,
+        |       CAST(1 AS BIGINT) AS files_pruned
+        |FROM events ORDER BY ts, event_id LIMIT 100""".stripMargin,
+
+    // k38: the a2j3 flagship over the snapshot-format grid store, minus
+    // the withdrawn slice — the oracle re-derives the takedown target
+    // (lexicographically-first variable, its latest day <= the probe)
+    // from raw events with the same two aggregates, excludes the slice,
+    // ranks identically, and value-pins the deleted row count; the
+    // planning/metadata facts (pruned file censuses, recorded order and
+    // layout, bounded top-1 plan) are engine-side pins
+    "k38_grid_on_snapshot" ->
+      """WITH mv AS (SELECT min(event_type) AS v FROM events),
+        |md AS (
+        |  SELECT max(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d
+        |  FROM events, mv
+        |  WHERE event_type = mv.v
+        |    AND date_trunc('day', ts) <= TIMESTAMP '2024-01-20 00:00:00'
+        |), nd AS (
+        |  SELECT count(*) AS n FROM events, mv, md
+        |  WHERE event_type = mv.v
+        |    AND CAST(date_trunc('day', ts) AS TIMESTAMP) = md.d
+        |), g AS (
+        |  SELECT event_type AS probeId,
+        |         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(user_id % 100 AS DOUBLE) AS lat,
+        |         CAST(event_id % 100 AS DOUBLE) AS lon,
+        |         value, CAST(event_id AS VARCHAR) AS cid
+        |  FROM events, mv, md
+        |  WHERE date_trunc('day', ts) <= TIMESTAMP '2024-01-20 00:00:00'
+        |    AND NOT (event_type = mv.v
+        |             AND CAST(date_trunc('day', ts) AS TIMESTAMP) = md.d)
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probeId
+        |    ORDER BY day DESC,
+        |             (lat - 50.0) * (lat - 50.0) + (lon - 50.0) * (lon - 50.0) ASC,
+        |             lat ASC, lon ASC, value ASC, cid DESC) AS rn
+        |  FROM g
+        |)
+        |SELECT probeId, day AS refTimestamp, lat AS actualLat,
+        |       lon AS actualLon, value, cid AS catalogId,
+        |       (SELECT n FROM nd) AS n_takedown,
+        |       CAST(1 AS BIGINT) AS takedown_pruned,
+        |       CAST(1 AS BIGINT) AS window_pruned,
+        |       CAST(1 AS BIGINT) AS order_recorded,
+        |       CAST(1 AS BIGINT) AS layout_recorded,
+        |       CAST(1 AS BIGINT) AS top1_bounded
+        |FROM r WHERE rn = 1 ORDER BY probeId""".stripMargin,
 
     // k37: IS NOT NULL over the derived column replays as the derivation
     // filter; the all-null-file skip is an engine-side pin

@@ -258,7 +258,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     physRows: Long = -1L, nulls: Seq[Long] = Nil)
 
   private final case class ListInfo(names: Seq[String], refs: Seq[RefLine],
-    inline: Option[Group])
+    inline: Option[Group], strStats: Seq[String] = Nil)
 
   /** A version's manifest parsed to the REF level — no group file opened.
     * Line format is header-versioned: `#v=2` lists carry
@@ -297,9 +297,17 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           phys, ncs)
       }
     }
+    // `#strstats=` (r17): the subset of stats columns whose zone bounds
+    // were recorded through the string prefix projection
+    // ([[SnapshotStore.strOrd]]). Absent on old manifests — those never
+    // wrote string zones (a string stats column aggregated to NaN), so
+    // the planner's numeric treatment of unmarked columns stays sound.
+    val strStats = lines.find(_.startsWith("#strstats="))
+      .map(_.stripPrefix("#strstats=").split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
     ListInfo(names, refs,
       if (inline.nonEmpty) Some(Group(None, names, parseEntries(inline)))
-      else None)
+      else None, strStats)
   }
 
   /** A version's groups, raw (each with its OWN stats names — alignment to
@@ -586,6 +594,22 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       .map { case (k, es) => k -> es.size }
   }
 
+  /** Live-file census by the SORT ORDER each file was written under
+    * (its commit's recorded `#sortorder=`; None = unsorted/pre-order
+    * commits or expired provenance) — [[layoutCensus]]'s twin for the
+    * declared order (r17): maintenance ([[compactSmall]]/[[foldDv]])
+    * re-sorts the files it rewrites anyway, so a long-lived table mixing
+    * pre-order commits with sorted ones trends toward one entry, and
+    * this census is the convergence metric for it.
+    */
+  def sortCensus(v: Long): Map[Option[Seq[String]], Int] = {
+    val cache = scala.collection.mutable.Map.empty[Long, Option[Seq[String]]]
+    readManifest(v).groupBy(e => cache.getOrElseUpdate(e.batch,
+      if (e.batch > 0 && fs.exists(manifestPath(e.batch))) sortOrderOf(e.batch)
+      else None))
+      .map { case (k, es) => k -> es.size }
+  }
+
   /** Commit `df` as the next version; returns the new version number.
     * The data write is a normal distributed Parquet job; only the
     * per-file stats (one bounded aggregate over the NEW batch, grouped by
@@ -670,6 +694,16 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * version are never broken — the rewrite never touches their files.
     */
   def commitRewrite(df: DataFrame): Long = doCommit(df, () => Seq.empty)
+
+  /** [[commitRewrite]] with the rewrite re-clustered/re-sorted under the
+    * declared layout and sort order (r17) — the whole-table
+    * materialization primitive (e.g. a FINAL/dedup rewrite) that leaves
+    * the table as maintenance would: one layout epoch, order
+    * re-established, `#layout`/`#sortorder` stamped on the commit.
+    */
+  def commitRewriteShaped(df: DataFrame): Long =
+    doCommit(applySortOrder(applyLayout(df)), () => Seq.empty,
+      layoutTag = layout.map(_._1), sortTag = sortOrder)
 
   /** Bin-packing small-file compaction (the OPTIMIZE analog a long-lived
     * append stream needs — thousands of trickle commits otherwise leave a
@@ -839,9 +873,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         //    outcome never pays them at all.
         // A wrong guess is never wrong — just one avoidable scan. Crashed
         // stagings are unreferenced `_dv` debris, age-swept like vectors.
-        val keyed = collectEqProbes(capWideIn(
-          org.apache.spark.sql.graftshim.Bridge.predicateTree(cond)))
-          .exists { case (n, _) => bloomCols.contains(n) }
+        val delTree = org.apache.spark.sql.graftshim.Bridge.predicateTree(cond)
+        val keyed = collectEqProbes(capWideIn(delTree))
+          .exists { case (n, _) => bloomCols.contains(n) } ||
+          // a WIDE IN on a bloom-tracked key is the scattered compliance
+          // takedown writ large (r17) — still the keyed/MoR shape
+          collectWideIns(delTree)
+            .exists { case (n, _) => bloomCols.contains(n) }
         val dvName = s"dv-${java.util.UUID.randomUUID()}"
         var tmpPath: Option[Path] = None
         def dropTmp(): Unit = tmpPath.foreach { p =>
@@ -1174,17 +1212,47 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * physical file each row landed in. An all-rows-deleted rewrite may
     * write ZERO part files — a manifest of just the carried-forward
     * entries is then the correct table state. Stats columns must exist
-    * (and be non-null-typed numerics) in EVERY commit — they are the
-    * table's declared zone-map keys, not evolvable payload.
+    * in EVERY commit — they are the table's declared zone-map keys, not
+    * evolvable payload. Numeric (and timestamp) columns record plain
+    * double bounds; STRING columns record bounds through the
+    * order-preserving prefix projection [[SnapshotStore.strOrd]] (r17),
+    * so string-keyed range/membership predicates zone-prune too.
     */
+  /** One sampled footer of a freshly written batch dir (driver-local,
+    * cached) — types the stats projection and the `#strstats` markers.
+    * Sound as a SAMPLE for the same reason the probe-typing sample is
+    * (see pruneWhere): mergeSchema rejects per-column type drift, so
+    * every file of a readable table agrees on each column's type.
+    */
+  private def batchSchemaOf(dir: Path)
+      : Option[org.apache.spark.sql.types.StructType] =
+    fs.listStatus(dir).find(_.getPath.getName.startsWith("part-"))
+      .map(st => schemaCache.computeIfAbsent(st.getPath.toString,
+        p => org.apache.spark.sql.graftshim.Bridge.parquetSchema(spark, p)))
+
+  /** The stats columns a batch records through the string projection. */
+  private def strStatsOf(dir: Path): Seq[String] =
+    batchSchemaOf(dir).map { sch =>
+      statsCols.filter(c => sch.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+    }.getOrElse(Seq.empty)
+
   private def statsForDir(dir: Path): Array[FileEntry] =
     if (!fs.listStatus(dir).exists(_.getPath.getName.startsWith("part-")))
       Array.empty[FileEntry]
     else {
+      val batchSchema = batchSchemaOf(dir).get
+      val isStr = statsCols.map(c => batchSchema.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+      // STRING stats columns aggregate their native min/max (Spark's
+      // string ordering is unsigned-byte lexicographic — the order the
+      // projection preserves); the driver then folds each bound string
+      // into StrWords projection words. Numeric columns stay doubles.
       val aggExprs = (count(lit(1)).as("n") +:
-        statsCols.zipWithIndex.flatMap { case (c, i) => Seq(
-          min(col(c).cast("double")).as(s"mn$i"),
-          max(col(c).cast("double")).as(s"mx$i")) }) ++
+        statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (isStr(i)) Seq(min(col(c)).as(s"mn$i"), max(col(c)).as(s"mx$i"))
+          else Seq(min(col(c).cast("double")).as(s"mn$i"),
+            max(col(c).cast("double")).as(s"mx$i")) }) ++
         // physical null count per stats column (r16): lets IS [NOT] NULL
         // predicates prune; costs nothing extra (same aggregate pass)
         statsCols.zipWithIndex.map { case (c, i) =>
@@ -1199,10 +1267,27 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           // an all-null column aggregates min/max to SQL NULL — record
           // NaN ("no information"; every prune layer keeps on NaN)
           def d(idx: Int) = if (r.isNullAt(idx)) Double.NaN else r.getDouble(idx)
-          FileEntry(f, -1L, r.getLong(1), d(2), d(3),
+          def s(idx: Int) = if (r.isNullAt(idx)) null else r.getString(idx)
+          // word-1 of a string bound lands in the column's own slot
+          def bnd(i: Int): (Double, Double) =
+            if (isStr(i)) {
+              val (mn, mx) = (s(2 + 2 * i), s(3 + 2 * i))
+              (if (mn == null) Double.NaN else SnapshotStore.strOrd(mn),
+                if (mx == null) Double.NaN else SnapshotStore.strOrd(mx))
+            } else (d(2 + 2 * i), d(3 + 2 * i))
+          // words 2..k of every string stats column, in statsCols order —
+          // appended AFTER the declared columns; writeManifestFor names
+          // them `c#s<w>` in the same order (strWordNames)
+          val derived = statsCols.indices.filter(isStr).flatMap { i =>
+            val (mn, mx) = (s(2 + 2 * i), s(3 + 2 * i))
+            (1 until SnapshotStore.StrWords).map { w =>
+              (if (mn == null) Double.NaN else SnapshotStore.strOrdWord(mn, w),
+                if (mx == null) Double.NaN else SnapshotStore.strOrdWord(mx, w))
+            }
+          }
+          FileEntry(f, -1L, r.getLong(1), bnd(0)._1, bnd(0)._2,
             fs.getFileStatus(new Path(f)).getLen,
-            statsCols.indices.drop(1).map(i =>
-              (d(2 + 2 * i), d(3 + 2 * i))),
+            statsCols.indices.drop(1).map(bnd) ++ derived,
             nulls = statsCols.indices.map(i => r.getLong(1 + ncBase + i)))
         }
         .sortBy(_.file)
@@ -1245,16 +1330,31 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * page-cached just-written files; the distributed WRITE dominates
     * commit wall-clock.
     */
+  /** A batch's bloom sketches: one bitset list per file (keyed by
+    * basename), plus the GROUP-level bloom sized for the batch's TOTAL
+    * rows (r17). The group line used to be the OR of the per-file
+    * bitsets — at per-file width it SATURATES once the group holds more
+    * than ~10k keys (256 files × 256 rows ORed into 4096 bits is all
+    * ones), which is exactly when group-level skipping matters most
+    * (the wide-IN takedown probes groups first, files under budget
+    * second). The dedicated group sketch keeps the two-level discipline
+    * honest at both levels.
+    */
+  private final case class BatchBlooms(files: Map[String, Seq[Array[Byte]]],
+      group: Seq[Array[Byte]])
+  private object BatchBlooms { val empty = BatchBlooms(Map.empty, Seq.empty) }
+
   private def bloomsForDir(dir: Path, totalRows: Long, nFiles: Int)
-      : Map[String, Seq[Array[Byte]]] =
-    if (bloomCols.isEmpty || nFiles == 0) Map.empty
+      : BatchBlooms =
+    if (bloomCols.isEmpty || nFiles == 0) BatchBlooms.empty
     else {
       val meanRows = math.max(1L, totalRows / nFiles)
       val bits = java.lang.Long.highestOneBit(
         math.min(1L << 20, math.max(1L << 10, 10L * meanRows)) * 2 - 1).toInt
       val aggs = bloomCols.map(c => graft.functions.BloomSketch.bloomAgg(
         xxhash64(col(c)), bits, SnapshotStore.BloomHashes).as(s"bf_$c"))
-      spark.read.parquet(dir.toString)
+      val batch = spark.read.parquet(dir.toString)
+      val perFile = batch
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -1262,6 +1362,17 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           new Path(r.getString(0)).getName ->
             bloomCols.indices.map(i => r.getAs[Array[Byte]](1 + i))
         }.toMap
+      // group sketch sized by TOTAL rows (clamped at 2 MiB — ~1% FPP to
+      // ~1.6M keys, degrading-never-wrong beyond); a second map-side-
+      // combined aggregate over the page-cached just-written batch, one
+      // sketch-sized row to the driver
+      val gBits = java.lang.Long.highestOneBit(
+        math.min(1L << 24, math.max(1L << 10, 10L * totalRows)) * 2 - 1).toInt
+      val gAggs = bloomCols.map(c => graft.functions.BloomSketch.bloomAgg(
+        xxhash64(col(c)), gBits, SnapshotStore.BloomHashes).as(s"gf_$c"))
+      val gRow = batch.agg(gAggs.head, gAggs.tail: _*).collect()(0)
+      BatchBlooms(perFile,
+        bloomCols.indices.map(i => gRow.getAs[Array[Byte]](i)))
     }
 
   private def b64(a: Array[Byte]): String =
@@ -1272,8 +1383,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * every metadata file.
     */
   private def bloomBody(names: Seq[String],
-      blooms: Seq[(String, Seq[Array[Byte]])]): String = {
-    // The `*` union line (the group-level skip) is sound ONLY when every
+      blooms: Seq[(String, Seq[Array[Byte]])],
+      groupUnion: Seq[Array[Byte]] = Seq.empty): String = {
+    // The `*` line (the group-level skip): preferred source is the
+    // DEDICATED group sketch (r17, sized for the batch's total rows —
+    // see BatchBlooms); carried/legacy paths without one fall back to
+    // OR-ing the per-file bitsets, which is sound ONLY when every
     // file's sketch per column has the same bit width — probe bits are
     // positions mod the width, so OR-ing mixed widths loses bits. Mixed
     // widths happen when carried-forward sketches (r16) predate a batch
@@ -1282,7 +1397,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // (each probed under its own width) still prune.
     val cols = blooms.map(_._2).transpose
     val unionLine =
-      if (cols.forall(bs => bs.map(_.length).distinct.size <= 1)) {
+      if (groupUnion.nonEmpty)
+        Seq(s"*\t${groupUnion.map(b64).mkString("\t")}")
+      else if (cols.forall(bs => bs.map(_.length).distinct.size <= 1)) {
         val union = cols.map { bs =>
           val acc = bs.head.clone()
           bs.tail.foreach { b =>
@@ -1490,33 +1607,74 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   /** Sound keep-decision for `cond` against one candidate: false ONLY when
     * no row in the candidate can satisfy the predicate.
     */
-  private def keeps(e: CNode, ctx: PruneCtx): Boolean = {
-    def num(x: CNode) = litValueOf(x).flatMap(asDouble)
-    // range test against sound bounds; NaN bounds carry no information
-    def rk(a: CNode, l: CNode)(
-        t: (Double, Double, Double) => Boolean): Boolean =
-      (for { n <- attrNameOf(a); v <- num(l); b <- ctx.bounds(n) }
-        yield b._1.isNaN || b._2.isNaN || t(b._1, b._2, v)).getOrElse(true)
+  private def keeps(e: CNode, ctx: PruneCtx,
+      strZoned: String => Boolean = _ => false): Boolean = {
+    // Literal → the compared attribute's ZONE SCALE (r17): a column
+    // marked `#strstats` records prefix-projected bounds — word 1 in its
+    // own slot, words 2..k in derived `#s<w>` slots — so STRING literals
+    // compare there as word TUPLES ([[SnapshotStore.lexLE]]); unmarked
+    // columns compare numeric literals as plain doubles. A cross-typed
+    // compare (numeric literal vs string zones, or vice versa) refuses
+    // and keeps: its SQL semantics run through implicit casts the zone
+    // scales know nothing about. Over the (collapsing) projection,
+    // STRICT compares relax to non-strict: mn == v(K) can still hide
+    // rows strictly below K, so only a strict projected inequality may
+    // skip — lexLE's tie-keeps encode exactly that.
+    def strTupleOf(n: String, side: ((Double, Double)) => Double): Seq[Double] =
+      (n +: SnapshotStore.strWordNames(n))
+        .map(sl => ctx.bounds(sl).map(side).getOrElse(Double.NaN))
+    def keyTuple(s: String): Seq[Double] =
+      (0 until SnapshotStore.StrWords).map(w => SnapshotStore.strOrdWord(s, w))
+    // rows-above-v possible? / rows-below-v possible? (direction tests
+    // every range case reduces to; strictness folds into the projection
+    // relaxation for strings, and stays exact for numerics)
+    def keepAbove(n: String, v: Any, strict: Boolean): Option[Boolean] = v match {
+      case str: String if strZoned(n) =>
+        Some(SnapshotStore.lexLE(keyTuple(str), strTupleOf(n, _._2)))
+      case _: String => None
+      case other if strZoned(n) => None
+      case other => asDouble(other).map { d =>
+        val mx = ctx.bounds(n).map(_._2).getOrElse(Double.NaN)
+        mx.isNaN || (if (strict) mx > d else mx >= d)
+      }
+    }
+    def keepBelow(n: String, v: Any, strict: Boolean): Option[Boolean] = v match {
+      case str: String if strZoned(n) =>
+        Some(SnapshotStore.lexLE(strTupleOf(n, _._1), keyTuple(str)))
+      case _: String => None
+      case other if strZoned(n) => None
+      case other => asDouble(other).map { d =>
+        val mn = ctx.bounds(n).map(_._1).getOrElse(Double.NaN)
+        mn.isNaN || (if (strict) mn < d else mn <= d)
+      }
+    }
+    def rkd(a: CNode, l: CNode, above: Boolean, strict: Boolean): Boolean =
+      (for { n <- attrNameOf(a); lv <- litValueOf(l)
+             k <- if (above) keepAbove(n, lv, strict)
+                  else keepBelow(n, lv, strict) } yield k).getOrElse(true)
     def eqKeep(a: CNode, l: CNode): Boolean =
       (attrNameOf(a), litValueOf(l)) match {
         case (Some(n), Some(v)) =>
-          val zone = asDouble(v).map(d => ctx.bounds(n).forall { case (mn, mx) =>
-            mn.isNaN || mx.isNaN || (mn <= d && d <= mx) }).getOrElse(true)
+          val zone = (for { ab <- keepAbove(n, v, strict = false)
+                            be <- keepBelow(n, v, strict = false) }
+            yield ab && be).getOrElse(true)
           zone && ctx.mightContain(n, v)
         case _ => true
       }
     def isAttr(x: CNode) = attrNameOf(x).nonEmpty
     fnOf(e) match {
-      case Some(("and", Seq(l, r))) => keeps(l, ctx) && keeps(r, ctx)
-      case Some(("or", Seq(l, r))) => keeps(l, ctx) || keeps(r, ctx)
-      case Some((">", Seq(a, l))) if isAttr(a) => rk(a, l)((_, mx, v) => mx > v)
-      case Some((">", Seq(l, a))) if isAttr(a) => rk(a, l)((mn, _, v) => mn < v)
-      case Some((">=", Seq(a, l))) if isAttr(a) => rk(a, l)((_, mx, v) => mx >= v)
-      case Some((">=", Seq(l, a))) if isAttr(a) => rk(a, l)((mn, _, v) => mn <= v)
-      case Some(("<", Seq(a, l))) if isAttr(a) => rk(a, l)((mn, _, v) => mn < v)
-      case Some(("<", Seq(l, a))) if isAttr(a) => rk(a, l)((_, mx, v) => mx > v)
-      case Some(("<=", Seq(a, l))) if isAttr(a) => rk(a, l)((mn, _, v) => mn <= v)
-      case Some(("<=", Seq(l, a))) if isAttr(a) => rk(a, l)((_, mx, v) => mx >= v)
+      case Some(("and", Seq(l, r))) =>
+        keeps(l, ctx, strZoned) && keeps(r, ctx, strZoned)
+      case Some(("or", Seq(l, r))) =>
+        keeps(l, ctx, strZoned) || keeps(r, ctx, strZoned)
+      case Some((">", Seq(a, l))) if isAttr(a) => rkd(a, l, above = true, strict = true)
+      case Some((">", Seq(l, a))) if isAttr(a) => rkd(a, l, above = false, strict = true)
+      case Some((">=", Seq(a, l))) if isAttr(a) => rkd(a, l, above = true, strict = false)
+      case Some((">=", Seq(l, a))) if isAttr(a) => rkd(a, l, above = false, strict = false)
+      case Some(("<", Seq(a, l))) if isAttr(a) => rkd(a, l, above = false, strict = true)
+      case Some(("<", Seq(l, a))) if isAttr(a) => rkd(a, l, above = true, strict = true)
+      case Some(("<=", Seq(a, l))) if isAttr(a) => rkd(a, l, above = false, strict = false)
+      case Some(("<=", Seq(l, a))) if isAttr(a) => rkd(a, l, above = true, strict = false)
       case Some(("=" | "==" | "<=>", Seq(a, l))) if isAttr(a) => eqKeep(a, l)
       case Some(("=" | "==" | "<=>", Seq(l, a))) if isAttr(a) => eqKeep(a, l)
       case Some(("in", a +: list)) if isAttr(a) &&
@@ -1534,7 +1692,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         (for { n <- attrNameOf(a); nc <- ctx.nullCount(n); r <- ctx.physRows }
           yield nc < r).getOrElse(true)
       case Some(("not" | "!", Seq(c))) =>
-        negated(c).map(keeps(_, ctx)).getOrElse(true)
+        negated(c).map(keeps(_, ctx, strZoned)).getOrElse(true)
       case _ => true // unsupported shape: no pruning from this subtree
     }
   }
@@ -1554,6 +1712,40 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           yield (n, v)
       case Some(("not" | "!", Seq(c))) =>
         negated(c).map(collectEqProbes).getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }
+
+  /** REQUIRED wide-IN membership probes (r17; closes the r16 verdict's
+    * named scale-killer): an IN wider than [[SnapshotStore.InProbeCap]]
+    * on NON-numeric keys used to fall to keep-all (capWideIn's range
+    * collapse only helps numeric keys), so a 10^5-STRING-key takedown —
+    * the typical document-id compliance shape — planned O(table). The
+    * keys of an IN that is a REQUIRED conjunct (reachable from the root
+    * through `and` nodes only, positive polarity) can instead probe the
+    * BLOOM layer wholesale: hash every key once (O(keys), driver-local),
+    * then ask each group's union bloom "might ANY key be here?" with
+    * early exit on the first possible hit — O(keys × groups) worst case,
+    * groups ≪ files — and drop whole groups whose answer is no. Per-file
+    * refinement inside surviving groups runs under a global bit-test
+    * budget ([[SnapshotStore.WideProbeBudget]]) so plan time stays flat
+    * no matter how wide the takedown; past the budget files keep
+    * conservatively (sound, and those files are in groups the union
+    * bloom could not clear, i.e. likely genuine hits). Collection is
+    * deliberately NOT polarity-general: only AND-reachable INs qualify,
+    * because skipping on a conjunct requires the conjunct be necessary.
+    */
+  private def collectWideIns(e: CNode): Seq[(String, Seq[Any])] =
+    fnOf(e) match {
+      case Some(("and", Seq(l, r))) =>
+        collectWideIns(l) ++ collectWideIns(r)
+      case Some(("in", a +: list)) if list.size > SnapshotStore.InProbeCap =>
+        for {
+          n <- attrNameOf(a).toSeq
+          vs = list.flatMap(litValueOf)
+          // every literal must resolve: probing with a SUBSET would skip
+          // files that contain only the unresolved keys — unsound
+          if vs.size == list.size
+        } yield (n, vs)
       case _ => Seq.empty
     }
 
@@ -1616,10 +1808,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private def pruneWhere(v: Long, cond: org.apache.spark.sql.Column)
       : (Seq[FileEntry], Seq[FileEntry], Int) = {
-    val e = capWideIn(org.apache.spark.sql.graftshim.Bridge.predicateTree(cond))
+    val raw = org.apache.spark.sql.graftshim.Bridge.predicateTree(cond)
+    val e = capWideIn(raw)
     val info = listInfoOf(v)
     val eff = info.names
     val probes = collectEqProbes(e)
+    val wides = collectWideIns(raw)
     // INVARIANT (r15 advice, documented): probe literals are typed under
     // ONE sample file's footer schema. Sound because bloom-tracked columns
     // may not type-evolve across batches: every read path goes through
@@ -1630,7 +1824,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // dropped (conservative keep) for files whose physical type differs
     // from the sample's — revisit this site and probeHash together.
     val schema: org.apache.spark.sql.types.StructType =
-      if (probes.isEmpty) new org.apache.spark.sql.types.StructType()
+      if (probes.isEmpty && wides.isEmpty)
+        new org.apache.spark.sql.types.StructType()
       else {
         val sample = info.refs.headOption
           .map(r => readGroupFile(r.name)._2).getOrElse(Seq.empty) ++
@@ -1642,6 +1837,94 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           .getOrElse(new org.apache.spark.sql.types.StructType())
       }
     val hashes = probeHashMap(probes, schema)
+    // wide-IN key hashes, one array per attr, computed LAZILY — O(keys)
+    // driver work at most once, and not at all when every candidate\'s
+    // sketch fails the saturation guard below (the usual wide-IN case);
+    // an IN any of whose literals fails to hash under the physical type
+    // contributes no pruning (conservative)
+    val wideKeyCounts: Seq[(String, Int)] =
+      wides.map { case (n, vs) => (n, vs.size) }
+    lazy val wideHashes: Map[String, Array[Long]] =
+      wides.flatMap { case (n, vs) =>
+        schema.find(_.name == n).map(_.dataType).flatMap { t =>
+          val hs = vs.flatMap(SnapshotStore.probeHash(_, t))
+          if (hs.size == vs.size) Some(n -> hs.toArray) else None
+        }
+      }.toMap
+    // r17: a wide IN over a STRING-projected column collapses to ONE
+    // range on the projected scale — O(keys) once driver-side, O(1) per
+    // candidate — capWideIn's numeric collapse generalized to string
+    // keys. This, not bloom probing, is what makes a CLUSTERED 10^5-
+    // doc-id takedown plan O(batch): membership-probing 10^5 keys
+    // against ~1e-3-FPP sketches false-keeps nearly every candidate
+    // (per-key FPP compounds across the key set), while a zone range
+    // doesn't care how many keys it summarizes. Sound because
+    // collectWideIns only surfaces REQUIRED conjuncts and #strstats
+    // marks exactly the columns whose bounds use the projection.
+    val strZoned: String => Boolean = info.strStats.toSet
+    // (slot names of the column's projection words, lo word-tuple, hi
+    // word-tuple): the tuple-lex min/max over the KEYS' projections —
+    // O(keys × StrWords) once driver-side, O(StrWords) per candidate
+    val wideRanges: Seq[(Seq[String], Seq[Double], Seq[Double])] =
+      wides.flatMap { case (n, vs) =>
+        if (strZoned(n) && vs.forall(_.isInstanceOf[String])) {
+          val tuples = vs.map { v =>
+            val str = v.asInstanceOf[String]
+            (0 until SnapshotStore.StrWords)
+              .map(w => SnapshotStore.strOrdWord(str, w))
+          }
+          val lo = tuples.reduce((a, b) =>
+            if (SnapshotStore.lexLE(a, b)) a else b)
+          val hi = tuples.reduce((a, b) =>
+            if (SnapshotStore.lexLE(a, b)) b else a)
+          Some((n +: SnapshotStore.strWordNames(n), lo, hi))
+        } else None
+      }
+    def wideZoneKeep(ctx: PruneCtx): Boolean =
+      wideRanges.forall { case (slots, lo, hi) =>
+        def side(f: ((Double, Double)) => Double): Seq[Double] =
+          slots.map(sl => ctx.bounds(sl).map(f).getOrElse(Double.NaN))
+        // keep iff [lo,hi] might intersect [minTuple, maxTuple]:
+        // lo <= fileMax AND fileMin <= hi, word-tuple lexicographic
+        SnapshotStore.lexLE(lo, side(_._2)) &&
+          SnapshotStore.lexLE(side(_._1), hi)
+      }
+    // per-FILE refinement budget (key-probes); group-level union probes
+    // are uncapped by design — O(keys × groups) is the intended envelope
+    var wideFileBudget: Long = SnapshotStore.WideProbeBudget
+    def wideKeep(sc: Option[BloomSidecar],
+        bsOf: BloomSidecar => Option[Seq[Array[Byte]]],
+        budgeted: Boolean): Boolean =
+      wideKeyCounts.forall { case (n, nKeys) =>
+        (for { s <- sc; i = s.names.indexOf(n); if i >= 0
+               bytes <- bsOf(s).flatMap(_.lift(i)) } yield {
+          // SATURATION GUARD: with K keys the chance of a false keep is
+          // ~K·d^h (d = bitset density). When that exceeds O(1) the scan
+          // is hopeless — every candidate would false-keep anyway — so
+          // skip the O(K) probe loop (and the key hashing entirely) and
+          // keep outright (sound; also why wide-IN pruning leans on the
+          // zone range, not blooms). One O(bits) popcount, ≪ O(K).
+          var pc = 0L; var bi = 0
+          while (bi < bytes.length) {
+            pc += java.lang.Integer.bitCount(bytes(bi) & 0xff); bi += 1 }
+          val density = pc.toDouble / math.max(1.0, bytes.length * 8.0)
+          val hopeless =
+            nKeys.toDouble * math.pow(density, s.hashes) > 4.0
+          if (hopeless || (budgeted && wideFileBudget < nKeys)) true
+          else wideHashes.get(n) match {
+            case None => true
+            case Some(hs) =>
+              if (budgeted) wideFileBudget -= hs.length
+              var j = 0; var hit = false
+              while (!hit && j < hs.length) {
+                if (graft.functions.BloomSketch.containsBytes(
+                  bytes, s.hashes, hs(j))) hit = true
+                j += 1
+              }
+              hit
+          }
+        }).getOrElse(true)
+      }
     def bloomHit(sc: Option[BloomSidecar], bs: Option[Seq[Array[Byte]]])(
         n: String, value: Any): Boolean =
       (for { s <- sc; i = s.names.indexOf(n); if i >= 0
@@ -1651,9 +1934,10 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         .getOrElse(true)
     var total = 0
     val keptGroups = info.refs.flatMap { r =>
-      // sidecars only matter to equality probes — a range-only predicate
-      // must not pay a sidecar read (or decode) per group per query
-      val sc = if (hashes.isEmpty) None else readBloomSidecar(r.name)
+      // sidecars only matter to equality/membership probes — a range-only
+      // predicate must not pay a sidecar read (or decode) per group
+      val sc = if (hashes.isEmpty && wideHashes.isEmpty) None
+               else readBloomSidecar(r.name)
       val gCtx = new PruneCtx {
         def bounds(n: String) = {
           val i = eff.indexOf(n)
@@ -1668,7 +1952,9 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         override def physRows =
           if (r.physRows >= 0L) Some(r.physRows) else None
       }
-      if (!keeps(e, gCtx) && r.files >= 0) { total += r.files; None }
+      if ((!keeps(e, gCtx, strZoned) || !wideZoneKeep(gCtx) ||
+            !wideKeep(sc, s => Some(s.union), budgeted = false)) &&
+            r.files >= 0) { total += r.files; None }
       else {
         val (gNames, es) = readGroupFile(r.name)
         total += es.size
@@ -1689,7 +1975,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
             }
             override def physRows = Some(fe.rows)
           }
-          keeps(e, fCtx)
+          keeps(e, fCtx, strZoned) && wideZoneKeep(fCtx) && wideKeep(sc,
+            s => s.files.get(new Path(fe.file).getName), budgeted = true)
         }
         Some(Group(Some(r.name), eff, kept))
       }
@@ -1711,7 +1998,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           }
           override def physRows = Some(fe.rows)
         }
-        keeps(e, fCtx)
+        keeps(e, fCtx, strZoned) && wideZoneKeep(fCtx)
       })
     }
     val kept = keptGroups.flatMap(_.entries)
@@ -1743,68 +2030,106 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     (kept.size, total)
   }
 
-  /** The file set an order-exploiting top-k scan needs (r16): sort files
-    * by their zone UPPER bound (ascending k-smallest; symmetric for
-    * descending), take the shortest prefix whose visible rows provably
-    * cover `k` — its last bound is a sound threshold T (≥ k rows are ≤ T)
-    * — then keep every file whose LOWER bound reaches T. Exact bounds
-    * make this sound for ANY layout; the DECLARED sort order
-    * ([[setSortOrder]]) is what clusters files so the prefix stays tiny.
-    * Files with unknown bounds (NaN) contribute no proof and are always
-    * scanned.
+  /** The file set an order-exploiting top-k scan needs (r16; r17
+    * generalizes to COMPOSITE orders): per file, the zone bounds of the
+    * order columns form LEXICOGRAPHIC tuple bounds — (max_1, max_2, …)
+    * is a sound lex upper bound of every row\'s order tuple (row.c1 ≤
+    * max_1, ties fall to the next column\'s own max, by induction), and
+    * symmetrically for the lower tuple. Sort files by the tight-side
+    * tuple (upper for k-smallest, lower for k-largest), take the
+    * shortest prefix whose visible rows provably cover `k` — its last
+    * tuple is a sound threshold T (≥ k rows are lex-≤ T) — then keep
+    * every file whose far-side tuple reaches T. Exact bounds make this
+    * sound for ANY layout; the DECLARED composite sort order
+    * ([[setSortOrder]]) is what clusters files so the prefix stays
+    * tiny. STRING order columns expand to their projection-word slots
+    * (word ties flow to the finer word — the correct lex refinement),
+    * and all compares are non-strict, sound under prefix collapse.
+    * Files with any unknown (NaN) slot contribute no proof and are
+    * always scanned.
     */
-  private def topKEntries(v: Long, colName: String, k: Int, asc: Boolean)
+  private def topKEntries(v: Long, cols: Seq[String], k: Int, asc: Boolean)
       : (Seq[FileEntry], Seq[FileEntry], Int) = {
+    // guard HERE so both public entry points (readTopK, topKStats) fail
+    // with the intended message instead of an empty-prefix .last throw
+    require(k > 0, "top-k needs k > 0")
+    require(cols.nonEmpty, "top-k needs at least one order column")
     val m = readManifest(v)
     val names = statsNamesOf(v)
-    val i = names.indexOf(colName)
-    require(i >= 0,
-      s"column '$colName' is not zone-tracked at version $v (tracked: $names)")
-    def bnds(e: FileEntry): (Double, Double) =
+    val strMarked = listInfoOf(v).strStats.toSet
+    // expand string order columns to their projection-word slot runs
+    val slots: Seq[Int] = cols.flatMap { c =>
+      val i = names.indexOf(c)
+      require(i >= 0,
+        s"column \'$c\' is not zone-tracked at version $v (tracked: $names)")
+      if (strMarked(c))
+        i +: SnapshotStore.strWordNames(c).map(names.indexOf).filter(_ >= 0)
+      else Seq(i)
+    }
+    def bndsAt(e: FileEntry, i: Int): (Double, Double) =
       if (i == 0) (e.minS, e.maxS)
       else e.extra.lift(i - 1).getOrElse(
         (Double.NegativeInfinity, Double.PositiveInfinity))
-    val (unknown, known) =
-      m.partition(e => bnds(e)._1.isNaN || bnds(e)._2.isNaN)
-    // tight side first: upper bound for k-smallest, lower for k-largest
-    val ordered = known.sortBy(e =>
-      if (asc) bnds(e)._2 else -bnds(e)._1)
+    def loT(e: FileEntry): Seq[Double] = slots.map(i => bndsAt(e, i)._1)
+    def hiT(e: FileEntry): Seq[Double] = slots.map(i => bndsAt(e, i)._2)
+    def lexCmp(a: Seq[Double], b: Seq[Double]): Int = {
+      var i = 0
+      while (i < a.length) {
+        val c = java.lang.Double.compare(a(i), b(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+    val (unknown, known) = m.partition(e =>
+      loT(e).exists(_.isNaN) || hiT(e).exists(_.isNaN))
+    // tight side first: upper tuple for k-smallest, lower for k-largest
+    val ord = new Ordering[Seq[Double]] {
+      def compare(a: Seq[Double], b: Seq[Double]) = lexCmp(a, b)
+    }
+    val ordered =
+      if (asc) known.sortBy(hiT)(ord) else known.sortBy(loT)(ord.reverse)
     var acc = 0L
     val prefix = ordered.takeWhile { e =>
       val need = acc < k; acc += e.visibleRows; need }
     val kept =
       if (acc < k) m // fewer provable rows than k: scan everything
       else {
-        val t = prefix.map(e => if (asc) bnds(e)._2 else bnds(e)._1).last
+        val t = (if (asc) prefix.map(hiT) else prefix.map(loT)).last
         unknown ++ known.filter(e =>
-          if (asc) bnds(e)._1 <= t else bnds(e)._2 >= t)
+          if (asc) lexCmp(loT(e), t) <= 0 else lexCmp(hiT(e), t) >= 0)
       }
     (kept, m, m.size)
   }
 
-  /** ORDER-EXPLOITING top-k read: `readTopK(v, c, k)` ==
-    * `readAt(v).orderBy(c).limit(k)` exactly, scanning only the zone-
+  /** ORDER-EXPLOITING top-k read: `readTopK(v, cs, k)` ==
+    * `readAt(v).orderBy(cs).limit(k)` exactly, scanning only the zone-
     * bounded file prefix that can contain the answer. Under a declared
     * sort order maintained by [[compactSmall]], that prefix is O(k/rows-
     * per-file) files regardless of table size; the plan is a bounded
     * TakeOrderedAndProject over the pruned scan — no global sort, no
-    * shuffle of the table.
+    * shuffle of the table. The composite form is what primary-key slice
+    * queries against the reference\'s `ORDER BY (variable, timestamp,
+    * lat, lon)` actually run.
     */
-  def readTopK(v: Long, colName: String, k: Int,
-      asc: Boolean = true): DataFrame = {
-    require(k > 0, "top-k needs k > 0")
-    val (kept, schemaSrc, _) = topKEntries(v, colName, k, asc)
+  def readTopK(v: Long, cols: Seq[String], k: Int, asc: Boolean): DataFrame = {
+    val (kept, schemaSrc, _) = topKEntries(v, cols, k, asc)
     readEntriesDf(kept, schemaSrc)
-      .orderBy(if (asc) col(colName).asc else col(colName).desc)
+      .orderBy(cols.map(c => if (asc) col(c).asc else col(c).desc): _*)
       .limit(k)
   }
 
+  def readTopK(v: Long, colName: String, k: Int,
+      asc: Boolean = true): DataFrame = readTopK(v, Seq(colName), k, asc)
+
   /** (files kept, total files) for a top-k plan — the skip census. */
-  def topKStats(v: Long, colName: String, k: Int,
-      asc: Boolean = true): (Int, Int) = {
-    val (kept, _, total) = topKEntries(v, colName, k, asc)
+  def topKStats(v: Long, cols: Seq[String], k: Int, asc: Boolean): (Int, Int) = {
+    val (kept, _, total) = topKEntries(v, cols, k, asc)
     (kept.size, total)
   }
+
+  def topKStats(v: Long, colName: String, k: Int,
+      asc: Boolean = true): (Int, Int) = topKStats(v, Seq(colName), k, asc)
 
   /** Damaged-store guard: with no acknowledged version, the only debris
     * the commit protocol itself can have left behind is a crashed FIRST
@@ -1843,6 +2168,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     //    enters it with pre-placed files instead of a staging rename.
     try commitMeta(base, tag, expectedPrev, stagedStats,
       moveFrom = Some((staging, stagingName)), blooms = blooms,
+      strStats = strStatsOf(staging),
       layoutTag = layoutTag, sortTag = sortTag)
     catch {
       case e: Throwable =>
@@ -1869,7 +2195,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
   private def commitMeta(base: () => Seq[Group], tag: Option[String],
       expectedPrev: Option[Option[Long]], stagedStats: Array[FileEntry],
       moveFrom: Option[(Path, String)],
-      blooms: Map[String, Seq[Array[Byte]]] = Map.empty,
+      blooms: BatchBlooms = BatchBlooms.empty,
+      strStats: Seq[String] = Nil,
       layoutTag: Option[String] = None,
       sortTag: Option[Seq[String]] = None): Long =
     SnapshotStore.lockFor(fs.makeQualified(new Path(path)).toString).synchronized {
@@ -1941,7 +2268,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
           // claim and rename leaves a young unacknowledged manifest — the
           // standard debris shape, refused while young and reclaimed aged.
           val nonce = writeManifestFor(v, base, tag, stats, blooms,
-            layoutTag, sortTag)
+            strStats, layoutTag, sortTag)
           try {
             moveFrom.foreach { case (staging, _) =>
               if (fs.listStatus(staging).nonEmpty) {
@@ -1969,7 +2296,8 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     */
   private def writeManifestFor(v: Long, base: () => Seq[Group],
       tag: Option[String], stats: Array[FileEntry],
-      blooms: Map[String, Seq[Array[Byte]]] = Map.empty,
+      blooms: BatchBlooms = BatchBlooms.empty,
+      strStats: Seq[String] = Nil,
       layoutTag: Option[String] = None,
       sortTag: Option[Seq[String]] = None): String = {
     // Carried groups ride BY REFERENCE; only the groups this commit
@@ -1981,10 +2309,16 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     // the version's effective name list (writer's columns first, then
     // every column the carried groups still track).
     val carried = base()
+    // the fresh batch's zone-slot names: declared columns plus the
+    // derived projection-word slots of its STRING stats columns (r17) —
+    // order must match statsForDir's extra-pair emission exactly
+    val batchNames = statsCols ++
+      statsCols.filter(strStats.contains).flatMap(SnapshotStore.strWordNames)
     val effNames = statsCols ++
-      carried.flatMap(_.names).distinct.filterNot(statsCols.contains)
+      (batchNames.drop(statsCols.size) ++ carried.flatMap(_.names))
+        .distinct.filterNot(statsCols.contains)
     val groups = carried ++
-      (if (stats.nonEmpty) Seq(Group(None, statsCols, stats.toSeq))
+      (if (stats.nonEmpty) Seq(Group(None, batchNames, stats.toSeq))
        else Seq.empty)
     val noInfo = (Double.NegativeInfinity, Double.PositiveInfinity)
     // group-level summary (file count + whole-group bounds per effective
@@ -2034,26 +2368,41 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         // anything else stays sidecar-less (conservative keep). Written
         // BEFORE the manifest claim like the group itself; unreferenced
         // on a crash → same aged-debris sweep as its group.
+        val carriedSc = g.origin.flatMap(readBloomSidecar)
+          .filter(s => s.names == bloomCols &&
+            s.hashes == SnapshotStore.BloomHashes)
         val carriedBlooms: Map[String, Seq[Array[Byte]]] =
-          g.origin.flatMap(readBloomSidecar).toSeq
-            .filter(s => s.names == bloomCols &&
-              s.hashes == SnapshotStore.BloomHashes)
-            .flatMap(_.files).toMap
+          carriedSc.toSeq.flatMap(_.files).toMap
         val withBlooms = g.entries.flatMap { e =>
           val bn = new Path(e.file).getName
-          blooms.get(bn).orElse(carriedBlooms.get(bn)).map(bn -> _)
+          blooms.files.get(bn).orElse(carriedBlooms.get(bn)).map(bn -> _)
         }
+        // group `*` line: the fresh batch gets this commit's dedicated
+        // group sketch; a re-expressed carried group (DV attach /
+        // partial-rewrite survivor set) carries its origin's — sound as
+        // a SUPERSET bloom, since the carry only ever drops files
+        val gUnion =
+          if (g.origin.isEmpty) blooms.group
+          else carriedSc.map(_.union).getOrElse(Seq.empty)
         if (withBlooms.nonEmpty)
           writeAtomic(bloomSidecarPath(n),
-            bloomBody(bloomCols, withBlooms), overwrite = false)
+            bloomBody(bloomCols, withBlooms, gUnion), overwrite = false)
         n
       }
       val (files, rows, bounds, phys, ncs) = summarize(g)
       RefLine(name, files, rows, Some(bounds), phys, ncs)
     }
     val nonce = java.util.UUID.randomUUID().toString
+    // string-projection markers: this batch's string-typed stats columns
+    // UNION the previous version's markers (types are table-global —
+    // mergeSchema rejects drift — so the union is consistent); a
+    // metadata-only commit (stats empty, strStats Nil) carries the
+    // previous markers forward unchanged
+    val prevStr = if (v > 1L && fs.exists(manifestPath(v - 1L)))
+      listInfoOf(v - 1L).strStats else Seq.empty
+    val effStr = (prevStr ++ strStats).distinct.filter(effNames.contains)
     writeAtomic(manifestPath(v),
-      listBody(refs, tag, effNames, nonce, layoutTag, sortTag),
+      listBody(refs, tag, effStr, effNames, nonce, layoutTag, sortTag),
       overwrite = false)
     nonce
   }
@@ -2155,6 +2504,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
     * group-level zone map pruned reads skip on.
     */
   private def listBody(refs: Seq[RefLine], tag: Option[String],
+      strStats: Seq[String],
       names: Seq[String], nonce: String,
       layoutTag: Option[String] = None,
       sortTag: Option[Seq[String]] = None): String = {
@@ -2175,6 +2525,7 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       "#v=2\n" +
       s"#crc=${crcOf(body)}\n" +
       s"#stats=${names.mkString(",")}\n" +
+      (if (strStats.nonEmpty) s"#strstats=${strStats.mkString(",")}\n" else "") +
       s"#nonce=$nonce\n" + body
   }
 
@@ -2233,8 +2584,22 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       // accumulated >10 MB of vectors before folding would silently flip
       // this anti-join to a sort-merge that SHUFFLES the whole data scan.
       // The vector side must never decide the data side's distribution.
-      scan.join(
-        broadcast(dv.select(col("f").as("__dv_f"), col("pos").as("__dv_p"))),
+      //
+      // But the hint is SIZE-GATED (r17, the r16 advice): nothing FORCES
+      // maintainDv/foldDv to run, and dvMaxFraction only bounds per-epoch
+      // per-file fractions — unbounded stacked epochs could push the
+      // vector side past Spark's 8 GB broadcast hard cap, turning a
+      // degraded-but-correct read into an outright failure. The manifest
+      // already knows the masked-row count driver-side (entries carry
+      // dvRows); above [[SnapshotStore.DvBroadcastMaxRows]] the join runs
+      // unhinted (sort-merge — slow, loud in the plan, correct) and the
+      // operator to run is foldDv().
+      val masked = entries.map(_.dvRows).sum
+      val dvSide = dv.select(col("f").as("__dv_f"), col("pos").as("__dv_p"))
+      val probe =
+        if (masked <= SnapshotStore.DvBroadcastMaxRows) broadcast(dvSide)
+        else dvSide
+      scan.join(probe,
         scan(FileCol) === col("__dv_f") && scan(PosCol) === col("__dv_p"),
         "left_anti")
     }
@@ -2822,7 +3187,11 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       // the CLAIM: create-exclusive, so of two racing stages of the same
       // id exactly one list lands; the loser throws here and its own
       // (unique, unreferenced) dir is cleaned below
-      writeAtomic(wapListPath(wapId), groupBody(entries.toSeq, statsCols),
+      // staged list names must cover the derived string-word slots the
+      // stats pass emitted, or parse/alignment would mislabel them
+      val stageNames = statsCols ++ statsCols
+        .filter(strStatsOf(dir).contains).flatMap(SnapshotStore.strWordNames)
+      writeAtomic(wapListPath(wapId), groupBody(entries.toSeq, stageNames),
         overwrite = false)
       claimedList = true
       // an orphan sidecar with no list is debris (a discard crashed
@@ -2836,12 +3205,13 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       // winner writes it); publish hands them to the manifest's sidecar.
       // A crash in between just loses the sketches — conservative reads,
       // never wrong ones.
-      if (blooms.nonEmpty) {
+      if (blooms.files.nonEmpty) {
         val named = entries.toSeq.flatMap { e =>
           val bn = new Path(e.file).getName
-          blooms.get(bn).map(bn -> _)
+          blooms.files.get(bn).map(bn -> _)
         }
-        writeAtomic(wapBloomPath(wapId), bloomBody(bloomCols, named),
+        writeAtomic(wapBloomPath(wapId),
+          bloomBody(bloomCols, named, blooms.group),
           overwrite = false)
       }
     } catch {
@@ -2909,7 +3279,20 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         // by name first, or a publisher declaring different columns would
         // silently re-label the stager's min/max as another column's and
         // later zone prunes would skip files that DO contain matches
-        val staged = alignEntries(stagedNames, statsCols, rawStaged)
+        // staged data files already sit at their final paths — type the
+        // string-projection markers from one of their footers, and align
+        // the staged bounds to THIS writer's slot list (declared columns
+        // + the derived string-word slots) so writeManifestFor's batch
+        // group names them positionally right
+        val wapStr = rawStaged.headOption.map { e =>
+          val sch = schemaCache.computeIfAbsent(e.file,
+            p => org.apache.spark.sql.graftshim.Bridge.parquetSchema(spark, p))
+          statsCols.filter(c => sch.find(_.name == c)
+            .exists(_.dataType == org.apache.spark.sql.types.StringType))
+        }.getOrElse(Seq.empty)
+        val pubNames = statsCols ++
+          statsCols.filter(wapStr.contains).flatMap(SnapshotStore.strWordNames)
+        val staged = alignEntries(stagedNames, pubNames, rawStaged)
         val missing = staged.filterNot(e => fs.exists(new Path(e.file)))
         require(missing.isEmpty,
           s"staged wap '$wapId' at $path references missing data files " +
@@ -2920,10 +3303,12 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         // (mismatched sketches would probe wrong; conservative drop)
         val blooms = parseBloomFile(wapBloomPath(wapId),
           s"staged blooms of wap $wapId")
-          .filter(_.names == bloomCols).map(_.files).getOrElse(Map.empty)
+          .filter(_.names == bloomCols)
+          .map(s => BatchBlooms(s.files, s.union))
+          .getOrElse(BatchBlooms.empty)
         val v = commitMeta(() => carryAllGroups(), Some(wapTag(wapId)),
           expectedPrev = None, staged.toArray, moveFrom = None,
-          blooms = blooms)
+          blooms = blooms, strStats = wapStr)
         finishWapPublish(wapId)
         v
     }
@@ -3394,6 +3779,88 @@ object SnapshotStore {
     * ([[SnapshotStore.deleteWhere]]'s takedown shape included).
     */
   val InProbeCap = 10000
+
+  /** Order-preserving numeric projection of a string — the first 6 UTF-8
+    * bytes as a big-endian integer, short strings right-padded with 0x00
+    * (so `v` is monotone under byte-lexicographic order: a <= b implies
+    * v(a) <= v(b); 48 bits, exact in a Double). This is Iceberg's
+    * truncated-string-bounds idea encoded into the manifest's EXISTING
+    * numeric zone slots (r17): [[SnapshotStore]] records string stats
+    * columns' per-file min/max through this projection, and the planner
+    * compares string-key ranges on the same scale — so a clustered
+    * document-id takedown prunes through zones exactly like a numeric
+    * one, with no per-key cost and no bloom FPP compounding (probing
+    * 10^5 keys against ~1%-FPP blooms false-keeps everything; zones
+    * don't care how many keys the range summarizes). Collisions (shared
+    * 6-byte prefix) only WIDEN bounds — never unsound.
+    */
+  def strOrd(s: String): Double = strOrdWord(s, 0)
+
+  /** Words of the projection beyond the first: word `w` covers UTF-8
+    * bytes [6w, 6w+6). One word cannot discriminate ids sharing a long
+    * constant prefix ("doc-000000000017" — everything interesting is
+    * past byte 6), so string stats columns record [[StrWords]] words —
+    * word 1 in the column's own zone slot, words 2..k in derived
+    * `col#s<w>` slots — and the planner compares bounds as
+    * LEXICOGRAPHIC word tuples ([[lexLE]]): a 24-byte sound prefix
+    * bound, the practical reach of Iceberg's truncate(16) with doubles
+    * as the storage cell.
+    */
+  def strOrdWord(s: String, word: Int): Double = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val off = 6 * word
+    var v = 0L
+    var i = 0
+    while (i < 6) {
+      v = (v << 8) | (if (off + i < b.length) b(off + i) & 0xffL else 0L)
+      i += 1
+    }
+    v.toDouble
+  }
+
+  /** Words per string stats column (24-byte prefix). */
+  val StrWords = 4
+
+  /** Derived zone-slot names for the extra words of string column `c`. */
+  def strWordNames(c: String): Seq[String] =
+    (2 to StrWords).map(w => s"$c#s$w")
+
+  /** a <= b over the word prefix BOTH tuples know (NaN/missing truncates
+    * — comparing a prefix of the projection is itself a monotone coarser
+    * projection, so a prefix verdict stays sound; ties on the known
+    * prefix cannot disprove and keep).
+    */
+  def lexLE(a: Seq[Double], b: Seq[Double]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if (a(i).isNaN || b(i).isNaN) return true
+      if (a(i) < b(i)) return true
+      if (a(i) > b(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Global per-plan budget of per-FILE wide-IN bloom probes (unit: one
+    * key hash tested against one file's bitset, early-exit counted at
+    * full width). Group-level union probes are uncapped — O(keys ×
+    * groups) is the intended flat envelope; this bounds only the
+    * refinement inside groups the union bloom could not clear, so a
+    * 10^5-key × 10^5-file takedown can never melt the driver at plan
+    * time. Past the budget files keep conservatively.
+    */
+  val WideProbeBudget = 1L << 26
+
+  /** Largest TOTAL masked-row count (summed over the delete vectors a
+    * read references) that [[SnapshotStore]] reads anti-join as a
+    * BROADCAST. ~16 bytes/row puts the default (~64M rows) around 1 GB
+    * on the wire — safely under Spark's 8 GB broadcast hard cap with
+    * headroom for executor memory. Above it the anti-join runs unhinted
+    * (a shuffling sort-merge: degraded, never dead) and the store wants
+    * [[SnapshotStore.foldDv]]/`maintainDv` run.
+    */
+  val DvBroadcastMaxRows = 64L * 1024 * 1024
 
   /** The atomic-exclusive metadata-claim primitive — the ONE
     * filesystem-specific operation in the commit protocol

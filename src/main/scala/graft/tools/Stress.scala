@@ -349,6 +349,8 @@ object Stress {
       "manifestScale" -> (() => manifestScaleStress(spark)),
       "dvScale" -> (() => dvScaleStress(spark)),
       "takedown" -> (() => takedownStress(spark)),
+      "takedownStr" -> (() => takedownStringStress(spark)),
+      "k18split" -> (() => k18SplitStress(spark, sfDir)),
       "takedownLifecycle" -> (() => takedownLifecycleStress(spark)),
       "convergence" -> (() => convergenceStress(spark)),
       "zorder" -> (() => zorderStress(spark)),
@@ -820,6 +822,137 @@ object Stress {
     }
   }
 
+  /** r17: the k18 COST DECOMPOSITION (the r16 verdict's What's-wrong #1 —
+    * the ~2.1 s settled k18 vs the r14 1.6 s envelope, cause only partly
+    * attributed). k18's shape: 3 range-partitioned ingest commits, then
+    * `deleteWhere(event_type === 'click')` — a BROAD predicate on an
+    * untracked column, so every file is a candidate, the positions-free
+    * census scans them all, and (clicks being everywhere) every file
+    * COW-rewrites. Per table size this row times each leg separately:
+    *   - sec_ingest: the 3 ingest commits (not part of the delete cost,
+    *     but the bench query pays them every rep);
+    *   - sec_census: a positions-free scan+filter+count over the table —
+    *     the hit-detection leg in isolation;
+    *   - sec_commit_fixed: a zero-row commit — the pure commit-protocol
+    *     fixed cost (stats pass on an empty staging + manifest + pointer);
+    *   - sec_delete: the full deleteWhere (census + survivor rewrite +
+    *     commit).
+    * sec_delete − sec_census − sec_commit_fixed ≈ the COW rewrite leg.
+    * If the legs sum to the settled number and each scales as expected
+    * (census/rewrite ~linear in rows, commit flat), 2.1 s is the true
+    * floor of this operation at sf0.1 — the r14 1.6 s predates the
+    * census/rewrite split the MoR-vs-COW decision requires.
+    */
+  private def k18SplitStress(spark: SparkSession, sfDir: String): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val ev0 = graft.Tables(spark, sfDir, "events")
+      .select("event_id", "event_type", "value")
+    val stride = ev0.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
+    Seq(1, 2, 4).foreach { k =>
+      val ev = (0 until k).map(i => ev0.withColumn("event_id",
+        col("event_id") + lit(i.toLong * stride))).reduce(_ unionByName _)
+      val dir = java.nio.file.Files.createTempDirectory("stress_k18").toString
+      val st = new SnapshotStore(spark, s"$dir/snap", "event_id")
+      val t0 = System.nanoTime()
+      (0L to 2L).foreach(b =>
+        st.commit(ev.filter(pmod(col("event_id"), lit(3L)) === b)
+          .repartitionByRange(4 * k, col("event_id"))))
+      val secIngest = (System.nanoTime() - t0) / 1e9
+      val rows = st.read().count()
+      val t1 = System.nanoTime()
+      val hits = st.read().filter(col("event_type") === "click").count()
+      val secCensus = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      st.commit(ev.limit(0))
+      val secCommitFixed = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val vDel = st.deleteWhere(col("event_type") === "click")
+      val secDelete = (System.nanoTime() - t3) / 1e9
+      println(s"""{"op":"k18_split","scale":$k,"rows":$rows,"hits":$hits,""" +
+        s""""files":${st.fileCount},"sec_ingest":${num(secIngest)},""" +
+        s""""sec_census":${num(secCensus)},""" +
+        s""""sec_commit_fixed":${num(secCommitFixed)},""" +
+        s""""sec_delete":${num(secDelete)},""" +
+        s""""sec_rewrite_est":${num(secDelete - secCensus - secCommitFixed)},""" +
+        s""""deleted":${vDel.nonEmpty}}""")
+    }
+  }
+
+  /** r17: the WIDE STRING-KEY takedown envelope (the r16 verdict's named
+    * scale-killer). Document-id takedown keys are strings, so capWideIn's
+    * numeric range collapse never applies; above InProbeCap the r16
+    * planner kept EVERY candidate file — O(table) scans for a 10^5-key
+    * compliance delete. The r17 planner probes the keys wholesale
+    * against the bloom layer: group-level sketches (sized for the
+    * group's total rows) first, per-file sketches under a global budget
+    * second. Two regimes are measured:
+    *   - CLUSTERED keys (one crawl batch's ids — the realistic takedown):
+    *     kept files must be ~one group out of 64 (sub-linear), and
+    *     sec_plan flat;
+    *   - SCATTERED keys (strided across every batch): keep-all is the
+    *     CORRECT answer (every file genuinely contains hits) — the row
+    *     pins that plan seconds stay flat anyway (budget discipline).
+    */
+  private def takedownStringStress(spark: SparkSession): Unit = {
+    import graft.store.SnapshotStore
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val rowsPerCommit = 65536L
+    val filesPerCommit = 256
+    val commits = 64 // 16,384 files / ~4.2M rows
+    val dir = java.nio.file.Files.createTempDirectory("stress_takedown_str").toString
+    // the KEY is the string doc id: zone-tracked through the r17 string
+    // prefix projection AND bloom-tracked — the full pruning stack a
+    // document table would declare
+    val st = new SnapshotStore(spark, s"$dir/snap", "seq",
+      secondaryStats = Seq("doc"), bloomCols = Seq("doc"))
+    (0 until commits).foreach { i =>
+      val lo = i.toLong * rowsPerCommit
+      st.commit(spark.range(lo, lo + rowsPerCommit)
+        .select(col("id").as("seq"),
+          concat(lit("doc-"), lpad(col("id").cast("string"), 12, "0")).as("doc"))
+        .repartitionByRange(filesPerCommit, col("seq")))
+    }
+    val total = commits.toLong * rowsPerCommit
+    val v0 = st.latestVersion.get
+    def key(id: Long): String = f"doc-$id%012d"
+    val nKeys = 100000
+
+    // regime 1: CLUSTERED — all keys from commit 17's id range
+    val cLo = 17L * rowsPerCommit
+    val clustered: Seq[Any] = (0 until nKeys)
+      .map(k => key(cLo + (k.toLong * rowsPerCommit) / nKeys))
+      .distinct
+    val t0 = System.nanoTime()
+    val (kept1, total1) = st.planStatsWhere(v0,
+      col("doc").isin(clustered: _*))
+    val secPlan1 = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val vDel = st.deleteWhere(col("doc").isin(clustered: _*)).get
+    val secDelete = (System.nanoTime() - t1) / 1e9
+    val (dvFiles, dvRows) = st.dvStats(vDel)
+    println(s"""{"op":"takedown_scale_str","regime":"clustered",""" +
+      s""""files_total":$total1,"rows_total":$total,"keys":${clustered.size},""" +
+      s""""files_kept_plan":$kept1,"sec_plan":${num(secPlan1)},""" +
+      s""""sec_delete":${num(secDelete)},"dv_files":$dvFiles,""" +
+      s""""dv_rows":$dvRows}""")
+    require(kept1 <= 2 * filesPerCommit,
+      s"clustered string takedown kept $kept1 files — group blooms failed")
+
+    // regime 2: SCATTERED — strided across the whole table; keep-all is
+    // correct, the pin is FLAT plan seconds under the probe budget
+    val scattered: Seq[Any] = (0 until nKeys)
+      .map(k => key((total / nKeys) * k + 3))
+      .distinct
+    val t2 = System.nanoTime()
+    val (kept2, total2) = st.planStatsWhere(vDel,
+      col("doc").isin(scattered: _*))
+    val secPlan2 = (System.nanoTime() - t2) / 1e9
+    println(s"""{"op":"takedown_scale_str","regime":"scattered",""" +
+      s""""files_total":$total2,"rows_total":$total,"keys":${scattered.size},""" +
+      s""""files_kept_plan":$kept2,"sec_plan":${num(secPlan2)}}""")
+  }
+
   /** r16: layout-epoch CONVERGENCE through ordinary maintenance. A table
     * half-clustered under a retired layout converges to the current one
     * as compaction rewrites small files it would rewrite anyway — per
@@ -865,6 +998,39 @@ object Stress {
     }
     val epochsFinal = st.layoutCensus(st.latestVersion.get).keys.flatten.toSet.size
     require(epochsFinal == 1, s"convergence failed: $epochsFinal epochs live")
+
+    // r17: SORT-ORDER convergence — layoutCensus's twin. A table that
+    // declared its order midway (half its files pre-order) must converge
+    // to one sorted epoch through ordinary compaction, no dedicated
+    // rewrite.
+    val dir2 = java.nio.file.Files.createTempDirectory("stress_sortconv").toString
+    val st2 = new SnapshotStore(spark, s"$dir2/snap", "id",
+      secondaryStats = Seq("v"))
+    (0 until 8).foreach { i =>
+      val lo = i.toLong * rowsPerCommit
+      st2.commit(spark.range(lo, lo + rowsPerCommit)
+        .select(col("id"), (col("id") % 97).cast("double").as("v")))
+    }
+    st2.setSortOrder(Seq("id"))
+    (8 until 16).foreach { i =>
+      val lo = i.toLong * rowsPerCommit
+      st2.commit(spark.range(lo, lo + rowsPerCommit)
+        .select(col("id"), (col("id") % 97).cast("double").as("v")))
+    }
+    (0 until 3).foreach { round =>
+      val census = st2.sortCensus(st2.latestVersion.get)
+      val sortedFiles = census.getOrElse(Some(Seq("id")), 0)
+      val unsortedFiles = census.filterNot(_._1.contains(Seq("id"))).values.sum
+      val t0 = System.nanoTime()
+      val packed = st2.compactSmall(1L << 30, targetFiles = 16)
+      val secPack = (System.nanoTime() - t0) / 1e9
+      println(s"""{"op":"sort_convergence","round":$round,""" +
+        s""""files_sorted":$sortedFiles,"files_unsorted":$unsortedFiles,""" +
+        s""""sec_compact":${num(secPack)},"compacted":${packed.nonEmpty}}""")
+    }
+    val finalCensus = st2.sortCensus(st2.latestVersion.get)
+    require(finalCensus.keySet == Set(Option(Seq("id"))),
+      s"sort convergence failed: ${finalCensus.keySet}")
   }
 
   /** r16: the FULL compliance lifecycle at 16k files — delete → fold →

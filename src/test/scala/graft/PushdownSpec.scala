@@ -249,4 +249,110 @@ class PushdownSpec extends SparkSpec {
       s"a 2-d box on a z-ordered table must prune hard ($kept/$total)")
     assert(st.readWhere(v, cond).count() === 36L)
   }
+
+  // ---- r17: STRING ZONE BOUNDS (the prefix projection) -----------------
+
+  test("strOrd word tuples are byte-lex monotone (the zone soundness property)") {
+    val samples = Seq("", "a", "ab", "abcdef", "abcdefg", "abcdeg",
+      "doc-000000000001", "doc-000000000002", "doc-999999999999",
+      "zzzzzz", "\u03a9\u00fcn\u00efcode", "k9999", "doc-", "DOC-X", "0042", " 42",
+      "doc-00000001", "doc-00020000", "doc-00029999", "doc-00030000")
+    // monotone under unsigned-byte lexicographic order (Spark's string
+    // ordering, and the order its min/max aggregates use)
+    def lex(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length <= y.length
+    }
+    def tup(s: String): Seq[Double] =
+      (0 until SnapshotStore.StrWords).map(w => SnapshotStore.strOrdWord(s, w))
+    for (a <- samples; b <- samples if lex(a, b)) {
+      assert(SnapshotStore.strOrd(a) <= SnapshotStore.strOrd(b),
+        s"word-1 projection order broke for '$a' <= '$b'")
+      assert(SnapshotStore.lexLE(tup(a), tup(b)),
+        s"tuple projection order broke for '$a' <= '$b'")
+    }
+    // the tuple DISCRIMINATES ids sharing a long constant prefix — the
+    // case a single 48-bit word cannot (everything before byte 6 equal)
+    assert(!SnapshotStore.lexLE(tup("doc-000000000002"), tup("doc-000000000001")))
+    assert(SnapshotStore.strOrd("doc-000000000001") ===
+      SnapshotStore.strOrd("doc-000000000002")) // word 1 alone cannot
+  }
+
+  // doc-id table: 4 batches × 8 files, ids zero-padded so byte-lex order
+  // matches numeric order — the realistic clustered-crawl layout
+  private def docStore(name: String): (SnapshotStore, Long) = {
+    val st = new SnapshotStore(spark, tempDir(name) + "/snap", "x",
+      secondaryStats = Seq("doc"), bloomCols = Seq("doc"))
+    val df = spark.range(0, 40000).select(col("id").as("x"),
+      concat(lit("doc-"), lpad(col("id").cast("string"), 8, "0")).as("doc"))
+    (0 until 4).foreach { b =>
+      st.commit(df.filter(col("x") >= b * 10000L && col("x") < (b + 1) * 10000L)
+        .repartitionByRange(8, col("x")))
+    }
+    (st, st.latestVersion.get)
+  }
+
+  test("wide string IN: clustered keys prune through projected zones") {
+    val (st, v) = docStore("push-widestr")
+    // 10,001 keys (> InProbeCap) all from batch 2's id range
+    val keys: Seq[Any] = (20000 until 30001).map(i => f"doc-$i%08d")
+    val cond = col("doc").isin(keys: _*)
+    val (kept, total) = st.planStatsWhere(v, cond)
+    assert(total === 32)
+    assert(kept <= 10,
+      s"clustered wide string IN must prune to ~one batch ($kept/$total)")
+    assert(st.readWhere(v, cond).count() === 10001L)
+    assert(st.readWhere(v, cond).count() ===
+      st.readAt(v).filter(cond).count())
+  }
+
+  test("wide string IN under NOT: no pruning, exact result") {
+    val (st, v) = docStore("push-widestr-not")
+    val keys: Seq[Any] = (20000 until 30001).map(i => f"doc-$i%08d")
+    val cond = !col("doc").isin(keys: _*)
+    val (kept, total) = st.planStatsWhere(v, cond)
+    assert(kept === total,
+      "a negated wide IN is not a required conjunct — must keep all")
+    assert(st.readWhere(v, cond).count() === 40000L - 10001L)
+  }
+
+  test("wide string IN: string range predicates prune the same zones") {
+    val (st, v) = docStore("push-strrange")
+    // an ordinary string range on the projected column zones-prunes too
+    val cond = col("doc") >= "doc-00020000" && col("doc") < "doc-00030000"
+    val (kept, total) = st.planStatsWhere(v, cond)
+    assert(kept <= 10, s"string range must zone-prune ($kept/$total)")
+    assert(st.readWhere(v, cond).count() === 10000L)
+    assert(st.readWhere(v, cond).count() ===
+      st.readAt(v).filter(cond).count())
+  }
+
+  test("cross-typed literal against a string-projected column keeps all") {
+    val (st, v) = docStore("push-strcross")
+    // numeric literal on the projected column: its SQL semantics go
+    // through implicit casts the projection knows nothing about — the
+    // planner must refuse (plan only; executing would ANSI-fail the cast)
+    val (kept, total) = st.planStatsWhere(v, col("doc") > 5)
+    assert(kept === total)
+  }
+
+  test("string zones survive a metadata-only delete (marker carry)") {
+    val (st, v) = docStore("push-strcarry")
+    // keyed MoR delete: metadata-only commit, no staged batch, strStats
+    // must carry from the previous manifest
+    val v2 = st.deleteWhere(col("doc") === "doc-00020007", 1.0).get
+    assert(v2 === v + 1)
+    val keys: Seq[Any] = (20000 until 30001).map(i => f"doc-$i%08d")
+    val (kept, total) = st.planStatsWhere(v2, col("doc").isin(keys: _*))
+    assert(kept <= 10,
+      s"marker must survive the metadata-only commit ($kept/$total)")
+    assert(st.readWhere(v2, col("doc").isin(keys: _*)).count() === 10000L)
+  }
 }
