@@ -44,6 +44,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The contract surface is 236 distinct query shapes, each compiling
+      // several whole-stage-codegen units; the default 100-entry codegen
+      // class cache (StaticSQLConf) evicts every one of them between a
+      // query's reps in a rep-major run, so every rep re-pays Janino
+      // compilation. A long-running production session serving this many
+      // query shapes sizes the cache to its working set — scale-independent
+      // (the cache holds generated CLASSES, not data). Env-overridable for
+      // A/B measurement.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
