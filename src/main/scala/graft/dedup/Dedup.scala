@@ -228,7 +228,15 @@ object Dedup {
     val keep = allSides.groupBy("pfx").agg(count(lit(1)).as("bn"))
       .filter(col("bn").between(2, maxBlock))
       .select("pfx")
+    // ONE explicit exchange on the block key, shared by both self-join
+    // sides (r17, guide §2.4): with the rename projections BELOW the
+    // join's implicit exchanges the two subtrees don't canonicalize
+    // equal, so the tokenize+normalize pass over the corpus ran once PER
+    // SIDE (4 scans in the d4 plan). Renaming ABOVE one repartition makes
+    // the second side a ReusedExchange — one corpus pass, one shuffle
+    // (PlanAuditSpec pins the reused stage on the executed plan).
     val sides = allSides.join(keep, Seq("pfx"), "left_semi")
+      .repartition(col("pfx"))
     val a = sides.select(col("pfx"), col("id").as("a"), col("ws").as("wa"))
     val b = sides.select(col("pfx"), col("id").as("b"), col("ws").as("wb"))
     val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
@@ -264,7 +272,9 @@ object Dedup {
     val keep = allSides.groupBy("pfx").agg(count(lit(1)).as("bn"))
       .filter(col("bn").between(2, maxBlock))
       .select("pfx")
+    // shared-exchange self-join — see prefixBlockedJaccard
     val sides = allSides.join(keep, Seq("pfx"), "left_semi")
+      .repartition(col("pfx"))
     val a = sides.select(col("pfx"), col("id").as("a"), col("ws").as("wa"))
     val b = sides.select(col("pfx"), col("id").as("b"), col("ws").as("wb"))
     val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
@@ -286,9 +296,12 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, embCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     import graft.sim.Similarity
+    // shared-exchange self-join (r17) — see prefixBlockedJaccard: one
+    // norm pass, the b side a ReusedExchange
     val e = ColOps.parallelize(df.select(col(blockCol).as("block"),
       col(idCol).as("id"), col(embCol).as("emb"),
       Similarity.norm(col(embCol)).as("nrm")))
+      .repartition(col("block"))
     val a = e.select(col("block"), col("id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
     val b = e.select(col("block"), col("id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("block"))

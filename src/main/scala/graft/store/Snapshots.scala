@@ -1237,7 +1237,104 @@ final class SnapshotStore(spark: SparkSession, val path: String,
         .exists(_.dataType == org.apache.spark.sql.types.StringType))
     }.getOrElse(Seq.empty)
 
-  private def statsForDir(dir: Path): Array[FileEntry] =
+  /** FOOTER fast path for the commit-time stats census (r17, guide §1.2/
+    * §6): when every declared stats column is an INTEGER type, the
+    * per-file zone bounds, row counts and null counts the manifest needs
+    * are already in the parquet footers the write just produced — exactly
+    * the numbers the one-job aggregate pass recomputes. Reading them
+    * driver-side (one bounded footer read per new file, the Iceberg
+    * manifest discipline) deletes one distributed job from EVERY commit.
+    *
+    * Soundness gate, deliberately narrow:
+    *   - integer Spark types only. Footer min/max for a DOUBLE column
+    *     ignores NaN while the aggregate's max() returns NaN when one is
+    *     present (Spark's total order ranks NaN above everything — a
+    *     footer bound could then prune a file whose NaN rows MATCH a
+    *     `> x` predicate). Strings would need the truncation-safe
+    *     projection argument; timestamps a unit-conversion exactness
+    *     argument. None of that is needed for the common key-zoned store.
+    *   - exactness: long→double cast is monotone non-decreasing, so
+    *     min/max over per-row casts (the aggregate formulation) equals
+    *     the cast of the footer's typed min/max — the SAME doubles land
+    *     in the manifest.
+    *   - any chunk missing statistics or null counts → the whole dir
+    *     falls back to the aggregate pass (never a per-file mix).
+    */
+  private[graft] def statsFromFooters(parts: Array[org.apache.hadoop.fs.FileStatus])
+      : Option[Array[FileEntry]] = {
+    val intTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val schema = batchSchemaOf(parts.head.getPath.getParent)
+    val allInt = schema.exists(sch =>
+      statsCols.forall(c => sch.find(_.name == c).exists(f => intTypes(f.dataType))))
+    if (!allInt) None
+    else {
+      val entries = parts.sortBy(_.getPath.toString).map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          // per stats column: fold min/max/nullCount across row groups;
+          // any absent/incomplete statistics object aborts to the agg path
+          val perCol: Seq[Option[(Double, Double, Long)]] = statsCols.map { c =>
+            val chunks = blocks.map(_.getColumns.asScala.find(cc =>
+              cc.getPath.size == 1 && cc.getPath.iterator.next == c))
+            if (chunks.exists(_.isEmpty)) None
+            else {
+              val stats = chunks.flatten.map(_.getStatistics)
+              if (stats.exists(s => s == null || !s.isNumNullsSet)) None
+              else {
+                val nulls = stats.map(_.getNumNulls).sum
+                val nonEmpty = stats.filter(_.hasNonNullValue)
+                def toD(v: Any): Option[Double] = v match {
+                  case l: java.lang.Long => Some(l.toDouble)
+                  case i: java.lang.Integer => Some(i.toDouble)
+                  case _ => None
+                }
+                if (nonEmpty.isEmpty) Some((Double.NaN, Double.NaN, nulls))
+                else {
+                  val mns = nonEmpty.map(s => toD(s.genericGetMin))
+                  val mxs = nonEmpty.map(s => toD(s.genericGetMax))
+                  if (mns.exists(_.isEmpty) || mxs.exists(_.isEmpty)) None
+                  else Some((mns.flatten.min, mxs.flatten.max, nulls))
+                }
+              }
+            }
+          }
+          if (perCol.exists(_.isEmpty)) None
+          else {
+            val cols = perCol.flatten
+            // record the file in input_file_name()'s URI form
+            // ("file:///tmp/...", empty authority) so footer-census and
+            // aggregate-census manifests are byte-identical
+            // (FooterStatsSpec pins it)
+            val u = st.getPath.toUri
+            val fileStr = new java.net.URI(u.getScheme,
+              Option(u.getAuthority).getOrElse(""), u.getPath, null, null).toString
+            Some(FileEntry(fileStr, -1L, rows,
+              cols.head._1, cols.head._2, st.getLen,
+              cols.drop(1).map(c => (c._1, c._2)),
+              nulls = cols.map(_._3)))
+          }
+        } finally r.close()
+      }
+      if (entries.exists(_.isEmpty)) None else Some(entries.flatten)
+    }
+  }
+
+  private def statsForDir(dir: Path): Array[FileEntry] = {
+    val parts = fs.listStatus(dir).filter(_.getPath.getName.startsWith("part-"))
+    if (parts.isEmpty) Array.empty[FileEntry]
+    else statsFromFooters(parts) match {
+      case Some(es) => es
+      case None => statsAggForDir(dir)
+    }
+  }
+
+  private[graft] def statsAggForDir(dir: Path): Array[FileEntry] =
     if (!fs.listStatus(dir).exists(_.getPath.getName.startsWith("part-")))
       Array.empty[FileEntry]
     else {
@@ -1354,25 +1451,49 @@ final class SnapshotStore(spark: SparkSession, val path: String,
       val aggs = bloomCols.map(c => graft.functions.BloomSketch.bloomAgg(
         xxhash64(col(c)), bits, SnapshotStore.BloomHashes).as(s"bf_$c"))
       val batch = spark.read.parquet(dir.toString)
-      val perFile = batch
-        .groupBy(input_file_name().as("f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map { r =>
-          new Path(r.getString(0)).getName ->
-            bloomCols.indices.map(i => r.getAs[Array[Byte]](1 + i))
-        }.toMap
       // group sketch sized by TOTAL rows (clamped at 2 MiB — ~1% FPP to
-      // ~1.6M keys, degrading-never-wrong beyond); a second map-side-
-      // combined aggregate over the page-cached just-written batch, one
-      // sketch-sized row to the driver
+      // ~1.6M keys, degrading-never-wrong beyond)
       val gBits = java.lang.Long.highestOneBit(
         math.min(1L << 24, math.max(1L << 10, 10L * totalRows)) * 2 - 1).toInt
+      // ONE aggregate job for both levels (r17, guide §1.2): per-file
+      // sketches are ALSO built at the group width in the same pass and
+      // OR-ed driver-side — the OR of same-width blooms over a partition
+      // of the rows IS the bloom of the union (identical bit positions),
+      // so the result is bit-identical to the former second global-agg
+      // job (BloomFuseSpec pins it). Gated on the collect staying
+      // sketch-sized: past ~64 MiB of group-width per-file sketches
+      // (thousands of files × a 2 MiB group sketch) the second global
+      // aggregate is the cheaper shape and the fusion steps aside.
+      val fuse = nFiles.toLong * (gBits.toLong / 8L) *
+        bloomCols.size <= (64L << 20)
       val gAggs = bloomCols.map(c => graft.functions.BloomSketch.bloomAgg(
         xxhash64(col(c)), gBits, SnapshotStore.BloomHashes).as(s"gf_$c"))
-      val gRow = batch.agg(gAggs.head, gAggs.tail: _*).collect()(0)
-      BatchBlooms(perFile,
-        bloomCols.indices.map(i => gRow.getAs[Array[Byte]](i)))
+      val rows = batch
+        .groupBy(input_file_name().as("f"))
+        .agg((aggs ++ (if (fuse) gAggs else Nil)).head,
+          (aggs ++ (if (fuse) gAggs else Nil)).tail: _*)
+        .collect()
+      val perFile = rows.map { r =>
+        new Path(r.getString(0)).getName ->
+          bloomCols.indices.map(i => r.getAs[Array[Byte]](1 + i))
+      }.toMap
+      val group =
+        if (fuse) bloomCols.indices.map { i =>
+          val acc = rows.head.getAs[Array[Byte]](1 + bloomCols.size + i).clone()
+          rows.tail.foreach { r =>
+            val b = r.getAs[Array[Byte]](1 + bloomCols.size + i)
+            var j = 0
+            while (j < acc.length && j < b.length) {
+              acc(j) = (acc(j) | b(j)).toByte; j += 1
+            }
+          }
+          acc
+        }
+        else {
+          val gRow = batch.agg(gAggs.head, gAggs.tail: _*).collect()(0)
+          bloomCols.indices.map(i => gRow.getAs[Array[Byte]](i))
+        }
+      BatchBlooms(perFile, group)
     }
 
   private def b64(a: Array[Byte]): String =

@@ -365,7 +365,11 @@ object TextAnalysis {
       substring(norm, 1, headLen).as("head"), substring(norm, 1, pfxLen).as("pfx"))
     val keep = docs.groupBy("pfx").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, maxBlock)).select("pfx")
+    // shared-exchange self-join (r17) — see Dedup.prefixBlockedJaccard:
+    // renames above ONE repartition make the b side a ReusedExchange, so
+    // the normalize pass runs once, not once per side
     val sides = docs.join(keep, Seq("pfx"), "left_semi")
+      .repartition(col("pfx"))
     val a = sides.select(col("pfx"), col("id").as("a"), col("head").as("ha"))
     val b = sides.select(col("pfx"), col("id").as("b"), col("head").as("hb"))
     a.join(b, Seq("pfx")).filter(col("a") < col("b"))

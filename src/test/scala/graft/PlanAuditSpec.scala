@@ -748,4 +748,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!generateLine.contains("md5") && !generateLine.contains("portable_minhash"),
       s"signature hashing leaked into the per-band generator:\n$generateLine")
   }
+
+  test("d4 block self-join: both sides share ONE exchange (tokenize runs once)") {
+    // r17: the rename projections sit ABOVE one explicit repartition(pfx),
+    // so AQE reuses the shuffle stage for the b side — the corpus
+    // tokenize+normalize pass runs once, not once per side. Must execute:
+    // reuse is an AQE runtime decision, invisible in the initial plan.
+    val pairs = Dedup.prefixBlockedJaccard(docs, "doc_id", "text",
+      prefixLen = 8, threshold = 0.0)
+    pairs.collect()
+    val nodes = flatten(pairs.queryExecution.executedPlan)
+    val reused = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+    assert(reused >= 1, "self-join sides must share the block-key exchange")
+  }
 }

@@ -1593,3 +1593,106 @@ class SnapshotSpec extends SparkSpec {
     assert(dvDirs.isEmpty, "an unreferenced vector must age out")
   }
 }
+
+/** r17 footer fast path: the commit-time stats census read driver-side
+  * from parquet footers must be indistinguishable from the one-job
+  * aggregate formulation it replaces — same files, rows, bounds, null
+  * counts, bytes — and must refuse (fall back) on non-integer stats
+  * columns, where footer min/max semantics diverge (NaN, truncation).
+  */
+class FooterStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("footer stats == aggregate stats on integer columns, nulls included") {
+    val dir = tempDir("snap-footer")
+    val st = new graft.store.SnapshotStore(spark, dir + "/snap", "id",
+      secondaryStats = Seq("v2"))
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id") * 3).as("v2"),
+      (col("id") % 7).cast("string").as("k"))
+      .repartition(4)
+    st.commit(df)
+    val batchDir = new org.apache.hadoop.fs.Path(dir + "/snap/data/b00001")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(batchDir).filter(_.getPath.getName.startsWith("part-"))
+    val footer = st.statsFromFooters(parts)
+    assert(footer.isDefined, "integer stats columns must take the footer path")
+    val agg = st.statsAggForDir(batchDir)
+    val f = footer.get.sortBy(_.file)
+    val a = agg.sortBy(_.file)
+    assert(f.length === a.length && f.nonEmpty)
+    f.zip(a).foreach { case (x, y) =>
+      assert(x.file === y.file, "path format must match the aggregate census")
+      assert(x.rows === y.rows)
+      assert(x.bytes === y.bytes)
+      assert(x.minS === y.minS && x.maxS === y.maxS)
+      assert(x.extra === y.extra)
+      assert(x.nulls === y.nulls)
+    }
+  }
+
+  test("non-integer stats columns refuse the footer path") {
+    val dir = tempDir("snap-footer-dbl")
+    val st = new graft.store.SnapshotStore(spark, dir + "/snap", "id",
+      secondaryStats = Seq("v"))
+    st.commit(spark.range(0, 100).select(
+      col("id"), (col("id") * 1.5).as("v")))
+    val batchDir = new org.apache.hadoop.fs.Path(dir + "/snap/data/b00001")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(batchDir).filter(_.getPath.getName.startsWith("part-"))
+    assert(st.statsFromFooters(parts).isEmpty,
+      "a double stats column must fall back to the aggregate census (NaN soundness)")
+  }
+
+  test("all-null integer column records NaN bounds under both paths") {
+    val dir = tempDir("snap-footer-null")
+    val st = new graft.store.SnapshotStore(spark, dir + "/snap", "id",
+      secondaryStats = Seq("v2"))
+    st.commit(spark.range(0, 50).select(
+      col("id"), lit(null).cast("long").as("v2")))
+    val batchDir = new org.apache.hadoop.fs.Path(dir + "/snap/data/b00001")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(batchDir).filter(_.getPath.getName.startsWith("part-"))
+    val f = st.statsFromFooters(parts)
+    val a = st.statsAggForDir(batchDir)
+    assert(f.isDefined)
+    f.get.sortBy(_.file).zip(a.sortBy(_.file)).foreach { case (x, y) =>
+      assert(x.extra.head._1.isNaN === y.extra.head._1.isNaN)
+      assert(x.extra.head._2.isNaN === y.extra.head._2.isNaN)
+      assert(x.nulls === y.nulls)
+    }
+  }
+}
+
+/** r17 bloom-pass fusion: the group-level sketch is now built as per-file
+  * sketches at the group width OR-ed driver-side (one aggregate job for
+  * both sidecar levels). Sound because the OR of same-width blooms over a
+  * partition of the rows is bit-identical to one bloom over all rows —
+  * pinned here against the former two-job formulation.
+  */
+class BloomFuseSpec extends SparkSpec {
+  import graft.functions.BloomSketch
+
+  test("OR of per-file sketches == one global sketch (same width)") {
+    val dir = tempDir("bloom-fuse")
+    spark.range(0, 20000).select(col("id"))
+      .repartition(4).write.parquet(dir + "/d")
+    val df = spark.read.parquet(dir + "/d")
+    val bits = 1 << 14
+    val global = df
+      .agg(BloomSketch.bloomAgg(xxhash64(col("id")), bits, 5).as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val perFile = df.groupBy(input_file_name().as("f"))
+      .agg(BloomSketch.bloomAgg(xxhash64(col("id")), bits, 5).as("b"))
+      .collect().map(_.getAs[Array[Byte]](1))
+    assert(perFile.length === 4)
+    val ored = perFile.head.clone()
+    perFile.tail.foreach { b =>
+      var i = 0
+      while (i < ored.length) { ored(i) = (ored(i) | b(i)).toByte; i += 1 }
+    }
+    assert(java.util.Arrays.equals(ored, global),
+      "fused group sketch must be bit-identical to the global aggregate")
+  }
+}
