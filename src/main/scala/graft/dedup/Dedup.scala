@@ -329,8 +329,14 @@ object Dedup {
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .distinct()
       .localCheckpoint(eager = true)
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Initial labels FOLD ROUND ONE in (r17): min(self, min neighbor) is
+    // exactly what the first loop iteration computes when every label is
+    // still its own id (the pointer hop is the identity then) — one
+    // aggregate replaces that round's three joins + checkpoint + count.
+    // Same fixpoint, one fewer round on every input.
+    var labels = edges.groupBy(col("x").as("id"))
+      .agg(min(col("y")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
